@@ -1,13 +1,297 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Decode
+import graft.ops.{AsOfJoin, Relational, Resample, TradeOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is exposed as a named batch query
+  * over the driver's synthetic tables, with an equivalent DuckDB oracle
+  * in [[oracleSql]]. Column names and rounding are aligned on both sides
+  * (the driver sorts columns by name and hash-compares values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TradeOps.tumblingVolume(Tables.trades(spark, "/root/testdata/sf0.001"))
+
+  private def trades(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- ingest / projection tier (P1-P9) --------------------------------
+    "p1_decode_roundtrip" -> ((s, dir) => Decode.roundTrip(trades(s, dir))),
+    // -- aggregation tier (A1-A6, T3-T4) ---------------------------------
+    "a1_tumbling_volume" -> ((s, dir) => TradeOps.tumblingVolume(trades(s, dir))),
+    "a2_sliding_features" -> ((s, dir) => TradeOps.slidingFeatures(trades(s, dir))),
+    // -- window-function tier (W1-W3, A7) --------------------------------
+    "w1_cumulative_volume" -> ((s, dir) => TradeOps.cumulativeVolume(trades(s, dir))),
+    "w2_lookback_avg" -> ((s, dir) => TradeOps.lookbackAvg(trades(s, dir))),
+    "w3_resample_interpolate" -> ((s, dir) => Resample.interpolateHourly(trades(s, dir))),
+    // -- scalar/derivation tier (F2, F3, F9) -----------------------------
+    "f9_minmax_scale" -> ((s, dir) => TradeOps.minMaxScale(trades(s, dir))),
+    "f3_dateparts" -> ((s, dir) => TradeOps.dateParts(trades(s, dir))),
+    "f2_json_kv" -> ((s, dir) => TradeOps.jsonKeyValue(trades(s, dir))),
+    // -- serving tier (S6, O1, O2, O4) -----------------------------------
+    "s6_serving_range" -> ((s, dir) =>
+      TradeOps.servingRange(trades(s, dir), "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
+    "o2_last_row" -> ((s, dir) => TradeOps.lastRow(trades(s, dir))),
+    "o4_ordered_split" -> ((s, dir) => TradeOps.orderedSplit(trades(s, dir))),
+    // -- joins (§2.6; as-of per predict_btc.py:88-91) --------------------
+    "j_asof_click" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val purchases = t.filter(col("symbol") === "purchase")
+        .select("event_id", "user_id", "timestamp", "price")
+      val clicks = t.filter(col("symbol") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max_by(col("price"), col("event_id")).as("click_price"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "timestamp",
+        "click_price", "click_price")
+    }),
+    "j_semi_customers_with_orders" -> ((s, dir) => Relational.customersWithOrders(s, dir)),
+    "j_anti_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    // -- relational breadth ----------------------------------------------
+    "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    "q5_revenue_by_nation" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+    "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
+    "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
+    "a_rollup_summary" -> ((s, dir) => Relational.rollupSummary(s, dir)),
+  )
+
+  private val T = Tables.tradesCte
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "p1_decode_roundtrip" ->
+      s"""$T
+         |SELECT symbol,
+         |       make_timestamp(epoch_ms("timestamp") * 1000) AS "timestamp",
+         |       price, volume,
+         |       price * volume AS usd_volume,
+         |       round(sum(volume) OVER (PARTITION BY symbol
+         |         ORDER BY "timestamp", event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         |         AS cumulative_volume
+         |FROM trades""".stripMargin,
+
+    "a1_tumbling_volume" ->
+      s"""$T
+         |SELECT symbol,
+         |       date_trunc('minute', "timestamp") AS "timestamp",
+         |       round(sum(volume), 6) AS total_volume,
+         |       round(sum(usd_volume), 6) AS total_usd_volume,
+         |       count(*) AS n_trades
+         |FROM trades GROUP BY 1, 2""".stripMargin,
+
+    "a2_sliding_features" ->
+      s"""$T
+         |SELECT symbol,
+         |       make_timestamp((CAST(floor(epoch("timestamp") / 10) AS BIGINT) * 10 - k) * 1000000)
+         |         AS "timestamp",
+         |       round(sum(usd_volume), 6) AS total_usd_volume,
+         |       round(sum(volume), 6) AS total_volume,
+         |       arg_max(price, event_id) AS close,
+         |       max(price) AS high,
+         |       min(price) AS low,
+         |       count(price) AS num_trades
+         |FROM trades CROSS JOIN (VALUES (0), (10), (20)) offs(k)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "w1_cumulative_volume" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", volume,
+         |       round(sum(volume) OVER (PARTITION BY symbol
+         |         ORDER BY "timestamp", event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         |         AS cumulative_volume
+         |FROM trades""".stripMargin,
+
+    "w2_lookback_avg" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", lookback_avg, n_rows FROM (
+         |  SELECT event_id, symbol, "timestamp",
+         |         round(avg(price) OVER w, 6) AS lookback_avg,
+         |         count(*) OVER w AS n_rows
+         |  FROM trades
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+         |               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+         |) WHERE n_rows = 100""".stripMargin,
+
+    "w3_resample_interpolate" ->
+      s"""$T, obs AS (
+         |  SELECT symbol, date_trunc('hour', "timestamp") AS bucket,
+         |         round(avg(price), 6) AS p, count(*) AS n
+         |  FROM trades GROUP BY 1, 2
+         |), bounds AS (
+         |  SELECT symbol, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY 1
+         |), grid AS (
+         |  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+         |  FROM bounds
+         |), j AS (
+         |  SELECT g.symbol, g.bucket, o.p, o.n
+         |  FROM grid g LEFT JOIN obs o ON o.symbol = g.symbol AND o.bucket = g.bucket
+         |), n8 AS (
+         |  SELECT symbol, bucket, p, n,
+         |    last_value(p IGNORE NULLS) OVER past AS pv,
+         |    last_value(CASE WHEN p IS NOT NULL THEN bucket END IGNORE NULLS) OVER past AS pt,
+         |    first_value(p IGNORE NULLS) OVER fut AS nv,
+         |    first_value(CASE WHEN p IS NOT NULL THEN bucket END IGNORE NULLS) OVER fut AS nt,
+         |    last_value(n IGNORE NULLS) OVER past AS n_ff
+         |  FROM j
+         |  WINDOW past AS (PARTITION BY symbol ORDER BY bucket
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         fut AS (PARTITION BY symbol ORDER BY bucket
+         |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT symbol, bucket,
+         |  round(CASE WHEN p IS NOT NULL THEN p
+         |             WHEN pv IS NULL THEN NULL
+         |             WHEN nv IS NULL THEN pv
+         |             ELSE pv + (nv - pv) *
+         |               (CAST(epoch(bucket)::BIGINT - epoch(pt)::BIGINT AS DOUBLE) /
+         |                CAST(epoch(nt)::BIGINT - epoch(pt)::BIGINT AS DOUBLE))
+         |        END, 6) AS price_filled,
+         |  n_ff AS n_trades_ff
+         |FROM n8""".stripMargin,
+
+    "f9_minmax_scale" ->
+      s"""$T
+         |SELECT event_id, symbol, price,
+         |       round((price - min(price) OVER (PARTITION BY symbol)) /
+         |             (max(price) OVER (PARTITION BY symbol) -
+         |              min(price) OVER (PARTITION BY symbol)), 6) AS scaled
+         |FROM trades""".stripMargin,
+
+    "f3_dateparts" ->
+      s"""$T
+         |SELECT year("timestamp") AS year, month("timestamp") AS month,
+         |       day("timestamp") AS day, hour("timestamp") AS hour,
+         |       count(*) AS n, round(sum(volume), 6) AS total_volume
+         |FROM trades GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "f2_json_kv" ->
+      s"""$T, bars AS (
+         |  SELECT symbol, date_trunc('minute', "timestamp") AS minute_start,
+         |         count(*) AS n_trades
+         |  FROM trades GROUP BY 1, 2
+         |)
+         |SELECT symbol AS key,
+         |       to_json(struct_pack(
+         |         symbol := symbol,
+         |         minute_start := CAST(minute_start AS VARCHAR),
+         |         n_trades := n_trades))::VARCHAR AS value
+         |FROM bars""".stripMargin,
+
+    "s6_serving_range" ->
+      s"""$T
+         |SELECT event_id, "timestamp", price FROM trades
+         |WHERE symbol = 'click'
+         |  AND "timestamp" BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+         |                      AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "o2_last_row" ->
+      s"""$T
+         |SELECT symbol, arg_max(price, event_id) AS last_price,
+         |       max("timestamp") AS last_ts
+         |FROM trades GROUP BY 1""".stripMargin,
+
+    "o4_ordered_split" ->
+      s"""$T, numbered AS (
+         |  SELECT event_id, symbol,
+         |         row_number() OVER (ORDER BY "timestamp", event_id) AS rn,
+         |         count(*) OVER () AS total
+         |  FROM trades
+         |)
+         |SELECT event_id, symbol,
+         |       CASE WHEN rn <= floor(total * 0.8::DOUBLE) THEN 'train'
+         |            ELSE 'test' END AS split
+         |FROM numbered""".stripMargin,
+
+    "j_asof_click" ->
+      s"""$T, p AS (
+         |  SELECT event_id, user_id, "timestamp", price
+         |  FROM trades WHERE symbol = 'purchase'
+         |), c AS (
+         |  SELECT user_id, "timestamp" AS cts,
+         |         arg_max(price, event_id) AS click_price
+         |  FROM trades WHERE symbol = 'click' GROUP BY 1, 2
+         |)
+         |SELECT p.event_id, p.user_id, p."timestamp", p.price, c.click_price
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND c.cts <= p."timestamp"""".stripMargin,
+
+    "j_semi_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "j_anti_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "a_distinct_counts" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "w_order_ranks" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |         row_number() OVER w AS rn,
+        |         lag(o_totalprice, 1) OVER w AS prev_price,
+        |         lead(o_totalprice, 1) OVER w AS next_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE rn <= 3""".stripMargin,
+
+    "a_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+  )
 }

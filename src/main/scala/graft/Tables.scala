@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * The `trades` view projects the synthetic `events` table into the
+  * reference's flat trade-row shape (SURVEY.md §1.1; reference
+  * `scripts/StreamProcessing/ProcessStockStream.py:102-109`):
+  * `(symbol, timestamp, price, volume, usd_volume)` — with `event_type`
+  * standing in for the symbol and a deterministic derived volume, so every
+  * trade-pipeline operator is oracle-checkable against DuckDB.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with
+    * integer division — the exact behavior of DuckDB's reader on the same
+    * file, so oracle comparisons see identical microsecond timestamps.
+    * (Double division would lose integer precision: epoch-nanos ≈ 1.7e18
+    * exceeds 2^53.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Flat trade rows (reference `ProcessStockStream.py:102-109` output
+    * shape). `volume` is a deterministic function of `event_id` so DuckDB
+    * can derive the identical column.
+    */
+  def trades(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type").as("symbol"),
+      col("ts").as("timestamp"),
+      col("value").as("price"),
+      (((col("event_id") % 97) + 1) * lit(0.1)).as("volume"))
+      .withColumn("usd_volume", col("price") * col("volume"))
+
+  /** DuckDB CTE equivalent of [[trades]]; prefix of most oracle queries.
+    * `0.1::DOUBLE` forces double math (a bare `0.1` is DECIMAL in DuckDB,
+    * which would round differently from Spark's double multiply).
+    */
+  val tradesCte: String =
+    """WITH trades AS (
+      |  SELECT event_id, user_id,
+      |         event_type AS symbol,
+      |         ts AS "timestamp",
+      |         value AS price,
+      |         ((event_id % 97) + 1) * 0.1::DOUBLE AS volume,
+      |         value * (((event_id % 97) + 1) * 0.1::DOUBLE) AS usd_volume
+      |  FROM events
+      |)""".stripMargin
+}

@@ -1,0 +1,72 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** The reference's ingest path (SURVEY.md §2.3 P1-P9): binary Avro envelope
+  * → nested struct → explode array-of-trades → flatten → rename → derive.
+  * Reference: `scripts/StreamProcessing/ProcessStockStream.py:100-109`.
+  *
+  * Offline there is no `spark-avro` jar, so the envelope is carried as a
+  * JSON string with the identical nested shape ([[Schemas.envelope]]) and
+  * decoded with `from_json` — same plan shape, same downstream operators
+  * (SURVEY.md §2.3 P1 fallback note).
+  */
+object Decode {
+
+  /** Producer side (`scripts/FinnhubProducer/FinnhubProducer.py:32-40`):
+    * batch flat trades into envelopes — an array of trade records per
+    * (symbol, hour) — including the producer's running cumulative volume
+    * (`FinnhubProducer.py:34-36`), serialized to a JSON `value` column.
+    */
+  def encodeEnvelopes(trades: DataFrame): DataFrame = {
+    val cumW = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("cv", round(sum(col("volume")).over(cumW), 6))
+      .select(
+        col("symbol"),
+        date_trunc("hour", col("timestamp")).as("envelope_hour"),
+        struct(
+          lit(null).cast("array<string>").as("c"),
+          col("price").as("p"),
+          col("symbol").as("s"),
+          unix_millis(col("timestamp")).as("t"),
+          col("volume").as("v"),
+          col("cv").as("cv")).as("trade"))
+      .groupBy(col("symbol"), col("envelope_hour"))
+      .agg(collect_list(col("trade")).as("data"))
+      .select(to_json(struct(col("data"), lit("trade").as("type"))).as("value"))
+  }
+
+  /** Consumer side (`ProcessStockStream.py:100-109`): decode the envelope,
+    * star-expand, explode the trade array, convert epoch-millis to
+    * timestamp, bulk-rename, and derive `usd_volume = price * volume`.
+    * Output shape: FIXTURES.md §2.
+    */
+  def decodeFlatten(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(from_json(col("value"), Schemas.envelope).as("value")) // P1
+      .select(col("value.*"))                                        // P2
+      .select(explode(col("data")).as("col"), col("type"))           // P3
+      .select(col("col.*"))
+      .withColumn("timestamp", timestamp_millis(col("t")))           // P4
+      .withColumnsRenamed(Map(                                       // P5
+        "p" -> "price", "s" -> "symbol",
+        "v" -> "volume", "cv" -> "cumulative_volume"))
+      .withColumn("usd_volume", col("price") * col("volume"))        // P6
+      .select("symbol", "timestamp", "price", "volume",              // P7
+        "usd_volume", "cumulative_volume")
+
+  /** Full round trip: flat trades → envelopes → decoded flat trades.
+    * Exercises P1-P7 end-to-end; the result is oracle-comparable to a
+    * direct projection (timestamps truncated to millis by the envelope's
+    * Avro `long t`, `trades.avsc:33-36`).
+    */
+  def roundTrip(trades: DataFrame): DataFrame =
+    decodeFlatten(encodeEnvelopes(trades))
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the temporal association the reference
+  * performs implicitly when it aligns a prediction at t+10s with the
+  * actual at t (`BtcPrediction/predict_btc.py:88-91`; SURVEY.md §2.6).
+  *
+  * Spark lacks a native as-of join. Rather than a range-exploding theta
+  * join (quadratic per key), this uses the scalable union-sort trick:
+  * tag both sides, union, sort within key partitions by (time, side), and
+  * carry the last right-side payload forward with a window function.
+  * Cost: ONE shuffle of left+right on the key — the same plan shape a
+  * sort-merge join would use, so it survives a 100-TB scale-up; skewed
+  * keys are handled by AQE like any other sort/window.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the payload of the latest right row with
+    * the same `key` and `rightTs <= leftTs` (ties at equal timestamps:
+    * right row wins, matching `ON r.t <= l.t` backward as-of semantics).
+    *
+    * `left` must contain `key` and `ts`; `right` must contain `key`,
+    * `ts`, and `payload`. Right side should be unique per (key, ts) —
+    * pre-aggregate otherwise.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: String, as: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn("_pay", lit(null).cast(right.schema(payload).dataType))
+    val r = right
+      .select(col(key), col(ts), col(payload).as("_pay"))
+      .withColumn("_side", lit(0))
+
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("_side") :+ col("_pay")): _*
+    ).unionByName(
+      r.select(
+        (leftCols.map(c => if (c == key || c == ts) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("_side") :+ col("_pay")): _*))
+
+    // Rows at the same (key, ts): right (_side=0) sorts first, so the
+    // left row sees it. last(ignoreNulls) carries the payload forward.
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(as, last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_pay")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational breadth of the engine — grouped aggregation, multi-way
+  * joins (broadcast + shuffle), semi/anti joins, distinct aggregation,
+  * analytic window functions, and rollup — exercised over the TPC-H-ish
+  * synthetic tables (TESTDATA.md).
+  *
+  * Determinism rules for oracle parity (SURVEY.md §7.4): money sums go
+  * through exact DECIMAL casts (the generated prices are exactly
+  * 2-decimal, so the cast is lossless and the sum is order-independent);
+  * plain double sums are only used where magnitudes keep reorder noise
+  * far below the 6-decimal rounding.
+  *
+  * Scale notes: dimension joins (`nation`, `region`, `supplier`,
+  * fitted-stats) are explicitly `broadcast()`; fact-fact joins shuffle on
+  * their keys and AQE handles skew; every aggregate is partial+final.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6)
+          .as("avg_price"),
+        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6)
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style: customer ⨝ orders ⨝ lineitem, top-10 revenue.
+    * Revenue is an exact decimal sum, so the top-k ordering is
+    * deterministic (tiebreak on orderkey). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by customer nation across a 5-way join;
+    * nation and region are broadcast dimensions. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders").select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders").select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Exact distinct aggregation per group (expand + two-phase agg under
+    * the hood; the approx_count_distinct variant is benched separately). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+
+  /** Analytic window functions: per-customer order ranking with lag/lead
+    * (deterministic tiebreak on orderkey). */
+  def orderRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Rollup aggregation (subtotals + grand total) over lineitem. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+}
