@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Decode
-import graft.ops.{AsOfJoin, Relational, Resample, TradeOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Relational, Resample, Similarity, TextOps, TradeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,21 @@ object SparkEntry {
     "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
     "a_rollup_summary" -> ((s, dir) => Relational.rollupSummary(s, dir)),
+    // -- training-data pipeline tier (SURVEY.md §7.5) --------------------
+    "t_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.load(s, dir, "documents"))),
+    "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.load(s, dir, "documents"))),
+    "t_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.load(s, dir, "documents"))),
+    "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.load(s, dir, "documents"))),
+    "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents"))),
+    "d_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.load(s, dir, "documents"))),
+    "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.load(s, dir, "documents"))),
+    "d_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.load(s, dir, "documents"))),
+    "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
+    "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
+    "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
+    "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
   )
 
   private val T = Tables.tradesCte
@@ -293,5 +308,84 @@ object SparkEntry {
         |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "t_token_stats" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |  len(words) AS n_tokens,
+        |  len(list_distinct(words)) AS n_distinct,
+        |  round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS ttr,
+        |  round(CAST(length(text) - (len(words) - 1) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS avg_token_len
+        |FROM w""".stripMargin,
+
+    "t_lang_id" -> TextOps.langIdSql,
+    "t_quality_score" -> TextOps.qualitySql,
+
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_exact,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_content,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp_bucket
+        |FROM documents""".stripMargin,
+
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_doc, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_minhash_sig" -> Dedup.minhashSigSql,
+    "d_minhash_pairs" -> Dedup.minhashPairsSql,
+    "d_simhash_sig" -> Dedup.simhashSigSql,
+    "d_simhash_pairs" -> Dedup.simhashPairsSql,
+
+    "d_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents
+        |), p AS (
+        |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+        |         len(list_intersect(s1.shingles, s2.shingles)) AS n_inter,
+        |         len(s1.shingles) AS na, len(s2.shingles) AS nb
+        |  FROM sh s1 JOIN sh s2
+        |    ON s1.lang = s2.lang AND s1.source = s2.source AND s1.doc_id < s2.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard
+        |FROM p
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.1::DOUBLE""".stripMargin,
+
+    "v_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+        |  FROM n, q WHERE vec_id != q_id
+        |)
+        |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM s
+        |) WHERE rnk <= 5""".stripMargin,
+
+    "m_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  sha256(text) AS sha256,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) // 256 AS INTEGER) + 1 AS n_frames
+        |FROM documents""".stripMargin,
+
+    "m_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  CAST(ord(substr(text, -1, 1)) AS INTEGER) AS last_byte,
+        |  (ord(substr(text, 1, 1)) + ord(substr(text, -1, 1))) / 2.0::DOUBLE AS mean_edge
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline tier
+  * (SURVEY.md §7.5): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Cross-engine determinism: word hashes derive from `md5` (identical in
+  * Spark and DuckDB) — first 8 hex chars as a 32-bit integer — and all
+  * MinHash/SimHash parameters live here as literals so the DuckDB oracle
+  * SQL is *generated from the same constants* (see the `*Sql` members).
+  *
+  * Scale design: signatures are computed with per-doc array expressions
+  * or a single explode+partial-agg (one shuffle on doc_id); candidate
+  * pairs come from LSH band buckets / same-key buckets, never a global
+  * cross join — the O(n²) step is confined to within-bucket pairs.
+  */
+object Dedup {
+
+  /** 16 MinHash permutations `h_j(x) = (a_j * x + b_j) mod p`.
+    * a_j * x stays < 2^63 (a < 2^21, x < 2^32). */
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (824633L, 93911L), (532391L, 711147L), (914257L, 281903L), (149011L, 839219L),
+    (643063L, 462841L), (281587L, 980801L), (770047L, 59359L), (433781L, 615301L),
+    (358079L, 142607L), (982451L, 333667L), (517619L, 786433L), (274177L, 908209L),
+    (672287L, 217645L), (199933L, 567899L), (864013L, 39041L), (104729L, 694847L))
+
+  val prime: Long = 2147483647L
+  val simhashBits: Int = 60
+
+  /** 32-bit word hash from md5 — identical in both engines. */
+  private val wordHash = "CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id as
+    * canonical (hash-groupBy; one shuffle on the 128-bit digest). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_docs"))
+
+  /** MinHash signatures: explode distinct words, hash, take 16 mins via
+    * partial+final aggregation (map-side combine keeps the shuffle tiny:
+    * 16 longs per doc). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .withColumn("x", expr(wordHash))
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(x * ${a}L + ${b}L) % ${prime}L")).as(s"m$j")
+    }
+    words.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: 4 bands × 4 rows. A pair is a candidate iff
+    * at least one band's 4 signature slots all match; the estimated
+    * Jaccard is the fraction of matching slots. The join key is the
+    * band hash — within-bucket pairs only, never a cross join. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+      .withColumn("sig", array((0 until 16).map(j => col(s"m$j")): _*))
+    val bands = sig.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("-", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val l = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("key"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+          .cast("double") / lit(16).cast("double")).as("est_jaccard"))
+  }
+
+  /** SimHash signature: 60 bit-planes, each the sign of a +1/-1 vote sum
+    * over distinct word hashes. Computed as 60 aggregate columns — no
+    * bit-level row explosion. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .withColumn("x",
+        expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)"))
+    val votes = (0 until simhashBits).map { b =>
+      sum(expr(s"CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+    }
+    val agg = words.groupBy("doc_id", "lang").agg(votes.head, votes.tail: _*)
+    val assemble = (0 until simhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), $b) AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    agg.select(col("doc_id"), col("lang"), expr(assemble).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: within-language buckets, Hamming distance
+    * via bit_count(xor) ≤ 12. (At scale the bucket key would be simhash
+    * prefix bands; lang keeps the demo deterministic and small.) */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val l = sig.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val r = sig.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= 12)
+      .select("lang", "doc_a", "doc_b", "hamming")
+  }
+
+  /** Word-3-gram Jaccard similarity over candidate pairs bucketed by
+    * (lang, source). Shingle sets stay as array columns (no explode);
+    * the quadratic step is within-bucket only. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))").as("shingles"))
+    val l = sh.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val r = sh.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    l.join(r, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL, generated from the SAME constants as the Spark
+  // plans above so the two can never drift.
+  // ------------------------------------------------------------------
+
+  private val wordsCte =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word
+      |  FROM documents
+      |)""".stripMargin
+
+  private val sigCte: String = {
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+      s"min((x * $a + $b) % $prime) AS m$j"
+    }.mkString(",\n         ")
+    s"""$wordsCte, hx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS x FROM words
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hx GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  val minhashSigSql: String =
+    s"""$sigCte
+       |SELECT * FROM sig""".stripMargin
+
+  val minhashPairsSql: String = {
+    val bandEq = (0 until 4).map { band =>
+      (0 until 4).map(j => s"s1.m${band * 4 + j} = s2.m${band * 4 + j}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val matches = (0 until 16).map(j => s"(s1.m$j = s2.m$j)::INT").mkString(" + ")
+    s"""$sigCte
+       |SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |       CAST($matches AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+       |FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |WHERE $bandEq""".stripMargin
+  }
+
+  private val simhashCte: String = {
+    val votes = (0 until simhashBits)
+      .map(b => s"sum(CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val assemble = (0 until simhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""$wordsCte, hx AS (
+       |  SELECT doc_id, lang, ('0x' || substr(md5(word), 1, 15))::BIGINT AS x FROM words
+       |), votes AS (
+       |  SELECT doc_id, lang,
+       |         $votes
+       |  FROM hx GROUP BY doc_id, lang
+       |), sh AS (
+       |  SELECT doc_id, lang, $assemble AS simhash FROM votes
+       |)""".stripMargin
+  }
+
+  val simhashSigSql: String =
+    s"""$simhashCte
+       |SELECT * FROM sh""".stripMargin
+
+  val simhashPairsSql: String =
+    s"""$simhashCte
+       |SELECT s1.lang, s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+       |FROM sh s1 JOIN sh s2
+       |  ON s1.lang = s2.lang AND s1.doc_id < s2.doc_id
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 12""".stripMargin
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7.5): media payloads as opaque
+  * `binary` columns with typed metadata, decoded per-partition.
+  *
+  * The image/audio codec libraries are not in this container, so the
+  * decode step is a clearly-marked deterministic STUB — but the
+  * Spark-side plumbing is real and at the shape a 100-TB media pipeline
+  * needs: binary column + metadata, `mapPartitions` batch decode (one
+  * decoder instance per partition, not per row — the Scala equivalent
+  * of `mapInPandas` batching), explicit output schema.
+  */
+object Multimodal {
+
+  /** Metadata extraction over the binary payload with pure expressions
+    * (codegen'd, no decode needed): byte length, content digest, fake
+    * container geometry derived from the length. */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        (lit(64) + length(col("payload")) % 64).as("width"),
+        (lit(64) + (length(col("payload")) * 7) % 64).as("height"),
+        expr("CAST(length(payload) div 256 AS INT) + 1").as("n_frames"))
+
+  /** One decoded "frame summary" row per document. */
+  case class DecodedMedia(
+      doc_id: Long,
+      byte_len: Int,
+      content_hash: String,
+      first_byte: Int,
+      last_byte: Int,
+      mean_edge: Double)
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic —
+    * digest + first/last byte of the payload — so it is oracle-checkable,
+    * but structured like the real thing: instantiated once per
+    * partition, fed batches of raw bytes.
+    */
+  private def decodeStub(payload: Array[Byte]): (String, Int, Int, Double) = {
+    // ??? <- real codec goes here; MessageDigest models its per-record cost
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = md.digest(payload).map("%02x".format(_)).mkString
+    val first = payload(0) & 0xff
+    val last = payload(payload.length - 1) & 0xff
+    (hash, first, last, (first + last) / 2.0)
+  }
+
+  /** Per-partition batch decode: binary in, typed rows out. */
+  def decodeMedia(spark: SparkSession, docs: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one "decoder" per partition (the expensive init lives here)
+        rows.map { case (id, payload) =>
+          val (hash, first, last, mean) = decodeStub(payload)
+          DecodedMedia(id, payload.length, hash, first, last, mean)
+        }
+      }
+  }
+}

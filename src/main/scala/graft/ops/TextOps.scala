@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline tier
+  * (BASELINE.json north star; SURVEY.md §7.5): token statistics,
+  * heuristic language ID, quality scoring, document fingerprinting.
+  *
+  * Everything is built-in `functions._` / SQL higher-order functions —
+  * whole rows never leave codegen, no UDFs, no shuffle except the
+  * final aggregates. Word-level work happens inside array expressions
+  * (no explode), so a 100-TB corpus maps straight through the scan.
+  */
+object TextOps {
+
+  /** Per-language marker-word sets for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny so both engines inline them. */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("query", "row", "data"),
+    "de" -> Seq("join", "hash", "merge"),
+    "fr" -> Seq("scan", "filter", "sort"),
+    "zh" -> Seq("stream", "batch", "window"))
+
+  private def withWords(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
+
+  /** Token counting: whitespace tokens, distinct tokens, type-token
+    * ratio, average token length. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    withWords(docs).select(
+      col("doc_id"),
+      size(col("words")).as("n_tokens"),
+      size(array_distinct(col("words"))).as("n_distinct"),
+      round(size(array_distinct(col("words"))).cast("double") /
+        size(col("words")).cast("double"), 6).as("ttr"),
+      round((length(col("text")) - (size(col("words")) - lit(1))).cast("double") /
+        size(col("words")).cast("double"), 6).as("avg_token_len"))
+
+  private def langScore(ws: Seq[String]): String =
+    s"size(filter(words, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Heuristic language ID: count marker-word hits per language, argmax
+    * with a fixed tie-break order (en > es > de > fr > zh). */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langWords.foldLeft(withWords(docs)) { case (df, (lang, ws)) =>
+      df.withColumn(s"score_$lang", expr(langScore(ws)))
+    }
+    val langs = langWords.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(expr(s"'${langs.last}'")) {
+      case ((lang, i), els) =>
+        val laterLangs = langs.drop(i + 1)
+        if (laterLangs.isEmpty) els
+        else when(laterLangs.map(l => col(s"score_$lang") >= col(s"score_$l"))
+          .reduce(_ && _), lit(lang)).otherwise(els)
+    }
+    scored.select(
+      (col("doc_id") +: langs.map(l => col(s"score_$l")) :+
+        predicted.as("predicted_lang")): _*)
+  }
+
+  /** Quality scoring: length, token stats, marker-hit ratio, composite
+    * score in [0,1] — the length/stopword-ratio heuristics of corpus
+    * filtering pipelines. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val allMarkers = langWords.flatMap(_._2)
+    withWords(docs)
+      .withColumn("n_tokens", size(col("words")))
+      .withColumn("stop_hits", expr(langScore(allMarkers)))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_tokens"),
+        round(size(array_distinct(col("words"))).cast("double") /
+          col("n_tokens").cast("double"), 6).as("uniq_ratio"),
+        round(col("stop_hits").cast("double") /
+          col("n_tokens").cast("double"), 6).as("stop_ratio"),
+        round(
+          lit(0.4) * (size(array_distinct(col("words"))).cast("double") /
+            col("n_tokens").cast("double")) +
+          lit(0.3) * (col("stop_hits").cast("double") /
+            col("n_tokens").cast("double")) +
+          lit(0.3) * least(col("n_tokens").cast("double") /
+            lit(200).cast("double"), lit(1).cast("double")), 6).as("quality"))
+  }
+
+  /** Document fingerprinting: exact-content hash, order-insensitive
+    * content hash (sorted distinct tokens), and a numeric 32-bit
+    * fingerprint for bucketing. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withWords(docs).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_exact"),
+      md5(concat_ws(" ", array_sort(array_distinct(col("words")))))
+        .as("fp_content"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+        .as("fp_bucket"))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL, generated from the same langWords constants.
+  // ------------------------------------------------------------------
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  val langIdSql: String = {
+    val langs = langWords.map(_._1)
+    val scores = langWords.map { case (lang, ws) =>
+      s"len(list_filter(words, x -> x IN (${inList(ws)}))) AS score_$lang"
+    }.mkString(",\n       ")
+    // mirrors the Spark foldRight: first lang whose score >= all later langs
+    val cases = langs.zipWithIndex.flatMap { case (lang, i) =>
+      val later = langs.drop(i + 1)
+      if (later.isEmpty) None
+      else Some("WHEN " + later.map(l => s"score_$lang >= score_$l")
+        .mkString(" AND ") + s" THEN '$lang'")
+    }.mkString("\n            ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |       $scores
+       |  FROM w
+       |)
+       |SELECT *, CASE $cases
+       |            ELSE '${langs.last}' END AS predicted_lang
+       |FROM s""".stripMargin
+  }
+
+  val qualitySql: String = {
+    val all = inList(langWords.flatMap(_._2))
+    s"""WITH w AS (
+       |  SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_chars, words, len(words) AS n_tokens,
+       |         len(list_filter(words, x -> x IN ($all))) AS stop_hits
+       |  FROM w
+       |)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS uniq_ratio,
+       |  round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       |  round(0.4::DOUBLE * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      + 0.3::DOUBLE * (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      + 0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)), 6) AS quality
+       |FROM s""".stripMargin
+  }
+}
