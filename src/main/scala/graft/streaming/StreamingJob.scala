@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.Decode
+import graft.sinks.Upsert
+
+/** The reference's analytical core as one Structured Streaming DAG
+  * (`scripts/StreamProcessing/ProcessStockStream.py:91-196`): a shared
+  * decode plan fanned out into four concurrent queries, each with its
+  * own trigger, output mode, and checkpoint — SURVEY.md §2.8 T1-T12.
+  *
+  * | query | reference | here |
+  * |---|---|---|
+  * | q1 volume agg  | 1-min tumbling, 30s watermark, update → Cassandra | update → [[Upsert]] keyed table |
+  * | q2 passthrough | raw rows, update (≡append) → Cassandra            | update → [[Upsert]] keyed table |
+  * | q3 features    | 30s/10s sliding, 10s watermark, append → Kafka    | append → key/value JSON csv (kafka-shaped) |
+  * | q4 file sink   | features + date parts, partitioned CSV, 5min     | partitioned CSV, configurable trigger |
+  *
+  * Kafka/Cassandra jars aren't in this offline image; the seams are the
+  * standard `writeStream.format(...)` / `foreachBatch` boundaries, so
+  * the real connectors drop in unchanged (SURVEY.md §7).
+  */
+object StreamingJob {
+
+  final case class Config(
+      outRoot: String,
+      checkpointRoot: String,
+      fileTrigger: Trigger = Trigger.ProcessingTime("0 seconds"))
+
+  /** Decode + derive — the shared upstream plan (`ProcessStockStream
+    * .py:100-109`). `envelopes` is a streaming DataFrame with a JSON
+    * `value` column (Kafka-shaped). */
+  def decode(envelopes: DataFrame): DataFrame = Decode.decodeFlatten(envelopes)
+
+  /** Start all four queries; caller awaits/stops them. */
+  def run(spark: SparkSession, envelopes: DataFrame, cfg: Config): Seq[StreamingQuery] = {
+    val flat = decode(envelopes)
+
+    // query_01 (`ProcessStockStream.py:112-129`): tumbling volume, update
+    // mode re-emits revised windows; upsert keyed on (symbol, timestamp)
+    // absorbs the re-emission idempotently.
+    val volume = flat
+      .withWatermark("timestamp", "30 seconds")
+      .groupBy(window(col("timestamp"), "1 minute"), col("symbol"))
+      .agg(sum(col("volume")).as("total_volume"),
+        sum(col("usd_volume")).as("total_usd_volume"))
+      .select(col("symbol"), col("window.start").as("timestamp"),
+        col("total_volume"), col("total_usd_volume"))
+    val q1 = volume.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_01")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        Upsert.merge(df, id, s"${cfg.outRoot}/volume_tracking",
+          Seq("symbol", "timestamp"))
+      }
+      .queryName("volume_tracking").start()
+
+    // query_02 (`ProcessStockStream.py:132-138`): raw passthrough.
+    val q2 = flat
+      .select("symbol", "timestamp", "cumulative_volume", "price")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_02")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        Upsert.merge(df, id, s"${cfg.outRoot}/price_tracking",
+          Seq("symbol", "timestamp"))
+      }
+      .queryName("price_tracking").start()
+
+    // query_03 (`ProcessStockStream.py:143-179`): sliding OHLC features,
+    // append mode ⇒ each window emitted exactly once, after the 10s
+    // watermark passes its end; serialized as (key, value-JSON) — the
+    // Kafka message shape (FIXTURES.md §3).
+    val features = flat
+      .withWatermark("timestamp", "10 seconds")
+      .groupBy(window(col("timestamp"), "30 seconds", "10 seconds"), col("symbol"))
+      .agg(
+        sum(col("usd_volume")).as("total_usd_volume"),
+        sum(col("volume")).as("total_btc_volume"),
+        last(col("price")).as("close"), // reference-faithful arrival-order close (:149)
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        count(col("price")).as("num_trades"))
+      .select(col("symbol"), col("window.start").as("timestamp"),
+        col("total_usd_volume"), col("total_btc_volume"),
+        col("close"), col("high"), col("low"), col("num_trades"))
+    val q3 = features
+      .selectExpr("symbol AS key",
+        """to_json(named_struct(
+          |  'timestamp', CAST(timestamp AS STRING), 'close', close,
+          |  'high', high, 'low', low, 'num_trades', num_trades,
+          |  'total_btc_volume', total_btc_volume,
+          |  'total_usd_volume', total_usd_volume)) AS value""".stripMargin)
+      .writeStream
+      .outputMode("append")
+      .format("csv")
+      .option("path", s"${cfg.outRoot}/btc_features")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_03")
+      .queryName("btc_features").start()
+
+    // query_04 (`ProcessStockStream.py:181-191`): features + date-part
+    // partition columns → partitioned CSV on a slow trigger.
+    val q4 = features
+      .withColumn("year", year(col("timestamp")))
+      .withColumn("month", month(col("timestamp")))
+      .withColumn("day", dayofmonth(col("timestamp")))
+      .withColumn("hour", hour(col("timestamp")))
+      .writeStream
+      .outputMode("append")
+      .format("csv")
+      .partitionBy("year", "month", "day")
+      .option("path", s"${cfg.outRoot}/features_store")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_04")
+      .trigger(cfg.fileTrigger)
+      .queryName("features_store").start()
+
+    Seq(q1, q2, q3, q4)
+  }
+}

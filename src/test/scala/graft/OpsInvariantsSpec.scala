@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Resample, Similarity, TradeOps}
+
+/** Property-style invariants from SURVEY.md §5.4 over the sf0.001 data. */
+class OpsInvariantsSpec extends SparkSuite {
+
+  lazy val trades = Tables.trades(spark, sf).cache()
+
+  test("usd_volume = price * volume exactly") {
+    val bad = trades.filter(col("usd_volume") =!= col("price") * col("volume")).count()
+    assert(bad === 0)
+  }
+
+  test("sliding features: low <= close <= high, positive counts") {
+    val f = TradeOps.slidingFeatures(trades)
+    assert(f.filter(col("low") > col("close") || col("close") > col("high")).count() === 0)
+    assert(f.filter(col("num_trades") <= 0).count() === 0)
+  }
+
+  test("every event lands in exactly 3 sliding windows") {
+    val f = TradeOps.slidingFeatures(trades)
+    val totalSlots = f.agg(sum(col("num_trades"))).head.getLong(0)
+    assert(totalSlots === 3 * trades.count())
+  }
+
+  test("cumulative volume is per-symbol non-decreasing and ends at the total") {
+    val cum = TradeOps.cumulativeVolume(trades)
+    val perSymbolMax = cum.groupBy("symbol").agg(max(col("cumulative_volume")).as("cv"))
+    val expected = trades.groupBy("symbol").agg(round(sum(col("volume")), 6).as("tv"))
+    val mismatches = perSymbolMax.join(expected, "symbol")
+      .filter(abs(col("cv") - col("tv")) > 1e-6).count()
+    assert(mismatches === 0)
+  }
+
+  test("interpolation preserves observed points and leaves no interior nulls") {
+    val filled = Resample.interpolateHourly(trades).cache()
+    val obs = trades
+      .groupBy(col("symbol"), date_trunc("hour", col("timestamp")).as("bucket"))
+      .agg(round(avg(col("price")), 6).as("p"))
+    // observed buckets keep their exact value
+    val broken = filled.join(obs, Seq("symbol", "bucket"))
+      .filter(abs(col("price_filled") - col("p")) > 1e-9).count()
+    assert(broken === 0)
+    // grid is dense per symbol and has no nulls (first bucket is observed)
+    assert(filled.filter(col("price_filled").isNull).count() === 0)
+  }
+
+  test("LSH ANN results are a subset of candidates with sane cosine values") {
+    val ann = Similarity.annLsh(spark, sf)
+    assert(ann.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001).count() === 0)
+    // each query returns at most k=3 rows
+    val counts = ann.groupBy("q_id").count()
+    assert(counts.filter(col("count") > 3).count() === 0)
+  }
+
+  test("exact top-1 neighbor cosine >= LSH top-1 cosine per query") {
+    val exact = Similarity.cosineTopK(spark, sf).filter(col("rnk") === 1)
+      .select(col("q_id"), col("cos_sim").as("exact_cos"))
+    val ann = Similarity.annLsh(spark, sf).filter(col("rnk") === 1)
+      .select(col("q_id"), col("cos_sim").as("ann_cos"))
+    val bad = exact.join(ann, "q_id")
+      .filter(col("ann_cos") > col("exact_cos") + lit(1e-9)).count()
+    assert(bad === 0)
+  }
+}

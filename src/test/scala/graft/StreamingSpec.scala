@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.sinks.Upsert
+import graft.streaming.{Stateful, StreamingJob}
+
+/** Streaming semantics (SURVEY.md §2.8 T1-T14) driven by MemoryStream. */
+class StreamingSpec extends SparkSuite {
+
+  import Stateful._
+
+  private def envelope(symbol: String, tMillis: Long, price: Double,
+      volume: Double, cv: Double): String =
+    s"""{"data":[{"c":null,"p":$price,"s":"$symbol","t":$tMillis,"v":$volume,"cv":$cv}],"type":"trade"}"""
+
+  private val t0 = 1700000000000L // stable epoch-millis base
+
+  test("4-query DAG: decode fan-out, update-mode upsert, append-mode finalization") {
+    import spark.implicits._
+    val input = MemoryStream[String](spark)
+    val out = tmpDir("graft-stream-out")
+    val ckpt = tmpDir("graft-stream-ckpt")
+    val queries = StreamingJob.run(spark, input.toDF().select(col("value")),
+      StreamingJob.Config(out, ckpt))
+    try {
+      // two trades in minute 0, one in minute 1
+      input.addData(
+        envelope("BTC", t0, 10.0, 1.0, 1.0),
+        envelope("BTC", t0 + 5000, 12.0, 2.0, 3.0),
+        envelope("BTC", t0 + 60000, 11.0, 4.0, 7.0))
+      queries.foreach(_.processAllAvailable())
+
+      val vol = Upsert.read(spark, s"$out/volume_tracking").get
+      assert(vol.count() === 2) // two 1-minute windows
+      val m0 = vol.filter(col("total_volume") === 3.0).count()
+      assert(m0 === 1)
+
+      val price = Upsert.read(spark, s"$out/price_tracking").get
+      assert(price.count() === 3)
+
+      // update-mode re-emission: a later trade revises minute-1's window;
+      // the upsert store must keep exactly one row per (symbol, minute).
+      input.addData(envelope("BTC", t0 + 61000, 20.0, 6.0, 13.0))
+      queries.foreach(_.processAllAvailable())
+      val vol2 = Upsert.read(spark, s"$out/volume_tracking").get
+      assert(vol2.count() === 2)
+      assert(vol2.filter(col("total_volume") === 10.0).count() === 1) // 4+6
+
+      // append-mode feature sink: windows finalize only once the 10s
+      // watermark passes — push it far ahead and check output appears.
+      input.addData(envelope("BTC", t0 + 600000, 15.0, 1.0, 14.0))
+      queries.foreach(_.processAllAvailable())
+      val features = spark.read.schema("key STRING, value STRING")
+        .csv(s"$out/btc_features")
+      assert(features.count() > 0)
+      assert(features.filter(col("key") === "BTC").count() === features.count())
+
+      // partitioned file sink wrote year=/month=/day= directories
+      val stored = spark.read
+        .schema("symbol STRING, timestamp TIMESTAMP, total_usd_volume DOUBLE, " +
+          "total_btc_volume DOUBLE, close DOUBLE, high DOUBLE, low DOUBLE, " +
+          "num_trades LONG, hour INT, year INT, month INT, day INT")
+        .csv(s"$out/features_store")
+      assert(stored.select("year").distinct().count() >= 1)
+    } finally queries.foreach(_.stop())
+  }
+
+  test("late data beyond the watermark is dropped from append-mode aggs") {
+    import spark.implicits._
+    val input = MemoryStream[TradeEvent](spark)
+    val agg = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "30 seconds", "10 seconds"), col("symbol"))
+      .agg(sum(col("volume")).as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      def ev(offsetMs: Long, v: Double) =
+        TradeEvent("BTC", new java.sql.Timestamp(t0 + offsetMs), 1.0, v)
+      input.addData(ev(0, 1.0), ev(5000, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(120000, 1.0)) // advances watermark to ~110s
+      q.processAllAvailable()
+      val afterAdvance = spark.table("late_test")
+        .agg(sum(col("v"))).head.getDouble(0)
+      input.addData(ev(1000, 99.0)) // late by ~2 minutes: must be dropped
+      q.processAllAvailable()
+      val afterLate = spark.table("late_test")
+        .agg(sum(col("v"))).head.getDouble(0)
+      assert(afterLate === afterAdvance)
+    } finally q.stop()
+  }
+
+  test("stateful cumulative volume carries across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[TradeEvent](spark)
+    val q = Stateful.cumulativeVolume(spark, input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cum_test").start()
+    try {
+      def ev(sym: String, offsetMs: Long, v: Double) =
+        TradeEvent(sym, new java.sql.Timestamp(t0 + offsetMs), 1.0, v)
+      input.addData(ev("A", 0, 1.0), ev("A", 1000, 2.0), ev("B", 0, 5.0))
+      q.processAllAvailable()
+      input.addData(ev("A", 2000, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("cum_test").as[CumRow].collect()
+        .groupBy(_.symbol).view.mapValues(_.sortBy(_.ts.getTime).map(_.cumulative_volume))
+      assert(rows("A").toSeq === Seq(1.0, 3.0, 6.0)) // state survived the batch boundary
+      assert(rows("B").toSeq === Seq(5.0))
+    } finally q.stop()
+  }
+
+  test("lookback buffer emits only once full, FIXTURES.md §6 cases") {
+    import spark.implicits._
+    for ((count, expected) <- Seq(99 -> 0, 100 -> 1, 101 -> 2, 150 -> 51)) {
+      val input = MemoryStream[TradeEvent](spark)
+      val q = Stateful.lookbackBuffer(spark, input.toDS(), n = 100)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"lb_$count").start()
+      try {
+        input.addData((1 to count).map(i =>
+          TradeEvent("BTC", new java.sql.Timestamp(t0 + i * 1000L), i.toDouble, 1.0)))
+        q.processAllAvailable()
+        assert(spark.table(s"lb_$count").count() === expected, s"count=$count")
+        if (count >= 100) {
+          // last emission averages the most recent 100 prices
+          val lastAvg = spark.table(s"lb_$count").as[LookbackRow].collect()
+            .maxBy(_.ts.getTime).avg_price
+          val lo = count - 100 + 1
+          assert(math.abs(lastAvg - (lo + count) / 2.0) < 1e-9)
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("upsert merge is idempotent under batch replay") {
+    import spark.implicits._
+    val root = tmpDir("graft-upsert")
+    val b1 = Seq(("A", 1L, 10.0), ("B", 1L, 20.0)).toDF("k", "t", "v")
+    val b2 = Seq(("B", 1L, 25.0), ("C", 2L, 30.0)).toDF("k", "t", "v")
+    Upsert.merge(b1, 0, root, Seq("k", "t"))
+    Upsert.merge(b2, 1, root, Seq("k", "t"))
+    Upsert.merge(b2, 1, root, Seq("k", "t")) // replay of batch 1
+    val rows = Upsert.read(spark, root).get.select("k", "v").as[(String, Double)]
+      .collect().toMap
+    assert(rows === Map("A" -> 10.0, "B" -> 25.0, "C" -> 30.0))
+  }
+}
