@@ -55,7 +55,15 @@ object Dedup {
   /** LSH candidate pairs: 4 bands × 4 rows. A pair is a candidate iff
     * at least one band's 4 signature slots all match; the estimated
     * Jaccard is the fraction of matching slots. The join key is the
-    * band hash — within-bucket pairs only, never a cross join. */
+    * band hash — within-bucket pairs only, never a cross join.
+    *
+    * Dedup without a pair-level shuffle: a pair matching in several
+    * bands is emitted only from its FIRST matching band (`band ==
+    * first_match`), so the join output needs no `groupBy(doc_a, doc_b)`
+    * — at sf0.1 that aggregation was shuffling millions of rows each
+    * carrying two 16-long signature arrays. The band-bucket join itself
+    * keys on a 64-bit xxhash; hash collisions cannot create false
+    * pairs because `first_match` re-checks real slot equality. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
       .withColumn("sig", array((0 until 16).map(j => col(s"m$j")): _*))
@@ -63,18 +71,24 @@ object Dedup {
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          md5(concat_ws("-", (0 until 4).map(j => col(s"m${b * 4 + j}")): _*))
-            .as("key"))
+          xxhash64((0 until 4).map(j => col(s"m${b * 4 + j}")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
     val l = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("key"))
     val r = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("band"), col("key"))
+    // index of the first band whose 4 slots all truly match (0-based),
+    // computed from the signatures themselves (collision-proof).
+    val firstMatch = (0 until 4).map { b =>
+      val eq = (0 until 4)
+        .map(j => s"element_at(sig_a, ${b * 4 + j + 1}) = element_at(sig_b, ${b * 4 + j + 1})")
+        .mkString(" AND ")
+      s"WHEN $eq THEN $b"
+    }.mkString("CASE ", " ", " ELSE -1 END")
     l.join(r, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .filter(col("band") === expr(firstMatch))
       .select(col("doc_a"), col("doc_b"),
         (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
           .cast("double") / lit(16).cast("double")).as("est_jaccard"))
