@@ -66,32 +66,38 @@ object Dedup {
     * pairs because `first_match` re-checks real slot equality. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
-      .withColumn("sig", array((0 until 16).map(j => col(s"m$j")): _*))
+    // Flat m0..m15 columns on both join sides (no array wrapping): every
+    // per-pair expression below stays inside whole-stage codegen —
+    // zip_with/filter lambdas are interpreted and cost ~like a UDF on
+    // millions of candidate pairs.
     val bands = sig.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until 4).map(j => col(s"m${b * 4 + j}")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-    val l = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band"), col("key"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band"), col("key"))
+      (col("doc_id") +: (0 until 16).map(j => col(s"m$j"))) :+
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((0 until 4).map(j => col(s"m${b * 4 + j}")): _*).as("key"))
+        }: _*)).as("bk"): _*)
+      .select(Seq(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key")) ++ (0 until 16).map(j => col(s"m$j")): _*)
+    val l = bands.select(Seq(col("band"), col("key"),
+      col("doc_id").as("doc_a")) ++
+      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val r = bands.select(Seq(col("band"), col("key"),
+      col("doc_id").as("doc_b")) ++
+      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
     // index of the first band whose 4 slots all truly match (0-based),
     // computed from the signatures themselves (collision-proof).
     val firstMatch = (0 until 4).map { b =>
-      val eq = (0 until 4)
-        .map(j => s"element_at(sig_a, ${b * 4 + j + 1}) = element_at(sig_b, ${b * 4 + j + 1})")
+      val eq = (0 until 4).map(j => s"a${b * 4 + j} = b${b * 4 + j}")
         .mkString(" AND ")
       s"WHEN $eq THEN $b"
     }.mkString("CASE ", " ", " ELSE -1 END")
+    val nMatch = (0 until 16).map(j => s"(CASE WHEN a$j = b$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     l.join(r, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("band") === expr(firstMatch))
       .select(col("doc_a"), col("doc_b"),
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
-          .cast("double") / lit(16).cast("double")).as("est_jaccard"))
+        (expr(nMatch).cast("double") / lit(16).cast("double")).as("est_jaccard"))
   }
 
   /** SimHash signature: 60 bit-planes, each the sign of a +1/-1 vote sum
@@ -127,23 +133,52 @@ object Dedup {
       .select("lang", "doc_a", "doc_b", "hamming")
   }
 
-  /** Word-3-gram Jaccard similarity over candidate pairs bucketed by
-    * (lang, source). Shingle sets stay as array columns (no explode);
-    * the quadratic step is within-bucket only. */
+  /** Word-3-gram Jaccard similarity over pairs bucketed by
+    * (lang, source), via an inverted index: explode distinct shingles
+    * into postings, self-join postings on (lang, source, shingle) so
+    * `count(*)` per (doc_a, doc_b) IS the intersection size, then one
+    * Jaccard filter. Pairs sharing zero shingles never materialize —
+    * unlike a quadratic within-bucket array_intersect, cost scales with
+    * actual shingle overlap, which is what survives a 100 TB corpus.
+    * Requires threshold > 0 (zero-overlap pairs are absent by
+    * construction). Set sizes ride along in the posting rows, so no
+    * join-back is needed. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"), col("source"),
-      expr("array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))").as("shingles"))
-    val l = sh.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val r = sh.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    l.join(r, Seq("lang", "source"))
+    require(threshold > 0, "inverted-index Jaccard needs threshold > 0")
+    // Split once per doc; the lambda body only indexes into the array.
+    // (Putting `split` inside the lambda re-tokenizes the text per
+    // shingle position — O(words²) per document.)
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("array_distinct(transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("shingles"))
+    // explode_outer, not explode: InferFiltersFromGenerate otherwise
+    // plants a `size(shingles) > 0` filter below the Generate whose
+    // pushed-down form re-inlines the whole shingle transform (split
+    // per element) into an interpreted per-row Filter — measured 10×
+    // the cost of the shingle generation itself. Null/empty rows it
+    // would keep are dropped by the join key anyway.
+    val posts = sh.select(col("lang"), col("source"), col("doc_id"),
+      size(col("shingles")).as("sz"), explode_outer(col("shingles")).as("shingle"))
+    val l = posts.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val r = posts.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    // sz_a/sz_b as first()-aggregates, NOT grouping keys: the final
+    // jaccard filter infers isnotnull(sz); as a grouping column that
+    // constraint would push through the aggregate and Generate and
+    // re-inline the full shingle transform into a per-row scan Filter
+    // (the same trap as above). An aggregate result stops constraint
+    // propagation cold.
+    l.join(r, Seq("lang", "source", "shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"),
+        count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
