@@ -37,6 +37,12 @@ object SparkEntry {
     "f9_minmax_scale" -> ((s, dir) => TradeOps.minMaxScale(trades(s, dir))),
     "f3_dateparts" -> ((s, dir) => TradeOps.dateParts(trades(s, dir))),
     "f2_json_kv" -> ((s, dir) => TradeOps.jsonKeyValue(trades(s, dir))),
+    // -- profiling / time-conversion tier (A8, A9, F5-F7, O5, S5/K8) -----
+    "a8_null_profile" -> ((s, dir) => TradeOps.nullProfile(Tables.load(s, dir, "lineitem"))),
+    "a9_time_bounds" -> ((s, dir) => TradeOps.timeBounds(trades(s, dir))),
+    "o5_union_append" -> ((s, dir) => TradeOps.unionAppend(trades(s, dir))),
+    "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
+    "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
     // -- serving tier (S6, O1, O2, O4) -----------------------------------
     "s6_serving_range" -> ((s, dir) =>
       TradeOps.servingRange(trades(s, dir), "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
@@ -95,6 +101,38 @@ object SparkEntry {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
          |         AS cumulative_volume
          |FROM trades""".stripMargin,
+
+    "a8_null_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c => s"count(*) - count($c) AS nulls_$c")
+        .mkString("SELECT ", ",\n       ", "\nFROM lineitem")
+    },
+
+    "a9_time_bounds" ->
+      s"""$T
+         |SELECT min("timestamp") AS ts_min, max("timestamp") AS ts_max,
+         |       count(*) AS n_rows
+         |FROM trades""".stripMargin,
+
+    "o5_union_append" ->
+      s"""$T
+         |SELECT event_id, symbol, price FROM trades WHERE symbol = 'click'
+         |UNION ALL
+         |SELECT event_id, symbol, price FROM trades WHERE symbol = 'purchase'""".stripMargin,
+
+    "f5_time_convert" ->
+      s"""$T
+         |SELECT event_id,
+         |       date_trunc('milliseconds', "timestamp") AS ts_iso_roundtrip,
+         |       date_trunc('second', "timestamp") AS ts_second_floor,
+         |       "timestamp" + INTERVAL 10 SECOND AS ts_next_interval
+         |FROM trades""".stripMargin,
+
+    "s5_csv_roundtrip" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", price, volume FROM trades""".stripMargin,
 
     "a1_tumbling_volume" ->
       s"""$T

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,5 +144,62 @@ object TradeOps {
       .withColumn("split",
         when(col("rn") <= threshold, lit("train")).otherwise(lit("test")))
       .select("event_id", "symbol", "split")
+  }
+
+  /** A8 (reference `clean_data.ipynb` cells 1,6,10 — `df.isnull().sum()`):
+    * per-column null-count profiling as one aggregate pass (count nulls
+    * for every column in a single job, no per-column scans). */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      count(when(col(c).isNull, 1)).as(s"nulls_$c")): _*)
+
+  /** A9 (reference `clean_data.ipynb` cell 5 — `df.index.min()/max()` for
+    * the resample grid): time-index bounds + row count in one aggregate. */
+  def timeBounds(trades: DataFrame): DataFrame =
+    trades.agg(
+      min(col("timestamp")).as("ts_min"),
+      max(col("timestamp")).as("ts_max"),
+      count(lit(1)).as("n_rows"))
+
+  /** O5 (reference `kafka.py:40` — `pd.concat` row append): schema-aligned
+    * union of two differently-projected slices via `unionByName`. */
+  def unionAppend(trades: DataFrame): DataFrame = {
+    val a = trades.filter(col("symbol") === "click")
+      .select(col("event_id"), col("symbol"), col("price"))
+    val b = trades.filter(col("symbol") === "purchase")
+      .select(col("price"), col("event_id"), col("symbol")) // shuffled order
+    a.unionByName(b)
+  }
+
+  /** F5/F6/F7 (reference `clean_data.ipynb` cells 2-4, `predict_btc.py:83-84`):
+    * timestamp conversions — ISO8601-string round-trip (millis precision),
+    * second-floor epoch conversion, and the predictor's +10s next-interval
+    * shift. All built-in codegen'd expressions. */
+  def timeConvert(trades: DataFrame): DataFrame =
+    trades.select(
+      col("event_id"),
+      to_timestamp(
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+        .as("ts_iso_roundtrip"),
+      timestamp_seconds(unix_timestamp(col("timestamp"))).as("ts_second_floor"),
+      (col("timestamp") + expr("INTERVAL 10 SECONDS")).as("ts_next_interval"))
+
+  /** S5 + K8 (reference `clean_data.ipynb` cell 1 / cell 11): header CSV
+    * export then schema-declared header CSV scan — a full file-format
+    * round-trip. Micros-precision timestampFormat on both sides (Spark's
+    * CSV default truncates to millis). */
+  def csvRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val cols = Seq("event_id", "symbol", "timestamp", "price", "volume")
+    trades.select(cols.map(col): _*)
+      .write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", fmt)
+      .csv(out)
+    spark.read
+      .option("header", "true").option("timestampFormat", fmt)
+      .schema("event_id BIGINT, symbol STRING, timestamp TIMESTAMP, " +
+        "price DOUBLE, volume DOUBLE")
+      .csv(out)
   }
 }
