@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Decode
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Relational, Resample, Similarity, TextOps, TradeOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,10 @@ object SparkEntry {
     "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
     "a_rollup_summary" -> ((s, dir) => Relational.rollupSummary(s, dir)),
+    // -- scale-technique tier (T15, skew, co-located joins) --------------
+    "t15_session_windows" -> ((s, dir) => Scale.sessionize(trades(s, dir))),
+    "skew_salted_agg" -> ((s, dir) => Scale.saltedVolumeBySymbol(trades(s, dir))),
+    "b_bucketed_join" -> ((s, dir) => Scale.bucketedOrderRevenue(s, dir)),
     // -- training-data pipeline tier (SURVEY.md §7.5) --------------------
     "t_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.load(s, dir, "documents"))),
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.load(s, dir, "documents"))),
@@ -133,6 +137,43 @@ object SparkEntry {
     "s5_csv_roundtrip" ->
       s"""$T
          |SELECT event_id, symbol, "timestamp", price, volume FROM trades""".stripMargin,
+
+    "t15_session_windows" ->
+      s"""$T,
+         |m AS (
+         |  SELECT user_id, "timestamp", usd_volume,
+         |         CASE WHEN "timestamp" - lag("timestamp") OVER (
+         |             PARTITION BY user_id ORDER BY "timestamp")
+         |           <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_s
+         |  FROM trades
+         |), s AS (
+         |  SELECT user_id, "timestamp", usd_volume,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY "timestamp"
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m
+         |)
+         |SELECT user_id,
+         |       min("timestamp") AS session_start,
+         |       max("timestamp") + INTERVAL 5 MINUTE AS session_end,
+         |       count(*) AS n_events,
+         |       round(sum(usd_volume), 6) AS session_usd
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "skew_salted_agg" ->
+      s"""$T
+         |SELECT symbol,
+         |       round(sum(volume), 6) AS total_volume,
+         |       count(*) AS n_trades,
+         |       min(price) AS min_price,
+         |       max(price) AS max_price
+         |FROM trades GROUP BY symbol""".stripMargin,
+
+    "b_bucketed_join" ->
+      """SELECT c.c_custkey, c.c_name,
+        |       count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 4) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "a1_tumbling_volume" ->
       s"""$T

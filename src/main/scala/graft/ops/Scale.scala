@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: the patterns that keep the reference's
+  * workload viable at 100 TB (SURVEY.md §4, §7.5) — sessionization
+  * (T15, the one windowing mode the reference leaves unused), two-phase
+  * salted aggregation for skewed keys, and bucketed co-located joins
+  * that eliminate the join shuffle entirely.
+  */
+object Scale {
+
+  /** T15: event sessionization with a gap timeout. `session_window`
+    * is the streaming-native form (state-store backed, watermark
+    * evictable); in batch it compiles to a single partial/final
+    * session-merge aggregation — no self-join, no windowed scan.
+    * Session end = last event + gap (Spark semantics). */
+  def sessionize(trades: DataFrame, gap: String = "5 minutes"): DataFrame =
+    trades
+      .groupBy(session_window(col("timestamp"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("usd_volume")), 6).as("session_usd"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_usd"))
+
+  /** Skew-safe aggregation: the `symbol` key space is tiny (5 values
+    * over the whole table — the worst case for a hash agg at scale,
+    * every row funnels to ≤5 reducers). Salting splits each hot key
+    * across `salts` reducers in a first shuffle, then a second, trivial
+    * shuffle merges the partials. Results are bit-identical to the
+    * direct groupBy for sum/count/min/max (associative merges).
+    *
+    * (Spark's partial aggregation already map-side combines, so on
+    * local[32] this is a wash — the pattern matters when partial
+    * aggregation is defeated, e.g. high-cardinality compound keys or
+    * collect-type aggregates; it is exposed here as a first-class,
+    * oracle-checked operator.) */
+  def saltedVolumeBySymbol(trades: DataFrame, salts: Int = 16): DataFrame =
+    trades
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("symbol"), col("salt"))
+      .agg(sum(col("volume")).as("v"), count(lit(1)).as("n"),
+        min(col("price")).as("mn"), max(col("price")).as("mx"))
+      .groupBy("symbol")
+      .agg(round(sum(col("v")), 6).as("total_volume"),
+        sum(col("n")).as("n_trades"),
+        min(col("mn")).as("min_price"),
+        max(col("mx")).as("max_price"))
+
+  /** Bucketed co-located join: persist both sides bucketed + sorted on
+    * the join key, then join — the exchange disappears from the plan
+    * (`SortMergeJoin` over `FileScan ... SelectedBucketsCount`), which
+    * at 100 TB is the difference between a full-cluster shuffle and a
+    * map-side merge. Buckets are the batch analog of the reference's
+    * Cassandra `PRIMARY KEY (symbol, timestamp)` layout (SURVEY.md §4
+    * "sink-side index").
+    *
+    * Writes external bucketed tables under java.io.tmpdir; idempotent
+    * per (session, sfDir) via overwrite. */
+  def bucketedOrderRevenue(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
+    def persistBucketed(df: DataFrame, table: String, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite")
+        .option("path", s"$root/$table")
+        .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+    }
+    persistBucketed(
+      graft.Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      s"graft_orders_b$tag", "o_custkey")
+    persistBucketed(
+      graft.Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey"),
+      s"graft_customer_b$tag", "c_custkey")
+    val o = spark.table(s"graft_orders_b$tag")
+    val c = spark.table(s"graft_customer_b$tag")
+    // merge hint: model the big-big case this layout exists for (at test
+    // scale AQE would broadcast the small side, hiding the property
+    // under test — the SMJ plan here has NO Exchange on either side).
+    c.hint("merge").join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+  }
+}
