@@ -84,7 +84,10 @@ object TradeOps {
     trades.join(broadcast(stats), Seq("symbol"))
       .select(
         col("event_id"), col("symbol"), col("price"),
-        round((col("price") - col("mn")) / (col("mx") - col("mn")), 6)
+        // try_divide: a constant-price group has mx = mn and must yield
+        // NULL ("no scale information"), not throw under ANSI mode
+        // (Spark 4 default) — caught by PropertiesSpec.
+        round(try_divide(col("price") - col("mn"), col("mx") - col("mn")), 6)
           .as("scaled"))
   }
 

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.ingest.Decode
+import graft.ops.TradeOps
+
+/** Top-level so Spark's Encoder codegen can instantiate it (a nested
+  * case class forces interpreter-mode fallback). */
+case class PropTrade(event_id: Long, symbol: String, timestamp: Timestamp,
+    price: Double, volume: Double)
+
+/** Property-based invariants (SURVEY.md §5.4) over randomized trade
+  * batches: encode→decode identity, window multiplicity, cumulative-sum
+  * monotonicity, min-max scale bounds. ScalaCheck drives the generators;
+  * each property runs the full Spark plan on a local session.
+  */
+object PropertiesSpec extends Properties("graft") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val t0 = 1700000000000L
+
+  private val genTrades: Gen[List[PropTrade]] = for {
+    n <- Gen.chooseNum(1, 60)
+    syms <- Gen.listOfN(n, Gen.oneOf("BTC", "ETH", "SOL"))
+    offs <- Gen.listOfN(n, Gen.chooseNum(0L, 300000L))
+    prices <- Gen.listOfN(n, Gen.chooseNum(1, 100000).map(_ / 100.0))
+    vols <- Gen.listOfN(n, Gen.chooseNum(1, 1000).map(_ / 10.0))
+  } yield List.tabulate(n)(i =>
+    PropTrade(i.toLong, syms(i), new Timestamp(t0 + offs(i)), prices(i), vols(i)))
+
+  private def toDf(ts: List[PropTrade]) = {
+    val s = spark
+    import s.implicits._
+    ts.toDF()
+      .withColumn("usd_volume", col("price") * col("volume"))
+      .withColumn("user_id", col("event_id") % 7)
+  }
+
+  property("encode->decode round-trips every trade") = Prop.forAll(genTrades) { ts =>
+    val df = toDf(ts)
+    val back = Decode.decodeFlatten(Decode.encodeEnvelopes(df))
+    val orig = df.select("symbol", "timestamp", "price", "volume").collect().toSet
+    val got = back.select("symbol", "timestamp", "price", "volume").collect().toSet
+    orig == got
+  }
+
+  property("every event lands in exactly 3 sliding 30s/10s windows") =
+    Prop.forAll(genTrades) { ts =>
+      val df = toDf(ts)
+      val windowed = df.select(window(col("timestamp"), "30 seconds", "10 seconds"))
+      windowed.count() == 3L * ts.length
+    }
+
+  property("cumulative volume is per-symbol non-decreasing, ends at total") =
+    Prop.forAll(genTrades) { ts =>
+      val rows = TradeOps.cumulativeVolume(toDf(ts))
+        .select("symbol", "timestamp", "event_id", "cumulative_volume")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+      rows.forall { case (sym, rs) =>
+        val ordered = rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        val monotone = ordered.zip(ordered.tail).forall { case (a, b) => b >= a - 1e-9 }
+        val total = ts.filter(_.symbol == sym).map(_.volume).sum
+        monotone && math.abs(ordered.last - total) < 1e-5
+      }
+    }
+
+  property("per-symbol min-max scale maps into [0,1] and hits both ends") =
+    Prop.forAll(genTrades) { ts =>
+      val bySym = TradeOps.minMaxScale(toDf(ts))
+        .select("symbol", "scaled").collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      bySym.forall { case (sym, scaled) =>
+        val prices = ts.filter(_.symbol == sym).map(_.price)
+        if (prices.distinct.size == 1) scaled.forall(_.isEmpty) // degenerate
+        else {
+          val vs = scaled.flatten
+          vs.length == scaled.length &&
+            vs.forall(v => v >= -1e-9 && v <= 1.0 + 1e-9) &&
+            vs.min < 1e-9 && vs.max > 1.0 - 1e-9
+        }
+      }
+    }
+}
