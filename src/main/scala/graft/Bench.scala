@@ -20,12 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup on the smallest sf so measurements reflect the
-    // plan, not first-query JVM compilation.
-    val warm = SparkEntry.queries("a1_tumbling_volume")
-    try warm(spark, "/root/testdata/sf0.001").write.format("noop")
-      .mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JIT/codegen warmup: run every query once at the smallest sf so the
+    // timed pass measures the steady-state plan, not first-run JVM/codegen
+    // compilation of each query's generated classes.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
