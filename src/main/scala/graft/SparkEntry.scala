@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ingest / projection tier (P1-P9) --------------------------------
     "p1_decode_roundtrip" -> ((s, dir) => Decode.roundTrip(trades(s, dir))),
+    "p1b_avro_roundtrip" -> ((s, dir) => Decode.avroRoundTrip(s, trades(s, dir))),
     // -- aggregation tier (A1-A6, T3-T4) ---------------------------------
     "a1_tumbling_volume" -> ((s, dir) => TradeOps.tumblingVolume(trades(s, dir))),
     "a2_sliding_features" -> ((s, dir) => TradeOps.slidingFeatures(trades(s, dir))),
@@ -91,20 +92,23 @@ object SparkEntry {
 
   private val T = Tables.tradesCte
 
+  private val decodeRoundTripSql: String =
+    s"""$T
+       |SELECT symbol,
+       |       make_timestamp(epoch_ms("timestamp") * 1000) AS "timestamp",
+       |       price, volume,
+       |       price * volume AS usd_volume,
+       |       round(sum(volume) OVER (PARTITION BY symbol
+       |         ORDER BY "timestamp", event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       |         AS cumulative_volume
+       |FROM trades""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "p1_decode_roundtrip" ->
-      s"""$T
-         |SELECT symbol,
-         |       make_timestamp(epoch_ms("timestamp") * 1000) AS "timestamp",
-         |       price, volume,
-         |       price * volume AS usd_volume,
-         |       round(sum(volume) OVER (PARTITION BY symbol
-         |         ORDER BY "timestamp", event_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         |         AS cumulative_volume
-         |FROM trades""".stripMargin,
+    "p1_decode_roundtrip" -> decodeRoundTripSql,
+    "p1b_avro_roundtrip" -> decodeRoundTripSql,
 
     "a8_null_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -69,4 +69,47 @@ object Decode {
     */
   def roundTrip(trades: DataFrame): DataFrame =
     decodeFlatten(encodeEnvelopes(trades))
+
+  /** The same ingest path over the true Avro *wire format* (the
+    * reference's Kafka payload encoding, `common_function.py:22-27` /
+    * `ProcessStockStream.py:100-102`): envelopes serialized to Avro
+    * binary with [[graft.functions.AvroCodec.EncodeEnvelope]], decoded
+    * back with the paired Catalyst expression, then the identical
+    * flatten/rename/derive plan. Requires
+    * [[graft.functions.AvroCodec.register]] on the session. */
+  def avroRoundTrip(spark: org.apache.spark.sql.SparkSession,
+      trades: DataFrame): DataFrame = {
+    graft.functions.AvroCodec.register(spark)
+    val cumW = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val envelopes = trades
+      .withColumn("cv", round(sum(col("volume")).over(cumW), 6))
+      .select(
+        col("symbol"),
+        date_trunc("hour", col("timestamp")).as("envelope_hour"),
+        struct(
+          lit(null).cast("array<string>").as("c"),
+          col("price").as("p"),
+          col("symbol").as("s"),
+          unix_millis(col("timestamp")).as("t"),
+          col("volume").as("v"),
+          col("cv").as("cv")).as("trade"))
+      .groupBy(col("symbol"), col("envelope_hour"))
+      .agg(collect_list(col("trade")).as("data"))
+      .select(expr(
+        "avro_encode_envelope(struct(data, 'trade' AS type))").as("value"))
+    envelopes
+      .select(expr("avro_decode_envelope(value)").as("value"))
+      .select(col("value.*"))
+      .select(explode(col("data")).as("col"), col("type"))
+      .select(col("col.*"))
+      .withColumn("timestamp", timestamp_millis(col("t")))
+      .withColumnsRenamed(Map(
+        "p" -> "price", "s" -> "symbol",
+        "v" -> "volume", "cv" -> "cumulative_volume"))
+      .withColumn("usd_volume", col("price") * col("volume"))
+      .select("symbol", "timestamp", "price", "volume",
+        "usd_volume", "cumulative_volume")
+  }
 }

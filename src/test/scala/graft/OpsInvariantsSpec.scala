@@ -65,4 +65,25 @@ class OpsInvariantsSpec extends SparkSuite {
       .filter(col("ann_cos") > col("exact_cos") + lit(1e-9)).count()
     assert(bad === 0)
   }
+
+  test("avro codec round-trips the c union field (null, [null, str] cases)") {
+    graft.functions.AvroCodec.register(spark)
+    val df = spark.sql(
+      """SELECT named_struct(
+        |  'data', array(
+        |     named_struct('c', CAST(NULL AS array<string>),
+        |       'p', 1.5D, 's', 'BTC', 't', 1700000000000L, 'v', 2.0D, 'cv', 2.0D),
+        |     named_struct('c', array(CAST(NULL AS string), 'cond1'),
+        |       'p', 2.5D, 's', 'ETH', 't', 1700000001000L, 'v', 3.0D, 'cv', 5.0D)),
+        |  'type', 'trade') AS env""".stripMargin)
+      .select(expr("avro_decode_envelope(avro_encode_envelope(env))").as("back"),
+        col("env"))
+    val r = df.select(
+      expr("back = env").as("eq"),
+      expr("back.data[1].c[1]").as("cond"),
+      expr("back.data[0].c").as("nullc")).head
+    assert(r.getBoolean(0), "decode(encode(env)) == env")
+    assert(r.getString(1) === "cond1")
+    assert(r.isNullAt(2))
+  }
 }
