@@ -84,6 +84,7 @@ object SparkEntry {
     "d_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.load(s, dir, "documents"))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
+    "d_embedding_dup" -> ((s, dir) => Dedup.embeddingDup(s, dir)),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
@@ -418,6 +419,8 @@ object SparkEntry {
     "d_minhash_pairs" -> Dedup.minhashPairsSql,
     "d_simhash_sig" -> Dedup.simhashSigSql,
     "d_simhash_pairs" -> Dedup.simhashPairsSql,
+
+    "d_embedding_dup" -> Dedup.embeddingDupSql,
 
     "d_ngram_jaccard" ->
       """WITH sh AS (

@@ -183,6 +183,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (SURVEY.md §7.5), blocked on
+    * the `label` column (the embedding analog of the lang/source buckets
+    * above; at corpus scale the blocking key would be an LSH bucket, as
+    * in [[Similarity.annLsh]]). The dot product is the codegen'd
+    * [[graft.functions.DotProduct]] expression; floats are upcast to
+    * double before any arithmetic so the oracle can reproduce results
+    * exactly (DuckDB's own list_cosine_similarity accumulates in float
+    * and drifts ~1e-8 — the oracle spells out per-element double math
+    * instead). */
+  def embeddingDup(spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("norm", sqrt(expr("dot_product(v, v)")))
+    val l = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val r = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    l.join(r, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val embeddingDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |), p AS (
+      |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |)
+      |SELECT label, vec_a, vec_b, round(cos, 6) AS cos_sim
+      |FROM p WHERE round(cos, 6) >= 0.4""".stripMargin
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the SAME constants as the Spark
   // plans above so the two can never drift.
