@@ -89,6 +89,7 @@ object SparkEntry {
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
     "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
+    "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -455,6 +456,16 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
         |  FROM s
         |) WHERE rnk <= 5""".stripMargin,
+
+    "m_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, sha256(text) AS sha,
+        |         CAST(octet_length(encode(text)) // 256 AS INTEGER) + 1 AS n_frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |       md5(sha || '-' || f::VARCHAR) AS frame_fp
+        |FROM m, unnest(generate_series(0, n_frames - 1, 4)) AS t(f)""".stripMargin,
 
     "m_binary_meta" ->
       """SELECT doc_id,

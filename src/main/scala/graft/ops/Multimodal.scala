@@ -52,6 +52,19 @@ object Multimodal {
     (hash, first, last, (first + last) / 2.0)
   }
 
+  /** Frame sampling: every `stride`-th frame of each container becomes
+    * its own row (`sequence` + `explode` — distributed, no driver loop),
+    * with a deterministic per-frame fingerprint standing in for decoded
+    * frame bytes. This is the fan-out shape of video/audio sampling at
+    * scale: rows stay with their partition, downstream ops see
+    * (doc_id, frame_idx) granularity. */
+  def frameSample(docs: DataFrame, stride: Int = 4): DataFrame =
+    binaryMeta(docs)
+      .select(col("doc_id"), col("sha256"),
+        explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat_ws("-", col("sha256"), col("frame_idx"))).as("frame_fp"))
+
   /** Per-partition batch decode: binary in, typed rows out. */
   def decodeMedia(spark: SparkSession, docs: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
