@@ -398,6 +398,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
         |SELECT doc_id,
         |  len(words) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens,
         |  len(list_distinct(words)) AS n_distinct,
         |  round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS ttr,
         |  round(CAST(length(text) - (len(words) - 1) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS avg_token_len

@@ -26,12 +26,20 @@ object TextOps {
   private def withWords(docs: DataFrame): DataFrame =
     docs.withColumn("words", split(col("text"), " "))
 
-  /** Token counting: whitespace tokens, distinct tokens, type-token
-    * ratio, average token length. */
+  /** BPE-ish subword tokenizer regex: letter runs, digit runs, or a
+    * single other non-space symbol — the pre-merge atom split a BPE
+    * vocabulary starts from. Pure alternation of character classes, so
+    * Java regex (Spark) and RE2-style (DuckDB) agree. */
+  val subtokenRegex: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token counting: whitespace tokens, BPE-ish regex subtokens,
+    * distinct tokens, type-token ratio, average token length. */
   def tokenStats(docs: DataFrame): DataFrame =
     withWords(docs).select(
       col("doc_id"),
       size(col("words")).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(subtokenRegex), lit(0)))
+        .as("n_subtokens"),
       size(array_distinct(col("words"))).as("n_distinct"),
       round(size(array_distinct(col("words"))).cast("double") /
         size(col("words")).cast("double"), 6).as("ttr"),
