@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Custom streaming state (SURVEY.md §2.8 T13/T14) via
   * `flatMapGroupsWithState` — the stable stateful API (preferred over
@@ -36,6 +36,41 @@ object Stateful {
           state.update(total)
           out.iterator
       }
+  }
+
+  /** T13 again on Spark 4's `transformWithState` (the arbitrary-state
+    * API that supersedes `flatMapGroupsWithState`): same per-symbol
+    * running total, held in a named `ValueState[Double]`. Requires the
+    * RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which ships with
+    * the distribution. Kept alongside the fMGWS form — one op, both
+    * stateful APIs, so either generation of runtime is covered. */
+  class CumulativeVolumeProcessor
+      extends StatefulProcessor[String, TradeEvent, CumRow] {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double](
+        "total", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(symbol: String, rows: Iterator[TradeEvent],
+        timerValues: TimerValues): Iterator[CumRow] = {
+      var t = if (total.exists()) total.get() else 0.0
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
+        t += e.volume
+        CumRow(symbol, e.ts, e.volume, t)
+      }
+      total.update(t)
+      out.iterator
+    }
+  }
+
+  def cumulativeVolumeTws(spark: SparkSession,
+      ds: Dataset[TradeEvent]): Dataset[CumRow] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .transformWithState(new CumulativeVolumeProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   case class LookbackRow(symbol: String, ts: java.sql.Timestamp,

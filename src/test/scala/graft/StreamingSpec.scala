@@ -114,6 +114,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState cumulative volume matches fMGWS semantics") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TradeEvent](spark)
+      val q = Stateful.cumulativeVolumeTws(spark, input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cum_tws").start()
+      try {
+        def ev(sym: String, offsetMs: Long, v: Double) =
+          TradeEvent(sym, new java.sql.Timestamp(t0 + offsetMs), 1.0, v)
+        input.addData(ev("A", 0, 1.0), ev("A", 1000, 2.0), ev("B", 0, 5.0))
+        q.processAllAvailable()
+        input.addData(ev("A", 2000, 3.0))
+        q.processAllAvailable()
+        val rows = spark.table("cum_tws").as[CumRow].collect()
+          .groupBy(_.symbol).view
+          .mapValues(_.sortBy(_.ts.getTime).map(_.cumulative_volume))
+        assert(rows("A").toSeq === Seq(1.0, 3.0, 6.0))
+        assert(rows("B").toSeq === Seq(5.0))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("lookback buffer emits only once full, FIXTURES.md §6 cases") {
     import spark.implicits._
     for ((count, expected) <- Seq(99 -> 0, 100 -> 1, 101 -> 2, 150 -> 51)) {
