@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -62,10 +64,103 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id for an `array<double>` embedding:
+  * bit j of the result is the sign of the dot product against a ±1
+  * hyperplane derived deterministically from (dim, plane) indices —
+  * every executor regenerates the planes identically, nothing is
+  * shipped. One codegen'd O(d·nBits) loop; the interpreted
+  * `aggregate(zip_with(...))` formulation this replaces allocated a
+  * zipped boxed array per row per bit.
+  *
+  * Bit formula (kept bit-identical to the SQL it replaced):
+  * `plane(i, j) = +1 if (i*1315423911 + j*2654435761) mod 2 == 0 else -1`.
+  */
+case class HyperplaneLshBits(child: Expression, nBits: Int)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bits expects array<double>, got ${other.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val d = arr.numElements()
+      var bucket = 0
+      var j = 0
+      while (j < nBits) {
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val sign =
+            if (java.lang.Math.floorMod(i * 1315423911L + j * 2654435761L, 2L) == 0L) 1.0
+            else -1.0
+          acc += arr.getDouble(i) * sign
+          i += 1
+        }
+        if (acc > 0.0) bucket |= (1 << j)
+        j += 1
+      }
+      bucket
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arr = c.value
+    val d = ctx.freshName("d")
+    val bucket = ctx.freshName("bucket")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val code =
+      code"""
+        |${c.code}
+        |boolean ${ev.isNull} = ${c.isNull};
+        |int ${ev.value} = 0;
+        |if (!${ev.isNull}) {
+        |  int $d = $arr.numElements();
+        |  int $bucket = 0;
+        |  for (int $j = 0; $j < $nBits; $j++) {
+        |    double $acc = 0.0;
+        |    for (int $i = 0; $i < $d; $i++) {
+        |      double sign = (java.lang.Math.floorMod(
+        |        $i * 1315423911L + $j * 2654435761L, 2L) == 0L) ? 1.0 : -1.0;
+        |      $acc += $arr.getDouble($i) * sign;
+        |    }
+        |    if ($acc > 0.0) $bucket |= (1 << $j);
+        |  }
+        |  ${ev.value} = $bucket;
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object VectorOps {
-  /** Register `dot_product` in the session's function registry so plans
-    * can call it via `expr("dot_product(a, b)")`. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register `dot_product` / `lsh_bits` in the session's function
+    * registry so plans can call them via `expr(...)`. Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bits", exprs => HyperplaneLshBits(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+  }
 }

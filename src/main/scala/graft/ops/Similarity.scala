@@ -49,15 +49,9 @@ object Similarity {
       k: Int = 3, nBits: Int = 8): DataFrame = {
     VectorOps.register(spark)
     val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
-    // bit_j = sign(sum_i v[i] * plane(i, j)), plane in {+1, -1}
-    val bucketBits = (0 until nBits).map { j =>
-      s"""CASE WHEN aggregate(zip_with(v, sequence(0, size(v) - 1),
-         |  (x, i) -> x * (CASE WHEN pmod(i * 1315423911L + ${j}L * 2654435761L, 2) = 0
-         |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
-         |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0.0D
-         |THEN ${1 << j} ELSE 0 END""".stripMargin
-    }.mkString(" + ")
-    val bucketed = emb.withColumn("bucket", expr(bucketBits))
+    // bit_j = sign(sum_i v[i] * plane(i, j)), plane in {+1, -1} — one
+    // codegen'd pass over the vector ([[graft.functions.HyperplaneLshBits]])
+    val bucketed = emb.withColumn("bucket", expr(s"lsh_bits(v, $nBits)"))
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("bucket"))
