@@ -90,6 +90,7 @@ object SparkEntry {
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
     "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.load(s, dir, "documents"))),
+    "m_resize_stub" -> ((s, dir) => Multimodal.resizeStub(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -467,6 +468,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
         |       md5(sha || '-' || f::VARCHAR) AS frame_fp
         |FROM m, unnest(generate_series(0, n_frames - 1, 4)) AS t(f)""".stripMargin,
+
+    "m_resize_stub" ->
+      """WITH r AS (
+        |  SELECT doc_id, length(text) AS orig_len,
+        |         array_to_string(list_transform(
+        |           generate_series(1, length(text), 4), i -> text[i]), '') AS resized
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(orig_len AS INTEGER) AS orig_len,
+        |       CAST(length(resized) AS INTEGER) AS resized_len,
+        |       md5(resized) AS resized_md5
+        |FROM r""".stripMargin,
 
     "m_binary_meta" ->
       """SELECT doc_id,

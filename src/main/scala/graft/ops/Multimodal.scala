@@ -65,6 +65,20 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         md5(concat_ws("-", col("sha256"), col("frame_idx"))).as("frame_fp"))
 
+  /** Resize stub: deterministic 4:1 "downsample" (every 4th character
+    * of the payload — stands in for an image resample kernel). Emits
+    * size-before/after and a digest of the resized payload rather than
+    * the payload itself, the usual shape when the full-size column
+    * stays in object storage. */
+  def resizeStub(docs: DataFrame, stride: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).as("orig_len"),
+        expr(s"concat_ws('', transform(sequence(1, length(text), $stride), " +
+          "i -> substring(text, i, 1)))").as("resized"))
+      .select(col("doc_id"), col("orig_len"),
+        length(col("resized")).as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+
   /** Per-partition batch decode: binary in, typed rows out. */
   def decodeMedia(spark: SparkSession, docs: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
