@@ -163,6 +163,53 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamed volume agg equals batch recompute over on-time events") {
+    import spark.implicits._
+    // deterministic pseudo-random stream: 120 events, 3 symbols,
+    // jittered timestamps, delivered in 3 chronological chunks plus one
+    // event late beyond the 30s watermark (must be dropped).
+    val rnd = new scala.util.Random(42)
+    val events = (0 until 120).map { i =>
+      (Seq("BTC", "ETH", "SOL")(rnd.nextInt(3)),
+        t0 + i * 3000L + rnd.nextInt(2000),
+        10.0 + rnd.nextInt(100) / 7.0,
+        1.0 + rnd.nextInt(50) / 10.0)
+    }
+    val chunks = events.grouped(40).toSeq
+    val late = ("BTC", t0, 99.0, 99.0) // ~6 min older than chunk 1 max
+
+    val input = MemoryStream[String](spark)
+    val out = tmpDir("graft-golden-out")
+    val ckpt = tmpDir("graft-golden-ckpt")
+    val queries = StreamingJob.run(spark, input.toDF().select(col("value")),
+      StreamingJob.Config(out, ckpt))
+    try {
+      def send(es: Seq[(String, Long, Double, Double)]): Unit = {
+        input.addData(es.map { case (s, t, p, v) => envelope(s, t, p, v, 0.0) })
+        queries.foreach(_.processAllAvailable())
+      }
+      send(chunks(0))
+      send(chunks(1) :+ late) // late event arrives with chunk 2
+      send(chunks(2))
+
+      val streamed = Upsert.read(spark, s"$out/volume_tracking").get
+        .select(col("symbol"), col("timestamp"),
+          round(col("total_volume"), 6).as("tv"),
+          round(col("total_usd_volume"), 6).as("tuv"))
+
+      val expected = events.toDF("symbol", "t", "price", "volume")
+        .withColumn("timestamp", date_trunc("minute", timestamp_millis(col("t"))))
+        .groupBy("symbol", "timestamp")
+        .agg(round(sum(col("volume")), 6).as("tv"),
+          round(sum(col("price") * col("volume")), 6).as("tuv"))
+
+      assert(streamed.count() === expected.count())
+      assert(streamed.exceptAll(expected).count() === 0,
+        "streamed sink rows differ from batch recompute")
+      assert(expected.exceptAll(streamed).count() === 0)
+    } finally queries.foreach(_.stop())
+  }
+
   test("upsert merge is idempotent under batch replay") {
     import spark.implicits._
     val root = tmpDir("graft-upsert")
