@@ -93,7 +93,14 @@ object Dedup {
     }.mkString("CASE ", " ", " ELSE -1 END")
     val nMatch = (0 until 16).map(j => s"(CASE WHEN a$j = b$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    l.join(r, Seq("band", "key"))
+    // Explosive join: output pairs outnumber probe rows ~300×, so size
+    // the probe side's parallelism by the OUTPUT, not the input — an
+    // explicit numbered repartition, which AQE will not coalesce away
+    // (coalescing by input bytes serialized the whole pair production
+    // into one task: 3× slower at sf0.1).
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    l.repartition(n, col("band"), col("key"))
+      .join(r, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("band") === expr(firstMatch))
       .select(col("doc_a"), col("doc_b"),
@@ -126,7 +133,12 @@ object Dedup {
     val sig = simhashSignatures(docs)
     val l = sig.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
     val r = sig.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    l.join(r, Seq("lang"))
+    // Explosive within-bucket join over a 5-value key: round-robin the
+    // probe side so pair production parallelizes (hash-partitioning on
+    // lang caps at 5 tasks; AQE byte-based coalescing caps at 1), and
+    // broadcast the signature table (16B/doc) as the build side.
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    l.repartition(n).join(broadcast(r), Seq("lang"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
       .filter(col("hamming") <= 12)
@@ -202,7 +214,10 @@ object Dedup {
       col("v").as("va"), col("norm").as("na"))
     val r = emb.select(col("label"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("norm").as("nb"))
-    l.join(r, Seq("label"))
+    // same explosive-join treatment as simhashPairs: round-robin probe,
+    // broadcast build (10-value label key would cap parallelism at 10)
+    val n = spark.sessionState.conf.numShufflePartitions
+    l.repartition(n).join(broadcast(r), Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
       .filter(round(col("cos"), 6) >= threshold)
