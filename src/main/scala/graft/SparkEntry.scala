@@ -228,7 +228,7 @@ object SparkEntry {
     "w3_resample_interpolate" ->
       s"""$T, obs AS (
          |  SELECT symbol, date_trunc('hour', "timestamp") AS bucket,
-         |         round(avg(price), 6) AS p, count(*) AS n
+         |         arg_max(price, event_id) AS p, count(*) AS n
          |  FROM trades GROUP BY 1, 2
          |), bounds AS (
          |  SELECT symbol, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY 1

@@ -29,9 +29,14 @@ object Resample {
     *    `limit_direction='forward'` behavior, `clean_data.ipynb` cell 8).
     */
   def interpolateHourly(trades: DataFrame): DataFrame = {
+    // Bucket representative = LAST observation in the bucket (max_by on
+    // the event_id tiebreak) — the point-value semantics of pandas
+    // reindex, and exact/order-independent: an avg(double) here sat on
+    // a round(6) boundary at sf0.1 and flipped between engines by one
+    // ulp of summation order.
     val obs = trades
       .groupBy(col("symbol"), date_trunc("hour", col("timestamp")).as("bucket"))
-      .agg(round(avg(col("price")), 6).as("p"), count(lit(1)).as("n"))
+      .agg(max_by(col("price"), col("event_id")).as("p"), count(lit(1)).as("n"))
 
     val grid = obs.groupBy("symbol")
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))

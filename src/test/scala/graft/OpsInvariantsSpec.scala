@@ -39,7 +39,7 @@ class OpsInvariantsSpec extends SparkSuite {
     val filled = Resample.interpolateHourly(trades).cache()
     val obs = trades
       .groupBy(col("symbol"), date_trunc("hour", col("timestamp")).as("bucket"))
-      .agg(round(avg(col("price")), 6).as("p"))
+      .agg(max_by(col("price"), col("event_id")).as("p"))
     // observed buckets keep their exact value
     val broken = filled.join(obs, Seq("symbol", "bucket"))
       .filter(abs(col("price_filled") - col("p")) > 1e-9).count()
