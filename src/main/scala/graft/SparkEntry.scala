@@ -163,13 +163,13 @@ object SparkEntry {
          |       min("timestamp") AS session_start,
          |       max("timestamp") + INTERVAL 5 MINUTE AS session_end,
          |       count(*) AS n_events,
-         |       round(sum(usd_volume), 6) AS session_usd
+         |       CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS session_usd
          |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "skew_salted_agg" ->
       s"""$T
          |SELECT symbol,
-         |       round(sum(volume), 6) AS total_volume,
+         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
          |       count(*) AS n_trades,
          |       min(price) AS min_price,
          |       max(price) AS max_price
@@ -186,8 +186,8 @@ object SparkEntry {
       s"""$T
          |SELECT symbol,
          |       date_trunc('minute', "timestamp") AS "timestamp",
-         |       round(sum(volume), 6) AS total_volume,
-         |       round(sum(usd_volume), 6) AS total_usd_volume,
+         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+         |       CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS total_usd_volume,
          |       count(*) AS n_trades
          |FROM trades GROUP BY 1, 2""".stripMargin,
 
@@ -196,8 +196,8 @@ object SparkEntry {
          |SELECT symbol,
          |       make_timestamp((CAST(floor(epoch("timestamp") / 10) AS BIGINT) * 10 - k) * 1000000)
          |         AS "timestamp",
-         |       round(sum(usd_volume), 6) AS total_usd_volume,
-         |       round(sum(volume), 6) AS total_volume,
+         |       CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS total_usd_volume,
+         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
          |       arg_max(price, event_id) AS close,
          |       max(price) AS high,
          |       min(price) AS low,
@@ -274,7 +274,7 @@ object SparkEntry {
       s"""$T
          |SELECT year("timestamp") AS year, month("timestamp") AS month,
          |       day("timestamp") AS day, hour("timestamp") AS hour,
-         |       count(*) AS n, round(sum(volume), 6) AS total_volume
+         |       count(*) AS n, CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
          |FROM trades GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "f2_json_kv" ->

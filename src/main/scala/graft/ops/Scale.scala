@@ -20,7 +20,7 @@ object Scale {
     trades
       .groupBy(session_window(col("timestamp"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("usd_volume")), 6).as("session_usd"))
+        TradeOps.exactSum(col("usd_volume")).as("session_usd"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -42,10 +42,10 @@ object Scale {
     trades
       .withColumn("salt", pmod(col("event_id"), lit(salts)))
       .groupBy(col("symbol"), col("salt"))
-      .agg(sum(col("volume")).as("v"), count(lit(1)).as("n"),
+      .agg(sum(col("volume").cast("decimal(18,6)")).as("v"), count(lit(1)).as("n"),
         min(col("price")).as("mn"), max(col("price")).as("mx"))
       .groupBy("symbol")
-      .agg(round(sum(col("v")), 6).as("total_volume"),
+      .agg(sum(col("v")).cast("double").as("total_volume"),
         sum(col("n")).as("n_trades"),
         min(col("mn")).as("min_price"),
         max(col("mx")).as("max_price"))

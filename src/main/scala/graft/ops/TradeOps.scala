@@ -17,14 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object TradeOps {
 
+  /** Exact, order-independent sum of a double column: each value is
+    * rounded to 6 decimals at the DECIMAL cast (identical in both
+    * engines — same input double, and exact decimal halves are not
+    * representable in binary, so no tie-break divergence) and summed
+    * exactly. Partial-aggregation order can then never flip a round(6)
+    * boundary — the flake class found on `avg(price)` at sf0.1. */
+  private[ops] def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
   /** A1/A3 (reference `ProcessStockStream.py:112-123`): 1-minute tumbling
     * windows per symbol, total volume + usd volume. */
   def tumblingVolume(trades: DataFrame): DataFrame =
     trades
       .groupBy(window(col("timestamp"), "1 minute"), col("symbol"))
       .agg(
-        round(sum(col("volume")), 6).as("total_volume"),
-        round(sum(col("usd_volume")), 6).as("total_usd_volume"),
+        exactSum(col("volume")).as("total_volume"),
+        exactSum(col("usd_volume")).as("total_usd_volume"),
         count(lit(1)).as("n_trades"))
       .select(col("symbol"), col("window.start").as("timestamp"),
         col("total_volume"), col("total_usd_volume"), col("n_trades"))
@@ -38,8 +47,8 @@ object TradeOps {
     trades
       .groupBy(window(col("timestamp"), "30 seconds", "10 seconds"), col("symbol"))
       .agg(
-        round(sum(col("usd_volume")), 6).as("total_usd_volume"),
-        round(sum(col("volume")), 6).as("total_volume"),
+        exactSum(col("usd_volume")).as("total_usd_volume"),
+        exactSum(col("volume")).as("total_volume"),
         max_by(col("price"), col("event_id")).as("close"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
@@ -103,7 +112,7 @@ object TradeOps {
         hour(col("timestamp")).as("hour"),
         col("volume"))
       .groupBy("year", "month", "day", "hour")
-      .agg(count(lit(1)).as("n"), round(sum(col("volume")), 6).as("total_volume"))
+      .agg(count(lit(1)).as("n"), exactSum(col("volume")).as("total_volume"))
 
   /** F2/P9 (reference `ProcessStockStream.py:163-172`): per-minute bars
     * serialized as Kafka key/value — `key = symbol`,
