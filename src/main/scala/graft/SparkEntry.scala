@@ -101,9 +101,9 @@ object SparkEntry {
        |       make_timestamp(epoch_ms("timestamp") * 1000) AS "timestamp",
        |       price, volume,
        |       price * volume AS usd_volume,
-       |       round(sum(volume) OVER (PARTITION BY symbol
+       |       CAST(sum(CAST(volume AS DECIMAL(18,6))) OVER (PARTITION BY symbol
        |         ORDER BY "timestamp", event_id
-       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        |         AS cumulative_volume
        |FROM trades""".stripMargin
 
@@ -208,9 +208,9 @@ object SparkEntry {
     "w1_cumulative_volume" ->
       s"""$T
          |SELECT event_id, symbol, "timestamp", volume,
-         |       round(sum(volume) OVER (PARTITION BY symbol
+         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) OVER (PARTITION BY symbol
          |         ORDER BY "timestamp", event_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |         AS cumulative_volume
          |FROM trades""".stripMargin,
 
@@ -218,7 +218,7 @@ object SparkEntry {
       s"""$T
          |SELECT event_id, symbol, "timestamp", lookback_avg, n_rows FROM (
          |  SELECT event_id, symbol, "timestamp",
-         |         round(avg(price) OVER w, 6) AS lookback_avg,
+         |         round(CAST(sum(CAST(price AS DECIMAL(18,6))) OVER w AS DOUBLE) / 100, 6) AS lookback_avg,
          |         count(*) OVER w AS n_rows
          |  FROM trades
          |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id

@@ -27,7 +27,8 @@ object Decode {
       .orderBy(col("timestamp"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     trades
-      .withColumn("cv", round(sum(col("volume")).over(cumW), 6))
+      .withColumn("cv", sum(col("volume").cast("decimal(18,6)")).over(cumW)
+        .cast("double"))
       .select(
         col("symbol"),
         date_trunc("hour", col("timestamp")).as("envelope_hour"),
@@ -84,7 +85,8 @@ object Decode {
       .orderBy(col("timestamp"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val envelopes = trades
-      .withColumn("cv", round(sum(col("volume")).over(cumW), 6))
+      .withColumn("cv", sum(col("volume").cast("decimal(18,6)")).over(cumW)
+        .cast("double"))
       .select(
         col("symbol"),
         date_trunc("hour", col("timestamp")).as("envelope_hour"),

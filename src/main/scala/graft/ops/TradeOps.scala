@@ -66,7 +66,11 @@ object TradeOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     trades.select(
       col("event_id"), col("symbol"), col("timestamp"), col("volume"),
-      round(sum(col("volume")).over(w), 6).as("cumulative_volume"))
+      // decimal window sum: DuckDB's segment-tree accumulation reorders
+      // double addition vs Spark's linear frames — exact decimals make
+      // the running total order-independent on both sides
+      sum(col("volume").cast("decimal(18,6)")).over(w)
+        .cast("double").as("cumulative_volume"))
   }
 
   /** W2/T14 (reference `BtcPrediction/kafka.py:42-57`): fixed 100-row
@@ -79,7 +83,9 @@ object TradeOps {
     trades
       .select(
         col("event_id"), col("symbol"), col("timestamp"),
-        round(avg(col("price")).over(w), 6).as("lookback_avg"),
+        // exact decimal sum, then ONE double division — engine-identical
+        round(sum(col("price").cast("decimal(18,6)")).over(w)
+          .cast("double") / lit(n), 6).as("lookback_avg"),
         count(lit(1)).over(w).as("n_rows"))
       .filter(col("n_rows") === n)
   }
