@@ -178,7 +178,7 @@ object SparkEntry {
     "b_bucketed_join" ->
       """SELECT c.c_custkey, c.c_name,
         |       count(*) AS n_orders,
-        |       round(sum(o.o_totalprice), 4) AS revenue
+        |       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1, 2""".stripMargin,
 

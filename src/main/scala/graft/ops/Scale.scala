@@ -87,6 +87,7 @@ object Scale {
     c.hint("merge").join(o, col("c_custkey") === col("o_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 4).as("revenue"))
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4)
+          .as("revenue"))
   }
 }
