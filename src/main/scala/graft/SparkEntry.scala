@@ -67,6 +67,7 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_revenue_by_nation" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
+    "a_approx_distinct" -> ((s, dir) => Relational.approxDistinctCounts(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
     "a_rollup_summary" -> ((s, dir) => Relational.rollupSummary(s, dir)),
     // -- scale-technique tier (T15, skew, co-located joins) --------------

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Resample, Similarity, TradeOps}
+import graft.ops.{Relational, Resample, Similarity, TradeOps}
 
 /** Property-style invariants from SURVEY.md §5.4 over the sf0.001 data. */
 class OpsInvariantsSpec extends SparkSuite {
@@ -63,6 +63,19 @@ class OpsInvariantsSpec extends SparkSuite {
       .select(col("q_id"), col("cos_sim").as("ann_cos"))
     val bad = exact.join(ann, "q_id")
       .filter(col("ann_cos") > col("exact_cos") + lit(1e-9)).count()
+    assert(bad === 0)
+  }
+
+  test("approx distinct within 5% of exact per group") {
+    val exact = Relational.distinctCounts(spark, sf)
+      .select("l_returnflag", "n_supp", "n_part")
+    val approx = Relational.approxDistinctCounts(spark, sf)
+      .select("l_returnflag", "approx_supp", "approx_part")
+    val bad = exact.join(approx, "l_returnflag")
+      .filter(
+        abs(col("approx_supp") - col("n_supp")) > col("n_supp") * 0.05 ||
+        abs(col("approx_part") - col("n_part")) > col("n_part") * 0.05)
+      .count()
     assert(bad === 0)
   }
 
