@@ -70,6 +70,16 @@ object SparkEntry {
     "a_approx_distinct" -> ((s, dir) => Relational.approxDistinctCounts(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
     "a_rollup_summary" -> ((s, dir) => Relational.rollupSummary(s, dir)),
+    "a_cube_summary" -> ((s, dir) => Relational.cubeSummary(s, dir)),
+    "j_range_binned" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val purchases = t.filter(col("symbol") === "purchase")
+        .select("event_id", "user_id", "timestamp", "price")
+      val clicks = t.filter(col("symbol") === "click")
+        .select("user_id", "timestamp")
+      AsOfJoin.rangeCountJoin(purchases, clicks, "user_id", "timestamp",
+        windowSec = 3600L, binSec = 900L)
+    }),
     // -- scale-technique tier (T15, skew, co-located joins) --------------
     "t15_session_windows" -> ((s, dir) => Scale.sessionize(trades(s, dir))),
     "skew_salted_agg" -> ((s, dir) => Scale.saltedVolumeBySymbol(trades(s, dir))),
@@ -423,6 +433,24 @@ object SparkEntry {
     "d_minhash_pairs" -> Dedup.minhashPairsSql,
     "d_simhash_sig" -> Dedup.simhashSigSql,
     "d_simhash_pairs" -> Dedup.simhashPairsSql,
+
+    "a_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "j_range_binned" ->
+      s"""$T,
+         |p AS (SELECT event_id, user_id, "timestamp", price FROM trades
+         |      WHERE symbol = 'purchase'),
+         |c AS (SELECT user_id, "timestamp" AS cts FROM trades
+         |      WHERE symbol = 'click')
+         |SELECT p.event_id, p.user_id, p."timestamp", p.price,
+         |       count(c.cts) AS n_in_range
+         |FROM p LEFT JOIN c ON c.user_id = p.user_id
+         |  AND c.cts > p."timestamp" - INTERVAL 3600 SECOND
+         |  AND c.cts <= p."timestamp"
+         |GROUP BY p.event_id, p.user_id, p."timestamp", p.price""".stripMargin,
 
     "d_embedding_dup" -> Dedup.embeddingDupSql,
 

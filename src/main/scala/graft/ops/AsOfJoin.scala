@@ -54,4 +54,38 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .drop("_side", "_pay")
   }
+
+  /** Binned range join: for each left row, aggregate right rows of the
+    * same key whose `ts` falls in `(leftTs - windowSec, leftTs]`.
+    *
+    * A naive inequality join is a per-key cross product (Spark plans
+    * BroadcastNestedLoopJoin — quadratic, cluster-killing). Binning
+    * makes it an EQUI-join: each left row explodes into the
+    * ⌈window/bin⌉+1 time bins its range can touch, right rows carry
+    * their own bin, the join key is (key, bin), and the exact range
+    * predicate filters the within-bin candidates. Shuffle cost is
+    * O((w/b+1)·|L| + |R|) rows — linear, AQE-balanceable — the standard
+    * scale pattern for interval association.
+    */
+  def rangeCountJoin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, windowSec: Long, binSec: Long): DataFrame = {
+    // Bins derive from second-floored epochs (conservative superset of
+    // the range); the exact predicate runs on the full-precision
+    // timestamps. left_outer + count(non-null) keeps zero-match rows.
+    val l = left
+      .withColumn("_lsec", unix_timestamp(col(ts)))
+      .withColumn("_bin",
+        explode(expr(s"sequence(_lsec div $binSec - ${windowSec / binSec}, " +
+          s"_lsec div $binSec)")))
+      .drop("_lsec")
+    val r = right
+      .select(col(key), col(ts).as("_rts"))
+      .withColumn("_bin", expr(s"unix_timestamp(_rts) div $binSec"))
+    l.join(r, Seq(key, "_bin"), "left_outer")
+      .withColumn("_hit",
+        when(col("_rts") > col(ts) - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("_rts") <= col(ts), col("_rts")))
+      .groupBy(left.columns.map(col): _*)
+      .agg(count(col("_hit")).as("n_in_range"))
+  }
 }

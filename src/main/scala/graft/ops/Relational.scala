@@ -136,6 +136,12 @@ object Relational {
       .filter(col("rn") <= 3)
   }
 
+  /** Cube aggregation (all grouping-set combinations) over lineitem. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
   /** Rollup aggregation (subtotals + grand total) over lineitem. */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
