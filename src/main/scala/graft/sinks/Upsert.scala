@@ -53,5 +53,16 @@ object Upsert {
     merged.write.mode("overwrite").parquet(s"$root/v$next")
     Files.write(pointerPath(root), next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // GC: drop versions older than next-1. The previous version is kept
+    // for readers that resolved the pointer just before the flip; a
+    // replayed batch only ever rewrites `next`, never a GC'd dir.
+    (0L until next - 1).foreach { v =>
+      val dir = Paths.get(root, s"v$v")
+      if (Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
   }
 }
