@@ -73,6 +73,16 @@ object Stateful {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming exact dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped, and the dedup state is
+    * evicted once the watermark passes — the streaming form of the
+    * batch `exactDedup`, sized for unbounded streams (plain
+    * `dropDuplicates` would grow state forever). */
+  def dedupWithinWatermark(ds: Dataset[TradeEvent],
+      horizon: String = "30 seconds"): Dataset[TradeEvent] =
+    ds.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("symbol", "ts")
+
   case class LookbackRow(symbol: String, ts: java.sql.Timestamp,
       n: Int, avg_price: Double)
 

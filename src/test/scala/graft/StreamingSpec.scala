@@ -163,6 +163,50 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup within watermark drops repeats, state stays bounded") {
+    import spark.implicits._
+    val input = MemoryStream[TradeEvent](spark)
+    val q = Stateful.dedupWithinWatermark(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm").start()
+    try {
+      def ev(offsetMs: Long, v: Double) =
+        TradeEvent("BTC", new java.sql.Timestamp(t0 + offsetMs), 1.0, v)
+      // same (symbol, ts) three times in one batch + once more next batch
+      input.addData(ev(0, 1.0), ev(0, 1.0), ev(0, 1.0), ev(5000, 2.0))
+      q.processAllAvailable()
+      input.addData(ev(0, 1.0)) // duplicate within watermark: dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").count() === 2) // (0) and (5000)
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge per-user bursts, finalize on watermark") {
+    import spark.implicits._
+    val input = MemoryStream[TradeEvent](spark)
+    val sessions = input.toDS().toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("symbol"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("symbol"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n_events"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    try {
+      def ev(sym: String, offsetMs: Long) =
+        TradeEvent(sym, new java.sql.Timestamp(t0 + offsetMs), 1.0, 1.0)
+      // burst of 3 within 30s gaps, then silence, then a far event that
+      // advances the watermark past the session end -> finalized once
+      input.addData(ev("A", 0), ev("A", 10000), ev("A", 20000))
+      q.processAllAvailable()
+      input.addData(ev("A", 600000))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .select("symbol", "n_events").as[(String, Long)].collect().toSet
+      assert(rows.contains(("A", 3L)), s"merged session of 3, got $rows")
+    } finally q.stop()
+  }
+
   test("streamed volume agg equals batch recompute over on-time events") {
     import spark.implicits._
     // deterministic pseudo-random stream: 120 events, 3 symbols,
