@@ -430,11 +430,7 @@ object SparkEntry {
     "t_lang_id" -> TextOps.langIdSql,
     "t_quality_score" -> TextOps.qualitySql,
 
-    "t_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp_exact,
-        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_content,
-        |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp_bucket
-        |FROM documents""".stripMargin,
+    "t_fingerprint" -> TextOps.fingerprintSql,
 
     "d_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_doc, count(*) AS n_docs

@@ -96,14 +96,47 @@ object TextOps {
   /** Document fingerprinting: exact-content hash, order-insensitive
     * content hash (sorted distinct tokens), and a numeric 32-bit
     * fingerprint for bucketing. */
-  def fingerprint(docs: DataFrame): DataFrame =
+  /** Polynomial rolling-hash parameters: `fp_rolling = Σ h(w_i)·B^i mod
+    * p` over word positions, with `h` the 32-bit md5 prefix. The power
+    * table is a generated literal in BOTH engines (512 entries ≥ max doc
+    * length), so each term stays below 2^62 and the running sum is taken
+    * mod p per step. Order-sensitive by construction — permuted
+    * documents get different fingerprints (unlike `fp_content`). */
+  val rollBase: Long = 1000003L
+  val rollPrime: Long = 2147483647L
+  val rollPows: Seq[Long] =
+    Iterator.iterate(1L)(p => (p * rollBase) % rollPrime).take(512).toSeq
+
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val pows = rollPows.map(_ + "L").mkString("array(", ", ", ")")
+    val rolling =
+      s"""aggregate(
+         |  transform(sequence(0, least(size(words), 512) - 1),
+         |    i -> (CAST(conv(substring(md5(words[i]), 1, 8), 16, 10) AS BIGINT)
+         |          * element_at($pows, i + 1)) % ${rollPrime}L),
+         |  0L, (a, x) -> (a + x) % ${rollPrime}L)""".stripMargin
     withWords(docs).select(
       col("doc_id"),
       md5(col("text")).as("fp_exact"),
       md5(concat_ws(" ", array_sort(array_distinct(col("words")))))
         .as("fp_content"),
       conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
-        .as("fp_bucket"))
+        .as("fp_bucket"),
+      expr(rolling).as("fp_rolling"))
+  }
+
+  /** DuckDB form of [[fingerprint]], generated from the same constants. */
+  val fingerprintSql: String = {
+    val pows = rollPows.mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+       |SELECT doc_id, md5(text) AS fp_exact,
+       |  md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp_content,
+       |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp_bucket,
+       |  CAST(list_sum(list_transform(generate_series(1, least(len(words), 512)),
+       |    i -> (('0x' || substr(md5(words[i]), 1, 8))::BIGINT
+       |          * ($pows)[i]) % $rollPrime)) % $rollPrime AS BIGINT) AS fp_rolling
+       |FROM w""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the same langWords constants.
