@@ -89,6 +89,15 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("graft functions are SQL-callable after registration") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "lsh_bits(array(1.0D, -2.0D, 0.5D), 8) AS b").head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getInt(1) >= 0 && r.getInt(1) < 256)
+  }
+
   test("avro codec round-trips the c union field (null, [null, str] cases)") {
     graft.functions.AvroCodec.register(spark)
     val df = spark.sql(
