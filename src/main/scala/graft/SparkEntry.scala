@@ -138,11 +138,6 @@ object SparkEntry {
          |SELECT event_id, symbol, "timestamp", price, volume FROM trades
          |WHERE year("timestamp") = 2024 AND month("timestamp") = 1""".stripMargin,
 
-    "k4_partitioned_roundtrip" ->
-      s"""$T
-         |SELECT event_id, symbol, "timestamp", price, volume FROM trades
-         |WHERE year("timestamp") = 2024 AND month("timestamp") = 1""".stripMargin,
-
     "a9_time_bounds" ->
       s"""$T
          |SELECT min("timestamp") AS ts_min, max("timestamp") AS ts_max,

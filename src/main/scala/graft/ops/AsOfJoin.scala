@@ -72,10 +72,14 @@ object AsOfJoin {
     // Bins derive from second-floored epochs (conservative superset of
     // the range); the exact predicate runs on the full-precision
     // timestamps. left_outer + count(non-null) keeps zero-match rows.
+    // Ceiling division: when windowSec is not a multiple of binSec the
+    // range can still reach ⌈window/bin⌉ bins back (integer division
+    // would silently exclude the earliest reachable bin).
+    val binsBack = (windowSec + binSec - 1) / binSec
     val l = left
       .withColumn("_lsec", unix_timestamp(col(ts)))
       .withColumn("_bin",
-        explode(expr(s"sequence(_lsec div $binSec - ${windowSec / binSec}, " +
+        explode(expr(s"sequence(_lsec div $binSec - $binsBack, " +
           s"_lsec div $binSec)")))
       .drop("_lsec")
     val r = right

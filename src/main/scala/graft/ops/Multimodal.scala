@@ -47,8 +47,10 @@ object Multimodal {
     // ??? <- real codec goes here; MessageDigest models its per-record cost
     val md = java.security.MessageDigest.getInstance("MD5")
     val hash = md.digest(payload).map("%02x".format(_)).mkString
-    val first = payload(0) & 0xff
-    val last = payload(payload.length - 1) & 0xff
+    // Empty payload: -1 edges, matching the DuckDB oracle's
+    // ord(substr('', 1, 1)) = -1 (no crash on zero-length documents).
+    val first = if (payload.isEmpty) -1 else payload(0) & 0xff
+    val last = if (payload.isEmpty) -1 else payload(payload.length - 1) & 0xff
     (hash, first, last, (first + last) / 2.0)
   }
 

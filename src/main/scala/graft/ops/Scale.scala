@@ -62,7 +62,12 @@ object Scale {
     * per (session, sfDir) via overwrite. */
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
-    val tag = math.abs(dir.hashCode).toString
+    // Tag is per (session, sfDir): the applicationId keeps concurrent
+    // sessions from racing on the same bucket dirs/table names, and the
+    // sanitized dir disambiguates scale factors within a session (a raw
+    // dir.hashCode collides across dirs and can be negative).
+    val tag = (spark.sparkContext.applicationId + "_" + dir)
+      .replaceAll("[^A-Za-z0-9]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
     def persistBucketed(df: DataFrame, table: String, key: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")

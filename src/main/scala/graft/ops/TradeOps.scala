@@ -208,9 +208,14 @@ object TradeOps {
     * the scan must prune to that partition's directories
     * (`PartitionFilters` in the plan, asserted in OpsInvariantsSpec).
     * Returns the month's rows for oracle comparison. */
+  /** Per-session-unique scratch path: concurrent runs (bench + tests)
+    * must not race on mode("overwrite") of a shared directory. */
+  private[ops] def scratchDir(spark: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${spark.sparkContext.applicationId}"
+
   def partitionedRoundTrip(spark: SparkSession, trades: DataFrame,
       yr: Int = 2024, mo: Int = 1): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_roundtrip"
+    val out = scratchDir(spark, "part_roundtrip")
     trades
       .withColumn("year", year(col("timestamp")))
       .withColumn("month", month(col("timestamp")))
@@ -226,7 +231,7 @@ object TradeOps {
     * CSV default truncates to millis). */
   def csvRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
     val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val out = scratchDir(spark, "csv_roundtrip")
     val cols = Seq("event_id", "symbol", "timestamp", "price", "volume")
     trades.select(cols.map(col): _*)
       .write.mode("overwrite")

@@ -25,8 +25,20 @@ object Upsert {
 
   def currentVersion(root: String): Option[Long] = {
     val p = pointerPath(root)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toLong)
-    else None
+    val fromPointer =
+      if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLongOption
+      else None
+    // Fallback: a torn/empty pointer (crash before the atomic flip
+    // landed) must not make the table unreadable — recover the highest
+    // complete version from the v* directories.
+    fromPointer.orElse {
+      import scala.jdk.CollectionConverters._
+      if (!Files.isDirectory(Paths.get(root))) None
+      else Files.list(Paths.get(root)).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") => s.drop(1).toLongOption }
+        .flatten.maxOption
+    }
   }
 
   /** Read the current state of the keyed table (empty schema-less
@@ -51,8 +63,15 @@ object Upsert {
     }
     val next = currentVersion(root).getOrElse(-1L) + 1
     merged.write.mode("overwrite").parquet(s"$root/v$next")
-    Files.write(pointerPath(root), next.toString.getBytes,
+    // Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash
+    // mid-write can never leave a truncated/empty pointer (readers see
+    // either the old version or the new one, never garbage).
+    val tmp = Paths.get(root, s"_CURRENT.tmp.$next")
+    Files.write(tmp, next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // GC: drop versions older than next-1. The previous version is kept
     // for readers that resolved the pointer just before the flip; a
     // replayed batch only ever rewrites `next`, never a GC'd dir.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Relational, Resample, Similarity, TradeOps}
+import graft.ops.{AsOfJoin, Relational, Resample, Similarity, TradeOps}
 
 /** Property-style invariants from SURVEY.md §5.4 over the sf0.001 data. */
 class OpsInvariantsSpec extends SparkSuite {
@@ -87,6 +87,29 @@ class OpsInvariantsSpec extends SparkSuite {
         abs(col("approx_part") - col("n_part")) > col("n_part") * 0.05)
       .count()
     assert(bad === 0)
+  }
+
+  test("rangeCountJoin matches the inequality join when window is not a bin multiple") {
+    // windowSec=1000, binSec=900: matches can live 2 bins back — integer
+    // division (1000/900 = 1) would silently undercount; ceiling division
+    // must agree with the exact per-key inequality join.
+    val purchases = trades.filter(col("symbol") === "purchase")
+      .select("event_id", "user_id", "timestamp", "price")
+    val clicks = trades.filter(col("symbol") === "click")
+      .select("user_id", "timestamp")
+    val binned = AsOfJoin.rangeCountJoin(purchases, clicks, "user_id",
+      "timestamp", windowSec = 1000L, binSec = 900L)
+    val exact = purchases.as("p")
+      .join(clicks.as("c"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.timestamp") > col("p.timestamp") - expr("INTERVAL 1000 SECONDS") &&
+          col("c.timestamp") <= col("p.timestamp"),
+        "left_outer")
+      .groupBy(col("p.event_id"))
+      .agg(count(col("c.user_id")).as("n_exact"))
+    val diff = binned.join(exact, "event_id")
+      .filter(col("n_in_range") =!= col("n_exact")).count()
+    assert(diff === 0)
   }
 
   test("graft functions are SQL-callable after registration") {
