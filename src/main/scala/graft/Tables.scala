@@ -17,6 +17,35 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Re-stage a testdata dir as splittable multi-file parquet.
+    *
+    * The driver's tables are single-file/single-row-group; a parquet row
+    * group cannot split, so every scan — and everything before the first
+    * shuffle: format writes, signature computation, broadcast-join
+    * chains — runs in ONE task no matter how many cores exist. A real
+    * 100-TB table arrives as thousands of files and never hits this; the
+    * bench stages once per session to give the local run the same
+    * production shape (scans split, pruning/pushdown intact, no
+    * per-query repartition shuffles). Sized ~1 MiB/file, capped at core
+    * count; `ts` nanos stay a LONG so [[events]] semantics are identical.
+    */
+  def stage(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_staged_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val df = spark.read.parquet(f.getPath)
+        // split only the genuinely large tables — fanning small tables
+        // into 32 shards just adds task overhead (measured: v_ann_lsh
+        // 3x slower on a 32-sharded 2k-row embeddings table)
+        val parts = if (df.count() < 50000) 1 else cores
+        df.repartition(parts).write.mode("overwrite").parquet(s"$out/${f.getName}")
+      }
+    out
+  }
+
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects outright. Read nanos as long
     * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with

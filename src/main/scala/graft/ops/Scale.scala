@@ -71,7 +71,11 @@ object Scale {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
     def persistBucketed(df: DataFrame, table: String, key: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.write.mode("overwrite")
+      // pre-partition on the bucket key: each write task then holds
+      // exactly one bucket -> one file per bucket (not tasks x buckets
+      // fragments), which is what the read-side SMJ wants to scan
+      df.repartition(buckets, col(key))
+        .write.mode("overwrite")
         .option("path", s"$root/$table")
         .bucketBy(buckets, key).sortBy(key)
         .saveAsTable(table)
