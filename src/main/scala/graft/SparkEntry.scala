@@ -97,8 +97,10 @@ object SparkEntry {
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
     "d_embedding_dup" -> ((s, dir) => Dedup.embeddingDup(s, dir)),
+    "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
     "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.load(s, dir, "documents"))),
@@ -455,6 +457,8 @@ object SparkEntry {
          |GROUP BY p.event_id, p.user_id, p."timestamp", p.price""".stripMargin,
 
     "d_embedding_dup" -> Dedup.embeddingDupSql,
+    "d_dedup_resolve" -> Dedup.resolveSql,
+    "v_ann_ivf" -> Similarity.annIvfSql(),
 
     "d_ngram_jaccard" ->
       """WITH sh AS (

@@ -41,6 +41,102 @@ object Similarity {
         col("rnk"))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor: partition the
+    * vector space into `nCells` cells around centroid vectors, assign
+    * every candidate to its nearest centroid, and at query time search
+    * only the `nProbe` cells nearest the query — the standard
+    * coarse-quantizer ANN layout.
+    *
+    * Centroids here are the first `nCells` vectors (a deterministic
+    * stand-in for a k-means pass, which would just change the numbers in
+    * the tiny centroid table). They are collected to the driver and
+    * inlined as literal arrays, so cell assignment is a pure per-row
+    * projection over codegen'd [[graft.functions.DotProduct]] calls —
+    * NO shuffle and no join to build the index; this is exactly how a
+    * production IVF ships its coarse quantizer (centroids ride along
+    * with the task binary, candidates are streamed once). The probe-side
+    * join broadcasts `nQueries × nProbe` rows, so the only shuffle in
+    * the whole plan is the final per-query top-k over within-cell
+    * candidates — the fraction the probe selected, not the corpus. */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val cents = emb.filter(col("vec_id") < nCells).orderBy("vec_id")
+      .collect()
+      .map(r => (r.getSeq[Double](r.fieldIndex("v")).toIndexedSeq,
+        r.getAs[Double]("norm")))
+    // sims[j] = cos(row, centroid_j); literal centroid arrays keep each
+    // dot product a codegen'd tight loop over the row's vector
+    val sims = array(cents.map { case (cv, cn) =>
+      call_function("dot_product", col("v"), array(cv.map(lit): _*)) /
+        (col("norm") * lit(cn))
+    }: _*)
+    // argmax with lowest-cell tie-break: array_position finds the FIRST
+    // occurrence of the max
+    val assigned = emb.withColumn("sims", sims)
+      .withColumn("cell",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .drop("sims")
+    // top-nProbe cells per query, ordered sim desc then cell asc (the
+    // struct sort is (sim asc, -cell asc); reversed = sim desc, cell asc)
+    val probeCells = expr(
+      s"transform(slice(reverse(array_sort(zip_with(sims, " +
+        s"sequence(0, ${nCells - 1}), (s, c) -> struct(s AS sim, -c AS negc)))), " +
+        s"1, $nProbe), x -> CAST(-x.negc AS INT))")
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .withColumn("sims", sims)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), explode(probeCells).as("cell"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, v)") / (col("qn") * col("norm")))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+
+  /** Oracle for [[annIvf]]: identical cell assignment / probe / re-rank
+    * semantics spelled out relationally (row_number argmax instead of
+    * the inlined-literal projection). */
+  def annIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n WHERE vec_id < $nCells
+       |), scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+       |                    c.cell) AS rc
+       |  FROM n, cent c
+       |), assigned AS (
+       |  SELECT vec_id, v, nrm, cell FROM scored WHERE rc = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell FROM scored
+       |  WHERE vec_id < $nQueries AND rc <= $nProbe
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT p.q_id, a.vec_id,
+       |         list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE a.vec_id != p.q_id
+       |)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM s
+       |) WHERE rnk <= $k""".stripMargin
+
   /** Random-hyperplane LSH buckets: `nBits` sign bits of dot products
     * against deterministic ±1 hyperplanes (derived from (dim, plane)
     * indices, so every executor regenerates them identically — nothing

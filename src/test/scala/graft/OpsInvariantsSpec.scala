@@ -112,6 +112,44 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(diff === 0)
   }
 
+  test("dedup resolution: partition into components, canonical = component min") {
+    val docs = Tables.load(spark, sf, "documents").cache()
+    val resolved = graft.ops.Dedup.resolveDuplicates(docs).cache()
+    // every doc appears exactly once, with canonical <= its own id
+    assert(resolved.count() === docs.count())
+    assert(resolved.select("doc_id").distinct().count() === docs.count())
+    assert(resolved.filter(col("canonical_doc") > col("doc_id")).count() === 0)
+    // both endpoints of every edge resolve to the same canonical
+    val edges = graft.ops.Dedup.minhashPairs(docs)
+      .filter(col("est_jaccard") >= graft.ops.Dedup.resolveThreshold)
+    val lbl = resolved.select(col("doc_id"), col("canonical_doc"))
+    val split = edges
+      .join(lbl.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("canonical_doc", "ca"), "doc_a")
+      .join(lbl.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("canonical_doc", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split === 0, "edge endpoints must share a component")
+    // cluster_size is consistent with the resolved labels
+    val sizeBad = resolved.groupBy("canonical_doc")
+      .agg(count(lit(1)).as("n"), first(col("cluster_size")).as("sz"))
+      .filter(col("n") =!= col("sz")).count()
+    assert(sizeBad === 0)
+  }
+
+  test("IVF ANN: <= k rows per query, top-1 never beats exact top-1") {
+    val ivf = Similarity.annIvf(spark, sf).cache()
+    assert(ivf.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001).count() === 0)
+    assert(ivf.groupBy("q_id").count().filter(col("count") > 5).count() === 0)
+    val exact = Similarity.cosineTopK(spark, sf).filter(col("rnk") === 1)
+      .select(col("q_id"), col("cos_sim").as("exact_cos"))
+    val top1 = ivf.filter(col("rnk") === 1)
+      .select(col("q_id"), col("cos_sim").as("ivf_cos"))
+    val bad = exact.join(top1, "q_id")
+      .filter(col("ivf_cos") > col("exact_cos") + lit(1e-9)).count()
+    assert(bad === 0)
+  }
+
   test("graft functions are SQL-callable after registration") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(
