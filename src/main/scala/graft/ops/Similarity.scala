@@ -74,11 +74,20 @@ object Similarity {
         (col("norm") * lit(cn))
     }: _*)
     // argmax with lowest-cell tie-break: array_position finds the FIRST
-    // occurrence of the max
+    // occurrence of the max. The assignment is materialized partitioned
+    // by cell — this IS the inverted-file index build (one pass over the
+    // corpus, stored grouped by cell; queries probe it repeatedly). It
+    // also keeps the wide centroid-literal projection in its own codegen
+    // stage: fused into the probe join it blows past the generated-
+    // method size limit and the whole stage falls back to interpreted
+    // evaluation (measured 8× slower).
+    val n = spark.sessionState.conf.numShufflePartitions
     val assigned = emb.withColumn("sims", sims)
       .withColumn("cell",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
       .drop("sims")
+      .repartition(n, col("cell"))
+      .localCheckpoint()
     // top-nProbe cells per query, ordered sim desc then cell asc (the
     // struct sort is (sim asc, -cell asc); reversed = sim desc, cell asc)
     val probeCells = expr(
