@@ -10,18 +10,34 @@ import org.apache.spark.sql.functions._
   * into a `(symbol, timestamp)` primary key ⇒ last-writer-wins upsert —
   * `ProcessStockStream.py:65-89`, `ddl.cql:2-25`).
   *
-  * Offline there is no Cassandra connector, so the store is a versioned
-  * parquet table: each micro-batch merges into version N+1 and flips a
-  * pointer file. The merge itself is fully distributed (union + window
-  * dedup, shuffle on the key); replaying a failed batch rewrites the same
-  * target version — idempotent, matching the reference's
-  * effectively-exactly-once contract (SURVEY.md §2.8 T12). A real
-  * cluster sink (Cassandra / Delta MERGE / Iceberg upsert) drops into the
-  * same `foreachBatch` seam.
+  * Offline there is no Cassandra connector, so the store is a
+  * hash-bucketed, manifest-versioned parquet table — the same layout
+  * idea as a Delta/Iceberg MERGE target, scaled down to files:
+  *
+  *  - rows live in `gen<G>/_bucket=<B>/` parquet dirs, bucketed by
+  *    `pmod(xxhash64(keys), nBuckets)`;
+  *  - each version's manifest maps bucket → the generation holding its
+  *    current data; untouched buckets keep pointing at old generations;
+  *  - `_CURRENT` is flipped atomically to the new manifest version.
+  *
+  * A merge therefore rewrites ONLY the buckets the batch touches —
+  * cost ∝ touched data, not table size, which is what keeps a
+  * continuously-upserted 100 TB table writable (the previous design
+  * rewrote the full table every micro-batch). The merge itself is fully
+  * distributed (union of touched buckets + window dedup, shuffle on the
+  * key); replaying a failed batch recomputes the same target version
+  * and overwrites the same generation dir — idempotent, matching the
+  * reference's effectively-exactly-once contract (SURVEY.md §2.8 T12).
+  * A real cluster sink (Cassandra / Delta MERGE / Iceberg upsert) drops
+  * into the same `foreachBatch` seam.
   */
 object Upsert {
 
+  val defaultBuckets = 16
+
   private def pointerPath(root: String) = Paths.get(root, "_CURRENT")
+  private def manifestPath(root: String, v: Long) =
+    Paths.get(root, s"manifest_v$v.json")
 
   def currentVersion(root: String): Option[Long] = {
     val p = pointerPath(root)
@@ -30,39 +46,102 @@ object Upsert {
       else None
     // Fallback: a torn/empty pointer (crash before the atomic flip
     // landed) must not make the table unreadable — recover the highest
-    // complete version from the v* directories.
+    // manifest version present.
     fromPointer.orElse {
       import scala.jdk.CollectionConverters._
       if (!Files.isDirectory(Paths.get(root))) None
       else Files.list(Paths.get(root)).iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") => s.drop(1).toLongOption }
+        .collect { case s if s.startsWith("manifest_v") =>
+          s.stripPrefix("manifest_v").stripSuffix(".json").toLongOption }
         .flatten.maxOption
     }
   }
 
-  /** Read the current state of the keyed table (empty schema-less
-    * DataFrame if nothing has been written yet). */
+  /** Manifest: bucket count (fixed at table creation) + bucket→gen map,
+    * as a single hand-rolled JSON object (no JSON lib in scope). */
+  private case class Manifest(nBuckets: Int, buckets: Map[Int, String])
+
+  private def writeManifest(root: String, v: Long, m: Manifest): Unit = {
+    val entries = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, g) => s""""$b":"$g"""" }.mkString(",")
+    Files.write(manifestPath(root, v),
+      s"""{"nb":${m.nBuckets},"buckets":{$entries}}""".getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private val entryRe = """"(\d+)"\s*:\s*"([^"]+)"""".r
+  private val nbRe = """"nb"\s*:\s*(\d+)""".r
+
+  private def readManifest(root: String, v: Long): Manifest = {
+    val s = new String(Files.readAllBytes(manifestPath(root, v)))
+    val nb = nbRe.findFirstMatchIn(s).map(_.group(1).toInt)
+      .getOrElse(defaultBuckets)
+    val inner = s.drop(s.indexOf("buckets"))
+    Manifest(nb,
+      entryRe.findAllMatchIn(inner)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap)
+  }
+
+  /** Read the current state of the keyed table (None if nothing has
+    * been written yet). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentVersion(root).map(v => spark.read.parquet(s"$root/v$v"))
+    currentVersion(root).map { v =>
+      val m = readManifest(root, v)
+      val paths = m.buckets.toSeq.sortBy(_._1)
+        .map { case (b, g) => s"$root/$g/_bucket=$b" }
+      spark.read.parquet(paths: _*)
+    }
 
   /** Merge `batch` into the keyed table at `root`: rows with a key
-    * already present overwrite it (new batch wins); others append. */
-  def merge(batch: DataFrame, batchId: Long, root: String, keys: Seq[String]): Unit = {
+    * already present overwrite it (new batch wins); others append.
+    * `nBuckets` applies on table creation only — later merges reuse the
+    * table's recorded bucket count, so the key→bucket mapping can never
+    * drift. */
+  def merge(batch: DataFrame, batchId: Long, root: String, keys: Seq[String],
+      nBuckets: Int = defaultBuckets): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(root))
-    val incoming = batch.withColumn("_gen", lit(batchId + 1))
-    val merged = read(spark, root) match {
-      case None => incoming
-      case Some(existing) =>
+    val cur = currentVersion(root)
+    val manifest = cur.map(v => readManifest(root, v))
+      .getOrElse(Manifest(nBuckets, Map.empty))
+    val next = cur.getOrElse(-1L) + 1
+
+    val inc = batch
+      .withColumn("_gen", lit(batchId + 1))
+      .withColumn("_bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(manifest.nBuckets)).cast("int"))
+      .persist()
+    val touched = inc.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // existing rows of TOUCHED buckets only — everything else is carried
+    // forward by manifest reference, never read or rewritten
+    val existingTouched = touched.toSeq
+      .flatMap(b => manifest.buckets.get(b).map(g => (b, s"$root/$g/_bucket=$b")))
+    val merged =
+      if (existingTouched.isEmpty) inc
+      else {
+        val existing = existingTouched
+          .map { case (b, p) =>
+            spark.read.parquet(p).withColumn("_bucket", lit(b)) }
+          .reduce(_ unionByName _)
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_gen").desc)
-        existing.unionByName(incoming)
+        existing.unionByName(inc)
           .withColumn("_rank", row_number().over(w))
           .filter(col("_rank") === 1)
           .drop("_rank")
-    }
-    val next = currentVersion(root).getOrElse(-1L) + 1
-    merged.write.mode("overwrite").parquet(s"$root/v$next")
+      }
+    // one shuffle on the bucket key: each write task holds exactly one
+    // bucket, so each bucket dir gets one file
+    merged
+      .repartition(math.max(touched.length, 1), col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/gen$next")
+    inc.unpersist()
+
+    val nextManifest = Manifest(manifest.nBuckets,
+      manifest.buckets ++ touched.map(b => b -> s"gen$next"))
+    writeManifest(root, next, nextManifest)
     // Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash
     // mid-write can never leave a truncated/empty pointer (readers see
     // either the old version or the new one, never garbage).
@@ -72,16 +151,24 @@ object Upsert {
     Files.move(tmp, pointerPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC: drop versions older than next-1. The previous version is kept
-    // for readers that resolved the pointer just before the flip; a
-    // replayed batch only ever rewrites `next`, never a GC'd dir.
-    (0L until next - 1).foreach { v =>
-      val dir = Paths.get(root, s"v$v")
-      if (Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      }
+
+    // GC: drop generations referenced by neither the new manifest nor
+    // the previous one (kept for readers that resolved the pointer just
+    // before the flip), then manifests older than next-1. A replayed
+    // batch only ever rewrites gen{next}, never a GC'd dir.
+    import scala.jdk.CollectionConverters._
+    val keep = nextManifest.buckets.values.toSet ++ manifest.buckets.values.toSet
+    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      val deadGen = name.startsWith("gen") && Files.isDirectory(p) &&
+        !keep.contains(name)
+      val deadManifest = name.startsWith("manifest_v") &&
+        name.stripPrefix("manifest_v").stripSuffix(".json").toLongOption
+          .exists(_ < next - 1)
+      if (deadGen)
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      else if (deadManifest) Files.deleteIfExists(p)
     }
   }
 }

@@ -254,6 +254,35 @@ class StreamingSpec extends SparkSuite {
     } finally queries.foreach(_.stop())
   }
 
+  test("upsert merge rewrites only the buckets the batch touches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("graft-upsert-buckets")
+    val b1 = (0 until 64).map(i => (s"k$i", 1L, i.toDouble)).toDF("k", "t", "v")
+    Upsert.merge(b1, 0, root, Seq("k", "t"))
+    def parquetFiles(): Set[String] =
+      Files.walk(Paths.get(root)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val before = parquetFiles()
+    // single-key batch → exactly one bucket rewritten; nBuckets given
+    // here must be ignored (pinned at table creation) or the key→bucket
+    // mapping would drift
+    Upsert.merge(Seq(("k3", 1L, 99.0)).toDF("k", "t", "v"), 1, root,
+      Seq("k", "t"), nBuckets = 999)
+    // every original file survives (untouched buckets are carried by
+    // manifest reference, not rewritten)
+    assert(before.subsetOf(parquetFiles()))
+    // the new generation contains exactly one bucket dir
+    val gen1Buckets = Files.list(Paths.get(root, "gen1")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("_bucket="))
+    assert(gen1Buckets === 1)
+    val rows = Upsert.read(spark, root).get.select("k", "v")
+      .as[(String, Double)].collect().toMap
+    assert(rows("k3") === 99.0)
+    assert(rows.size === 64)
+  }
+
   test("upsert merge is idempotent under batch replay") {
     import spark.implicits._
     val root = tmpDir("graft-upsert")
