@@ -48,6 +48,8 @@ object SparkEntry {
     // -- serving tier (S6, O1, O2, O4) -----------------------------------
     "s6_serving_range" -> ((s, dir) =>
       TradeOps.servingRange(trades(s, dir), "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
+    "s7_keyed_point_read" -> ((s, dir) =>
+      TradeOps.keyedPointRead(s, trades(s, dir), dir, "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
     "o2_last_row" -> ((s, dir) => TradeOps.lastRow(trades(s, dir))),
     "o4_ordered_split" -> ((s, dir) => TradeOps.orderedSplit(trades(s, dir))),
     // -- joins (§2.6; as-of per predict_btc.py:88-91) --------------------
@@ -310,6 +312,13 @@ object SparkEntry {
          |FROM bars""".stripMargin,
 
     "s6_serving_range" ->
+      s"""$T
+         |SELECT event_id, "timestamp", price FROM trades
+         |WHERE symbol = 'click'
+         |  AND "timestamp" BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+         |                      AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "s7_keyed_point_read" ->
       s"""$T
          |SELECT event_id, "timestamp", price FROM trades
          |WHERE symbol = 'click'

@@ -225,6 +225,27 @@ object TradeOps {
       .select("event_id", "symbol", "timestamp", "price", "volume")
   }
 
+  /** S6 + K1 end-to-end on the upsert store: build the keyed table once
+    * per (session, input) — bucketed by `symbol`, the Cassandra
+    * partition-key analog (`ddl.cql:7`) — then serve a per-symbol time
+    * range from [[graft.sinks.Upsert.readKey]], which scans ONLY the
+    * single bucket dir the symbol hashes to, however large the table.
+    * Key is `(symbol, event_id)` (unique), so the build is a pure load
+    * and the serving read returns exactly the source rows. */
+  def keyedPointRead(spark: SparkSession, trades: DataFrame, dirTag: String,
+      symbol: String, lo: String, hi: String): DataFrame = {
+    val root = scratchDir(spark,
+      "upsert_store_" + dirTag.replaceAll("[^A-Za-z0-9]", "_"))
+    if (graft.sinks.Upsert.currentVersion(root).isEmpty)
+      graft.sinks.Upsert.merge(
+        trades.select("event_id", "symbol", "timestamp", "price"),
+        0L, root, keys = Seq("symbol", "event_id"), bucketBy = Seq("symbol"))
+    graft.sinks.Upsert.readKey(spark, root, Seq(symbol)).get
+      .filter(col("timestamp").between(
+        lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+      .select(col("event_id"), col("timestamp"), col("price"))
+  }
+
   /** S5 + K8 (reference `clean_data.ipynb` cell 1 / cell 11): header CSV
     * export then schema-declared header CSV scan — a full file-format
     * round-trip. Micros-precision timestampFormat on both sides (Spark's

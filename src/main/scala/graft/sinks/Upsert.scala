@@ -58,27 +58,33 @@ object Upsert {
     }
   }
 
-  /** Manifest: bucket count (fixed at table creation) + bucket→gen map,
-    * as a single hand-rolled JSON object (no JSON lib in scope). */
-  private case class Manifest(nBuckets: Int, buckets: Map[Int, String])
+  /** Manifest: bucket count + bucketing columns (both fixed at table
+    * creation) + bucket→gen map, as a single hand-rolled JSON object
+    * (no JSON lib in scope). */
+  private case class Manifest(nBuckets: Int, bucketBy: Seq[String],
+      buckets: Map[Int, String])
 
   private def writeManifest(root: String, v: Long, m: Manifest): Unit = {
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, g) => s""""$b":"$g"""" }.mkString(",")
     Files.write(manifestPath(root, v),
-      s"""{"nb":${m.nBuckets},"buckets":{$entries}}""".getBytes,
+      s"""{"nb":${m.nBuckets},"by":"${m.bucketBy.mkString(",")}","buckets":{$entries}}"""
+        .getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
   private val entryRe = """"(\d+)"\s*:\s*"([^"]+)"""".r
   private val nbRe = """"nb"\s*:\s*(\d+)""".r
+  private val byRe = """"by"\s*:\s*"([^"]*)"""".r
 
   private def readManifest(root: String, v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(root, v)))
     val nb = nbRe.findFirstMatchIn(s).map(_.group(1).toInt)
       .getOrElse(defaultBuckets)
+    val by = byRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      .split(",").toSeq.filter(_.nonEmpty)
     val inner = s.drop(s.indexOf("buckets"))
-    Manifest(nb,
+    Manifest(nb, by,
       entryRe.findAllMatchIn(inner)
         .map(m => m.group(1).toInt -> m.group(2)).toMap)
   }
@@ -93,24 +99,59 @@ object Upsert {
       spark.read.parquet(paths: _*)
     }
 
+  /** Point/range serving read pruned to one bucket — the Cassandra
+    * partition-key access path (reference S6: Grafana reads
+    * `WHERE symbol = <v>` series from tables keyed
+    * `(symbol, timestamp)`). Requires one value per `bucketBy` column,
+    * in that order, with types matching the stored columns; the scan
+    * touches only the single bucket dir the key hashes to, however
+    * large the table. */
+  def readKey(spark: SparkSession, root: String,
+      values: Seq[Any]): Option[DataFrame] =
+    currentVersion(root).map { v =>
+      val m = readManifest(root, v)
+      require(values.length == m.bucketBy.length,
+        s"readKey needs one value per bucketBy column ${m.bucketBy}")
+      // same hash, same engine: evaluate xxhash64 over the literals with
+      // a one-row plan so the bucket matches what merge computed
+      val b = spark.range(1)
+        .select(pmod(xxhash64(values.map(lit): _*), lit(m.nBuckets))
+          .cast("int")).head.getInt(0)
+      val pred = m.bucketBy.zip(values)
+        .map { case (k, value) => col(k) === lit(value) }
+        .reduce(_ && _)
+      m.buckets.get(b) match {
+        case Some(g) => spark.read.parquet(s"$root/$g/_bucket=$b").filter(pred)
+        case None => read(spark, root).get.filter(pred).limit(0)
+      }
+    }
+
   /** Merge `batch` into the keyed table at `root`: rows with a key
     * already present overwrite it (new batch wins); others append.
-    * `nBuckets` applies on table creation only — later merges reuse the
-    * table's recorded bucket count, so the key→bucket mapping can never
-    * drift. */
+    * `nBuckets` and `bucketBy` apply on table creation only — later
+    * merges reuse the table's recorded values, so the key→bucket
+    * mapping can never drift.
+    *
+    * `bucketBy` is the Cassandra partition-key analog: bucketing on a
+    * key PREFIX (e.g. just `symbol` for a `(symbol, timestamp)` key)
+    * keeps each entity's rows in one bucket, so [[readKey]] serves
+    * point/range lookups from a single bucket dir. Defaults to the full
+    * key (uniform spread, no serving-path pruning). */
   def merge(batch: DataFrame, batchId: Long, root: String, keys: Seq[String],
-      nBuckets: Int = defaultBuckets): Unit = {
+      nBuckets: Int = defaultBuckets, bucketBy: Seq[String] = Seq.empty): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(root))
     val cur = currentVersion(root)
     val manifest = cur.map(v => readManifest(root, v))
-      .getOrElse(Manifest(nBuckets, Map.empty))
+      .getOrElse(Manifest(nBuckets,
+        if (bucketBy.nonEmpty) bucketBy else keys, Map.empty))
     val next = cur.getOrElse(-1L) + 1
 
     val inc = batch
       .withColumn("_gen", lit(batchId + 1))
       .withColumn("_bucket",
-        pmod(xxhash64(keys.map(col): _*), lit(manifest.nBuckets)).cast("int"))
+        pmod(xxhash64(manifest.bucketBy.map(col): _*),
+          lit(manifest.nBuckets)).cast("int"))
       .persist()
     val touched = inc.select("_bucket").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -139,7 +180,7 @@ object Upsert {
       .parquet(s"$root/gen$next")
     inc.unpersist()
 
-    val nextManifest = Manifest(manifest.nBuckets,
+    val nextManifest = Manifest(manifest.nBuckets, manifest.bucketBy,
       manifest.buckets ++ touched.map(b => b -> s"gen$next"))
     writeManifest(root, next, nextManifest)
     // Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash

@@ -55,7 +55,7 @@ object StreamingJob {
       .trigger(Trigger.ProcessingTime("0 seconds"))
       .foreachBatch { (df: DataFrame, id: Long) =>
         Upsert.merge(df, id, s"${cfg.outRoot}/volume_tracking",
-          Seq("symbol", "timestamp"))
+          Seq("symbol", "timestamp"), bucketBy = Seq("symbol"))
       }
       .queryName("volume_tracking").start()
 
@@ -67,7 +67,7 @@ object StreamingJob {
       .option("checkpointLocation", s"${cfg.checkpointRoot}/query_02")
       .foreachBatch { (df: DataFrame, id: Long) =>
         Upsert.merge(df, id, s"${cfg.outRoot}/price_tracking",
-          Seq("symbol", "timestamp"))
+          Seq("symbol", "timestamp"), bucketBy = Seq("symbol"))
       }
       .queryName("price_tracking").start()
 

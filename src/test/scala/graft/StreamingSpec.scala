@@ -283,6 +283,27 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size === 64)
   }
 
+  test("upsert readKey serves a point lookup from a single bucket dir") {
+    import spark.implicits._
+    val root = tmpDir("graft-upsert-pointread")
+    val b1 = (0 until 200).map(i => (s"sym${i % 20}", i.toLong, i.toDouble))
+      .toDF("symbol", "t", "v")
+    Upsert.merge(b1, 0, root, Seq("symbol", "t"), bucketBy = Seq("symbol"))
+    val served = Upsert.readKey(spark, root, Seq("sym7")).get
+    // correct rows, and the scan touched exactly one bucket dir
+    assert(served.count() === 10)
+    assert(served.filter(col("symbol") =!= "sym7").count() === 0)
+    val bucketDirs = served.inputFiles
+      .map(_.replaceAll("/[^/]*$", "")).toSet
+    assert(bucketDirs.size === 1, s"expected one bucket dir, got $bucketDirs")
+    // matches the unpruned full-table read + filter
+    val full = Upsert.read(spark, root).get.filter(col("symbol") === "sym7")
+      .select("symbol", "t", "v").as[(String, Long, Double)].collect().toSet
+    val viaKey = served.select("symbol", "t", "v")
+      .as[(String, Long, Double)].collect().toSet
+    assert(viaKey === full)
+  }
+
   test("upsert merge is idempotent under batch replay") {
     import spark.implicits._
     val root = tmpDir("graft-upsert")
