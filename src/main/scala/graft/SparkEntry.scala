@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Decode
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Pipeline, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
     "d_embedding_dup" -> ((s, dir) => Dedup.embeddingDup(s, dir)),
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
+    "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -467,6 +468,7 @@ object SparkEntry {
 
     "d_embedding_dup" -> Dedup.embeddingDupSql,
     "d_dedup_resolve" -> Dedup.resolveSql,
+    "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),
 
     "d_ngram_jaccard" ->

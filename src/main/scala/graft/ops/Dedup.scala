@@ -336,17 +336,19 @@ object Dedup {
   // plans above so the two can never drift.
   // ------------------------------------------------------------------
 
-  private val wordsCte =
-    """WITH words AS (
-      |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word
-      |  FROM documents
-      |)""".stripMargin
+  private[ops] def wordsCteFrom(src: String): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word
+       |  FROM $src
+       |)""".stripMargin
 
-  private val sigCte: String = {
+  private val wordsCte = wordsCteFrom("documents")
+
+  private[ops] def sigCteFrom(src: String): String = {
     val mins = minhashParams.zipWithIndex.map { case ((a, b), j) =>
       s"min((x * $a + $b) % $prime) AS m$j"
     }.mkString(",\n         ")
-    s"""$wordsCte, hx AS (
+    s"""${wordsCteFrom(src)}, hx AS (
        |  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS x FROM words
        |), sig AS (
        |  SELECT doc_id,
@@ -355,22 +357,29 @@ object Dedup {
        |)""".stripMargin
   }
 
+  private val sigCte: String = sigCteFrom("documents")
+
+  /** s1/s2-qualified LSH band-match predicate (any of 4 bands fully
+    * equal) and the matching-slot count — shared by the pair and
+    * resolution oracles. */
+  private[ops] val bandEqSql: String = (0 until 4).map { band =>
+    (0 until 4).map(j => s"s1.m${band * 4 + j} = s2.m${band * 4 + j}")
+      .mkString("(", " AND ", ")")
+  }.mkString(" OR ")
+
+  private[ops] val matchesSql: String =
+    (0 until 16).map(j => s"(s1.m$j = s2.m$j)::INT").mkString(" + ")
+
   val minhashSigSql: String =
     s"""$sigCte
        |SELECT * FROM sig""".stripMargin
 
-  val minhashPairsSql: String = {
-    val bandEq = (0 until 4).map { band =>
-      (0 until 4).map(j => s"s1.m${band * 4 + j} = s2.m${band * 4 + j}")
-        .mkString("(", " AND ", ")")
-    }.mkString(" OR ")
-    val matches = (0 until 16).map(j => s"(s1.m$j = s2.m$j)::INT").mkString(" + ")
+  val minhashPairsSql: String =
     s"""$sigCte
        |SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
-       |       CAST($matches AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+       |       CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
        |FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
-       |WHERE $bandEq""".stripMargin
-  }
+       |WHERE $bandEqSql""".stripMargin
 
   private val simhashCte: String = {
     val votes = (0 until simhashBits)
@@ -406,18 +415,17 @@ object Dedup {
     * transitive closure done by a recursive CTE (min reachable id ==
     * component min, since edges are undirected and every doc seeds its
     * own id). */
-  val resolveSql: String = {
-    val bandEq = (0 until 4).map { band =>
-      (0 until 4).map(j => s"s1.m${band * 4 + j} = s2.m${band * 4 + j}")
-        .mkString("(", " AND ", ")")
-    }.mkString(" OR ")
-    val matches = (0 until 16).map(j => s"(s1.m$j = s2.m$j)::INT").mkString(" + ")
-    s"""WITH RECURSIVE ${sigCte.stripPrefix("WITH ")},
+  /** Pair graph + recursive transitive closure + canonical/size CTEs
+    * over corpus source `src` — chain after `WITH RECURSIVE …`. Ends in
+    * `resolved(doc_id, canonical_doc)` and `sizes(canonical_doc,
+    * cluster_size)`. */
+  private[ops] def resolveCtesFrom(src: String): String =
+    s"""${sigCteFrom(src).stripPrefix("WITH ")},
        |pairs AS (
        |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
        |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
-       |  WHERE ($bandEq)
-       |    AND CAST($matches AS DOUBLE) / CAST(16 AS DOUBLE) >= $resolveThreshold
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $resolveThreshold
        |),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -425,7 +433,7 @@ object Dedup {
        |  SELECT doc_b, doc_a FROM pairs
        |),
        |reach(doc, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $src
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
        |),
@@ -434,8 +442,10 @@ object Dedup {
        |),
        |sizes AS (
        |  SELECT canonical_doc, count(*) AS cluster_size FROM resolved GROUP BY 1
-       |)
+       |)""".stripMargin
+
+  val resolveSql: String =
+    s"""WITH RECURSIVE ${resolveCtesFrom("documents")}
        |SELECT r.doc_id, r.canonical_doc, s.cluster_size
        |FROM resolved r JOIN sizes s USING (canonical_doc)""".stripMargin
-  }
 }

@@ -168,21 +168,31 @@ object TextOps {
        |FROM s""".stripMargin
   }
 
-  val qualitySql: String = {
+  /** Quality computation as composable CTEs ending in
+    * `q(doc_id, n_chars, n_tokens, uniq_ratio, stop_ratio, quality)` —
+    * shared by [[qualitySql]] and the corpus-clean pipeline oracle
+    * ([[Pipeline.corpusCleanSql]]). */
+  private[ops] val qualityCte: String = {
     val all = inList(langWords.flatMap(_._2))
-    s"""WITH w AS (
+    s"""qw AS (
        |  SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents
-       |), s AS (
+       |), qs AS (
        |  SELECT doc_id, n_chars, words, len(words) AS n_tokens,
        |         len(list_filter(words, x -> x IN ($all))) AS stop_hits
-       |  FROM w
-       |)
-       |SELECT doc_id, n_chars, n_tokens,
-       |  round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS uniq_ratio,
-       |  round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-       |  round(0.4::DOUBLE * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-       |      + 0.3::DOUBLE * (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-       |      + 0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)), 6) AS quality
-       |FROM s""".stripMargin
+       |  FROM qw
+       |), q AS (
+       |  SELECT doc_id, n_chars, n_tokens,
+       |    round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS uniq_ratio,
+       |    round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       |    round(0.4::DOUBLE * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |        + 0.3::DOUBLE * (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |        + 0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)), 6) AS quality
+       |  FROM qs
+       |)""".stripMargin
   }
+
+  val qualitySql: String =
+    s"""WITH $qualityCte
+       |SELECT doc_id, n_chars, n_tokens, uniq_ratio, stop_ratio, quality
+       |FROM q""".stripMargin
 }
