@@ -196,19 +196,33 @@ object Upsert {
     // GC: drop generations referenced by neither the new manifest nor
     // the previous one (kept for readers that resolved the pointer just
     // before the flip), then manifests older than next-1. A replayed
-    // batch only ever rewrites gen{next}, never a GC'd dir.
+    // batch only ever rewrites gen{next}, never a GC'd dir. Inside
+    // surviving generations, bucket dirs that neither manifest points
+    // at are stale copies (the bucket was since rewritten elsewhere) —
+    // remove them too, or disk grows by one stale copy per rewrite for
+    // as long as ANY bucket keeps the generation alive.
     import scala.jdk.CollectionConverters._
-    val keep = nextManifest.buckets.values.toSet ++ manifest.buckets.values.toSet
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    val live: Set[(String, Int)] =
+      (nextManifest.buckets.toSeq ++ manifest.buckets.toSeq)
+        .map { case (b, g) => (g, b) }.toSet
+    val keep = live.map(_._1)
     Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString
-      val deadGen = name.startsWith("gen") && Files.isDirectory(p) &&
-        !keep.contains(name)
+      val isGen = name.startsWith("gen") && Files.isDirectory(p)
       val deadManifest = name.startsWith("manifest_v") &&
         name.stripPrefix("manifest_v").stripSuffix(".json").toLongOption
           .exists(_ < next - 1)
-      if (deadGen)
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => Files.deleteIfExists(f))
+      if (isGen && !keep.contains(name)) rmTree(p)
+      else if (isGen)
+        Files.list(p).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("_bucket="))
+          .foreach { bp =>
+            bp.getFileName.toString.stripPrefix("_bucket=").toIntOption
+              .foreach { b => if (!live.contains((name, b))) rmTree(bp) }
+          }
       else if (deadManifest) Files.deleteIfExists(p)
     }
   }

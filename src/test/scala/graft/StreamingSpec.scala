@@ -283,6 +283,35 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size === 64)
   }
 
+  test("upsert GC removes stale bucket copies from surviving generations") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("graft-upsert-gc")
+    val b1 = (0 until 64).map(i => (s"k$i", 1L, i.toDouble)).toDF("k", "t", "v")
+    Upsert.merge(b1, 0, root, Seq("k", "t"))
+    Upsert.merge(Seq(("k3", 1L, 91.0)).toDF("k", "t", "v"), 1, root, Seq("k", "t"))
+    Upsert.merge(Seq(("k3", 1L, 92.0)).toDF("k", "t", "v"), 2, root, Seq("k", "t"))
+    // one-version grace: gen1 is still referenced by the PREVIOUS
+    // manifest (readers pinned just before the flip), so it survives
+    // one merge and dies on the next
+    assert(Files.exists(Paths.get(root, "gen1")))
+    Upsert.merge(Seq(("k3", 1L, 93.0)).toDF("k", "t", "v"), 3, root, Seq("k", "t"))
+    assert(!Files.exists(Paths.get(root, "gen1")))
+    // k3's bucket dir: the only one in gen3
+    val hot = Files.list(Paths.get(root, "gen3")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_bucket=")).toSeq.head
+    // gen0 survives for its other buckets, but its stale copy of the
+    // hot bucket has been GC'd
+    assert(!Files.exists(Paths.get(root, "gen0", hot)))
+    assert(Files.list(Paths.get(root, "gen0")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("_bucket=")) > 0)
+    val rows = Upsert.read(spark, root).get.select("k", "v")
+      .as[(String, Double)].collect().toMap
+    assert(rows("k3") === 93.0)
+    assert(rows.size === 64)
+  }
+
   test("upsert readKey serves a point lookup from a single bucket dir") {
     import spark.implicits._
     val root = tmpDir("graft-upsert-pointread")
