@@ -42,6 +42,7 @@ object SparkEntry {
     "a8_null_profile" -> ((s, dir) => TradeOps.nullProfile(Tables.load(s, dir, "lineitem"))),
     "a9_time_bounds" -> ((s, dir) => TradeOps.timeBounds(trades(s, dir))),
     "o5_union_append" -> ((s, dir) => TradeOps.unionAppend(trades(s, dir))),
+    "o6_set_ops" -> ((s, dir) => TradeOps.setOps(trades(s, dir))),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
     "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
     "k4_partitioned_roundtrip" -> ((s, dir) => TradeOps.partitionedRoundTrip(s, trades(s, dir))),
@@ -154,6 +155,16 @@ object SparkEntry {
          |SELECT event_id, symbol, price FROM trades WHERE symbol = 'click'
          |UNION ALL
          |SELECT event_id, symbol, price FROM trades WHERE symbol = 'purchase'""".stripMargin,
+
+    "o6_set_ops" ->
+      s"""$T,
+         |c AS (SELECT user_id FROM trades WHERE symbol = 'click'),
+         |p AS (SELECT user_id FROM trades WHERE symbol = 'purchase')
+         |SELECT user_id, 'both' AS membership FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+         |UNION ALL
+         |SELECT user_id, 'click_only' AS membership FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+         |UNION ALL
+         |SELECT user_id, 'purchase_only' AS membership FROM (SELECT * FROM p EXCEPT SELECT * FROM c)""".stripMargin,
 
     "f5_time_convert" ->
       s"""$T

@@ -225,6 +225,21 @@ object TradeOps {
       .select("event_id", "symbol", "timestamp", "price", "volume")
   }
 
+  /** O5-adjacent set-operation coverage (§2.6 — the reference only
+    * unions, but a complete library serves INTERSECT/EXCEPT too):
+    * classify user ids by which event kinds they produced. Spark's
+    * `intersect`/`except` are the set-distinct forms, matching SQL
+    * INTERSECT / EXCEPT exactly. */
+  def setOps(trades: DataFrame): DataFrame = {
+    val clicks = trades.filter(col("symbol") === "click").select("user_id")
+    val purchases = trades.filter(col("symbol") === "purchase").select("user_id")
+    clicks.intersect(purchases).withColumn("membership", lit("both"))
+      .unionByName(clicks.except(purchases)
+        .withColumn("membership", lit("click_only")))
+      .unionByName(purchases.except(clicks)
+        .withColumn("membership", lit("purchase_only")))
+  }
+
   /** S6 + K1 end-to-end on the upsert store: build the keyed table once
     * per (session, input) — bucketed by `symbol`, the Cassandra
     * partition-key analog (`ddl.cql:7`) — then serve a per-symbol time

@@ -83,6 +83,77 @@ object Stateful {
     ds.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("symbol", "ts")
 
+  case class SessState(startMs: Long, lastMs: Long, n: Long, usd: Double)
+
+  case class SessionRow(symbol: String, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_usd: Double)
+
+  /** T15 on `transformWithState` with EVENT-TIME TIMERS: per-key session
+    * windows (gap-merged), emitted when the watermark passes
+    * `last_event + gap` — the arbitrary-state formulation of
+    * `session_window()`, for when a session must carry custom state or
+    * emit mid-session effects the built-in cannot express. A session
+    * closed *within* a batch (a later event proves the gap) emits
+    * immediately; open sessions park an event-time timer and emit from
+    * [[SessionWindowProcessor.handleExpiredTimer]] when the watermark
+    * crosses it. One timer per key at a time (re-registered as the
+    * session extends), state cleared on emit — bounded by live keys. */
+  class SessionWindowProcessor(gapMs: Long)
+      extends StatefulProcessor[String, TradeEvent, SessionRow] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessState](
+        "sess", Encoders.product[SessState], TTLConfig.NONE)
+
+    private def row(symbol: String, s: SessState): SessionRow =
+      SessionRow(symbol, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.usd)
+
+    override def handleInputRows(symbol: String, rows: Iterator[TradeEvent],
+        timerValues: TimerValues): Iterator[SessionRow] = {
+      var cur = if (sess.exists()) sess.get() else null
+      val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        val usd = e.price * e.volume
+        if (cur == null)
+          cur = SessState(t, t, 1, usd)
+        else if (t <= cur.lastMs + gapMs)
+          cur = SessState(math.min(cur.startMs, t), math.max(cur.lastMs, t),
+            cur.n + 1, cur.usd + usd)
+        else {
+          out += row(symbol, cur) // gap proven inside the batch
+          cur = SessState(t, t, 1, usd)
+        }
+      }
+      sess.update(cur)
+      // single live timer per key: replace whatever was parked before
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer(cur.lastMs + gapMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(symbol: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionRow] =
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(row(symbol, s))
+      } else Iterator.empty
+  }
+
+  /** T15 via [[SessionWindowProcessor]]; input needs the watermark for
+    * event-time timers to fire. */
+  def sessionWindowsTws(spark: SparkSession, ds: Dataset[TradeEvent],
+      gapMs: Long = 300000L, watermark: String = "10 seconds"): Dataset[SessionRow] = {
+    import spark.implicits._
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.symbol)
+      .transformWithState(new SessionWindowProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class LookbackRow(symbol: String, ts: java.sql.Timestamp,
       n: Int, avg_price: Double)
 

@@ -207,6 +207,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState session windows: in-batch close + timer-driven finalize") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TradeEvent](spark)
+      val q = Stateful.sessionWindowsTws(spark, input.toDS(), gapMs = 30000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sess_tws").start()
+      try {
+        def ev(sym: String, offsetMs: Long, price: Double) =
+          TradeEvent(sym, new java.sql.Timestamp(t0 + offsetMs), price, 2.0)
+        // A: burst of 3 (10s apart), then a gap-exceeding event in the
+        // SAME batch -> first session emits immediately, second stays open
+        input.addData(ev("A", 0, 1.0), ev("A", 10000, 2.0),
+          ev("A", 20000, 3.0), ev("A", 100000, 4.0), ev("B", 0, 5.0))
+        q.processAllAvailable()
+        // A's burst closes in-batch (gap proven by the 100s event); B's
+        // lone session finalizes by timer because that same far event
+        // advanced the watermark past B's gap. A's second session
+        // (100s) is still open.
+        val afterBatch = spark.table("sess_tws").as[Stateful.SessionRow]
+          .collect()
+        assert(afterBatch.map(_.symbol).sorted.toSeq === Seq("A", "B"),
+          s"got ${afterBatch.toSeq}")
+        val aFirst = afterBatch.find(_.symbol == "A").get
+        assert(aFirst.n_events === 3)
+        assert(aFirst.total_usd === (1.0 + 2.0 + 3.0) * 2.0)
+        assert(aFirst.session_end.getTime === t0 + 20000 + 30000)
+        // advance the watermark far past both open sessions -> timers fire
+        input.addData(ev("C", 1000000, 1.0))
+        q.processAllAvailable()
+        val all = spark.table("sess_tws").as[Stateful.SessionRow].collect()
+        val bySym = all.groupBy(_.symbol)
+        assert(bySym("A").map(_.n_events).sorted.toSeq === Seq(1L, 3L))
+        assert(bySym("B").head.n_events === 1)
+        assert(bySym("B").head.total_usd === 10.0)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamed volume agg equals batch recompute over on-time events") {
     import spark.implicits._
     // deterministic pseudo-random stream: 120 events, 3 symbols,
