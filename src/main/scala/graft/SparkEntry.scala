@@ -41,6 +41,7 @@ object SparkEntry {
     // -- profiling / time-conversion tier (A8, A9, F5-F7, O5, S5/K8) -----
     "a8_null_profile" -> ((s, dir) => TradeOps.nullProfile(Tables.load(s, dir, "lineitem"))),
     "a9_time_bounds" -> ((s, dir) => TradeOps.timeBounds(trades(s, dir))),
+    "a10_quantiles" -> ((s, dir) => TradeOps.discreteQuantiles(trades(s, dir))),
     "o5_union_append" -> ((s, dir) => TradeOps.unionAppend(trades(s, dir))),
     "o6_set_ops" -> ((s, dir) => TradeOps.setOps(trades(s, dir))),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
@@ -155,6 +156,20 @@ object SparkEntry {
          |SELECT event_id, symbol, price FROM trades WHERE symbol = 'click'
          |UNION ALL
          |SELECT event_id, symbol, price FROM trades WHERE symbol = 'purchase'""".stripMargin,
+
+    "a10_quantiles" ->
+      s"""$T,
+         |ranked AS (
+         |  SELECT symbol, price,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY price, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY symbol) AS n
+         |  FROM trades
+         |)
+         |SELECT symbol,
+         |  max(CASE WHEN rn = CAST(ceil(0.5::DOUBLE * n) AS BIGINT) THEN price END) AS p50,
+         |  max(CASE WHEN rn = CAST(ceil(0.9::DOUBLE * n) AS BIGINT) THEN price END) AS p90,
+         |  max(CASE WHEN rn = CAST(ceil(0.99::DOUBLE * n) AS BIGINT) THEN price END) AS p99
+         |FROM ranked GROUP BY 1""".stripMargin,
 
     "o6_set_ops" ->
       s"""$T,

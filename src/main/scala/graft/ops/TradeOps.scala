@@ -225,6 +225,25 @@ object TradeOps {
       .select("event_id", "symbol", "timestamp", "price", "volume")
   }
 
+  /** A8-adjacent profiling: exact DISCRETE per-group quantiles (the
+    * value at rank `ceil(p·n)`), via one ranked window + conditional
+    * aggregation — no interpolation, so the result is an actual data
+    * value and bit-identical across engines (interpolated percentiles
+    * differ in formula association engine-to-engine at the ulp level).
+    * One shuffle on the group key; rank assignment is the sort the
+    * window already pays. */
+  def discreteQuantiles(trades: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val byPrice = Window.partitionBy("symbol").orderBy(col("price"), col("event_id"))
+    val ranked = trades.select(col("symbol"), col("price"), col("event_id"))
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+    val aggs = ps.map(p =>
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("price")))
+        .as(s"p${(p * 100).toInt}"))
+    ranked.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** O5-adjacent set-operation coverage (§2.6 — the reference only
     * unions, but a complete library serves INTERSECT/EXCEPT too):
     * classify user ids by which event kinds they produced. Spark's
