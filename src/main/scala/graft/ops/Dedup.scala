@@ -233,85 +233,18 @@ object Dedup {
   /** Dedup *resolution*: turn near-dup pairs into keep/drop decisions.
     * Connected components over the MinHash candidate-pair graph
     * (est_jaccard ≥ [[resolveThreshold]]); every doc maps to the lowest
-    * doc_id in its component (the canonical copy to keep).
-    *
-    * Graph-contraction CC, not per-round label propagation over the full
-    * edge list (that re-joined millions of edges every round — measured
-    * 30s+ at sf0.1). Each round: (1) hook every active node to
-    * `min(self, min neighbor)`; (2) pointer-jump that parent forest to
-    * its roots — a self-join of the LABEL-space table, which is ≤ one
-    * row per remaining component candidate, not per edge; (3) rewrite
-    * doc labels and contract edges through the root mapping, dropping
-    * intra-tree edges. The full edge list is touched only while it still
-    * has cross-component edges, and it shrinks geometrically — dense
-    * near-dup cliques collapse entirely in round 1, so the big list is
-    * usually scanned ONCE. O(log n) rounds worst case (`maxIter` is a
-    * backstop); `localCheckpoint` truncates lineage between rounds. The
-    * contraction joins stay hint-free: AQE broadcasts the label-space
-    * side while it is small and falls back to shuffle at
-    * billions-of-docs scale. */
+    * doc_id in its component (the canonical copy to keep). The CC core
+    * is [[Graph.connectedComponents]] (graph contraction + pointer
+    * jumping — see its scaladoc for the algorithm and scale posture);
+    * this wrapper supplies the pair graph and attaches cluster sizes. */
   def resolveDuplicates(docs: DataFrame, maxIter: Int = 20): DataFrame = {
     val pairs = minhashPairs(docs)
       .filter(col("est_jaccard") >= resolveThreshold)
       .select(col("doc_a"), col("doc_b"))
-    var lbl = docs.select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
-    // single-direction edge list (a < b canonical orientation): only
-    // half the pair volume is ever materialized; the undirected view is
-    // two lazy projections of the same checkpointed data
-    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    var iter = 0
-    while (iter < maxIter && !edges.isEmpty) {
-      // hook: parent(v) = min(v, min neighbor); roots satisfy p == v
-      var parent = edges
-        .union(edges.select(col("dst"), col("src")))
-        .groupBy("src")
-        .agg(least(col("src"), min(col("dst"))).as("p"))
-        .select(col("src").as("v"), col("p"))
-        .localCheckpoint()
-      // pointer-jump p := p(p) until the forest is root-compressed
-      // (depth at least halves per squaring and the table is label-space
-      // tiny). The `moved` flag rides along in the same join, so each
-      // jump is ONE materialization plus a checkpoint-local isEmpty.
-      var jumping = true
-      while (jumping) {
-        val jumped = parent.as("a")
-          .join(parent.select(col("v").as("pv"), col("p").as("pp")),
-            col("a.p") === col("pv"))
-          .select(col("a.v").as("v"), col("pp").as("p"),
-            (col("pp") =!= col("a.p")).as("moved"))
-          .localCheckpoint()
-        jumping = !jumped.filter(col("moved")).isEmpty
-        parent = jumped.select("v", "p")
-      }
-      // rewrite doc labels through the root mapping (nodes without an
-      // entry are already roots / isolated — keep their label). parent
-      // is label-space (one row per ACTIVE node, shrinking every round)
-      // — explicitly broadcast: the checkpointed edge list carries no
-      // stats, so Catalyst would otherwise sort-merge-shuffle the full
-      // edge volume against a table thousands of times smaller. At a
-      // scale where the active-label table itself outgrows broadcast,
-      // drop the hint and this degrades to the shuffle join gracefully.
-      lbl = lbl
-        .join(broadcast(parent.select(col("v").as("lbl"), col("p"))),
-          Seq("lbl"), "left")
-        .select(col("doc_id"), coalesce(col("p"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      // contract: surviving edges connect different trees; re-canonicalize
-      // orientation so the next round's checkpoint stays deduplicated
-      edges = edges
-        .join(broadcast(parent.select(col("v").as("src"), col("p").as("ps"))), "src")
-        .join(broadcast(parent.select(col("v").as("dst"), col("p").as("pd"))), "dst")
-        .filter(col("ps") =!= col("pd"))
-        .select(least(col("ps"), col("pd")).as("src"),
-          greatest(col("ps"), col("pd")).as("dst"))
-        .distinct()
-        .localCheckpoint()
-      iter += 1
-    }
+    val lbl = Graph.connectedComponents(docs.select("doc_id"), pairs, maxIter)
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     lbl.join(sizes, "lbl")
-      .select(col("doc_id"), col("lbl").as("canonical_doc"),
+      .select(col("id").as("doc_id"), col("lbl").as("canonical_doc"),
         col("cluster_size"))
   }
 

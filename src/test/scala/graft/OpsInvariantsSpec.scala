@@ -150,6 +150,42 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("connectedComponents matches union-find on seeded random graphs") {
+    import spark.implicits._
+    // reference union-find; root kept as the min id at every union, so
+    // find(v) IS the component minimum
+    def unionFind(n: Int, es: Seq[(Int, Int)]): Map[Int, Int] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    // shapes that stress distinct paths: empty, chains (deep forests →
+    // many pointer jumps), random sparse/dense, self-loops, duplicates
+    val cases: Seq[(Int, Seq[(Int, Int)])] =
+      Seq((1, Nil), (5, Nil), (6, Seq((5, 4), (4, 3), (3, 2), (2, 1), (1, 0))),
+        (8, Seq((0, 1), (1, 0), (2, 2), (3, 4), (4, 3)))) ++
+      (1 to 16).map { _ =>
+        val n = 2 + rnd.nextInt(50)
+        val m = rnd.nextInt(2 * n)
+        (n, Seq.fill(m)((rnd.nextInt(n), rnd.nextInt(n))))
+      }
+    cases.foreach { case (n, es) =>
+      val got = graft.ops.Graph.connectedComponents(
+        (0 until n).toDF("v"), es.toDF("a", "b"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got === unionFind(n, es), s"n=$n edges=$es")
+    }
+  }
+
   test("graft functions are SQL-callable after registration") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(

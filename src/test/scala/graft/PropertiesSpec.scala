@@ -95,4 +95,5 @@ object PropertiesSpec extends Properties("graft") {
         }
       }
     }
+
 }
