@@ -44,6 +44,10 @@ object SparkEntry {
     "a10_quantiles" -> ((s, dir) => TradeOps.discreteQuantiles(trades(s, dir))),
     "o5_union_append" -> ((s, dir) => TradeOps.unionAppend(trades(s, dir))),
     "o6_set_ops" -> ((s, dir) => TradeOps.setOps(trades(s, dir))),
+    "j_full_outer_daily" -> ((s, dir) => TradeOps.fullOuterDaily(trades(s, dir))),
+    "a_grouping_sets" -> ((s, dir) => Relational.groupingSetsSummary(s, dir)),
+    "t_normalize" -> ((s, dir) => TextOps.normalize(Tables.load(s, dir, "documents"))),
+    "v_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
     "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
     "k4_partitioned_roundtrip" -> ((s, dir) => TradeOps.partitionedRoundTrip(s, trades(s, dir))),
@@ -156,6 +160,26 @@ object SparkEntry {
          |SELECT event_id, symbol, price FROM trades WHERE symbol = 'click'
          |UNION ALL
          |SELECT event_id, symbol, price FROM trades WHERE symbol = 'purchase'""".stripMargin,
+
+    "j_full_outer_daily" ->
+      s"""$T,
+         |c AS (SELECT date_trunc('day', "timestamp") AS day, count(*) AS n_clicks
+         |      FROM trades WHERE symbol = 'click' GROUP BY 1),
+         |p AS (SELECT date_trunc('day', "timestamp") AS day, count(*) AS n_purchases
+         |      FROM trades WHERE symbol = 'purchase' GROUP BY 1)
+         |SELECT coalesce(c.day, p.day) AS day, c.n_clicks, p.n_purchases
+         |FROM c FULL OUTER JOIN p ON c.day = p.day""".stripMargin,
+
+    "a_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "t_normalize" -> TextOps.normalizeSql,
+    "v_quantize_int8" -> Similarity.quantizeInt8Sql,
 
     "a10_quantiles" ->
       s"""$T,

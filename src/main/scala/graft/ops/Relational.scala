@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,4 +149,16 @@ object Relational {
     Tables.load(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** Explicit GROUPING SETS (the general form rollup/cube sugar over),
+    * with per-column `grouping()` flags so consumers can tell a real
+    * NULL group key from a subtotal row. */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val (rf, ls) = (col("l_returnflag"), col("l_linestatus"))
+    li.groupingSets(
+        Seq(Seq(rf, ls), Seq(rf), Seq.empty[Column]), rf, ls)
+      .agg(grouping(rf).as("g_rf"), grouping(ls).as("g_ls"),
+        sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+  }
 }

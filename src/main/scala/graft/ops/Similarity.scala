@@ -146,6 +146,49 @@ object Similarity {
        |  FROM s
        |) WHERE rnk <= $k""".stripMargin
 
+  /** Per-vector int8 scalar quantization — the storage-compression pass
+    * ANN systems run before indexing (4× smaller than float32):
+    * `q_i = round((x_i - min) / ((max - min) / 255)) - 128`. Emitted as
+    * scalar digests (sum/min/max over the quantized codes) so the
+    * oracle comparison stays column-typed; the codes themselves would
+    * ship as an `array<tinyint>` column in a real sink. Constant
+    * vectors quantize to all-zero codes. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    emb
+      .withColumn("q", expr(
+        """CASE WHEN array_max(v) = array_min(v)
+          |  THEN transform(v, x -> 0)
+          |  ELSE transform(v, x -> CAST(round((x - array_min(v)) /
+          |    ((array_max(v) - array_min(v)) / 255.0D)) AS INT) - 128)
+          |END""".stripMargin))
+      .select(col("vec_id"),
+        expr("CAST(aggregate(q, 0L, (a, x) -> a + x) AS BIGINT)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        size(col("q")).as("dim"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), qz AS (
+      |  SELECT vec_id,
+      |    CASE WHEN list_max(v) = list_min(v)
+      |      THEN list_transform(v, x -> 0)
+      |      ELSE list_transform(v, x -> CAST(round((x - list_min(v)) /
+      |        ((list_max(v) - list_min(v)) / 255.0::DOUBLE)) AS INT) - 128)
+      |    END AS q
+      |  FROM e
+      |)
+      |SELECT vec_id,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  list_min(q) AS q_min,
+      |  list_max(q) AS q_max,
+      |  len(q) AS dim
+      |FROM qz""".stripMargin
+
   /** Random-hyperplane LSH buckets: `nBits` sign bits of dot products
     * against deterministic ±1 hyperplanes (derived from (dim, plane)
     * indices, so every executor regenerates them identically — nothing

@@ -68,6 +68,21 @@ object TextOps {
         predicted.as("predicted_lang")): _*)
   }
 
+  /** Text normalization — the standard pre-tokenization cleanup pass:
+    * lowercase, non-alphanumerics → space, collapse runs, trim. Pure
+    * per-row projection (RE2-compatible patterns on both engines). */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
+      .withColumn("norm_tokens", size(split(col("norm_text"), " ")))
+
+  val normalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS norm_tokens
+      |FROM documents""".stripMargin
+
   /** Quality scoring: length, token stats, marker-hit ratio, composite
     * score in [0,1] — the length/stopword-ratio heuristics of corpus
     * filtering pipelines. */

@@ -225,6 +225,17 @@ object TradeOps {
       .select("event_id", "symbol", "timestamp", "price", "volume")
   }
 
+  /** §2.6 join breadth: FULL OUTER join of two daily aggregates —
+    * days where only one side has events keep nulls on the other. */
+  def fullOuterDaily(trades: DataFrame): DataFrame = {
+    def daily(sym: String, alias: String) = trades
+      .filter(col("symbol") === sym)
+      .groupBy(date_trunc("day", col("timestamp")).as("day"))
+      .agg(count(lit(1)).as(alias))
+    daily("click", "n_clicks")
+      .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+  }
+
   /** A8-adjacent profiling: exact DISCRETE per-group quantiles (the
     * value at rank `ceil(p·n)`), via one ranked window + conditional
     * aggregation — no interpolation, so the result is an actual data
