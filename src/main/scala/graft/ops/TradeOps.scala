@@ -291,6 +291,24 @@ object TradeOps {
       .select(col("event_id"), col("timestamp"), col("price"))
   }
 
+  /** S4/F10 as a file format: JSON-lines export then schema-declared
+    * scan — same round-trip discipline as [[csvRoundTrip]]. Micros
+    * timestampFormat on both sides (JSON default also truncates). */
+  def jsonRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val out = scratchDir(spark, "json_roundtrip")
+    val cols = Seq("event_id", "symbol", "timestamp", "price", "volume")
+    trades.select(cols.map(col): _*)
+      .write.mode("overwrite")
+      .option("timestampFormat", fmt)
+      .json(out)
+    spark.read
+      .option("timestampFormat", fmt)
+      .schema("event_id BIGINT, symbol STRING, timestamp TIMESTAMP, " +
+        "price DOUBLE, volume DOUBLE")
+      .json(out)
+  }
+
   /** S5 + K8 (reference `clean_data.ipynb` cell 1 / cell 11): header CSV
     * export then schema-declared header CSV scan — a full file-format
     * round-trip. Micros-precision timestampFormat on both sides (Spark's

@@ -156,16 +156,20 @@ object Upsert {
     val touched = inc.select("_bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     // existing rows of TOUCHED buckets only — everything else is carried
-    // forward by manifest reference, never read or rewritten
-    val existingTouched = touched.toSeq
-      .flatMap(b => manifest.buckets.get(b).map(g => (b, s"$root/$g/_bucket=$b")))
+    // forward by manifest reference, never read or rewritten. ONE
+    // multi-path scan, not a per-bucket union of single-path reads:
+    // planner cost of an N-way union grows with the table's bucket
+    // count, while a multi-path scan stays one relation. The bucket id
+    // is recomputed from the bucketing columns, which the rows carry.
+    val existingPaths = touched.toSeq
+      .flatMap(b => manifest.buckets.get(b).map(g => s"$root/$g/_bucket=$b"))
     val merged =
-      if (existingTouched.isEmpty) inc
+      if (existingPaths.isEmpty) inc
       else {
-        val existing = existingTouched
-          .map { case (b, p) =>
-            spark.read.parquet(p).withColumn("_bucket", lit(b)) }
-          .reduce(_ unionByName _)
+        val existing = spark.read.parquet(existingPaths: _*)
+          .withColumn("_bucket",
+            pmod(xxhash64(manifest.bucketBy.map(col): _*),
+              lit(manifest.nBuckets)).cast("int"))
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_gen").desc)
         existing.unionByName(inc)
           .withColumn("_rank", row_number().over(w))

@@ -325,6 +325,42 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size === 64)
   }
 
+  test("AvailableNow trigger drains the backlog then stops on its own") {
+    import java.nio.file.{Files, Paths}
+    val in = tmpDir("graft-avnow-in")
+    val out = tmpDir("graft-avnow-out")
+    val ckpt = tmpDir("graft-avnow-ckpt")
+    def envelope(tMillis: Long, p: Double): String =
+      s"""{"data":[{"c":null,"p":$p,"s":"BTC","t":$tMillis,"v":1.0,"cv":1.0}],"type":"trade"}"""
+    Files.write(Paths.get(in, "b1.json"),
+      (1 to 5).map(i => envelope(1700000000000L + i * 1000, i.toDouble))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val q = StreamingJob.decode(spark.readStream.text(in).select(col("value")))
+      .select("symbol", "timestamp", "price")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    // AvailableNow = process everything present at start, then terminate
+    // without an external stop — the batch-catchup mode for a streaming
+    // pipeline replaying history
+    assert(q.awaitTermination(60000), "query must self-terminate")
+    assert(spark.read.parquet(out).count() === 5)
+    // a second run with new backlog resumes from the checkpoint
+    Files.write(Paths.get(in, "b2.json"),
+      Seq(envelope(1700000010000L, 9.0)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val q2 = StreamingJob.decode(spark.readStream.text(in).select(col("value")))
+      .select("symbol", "timestamp", "price")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    assert(q2.awaitTermination(60000))
+    assert(spark.read.parquet(out).count() === 6, "no reprocessing, only the new file")
+  }
+
   test("upsert GC removes stale bucket copies from surviving generations") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
