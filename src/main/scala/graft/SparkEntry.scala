@@ -115,6 +115,9 @@ object SparkEntry {
     "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.load(s, dir, "documents"))),
     "m_resize_stub" -> ((s, dir) => Multimodal.resizeStub(Tables.load(s, dir, "documents"))),
+    "m_batch_extract" -> ((s, dir) => Multimodal.extractBatched(s, Tables.load(s, dir, "documents")).toDF()),
+    "a_pivot_dow" -> ((s, dir) => TradeOps.pivotDayOfWeek(trades(s, dir))),
+    "a_unpivot_totals" -> ((s, dir) => TradeOps.unpivotTotals(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -590,6 +593,38 @@ object SparkEntry {
         |  CAST(64 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) // 256 AS INTEGER) + 1 AS n_frames
         |FROM documents""".stripMargin,
+
+    "m_batch_extract" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+        |       ELSE round((length(text) -
+        |              length(regexp_replace(lower(text), '[aeiou]', '', 'g')))::DOUBLE
+        |            / length(text)::DOUBLE, 6)
+        |  END AS vowel_ratio,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+
+    "a_pivot_dow" -> {
+      val cols = (1 to 7).map(d =>
+        s"count(*) FILTER (WHERE dayofweek(\"timestamp\") + 1 = $d) AS d$d")
+        .mkString(",\n       ")
+      s"""$T
+         |SELECT symbol,
+         |       $cols
+         |FROM trades GROUP BY symbol""".stripMargin
+    },
+
+    "a_unpivot_totals" ->
+      s"""$T, agg AS (
+         |  SELECT symbol,
+         |    CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+         |    CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS total_usd_volume
+         |  FROM trades GROUP BY symbol
+         |)
+         |SELECT symbol, 'total_volume' AS metric, total_volume AS value FROM agg
+         |UNION ALL
+         |SELECT symbol, 'total_usd_volume' AS metric, total_usd_volume AS value FROM agg""".stripMargin,
 
     "m_decode_stub" ->
       """SELECT doc_id,

@@ -81,6 +81,47 @@ object Multimodal {
         length(col("resized")).as("resized_len"),
         md5(col("resized")).as("resized_md5"))
 
+  case class BatchFeature(
+      doc_id: Long,
+      byte_len: Int,
+      vowel_ratio: Double,
+      content_hash: String)
+
+  /** BATCHED per-partition feature extraction — the Scala analog of
+    * `mapInPandas`: the partition iterator is drained in fixed-size
+    * batches (the shape a vectorized model / codec API wants — one
+    * inference call per batch, init amortized per partition), then
+    * features are re-emitted per row. Per-row outputs are independent
+    * of batch boundaries BY CONSTRUCTION, so repartitioning can never
+    * change results — the invariant any batched extractor must keep. */
+  def extractBatched(spark: SparkSession, docs: DataFrame,
+      batchSize: Int = 64): Dataset[BatchFeature] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // one vectorized "model call" per batch of documents
+          batch.map { case (id, text) =>
+            var vowels = 0
+            var i = 0
+            while (i < text.length) {
+              if ("aeiou".indexOf(Character.toLowerCase(text.charAt(i))) >= 0)
+                vowels += 1
+              i += 1
+            }
+            val ratio =
+              if (text.isEmpty) 0.0
+              else BigDecimal(vowels.toDouble / text.length)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hash = md.digest(text.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            BatchFeature(id, text.getBytes("UTF-8").length, ratio, hash)
+          }
+        }
+      }
+  }
+
   /** Per-partition batch decode: binary in, typed rows out. */
   def decodeMedia(spark: SparkSession, docs: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._

@@ -225,6 +225,27 @@ object TradeOps {
       .select("event_id", "symbol", "timestamp", "price", "volume")
   }
 
+  /** Reshaping breadth: pivot — day-of-week trade counts as one column
+    * per weekday. Explicit pivot values keep the output schema static
+    * (no extra distinct-scan job, and a plan Catalyst can fully
+    * analyze up front — the scale-correct way to pivot). */
+  def pivotDayOfWeek(trades: DataFrame): DataFrame = {
+    val p = trades.withColumn("dow", dayofweek(col("timestamp")))
+      .groupBy("symbol").pivot("dow", 1 to 7).agg(count(lit(1)))
+    p.select(col("symbol") +:
+      (1 to 7).map(d => coalesce(col(s"$d"), lit(0L)).as(s"d$d")): _*)
+  }
+
+  /** Reshaping breadth: unpivot/melt — wide per-symbol totals back to
+    * long (symbol, metric, value) rows. */
+  def unpivotTotals(trades: DataFrame): DataFrame =
+    trades.groupBy("symbol").agg(
+        sum(col("volume").cast("decimal(18,6)")).cast("double").as("total_volume"),
+        sum(col("usd_volume").cast("decimal(18,6)")).cast("double").as("total_usd_volume"))
+      .unpivot(Array(col("symbol")),
+        Array(col("total_volume"), col("total_usd_volume")),
+        "metric", "value")
+
   /** §2.6 join breadth: FULL OUTER join of two daily aggregates —
     * days where only one side has events keep nulls on the other. */
   def fullOuterDaily(trades: DataFrame): DataFrame = {
