@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Graph, Multimodal, Pipeline, TextOps, TradeOps}
+
+/** Empty-input and degenerate-shape behavior: every operator must
+  * return an empty (or well-defined) result on an empty table, never
+  * throw — at 100 TB, empty partitions, empty filter results, and
+  * empty micro-batches are routine, not exceptional. */
+class EdgeCasesSpec extends SparkSuite {
+
+  private lazy val emptyTrades: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("symbol", StringType),
+      StructField("user_id", LongType),
+      StructField("timestamp", TimestampType), StructField("price", DoubleType),
+      StructField("volume", DoubleType), StructField("usd_volume", DoubleType))))
+
+  private lazy val emptyDocs: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+
+  test("trade operators return empty results on an empty table") {
+    assert(TradeOps.tumblingVolume(emptyTrades).count() === 0)
+    assert(TradeOps.slidingFeatures(emptyTrades).count() === 0)
+    assert(TradeOps.cumulativeVolume(emptyTrades).count() === 0)
+    assert(TradeOps.lookbackAvg(emptyTrades).count() === 0)
+    assert(TradeOps.minMaxScale(emptyTrades).count() === 0)
+    assert(graft.ops.Scale.sessionize(emptyTrades).count() === 0)
+    assert(graft.ops.Scale.saltedVolumeBySymbol(emptyTrades).count() === 0)
+    assert(TradeOps.discreteQuantiles(emptyTrades).count() === 0)
+    assert(TradeOps.setOps(emptyTrades).count() === 0)
+    assert(TradeOps.fullOuterDaily(emptyTrades).count() === 0)
+    assert(TradeOps.unpivotTotals(emptyTrades).count() === 0)
+    assert(TradeOps.pivotDayOfWeek(emptyTrades).count() === 0)
+  }
+
+  test("document operators return empty results on an empty corpus") {
+    assert(TextOps.tokenStats(emptyDocs).count() === 0)
+    assert(TextOps.normalize(emptyDocs).count() === 0)
+    assert(Dedup.exactDedup(emptyDocs).count() === 0)
+    assert(Dedup.minhashPairs(emptyDocs).count() === 0)
+    assert(Dedup.resolveDuplicates(emptyDocs).count() === 0)
+    assert(Pipeline.corpusClean(emptyDocs).count() === 0)
+    assert(Multimodal.binaryMeta(emptyDocs).count() === 0)
+    assert(Multimodal.extractBatched(spark, emptyDocs).count() === 0)
+  }
+
+  test("connectedComponents on empty vertex and edge sets") {
+    import spark.implicits._
+    val noVerts = Seq.empty[Int].toDF("v")
+    val noEdges = Seq.empty[(Int, Int)].toDF("a", "b")
+    assert(Graph.connectedComponents(noVerts, noEdges).count() === 0)
+    // vertices without edges: every vertex is its own component
+    val verts = (0 until 5).toDF("v")
+    val got = Graph.connectedComponents(verts, noEdges)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === (0 until 5).map(v => v -> v).toMap)
+  }
+
+  test("single-document corpus: dedup resolution is the identity") {
+    import spark.implicits._
+    val one = Seq((1L, "hello world foo bar baz", "en", "web", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.resolveDuplicates(one).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("canonical_doc") === 1L)
+    assert(r.head.getAs[Long]("cluster_size") === 1L)
+  }
+}

@@ -76,6 +76,39 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("bucketed join plan: sort-merge with zero shuffle exchanges") {
+    val df = graft.ops.Scale.bucketedOrderRevenue(spark, sf)
+    df.collect() // resolve AQE to the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "co-located SMJ expected")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+  }
+
+  test("serving reads push symbol + time filters into the scan") {
+    // `symbol` is an alias of event_type on the raw table, so a parquet
+    // pushdown rewrites to the source column; if the suite's cached
+    // trades plan got substituted by the cache manager instead, the
+    // filter must sit on the InMemoryTableScan — either way it reaches
+    // the scan node, never a post-scan-only Filter
+    val fresh = Tables.trades(spark, sf)
+    val s6 = TradeOps.servingRange(fresh, "click",
+      "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    val p6 = s6.queryExecution.executedPlan.toString
+    assert(p6.contains("EqualTo(event_type,click)") ||
+      (p6.contains("InMemoryTableScan") && p6.contains("= click)")),
+      s"symbol filter must reach the scan:\n$p6")
+    assert(s6.count() > 0)
+    // the upsert-store read stores symbol as a real column
+    val s7 = TradeOps.keyedPointRead(spark, fresh, sf, "click",
+      "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    val p7 = s7.queryExecution.executedPlan.toString
+    assert(p7.contains("PushedFilters:") &&
+      p7.contains("EqualTo(symbol,click)"),
+      s"symbol filter must reach the bucket scan:\n$p7")
+    assert(s7.count() > 0)
+  }
+
   test("approx distinct within 5% of exact per group") {
     val exact = Relational.distinctCounts(spark, sf)
       .select("l_returnflag", "n_supp", "n_part")
