@@ -47,6 +47,7 @@ object SparkEntry {
     "j_full_outer_daily" -> ((s, dir) => TradeOps.fullOuterDaily(trades(s, dir))),
     "a_grouping_sets" -> ((s, dir) => Relational.groupingSetsSummary(s, dir)),
     "t_normalize" -> ((s, dir) => TextOps.normalize(Tables.load(s, dir, "documents"))),
+    "t_stratified_sample" -> ((s, dir) => TextOps.stratifiedSample(Tables.load(s, dir, "documents"))),
     "v_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
     "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
@@ -183,6 +184,7 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "t_normalize" -> TextOps.normalizeSql,
+    "t_stratified_sample" -> TextOps.stratifiedSampleSql(),
     "v_quantize_int8" -> Similarity.quantizeInt8Sql,
 
     "a10_quantiles" ->

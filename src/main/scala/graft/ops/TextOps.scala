@@ -83,6 +83,40 @@ object TextOps {
       |  len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS norm_tokens
       |FROM documents""".stripMargin
 
+  /** Deterministic stratified sampling — downsample over-represented
+    * strata (the corpus-balancing pass of a training-data pipeline).
+    * Selection is HASH-based, not random: a doc is kept iff
+    * `md5(doc_id) mod 1000 < rate(lang)·1000`, so the sample is
+    * reproducible run-to-run, stable under repartitioning, and exactly
+    * reproducible by the oracle — properties `RAND()`-based sampling
+    * (and `df.sample`, which is partition-order dependent) cannot give.
+    * Per-row projection + filter: no shuffle at all. */
+  def stratifiedSample(docs: DataFrame,
+      rates: Map[String, Double] = Map("en" -> 0.3, "de" -> 0.6),
+      defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000"))
+      .filter(col("h") < rate * 1000)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  def stratifiedSampleSql(rates: Map[String, Double] = Map("en" -> 0.3, "de" -> 0.6),
+      defaultRate: Double = 1.0): String = {
+    // ::DOUBLE on every rate literal: a bare DuckDB literal is DECIMAL
+    // and `rate * 1000` would compare exactly while Spark compares in
+    // IEEE double — same math in both engines or hash-boundary rows flip
+    val cases = rates.map { case (lang, r) => s"WHEN lang = '$lang' THEN $r::DOUBLE" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+       |      < (CASE $cases ELSE $defaultRate::DOUBLE END) * 1000
+       |""".stripMargin
+  }
+
   /** Quality scoring: length, token stats, marker-hit ratio, composite
     * score in [0,1] — the length/stopword-ratio heuristics of corpus
     * filtering pipelines. */
