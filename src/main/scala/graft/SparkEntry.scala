@@ -77,6 +77,8 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_revenue_by_nation" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+    "q10_returned_revenue" -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
     "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "a_approx_distinct" -> ((s, dir) => Relational.approxDistinctCounts(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
@@ -460,6 +462,29 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH w AS (
+        |  SELECT l_extendedprice, l_quantity,
+        |         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem
+        |)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+        |       count(*) AS n_items
+        |FROM w WHERE l_quantity < 0.2::DOUBLE * avg_qty""".stripMargin,
 
     "a_distinct_counts" ->
       """SELECT l_returnflag,

@@ -150,6 +150,42 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
 
+  /** TPC-H Q10-style: revenue lost to returned items, by customer, top
+    * 20. Fact-fact join shuffles on the order key; the nation dimension
+    * broadcasts. Exact decimal revenue makes the top-k deterministic
+    * (tiebreak on custkey). */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q17-style: revenue from small-quantity orders of each part —
+    * lineitems with quantity under 20% of their part's average. The
+    * correlated scalar subquery of the original is expressed as a
+    * per-part window average: one shuffle on partkey, no re-scan of
+    * lineitem (the subquery form scans the fact table twice). */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val byPart = Window.partitionBy("l_partkey")
+    li.withColumn("avg_qty", avg(col("l_quantity")).over(byPart))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube sugar over),
     * with per-column `grouping()` flags so consumers can tell a real
     * NULL group key from a subtotal row. */
