@@ -555,6 +555,7 @@ object SparkEntry {
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),
+    "v_ann_lsh" -> Similarity.annLshSql(),
 
     "d_ngram_jaccard" ->
       """WITH sh AS (

@@ -189,6 +189,45 @@ object Similarity {
       |  len(q) AS dim
       |FROM qz""".stripMargin
 
+  /** Oracle for [[annLsh]]: the hyperplane bits are deterministic
+    * (±1 from `(i·1315423911 + j·2654435761) mod 2`, the same formula
+    * [[graft.functions.HyperplaneLshBits]] generates), so the whole
+    * LSH pipeline — bucket assignment, bucket join, exact re-rank — is
+    * reproducible in SQL. A sign flip would need a hyperplane sum
+    * within one ulp of zero (never observed; the sum has 64 ±0.1-scale
+    * terms). */
+  def annLshSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
+      dim: Int = 64): String = {
+    val bits = (0 until nBits).map { j =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $dim),
+         |  i -> v[i] * (CASE WHEN ((i - 1) * 1315423911 + $j * 2654435761) % 2 = 0
+         |               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) > 0.0::DOUBLE
+         |  THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n      ")
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, nrm,
+       |      $bits AS bucket
+       |  FROM n
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM b
+       |  WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT q.q_id, b.vec_id,
+       |         list_dot_product(q.qv, b.v) / (q.qn * b.nrm) AS cos
+       |  FROM b JOIN q ON b.bucket = q.bucket
+       |  WHERE b.vec_id != q.q_id
+       |)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM s
+       |) WHERE rnk <= $k""".stripMargin
+  }
+
   /** Random-hyperplane LSH buckets: `nBits` sign bits of dot products
     * against deterministic ±1 hyperplanes (derived from (dim, plane)
     * indices, so every executor regenerates them identically — nothing
