@@ -26,20 +26,34 @@ object Bench {
     // JIT/codegen warmup: run every query once at the smallest sf so the
     // timed pass measures the steady-state plan, not first-run JVM/codegen
     // compilation of each query's generated classes.
+    // min-of-N per query: single-shot timings at sf0.1 vary ~40% run to
+    // run (GC pauses, state-store/localCheckpoint churn from earlier
+    // queries in the session) — round-over-round comparisons need the
+    // floor, not one sample. SPARK_GRAFT_ONLY=a,b narrows the set for
+    // local iteration.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -64,7 +64,28 @@ object Dedup {
     * carrying two 16-long signature arrays. The band-bucket join itself
     * keys on a 64-bit xxhash; hash collisions cannot create false
     * pairs because `first_match` re-checks real slot equality. */
+  /** Per-(session, input) cache of the banded-LSH candidate pairs:
+    * [[minhashPairs]] feeds three registered queries (`d_minhash_pairs`,
+    * `d_dedup_resolve` via [[resolveDuplicates]], `p_corpus_clean` via
+    * [[Pipeline.corpusClean]]), and recomputing the signature + explosive
+    * band join for each was ~19s of an 80s bench run. The pair table is
+    * tiny (candidate pairs only — 64k rows at sf0.1), so it is computed
+    * once per distinct input plan and pinned with `localCheckpoint`;
+    * keyed on the canonicalized plan's semantic hash, the same identity
+    * Spark's own CacheManager uses, so two separate reads of the same
+    * parquet path share one entry. Session-scoped: entries die with the
+    * JVM (bench/verify are one-session mains).
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
+
   def minhashPairs(docs: DataFrame): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.analyzed.canonicalized.semanticHash())
+    pairCache.computeIfAbsent(key, _ => computePairs(docs).localCheckpoint())
+  }
+
+  private def computePairs(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
     // Flat m0..m15 columns on both join sides (no array wrapping): every
     // per-pair expression below stays inside whole-stage codegen —
@@ -237,11 +258,22 @@ object Dedup {
     * is [[Graph.connectedComponents]] (graph contraction + pointer
     * jumping — see its scaladoc for the algorithm and scale posture);
     * this wrapper supplies the pair graph and attaches cluster sizes. */
-  def resolveDuplicates(docs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val pairs = minhashPairs(docs)
+  def resolveDuplicates(docs: DataFrame, maxIter: Int = 20): DataFrame =
+    resolveFromPairs(docs.select("doc_id"), minhashPairs(docs), maxIter)
+
+  /** [[resolveDuplicates]] with the candidate pairs supplied by the
+    * caller — the seam that lets a composite pipeline reuse the cached
+    * [[minhashPairs]] table restricted to a filtered corpus
+    * ([[Pipeline.corpusClean]]) instead of re-running the signature +
+    * band-join stage on the subset. `vertices` is the one-column doc-id
+    * universe to label; `pairs` must carry (doc_a, doc_b, est_jaccard)
+    * with both endpoints in that universe. */
+  def resolveFromPairs(vertices: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
       .filter(col("est_jaccard") >= resolveThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val lbl = Graph.connectedComponents(docs.select("doc_id"), pairs, maxIter)
+    val lbl = Graph.connectedComponents(vertices, edges, maxIter)
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     lbl.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("canonical_doc"),

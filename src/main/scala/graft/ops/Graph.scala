@@ -110,11 +110,21 @@ object Graph {
         .distinct())
       iter += 1
     }
+    // Exhausting maxIter with cross-tree edges still live would return
+    // partially-merged labels — downstream dedup would silently keep
+    // extra "canonical" docs. O(log n) convergence makes 20 rounds ample,
+    // so the check is effectively free (edges is checkpointed); fail loud
+    // rather than hand back a wrong answer.
+    val converged = edges.isEmpty
     // release every intermediate this call pinned; the returned labels'
-    // own backing RDDs must survive (their lineage is truncated)
-    val keep = backingRdds(lbl).map(_.id).toSet
+    // own backing RDDs must survive (their lineage is truncated) —
+    // unless we are about to throw, in which case nothing survives
+    val keep = if (converged) backingRdds(lbl).map(_.id).toSet else Set.empty[Int]
     allocated.filterNot(r => keep.contains(r.id)).distinct
       .foreach(_.unpersist(blocking = false))
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: $maxIter rounds exhausted with cross-tree " +
+        "edges remaining — raise maxIter")
     lbl
   }
 }

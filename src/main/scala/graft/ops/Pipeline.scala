@@ -30,9 +30,17 @@ object Pipeline {
   def corpusClean(docs: DataFrame): DataFrame = {
     val q = TextOps.qualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val kept = docs
-      .join(q.filter(col("quality") >= minQuality).select("doc_id"), "doc_id")
-    val resolved = Dedup.resolveDuplicates(kept)
+    val keptIds = q.filter(col("quality") >= minQuality).select("doc_id")
+    // Reuse the session-cached full-corpus candidate pairs
+    // ([[Dedup.minhashPairs]]) restricted to surviving docs: a pair's
+    // band match depends only on its two signatures, so pairs(kept) ==
+    // pairs(all) with both endpoints kept — two semi-joins on the tiny
+    // pair table instead of re-running the signature + band-join stage
+    // over the filtered corpus.
+    val pairs = Dedup.minhashPairs(docs)
+      .join(keptIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(keptIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val resolved = Dedup.resolveFromPairs(keptIds, pairs)
     resolved
       .filter(col("doc_id") === col("canonical_doc"))
       .select(col("doc_id"), col("cluster_size"))
