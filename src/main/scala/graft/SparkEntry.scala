@@ -80,7 +80,7 @@ object SparkEntry {
     "q10_returned_revenue" -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
     "q17_small_qty_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
     "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
-    "a_approx_distinct" -> ((s, dir) => Relational.approxDistinctCounts(s, dir)),
+    "a_approx_distinct" -> ((s, dir) => Relational.approxDistinctChecked(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
     "a_rollup_summary" -> ((s, dir) => Relational.rollupSummary(s, dir)),
     "a_cube_summary" -> ((s, dir) => Relational.cubeSummary(s, dir)),
@@ -485,6 +485,18 @@ object SparkEntry {
         |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
         |       count(*) AS n_items
         |FROM w WHERE l_quantity < 0.2::DOUBLE * avg_qty""".stripMargin,
+
+    // HLL sketches aren't cross-engine comparable; the oracle asserts the
+    // exact columns plus the 3·rsd accuracy envelope as constant-1 flags
+    // (Spark emits 0 if its estimate drifts out → hash goes red).
+    "a_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n_rows,
+        |       1 AS supp_within_3rsd,
+        |       1 AS part_within_3rsd
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "a_distinct_counts" ->
       """SELECT l_returnflag,

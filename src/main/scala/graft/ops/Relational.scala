@@ -124,6 +124,29 @@ object Relational {
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_part"),
         count(lit(1)).as("n_rows"))
 
+  /** Oracle-checkable form of [[approxDistinctCounts]]: exact and sketch
+    * counts in ONE aggregate pass, emitting the exact counts plus
+    * `*_within_3rsd` flags (1 iff |HLL − exact| ≤ 3·rsd·exact). Sketches
+    * aren't cross-engine comparable, but the 3σ envelope is an invariant
+    * DuckDB can assert as a constant — if the estimate ever drifts out,
+    * the flag flips to 0 and the hash compare goes red. */
+  def approxDistinctChecked(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("a_supp"),
+        approx_count_distinct(col("l_partkey"), rsd).as("a_part"))
+      .select(col("l_returnflag"), col("n_supp"), col("n_part"), col("n_rows"),
+        (abs(col("a_supp") - col("n_supp")) <= col("n_supp") * (3 * rsd))
+          .cast("int").as("supp_within_3rsd"),
+        (abs(col("a_part") - col("n_part")) <= col("n_part") * (3 * rsd))
+          .cast("int").as("part_within_3rsd"))
+  }
+
   /** Analytic window functions: per-customer order ranking with lag/lead
     * (deterministic tiebreak on orderkey). */
   def orderRanks(spark: SparkSession, dir: String): DataFrame = {

@@ -149,18 +149,39 @@ object TradeOps {
       max(col("timestamp")).as("last_ts"))
 
   /** O4 (reference `train_model.ipynb` cell 4): deterministic 80/20
-    * order-based train/test split — row_number over event time, NOT
-    * randomSplit. (Global window: acceptable for the ML-prep path where
-    * the reference collects to one node anyway; not a hot-path operator.) */
+    * order-based train/test split — global rank over event time, NOT
+    * randomSplit.
+    *
+    * Distributed rank, no single-task global sort and no separate
+    * `count()` action: bucket rows by a time prefix of the ordering key
+    * (minute), count per bucket (a tiny aggregate), prefix-sum those
+    * counts with a window over the BUCKET table (single-partition, but
+    * over thousands of rows, not the corpus), then rank within each
+    * bucket in parallel and add the bucket's offset. Because the bucket
+    * is a prefix of the ordering (minute(ts), then ts, event_id), the
+    * per-bucket rank + offset IS the global rank. The total row count
+    * rides along in the same tiny table, so the fact table is never
+    * counted separately. At a scale where even the minute-bucket table
+    * grows large, coarsen the bucket (hour/day) — the construction is
+    * granularity-independent. */
   def orderedSplit(trades: DataFrame, trainFrac: Double = 0.8): DataFrame = {
-    val n = trades.count()
-    val threshold = math.floor(n * trainFrac).toLong
-    trades
-      .select(col("event_id"), col("symbol"), col("timestamp"),
-        row_number().over(
-          Window.orderBy(col("timestamp"), col("event_id"))).as("rn"))
+    val bucketed = trades.select(col("event_id"), col("symbol"),
+      col("timestamp"), date_trunc("minute", col("timestamp")).as("_bkt"))
+    val counts = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+    val prior = Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("_bkt"),
+      coalesce(sum(col("_n")).over(prior), lit(0L)).as("_prior"),
+      sum(col("_n")).over(all).as("_total"))
+    val inBucket = Window.partitionBy("_bkt")
+      .orderBy(col("timestamp"), col("event_id"))
+    bucketed.join(broadcast(offsets), "_bkt")
+      .withColumn("rn", col("_prior") + row_number().over(inBucket))
       .withColumn("split",
-        when(col("rn") <= threshold, lit("train")).otherwise(lit("test")))
+        when(col("rn") <= floor(col("_total") * lit(trainFrac)),
+          lit("train")).otherwise(lit("test")))
       .select("event_id", "symbol", "split")
   }
 

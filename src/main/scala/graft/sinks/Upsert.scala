@@ -90,13 +90,18 @@ object Upsert {
   }
 
   /** Read the current state of the keyed table (None if nothing has
-    * been written yet). */
+    * been written yet — including a defensive guard against a
+    * zero-bucket manifest, which [[merge]] never writes but a legacy or
+    * hand-edited table could carry; reading an empty path list throws). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentVersion(root).map { v =>
+    currentVersion(root).flatMap { v =>
       val m = readManifest(root, v)
-      val paths = m.buckets.toSeq.sortBy(_._1)
-        .map { case (b, g) => s"$root/$g/_bucket=$b" }
-      spark.read.parquet(paths: _*)
+      if (m.buckets.isEmpty) None
+      else {
+        val paths = m.buckets.toSeq.sortBy(_._1)
+          .map { case (b, g) => s"$root/$g/_bucket=$b" }
+        Some(spark.read.parquet(paths: _*))
+      }
     }
 
   /** Point/range serving read pruned to one bucket — the Cassandra
@@ -108,21 +113,29 @@ object Upsert {
     * large the table. */
   def readKey(spark: SparkSession, root: String,
       values: Seq[Any]): Option[DataFrame] =
-    currentVersion(root).map { v =>
+    read(spark, root).map { full =>
+      val v = currentVersion(root).get
       val m = readManifest(root, v)
       require(values.length == m.bucketBy.length,
         s"readKey needs one value per bucketBy column ${m.bucketBy}")
+      // xxhash64 is type-sensitive (an Int literal for a key stored as
+      // LongType hashes to a different bucket than merge computed, and
+      // the lookup would silently return zero rows) — cast each literal
+      // to the STORED column's type before hashing, exactly what the
+      // write side hashed.
+      val typed = m.bucketBy.zip(values)
+        .map { case (k, value) => lit(value).cast(full.schema(k).dataType) }
       // same hash, same engine: evaluate xxhash64 over the literals with
       // a one-row plan so the bucket matches what merge computed
       val b = spark.range(1)
-        .select(pmod(xxhash64(values.map(lit): _*), lit(m.nBuckets))
+        .select(pmod(xxhash64(typed: _*), lit(m.nBuckets))
           .cast("int")).head.getInt(0)
-      val pred = m.bucketBy.zip(values)
-        .map { case (k, value) => col(k) === lit(value) }
+      val pred = m.bucketBy.zip(typed)
+        .map { case (k, l) => col(k) === l }
         .reduce(_ && _)
       m.buckets.get(b) match {
         case Some(g) => spark.read.parquet(s"$root/$g/_bucket=$b").filter(pred)
-        case None => read(spark, root).get.filter(pred).limit(0)
+        case None => full.filter(pred).limit(0)
       }
     }
 
@@ -145,6 +158,13 @@ object Upsert {
     val manifest = cur.map(v => readManifest(root, v))
       .getOrElse(Manifest(nBuckets,
         if (bucketBy.nonEmpty) bucketBy else keys, Map.empty))
+    // The merge-by-key invariant REQUIRES bucketBy ⊆ keys: bucketing on a
+    // non-key column would hash two rows with the same key to different
+    // buckets, the old row's bucket would never be touched, and the stale
+    // row would silently survive last-writer-wins. Enforced both at table
+    // creation and against an existing manifest's recorded bucketing.
+    require(manifest.bucketBy.forall(keys.contains),
+      s"bucketBy ${manifest.bucketBy} must be a subset of merge keys $keys")
     val next = cur.getOrElse(-1L) + 1
 
     val inc = batch
@@ -155,6 +175,12 @@ object Upsert {
       .persist()
     val touched = inc.select("_bucket").distinct()
       .collect().map(_.getInt(0)).sorted
+    // An empty micro-batch (routine in streaming foreachBatch, and the
+    // FIRST batch can be empty) must be a no-op: a partitionBy write of
+    // zero rows emits no files, so flipping the pointer to a generation
+    // with no buckets would leave a zero-bucket manifest v0 that read()
+    // could not serve. Leave the table exactly as it was.
+    if (touched.isEmpty) { inc.unpersist(); return }
     // existing rows of TOUCHED buckets only — everything else is carried
     // forward by manifest reference, never read or rewritten. ONE
     // multi-path scan, not a per-bucket union of single-path reads:

@@ -119,6 +119,17 @@ object Stateful {
         val usd = e.price * e.volume
         if (cur == null)
           cur = SessState(t, t, 1, usd)
+        else if (t < cur.startMs - gapMs)
+          // Above-watermark late event more than a gap BEFORE the current
+          // session's start: built-in session_window treats it as its own
+          // earlier session, and its gap to `cur` is already proven — emit
+          // it closed immediately rather than folding it into `cur` (which
+          // made results depend on batch arrival order). Known divergence:
+          // several such stragglers within a gap of EACH OTHER emit as
+          // separate one-event sessions where the built-in would merge
+          // them; holding a second open session would need watermark-aware
+          // state the single-ValueState formulation deliberately avoids.
+          out += row(symbol, SessState(t, t, 1, usd))
         else if (t <= cur.lastMs + gapMs)
           cur = SessState(math.min(cur.startMs, t), math.max(cur.lastMs, t),
             cur.n + 1, cur.usd + usd)

@@ -109,6 +109,29 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(s7.count() > 0)
   }
 
+  test("orderedSplit: distributed rank matches a global row_number, no global window on the fact table") {
+    import org.apache.spark.sql.expressions.Window
+    val split = TradeOps.orderedSplit(trades)
+    // equivalence against the single-task reference formulation
+    val n = trades.count()
+    val threshold = math.floor(n * 0.8).toLong
+    val reference = trades
+      .select(col("event_id"), col("symbol"),
+        row_number().over(Window.orderBy(col("timestamp"), col("event_id"))).as("rn"))
+      .withColumn("split_ref",
+        when(col("rn") <= threshold, lit("train")).otherwise(lit("test")))
+      .select("event_id", "split_ref")
+    val diff = split.join(reference, "event_id")
+      .filter(col("split") =!= col("split_ref")).count()
+    assert(diff === 0)
+    // plan shape: the fact-table rank must be partitioned by the bucket
+    // column; the only permissible global window is over the tiny
+    // per-bucket counts table
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_bkt"),
+      s"fact-table row_number must be bucket-partitioned:\n$plan")
+  }
+
   test("approx distinct within 5% of exact per group") {
     val exact = Relational.distinctCounts(spark, sf)
       .select("l_returnflag", "n_supp", "n_part")
