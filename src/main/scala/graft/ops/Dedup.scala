@@ -147,23 +147,55 @@ object Dedup {
     agg.select(col("doc_id"), col("lang"), expr(assemble).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: within-language buckets, Hamming distance
-    * via bit_count(xor) ≤ 12. (At scale the bucket key would be simhash
-    * prefix bands; lang keeps the demo deterministic and small.) */
+  /** Max Hamming distance for a SimHash near-dup pair, and the band
+    * split that makes finding them scale: `maxHamming + 1` bands of
+    * `simhashBits / (maxHamming + 1)` bits — by pigeonhole, ≤ maxHamming
+    * differing bits leave at least one band exactly equal (Manku et al.,
+    * WWW'07 layout). 3 → 4 bands × 15 bits. */
+  val simhashMaxHamming: Int = 3
+  private val simhashBands: Int = simhashMaxHamming + 1
+  private val simhashBandBits: Int = simhashBits / simhashBands
+  private val simhashBandMask: Long = (1L << simhashBandBits) - 1
+
+  /** SimHash near-dup pairs at corpus scale: band the 60-bit signature
+    * into 4 × 15-bit prefix tables, bucket-join on (band, band bits),
+    * and keep pairs with true Hamming ≤ [[simhashMaxHamming]] — the
+    * exact-filter step makes the banding a pure candidate generator, so
+    * the result is identical to an all-pairs scan while the join only
+    * ever touches same-band-value buckets (no O(corpus) broadcast, no
+    * blocking-key ceiling — the sharpening of the earlier within-`lang`
+    * demo blocking). A pair matching in several bands is emitted from
+    * its FIRST matching band only ([[minhashPairs]]'s dedup trick —
+    * no pair-level distinct shuffle). */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sig = simhashSignatures(docs)
-    val l = sig.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-    val r = sig.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    // Explosive within-bucket join over a 5-value key: round-robin the
-    // probe side so pair production parallelizes (hash-partitioning on
-    // lang caps at 5 tasks; AQE byte-based coalescing caps at 1), and
-    // broadcast the signature table (16B/doc) as the build side.
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until simhashBands).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${b * simhashBandBits}) & ${simhashBandMask}L")
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("simhash"))
+    val l = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val r = bands.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    val firstMatch = (0 until simhashBands).map { b =>
+      val sh = b * simhashBandBits
+      s"WHEN (h_a >> $sh) & ${simhashBandMask}L = " +
+        s"(h_b >> $sh) & ${simhashBandMask}L THEN $b"
+    }.mkString("CASE ", " ", " ELSE -1 END")
+    // explosive-join sizing as in minhashPairs: numbered repartition on
+    // the bucket key so AQE can't serialize pair production
     val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    l.repartition(n).join(broadcast(r), Seq("lang"))
+    l.repartition(n, col("band"), col("key"))
+      .join(r, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("band") === expr(firstMatch))
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
-      .filter(col("hamming") <= 12)
-      .select("lang", "doc_a", "doc_b", "hamming")
+      .filter(col("hamming") <= simhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Word-3-gram Jaccard similarity over pairs bucketed by
@@ -368,13 +400,17 @@ object Dedup {
     s"""$simhashCte
        |SELECT * FROM sh""".stripMargin
 
+  /** Oracle: all-pairs Hamming scan — the banded join is exactly a
+    * candidate generator for this predicate (pigeonhole guarantees no
+    * ≤-maxHamming pair escapes all bands), so the naive quadratic form
+    * is the ground truth the scale-shaped plan must reproduce. */
   val simhashPairsSql: String =
     s"""$simhashCte
-       |SELECT s1.lang, s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
        |       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
        |FROM sh s1 JOIN sh s2
-       |  ON s1.lang = s2.lang AND s1.doc_id < s2.doc_id
-       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 12""".stripMargin
+       |  ON s1.doc_id < s2.doc_id
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= $simhashMaxHamming""".stripMargin
 
   /** Oracle for [[resolveDuplicates]]: same pair graph, with the
     * transitive closure done by a recursive CTE (min reachable id ==
