@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Decode
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Pipeline, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Pipeline, Predict, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,8 @@ object SparkEntry {
     // -- window-function tier (W1-W3, A7) --------------------------------
     "w1_cumulative_volume" -> ((s, dir) => TradeOps.cumulativeVolume(trades(s, dir))),
     "w2_lookback_avg" -> ((s, dir) => TradeOps.lookbackAvg(trades(s, dir))),
+    "w2b_lookback_matrix" -> ((s, dir) => Predict.lookbackMatrixDigest(trades(s, dir))),
+    "k7_predict_writeback" -> ((s, dir) => Predict.predictWriteback(s, trades(s, dir), dir)),
     "w3_resample_interpolate" -> ((s, dir) => Resample.interpolateHourly(trades(s, dir))),
     // -- scalar/derivation tier (F2, F3, F9) -----------------------------
     "f9_minmax_scale" -> ((s, dir) => TradeOps.minMaxScale(trades(s, dir))),
@@ -308,6 +310,9 @@ object SparkEntry {
          |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
          |               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
          |) WHERE n_rows = 100""".stripMargin,
+
+    "w2b_lookback_matrix" -> Predict.lookbackMatrixDigestSql(),
+    "k7_predict_writeback" -> Predict.predictSql(),
 
     "w3_resample_interpolate" ->
       s"""$T, obs AS (

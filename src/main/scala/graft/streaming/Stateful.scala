@@ -165,24 +165,37 @@ object Stateful {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One buffered feature row of the streaming lookback — the payload
+    * element the reference consumer holds per buffered message
+    * (`kafka.py:42-57` keeps the full feature rows, not an aggregate). */
+  case class BufferedEvent(ts: java.sql.Timestamp, price: Double,
+      volume: Double)
+
   case class LookbackRow(symbol: String, ts: java.sql.Timestamp,
-      n: Int, avg_price: Double)
+      n: Int, avg_price: Double, matrix: Seq[BufferedEvent])
 
   /** T14 (reference `BtcPrediction/kafka.py:42-57`): fixed-length
     * sliding buffer — keep the last `n` rows per key, drop-oldest, and
     * emit only once the buffer is full (the consumer's `lookback=100`
-    * gate before LSTM inference). */
+    * gate before LSTM inference). Each emission carries the FULL
+    * buffer, oldest first, as an `array<struct>` — the `(n, features)`
+    * matrix the downstream model consumes ([[graft.ops.Predict]] is the
+    * batch form of that consumer) — plus the running average for cheap
+    * monitoring sinks. */
   def lookbackBuffer(spark: SparkSession, ds: Dataset[TradeEvent],
       n: Int = 100): Dataset[LookbackRow] = {
     import spark.implicits._
     ds.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (symbol: String, events: Iterator[TradeEvent], state: GroupState[List[Double]]) =>
-          var buf = state.getOption.getOrElse(List.empty[Double])
+        (symbol: String, events: Iterator[TradeEvent],
+            state: GroupState[List[BufferedEvent]]) =>
+          var buf = state.getOption.getOrElse(List.empty[BufferedEvent])
           val out = events.toSeq.sortBy(_.ts.getTime).flatMap { e =>
-            buf = (buf :+ e.price).takeRight(n) // drop-oldest (kafka.py:55-57)
+            // drop-oldest (kafka.py:55-57)
+            buf = (buf :+ BufferedEvent(e.ts, e.price, e.volume)).takeRight(n)
             if (buf.length == n)
-              Some(LookbackRow(symbol, e.ts, n, buf.sum / n))
+              Some(LookbackRow(symbol, e.ts, n,
+                buf.map(_.price).sum / n, buf))
             else None
           }
           state.update(buf)

@@ -132,6 +132,23 @@ class OpsInvariantsSpec extends SparkSuite {
       s"fact-table row_number must be bucket-partitioned:\n$plan")
   }
 
+  test("prediction vertical: matrix edges align; predictions stay in the observed close range") {
+    val bars = TradeOps.slidingFeatures(trades)
+    val mat = graft.ops.Predict.lookbackMatrix(bars, 10)
+    // the matrix's last element IS the current bar (oldest-first order)
+    val misaligned = mat.join(bars, Seq("symbol", "timestamp"))
+      .filter(expr("element_at(matrix, 10).close") =!= col("close")).count()
+    assert(misaligned === 0)
+    // convex scorer over scaled features inverse-maps into [mn, mx]
+    val pred = graft.ops.Predict.predictNext(trades, 10)
+    val stats = bars.groupBy("symbol")
+      .agg(min(col("close")).as("mn"), max(col("close")).as("mx"))
+    val oob = pred.join(stats, "symbol")
+      .filter(col("predicted_close") < col("mn") - 1e-9 ||
+        col("predicted_close") > col("mx") + 1e-9).count()
+    assert(oob === 0)
+  }
+
   test("approx distinct within 5% of exact per group") {
     val exact = Relational.distinctCounts(spark, sf)
       .select("l_returnflag", "n_supp", "n_part")

@@ -153,11 +153,15 @@ class StreamingSpec extends SparkSuite {
         q.processAllAvailable()
         assert(spark.table(s"lb_$count").count() === expected, s"count=$count")
         if (count >= 100) {
-          // last emission averages the most recent 100 prices
-          val lastAvg = spark.table(s"lb_$count").as[LookbackRow].collect()
-            .maxBy(_.ts.getTime).avg_price
+          // last emission carries the most recent 100 rows, oldest
+          // first (drop-oldest), and the matching running average
+          val last = spark.table(s"lb_$count").as[LookbackRow].collect()
+            .maxBy(_.ts.getTime)
           val lo = count - 100 + 1
-          assert(math.abs(lastAvg - (lo + count) / 2.0) < 1e-9)
+          assert(math.abs(last.avg_price - (lo + count) / 2.0) < 1e-9)
+          assert(last.matrix.length === 100)
+          assert(last.matrix.map(_.price) === (lo to count).map(_.toDouble))
+          assert(last.matrix.last.ts === last.ts) // newest row is the emission row
         }
       } finally q.stop()
     }
