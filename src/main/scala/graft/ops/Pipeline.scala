@@ -31,16 +31,15 @@ object Pipeline {
     val q = TextOps.qualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val keptIds = q.filter(col("quality") >= minQuality).select("doc_id")
-    // Reuse the session-cached full-corpus candidate pairs
-    // ([[Dedup.minhashPairs]]) restricted to surviving docs: a pair's
-    // band match depends only on its two signatures, so pairs(kept) ==
-    // pairs(all) with both endpoints kept — two semi-joins on the tiny
-    // pair table instead of re-running the signature + band-join stage
-    // over the filtered corpus.
-    val pairs = Dedup.minhashPairs(docs)
-      .join(keptIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(keptIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-    val resolved = Dedup.resolveFromPairs(keptIds, pairs)
+    // Reuse the session-cached full-corpus SIGNATURE table
+    // ([[Dedup.minhashSignatures]]) restricted to surviving docs — a
+    // doc's signature doesn't depend on the rest of the corpus, so
+    // sig(kept) is a semi-join away and the signature + explode stage is
+    // never recomputed — then resolve through the same signature-group
+    // contraction as [[Dedup.resolveDuplicates]].
+    val sigKept = Dedup.minhashSignatures(docs)
+      .join(keptIds, Seq("doc_id"), "left_semi")
+    val resolved = Dedup.resolveBySignature(sigKept, Dedup.minhashPairs(docs))
     resolved
       .filter(col("doc_id") === col("canonical_doc"))
       .select(col("doc_id"), col("cluster_size"))
