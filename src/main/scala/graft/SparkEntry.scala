@@ -104,6 +104,8 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.load(s, dir, "documents"))),
     "t_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.load(s, dir, "documents"))),
     "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.load(s, dir, "documents"))),
+    "t_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.load(s, dir, "documents"))),
+    "d_contamination" -> ((s, dir) => TextOps.contamination(Tables.load(s, dir, "documents"))),
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents"))),
     "d_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.load(s, dir, "documents"))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.load(s, dir, "documents"))),
@@ -540,6 +542,8 @@ object SparkEntry {
     "t_quality_score" -> TextOps.qualitySql,
 
     "t_fingerprint" -> TextOps.fingerprintSql,
+    "t_repetition" -> TextOps.repetitionSql,
+    "d_contamination" -> TextOps.contaminationSql(),
 
     "d_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_doc, count(*) AS n_docs

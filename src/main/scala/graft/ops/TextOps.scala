@@ -187,6 +187,119 @@ object TextOps {
        |FROM w""".stripMargin
   }
 
+  /** Within-document repetition detection — the degenerate-text filter
+    * of corpus cleaning (catches stuck generators / boilerplate spam):
+    * most-frequent-token share and duplicate-trigram share. All array
+    * expressions over the per-row token list; the per-doc cost is
+    * O(distinct·tokens), bounded by document length — maps through the
+    * scan, no shuffle. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    withWords(docs)
+      .withColumn("n_tokens", size(col("words")))
+      .withColumn("top_count",
+        expr("array_max(transform(array_distinct(words), " +
+          "w -> size(filter(words, x -> x = w))))"))
+      .withColumn("tri_total", greatest(col("n_tokens") - lit(2), lit(0)))
+      .withColumn("tri_distinct",
+        expr("CASE WHEN size(words) < 3 THEN 0 ELSE " +
+          "size(array_distinct(transform(sequence(0, size(words) - 3), " +
+          "i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) END"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_word_ratio"),
+        when(col("tri_total") > 0,
+          round(lit(1).cast("double") -
+            col("tri_distinct").cast("double") / col("tri_total").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), r AS (
+      |  SELECT doc_id, len(words) AS n_tokens,
+      |    list_max(list_transform(list_distinct(words),
+      |      w -> len(list_filter(words, x -> x = w)))) AS top_count,
+      |    greatest(len(words) - 2, 0) AS tri_total,
+      |    CASE WHEN len(words) < 3 THEN 0 ELSE
+      |      len(list_distinct(list_transform(generate_series(1, len(words) - 2),
+      |        i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) END AS tri_distinct
+      |  FROM w
+      |)
+      |SELECT doc_id, n_tokens, top_count,
+      |  round(CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_word_ratio,
+      |  CASE WHEN tri_total > 0
+      |       THEN round(CAST(1 AS DOUBLE) - CAST(tri_distinct AS DOUBLE) / CAST(tri_total AS DOUBLE), 6)
+      |       ELSE 0.0::DOUBLE END AS dup_trigram_ratio
+      |FROM r""".stripMargin
+
+  /** Benchmark-contamination detection — flag training docs sharing
+    * verbatim n-grams with an evaluation/benchmark set (the
+    * decontamination pass every serious pretraining pipeline runs).
+    * Inverted-index shape like [[Dedup.ngramJaccard]]: benchmark grams
+    * (a small set) join corpus gram postings, so cost scales with
+    * actual verbatim overlap — docs sharing nothing never meet. The
+    * benchmark side here is the first `benchDocs` doc_ids (a
+    * deterministic stand-in for a real eval-set table, which would
+    * plug into the same join). */
+  def contamination(docs: DataFrame, benchDocs: Long = 20, n: Int = 5,
+      flagAt: Int = 3): DataFrame = {
+    val gramExpr = (0 until n).map(k => s"ws[i+$k]").mkString(", ")
+    val sh = docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(0, size(ws) - $n), " +
+          s"i -> concat_ws(' ', $gramExpr)))").as("grams"))
+    // explode_outer, not explode: InferFiltersFromGenerate would plant a
+    // size(grams) > 0 filter below the Generate whose pushed-down form
+    // re-inlines the whole gram transform into an interpreted per-row
+    // Filter (the ngramJaccard trap — measured 10× the join's own cost).
+    // Null rows explode_outer keeps are dropped by the join key.
+    val bench = sh.filter(col("doc_id") < benchDocs)
+      .select(col("doc_id").as("bench_id"), explode_outer(col("grams")).as("gram"))
+    val corpus = sh.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    val hits = corpus.join(bench, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    docs.filter(col("doc_id") >= benchDocs).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_shared"), lit(0L)) >= flagAt).cast("int")
+          .as("contaminated"))
+  }
+
+  def contaminationSql(benchDocs: Long = 20, n: Int = 5,
+      flagAt: Int = 3): String = {
+    val gramExpr = (0 until n).map(k => s"words[i+$k]").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(words) - ${n - 1}),
+       |      i -> concat_ws(' ', $gramExpr))) AS grams
+       |  FROM w WHERE len(words) >= $n
+       |), bench AS (
+       |  SELECT doc_id AS bench_id, unnest(grams) AS gram FROM sh WHERE doc_id < $benchDocs
+       |), corpus AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id >= $benchDocs
+       |), hits AS (
+       |  SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared,
+       |         count(DISTINCT b.bench_id) AS n_bench_docs
+       |  FROM corpus c JOIN bench b ON b.gram = c.gram
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(h.n_shared, 0) AS n_shared,
+       |       coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+       |       CAST(coalesce(h.n_shared, 0) >= $flagAt AS INT) AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id >= $benchDocs""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the same langWords constants.
   // ------------------------------------------------------------------

@@ -74,4 +74,46 @@ class EdgeCasesSpec extends SparkSuite {
     assert(r.head.getAs[Long]("canonical_doc") === 1L)
     assert(r.head.getAs[Long]("cluster_size") === 1L)
   }
+
+  test("upsert: empty batches are no-ops, never a zero-bucket manifest") {
+    import spark.implicits._
+    import graft.sinks.Upsert
+    val root = tmpDir("graft-upsert-empty")
+    val empty = Seq.empty[(String, Long, Double)].toDF("k", "t", "v")
+    // empty FIRST batch (routine in streaming foreachBatch): no table
+    Upsert.merge(empty, 0, root, Seq("k", "t"))
+    assert(Upsert.currentVersion(root).isEmpty)
+    assert(Upsert.read(spark, root).isEmpty)
+    // a real batch lands normally afterwards
+    Upsert.merge(Seq(("a", 1L, 1.0)).toDF("k", "t", "v"), 1, root, Seq("k", "t"))
+    assert(Upsert.read(spark, root).get.count() === 1)
+    // empty LATER batch: version pointer untouched
+    val v = Upsert.currentVersion(root)
+    Upsert.merge(empty, 2, root, Seq("k", "t"))
+    assert(Upsert.currentVersion(root) === v)
+  }
+
+  test("upsert: bucketBy outside the merge key is rejected") {
+    import spark.implicits._
+    import graft.sinks.Upsert
+    val root = tmpDir("graft-upsert-badbucket")
+    val b = Seq(("a", 1L, 1.0)).toDF("k", "t", "v")
+    // bucketing on a non-key column would let stale rows survive
+    // last-writer-wins in a different bucket — must fail loudly
+    intercept[IllegalArgumentException] {
+      Upsert.merge(b, 0, root, keys = Seq("k"), bucketBy = Seq("v"))
+    }
+  }
+
+  test("upsert: readKey literals are coerced to the stored key type") {
+    import spark.implicits._
+    import graft.sinks.Upsert
+    val root = tmpDir("graft-upsert-typed")
+    val b = (0 until 40).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    Upsert.merge(b, 0, root, keys = Seq("id"))
+    // an Int literal for a LongType key used to hash to the wrong
+    // bucket and silently return zero rows
+    assert(Upsert.readKey(spark, root, Seq(7)).get.count() === 1)
+    assert(Upsert.readKey(spark, root, Seq(7L)).get.count() === 1)
+  }
 }
