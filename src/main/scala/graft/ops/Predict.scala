@@ -132,33 +132,104 @@ object Predict {
     expr(
       s"""CAST(aggregate(
          |  zip_with(matrix, sequence(1, $n), (m, i) ->
-         |    CAST(floor((CAST(i AS DOUBLE) / ${wsum(n)}.0D) * ($combo)
-         |         * 1000000000000.0D + 0.5D) AS BIGINT)),
+         |    CAST(i AS BIGINT)
+         |      * CAST(floor(($combo) * 1000000000000.0D + 0.5D) AS BIGINT)),
          |  0L,
-         |  (acc, x) -> acc + x) AS DOUBLE) / 1000000000000.0D""".stripMargin)
+         |  (acc, x) -> acc + x) AS DOUBLE)
+         | / (${wsum(n)}.0D * 1000000000000.0D)""".stripMargin)
   }
 
   /** The full inference pass: matrix → scaler stats → score →
     * inverse-scale into the close-price range → shift to the next
     * 10-second interval (`predict_btc.py:83-84`). `scorer` is the
     * pluggable model seam. */
+  /** Bar-table column expression for each scorer feature key. */
+  private val barCol: Map[String, String] = Map(
+    "close" -> "close", "high" -> "high", "low" -> "low",
+    "usd" -> "total_usd_volume", "vol" -> "total_volume",
+    "nt" -> "CAST(num_trades AS DOUBLE)")
+
+  /** The full inference pass: scaler stats → score → inverse-scale into
+    * the close-price range at t+10s (`predict_btc.py:83-84`).
+    *
+    * `scorer` is the pluggable model seam: pass any `Column` over the
+    * assembled `matrix` column and the (n,6) matrix is physically built
+    * and scored per row — a real model would batch rows through
+    * `mapPartitions` at exactly this point. When no scorer is given,
+    * the default linear model does NOT fold over an array: its weights
+    * are linear in position, so Σᵢ iᵣ·qcᵣ decomposes into two plain
+    * window sums — `S2 − (rn_end − n)·S1` with `S1 = Σ qc`,
+    * `S2 = Σ rn·qc` over the frame — which stay inside whole-stage
+    * codegen. Algebraically identical to folding the quantized combos
+    * positionally, but scale-safe: the interpreted zip_with/aggregate
+    * fold measured 116s at 3M bars (10× probe) where this form stays
+    * linear in the window-sum cost. Exactness across engines: qc is an
+    * integer (floor(combo·1e12 + 0.5) of an IEEE-identical double), the
+    * window sums run in DECIMAL(38,0) (exact integer arithmetic, immune
+    * to rounding-mode differences), and the final score ≤ 5050e12 <
+    * 2^53 so its double conversion and the one division are
+    * correctly-rounded identically in both engines.
+    *
+    * No final round(·,6) on the prediction: the score double is
+    * bit-identical in both engines and mn + score·(mx−mn) over
+    * identical doubles is IEEE-deterministic — round() actually BROKE
+    * parity (predictions cluster near half-boundaries; Spark's
+    * exact-expansion HALF_UP vs DuckDB's float-multiply rounding
+    * flipped ~2% of rows by 1e-6). */
   def predictNext(trades: DataFrame, n: Int = lookbackN,
       scorer: Column = null): DataFrame = {
     val bars = TradeOps.slidingFeatures(trades)
-    val sc = Option(scorer).getOrElse(linearScorer(n))
-    lookbackMatrix(bars, n)
-      .join(broadcast(scalerStats(bars)), "symbol")
-      .withColumn("score", sc)
-      // no final round: the decimal score casts to a bit-identical double
-      // in both engines (unscaled value < 2^53 → exact conversion), and
-      // mn + score·(mx−mn) over identical doubles is IEEE-deterministic.
-      // round(·, 6) here actually BROKE parity: predictions cluster near
-      // half-boundaries and Spark (exact-expansion HALF_UP) vs DuckDB
-      // (float-multiply rounding) flipped ~2% of rows by 1e-6.
-      .select(col("symbol"),
-        (col("timestamp") + expr("INTERVAL 10 SECONDS")).as("timestamp"),
-        (col("mn_close") + col("score") * (col("mx_close") - col("mn_close")))
-          .as("predicted_close"))
+    val stats = scalerStats(bars)
+    val scored = Option(scorer) match {
+      case Some(sc) =>
+        lookbackMatrix(bars, n)
+          .join(broadcast(stats), "symbol")
+          .withColumn("score", sc)
+      case None =>
+        val combo = mix.map { case (f, u) => s"${u}D * ${scl(barCol(f), f)}" }
+          .mkString(" + ")
+        val w = Window.partitionBy("symbol").orderBy("timestamp")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Fitted scaler stats as FULL-frame window aggregates instead of
+        // a separate aggregate + broadcast join: the whole-partition
+        // frame is evaluated once per partition (O(n), unlike the
+        // moving-lower-bound UNBOUNDED FOLLOWING trap), and it saves a
+        // second full computation of `bars` (the stats subtree re-ran
+        // the 3-window explode+agg — measured ~5s of the 17s at the 10×
+        // probe). Values are identical to [[scalerStats]]'s.
+        val wAll = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val withStats = mix.map(_._1).foldLeft(bars) { case (df, f) =>
+          df.withColumn(s"mn_$f", min(expr(barCol(f))).over(wAll))
+            .withColumn(s"mx_$f", max(expr(barCol(f))).over(wAll))
+        }
+        val dec = "DECIMAL(38,0)"
+        // Frame sums via RUNNING sums minus lag(·, n): Spark's bounded
+        // sliding frames re-evaluate the whole frame per row (no
+        // retraction — O(frame) BigDecimal adds per row, measured 7.6s
+        // at 300k bars), while UNBOUNDED PRECEDING frames accumulate
+        // incrementally. DECIMAL(38,0) keeps Σ rn·qc exact at any rn
+        // (a BIGINT product overflows once rn·qc·n exceeds 2^63).
+        withStats
+          .withColumn("qc",
+            expr(s"CAST(floor(($combo) * 1000000000000.0D + 0.5D) AS BIGINT)"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("p", (col("rn").cast(dec) * col("qc").cast(dec)).cast(dec))
+          .withColumn("r1", sum(col("qc").cast(dec)).over(run))
+          .withColumn("r2", sum(col("p")).over(run))
+          .withColumn("s1", col("r1") - coalesce(lag(col("r1"), n).over(w),
+            lit(0).cast(dec)))
+          .withColumn("s2", col("r2") - coalesce(lag(col("r2"), n).over(w),
+            lit(0).cast(dec)))
+          .filter(col("rn") >= n)
+          .withColumn("score",
+            expr(s"CAST(s2 - (CAST(rn AS $dec) - $n) * s1 AS DOUBLE)" +
+              s" / (${wsum(n)}.0D * 1000000000000.0D)"))
+    }
+    scored.select(col("symbol"),
+      (col("timestamp") + expr("INTERVAL 10 SECONDS")).as("timestamp"),
+      (col("mn_close") + col("score") * (col("mx_close") - col("mn_close")))
+        .as("predicted_close"))
   }
 
   /** K7, end to end: run [[predictNext]] and MERGE the predictions into
@@ -219,26 +290,32 @@ object Predict {
   def predictSql(n: Int = lookbackN): String = {
     val sclSql = (x: String, f: String) =>
       s"(CASE WHEN s.mx_$f = s.mn_$f THEN 0.5::DOUBLE ELSE ($x - s.mn_$f) / (s.mx_$f - s.mn_$f) END)"
-    val combo = mix.map { case (f, u) => s"$u::DOUBLE * ${sclSql(s"r.$f", f)}" }
+    val combo = mix.map { case (f, u) => s"$u::DOUBLE * ${sclSql(s"nb.$f", f)}" }
       .mkString(" + ")
     val statCols = mix.map(_._1)
       .map(f => s"min($f) AS mn_$f, max($f) AS mx_$f").mkString(", ")
+    // mirrors the engine's decomposed form: per-row integer quantization
+    // qc = floor(combo·1e12 + 0.5), position weight i = rn_r − rn_e + n,
+    // exact integer sum of i·qc, one double conversion + division
     s"""${graft.Tables.tradesCte}, $barsCte,
        |stats AS (
        |  SELECT symbol, $statCols FROM bars GROUP BY 1
        |), numbered AS (
        |  SELECT b.*, row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn
        |  FROM bars b
+       |), qrows AS (
+       |  SELECT nb.symbol, nb."timestamp", nb.rn,
+       |         CAST(floor(($combo) * 1000000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS qc
+       |  FROM numbered nb JOIN stats s ON s.symbol = nb.symbol
        |), terms AS (
        |  SELECT e.symbol, e."timestamp" AS ets,
-       |         CAST(floor((CAST(r.rn - e.rn + $n AS DOUBLE) / ${wsum(n)}.0::DOUBLE) * ($combo)
-       |              * 1000000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS term
-       |  FROM numbered e
-       |  JOIN numbered r ON r.symbol = e.symbol AND r.rn BETWEEN e.rn - ${n - 1} AND e.rn
-       |  JOIN stats s ON s.symbol = e.symbol
+       |         CAST(r.rn - e.rn + $n AS BIGINT) * r.qc AS term
+       |  FROM qrows e
+       |  JOIN qrows r ON r.symbol = e.symbol AND r.rn BETWEEN e.rn - ${n - 1} AND e.rn
        |  WHERE e.rn >= $n
        |), score AS (
-       |  SELECT symbol, ets, CAST(sum(term) AS DOUBLE) / 1000000000000.0::DOUBLE AS sc
+       |  SELECT symbol, ets,
+       |         CAST(sum(term) AS DOUBLE) / (${wsum(n)}.0::DOUBLE * 1000000000000.0::DOUBLE) AS sc
        |  FROM terms GROUP BY 1, 2
        |)
        |SELECT sco.symbol, sco.ets + INTERVAL 10 SECOND AS "timestamp",

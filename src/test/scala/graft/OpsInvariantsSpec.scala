@@ -147,6 +147,14 @@ class OpsInvariantsSpec extends SparkSuite {
       .filter(col("predicted_close") < col("mn") - 1e-9 ||
         col("predicted_close") > col("mx") + 1e-9).count()
     assert(oob === 0)
+    // the codegen'd window-sum decomposition is bit-identical to the
+    // matrix-fold scorer (integer-exact arithmetic in both paths)
+    val viaMatrix = graft.ops.Predict
+      .predictNext(trades, 10, graft.ops.Predict.linearScorer(10))
+      .withColumnRenamed("predicted_close", "pc_matrix")
+    val drift = pred.join(viaMatrix, Seq("symbol", "timestamp"))
+      .filter(col("predicted_close") =!= col("pc_matrix")).count()
+    assert(drift === 0)
   }
 
   test("approx distinct within 5% of exact per group") {
