@@ -79,23 +79,16 @@ object Dedup {
     * carrying two 16-long signature arrays. The band-bucket join itself
     * keys on a 64-bit xxhash; hash collisions cannot create false
     * pairs because `first_match` re-checks real slot equality. */
-  /** Per-(session, input) cache of the banded-LSH candidate pairs:
-    * [[minhashPairs]] feeds three registered queries (`d_minhash_pairs`,
-    * `d_dedup_resolve` via [[resolveDuplicates]], `p_corpus_clean` via
-    * [[Pipeline.corpusClean]]), and recomputing the signature + explosive
-    * band join for each was ~19s of an 80s bench run. The pair table is
-    * tiny (candidate pairs only — 64k rows at sf0.1), so it is computed
-    * once per distinct input plan and pinned with `localCheckpoint`;
-    * keyed on the canonicalized plan's semantic hash, the same identity
-    * Spark's own CacheManager uses, so two separate reads of the same
-    * parquet path share one entry. Session-scoped: entries die with the
-    * JVM (bench/verify are one-session mains).
-    */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
-
+  /** Candidate pairs recompute from the CACHED signature table on every
+    * call — deliberately NOT cached themselves: on a near-dup-heavy
+    * corpus the pair table is quadratic in duplicate-cluster size (6M
+    * rows at sf0.1, ~96M at a 4× perturbed-copy probe — materializing
+    * that into the block store cost 6× the band join itself), while the
+    * signature table is one 17-column row per doc at any scale. The
+    * shared stage is the signatures; the explosive join is cheap once
+    * its input is pinned. */
   def minhashPairs(docs: DataFrame): DataFrame =
-    cached(pairCache, docs)(d => pairsFromSignatures(minhashSignatures(d)))
+    pairsFromSignatures(minhashSignatures(docs))
 
   /** Banded-LSH candidate pairs from an already-computed signature table
     * (doc_id, m0..m15) — the seam [[resolveDuplicates]] uses to band-join
@@ -305,7 +298,7 @@ object Dedup {
     * jumping — see its scaladoc for the algorithm and scale posture);
     * this wrapper supplies the pair graph and attaches cluster sizes. */
   def resolveDuplicates(docs: DataFrame, maxIter: Int = 20): DataFrame =
-    resolveBySignature(minhashSignatures(docs), minhashPairs(docs), maxIter)
+    resolveBySignature(minhashSignatures(docs), maxIter)
 
   /** Dedup resolution with SIGNATURE-LEVEL contraction: docs sharing the
     * full 16-slot signature are provably one component (their est_jaccard
@@ -323,22 +316,19 @@ object Dedup {
     * Results are identical to doc-level CC (components expand exactly;
     * min rep id of a component == min doc id, since each rep is its
     * group's min). */
-  /** `pairs` is the doc-level candidate-pair table (normally the
-    * session-cached [[minhashPairs]]); rep-level edges are carved out of
-    * it with two semi-joins — one scan of an already-materialized table
-    * instead of a second band join. */
-  private[ops] def resolveBySignature(sig: DataFrame, pairs: DataFrame,
+  /** Rep-level candidate edges come from a band join over just the
+    * representatives ([[pairsFromSignatures]] on the contracted
+    * signature table) — quadratically cheaper than the doc-level pair
+    * production whenever signature groups are non-trivial. */
+  private[ops] def resolveBySignature(sig: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val slots = (0 until minhashParams.length).map(j => col(s"m$j"))
     val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(slots: _*)
     val withRep = sig.withColumn("rep", min(col("doc_id")).over(byGroup))
     val memb = withRep.select(col("doc_id"), col("rep"))
     val repSig = withRep.filter(col("doc_id") === col("rep")).drop("rep")
-    val repIds = repSig.select("doc_id")
-    val edges = pairs
+    val edges = pairsFromSignatures(repSig)
       .filter(col("est_jaccard") >= resolveThreshold)
-      .join(repIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(repIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .select(col("doc_a"), col("doc_b"))
     val lbl = Graph.connectedComponents(repSig.select("doc_id"), edges, maxIter)
     val docLbl = memb.join(lbl, memb("rep") === lbl("id"))

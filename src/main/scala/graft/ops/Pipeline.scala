@@ -39,7 +39,7 @@ object Pipeline {
     // contraction as [[Dedup.resolveDuplicates]].
     val sigKept = Dedup.minhashSignatures(docs)
       .join(keptIds, Seq("doc_id"), "left_semi")
-    val resolved = Dedup.resolveBySignature(sigKept, Dedup.minhashPairs(docs))
+    val resolved = Dedup.resolveBySignature(sigKept)
     resolved
       .filter(col("doc_id") === col("canonical_doc"))
       .select(col("doc_id"), col("cluster_size"))
