@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.sinks.Upsert
 import graft.streaming.{Stateful, StreamingJob}
 
+/** Keyed user event for the stream-stream join spec. */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, price: Double)
+
 /** Streaming semantics (SURVEY.md §2.8 T1-T14) driven by MemoryStream. */
 class StreamingSpec extends SparkSuite {
 
@@ -165,6 +168,32 @@ class StreamingSpec extends SparkSuite {
         }
       } finally q.stop()
     }
+  }
+
+  test("stream-stream interval join: only in-window click/purchase pairs emit") {
+    import spark.implicits._
+    val clicks = MemoryStream[UserEvent](spark)
+    val purchases = MemoryStream[UserEvent](spark)
+    val q = graft.streaming.StreamJoins
+      .purchasesWithRecentClicks(purchases.toDF(), clicks.toDF(), windowSec = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      // user 1: click 30s before purchase (in window), click 90s before
+      // (out of window); user 2: click AFTER the purchase (excluded)
+      clicks.addData(
+        UserEvent(1L, new java.sql.Timestamp(t0 + 30000), 1.0),
+        UserEvent(1L, new java.sql.Timestamp(t0 - 40000), 1.0),
+        UserEvent(2L, new java.sql.Timestamp(t0 + 70000), 1.0))
+      purchases.addData(
+        UserEvent(1L, new java.sql.Timestamp(t0 + 60000), 99.0),
+        UserEvent(2L, new java.sql.Timestamp(t0 + 60000), 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("user_id", "click_ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSet
+      assert(rows === Set((1L, new java.sql.Timestamp(t0 + 30000))))
+    } finally q.stop()
   }
 
   test("streaming dedup within watermark drops repeats, state stays bounded") {
