@@ -118,6 +118,7 @@ object SparkEntry {
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
+    "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
     "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.load(s, dir, "documents"))),
@@ -576,6 +577,7 @@ object SparkEntry {
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),
+    "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_ann_lsh" -> Similarity.annLshSql(),
 
     "d_ngram_jaccard" ->

@@ -228,6 +228,91 @@ object Similarity {
        |) WHERE rnk <= $k""".stripMargin
   }
 
+  /** Product quantization codes — the storage layout of an IVF-PQ ANN
+    * index ([[annIvf]] is the coarse stage; PQ compresses the residual
+    * representation): split each vector into `m` subvectors, quantize
+    * every subvector to its nearest codebook entry (argmin L2), and
+    * pack the `m` 4-bit codes into one integer. 64-dim float32 → 8
+    * bytes per vector at m=8/k=16.
+    *
+    * Codebooks here are the subvectors of the first `k` corpus vectors
+    * (the same deterministic k-means stand-in as [[annIvf]]'s
+    * centroids), collected once (tiny) and inlined as literals — code
+    * assignment is a pure shuffle-free per-row projection, exactly how
+    * a production PQ encoder ships its codebooks with the task binary.
+    * argmin uses ||c||² − 2·⟨v_s, c⟩ (rank-equivalent to L2) with
+    * first-index tie-break, reproduced verbatim by the oracle. The
+    * reconstruction-error digest rides along unrounded — every input
+    * double is bit-identical cross-engine, and the fixed-association
+    * 8-term sum stays that way. */
+  def pqCodes(spark: SparkSession, dir: String, m: Int = 8,
+      k: Int = 16): DataFrame = {
+    VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dim = emb.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val sub = dim / m
+    // codebook: k × m subvectors of the first k vectors (driver-side,
+    // k·dim doubles — tiny, the justified collect of a quantizer build)
+    val cb: Array[IndexedSeq[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("v").collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    def centLit(ci: Int, s: Int) =
+      array(cb(ci).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    // per subspace s: scores[ci] = ⟨c,c⟩ − 2⟨v_s,c⟩ (both via the same
+    // codegen'd dot_product the oracle mirrors with list_dot_product —
+    // proven bit-compatible by the ANN oracles); argmin = first min
+    def scoreCol(s: Int) = array((0 until k).map { ci =>
+      call_function("dot_product", centLit(ci, s), centLit(ci, s)) -
+        lit(2.0) * call_function("dot_product",
+          slice(col("v"), s * sub + 1, sub), centLit(ci, s))
+    }: _*)
+    val scored = (0 until m).foldLeft(emb) { (df, s) =>
+      df.withColumn(s"sc$s", scoreCol(s))
+    }
+    val code = (0 until m).map { s =>
+      (array_position(col(s"sc$s"), array_min(col(s"sc$s"))) - 1)
+        .cast("long") * lit(BigInt(k).pow(s).toLong)
+    }.reduce(_ + _)
+    val err = (0 until m).map(s => array_min(col(s"sc$s"))).reduce(_ + _)
+    scored.select(col("vec_id"), code.as("pq_code"), err.as("pq_score_sum"))
+  }
+
+  def pqCodesSql(m: Int = 8, k: Int = 16, dim: Int = 64): String = {
+    val sub = dim / m
+    def sl(x: String) = s"$x[s.s * $sub + 1 : (s.s + 1) * $sub]"
+    // engine-matching association: the error sum is spelled as the same
+    // left-to-right chain of the m per-subspace minima
+    val errSum = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN score END)").mkString(" + ")
+    val codeSum = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN ci END) * ${BigInt(k).pow(s).toLong}")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cb AS (
+       |  SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < $k
+       |), scored AS (
+       |  SELECT e.vec_id, s.s, cb.ci,
+       |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
+       |    2.0::DOUBLE * list_dot_product(${sl("e.v")}, ${sl("cb.cv")}) AS score
+       |  FROM e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) s
+       |  CROSS JOIN cb
+       |), best AS (
+       |  SELECT vec_id, s, ci, score,
+       |         row_number() OVER (PARTITION BY vec_id, s
+       |           ORDER BY score, ci) AS rc
+       |  FROM scored
+       |)
+       |SELECT vec_id,
+       |       CAST($codeSum AS BIGINT) AS pq_code,
+       |       $errSum AS pq_score_sum
+       |FROM best WHERE rc = 1
+       |GROUP BY vec_id""".stripMargin
+  }
+
   /** Random-hyperplane LSH buckets: `nBits` sign bits of dot products
     * against deterministic ±1 hyperplanes (derived from (dim, plane)
     * indices, so every executor regenerates them identically — nothing
