@@ -44,6 +44,7 @@ object SparkEntry {
     "a8_null_profile" -> ((s, dir) => TradeOps.nullProfile(Tables.load(s, dir, "lineitem"))),
     "a9_time_bounds" -> ((s, dir) => TradeOps.timeBounds(trades(s, dir))),
     "a10_quantiles" -> ((s, dir) => TradeOps.discreteQuantiles(trades(s, dir))),
+    "a10b_approx_quantiles" -> ((s, dir) => TradeOps.approxQuantilesChecked(trades(s, dir))),
     "o5_union_append" -> ((s, dir) => TradeOps.unionAppend(trades(s, dir))),
     "o6_set_ops" -> ((s, dir) => TradeOps.setOps(trades(s, dir))),
     "j_full_outer_daily" -> ((s, dir) => TradeOps.fullOuterDaily(trades(s, dir))),
@@ -206,6 +207,23 @@ object SparkEntry {
          |  max(CASE WHEN rn = CAST(ceil(0.5::DOUBLE * n) AS BIGINT) THEN price END) AS p50,
          |  max(CASE WHEN rn = CAST(ceil(0.9::DOUBLE * n) AS BIGINT) THEN price END) AS p90,
          |  max(CASE WHEN rn = CAST(ceil(0.99::DOUBLE * n) AS BIGINT) THEN price END) AS p99
+         |FROM ranked GROUP BY 1""".stripMargin,
+
+    // GK sketches aren't cross-engine comparable; the oracle asserts the
+    // exact quantiles plus the rank-envelope flags as constant 1s
+    "a10b_approx_quantiles" ->
+      s"""$T,
+         |ranked AS (
+         |  SELECT symbol, price,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY price, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY symbol) AS n
+         |  FROM trades
+         |)
+         |SELECT symbol,
+         |  max(CASE WHEN rn = CAST(ceil(0.5::DOUBLE * n) AS BIGINT) THEN price END) AS p50,
+         |  max(CASE WHEN rn = CAST(ceil(0.9::DOUBLE * n) AS BIGINT) THEN price END) AS p90,
+         |  max(CASE WHEN rn = CAST(ceil(0.99::DOUBLE * n) AS BIGINT) THEN price END) AS p99,
+         |  1 AS p50_in_spec, 1 AS p90_in_spec, 1 AS p99_in_spec
          |FROM ranked GROUP BY 1""".stripMargin,
 
     "o6_set_ops" ->

@@ -297,6 +297,44 @@ object TradeOps {
     ranked.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sketch quantiles — the form that survives 100 TB, where the exact
+    * ranked-window [[discreteQuantiles]] pays a full sort per group.
+    * `percentile_approx` (Greenwald-Khanna) guarantees rank error ≤
+    * n/accuracy; sketches aren't cross-engine comparable, so (like the
+    * HLL row) the query emits the EXACT quantiles plus flags asserting
+    * each sketch value's true rank lands within the GK envelope — the
+    * oracle pins the exact columns and the flags as constants, and a
+    * sketch drifting out of spec flips a flag and breaks the hash. */
+  def approxQuantilesChecked(trades: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99), accuracy: Int = 1000): DataFrame = {
+    val exact = discreteQuantiles(trades, ps)
+    val approx = trades.groupBy("symbol").agg(
+      percentile_approx(col("price"),
+        array(ps.map(lit): _*), lit(accuracy)).as("qs"),
+      count(lit(1)).as("n"))
+    // true rank of each sketch value: one conditional-count aggregate
+    // over trades against the broadcast 5-row sketch table
+    val ranks = trades.join(broadcast(approx), "symbol")
+      .groupBy("symbol")
+      .agg(ps.indices.map(i =>
+        count(when(col("price") <= element_at(col("qs"), i + 1), 1))
+          .as(s"rk$i")).head,
+        ps.indices.map(i =>
+          count(when(col("price") <= element_at(col("qs"), i + 1), 1))
+            .as(s"rk$i")).tail: _*)
+    val flags = ps.zipWithIndex.map { case (p, i) =>
+      // GK envelope with the ≤-count as the rank upper bound: allow
+      // 2·n/accuracy slack (count(≤) can overshoot the value's own
+      // rank by the tied-value run length; ties are rare in doubles)
+      (abs(col(s"rk$i") - ceil(lit(p) * col("n"))) <=
+        lit(2.0) * col("n") / lit(accuracy)).cast("int")
+        .as(s"p${(p * 100).toInt}_in_spec")
+    }
+    exact.join(approx.select("symbol", "n"), "symbol")
+      .join(ranks, "symbol")
+      .select(col("symbol") +: ps.map(p => col(s"p${(p * 100).toInt}")) ++: flags: _*)
+  }
+
   /** O5-adjacent set-operation coverage (§2.6 — the reference only
     * unions, but a complete library serves INTERSECT/EXCEPT too):
     * classify user ids by which event kinds they produced. Spark's
