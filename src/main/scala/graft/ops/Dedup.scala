@@ -338,13 +338,14 @@ object Dedup {
       .select(col("doc_id"), col("lbl").as("canonical_doc"), col("cluster_size"))
   }
 
-  /** [[resolveDuplicates]] with the candidate pairs supplied by the
-    * caller — the seam that lets a composite pipeline reuse the cached
-    * [[minhashPairs]] table restricted to a filtered corpus
-    * ([[Pipeline.corpusClean]]) instead of re-running the signature +
-    * band-join stage on the subset. `vertices` is the one-column doc-id
-    * universe to label; `pairs` must carry (doc_a, doc_b, est_jaccard)
-    * with both endpoints in that universe. */
+  /** Generic dedup resolution over a caller-supplied pair graph — the
+    * seam for driving connected-components resolution from any
+    * similarity signal (an [[ngramJaccard]] or [[simhashPairs]] output
+    * re-labeled to (doc_a, doc_b, est_jaccard), or externally computed
+    * pairs), where [[resolveDuplicates]] is MinHash-specific and
+    * contraction-optimized. `vertices` is the one-column doc-id universe
+    * to label; `pairs` must carry (doc_a, doc_b, est_jaccard) with both
+    * endpoints in that universe. */
   def resolveFromPairs(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val edges = pairs
