@@ -106,6 +106,9 @@ object SparkEntry {
     "t_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.load(s, dir, "documents"))),
     "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.load(s, dir, "documents"))),
     "t_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.load(s, dir, "documents"))),
+    "t_chunking" -> ((s, dir) => TextOps.chunkDocs(Tables.load(s, dir, "documents"))),
+    "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(Tables.load(s, dir, "documents"))),
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents"))),
     "d_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.load(s, dir, "documents"))),
@@ -562,6 +565,23 @@ object SparkEntry {
 
     "t_fingerprint" -> TextOps.fingerprintSql,
     "t_repetition" -> TextOps.repetitionSql,
+    "t_chunking" -> TextOps.chunkDocsSql(),
+
+    "q4_returned_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24""".stripMargin,
     "d_contamination" -> TextOps.contaminationSql(),
 
     "d_exact_dedup" ->

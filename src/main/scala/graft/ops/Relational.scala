@@ -215,6 +215,34 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q6-style: revenue change from a discount band in a date
+    * range — a pure filter + global aggregate; every predicate pushes
+    * to the parquet scan. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.09) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice") * col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4-style: orders with at least one returned lineitem,
+    * counted by priority — a left-semi join (EXISTS) against the
+    * flagged-line set, shuffling only the order keys. (The synthetic
+    * lineitem has no commitdate, so "returned" stands in for "late".) */
+  def returnedPriorityOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val flagged = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    ord.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube sugar over),
     * with per-column `grouping()` flags so consumers can tell a real
     * NULL group key from a subtotal row. */

@@ -233,6 +233,44 @@ object TextOps {
       |       ELSE 0.0::DOUBLE END AS dup_trigram_ratio
       |FROM r""".stripMargin
 
+  /** Document chunking — the context-length packing pass of a
+    * pretraining pipeline: fixed-size token windows with overlap
+    * (`stride` < `chunkTokens` ⇒ consecutive chunks share
+    * `chunkTokens − stride` tokens). Start positions are `i·stride` for
+    * `i = 0 .. (max(n − chunk, 0) + stride − 1) div stride`, so every
+    * token is covered and the tail chunk may run short. Pure per-row
+    * array expressions + one explode — maps through the scan. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame =
+    withWords(docs)
+      .select(col("doc_id"),
+        // explode_outer: see [[contamination]] — InferFiltersFromGenerate
+        explode_outer(expr(
+          s"transform(sequence(0, (greatest(size(words) - $chunkTokens, 0) " +
+            s"+ ${stride - 1}) div $stride), " +
+            s"i -> struct(i AS idx, concat_ws(' ', " +
+            s"slice(words, i * $stride + 1, $chunkTokens)) AS chunk))")).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        size(split(col("c.chunk"), " ")).as("chunk_tokens"),
+        md5(col("c.chunk")).as("chunk_md5"))
+
+  def chunkDocsSql(chunkTokens: Int = 64, stride: Int = 48): String = {
+    val piece =
+      s"array_to_string(words[chunk_idx * $stride + 1 : chunk_idx * $stride + $chunkTokens], ' ')"
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), c AS (
+       |  SELECT doc_id, words,
+       |         unnest(generate_series(0,
+       |           (greatest(len(words) - $chunkTokens, 0) + ${stride - 1}) // $stride)) AS chunk_idx
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |       CAST(len(string_split($piece, ' ')) AS INT) AS chunk_tokens,
+       |       md5($piece) AS chunk_md5
+       |FROM c""".stripMargin
+  }
+
   /** Benchmark-contamination detection — flag training docs sharing
     * verbatim n-grams with an evaluation/benchmark set (the
     * decontamination pass every serious pretraining pipeline runs).
