@@ -51,6 +51,9 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Pipeline.corpusClean(emptyDocs).count() === 0)
     assert(Multimodal.binaryMeta(emptyDocs).count() === 0)
     assert(Multimodal.extractBatched(spark, emptyDocs).count() === 0)
+    assert(TextOps.repetitionStats(emptyDocs).count() === 0)
+    assert(TextOps.chunkDocs(emptyDocs).count() === 0)
+    assert(TextOps.contamination(emptyDocs).count() === 0)
   }
 
   test("connectedComponents on empty vertex and edge sets") {
