@@ -243,6 +243,97 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** TPC-H Q12-style: conditional two-way counts after a fact-fact
+    * join — per line-status, how many lines belong to critical-priority
+    * orders (1-URGENT / 2-HIGH) vs not, in a ship-date year. (The
+    * synthetic lineitem has no shipmode; linestatus stands in as the
+    * grouping column, which keeps the plan identical: join on orderkey,
+    * conditional sums, one shuffle.) Both CASE sums ride the same
+    * partial aggregate — one pass, no second scan. */
+  def priorityLineCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val ord = Tables.load(spark, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14-style: share of revenue from promotional parts in a
+    * ship-date window. The part side is a true dimension join —
+    * broadcast here; at 100 TB part no longer broadcasts and this
+    * becomes a shuffle join on partkey, which is exactly what dropping
+    * the hint yields. Numerator and denominator are exact decimal sums
+    * in ONE aggregate (a conditional sum, not two scans); the single
+    * output row divides once. */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+    val part = Tables.load(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(dec(lit(0)))).cast("double").as("promo_revenue"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("total_revenue"))
+      .select(
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** TPC-H Q18-style: large-volume orders — per-order quantity sums
+    * over threshold (GROUP BY + HAVING), then customer/order detail for
+    * the survivors. The HAVING prunes before the joins, so only the
+    * tiny qualifying set shuffles into them; the big aggregate is
+    * partial+final on orderkey. Deterministic top-k: exact quantity
+    * sums, tiebreak on orderkey. */
+  def largeVolumeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 300.0): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19-style: disjunctive multi-attribute predicates — three
+    * OR'd (brand, size-range, quantity-range) clause groups across the
+    * part join. The join key predicate is conjunctive so the join stays
+    * a plain equi-join; the OR residual evaluates post-join inside
+    * codegen. Catalyst extracts the common `p_size >= 1` conjunct and
+    * pushes it to the part scan. */
+  def brandedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+    val clause = (b: String, qLo: Int, qHi: Int, sHi: Int) =>
+      col("p_brand") === b &&
+        col("l_quantity").between(qLo, qHi) &&
+        col("p_size").between(1, sHi)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(clause("Brand#12", 1, 11, 5) ||
+        clause("Brand#23", 10, 20, 10) ||
+        clause("Brand#34", 20, 30, 15))
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube sugar over),
     * with per-column `grouping()` flags so consumers can tell a real
     * NULL group key from a subtotal row. */
