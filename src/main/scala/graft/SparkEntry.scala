@@ -82,6 +82,17 @@ object SparkEntry {
     "q5_revenue_by_nation" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q10_returned_revenue" -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
     "q17_small_qty_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
+    "q7_volume_shipping" -> ((s, dir) => Relational.volumeShipping(s, dir)),
+    "q8_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
+    "q9_product_profit" -> ((s, dir) => Relational.productProfit(s, dir)),
+    "q12_priority_lines" -> ((s, dir) => Relational.priorityLineCounts(s, dir)),
+    "q13_order_distribution" -> ((s, dir) => Relational.customerOrderDistribution(s, dir)),
+    "q14_promo_share" -> ((s, dir) => Relational.promoRevenueShare(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    "q18_large_volume" -> ((s, dir) => Relational.largeVolumeOrders(s, dir)),
+    "q19_branded_revenue" -> ((s, dir) => Relational.brandedRevenue(s, dir)),
+    "q21_sole_returning_supplier" -> ((s, dir) => Relational.soleReturningSupplier(s, dir)),
+    "q22_idle_balance" -> ((s, dir) => Relational.idleCustomerBalance(s, dir)),
     "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "a_approx_distinct" -> ((s, dir) => Relational.approxDistinctChecked(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
@@ -514,6 +525,158 @@ object SparkEntry {
         |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
         |       count(*) AS n_items
         |FROM w WHERE l_quantity < 0.2::DOUBLE * avg_qty""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+        |  AND nc.n_name IN ('NATION_1', 'NATION_2')
+        |  AND ns.n_name != nc.n_name
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH a AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        |  GROUP BY 1
+        |)
+        |SELECT o_year, round(nation_revenue / total_revenue, 6) AS mkt_share,
+        |       nation_revenue, total_revenue
+        |FROM a""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) -
+        |                CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(18,6))) AS DOUBLE) AS profit,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus != 'P'
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, count(*) AS custdist FROM c GROUP BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+        |)
+        |SELECT round(100.0::DOUBLE * promo_revenue / total_revenue, 6) AS promo_pct,
+        |       promo_revenue, total_revenue
+        |FROM a""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_dec = (SELECT max(total_revenue_dec) FROM rev)""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q19_branded_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    // Decorrelated form of the EXISTS/NOT-EXISTS pair: per-order distinct
+    // supplier counts (all lines vs returned lines) replace both
+    // correlated subqueries — identical result, one scan.
+    "q21_sole_returning_supplier" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_supp_r
+        |  FROM lineitem GROUP BY 1
+        |), r_lines AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM r_lines
+        |JOIN per_order USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_supp_r = 1
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT c_nationkey AS cntry, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1""".stripMargin,
 
     // HLL sketches aren't cross-engine comparable; the oracle asserts the
     // exact columns plus the 3·rsd accuracy envelope as constant-1 flags

@@ -334,6 +334,191 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q7-style: bilateral trade volume — revenue shipped between two
+    * nations (supplier nation ≠ customer nation, both in a fixed pair),
+    * by ship year. Two independent broadcast joins against the tiny
+    * nation dimension (aliased per role); the fact-fact joins shuffle on
+    * orderkey/custkey/suppkey. The nation filter reaches the supplier
+    * and customer scans as an IN-list on the (broadcast-joined) keys.
+    * Ref: capability breadth beyond ProcessStockStream.py's agg tier. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val natS = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val natC = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8-style: national market share — fraction of a region's
+    * revenue (for one part type) supplied by one nation, per order year.
+    * Numerator and denominator ride ONE aggregate as a conditional sum —
+    * no second scan, no self-join. part/nation/region broadcast; at
+    * 100 TB part falls back to a shuffle join by dropping the hint. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val natC = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val reg = Tables.load(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val natS = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3",
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(dec(lit(0)))).cast("double").as("nation_revenue"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("total_revenue"))
+      .select(col("o_year"),
+        round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"),
+        col("nation_revenue"), col("total_revenue"))
+  }
+
+  /** TPC-H Q9-style: product-line profit by supplier nation and order
+    * year. The synthetic schema has no partsupp/supplycost, so cost is
+    * modeled as half the part's retail price per unit (documented
+    * adaptation — the plan shape is identical: 5-way join, two broadcast
+    * dimensions, one grouped sum of a derived amount). Part filter is a
+    * substring match pushed to the part scan. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_name").contains("widget"))
+    val ord = Tables.load(spark, dir, "orders")
+    val supp = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(
+        dec(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+          dec(col("p_retailprice") * col("l_quantity") * lit(0.5)))
+        .cast("double").as("profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q13-style: distribution of orders-per-customer — customer
+    * LEFT OUTER JOIN orders (excluding pending orders), count per
+    * customer, then re-aggregate into a histogram. Two shuffles: one on
+    * custkey for the join+count, one tiny one on the count value. Null
+    * order keys from the outer join count as zero (COUNT(col) semantics,
+    * preserved exactly by both engines). */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").select("c_custkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") =!= "P")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15-style: top supplier(s) by revenue in a quarter. The
+    * scalar MAX subquery of the original is a rank-1 window over the
+    * aggregated (tiny) supplier-revenue table — the fact table is
+    * scanned once; the window runs over |suppliers| rows, not lineitem.
+    * Exact decimal revenue makes the max deterministic; ties all emit
+    * (rank(), like the original's `= max` predicate). */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val supp = Tables.load(spark, dir, "supplier")
+    val rev = li.groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue_dec"))
+    val w = Window.orderBy(col("total_revenue_dec").desc)
+    rev.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") === 1)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue_dec").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q21-style: suppliers who were the SOLE returning supplier in
+    * a finished multi-supplier order. The original's EXISTS/NOT-EXISTS
+    * pair decorrelates into one per-order aggregate — distinct supplier
+    * count over all lines vs over returned lines — then a semi-filtering
+    * join back to the returned lines. One shuffle on orderkey for the
+    * aggregate, one for the join; no correlated re-scans. (No
+    * commitdate/receiptdate in the synthetic schema: `l_returnflag='R'`
+    * stands in for "failed to meet commit date", per q4.) */
+  def soleReturningSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val supp = Tables.load(spark, dir, "supplier")
+    val perOrder = li.groupBy("l_orderkey").agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+        .as("n_supp_r"))
+      .filter(col("n_supp") >= 2 && col("n_supp_r") === 1)
+      .select("l_orderkey")
+    val rLines = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    rLines
+      .join(perOrder, "l_orderkey")
+      .join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-style: positive-balance customers who never ordered,
+    * bucketed by nation (the phone-prefix country code of the original;
+    * the synthetic schema has no phone column). The global-average
+    * scalar subquery is a 1-row broadcast cross join — computed once,
+    * shipped to every partition; the NOT EXISTS is a left-anti join on
+    * custkey. Balance sums are exact decimal. */
+  def idleCustomerBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders").select("o_custkey")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube sugar over),
     * with per-column `grouping()` flags so consumers can tell a real
     * NULL group key from a subtotal row. */
