@@ -118,6 +118,7 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.load(s, dir, "documents"))),
     "t_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.load(s, dir, "documents"))),
     "t_chunking" -> ((s, dir) => TextOps.chunkDocs(Tables.load(s, dir, "documents"))),
+    "t_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables.load(s, dir, "documents"))),
     "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(Tables.load(s, dir, "documents"))),
@@ -134,6 +135,8 @@ object SparkEntry {
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
+    "v_pq_adc" -> ((s, dir) => Similarity.pqAdc(s, dir)),
+    "v_kmeans" -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
     "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
     "m_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.load(s, dir, "documents"))),
@@ -727,6 +730,7 @@ object SparkEntry {
     "t_quality_score" -> TextOps.qualitySql,
 
     "t_fingerprint" -> TextOps.fingerprintSql,
+    "t_pii_redact" -> TextOps.piiRedactSql,
     "t_repetition" -> TextOps.repetitionSql,
     "t_chunking" -> TextOps.chunkDocsSql(),
 
@@ -779,6 +783,8 @@ object SparkEntry {
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
+    "v_pq_adc" -> Similarity.pqAdcSql(),
+    "v_kmeans" -> Similarity.kmeansSql(),
     "v_ann_lsh" -> Similarity.annLshSql(),
 
     "d_ngram_jaccard" ->

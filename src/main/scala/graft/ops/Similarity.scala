@@ -313,6 +313,240 @@ object Similarity {
        |GROUP BY vec_id""".stripMargin
   }
 
+  /** Distributed Lloyd's k-means over the embeddings — the training pass
+    * that produces [[annIvf]]'s coarse quantizer and [[pqCodes]]'s
+    * codebooks for real (both currently use first-k stand-ins).
+    *
+    * Each iteration is ONE distributed pass: centroids ride along as
+    * literal arrays (nothing shuffled to assign), assignment is a
+    * codegen'd argmin projection, and the update is a single
+    * partial+final aggregate of per-dimension sums — the
+    * map-side-combined shape that holds at any corpus size. Only k rows
+    * (k·dim longs) ever reach the driver per iteration: the justified
+    * tiny collect of an iterative quantizer build.
+    *
+    * Cross-engine determinism (BUILDLOG round-3 lesson): per-dimension
+    * sums are quantized to integer picounits (`floor(x·1e12 + 0.5)` as
+    * BIGINT) so the across-row sum is exact long arithmetic in any
+    * order; the new centroid component is the exact floor division
+    * `floorDiv(sum, n)` (DuckDB `//` truncates, so the oracle spells
+    * floor division via the positive-mod identity); the next round's
+    * double centroid is `picounits · 1e-12` — the same two IEEE ops in
+    * both engines. Every output column is an integer: nothing to drift.
+    *
+    * Empty cells drop out (standard Lloyd's); tie-breaks are
+    * lowest-cell-id, exact in both engines because the scored doubles
+    * are bit-identical. */
+  def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dim = emb.select(size(col("v"))).head.getInt(0)
+
+    // (cellId, centroid) pairs, ascending cellId; init = first k vectors
+    var cents: IndexedSeq[(Int, IndexedSeq[Double])] =
+      emb.filter(col("vec_id") < k).orderBy("vec_id").select("v").collect()
+        .toIndexedSeq.map(_.getSeq[Double](0).toIndexedSeq).zipWithIndex
+        .map { case (v, i) => (i, v) }
+
+    // argmin_c ||v - c||² via ||c||² − 2⟨v,c⟩; first-min = lowest cell id
+    def assigned(): DataFrame = {
+      val scores = array(cents.map { case (_, c) =>
+        val cl = array(c.map(lit): _*)
+        call_function("dot_product", cl, cl) -
+          lit(2.0) * call_function("dot_product", col("v"), cl)
+      }: _*)
+      val cellId = (array_position(col("scores"), array_min(col("scores"))) - 1)
+        .cast("int")
+      val idToCell = cents.map(_._1).zipWithIndex
+        .foldRight(lit(-1)) { case ((cell, i), els) =>
+          when(cellId === i, lit(cell)).otherwise(els)
+        }
+      emb.withColumn("scores", scores).withColumn("cell", idToCell)
+        .drop("scores")
+    }
+
+    for (_ <- 1 to iters) {
+      val dimSums = (0 until dim).map(i =>
+        sum(floor(element_at(col("v"), i + 1) * lit(1e12) + lit(0.5))
+          .cast("long")).as(s"s$i"))
+      val upd = assigned().groupBy("cell")
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .orderBy("cell").collect()
+      cents = upd.toIndexedSeq.map { r =>
+        val n = r.getAs[Long]("n")
+        val c = (0 until dim).map { i =>
+          Math.floorDiv(r.getAs[Long](s"s$i"), n).toDouble * 1e-12
+        }
+        (r.getAs[Int]("cell"), c)
+      }
+    }
+
+    // integer-only digest: per-cell size, exact id sum, and the centroid
+    // picounit sum (recovered exactly from the held double components)
+    val picoSum = cents.map { case (cell, c) =>
+      (cell, c.map(x => Math.round(x * 1e12)).sum)
+    }
+    val picoCol = picoSum.foldRight(lit(0L)) { case ((cell, p), els) =>
+      when(col("cell") === cell, lit(p)).otherwise(els)
+    }
+    assigned().groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("id_sum"))
+      .withColumn("centroid_picosum", picoCol)
+  }
+
+  /** Oracle for [[kmeansCentroids]]: the same init / assign / quantized
+    * update loop unrolled as CTEs (one assign+update pair per
+    * iteration), ending in the integer digest. */
+  def kmeansSql(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+    def assignCte(cb: String, tag: String) =
+      s"""a$tag AS (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           list_dot_product(c.cv, c.cv)
+         |             - 2.0::DOUBLE * list_dot_product(e.v, c.cv),
+         |           c.cell) AS rc
+         |  FROM e CROSS JOIN $cb c
+         |)""".stripMargin
+    def updCte(tag: String) =
+      s"""u$tag AS (
+         |  SELECT cell, d.i,
+         |         count(*) AS n,
+         |         CAST(sum(CAST(floor(v[d.i] * 1e12 + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS s
+         |  FROM a$tag, (SELECT unnest(generate_series(1, $dim)) AS i) d
+         |  WHERE rc = 1
+         |  GROUP BY 1, 2
+         |), cb$tag AS (
+         |  SELECT cell,
+         |         list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) * 1e-12
+         |              ORDER BY i) AS cv,
+         |         CAST(sum(CAST((s - ((s % n) + n) % n) / n AS BIGINT)) AS BIGINT) AS picosum
+         |  FROM u$tag GROUP BY cell
+         |)""".stripMargin
+    val loop = (1 to iters).map { it =>
+      val prev = if (it == 1) "cb0" else s"cb${it - 1}"
+      s"${assignCte(prev, it.toString)},\n${updCte(it.toString)}"
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cb0 AS (
+       |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k
+       |),
+       |$loop,
+       |${assignCte(s"cb$iters", "F")}
+       |SELECT a.cell, count(*) AS n_points,
+       |       CAST(sum(a.vec_id) AS BIGINT) AS id_sum,
+       |       max(c.picosum) AS centroid_picosum
+       |FROM aF a JOIN cb$iters c ON c.cell = a.cell
+       |WHERE a.rc = 1
+       |GROUP BY a.cell""".stripMargin
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query path of an
+    * IVF-PQ index over the [[pqCodes]] layout: each query builds an
+    * m×k lookup table of per-subspace distances to every codebook entry
+    * (one tiny projection per query row), then candidate distances are
+    * pure table lookups summed over the m stored codes — candidates'
+    * full vectors are never touched, which is the entire point of PQ at
+    * 100 TB: the scan reads m log₂k bits per vector, not the vector.
+    *
+    * Queries (with their LUT arrays, m·k doubles each) broadcast; the
+    * candidate side streams through codegen; the only shuffle is the
+    * final per-query top-k. The ADC sum is a fixed left-to-right m-term
+    * chain, mirrored verbatim by the oracle, so the doubles compare
+    * bit-exactly cross-engine. */
+  def pqAdc(spark: SparkSession, dir: String, nQueries: Int = 10,
+      kNn: Int = 5, m: Int = 8, k: Int = 16): DataFrame = {
+    VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dim = emb.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val sub = dim / m
+    val cb: Array[IndexedSeq[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("v").collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    def centLit(ci: Int, s: Int) =
+      array(cb(ci).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    // candidate codes: same argmin-per-subspace projection as pqCodes
+    def scoreCol(vc: org.apache.spark.sql.Column, s: Int) =
+      array((0 until k).map { ci =>
+        call_function("dot_product", centLit(ci, s), centLit(ci, s)) -
+          lit(2.0) * call_function("dot_product",
+            slice(vc, s * sub + 1, sub), centLit(ci, s))
+      }: _*)
+    val cands = (0 until m).foldLeft(emb) { (df, s) =>
+      df.withColumn(s"c$s",
+        (array_position(scoreCol(col("v"), s),
+          array_min(scoreCol(col("v"), s))) - 1).cast("int"))
+    }.select(col("vec_id") +: (0 until m).map(s => col(s"c$s")): _*)
+    // per-query LUTs: lut_s[ci] = ||c||² − 2⟨q_s, c⟩ (the same scores)
+    val queries = (0 until m).foldLeft(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))) { (df, s) =>
+      df.withColumn(s"lut$s", scoreCol(col("qv"), s))
+    }.drop("qv")
+    val adc = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
+    val byQ = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    cands.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= kNn)
+      .select(col("q_id"), col("vec_id"), col("adc"), col("rnk"))
+  }
+
+  /** Oracle for [[pqAdc]]: codes via the [[pqCodesSql]] argmin CTE, LUT
+    * via the same score formula on the query subvectors, ADC spelled as
+    * the identical fixed-order m-term chain. */
+  def pqAdcSql(nQueries: Int = 10, kNn: Int = 5, m: Int = 8, k: Int = 16,
+      dim: Int = 64): String = {
+    val sub = dim / m
+    def sl(x: String) = s"$x[s.s * $sub + 1 : (s.s + 1) * $sub]"
+    val adcChain = (0 until m)
+      .map(s => s"max(CASE WHEN c.s = $s THEN lv END)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cb AS (
+       |  SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < $k
+       |), scored AS (
+       |  SELECT e.vec_id, s.s, cb.ci,
+       |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
+       |    2.0::DOUBLE * list_dot_product(${sl("e.v")}, ${sl("cb.cv")}) AS score
+       |  FROM e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) s
+       |  CROSS JOIN cb
+       |), codes AS (
+       |  SELECT vec_id, s, ci FROM (
+       |    SELECT vec_id, s, ci,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |             ORDER BY score, ci) AS rc
+       |    FROM scored
+       |  ) WHERE rc = 1
+       |), lut AS (
+       |  SELECT e.vec_id AS q_id, s.s, cb.ci,
+       |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
+       |    2.0::DOUBLE * list_dot_product(${sl("e.v")}, ${sl("cb.cv")}) AS lv
+       |  FROM e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) s
+       |  CROSS JOIN cb
+       |  WHERE e.vec_id < $nQueries
+       |), dist AS (
+       |  SELECT l.q_id, c.vec_id, $adcChain AS adc
+       |  FROM codes c
+       |  JOIN lut l ON l.s = c.s AND l.ci = c.ci
+       |  WHERE c.vec_id != l.q_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, vec_id, adc, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, vec_id) AS rnk
+       |  FROM dist
+       |) WHERE rnk <= $kNn""".stripMargin
+  }
+
   /** Random-hyperplane LSH buckets: `nBits` sign bits of dot products
     * against deterministic ±1 hyperplanes (derived from (dim, plane)
     * indices, so every executor regenerates them identically — nothing

@@ -338,6 +338,78 @@ object TextOps {
        |WHERE d.doc_id >= $benchDocs""".stripMargin
   }
 
+  /** PII detection + redaction — the scrubbing pass of a training-data
+    * pipeline: emails, IPv4 addresses, and phone-shaped numbers found by
+    * RE2-compatible regexes (so Spark's Java regex and the DuckDB oracle
+    * agree), counted and replaced with typed placeholder tokens. Pure
+    * per-row projection — codegen'd `regexp_replace`/`regexp_extract_all`,
+    * no UDF, maps straight through the scan at any corpus size.
+    *
+    * The synthetic corpus contains no organic PII, so the operator first
+    * derives a deterministic augmented text (every 3rd doc gains an
+    * email, every 5th an IP, every 7th a phone — all derived from
+    * doc_id), then scrubs it. Redaction order is email → IP → phone so
+    * the dotted-quad pattern can't eat an email host. */
+  val emailRegex: String = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}"
+  val ipRegex: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRegex: String = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail-example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, emailRegex, "<EMAIL>"),
+          ipRegex, "<IP>"),
+        phoneRegex, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(aug, lit(emailRegex), lit(0))).as("n_emails"),
+      size(regexp_extract_all(aug, lit(ipRegex), lit(0))).as("n_ips"),
+      size(regexp_extract_all(aug, lit(phoneRegex), lit(0))).as("n_phones"),
+      length(redacted).as("redacted_len"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |            THEN ' contact user' || doc_id || '@mail-example.com now'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |            THEN ' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |                 || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+       |            ELSE '' END AS aug
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, aug,
+       |    regexp_replace(regexp_replace(regexp_replace(aug,
+       |      '$emailRegex', '<EMAIL>', 'g'),
+       |      '$ipRegex', '<IP>', 'g'),
+       |      '$phoneRegex', '<PHONE>', 'g') AS red
+       |  FROM a
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$emailRegex')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$ipRegex')) AS n_ips,
+       |  len(regexp_extract_all(aug, '$phoneRegex')) AS n_phones,
+       |  length(red) AS redacted_len,
+       |  md5(red) AS redacted_md5
+       |FROM r""".stripMargin
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the same langWords constants.
   // ------------------------------------------------------------------
