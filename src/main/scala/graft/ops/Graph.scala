@@ -40,11 +40,45 @@ object Graph {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Driver union-find over a collected edge array: root = component
+    * min, by always attaching the larger root under the smaller (the
+    * invariant "every root is its tree's min" is preserved by each
+    * union). Path-halving keeps it near-linear. */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    ids.iterator.map(v => v -> find(v)).toMap
+  }
+
   /** @param vertices one column, the vertex id (name taken from the DF)
     * @param edges    two columns (src, dst by position), undirected
+    * @param localFinishEdges once the live cross-tree edge list fits
+    *   under this bound, finish with a driver union-find instead of more
+    *   distributed rounds — each round is a shuffle + checkpoint
+    *   round-trip, and the contraction step shrinks the edge list
+    *   geometrically, so the tail of the iteration is all scheduling
+    *   overhead over a tiny graph. The bound is on EDGES COLLECTED
+    *   (16 bytes each; the default is ~32 MB of driver heap), not on
+    *   corpus size: at 100 TB the early rounds stay fully distributed
+    *   and only the contracted residual ever travels. Set 0 to force
+    *   the pure distributed loop.
     * @return (id, label) — label = min vertex id of the component */
   def connectedComponents(vertices: DataFrame, edges0: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localFinishEdges: Long = 2000000L): DataFrame = {
     // Every localCheckpoint pins an RDD in executor memory until the
     // session dies; an iterative algorithm that never releases them
     // leaks a full edge-list copy per invocation (measured: repeated
@@ -65,7 +99,28 @@ object Graph {
     var edges = ckpt(edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
       .filter(col("src") =!= col("dst")))
     var iter = 0
-    while (iter < maxIter && !edges.isEmpty) {
+    var done = false
+    while (iter < maxIter && !done && !edges.isEmpty) {
+      // bounded driver finish: edges is checkpointed, so the count is a
+      // scan of materialized partitions, not a recompute
+      if (localFinishEdges > 0 && edges.count() <= localFinishEdges) {
+        val spark = vertices.sparkSession
+        import spark.implicits._
+        val collected = edges.select(col("src").cast("long"),
+          col("dst").cast("long")).as[(Long, Long)].collect()
+        val roots = unionFind(collected)
+        // preserve the caller's vertex id type (ids were widened to long
+        // for the driver round-trip)
+        val idType = vertices.schema.head.dataType
+        val mapping = ckpt(roots.toSeq.toDF("lbl", "p")
+          .select(col("lbl").cast(idType).as("lbl"),
+            col("p").cast(idType).as("p")))
+        lbl = ckpt(lbl
+          .join(broadcast(mapping), Seq("lbl"), "left")
+          .select(col("id"), coalesce(col("p"), col("lbl")).as("lbl")))
+        edges = edges.limit(0)
+        done = true
+      } else {
       // hook: parent(v) = min(v, min neighbor); roots satisfy p == v
       var parent = edges
         .union(edges.select(col("dst"), col("src")))
@@ -108,6 +163,7 @@ object Graph {
         .select(least(col("ps"), col("pd")).as("src"),
           greatest(col("ps"), col("pd")).as("dst"))
         .distinct())
+      }
       iter += 1
     }
     // Exhausting maxIter with cross-tree edges still live would return
@@ -115,7 +171,7 @@ object Graph {
     // extra "canonical" docs. O(log n) convergence makes 20 rounds ample,
     // so the check is effectively free (edges is checkpointed); fail loud
     // rather than hand back a wrong answer.
-    val converged = edges.isEmpty
+    val converged = done || edges.isEmpty
     // release every intermediate this call pinned; the returned labels'
     // own backing RDDs must survive (their lineage is truncated) —
     // unless we are about to throw, in which case nothing survives

@@ -218,6 +218,25 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(sizeBad === 0)
   }
 
+  test("connected components: driver finish == pure distributed loop") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val edges = graft.ops.Dedup.minhashPairs(docs)
+      .filter(col("est_jaccard") >= graft.ops.Dedup.resolveThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val verts = docs.select("doc_id")
+    val local = graft.ops.Graph.connectedComponents(verts, edges)
+      .withColumnRenamed("lbl", "l1")
+    val dist = graft.ops.Graph
+      .connectedComponents(verts, edges, localFinishEdges = 0L)
+      .withColumnRenamed("lbl", "l2")
+      .withColumnRenamed("id", "id2")
+    val diff = local.join(dist, col("id") === col("id2"))
+      .filter(col("l1") =!= col("l2")).count()
+    assert(diff === 0)
+    assert(local.count() === verts.count())
+  }
+
   test("IVF ANN: <= k rows per query, top-1 never beats exact top-1") {
     val ivf = Similarity.annIvf(spark, sf).cache()
     assert(ivf.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001).count() === 0)
