@@ -111,6 +111,7 @@ object SparkEntry {
     "t15_session_windows" -> ((s, dir) => Scale.sessionize(trades(s, dir))),
     "skew_salted_agg" -> ((s, dir) => Scale.saltedVolumeBySymbol(trades(s, dir))),
     "b_bucketed_join" -> ((s, dir) => Scale.bucketedOrderRevenue(s, dir)),
+    "k9_zorder_roundtrip" -> ((s, dir) => Scale.zorderRoundTrip(s, trades(s, dir))),
     // -- training-data pipeline tier (SURVEY.md §7.5) --------------------
     "t_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.load(s, dir, "documents"))),
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.load(s, dir, "documents"))),
@@ -119,6 +120,7 @@ object SparkEntry {
     "t_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.load(s, dir, "documents"))),
     "t_chunking" -> ((s, dir) => TextOps.chunkDocs(Tables.load(s, dir, "documents"))),
     "t_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables.load(s, dir, "documents"))),
+    "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.load(s, dir, "documents"))),
     "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(Tables.load(s, dir, "documents"))),
@@ -298,6 +300,8 @@ object SparkEntry {
          |       min(price) AS min_price,
          |       max(price) AS max_price
          |FROM trades GROUP BY symbol""".stripMargin,
+
+    "k9_zorder_roundtrip" -> s"$T,\n${Scale.zorderSql()}",
 
     "b_bucketed_join" ->
       """SELECT c.c_custkey, c.c_name,
@@ -731,6 +735,7 @@ object SparkEntry {
 
     "t_fingerprint" -> TextOps.fingerprintSql,
     "t_pii_redact" -> TextOps.piiRedactSql,
+    "t_vocab_topk" -> TextOps.vocabTopKSql(),
     "t_repetition" -> TextOps.repetitionSql,
     "t_chunking" -> TextOps.chunkDocsSql(),
 

@@ -50,6 +50,74 @@ object Scale {
         min(col("mn")).as("min_price"),
         max(col("mx")).as("max_price"))
 
+  /** Morton (Z-order) key over two dimensions — bit-interleave the low
+    * 16 bits of each, so lexicographic order on the key is a space-
+    * filling curve over (a, b). Pure integer shifts/masks: 32
+    * constant-folded codegen'd terms, reproduced verbatim by the oracle. */
+  private[ops] def zkeyCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Z-order data layout + 2-D pruned read-back — the multi-dimensional
+    * clustering technique for 100 TB serving tables (SURVEY.md §4
+    * "sink-side index"): a table range-partitioned and sorted by a
+    * single dimension prunes only on that dimension; laid out along the
+    * Morton curve of (user, minute), parquet row-group min/max stats
+    * stay tight on BOTH dimensions, so a query boxed in either (or both)
+    * skips most of the file bytes. The write is one range shuffle on
+    * zkey + an in-partition sort — exactly the cost of a single-column
+    * layout; the 2-D selectivity is free after that.
+    *
+    * Returns the rows of a (user-range × time-range) box read back from
+    * the laid-out files, zkey attached, for oracle comparison. */
+  def zorderRoundTrip(spark: SparkSession, trades: DataFrame,
+      uLo: Int = 20, uHi: Int = 60,
+      tLo: String = "2024-01-05 00:00:00",
+      tHi: String = "2024-01-15 00:00:00"): DataFrame = {
+    val out = TradeOps.scratchDir(spark, "zorder")
+    val n = spark.sessionState.conf.numShufflePartitions
+    val keyed = trades.select(col("event_id"), col("user_id"),
+        col("timestamp"), col("price"))
+      .withColumn("minute_bucket",
+        expr("CAST(unix_timestamp(timestamp) div 60 AS BIGINT) % 65536"))
+      .withColumn("zkey",
+        zkeyCol(pmod(col("user_id"), lit(65536L)), col("minute_bucket")))
+    keyed.repartitionByRange(n, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("timestamp") >= lit(tLo).cast("timestamp") &&
+        col("timestamp") < lit(tHi).cast("timestamp"))
+      .select("event_id", "user_id", "timestamp", "price", "zkey")
+  }
+
+  /** Oracle for [[zorderRoundTrip]]: the same interleave arithmetic and
+    * box filter, straight over the source rows (the layout round-trip
+    * must be content-preserving). */
+  def zorderSql(uLo: Int = 20, uHi: Int = 60,
+      tLo: String = "2024-01-05 00:00:00",
+      tHi: String = "2024-01-15 00:00:00"): String = {
+    val terms = (0 until 16).map { i =>
+      s"(((u >> $i) & 1) * ${1L << (2 * i)} + ((mb >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+    s"""k AS (
+       |  SELECT event_id, user_id, "timestamp", price,
+       |         user_id % 65536 AS u,
+       |         CAST(floor(epoch("timestamp")) AS BIGINT) // 60 % 65536 AS mb
+       |  FROM trades
+       |)
+       |SELECT event_id, user_id, "timestamp", price,
+       |       CAST($terms AS BIGINT) AS zkey
+       |FROM k
+       |WHERE user_id BETWEEN $uLo AND $uHi
+       |  AND "timestamp" >= TIMESTAMP '$tLo'
+       |  AND "timestamp" < TIMESTAMP '$tHi'""".stripMargin
+  }
+
   /** Bucketed co-located join: persist both sides bucketed + sorted on
     * the join key, then join — the exchange disappears from the plan
     * (`SortMergeJoin` over `FileScan ... SelectedBucketsCount`), which

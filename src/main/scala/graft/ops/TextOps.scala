@@ -410,6 +410,45 @@ object TextOps {
        |  md5(red) AS redacted_md5
        |FROM r""".stripMargin
 
+  /** Vocabulary induction — the corpus-global token frequency table a
+    * tokenizer build starts from: explode tokens, count, keep the top-k
+    * by (count desc, token) with dense rank. ONE shuffle, map-side
+    * combined (partial counts merge before the exchange), then a tiny
+    * top-k over |vocab| rows — the word-count shape that holds at any
+    * corpus size. Document frequency rides along (distinct doc count
+    * per token) for downstream IDF/filtering. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame = {
+    val tokens = withWords(docs)
+      // explode_outer: InferFiltersFromGenerate re-inlining trap (see
+      // [[contamination]]); empty docs yield a null token dropped below
+      .select(col("doc_id"), explode_outer(col("words")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+    val counts = tokens.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    // orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    // partial top-k merged at the driver, NOT a single-task global sort
+    // (a row_number window over the full vocab would funnel billions of
+    // distinct tokens through one task at corpus scale); the rank window
+    // then runs over just the k survivors.
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    counts.orderBy(col("tf").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(byFreq))
+      .select(col("rank"), col("token"), col("tf"), col("df"))
+  }
+
+  def vocabTopKSql(k: Int = 100): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), c AS (
+       |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM t WHERE token IS NOT NULL AND token != ''
+       |  GROUP BY 1
+       |)
+       |SELECT rank, token, tf, df FROM (
+       |  SELECT *, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM c
+       |) WHERE rank <= $k""".stripMargin
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the same langWords constants.
   // ------------------------------------------------------------------
