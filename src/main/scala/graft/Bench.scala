@@ -57,7 +57,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the complete per-query JSON: the driver's captured
+    // stdout tail has truncated mid-object before (BENCH_r05), hiding
+    // per-query rows from round-over-round comparison.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

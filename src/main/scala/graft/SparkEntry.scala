@@ -93,6 +93,10 @@ object SparkEntry {
     "q19_branded_revenue" -> ((s, dir) => Relational.brandedRevenue(s, dir)),
     "q21_sole_returning_supplier" -> ((s, dir) => Relational.soleReturningSupplier(s, dir)),
     "q22_idle_balance" -> ((s, dir) => Relational.idleCustomerBalance(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => Relational.minCostSupplier(s, dir)),
+    "q11_important_stock" -> ((s, dir) => Relational.importantStockValue(s, dir)),
+    "q16_supplier_count" -> ((s, dir) => Relational.supplierCountByPart(s, dir)),
+    "q20_excess_stock" -> ((s, dir) => Relational.excessStockSuppliers(s, dir)),
     "a_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "a_approx_distinct" -> ((s, dir) => Relational.approxDistinctChecked(s, dir)),
     "w_order_ranks" -> ((s, dir) => Relational.orderRanks(s, dir)),
@@ -588,14 +592,80 @@ object SparkEntry {
 
     "q12_priority_lines" ->
       """SELECT l_linestatus,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |                THEN 1 ELSE 0 END) AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |                THEN 0 ELSE 1 END) AS low_line_count
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       ps_supplycost AS supply_cost
+        |FROM part, supplier, ps, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH vals AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS value_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY 1
+        |)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM vals
+        |WHERE value_dec > (SELECT sum(value_dec) FROM vals) * 0.001""".stripMargin,
+
+    "q16_supplier_count" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem
+        |)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q20_excess_stock" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |               THEN CAST(l_quantity AS DECIMAL(18,6))
+        |               ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |         > sum(CAST(l_quantity AS DECIMAL(18,6))) * 0.5)""".stripMargin,
 
     "q13_order_distribution" ->
       """WITH c AS (

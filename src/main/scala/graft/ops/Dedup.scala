@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline tier
@@ -255,34 +255,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Bands × bits-per-band layout of the embedding near-dup blocking:
+    * one [[graft.functions.HyperplaneLshBits]] pass yields
+    * `embDupBands·embDupBandBits` sign bits; band b's key is its
+    * `embDupBandBits`-bit slice. */
+  val embDupBands: Int = 2
+  val embDupBandBits: Int = 8
+
   /** Embedding-cosine near-duplicate pairs (SURVEY.md §7.5), blocked on
-    * the `label` column (the embedding analog of the lang/source buckets
-    * above; at corpus scale the blocking key would be an LSH bucket, as
-    * in [[Similarity.annLsh]]). The dot product is the codegen'd
+    * banded hyperplane-LSH buckets — the same candidate-generation
+    * structure as [[minhashPairs]] (a pair is a candidate iff SOME band's
+    * bit-slice matches; emitted only from its FIRST matching band, so no
+    * pair-level dedup shuffle), with the exact double-precision cosine
+    * as the final filter. Both sides shuffle on the (band, key) bucket —
+    * there is NO O(corpus) broadcast side (the former `label` blocking
+    * broadcast the whole corpus), and bucket count scales as
+    * bands · 2^bits, so parallelism is key-driven at any corpus size;
+    * AQE splits skewed buckets. The dot product is the codegen'd
     * [[graft.functions.DotProduct]] expression; floats are upcast to
-    * double before any arithmetic so the oracle can reproduce results
-    * exactly (DuckDB's own list_cosine_similarity accumulates in float
-    * and drifts ~1e-8 — the oracle spells out per-element double math
-    * instead). */
+    * double before any arithmetic so the oracle reproduces results
+    * exactly. LSH recall is band-probabilistic by design (near-identical
+    * vectors collide with high probability; the oracle mirrors the same
+    * buckets, so the comparison is exact regardless). */
   def embeddingDup(spark: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     graft.functions.VectorOps.register(spark)
+    val totalBits = embDupBands * embDupBandBits
+    val mask = (1 << embDupBandBits) - 1
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("norm", sqrt(expr("dot_product(v, v)")))
-    val l = emb.select(col("label"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("norm").as("na"))
-    val r = emb.select(col("label"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("norm").as("nb"))
-    // same explosive-join treatment as simhashPairs: round-robin probe,
-    // broadcast build (10-value label key would cap parallelism at 10)
-    val n = spark.sessionState.conf.numShufflePartitions
-    l.repartition(n).join(broadcast(r), Seq("label"))
+      .withColumn("bkt", expr(s"lsh_bits(v, $totalBits)"))
+    def banded(df: DataFrame) = df.withColumn("bk",
+      explode(array((0 until embDupBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bkt"), b * embDupBandBits)
+            .bitwiseAND(lit(mask)).as("key"))
+      }: _*)))
+      .select(col("vec_id"), col("v"), col("norm"), col("bkt"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded(emb).select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"),
+      col("bkt").as("ba"))
+    val r = banded(emb).select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"),
+      col("bkt").as("bb"))
+    // first matching band of the pair — joined rows satisfy band's slice
+    // equality already, so firstMatch ≤ band and the == test emits each
+    // pair exactly once
+    val firstMatch = (0 until embDupBands).foldRight(lit(-1): Column) {
+      case (b, els) =>
+        when(shiftright(col("ba"), b * embDupBandBits).bitwiseAND(lit(mask)) ===
+          shiftright(col("bb"), b * embDupBandBits).bitwiseAND(lit(mask)),
+          lit(b)).otherwise(els)
+    }
+    l.join(r, Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(col("band") === firstMatch)
       .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
       .filter(round(col("cos"), 6) >= threshold)
-      .select(col("label"), col("vec_a"), col("vec_b"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Jaccard-estimate cutoff above which a MinHash candidate pair is an
@@ -358,21 +390,50 @@ object Dedup {
         col("cluster_size"))
   }
 
-  val embeddingDupSql: String =
-    """WITH e AS (
-      |  SELECT vec_id, label, embedding FROM embeddings
-      |), p AS (
-      |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |    list_sum(list_transform(generate_series(1, len(a.embedding)),
-      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-      |    (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
-      |      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-      |     sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
-      |      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |)
-      |SELECT label, vec_a, vec_b, round(cos, 6) AS cos_sim
-      |FROM p WHERE round(cos, 6) >= 0.4""".stripMargin
+  /** Oracle for [[embeddingDup]]: the identical 16 hyperplane sign bits
+    * (the [[graft.functions.HyperplaneLshBits]] formula, same as
+    * [[Similarity.annLshSql]] — proven bit-compatible), the same banded
+    * keys, the same first-matching-band emission, the same exact-double
+    * cosine. */
+  val embeddingDupSql: String = {
+    val totalBits = embDupBands * embDupBandBits
+    val mask = (1 << embDupBandBits) - 1
+    val dim = 64
+    val bits = (0 until totalBits).map { j =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $dim),
+         |  i -> v[i] * (CASE WHEN ((i - 1) * 1315423911 + $j * 2654435761) % 2 = 0
+         |               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) > 0.0::DOUBLE
+         |  THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n      ")
+    val firstMatch = (0 until embDupBands).reverse
+      .foldLeft("-1") { (els, b) =>
+        s"CASE WHEN ((ba >> ${b * embDupBandBits}) & $mask) = " +
+          s"((bb >> ${b * embDupBandBits}) & $mask) THEN $b ELSE $els END"
+      }
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), h AS (
+       |  SELECT vec_id, v, nrm,
+       |      $bits AS bkt
+       |  FROM n
+       |), b AS (
+       |  SELECT vec_id, v, nrm, bkt, bands.band,
+       |         (bkt >> (bands.band * $embDupBandBits)) & $mask AS key
+       |  FROM h, (SELECT unnest(generate_series(0, ${embDupBands - 1})) AS band) bands
+       |), p AS (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.band,
+       |         a.bkt AS ba, b2.bkt AS bb,
+       |         list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS cos
+       |  FROM b a JOIN b b2
+       |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+       |)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+       |FROM p
+       |WHERE band = ($firstMatch)
+       |  AND round(cos, 6) >= 0.4""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the SAME constants as the Spark

@@ -47,26 +47,33 @@ object Similarity {
     * only the `nProbe` cells nearest the query — the standard
     * coarse-quantizer ANN layout.
     *
-    * Centroids here are the first `nCells` vectors (a deterministic
-    * stand-in for a k-means pass, which would just change the numbers in
-    * the tiny centroid table). They are collected to the driver and
-    * inlined as literal arrays, so cell assignment is a pure per-row
-    * projection over codegen'd [[graft.functions.DotProduct]] calls —
-    * NO shuffle and no join to build the index; this is exactly how a
-    * production IVF ships its coarse quantizer (centroids ride along
-    * with the task binary, candidates are streamed once). The probe-side
-    * join broadcasts `nQueries × nProbe` rows, so the only shuffle in
-    * the whole plan is the final per-query top-k over within-cell
-    * candidates — the fraction the probe selected, not the corpus. */
+    * Centroids are k-means-trained ([[trainKmeans]] — `trainIters` Lloyd
+    * passes seeded from the first `nCells` vectors), then collected to
+    * the driver and inlined as literal arrays, so cell assignment is a
+    * pure per-row projection over codegen'd
+    * [[graft.functions.DotProduct]] calls — NO shuffle and no join to
+    * build the index; this is exactly how a production IVF ships its
+    * coarse quantizer (centroids ride along with the task binary,
+    * candidates are streamed once). Empty cells drop during training, so
+    * cell ids are POSITIONS in the surviving ascending-cell-id list (the
+    * oracle re-indexes the same way). The probe-side join broadcasts
+    * `nQueries × nProbe` rows, so the only shuffle in the whole plan is
+    * the final per-query top-k over within-cell candidates — the
+    * fraction the probe selected, not the corpus. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
     VectorOps.register(spark)
     val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("norm"))
-    val cents = emb.filter(col("vec_id") < nCells).orderBy("vec_id")
-      .collect()
-      .map(r => (r.getSeq[Double](r.fieldIndex("v")).toIndexedSeq,
-        r.getAs[Double]("norm")))
+    val dim = emb.select(size(col("v"))).head.getInt(0)
+    // centroid norms via the same left-to-right product sum as the
+    // codegen'd dot_product / DuckDB's list_dot_product — bit-identical
+    val cents = trainKmeans(emb, nCells, trainIters, dim)
+      .map { case (_, c) =>
+        (c, math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+    val nLive = cents.length
     // sims[j] = cos(row, centroid_j); literal centroid arrays keep each
     // dot product a codegen'd tight loop over the row's vector
     val sims = array(cents.map { case (cv, cn) =>
@@ -92,7 +99,7 @@ object Similarity {
     // struct sort is (sim asc, -cell asc); reversed = sim desc, cell asc)
     val probeCells = expr(
       s"transform(slice(reverse(array_sort(zip_with(sims, " +
-        s"sequence(0, ${nCells - 1}), (s, c) -> struct(s AS sim, -c AS negc)))), " +
+        s"sequence(0, ${nLive - 1}), (s, c) -> struct(s AS sim, -c AS negc)))), " +
         s"1, $nProbe), x -> CAST(-x.negc AS INT))")
     val probes = emb.filter(col("vec_id") < nQueries)
       .withColumn("sims", sims)
@@ -110,15 +117,18 @@ object Similarity {
 
   /** Oracle for [[annIvf]]: identical cell assignment / probe / re-rank
     * semantics spelled out relationally (row_number argmax instead of
-    * the inlined-literal projection). */
+    * the inlined-literal projection), with the centroid table coming
+    * from the same unrolled k-means chain as [[kmeansSql]] — surviving
+    * cells re-indexed by position, exactly as the Scala side does. */
   def annIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
-      nProbe: Int = 4): String =
-    s"""WITH n AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings
+      nProbe: Int = 4, trainIters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${kmeansChain(nCells, trainIters, dim)},
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
        |), cent AS (
-       |  SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n WHERE vec_id < $nCells
+       |  SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS cell,
+       |         cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |  FROM cb$trainIters
        |), scored AS (
        |  SELECT n.vec_id, n.v, n.nrm, c.cell,
        |         row_number() OVER (PARTITION BY n.vec_id
@@ -235,35 +245,36 @@ object Similarity {
     * pack the `m` 4-bit codes into one integer. 64-dim float32 → 8
     * bytes per vector at m=8/k=16.
     *
-    * Codebooks here are the subvectors of the first `k` corpus vectors
-    * (the same deterministic k-means stand-in as [[annIvf]]'s
-    * centroids), collected once (tiny) and inlined as literals — code
-    * assignment is a pure shuffle-free per-row projection, exactly how
-    * a production PQ encoder ships its codebooks with the task binary.
-    * argmin uses ||c||² − 2·⟨v_s, c⟩ (rank-equivalent to L2) with
-    * first-index tie-break, reproduced verbatim by the oracle. The
+    * Codebooks are the subvectors of k-means-trained centroids
+    * ([[trainKmeans]], the same training [[annIvf]] uses — position-
+    * indexed over surviving cells), collected once (tiny) and inlined as
+    * literals — code assignment is a pure shuffle-free per-row
+    * projection, exactly how a production PQ encoder ships its codebooks
+    * with the task binary. argmin uses ||c||² − 2·⟨v_s, c⟩
+    * (rank-equivalent to L2) with first-index tie-break, reproduced
+    * verbatim by the oracle. The code-packing radix stays `k` regardless
+    * of how many centroids survive (positions < survivors ≤ k). The
     * reconstruction-error digest rides along unrounded — every input
     * double is bit-identical cross-engine, and the fixed-association
     * 8-term sum stays that way. */
   def pqCodes(spark: SparkSession, dir: String, m: Int = 8,
-      k: Int = 16): DataFrame = {
+      k: Int = 16, trainIters: Int = 2): DataFrame = {
     VectorOps.register(spark)
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
     val dim = emb.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
     val sub = dim / m
-    // codebook: k × m subvectors of the first k vectors (driver-side,
-    // k·dim doubles — tiny, the justified collect of a quantizer build)
-    val cb: Array[IndexedSeq[Double]] = emb.filter(col("vec_id") < k)
-      .orderBy("vec_id").select("v").collect()
-      .map(_.getSeq[Double](0).toIndexedSeq)
+    // codebook: m subvectors of each trained centroid (driver-side,
+    // ≤k·dim doubles — tiny, the justified collect of a quantizer build)
+    val cb: IndexedSeq[IndexedSeq[Double]] =
+      trainKmeans(emb, k, trainIters, dim).map(_._2)
     def centLit(ci: Int, s: Int) =
       array(cb(ci).slice(s * sub, (s + 1) * sub).map(lit): _*)
     // per subspace s: scores[ci] = ⟨c,c⟩ − 2⟨v_s,c⟩ (both via the same
     // codegen'd dot_product the oracle mirrors with list_dot_product —
     // proven bit-compatible by the ANN oracles); argmin = first min
-    def scoreCol(s: Int) = array((0 until k).map { ci =>
+    def scoreCol(s: Int) = array(cb.indices.map { ci =>
       call_function("dot_product", centLit(ci, s), centLit(ci, s)) -
         lit(2.0) * call_function("dot_product",
           slice(col("v"), s * sub + 1, sub), centLit(ci, s))
@@ -279,20 +290,24 @@ object Similarity {
     scored.select(col("vec_id"), code.as("pq_code"), err.as("pq_score_sum"))
   }
 
-  def pqCodesSql(m: Int = 8, k: Int = 16, dim: Int = 64): String = {
+  def pqCodesSql(m: Int = 8, k: Int = 16, dim: Int = 64,
+      trainIters: Int = 2): String = {
     val sub = dim / m
     def sl(x: String) = s"$x[s.s * $sub + 1 : (s.s + 1) * $sub]"
     // engine-matching association: the error sum is spelled as the same
     // left-to-right chain of the m per-subspace minima
     val errSum = (0 until m)
       .map(s => s"max(CASE WHEN s = $s THEN score END)").mkString(" + ")
+    // ci is INT32 (row_number position); the radix factors reach 16⁷, so
+    // pack in BIGINT
     val codeSum = (0 until m)
-      .map(s => s"max(CASE WHEN s = $s THEN ci END) * ${BigInt(k).pow(s).toLong}")
+      .map(s => s"CAST(max(CASE WHEN s = $s THEN ci END) AS BIGINT)" +
+        s" * ${BigInt(k).pow(s).toLong}")
       .mkString(" + ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), cb AS (
-       |  SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < $k
+    s"""WITH ${kmeansChain(k, trainIters, dim)},
+       |cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS ci, cv
+       |  FROM cb$trainIters
        |), scored AS (
        |  SELECT e.vec_id, s.s, cb.ci,
        |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
@@ -343,35 +358,63 @@ object Similarity {
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
     val dim = emb.select(size(col("v"))).head.getInt(0)
+    val cents = trainKmeans(emb, k, iters, dim)
 
+    // integer-only digest: per-cell size, exact id sum, and the centroid
+    // picounit sum (recovered exactly from the held double components)
+    val picoSum = cents.map { case (cell, c) =>
+      (cell, c.map(x => Math.round(x * 1e12)).sum)
+    }
+    val picoCol = picoSum.foldRight(lit(0L)) { case ((cell, p), els) =>
+      when(col("cell") === cell, lit(p)).otherwise(els)
+    }
+    assignCells(emb, cents).groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("id_sum"))
+      .withColumn("centroid_picosum", picoCol)
+  }
+
+  /** argmin_c ||v - c||² via ||c||² − 2⟨v,c⟩ over literal centroid
+    * arrays; first-min tie-breaks to the lowest cell id. Pure codegen'd
+    * per-row projection — nothing shuffled to assign. */
+  private def assignCells(emb: DataFrame,
+      cents: IndexedSeq[(Int, IndexedSeq[Double])]): DataFrame = {
+    val scores = array(cents.map { case (_, c) =>
+      val cl = array(c.map(lit): _*)
+      call_function("dot_product", cl, cl) -
+        lit(2.0) * call_function("dot_product", col("v"), cl)
+    }: _*)
+    val cellId = (array_position(col("scores"), array_min(col("scores"))) - 1)
+      .cast("int")
+    val idToCell = cents.map(_._1).zipWithIndex
+      .foldRight(lit(-1)) { case ((cell, i), els) =>
+        when(cellId === i, lit(cell)).otherwise(els)
+      }
+    emb.withColumn("scores", scores).withColumn("cell", idToCell)
+      .drop("scores")
+  }
+
+  /** The Lloyd training loop of [[kmeansCentroids]], factored out so
+    * [[annIvf]] and [[pqCodes]]/[[pqAdc]] can train their quantizers for
+    * real instead of the former first-k stand-ins. Returns (cellId,
+    * centroid) ascending by cellId; empty cells drop out, so callers
+    * index surviving centroids by POSITION (the oracles mirror this with
+    * `row_number() OVER (ORDER BY cell) - 1`). Each iteration is one
+    * distributed partial+final aggregate; only k rows reach the driver
+    * per iteration. Centroid components are exact floor-divided
+    * picounits, so they are bit-identical cross-engine (see
+    * [[kmeansCentroids]]). */
+  private[ops] def trainKmeans(emb: DataFrame, k: Int, iters: Int,
+      dim: Int): IndexedSeq[(Int, IndexedSeq[Double])] = {
     // (cellId, centroid) pairs, ascending cellId; init = first k vectors
     var cents: IndexedSeq[(Int, IndexedSeq[Double])] =
       emb.filter(col("vec_id") < k).orderBy("vec_id").select("v").collect()
         .toIndexedSeq.map(_.getSeq[Double](0).toIndexedSeq).zipWithIndex
         .map { case (v, i) => (i, v) }
-
-    // argmin_c ||v - c||² via ||c||² − 2⟨v,c⟩; first-min = lowest cell id
-    def assigned(): DataFrame = {
-      val scores = array(cents.map { case (_, c) =>
-        val cl = array(c.map(lit): _*)
-        call_function("dot_product", cl, cl) -
-          lit(2.0) * call_function("dot_product", col("v"), cl)
-      }: _*)
-      val cellId = (array_position(col("scores"), array_min(col("scores"))) - 1)
-        .cast("int")
-      val idToCell = cents.map(_._1).zipWithIndex
-        .foldRight(lit(-1)) { case ((cell, i), els) =>
-          when(cellId === i, lit(cell)).otherwise(els)
-        }
-      emb.withColumn("scores", scores).withColumn("cell", idToCell)
-        .drop("scores")
-    }
-
     for (_ <- 1 to iters) {
       val dimSums = (0 until dim).map(i =>
         sum(floor(element_at(col("v"), i + 1) * lit(1e12) + lit(0.5))
           .cast("long")).as(s"s$i"))
-      val upd = assigned().groupBy("cell")
+      val upd = assignCells(emb, cents).groupBy("cell")
         .agg(count(lit(1)).as("n"), dimSums: _*)
         .orderBy("cell").collect()
       cents = upd.toIndexedSeq.map { r =>
@@ -382,66 +425,66 @@ object Similarity {
         (r.getAs[Int]("cell"), c)
       }
     }
+    cents
+  }
 
-    // integer-only digest: per-cell size, exact id sum, and the centroid
-    // picounit sum (recovered exactly from the held double components)
-    val picoSum = cents.map { case (cell, c) =>
-      (cell, c.map(x => Math.round(x * 1e12)).sum)
-    }
-    val picoCol = picoSum.foldRight(lit(0L)) { case ((cell, p), els) =>
-      when(col("cell") === cell, lit(p)).otherwise(els)
-    }
-    assigned().groupBy("cell")
-      .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("id_sum"))
-      .withColumn("centroid_picosum", picoCol)
+  /** L2-argmin assignment CTE over codebook `cb` — row rc=1 is the
+    * owning cell (lowest-cell tie-break). Shared by the kmeans chain and
+    * its consumers. */
+  private def kmAssignCte(cb: String, tag: String) =
+    s"""a$tag AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_dot_product(c.cv, c.cv)
+       |             - 2.0::DOUBLE * list_dot_product(e.v, c.cv),
+       |           c.cell) AS rc
+       |  FROM e CROSS JOIN $cb c
+       |)""".stripMargin
+
+  private def kmUpdCte(tag: String, dim: Int) =
+    s"""u$tag AS (
+       |  SELECT cell, d.i,
+       |         count(*) AS n,
+       |         CAST(sum(CAST(floor(v[d.i] * 1e12 + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS s
+       |  FROM a$tag, (SELECT unnest(generate_series(1, $dim)) AS i) d
+       |  WHERE rc = 1
+       |  GROUP BY 1, 2
+       |), cb$tag AS (
+       |  SELECT cell,
+       |         list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) * 1e-12
+       |              ORDER BY i) AS cv,
+       |         CAST(sum(CAST((s - ((s % n) + n) % n) / n AS BIGINT)) AS BIGINT) AS picosum
+       |  FROM u$tag GROUP BY cell
+       |)""".stripMargin
+
+  /** WITH-clause fragment `e, cb0, a1, u1, cb1, …, cb<iters>` — the
+    * unrolled [[trainKmeans]] loop the kmeans/IVF/PQ oracles all build
+    * on. `cb<iters>` holds the trained (cell, cv, picosum) rows. */
+  private def kmeansChain(k: Int, iters: Int, dim: Int): String = {
+    val loop = (1 to iters).map { it =>
+      val prev = if (it == 1) "cb0" else s"cb${it - 1}"
+      s"${kmAssignCte(prev, it.toString)},\n${kmUpdCte(it.toString, dim)}"
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), cb0 AS (
+       |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k
+       |),
+       |$loop""".stripMargin
   }
 
   /** Oracle for [[kmeansCentroids]]: the same init / assign / quantized
     * update loop unrolled as CTEs (one assign+update pair per
     * iteration), ending in the integer digest. */
-  def kmeansSql(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
-    def assignCte(cb: String, tag: String) =
-      s"""a$tag AS (
-         |  SELECT e.vec_id, e.v, c.cell,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |           list_dot_product(c.cv, c.cv)
-         |             - 2.0::DOUBLE * list_dot_product(e.v, c.cv),
-         |           c.cell) AS rc
-         |  FROM e CROSS JOIN $cb c
-         |)""".stripMargin
-    def updCte(tag: String) =
-      s"""u$tag AS (
-         |  SELECT cell, d.i,
-         |         count(*) AS n,
-         |         CAST(sum(CAST(floor(v[d.i] * 1e12 + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS s
-         |  FROM a$tag, (SELECT unnest(generate_series(1, $dim)) AS i) d
-         |  WHERE rc = 1
-         |  GROUP BY 1, 2
-         |), cb$tag AS (
-         |  SELECT cell,
-         |         list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) * 1e-12
-         |              ORDER BY i) AS cv,
-         |         CAST(sum(CAST((s - ((s % n) + n) % n) / n AS BIGINT)) AS BIGINT) AS picosum
-         |  FROM u$tag GROUP BY cell
-         |)""".stripMargin
-    val loop = (1 to iters).map { it =>
-      val prev = if (it == 1) "cb0" else s"cb${it - 1}"
-      s"${assignCte(prev, it.toString)},\n${updCte(it.toString)}"
-    }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), cb0 AS (
-       |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k
-       |),
-       |$loop,
-       |${assignCte(s"cb$iters", "F")}
+  def kmeansSql(k: Int = 8, iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${kmeansChain(k, iters, dim)},
+       |${kmAssignCte(s"cb$iters", "F")}
        |SELECT a.cell, count(*) AS n_points,
        |       CAST(sum(a.vec_id) AS BIGINT) AS id_sum,
        |       max(c.picosum) AS centroid_picosum
        |FROM aF a JOIN cb$iters c ON c.cell = a.cell
        |WHERE a.rc = 1
        |GROUP BY a.cell""".stripMargin
-  }
 
   /** PQ asymmetric-distance (ADC) top-k search — the query path of an
     * IVF-PQ index over the [[pqCodes]] layout: each query builds an
@@ -457,21 +500,23 @@ object Similarity {
     * chain, mirrored verbatim by the oracle, so the doubles compare
     * bit-exactly cross-engine. */
   def pqAdc(spark: SparkSession, dir: String, nQueries: Int = 10,
-      kNn: Int = 5, m: Int = 8, k: Int = 16): DataFrame = {
+      kNn: Int = 5, m: Int = 8, k: Int = 16,
+      trainIters: Int = 2): DataFrame = {
     VectorOps.register(spark)
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
     val dim = emb.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
     val sub = dim / m
-    val cb: Array[IndexedSeq[Double]] = emb.filter(col("vec_id") < k)
-      .orderBy("vec_id").select("v").collect()
-      .map(_.getSeq[Double](0).toIndexedSeq)
+    // same trained codebook as [[pqCodes]] (deterministic, so the two
+    // queries' codes agree without sharing state)
+    val cb: IndexedSeq[IndexedSeq[Double]] =
+      trainKmeans(emb, k, trainIters, dim).map(_._2)
     def centLit(ci: Int, s: Int) =
       array(cb(ci).slice(s * sub, (s + 1) * sub).map(lit): _*)
     // candidate codes: same argmin-per-subspace projection as pqCodes
     def scoreCol(vc: org.apache.spark.sql.Column, s: Int) =
-      array((0 until k).map { ci =>
+      array(cb.indices.map { ci =>
         call_function("dot_product", centLit(ci, s), centLit(ci, s)) -
           lit(2.0) * call_function("dot_product",
             slice(vc, s * sub + 1, sub), centLit(ci, s))
@@ -502,15 +547,15 @@ object Similarity {
     * via the same score formula on the query subvectors, ADC spelled as
     * the identical fixed-order m-term chain. */
   def pqAdcSql(nQueries: Int = 10, kNn: Int = 5, m: Int = 8, k: Int = 16,
-      dim: Int = 64): String = {
+      dim: Int = 64, trainIters: Int = 2): String = {
     val sub = dim / m
     def sl(x: String) = s"$x[s.s * $sub + 1 : (s.s + 1) * $sub]"
     val adcChain = (0 until m)
       .map(s => s"max(CASE WHEN c.s = $s THEN lv END)").mkString(" + ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), cb AS (
-       |  SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < $k
+    s"""WITH ${kmeansChain(k, trainIters, dim)},
+       |cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS ci, cv
+       |  FROM cb$trainIters
        |), scored AS (
        |  SELECT e.vec_id, s.s, cb.ci,
        |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
