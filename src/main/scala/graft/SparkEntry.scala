@@ -51,6 +51,7 @@ object SparkEntry {
     "a_grouping_sets" -> ((s, dir) => Relational.groupingSetsSummary(s, dir)),
     "t_normalize" -> ((s, dir) => TextOps.normalize(Tables.load(s, dir, "documents"))),
     "t_stratified_sample" -> ((s, dir) => TextOps.stratifiedSample(Tables.load(s, dir, "documents"))),
+    "t_pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.load(s, dir, "documents"))),
     "v_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
     "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
@@ -216,6 +217,7 @@ object SparkEntry {
 
     "t_normalize" -> TextOps.normalizeSql,
     "t_stratified_sample" -> TextOps.stratifiedSampleSql(),
+    "t_pack_sequences" -> TextOps.packSequencesSql(),
     "v_quantize_int8" -> Similarity.quantizeInt8Sql,
 
     "a10_quantiles" ->

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Test-visible instrumentation: whether the most recent
+    * [[connectedComponents]] call on this thread took the bounded
+    * driver-finish branch. Lets the spec PROVE the `localFinishEdges=0`
+    * run exercised the pure distributed loop (equal labels alone can't
+    * tell which path produced them). */
+  private[graft] val lastCallUsedDriverFinish: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   /** Collect the RDDs backing a (possibly projected) checkpointed DF. */
   private def backingRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collect {
@@ -86,6 +94,7 @@ object Graph {
     // this call allocates and unpersist everything except the RDDs the
     // RETURNED labels rest on — those must stay, their lineage is
     // truncated.
+    lastCallUsedDriverFinish.set(java.lang.Boolean.FALSE)
     val allocated = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     def ckpt(df: DataFrame): DataFrame = {
@@ -104,6 +113,7 @@ object Graph {
       // bounded driver finish: edges is checkpointed, so the count is a
       // scan of materialized partitions, not a recompute
       if (localFinishEdges > 0 && edges.count() <= localFinishEdges) {
+        lastCallUsedDriverFinish.set(java.lang.Boolean.TRUE)
         val spark = vertices.sparkSession
         import spark.implicits._
         val collected = edges.select(col("src").cast("long"),

@@ -95,8 +95,10 @@ object Predict {
 
   /** Per-symbol min/max of every feature — the fitted scaler
     * (`predict_btc.py:40-50` fits MinMaxScaler over the features).
-    * Tiny aggregate; broadcast at the join. */
-  private def scalerStats(bars: DataFrame): DataFrame =
+    * Tiny aggregate; broadcast at the join. `private[graft]` so
+    * [[graft.streaming.StreamingJob.runPredict]] can fit the scaler
+    * offline the way predict_btc.py loads its fitted scaler. */
+  private[graft] def scalerStats(bars: DataFrame): DataFrame =
     bars.groupBy("symbol").agg(
       min(col("close")).as("mn_close"), max(col("close")).as("mx_close"),
       min(col("high")).as("mn_high"), max(col("high")).as("mx_high"),

@@ -506,4 +506,89 @@ object TextOps {
     s"""WITH $qualityCte
        |SELECT doc_id, n_chars, n_tokens, uniq_ratio, stop_ratio, quality
        |FROM q""".stripMargin
+
+  /** Sequence-packing parameters: training-sequence token capacity and
+    * the deterministic shard count (`doc_id % packShards`). Shared with
+    * the oracle so the two greedy replays can never drift. */
+  val packCapacity: Int = 512
+  val packShards: Int = 8
+
+  /** Sequence packing — the pre-training step that concatenates
+    * documents into fixed-capacity training sequences: greedy
+    * first-fit-in-order within deterministic shards (shard =
+    * `doc_id % packShards`, docs packed in doc_id order; a doc opens a
+    * new sequence when it would overflow `capacity`; token counts are
+    * truncated to capacity so every doc fits SOME sequence). One row per
+    * packed sequence, with first/last doc ids proving the packing order.
+    *
+    * Scale posture: packing is inherently sequential WITHIN a shard
+    * (order defines the result), so the shard is the parallel unit —
+    * `groupByKey(shard).flatMapGroups` holds only (doc_id, tok) pairs
+    * (16 bytes/doc), and shard count scales with the corpus (at 10B
+    * docs, 100k shards ≈ 100k docs = 1.6 MB per task). One shuffle on
+    * the shard key; the token counting stays in the scan projection.
+    * flatMapGroups (not an Expression) is the honest tier here — the
+    * fold's carry state (used, seq) crosses row boundaries, which no
+    * per-row projection can express. The oracle replays the identical
+    * greedy fold as a recursive CTE. */
+  def packSequences(docs: DataFrame, capacity: Int = packCapacity,
+      nShards: Int = packShards): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("doc_id"),
+        least(size(split(col("text"), " ")).cast("long"),
+          lit(capacity.toLong)).as("tok"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val ds = it.map { case (_, id, tok) => (id, tok) }.toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        var seq = 0L; var used = 0L; var nDocs = 0L
+        var first = -1L; var last = -1L
+        def close(): Unit =
+          if (nDocs > 0) out += ((shard, seq, nDocs, used, first, last))
+        ds.foreach { case (id, tok) =>
+          if (used + tok > capacity) {
+            close(); seq += 1; used = 0L; nDocs = 0L
+          }
+          if (nDocs == 0) first = id
+          used += tok; nDocs += 1; last = id
+        }
+        close()
+        out.iterator
+      }
+      .toDF("shard", "seq_id", "n_docs", "tokens", "first_doc", "last_doc")
+  }
+
+  /** Oracle for [[packSequences]]: the same greedy fold as a recursive
+    * CTE stepping rn → rn+1 per shard (recursion depth = max docs per
+    * shard). Sums cast to BIGINT (DuckDB sum is HUGEINT). */
+  def packSequencesSql(capacity: Int = packCapacity,
+      nShards: Int = packShards): String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id % $nShards AS shard, doc_id,
+       |         least(CAST(len(string_split(text, ' ')) AS BIGINT),
+       |               $capacity) AS tok,
+       |         row_number() OVER (PARTITION BY doc_id % $nShards
+       |                            ORDER BY doc_id) AS rn
+       |  FROM documents
+       |), r AS (
+       |  SELECT shard, doc_id, tok, rn, tok AS used, CAST(0 AS BIGINT) AS seq
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.doc_id, d.tok, d.rn,
+       |         CASE WHEN r.used + d.tok > $capacity THEN d.tok
+       |              ELSE r.used + d.tok END,
+       |         CASE WHEN r.used + d.tok > $capacity THEN r.seq + 1
+       |              ELSE r.seq END
+       |  FROM d JOIN r ON d.shard = r.shard AND d.rn = r.rn + 1
+       |)
+       |SELECT shard, seq AS seq_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM r GROUP BY 1, 2""".stripMargin
 }

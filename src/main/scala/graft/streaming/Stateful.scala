@@ -202,4 +202,46 @@ object Stateful {
           out.iterator
       }
   }
+
+  /** One OHLC feature bar — the message the prediction consumer reads
+    * off the features topic (reference `BtcPrediction/kafka.py:30-41`).
+    * Field names match the matrix-struct fields
+    * [[graft.ops.Predict.linearScorer]] scores. */
+  case class BarEvent(symbol: String, ts: java.sql.Timestamp,
+      close: Double, high: Double, low: Double,
+      usd: Double, vol: Double, nt: Double)
+
+  case class BarRow(close: Double, high: Double, low: Double,
+      usd: Double, vol: Double, nt: Double)
+
+  case class BarMatrix(symbol: String, ts: java.sql.Timestamp,
+      matrix: Seq[BarRow])
+
+  /** The prediction consumer's buffer over FEATURE BARS
+    * (`kafka.py:42-57` buffers the decoded feature messages, not raw
+    * trades): last `n` bars per symbol, drop-oldest, full-buffer
+    * oldest-first emission once warm — the streaming form of
+    * [[graft.ops.Predict.lookbackMatrix]]'s window. Emitted matrices
+    * feed [[graft.ops.Predict.linearScorer]] directly (same struct
+    * field names), which is how [[StreamingJob.runPredict]] composes the
+    * T14 buffer with the K7 writeback. */
+  def barLookback(spark: SparkSession, ds: Dataset[BarEvent],
+      n: Int = 100): Dataset[BarMatrix] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, events: Iterator[BarEvent],
+            state: GroupState[List[BarEvent]]) =>
+          var buf = state.getOption.getOrElse(List.empty[BarEvent])
+          val out = events.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+            buf = (buf :+ e).takeRight(n)
+            if (buf.length == n)
+              Some(BarMatrix(symbol, e.ts,
+                buf.map(b => BarRow(b.close, b.high, b.low, b.usd, b.vol, b.nt))))
+            else None
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
 }

@@ -120,4 +120,51 @@ object StreamingJob {
 
     Seq(q1, q2, q3, q4)
   }
+
+  /** query_05 — the prediction vertical as a streaming consumer of the
+    * FEATURES stream, composing T14 → §2.9 scoring → K7 writeback
+    * exactly the way the reference splits it across processes
+    * (`BtcPrediction/kafka.py:42-57` buffers feature messages;
+    * `predict_btc.py:64-91` scores the buffer with the fitted scaler and
+    * upserts the prediction at t+10s):
+    *
+    *   [[Stateful.barLookback]] (last-n full-buffer emit per symbol)
+    *     → [[graft.ops.Predict.linearScorer]] over the emitted matrix
+    *     → inverse-scale via the broadcast fitted stats (stream-static
+    *       join — the scaler is fitted OFFLINE, like the reference's
+    *       pickled MinMaxScaler)
+    *     → [[Upsert.merge]] keyed (symbol, timestamp).
+    *
+    * `bars` is a streaming DataFrame of feature-bar rows (in production
+    * the Kafka features topic query_03 writes; in tests a MemoryStream)
+    * with columns (symbol, timestamp, close, high, low,
+    * total_usd_volume, total_btc_volume, num_trades). Batch/stream
+    * agreement with [[graft.ops.Predict.predictNext]] on the same bars
+    * is spec'd in StreamingSpec. */
+  def runPredict(spark: SparkSession, bars: DataFrame, stats: DataFrame,
+      cfg: Config, n: Int = graft.ops.Predict.lookbackN): StreamingQuery = {
+    import spark.implicits._
+    val ds = bars.select(col("symbol"), col("timestamp").as("ts"),
+        col("close"), col("high"), col("low"),
+        col("total_usd_volume").as("usd"),
+        col("total_btc_volume").as("vol"),
+        col("num_trades").cast("double").as("nt"))
+      .as[Stateful.BarEvent]
+    Stateful.barLookback(spark, ds, n).toDF()
+      .join(broadcast(stats), "symbol")
+      .withColumn("score", graft.ops.Predict.linearScorer(n))
+      .select(col("symbol"),
+        (col("ts") + expr("INTERVAL 10 SECONDS")).as("timestamp"),
+        (col("mn_close") + col("score") * (col("mx_close") - col("mn_close")))
+          .as("predicted_close"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_05")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        Upsert.merge(df, id, s"${cfg.outRoot}/predictions",
+          Seq("symbol", "timestamp"), bucketBy = Seq("symbol"))
+      }
+      .queryName("predictions").start()
+  }
 }

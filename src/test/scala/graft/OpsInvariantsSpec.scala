@@ -227,10 +227,16 @@ class OpsInvariantsSpec extends SparkSuite {
     val verts = docs.select("doc_id")
     val local = graft.ops.Graph.connectedComponents(verts, edges)
       .withColumnRenamed("lbl", "l1")
+    // the test graph is far under the default bound, so the default call
+    // must have taken the driver finish…
+    assert(graft.ops.Graph.lastCallUsedDriverFinish.get() === true)
     val dist = graft.ops.Graph
       .connectedComponents(verts, edges, localFinishEdges = 0L)
       .withColumnRenamed("lbl", "l2")
       .withColumnRenamed("id", "id2")
+    // …and localFinishEdges=0 must have run the pure distributed loop —
+    // label equality alone can't prove which path produced the answer
+    assert(graft.ops.Graph.lastCallUsedDriverFinish.get() === false)
     val diff = local.join(dist, col("id") === col("id2"))
       .filter(col("l1") =!= col("l2")).count()
     assert(diff === 0)

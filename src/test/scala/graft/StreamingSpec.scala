@@ -456,4 +456,46 @@ class StreamingSpec extends SparkSuite {
       .collect().toMap
     assert(rows === Map("A" -> 10.0, "B" -> 25.0, "C" -> 30.0))
   }
+
+  test("query_05 predict vertical: stream agrees with batch predictNext on the same bars") {
+    import spark.implicits._
+    val n = 10 // small lookback so sf0.001 yields plenty of emissions
+    val trades = Tables.trades(spark, sf)
+    val bars = graft.ops.TradeOps.slidingFeatures(trades)
+    // the scaler is fitted offline over the full bar history (the
+    // reference pickles a fitted MinMaxScaler) — both sides score with it
+    val stats = graft.ops.Predict.scalerStats(bars)
+    val expected = graft.ops.Predict
+      .predictNext(trades, n, scorer = graft.ops.Predict.linearScorer(n))
+      .select("symbol", "timestamp", "predicted_close")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    assert(expected.nonEmpty)
+
+    // feed the SAME bars as the streaming features topic, in three
+    // time-ordered chunks (order within a symbol is what matters)
+    val feed = bars
+      .select(col("symbol"), col("timestamp"), col("close"), col("high"),
+        col("low"), col("total_usd_volume"),
+        col("total_volume").as("total_btc_volume"), col("num_trades"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._2.getTime)
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Double,
+      Double, Double, Double, Long)](spark)
+    val out = tmpDir("graft-predict-out")
+    val ckpt = tmpDir("graft-predict-ckpt")
+    val q = StreamingJob.runPredict(spark,
+      input.toDF().toDF("symbol", "timestamp", "close", "high", "low",
+        "total_usd_volume", "total_btc_volume", "num_trades"),
+      stats, StreamingJob.Config(out, ckpt), n)
+    try {
+      feed.grouped((feed.length / 3).max(1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = Upsert.read(spark, s"$out/predictions").get
+        .select("symbol", "timestamp", "predicted_close")
+        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
