@@ -52,6 +52,7 @@ object SparkEntry {
     "t_normalize" -> ((s, dir) => TextOps.normalize(Tables.load(s, dir, "documents"))),
     "t_stratified_sample" -> ((s, dir) => TextOps.stratifiedSample(Tables.load(s, dir, "documents"))),
     "t_pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.load(s, dir, "documents"))),
+    "t_source_mix" -> ((s, dir) => TextOps.sourceMixSample(Tables.load(s, dir, "documents"))),
     "v_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
     "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
@@ -218,6 +219,7 @@ object SparkEntry {
     "t_normalize" -> TextOps.normalizeSql,
     "t_stratified_sample" -> TextOps.stratifiedSampleSql(),
     "t_pack_sequences" -> TextOps.packSequencesSql(),
+    "t_source_mix" -> TextOps.sourceMixSampleSql(),
     "v_quantize_int8" -> Similarity.quantizeInt8Sql,
 
     "a10_quantiles" ->

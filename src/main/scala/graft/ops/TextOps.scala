@@ -507,6 +507,59 @@ object TextOps {
        |SELECT doc_id, n_chars, n_tokens, uniq_ratio, stop_ratio, quality
        |FROM q""".stripMargin
 
+  /** Temperature-weighted source mixing (α = 0.5) — the pretraining
+    * rebalancing pass that samples sources with probability ∝ n_s^α, so
+    * rare sources are upweighted relative to their raw share. One tiny
+    * per-source aggregate (broadcast back), then a deterministic
+    * hash-threshold filter per doc — reproducible, repartition-stable,
+    * no shuffle of the corpus itself.
+    *
+    * Cross-engine exactness: α = 0.5 keeps the weight inside `sqrt`
+    * (correctly rounded by IEEE in BOTH engines, unlike `pow`), the
+    * weight is quantized to integer milliunits, and the keep decision
+    * `h < rate·10⁶` is cross-multiplied into pure BIGINT arithmetic —
+    * `h · Σq · n_s < T · q_s · 10⁶` — so no double comparison can
+    * straddle an engine-rounding boundary. Sources whose implied rate
+    * exceeds 1 are kept whole (the inequality is then always true). */
+  def sourceMixSample(docs: DataFrame,
+      targetFrac: Double = 0.4): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("q_s",
+        floor(sqrt(col("n_s").cast("double")) * lit(1000.0) + lit(0.5))
+          .cast("long"))
+    val tot = counts.agg(sum(col("q_s")).as("q_sum"),
+      sum(col("n_s")).as("n_tot"))
+    docs.join(broadcast(counts), "source")
+      .join(broadcast(tot))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("t_target",
+        floor(col("n_tot").cast("double") * lit(targetFrac)).cast("long"))
+      .filter(col("h") * col("q_sum") * col("n_s") <
+        col("t_target") * col("q_s") * lit(1000000L))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Oracle for [[sourceMixSample]]: identical integer cross-multiplied
+    * threshold, identical md5-derived hash. */
+  def sourceMixSampleSql(targetFrac: Double = 0.4): String =
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+       |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000.0::DOUBLE
+       |                    + 0.5::DOUBLE) AS BIGINT) AS q_s
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(q_s) AS BIGINT) AS q_sum,
+       |         CAST(sum(n_s) AS BIGINT) AS n_tot
+       |  FROM c
+       |)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+       |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 1000000) * t.q_sum * c.n_s
+       |      < CAST(floor(CAST(t.n_tot AS DOUBLE) * $targetFrac::DOUBLE)
+       |             AS BIGINT) * c.q_s * 1000000""".stripMargin
+
   /** Sequence-packing parameters: training-sequence token capacity and
     * the deterministic shard count (`doc_id % packShards`). Shared with
     * the oracle so the two greedy replays can never drift. */

@@ -243,6 +243,33 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(local.count() === verts.count())
   }
 
+  test("TPC-H q2/q16/q20 plans: dimension sides broadcast, no cartesian product") {
+    for (df <- Seq(graft.ops.Relational.minCostSupplier(spark, sf),
+        graft.ops.Relational.supplierCountByPart(spark, sf),
+        graft.ops.Relational.excessStockSuppliers(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    }
+    // q11's global scalar IS a broadcast cross join (1-row side) — assert
+    // the build side is the nested-loop broadcast, not a cartesian
+    val p11 = graft.ops.Relational.importantStockValue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p11.contains("BroadcastNestedLoopJoin") ||
+      p11.contains("BroadcastHashJoin"), p11.take(2000))
+    assert(!p11.contains("CartesianProduct"), p11.take(2000))
+  }
+
+  test("trained IVF keeps recall@5 >= 0.6 vs exact cosine top-k") {
+    val exact = Similarity.cosineTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 degraded to $recall")
+  }
+
   test("IVF ANN: <= k rows per query, top-1 never beats exact top-1") {
     val ivf = Similarity.annIvf(spark, sf).cache()
     assert(ivf.filter(col("cos_sim") > 1.000001 || col("cos_sim") < -1.000001).count() === 0)
