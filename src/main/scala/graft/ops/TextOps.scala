@@ -517,12 +517,16 @@ object TextOps {
     * Cross-engine exactness: α = 0.5 keeps the weight inside `sqrt`
     * (correctly rounded by IEEE in BOTH engines, unlike `pow`), the
     * weight is quantized to integer milliunits, and the keep decision
-    * `h < rate·10⁶` is cross-multiplied into pure BIGINT arithmetic —
+    * `h < rate·10⁶` is cross-multiplied into exact integer arithmetic —
     * `h · Σq · n_s < T · q_s · 10⁶` — so no double comparison can
-    * straddle an engine-rounding boundary. Sources whose implied rate
-    * exceeds 1 are kept whole (the inequality is then always true). */
+    * straddle an engine-rounding boundary. The products run in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): a BIGINT triple product
+    * overflows once a single source passes ~10⁹ docs, which a 100-TB
+    * corpus does. Sources whose implied rate exceeds 1 are kept whole
+    * (the inequality is then always true). */
   def sourceMixSample(docs: DataFrame,
       targetFrac: Double = 0.4): DataFrame = {
+    val dec = "decimal(38,0)"
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
       .withColumn("q_s",
         floor(sqrt(col("n_s").cast("double")) * lit(1000.0) + lit(0.5))
@@ -535,8 +539,10 @@ object TextOps {
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000"))
       .withColumn("t_target",
         floor(col("n_tot").cast("double") * lit(targetFrac)).cast("long"))
-      .filter(col("h") * col("q_sum") * col("n_s") <
-        col("t_target") * col("q_s") * lit(1000000L))
+      .filter(
+        col("h").cast(dec) * col("q_sum").cast(dec) * col("n_s").cast(dec) <
+        col("t_target").cast(dec) * col("q_s").cast(dec) *
+          lit(1000000L).cast(dec))
       .select(col("doc_id"), col("source"))
   }
 
@@ -555,10 +561,10 @@ object TextOps {
        |)
        |SELECT d.doc_id, d.source
        |FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
-       |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-       |        % 1000000) * t.q_sum * c.n_s
+       |WHERE ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 1000000)::HUGEINT) * t.q_sum::HUGEINT * c.n_s::HUGEINT
        |      < CAST(floor(CAST(t.n_tot AS DOUBLE) * $targetFrac::DOUBLE)
-       |             AS BIGINT) * c.q_s * 1000000""".stripMargin
+       |             AS BIGINT)::HUGEINT * c.q_s::HUGEINT * 1000000::HUGEINT""".stripMargin
 
   /** Sequence-packing parameters: training-sequence token capacity and
     * the deterministic shard count (`doc_id % packShards`). Shared with

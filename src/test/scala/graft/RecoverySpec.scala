@@ -67,4 +67,52 @@ class RecoverySpec extends SparkSuite {
       col("total_volume") === 3.0).count()
     assert(btcM0 === 1, "pre-restart window intact after recovery")
   }
+
+  test("predict query resumes from checkpoint and converges to the batch result") {
+    import spark.implicits._
+    val n = 10
+    val trades = Tables.trades(spark, sf)
+    val bars = graft.ops.TradeOps.slidingFeatures(trades)
+    val stats = graft.ops.Predict.scalerStats(bars)
+    val expected = graft.ops.Predict
+      .predictNext(trades, n, scorer = graft.ops.Predict.linearScorer(n))
+      .select("symbol", "timestamp", "predicted_close")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+
+    val feed = bars.select(col("symbol"), col("timestamp"), col("close"),
+        col("high"), col("low"), col("total_usd_volume"),
+        col("total_volume").as("total_btc_volume"), col("num_trades"))
+    val in = tmpDir("graft-predict-in")
+    val out = tmpDir("graft-predict-rout")
+    val ckpt = tmpDir("graft-predict-rckpt")
+    // split the bar history in half by time; land each half as one file
+    val cut = bars.selectExpr("percentile_approx(CAST(timestamp AS DOUBLE), 0.5)")
+      .head.getDouble(0)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = tmpDir("graft-predict-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(in, name))
+    }
+    def start() = StreamingJob.runPredict(spark,
+      spark.readStream.schema(feed.schema).parquet(in),
+      stats, StreamingJob.Config(out, ckpt), n)
+
+    land(feed.filter(col("timestamp").cast("double") <= cut), "b1.parquet")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second half arrives while the job is down; restart resumes the
+    // buffer state from the checkpoint — predictions pick up mid-stream
+    land(feed.filter(col("timestamp").cast("double") > cut), "b2.parquet")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = Upsert.read(spark, s"$out/predictions").get
+      .select("symbol", "timestamp", "predicted_close")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    assert(got === expected,
+      "restarted predict stream must equal the batch scorer result")
+  }
 }
