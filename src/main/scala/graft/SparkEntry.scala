@@ -127,6 +127,7 @@ object SparkEntry {
     "t_chunking" -> ((s, dir) => TextOps.chunkDocs(Tables.load(s, dir, "documents"))),
     "t_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables.load(s, dir, "documents"))),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.load(s, dir, "documents"))),
+    "t_df_rarity" -> ((s, dir) => TextOps.dfRarity(Tables.load(s, dir, "documents"))),
     "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(Tables.load(s, dir, "documents"))),
@@ -137,6 +138,8 @@ object SparkEntry {
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
     "d_embedding_dup" -> ((s, dir) => Dedup.embeddingDup(s, dir)),
+    "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(Tables.load(s, dir, "documents"))),
+    "d_semantic_dup" -> ((s, dir) => Similarity.semanticDup(s, dir)),
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
@@ -858,6 +861,9 @@ object SparkEntry {
          |GROUP BY p.event_id, p.user_id, p."timestamp", p.price""".stripMargin,
 
     "d_embedding_dup" -> Dedup.embeddingDupSql,
+    "d_segment_dedup" -> TextOps.segmentDedupSql(),
+    "d_semantic_dup" -> Similarity.semanticDupSql(),
+    "t_df_rarity" -> TextOps.dfRaritySql(),
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),

@@ -634,4 +634,57 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
         col("rnk"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication: cluster the embedding space with the trained coarse
+    * quantizer, then compare pairs ONLY within a cluster. The quadratic
+    * pair blowup is per-cell (corpus/k on average, and k grows with the
+    * corpus), never corpus-wide — the same reason IVF probes cells
+    * instead of scanning. Reuses the session-cached k-means quantizer
+    * ([[trainKmeansCached]]) that [[annIvf]]/[[pqCodes]] share, so the
+    * production shape (one fitted quantizer, many consumers) carries
+    * over; cell assignment is the codegen'd argmin projection
+    * ([[assignCells]]) — the only shuffle is the self-join on `cell`.
+    * Emits the near-dup pair list (feeds [[Dedup.resolveFromPairs]]'
+    * connected-components resolution like every other pair source). */
+  def semanticDup(spark: SparkSession, dir: String, nCells: Int = 16,
+      trainIters: Int = 2, threshold: Double = 0.35): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val dim = emb.select(size(col("v"))).head.getInt(0)
+    val cents = trainKmeansCached(spark, dir, emb, nCells, trainIters, dim)
+    val assigned = assignCells(emb, cents)
+    val l = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val r = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    l.join(r, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Oracle for [[semanticDup]]: the unrolled k-means chain (shared with
+    * [[kmeansSql]]), a final assignment, and a within-cell self-join with
+    * the identical round-6 cosine filter. Cell ids are the raw surviving
+    * k-means cell ids on both sides (no re-indexing needed — Spark's
+    * [[assignCells]] carries them through). */
+  def semanticDupSql(nCells: Int = 16, trainIters: Int = 2,
+      threshold: Double = 0.35, dim: Int = 64): String =
+    s"""WITH ${kmeansChain(nCells, trainIters, dim)},
+       |${kmAssignCte(s"cb$trainIters", "F")},
+       |asg AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cell
+       |  FROM aF WHERE rc = 1
+       |)
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |         AS cos_sim
+       |FROM asg a JOIN asg b USING (cell)
+       |WHERE a.vec_id < b.vec_id
+       |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |        >= ${threshold}::DOUBLE""".stripMargin
 }

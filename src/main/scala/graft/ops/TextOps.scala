@@ -650,4 +650,133 @@ object TextOps {
        |       CAST(sum(tok) AS BIGINT) AS tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** Corpus document-frequency rarity scoring — the CCNet-style quality
+    * proxy: how common are a document's tokens across the whole corpus?
+    * A doc full of corpus-rare tokens is either high-information or
+    * garbage; either way the df profile is the feature every filtering
+    * recipe starts from.
+    *
+    * Shape: one vocab-keyed aggregate builds the df table (vocab ≪
+    * corpus), one token-keyed join scores occurrences, one doc-keyed
+    * final aggregate. Heavy-hitter tokens ("the") skew the join key,
+    * but the df side is ONE row per token so AQE's skew split handles
+    * the probe side; at true corpus scale you'd broadcast the df table
+    * for the top-1M vocab and shuffle only the long tail. All measures
+    * are exact BIGINTs; `mean_df` is a round-6 ratio of two exact longs
+    * (the [[tokenStats]] ttr discipline). */
+  def dfRarity(docs: DataFrame, rareDf: Long = 2): DataFrame = {
+    val tokens = withWords(docs)
+      // explode_outer: InferFiltersFromGenerate re-inlining trap (see
+      // [[contamination]])
+      .select(col("doc_id"), explode_outer(col("words")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+    val dfTab = tokens.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tokens.join(dfTab, "token")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("sum_df"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("mean_df",
+        round(col("sum_df").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Oracle for [[dfRarity]] — integer sums cast to BIGINT (DuckDB sum
+    * is HUGEINT; the q12 lesson). */
+  def dfRaritySql(rareDf: Long = 2): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, token FROM t
+       |  WHERE token IS NOT NULL AND token != ''
+       |), d AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+       |)
+       |SELECT tok.doc_id,
+       |       count(*) AS n_tokens,
+       |       CAST(sum(d.df) AS BIGINT) AS sum_df,
+       |       CAST(sum(CASE WHEN d.df <= $rareDf THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_rare,
+       |       round(CAST(sum(d.df) AS DOUBLE) / count(*), 6) AS mean_df
+       |FROM tok JOIN d USING (token)
+       |GROUP BY 1""".stripMargin
+
+  /** Cross-document exact segment dedup — the substring-level dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499), discretized to fixed non-overlapping
+    * `segWords`-token segments (the last segment of a doc may be
+    * shorter). A segment occurrence survives iff it is the corpus-wide
+    * FIRST occurrence of its text — ordered by (doc_id, seg_pos) — so
+    * exactly one copy of every repeated span remains and the output is
+    * reproducible under any physical row order.
+    *
+    * Shape: segments are built INSIDE an array expression (one
+    * `transform`/`slice` pass over the words array, no explode until
+    * the segment rows are needed), the first-occurrence table is one
+    * aggregate keyed by the md5 of the segment (16-byte shuffle keys,
+    * never the raw text), the keep test is a join back on that digest,
+    * and reassembly is a doc-keyed `array_sort`+`array_join`. Same
+    * two-shuffle shape as [[Dedup.exactDedup]], so it survives a 100-TB
+    * corpus: no window over the corpus, no driver involvement. */
+  def segmentDedup(docs: DataFrame, segWords: Int = 8): DataFrame = {
+    val segs = withWords(docs).select(col("doc_id"),
+      posexplode_outer(expr(
+        s"transform(sequence(0, (size(words) - 1) div $segWords), " +
+          s"i -> concat_ws(' ', slice(words, i * $segWords + 1, $segWords)))"))
+        .as(Seq("seg_pos", "seg_text")))
+      .withColumn("seg_key", md5(col("seg_text")))
+    val first = segs.groupBy("seg_key")
+      .agg(min(struct(col("doc_id"), col("seg_pos"))).as("keeper"))
+    segs.join(first, "seg_key")
+      .withColumn("kept",
+        col("doc_id") === col("keeper.doc_id") &&
+          col("seg_pos") === col("keeper.seg_pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("seg_pos"),
+                when(col("kept"), col("seg_text")).as("s")))),
+              x => x.getField("s").isNotNull),
+            x => x.getField("s")),
+          " ").as("clean_text"))
+  }
+
+  /** Oracle for [[segmentDedup]]: same md5-keyed first-occurrence rule
+    * via a row_number window; `string_agg` skips the NULLed dropped
+    * segments and `coalesce` restores the fully-deduped-doc case to the
+    * empty string Spark's `array_join` produces. */
+  def segmentDedupSql(segWords: Int = 8): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), s AS (
+       |  SELECT doc_id, words,
+       |         unnest(generate_series(0, (len(words) - 1) // $segWords))
+       |           AS seg_pos
+       |  FROM w
+       |), segs AS (
+       |  SELECT doc_id, seg_pos,
+       |         array_to_string(words[seg_pos * $segWords + 1 :
+       |                               seg_pos * $segWords + $segWords],
+       |                         ' ') AS seg_text
+       |  FROM s
+       |), f AS (
+       |  SELECT doc_id, seg_pos, seg_text,
+       |         row_number() OVER (PARTITION BY md5(seg_text)
+       |                            ORDER BY doc_id, seg_pos) AS rn
+       |  FROM segs
+       |)
+       |SELECT doc_id,
+       |       count(*) AS n_segs,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+       |                           ' ' ORDER BY seg_pos), '') AS clean_text
+       |FROM f GROUP BY 1""".stripMargin
 }
