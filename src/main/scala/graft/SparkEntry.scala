@@ -63,6 +63,8 @@ object SparkEntry {
       TradeOps.servingRange(trades(s, dir), "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
     "s7_keyed_point_read" -> ((s, dir) =>
       TradeOps.keyedPointRead(s, trades(s, dir), dir, "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
+    "s9_time_travel" -> ((s, dir) => TradeOps.timeTravelRead(s, trades(s, dir), dir)),
+    "w4_analytic_funcs" -> ((s, dir) => TradeOps.analyticWindows(trades(s, dir))),
     "o2_last_row" -> ((s, dir) => TradeOps.lastRow(trades(s, dir))),
     "o4_ordered_split" -> ((s, dir) => TradeOps.orderedSplit(trades(s, dir))),
     // -- joins (§2.6; as-of per predict_btc.py:88-91) --------------------
@@ -445,6 +447,32 @@ object SparkEntry {
          |WHERE symbol = 'click'
          |  AND "timestamp" BETWEEN TIMESTAMP '2024-01-05 00:00:00'
          |                      AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "s9_time_travel" ->
+      s"""$T, k AS (
+         |  SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+         |         event_id % 3 AS batch,
+         |         count(*) AS n_events, max(event_id) AS max_event_id
+         |  FROM trades GROUP BY 1, 2, 3
+         |), pick AS (
+         |  SELECT symbol, hr, n_events, max_event_id,
+         |         row_number() OVER (PARTITION BY symbol, hr
+         |                            ORDER BY batch DESC) AS rn
+         |  FROM k WHERE batch <= 1
+         |)
+         |SELECT symbol, hr, n_events, max_event_id
+         |FROM pick WHERE rn = 1""".stripMargin,
+
+    "w4_analytic_funcs" ->
+      s"""$T
+         |SELECT symbol, event_id,
+         |       ntile(4) OVER w AS quartile,
+         |       round(percent_rank() OVER w, 6) AS pct_rank,
+         |       round(cume_dist() OVER w, 6) AS cum_dist,
+         |       first_value(price) OVER w AS first_price,
+         |       nth_value(price, 100) OVER w AS price_100th
+         |FROM trades
+         |WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id)""".stripMargin,
 
     "o2_last_row" ->
       s"""$T

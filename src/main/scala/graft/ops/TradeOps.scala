@@ -371,6 +371,57 @@ object TradeOps {
       .select(col("event_id"), col("timestamp"), col("price"))
   }
 
+  /** Analytic window-function breadth over the per-symbol total order
+    * (timestamp, event_id): ntile buckets, percent_rank/cume_dist
+    * percentiles, and first/nth value — the W-row functions
+    * [[graft.ops.Relational.orderRanks]]' row_number/lag/lead don't
+    * cover. Partitioned by the entity key like every serving-path
+    * window here: per-partition state is one entity's history, so the
+    * shuffle is key-hashed and no task ever sees the whole corpus.
+    * percent_rank/cume_dist are exact small-integer ratios; round-6 on
+    * both sides like every double ratio in this file. */
+  def analyticWindows(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades.select(
+      col("symbol"), col("event_id"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cum_dist"),
+      first(col("price")).over(w).as("first_price"),
+      nth_value(col("price"), 100).over(w).as("price_100th"))
+  }
+
+  /** Time travel over the versioned upsert store (K1/K2 + the
+    * audit/rollback read every production keyed table needs): three
+    * deterministic batches merge in sequence (batch = `event_id % 3`,
+    * keyed `(symbol, hr)` so later batches OVERWRITE earlier rows for
+    * the same key), then the table is read AS OF version 1 (versions are
+    * 0-based: version b is the state after batch b) — the state after
+    * batches 0 and 1, with batch 2 invisible and batch 1 winning
+    * every key collision. Batch rows are per-key aggregates of pure
+    * integers (count, max event_id), so the expected v2 state is exactly
+    * reproducible relationally — the oracle replays the overwrite with a
+    * `batch DESC` row_number over batches ≤ 1. */
+  def timeTravelRead(spark: SparkSession, trades: DataFrame,
+      dirTag: String): DataFrame = {
+    val root = scratchDir(spark,
+      "tt_store_" + dirTag.replaceAll("[^A-Za-z0-9]", "_"))
+    val keyed = trades
+      .withColumn("hr", date_trunc("hour", col("timestamp")))
+      .withColumn("batch", col("event_id") % 3)
+      .groupBy("symbol", "hr", "batch")
+      .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+    if (graft.sinks.Upsert.currentVersion(root).isEmpty)
+      (0 to 2).foreach { b =>
+        graft.sinks.Upsert.merge(
+          keyed.filter(col("batch") === b).drop("batch"),
+          b.toLong, root, keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+      }
+    graft.sinks.Upsert.readVersion(spark, root, 1L).get
+      .select("symbol", "hr", "n_events", "max_event_id")
+  }
+
   /** S4/F10 as a file format: JSON-lines export then schema-declared
     * scan — same round-trip discipline as [[csvRoundTrip]]. Micros
     * timestampFormat on both sides (JSON default also truncates). */

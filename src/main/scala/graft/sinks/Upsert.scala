@@ -94,15 +94,31 @@ object Upsert {
     * zero-bucket manifest, which [[merge]] never writes but a legacy or
     * hand-edited table could carry; reading an empty path list throws). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentVersion(root).flatMap { v =>
-      val m = readManifest(root, v)
-      if (m.buckets.isEmpty) None
-      else {
-        val paths = m.buckets.toSeq.sortBy(_._1)
-          .map { case (b, g) => s"$root/$g/_bucket=$b" }
-        Some(spark.read.parquet(paths: _*))
-      }
+    currentVersion(root).flatMap(v => readManifestVersion(spark, root, v))
+
+  /** Time-travel read: the table AS OF `version` — the audit/rollback
+    * path every versioned keyed store (Delta/Iceberg/Hudi) serves. GC
+    * keeps the previous manifest and every generation either manifest
+    * references, so `currentVersion - 1` is always serveable no matter
+    * how large the table; older versions return None (their manifests
+    * are gone — retention is a policy knob, and ours is "last two").
+    * The read itself is identical to [[read]]: resolve the version's
+    * bucket→generation map, scan exactly those bucket dirs. */
+  def readVersion(spark: SparkSession, root: String,
+      version: Long): Option[DataFrame] =
+    if (!Files.exists(manifestPath(root, version))) None
+    else readManifestVersion(spark, root, version)
+
+  private def readManifestVersion(spark: SparkSession, root: String,
+      v: Long): Option[DataFrame] = {
+    val m = readManifest(root, v)
+    if (m.buckets.isEmpty) None
+    else {
+      val paths = m.buckets.toSeq.sortBy(_._1)
+        .map { case (b, g) => s"$root/$g/_bucket=$b" }
+      Some(spark.read.parquet(paths: _*))
     }
+  }
 
   /** Point/range serving read pruned to one bucket — the Cassandra
     * partition-key access path (reference S6: Grafana reads

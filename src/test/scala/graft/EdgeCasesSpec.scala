@@ -96,6 +96,29 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Upsert.currentVersion(root) === v)
   }
 
+  test("upsert: readVersion time-travels to the previous state, GC bounds retention") {
+    import spark.implicits._
+    import graft.sinks.Upsert
+    val root = tmpDir("graft-upsert-tt")
+    def st(root: String, v: Long): Set[(String, Double)] =
+      Upsert.readVersion(spark, root, v).get.collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Double]("v"))).toSet
+    Upsert.merge(Seq(("a", 1.0), ("b", 1.0)).toDF("k", "v"), 0, root, Seq("k"))
+    Upsert.merge(Seq(("b", 2.0), ("c", 2.0)).toDF("k", "v"), 1, root, Seq("k"))
+    // version 1 = batches 0+1 merged, batch 1 winning the "b" collision
+    assert(Upsert.currentVersion(root) === Some(1L))
+    assert(st(root, 1L) === Set(("a", 1.0), ("b", 2.0), ("c", 2.0)))
+    assert(st(root, 0L) === Set(("a", 1.0), ("b", 1.0)))
+    Upsert.merge(Seq(("a", 3.0)).toDF("k", "v"), 2, root, Seq("k"))
+    // current and current-1 serveable; version 0's manifest is GC'd
+    assert(st(root, 2L) === Set(("a", 3.0), ("b", 2.0), ("c", 2.0)))
+    assert(st(root, 1L) === Set(("a", 1.0), ("b", 2.0), ("c", 2.0)))
+    assert(Upsert.readVersion(spark, root, 0L).isEmpty)
+    // readVersion(current) ≡ read()
+    assert(Upsert.read(spark, root).get.collect().toSet ===
+      Upsert.readVersion(spark, root, 2L).get.collect().toSet)
+  }
+
   test("upsert: bucketBy outside the merge key is rejected") {
     import spark.implicits._
     import graft.sinks.Upsert
