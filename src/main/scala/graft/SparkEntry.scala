@@ -130,6 +130,7 @@ object SparkEntry {
     "t_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables.load(s, dir, "documents"))),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.load(s, dir, "documents"))),
     "t_df_rarity" -> ((s, dir) => TextOps.dfRarity(Tables.load(s, dir, "documents"))),
+    "t_bpe_train" -> ((s, dir) => TextOps.bpeTrain(Tables.load(s, dir, "documents"))),
     "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(Tables.load(s, dir, "documents"))),
@@ -892,6 +893,7 @@ object SparkEntry {
     "d_segment_dedup" -> TextOps.segmentDedupSql(),
     "d_semantic_dup" -> Similarity.semanticDupSql(),
     "t_df_rarity" -> TextOps.dfRaritySql(),
+    "t_bpe_train" -> TextOps.bpeTrainSql(),
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),

@@ -651,6 +651,100 @@ object TextOps {
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016,
+    * arXiv:1508.07909) — `rounds` merge rules learned from the corpus.
+    * The working set is the VOCABULARY (distinct words with counts),
+    * not the corpus: one corpus-sized aggregate builds it, then every
+    * round is a vocab-sized pair-count aggregate, a 1-row argmax
+    * collect (the justified tiny collect of an iterative trainer, like
+    * [[Similarity.trainKmeans]]'s k rows), and a codegen'd `replace`
+    * projection applying the merge. That is exactly how production BPE
+    * trainers scale: corpus → word counts once, then iterate on the
+    * vocab.
+    *
+    * Symbol sequences are encoded `|s1||s2||…|` — each symbol wrapped
+    * in `|` sentinels — so applying merge (x, y) is the plain string
+    * `replace(seq, '|x||y|', '|xy|')`: leftmost non-overlapping
+    * replacement IS greedy left-to-right BPE merging, and the wrapping
+    * prevents false matches across symbol boundaries ("ab|c" never
+    * matches "b|c"). Java and DuckDB `replace` agree on those
+    * semantics; ties in the pair argmax break on (count desc, x, y) —
+    * a total order, so the learned rules are deterministic. Emits one
+    * row per learned rule: (round, x, y, merged, cnt). */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val words = withWords(docs)
+      // explode_outer: InferFiltersFromGenerate re-inlining trap (see
+      // [[contamination]])
+      .select(explode_outer(col("words")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    var seqs = words.withColumn("seq",
+      concat(lit("|"), array_join(split(col("token"), ""), "||"), lit("|")))
+    val learned = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairs = seqs
+        .withColumn("sym", split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> struct(sym[i - 1] AS x, sym[i] AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("x"), col("y")).limit(1)
+        .collect()(0)
+      val (x, y, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((r, x, y, x + y, c))
+      // vocab-sized table; localCheckpoint truncates the growing
+      // replace-chain lineage between rounds (the kmeans discipline)
+      seqs = seqs.withColumn("seq",
+        expr(s"replace(seq, '|$x||$y|', '|$x$y|')")).localCheckpoint()
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("round", "x", "y", "merged", "cnt")
+  }
+
+  /** Oracle for [[bpeTrain]]: the merge loop unrolled as one
+    * (pairs → argmax → replace) CTE trio per round. */
+  def bpeTrainSql(rounds: Int = 3): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""sym$r AS (
+         |  SELECT cnt, string_split(trim(seq, '|'), '||') AS sym FROM $prev
+         |), pr$r AS (
+         |  SELECT cnt, sym,
+         |         unnest(generate_series(1, len(sym) - 1)) AS i
+         |  FROM sym$r
+         |), best$r AS (
+         |  SELECT sym[i] AS x, sym[i + 1] AS y,
+         |         CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM pr$r GROUP BY 1, 2
+         |  ORDER BY c DESC, x, y LIMIT 1
+         |), s$r AS (
+         |  SELECT cnt,
+         |         replace(seq, '|' || b.x || '||' || b.y || '|',
+         |                 '|' || b.x || b.y || '|') AS seq
+         |  FROM $prev, best$r b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(r => s"SELECT $r AS round, x, y, x || y AS merged, c AS cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |), w AS (
+       |  SELECT token, count(*) AS cnt FROM t
+       |  WHERE token IS NOT NULL AND token != '' GROUP BY 1
+       |), s0 AS (
+       |  SELECT cnt,
+       |         '|' || array_to_string(string_split(token, ''), '||') || '|'
+       |           AS seq
+       |  FROM w
+       |),
+       |$roundCtes
+       |$unions""".stripMargin
+  }
+
   /** Corpus document-frequency rarity scoring — the CCNet-style quality
     * proxy: how common are a document's tokens across the whole corpus?
     * A doc full of corpus-rare tokens is either high-information or
