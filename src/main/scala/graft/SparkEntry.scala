@@ -131,6 +131,8 @@ object SparkEntry {
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.load(s, dir, "documents"))),
     "t_df_rarity" -> ((s, dir) => TextOps.dfRarity(Tables.load(s, dir, "documents"))),
     "t_bpe_train" -> ((s, dir) => TextOps.bpeTrain(Tables.load(s, dir, "documents"))),
+    "t_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(Tables.load(s, dir, "documents"))),
+    "k10_compaction" -> ((s, dir) => TradeOps.compactRoundTrip(s, trades(s, dir))),
     "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(Tables.load(s, dir, "documents"))),
@@ -894,6 +896,11 @@ object SparkEntry {
     "d_semantic_dup" -> Similarity.semanticDupSql(),
     "t_df_rarity" -> TextOps.dfRaritySql(),
     "t_bpe_train" -> TextOps.bpeTrainSql(),
+    "t_tfidf_topk" -> TextOps.tfidfTopKSql(),
+    "k10_compaction" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", price, volume
+         |FROM trades""".stripMargin,
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),

@@ -798,6 +798,55 @@ object TextOps {
        |FROM tok JOIN d USING (token)
        |GROUP BY 1""".stripMargin
 
+  /** TF-IDF top-`k` terms per document (keyword extraction — the
+    * per-doc feature a topic router or quality classifier consumes).
+    * Ranking uses the raw tf/df ratio, which orders identically to any
+    * monotone idf transform for a fixed corpus size while staying free
+    * of libm log drift: tf and df are exact BIGINTs, the ratio is the
+    * same one IEEE division in both engines, and the token tie-break
+    * makes the per-doc order total. Same two-shuffle shape as
+    * [[dfRarity]] (vocab-keyed df aggregate, token-keyed join back);
+    * the final window partitions by doc_id — per-doc vocabulary sized,
+    * embarrassingly parallel at any corpus size. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = withWords(docs)
+      // explode_outer: InferFiltersFromGenerate re-inlining trap (see
+      // [[contamination]])
+      .select(col("doc_id"), explode_outer(col("words")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = tokens.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("token"))
+    tf.join(dfTab, "token")
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+  }
+
+  /** Oracle for [[tfidfTopK]]. */
+  def tfidfTopKSql(k: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, token FROM t
+       |  WHERE token IS NOT NULL AND token != ''
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), d AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+       |)
+       |SELECT doc_id, rank, token, tf, df FROM (
+       |  SELECT tf.doc_id, tf.token, tf.tf, d.df,
+       |         row_number() OVER (PARTITION BY tf.doc_id
+       |           ORDER BY CAST(tf.tf AS DOUBLE) / d.df DESC, tf.token)
+       |           AS rank
+       |  FROM tf JOIN d USING (token)
+       |) WHERE rank <= $k""".stripMargin
+
   /** Cross-document exact segment dedup — the substring-level dedup of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499), discretized to fixed non-overlapping

@@ -371,6 +371,29 @@ object TradeOps {
       .select(col("event_id"), col("timestamp"), col("price"))
   }
 
+  /** Small-file compaction (K-tier operational op): rewrite a
+    * fragmented table — here deliberately written as 32 shards — into a
+    * bounded file count via `coalesce`, which MERGES partitions with NO
+    * shuffle: each output task reads several input files sequentially
+    * and writes one. That is the production compaction shape (the
+    * OPTIMIZE of every lakehouse format): at 100 TB you run it per
+    * partition directory with `maxRecordsPerFile` bounding the upper
+    * end, and the data never crosses the network. The round-trip read
+    * is the oracle surface — compaction must be a byte-identity on
+    * rows. CompactionSpec pins the file-count contract. */
+  def compactRoundTrip(spark: SparkSession, trades: DataFrame,
+      targetFiles: Int = 4): DataFrame = {
+    val cols = Seq("event_id", "symbol", "timestamp", "price", "volume")
+    val frag = scratchDir(spark, "frag_store")
+    trades.select(cols.map(col): _*)
+      .repartition(32).write.mode("overwrite").parquet(frag)
+    val out = scratchDir(spark, "compacted_store")
+    spark.read.parquet(frag)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
   /** Analytic window-function breadth over the per-symbol total order
     * (timestamp, event_id): ntile buckets, percent_rank/cume_dist
     * percentiles, and first/nth value — the W-row functions

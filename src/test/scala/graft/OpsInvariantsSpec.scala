@@ -319,6 +319,39 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("compaction: bounded file count, rows identical, no shuffle") {
+    val out = TradeOps.compactRoundTrip(spark, trades, targetFiles = 4)
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val scratch = (name: String) =>
+      s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${spark.sparkContext.applicationId}"
+    assert(parquetFiles(scratch("frag_store")) === 32)
+    assert(parquetFiles(scratch("compacted_store")) <= 4)
+    // compaction is a row identity
+    assert(out.count() === trades.count())
+    assert(out.select("event_id").except(trades.select("event_id")).count() === 0)
+    // coalesce, not repartition: the compaction read plan has no exchange
+    val plan = spark.read.parquet(scratch("frag_store")).coalesce(4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction plan shuffles:\n$plan")
+  }
+
+  test("segment dedup: first occurrences kept, repeats dropped, tokens conserved") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = graft.ops.TextOps.segmentDedup(docs).cache()
+    // every doc survives with sane counts
+    assert(out.count() === docs.count())
+    assert(out.filter(col("n_kept") > col("n_segs")).count() === 0)
+    // total kept == number of distinct segments in the corpus
+    val kept = out.agg(sum(col("n_kept"))).head.getLong(0)
+    val segs = docs.withColumn("words", split(col("text"), " "))
+      .selectExpr("explode(transform(sequence(0, (size(words) - 1) div 8), " +
+        "i -> concat_ws(' ', slice(words, i * 8 + 1, 8)))) AS seg_text")
+    assert(kept === segs.select("seg_text").distinct().count())
+    out.unpersist()
+  }
+
   test("graft functions are SQL-callable after registration") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(
