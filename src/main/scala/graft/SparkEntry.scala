@@ -147,6 +147,7 @@ object SparkEntry {
     "d_semantic_dup" -> ((s, dir) => Similarity.semanticDup(s, dir)),
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
+    "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -903,6 +904,7 @@ object SparkEntry {
          |FROM trades""".stripMargin,
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
+    "p_pretrain_manifest" -> Pipeline.pretrainManifestSql,
     "v_ann_ivf" -> Similarity.annIvfSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),

@@ -63,4 +63,49 @@ object Pipeline {
        |JOIN documents d USING (doc_id)
        |JOIN q USING (doc_id)
        |WHERE r.doc_id = r.canonical_doc""".stripMargin
+
+  /** The pretraining-data pipeline end to end — what actually runs
+    * between a raw crawl and a training job, as ONE composed plan:
+    *
+    *   1. quality-filter the corpus ([[TextOps.qualityScore]] ≥
+    *      [[minQuality]] — filter FIRST, so every later stage works on
+    *      survivors only);
+    *   2. cross-document segment dedup of the survivors
+    *      ([[TextOps.segmentDedup]]), dropping docs whose every segment
+    *      was a repeat;
+    *   3. greedy fixed-capacity sequence packing of the cleaned text
+    *      ([[TextOps.packSequences]]).
+    *
+    * Output: the training-shard manifest — per (shard, sequence):
+    * packed doc count, token count, doc-id span. Every stage is the
+    * already-scale-shaped operator it composes; nothing here adds a
+    * shuffle beyond the stages' own. */
+  def pretrainManifest(docs: DataFrame): DataFrame = {
+    val kept = TextOps.qualityScore(docs)
+      .filter(col("quality") >= minQuality).select("doc_id")
+    val cleaned = TextOps.segmentDedup(docs.join(kept, Seq("doc_id"), "left_semi"))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    TextOps.packSequences(cleaned)
+  }
+
+  /** Oracle for [[pretrainManifest]]: the three stages' CTE chains
+    * composed — quality filter → segment dedup (over `corpus`) →
+    * recursive greedy packing (over `cleaned`). */
+  val pretrainManifestSql: String =
+    s"""WITH RECURSIVE ${TextOps.qualityCte},
+       |corpus AS (
+       |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+       |  WHERE q.quality >= $minQuality
+       |),
+       |${TextOps.segmentCtesFrom("corpus")},
+       |cleaned AS (
+       |  SELECT doc_id,
+       |         string_agg(CASE WHEN rn = 1 THEN seg_text END,
+       |                    ' ' ORDER BY seg_pos) AS text
+       |  FROM f GROUP BY 1
+       |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+       |),
+       |${TextOps.packCtesFrom("cleaned")}
+       |${TextOps.packSelect}""".stripMargin
 }

@@ -622,18 +622,19 @@ object TextOps {
       .toDF("shard", "seq_id", "n_docs", "tokens", "first_doc", "last_doc")
   }
 
-  /** Oracle for [[packSequences]]: the same greedy fold as a recursive
-    * CTE stepping rn → rn+1 per shard (recursion depth = max docs per
-    * shard). Sums cast to BIGINT (DuckDB sum is HUGEINT). */
-  def packSequencesSql(capacity: Int = packCapacity,
-      nShards: Int = packShards): String =
-    s"""WITH RECURSIVE d AS (
+  /** Recursive CTE chain of the [[packSequences]] oracle (the greedy
+    * fold stepping rn → rn+1 per shard), parameterized by source so
+    * [[Pipeline.pretrainManifestSql]] can pack the deduped corpus. Must
+    * sit under a `WITH RECURSIVE`. Ends in `r`. */
+  private[ops] def packCtesFrom(src: String,
+      capacity: Int = packCapacity, nShards: Int = packShards): String =
+    s"""d AS (
        |  SELECT doc_id % $nShards AS shard, doc_id,
        |         least(CAST(len(string_split(text, ' ')) AS BIGINT),
        |               $capacity) AS tok,
        |         row_number() OVER (PARTITION BY doc_id % $nShards
        |                            ORDER BY doc_id) AS rn
-       |  FROM documents
+       |  FROM $src
        |), r AS (
        |  SELECT shard, doc_id, tok, rn, tok AS used, CAST(0 AS BIGINT) AS seq
        |  FROM d WHERE rn = 1
@@ -644,12 +645,23 @@ object TextOps {
        |         CASE WHEN r.used + d.tok > $capacity THEN r.seq + 1
        |              ELSE r.seq END
        |  FROM d JOIN r ON d.shard = r.shard AND d.rn = r.rn + 1
-       |)
-       |SELECT shard, seq AS seq_id,
-       |       CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(tok) AS BIGINT) AS tokens,
-       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM r GROUP BY 1, 2""".stripMargin
+       |)""".stripMargin
+
+  /** Final projection over [[packCtesFrom]]'s `r`. */
+  private[ops] val packSelect: String =
+    """SELECT shard, seq AS seq_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** Oracle for [[packSequences]]: the same greedy fold as a recursive
+    * CTE stepping rn → rn+1 per shard (recursion depth = max docs per
+    * shard). Sums cast to BIGINT (DuckDB sum is HUGEINT). */
+  def packSequencesSql(capacity: Int = packCapacity,
+      nShards: Int = packShards): String =
+    s"""WITH RECURSIVE ${packCtesFrom("documents", capacity, nShards)}
+       |$packSelect""".stripMargin
 
   /** Distributed BPE tokenizer training (Sennrich et al. 2016,
     * arXiv:1508.07909) — `rounds` merge rules learned from the corpus.
@@ -891,13 +903,13 @@ object TextOps {
           " ").as("clean_text"))
   }
 
-  /** Oracle for [[segmentDedup]]: same md5-keyed first-occurrence rule
-    * via a row_number window; `string_agg` skips the NULLed dropped
-    * segments and `coalesce` restores the fully-deduped-doc case to the
-    * empty string Spark's `array_join` produces. */
-  def segmentDedupSql(segWords: Int = 8): String =
-    s"""WITH w AS (
-       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  /** CTE chain of the [[segmentDedup]] oracle, parameterized by source
+    * relation so [[Pipeline.pretrainManifestSql]] can run it over the
+    * quality-filtered corpus. Ends in `f` (one row per segment
+    * occurrence with its first-occurrence rank). */
+  private[ops] def segmentCtesFrom(src: String, segWords: Int = 8): String =
+    s"""w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM $src
        |), s AS (
        |  SELECT doc_id, words,
        |         unnest(generate_series(0, (len(words) - 1) // $segWords))
@@ -914,7 +926,14 @@ object TextOps {
        |         row_number() OVER (PARTITION BY md5(seg_text)
        |                            ORDER BY doc_id, seg_pos) AS rn
        |  FROM segs
-       |)
+       |)""".stripMargin
+
+  /** Oracle for [[segmentDedup]]: same md5-keyed first-occurrence rule
+    * via a row_number window; `string_agg` skips the NULLed dropped
+    * segments and `coalesce` restores the fully-deduped-doc case to the
+    * empty string Spark's `array_join` produces. */
+  def segmentDedupSql(segWords: Int = 8): String =
+    s"""WITH ${segmentCtesFrom("documents", segWords)}
        |SELECT doc_id,
        |       count(*) AS n_segs,
        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
