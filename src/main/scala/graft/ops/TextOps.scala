@@ -694,7 +694,8 @@ object TextOps {
     var seqs = words.withColumn("seq",
       concat(lit("|"), array_join(split(col("token"), ""), "||"), lit("|")))
     val learned = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val pairs = seqs
         .withColumn("sym", split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|"))
         .filter(size(col("sym")) >= 2)
@@ -703,14 +704,20 @@ object TextOps {
             "i -> struct(sym[i - 1] AS x, sym[i] AS y))")).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("cnt")).as("c"))
-      val best = pairs.orderBy(col("c").desc, col("x"), col("y")).limit(1)
-        .collect()(0)
-      val (x, y, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((r, x, y, x + y, c))
-      // vocab-sized table; localCheckpoint truncates the growing
-      // replace-chain lineage between rounds (the kmeans discipline)
-      seqs = seqs.withColumn("seq",
-        expr(s"replace(seq, '|$x||$y|', '|$x$y|')")).localCheckpoint()
+      // an exhausted corpus (empty, or every word fully merged) simply
+      // stops producing rules — never an exception
+      pairs.orderBy(col("c").desc, col("x"), col("y")).limit(1)
+        .collect().headOption match {
+        case None => exhausted = true
+        case Some(best) =>
+          val (x, y, c) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          learned += ((r, x, y, x + y, c))
+          // vocab-sized table; localCheckpoint truncates the growing
+          // replace-chain lineage between rounds (the kmeans discipline)
+          seqs = seqs.withColumn("seq",
+            expr(s"replace(seq, '|$x||$y|', '|$x$y|')")).localCheckpoint()
+      }
     }
     import spark.implicits._
     learned.toSeq.toDF("round", "x", "y", "merged", "cnt")

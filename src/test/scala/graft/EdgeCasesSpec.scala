@@ -54,6 +54,12 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TextOps.repetitionStats(emptyDocs).count() === 0)
     assert(TextOps.chunkDocs(emptyDocs).count() === 0)
     assert(TextOps.contamination(emptyDocs).count() === 0)
+    assert(TextOps.segmentDedup(emptyDocs).count() === 0)
+    assert(TextOps.dfRarity(emptyDocs).count() === 0)
+    assert(TextOps.tfidfTopK(emptyDocs).count() === 0)
+    // exhausted corpus: BPE stops learning rules, never throws
+    assert(TextOps.bpeTrain(emptyDocs).count() === 0)
+    assert(Pipeline.pretrainManifest(emptyDocs).count() === 0)
   }
 
   test("connectedComponents on empty vertex and edge sets") {
