@@ -148,6 +148,8 @@ object SparkEntry {
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
+    "p2_dead_letter" -> ((s, dir) => graft.ingest.Decode.deadLetterDecode(trades(s, dir))),
+    "a_hll_merge" -> ((s, dir) => Relational.hllMergeDistinct(s, dir)),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -905,6 +907,24 @@ object SparkEntry {
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "p_pretrain_manifest" -> Pipeline.pretrainManifestSql,
+    "p2_dead_letter" ->
+      s"""$T
+         |SELECT event_id,
+         |       CASE WHEN event_id % 100 = 0 THEN 'quarantined'
+         |            ELSE 'ok' END AS status,
+         |       CASE WHEN event_id % 100 = 0
+         |            THEN '{corrupt:' || CAST(event_id AS VARCHAR)
+         |            ELSE NULL END AS raw_payload,
+         |       CASE WHEN event_id % 100 = 0 THEN NULL
+         |            ELSE symbol END AS symbol,
+         |       CASE WHEN event_id % 100 = 0 THEN NULL
+         |            ELSE price END AS price
+         |FROM trades""".stripMargin,
+    "a_hll_merge" ->
+      """SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_sketches,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
+        |       1 AS within_5pct
+        |FROM lineitem""".stripMargin,
     "v_ann_ivf" -> Similarity.annIvfSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),

@@ -71,6 +71,39 @@ object Decode {
   def roundTrip(trades: DataFrame): DataFrame =
     decodeFlatten(encodeEnvelopes(trades))
 
+  /** Corrupt-record quarantine (dead-letter routing): production ingest
+    * never assumes clean payloads — a malformed message must land in a
+    * quarantine channel with its raw bytes preserved, never poison the
+    * batch or vanish silently. Every 100th message here is
+    * deterministically mangled (so the oracle can replay the rule);
+    * PERMISSIVE `from_json` captures malformed input in the declared
+    * `columnNameOfCorruptRecord` field (a null struct is NOT emitted —
+    * Spark 4 fills the fields with nulls, so the corrupt column is the
+    * only reliable malformed signal), which routes the row to
+    * `status = 'quarantined'` with the raw payload kept for replay,
+    * while good rows decode normally. One codegen'd projection end to
+    * end — per-row error handling without a UDF, and the same plan
+    * shape at any corpus size. */
+  def deadLetterDecode(trades: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val msgSchema = StructType(Seq(
+      StructField("s", StringType), StructField("p", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val wire = trades.select(col("event_id"),
+      when(col("event_id") % 100 === 0,
+        concat(lit("{corrupt:"), col("event_id").cast("string")))
+        .otherwise(to_json(struct(col("symbol").as("s"),
+          col("price").as("p")))).as("value"))
+    wire.withColumn("m", from_json(col("value"), msgSchema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(col("event_id"),
+        when(col("m._corrupt_record").isNotNull, lit("quarantined"))
+          .otherwise(lit("ok")).as("status"),
+        col("m._corrupt_record").as("raw_payload"),
+        col("m.s").as("symbol"), col("m.p").as("price"))
+  }
+
   /** The same ingest path over the true Avro *wire format* (the
     * reference's Kafka payload encoding, `common_function.py:22-27` /
     * `ProcessStockStream.py:100-102`): envelopes serialized to Avro

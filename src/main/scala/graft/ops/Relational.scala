@@ -153,6 +153,29 @@ object Relational {
           .cast("int").as("part_within_3rsd"))
   }
 
+  /** Mergeable HLL sketches (Datasketches `hll_sketch_agg` /
+    * `hll_union_agg`) — the distinct-count shape that actually works at
+    * 100 TB: sketch once per partition/group, then MERGE the fixed-size
+    * register arrays, never re-scan the raw data for a broader scope.
+    * Here: one sketch per returnflag group, unioned to the global
+    * distinct-supplier estimate. The oracle pins the exact counts and an
+    * accuracy envelope flag (default lgK=12 → rsd ≈ 1.6%, flag at 5%),
+    * the [[approxDistinctChecked]] discipline — if sketch or merge broke,
+    * the flag flips and the row goes red. */
+  def hllMergeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val sketches = li.groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_suppkey")).as("sk"))
+    val merged = sketches.agg(
+      count(lit(1)).as("n_sketches"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.agg(countDistinct(col("l_suppkey")).as("exact_supp"))
+    merged.crossJoin(broadcast(exact))
+      .select(col("n_sketches"), col("exact_supp"),
+        (abs(col("est") - col("exact_supp")) <= col("exact_supp") * 0.05)
+          .cast("int").as("within_5pct"))
+  }
+
   /** Analytic window functions: per-customer order ranking with lag/lead
     * (deterministic tiebreak on orderkey). */
   def orderRanks(spark: SparkSession, dir: String): DataFrame = {
