@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Decode
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Pipeline, Predict, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
+import graft.ops.{AsOfJoin, Dedup, Graph, Incremental, Multimodal, Pipeline, Predict, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -131,6 +131,7 @@ object SparkEntry {
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.load(s, dir, "documents"))),
     "t_df_rarity" -> ((s, dir) => TextOps.dfRarity(Tables.load(s, dir, "documents"))),
     "t_bpe_train" -> ((s, dir) => TextOps.bpeTrain(Tables.load(s, dir, "documents"))),
+    "t_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(Tables.load(s, dir, "documents"))),
     "t_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(Tables.load(s, dir, "documents"))),
     "k10_compaction" -> ((s, dir) => TradeOps.compactRoundTrip(s, trades(s, dir))),
     "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
@@ -146,6 +147,14 @@ object SparkEntry {
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(Tables.load(s, dir, "documents"))),
     "d_semantic_dup" -> ((s, dir) => Similarity.semanticDup(s, dir)),
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
+    "g_pagerank" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Graph.pageRank(docs.select("doc_id"),
+        Dedup.minhashPairs(docs)
+          .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+          .select("doc_a", "doc_b"))
+    }),
+    "mv_incremental" -> ((s, dir) => Incremental.incrementalAgg(Tables.events(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
     "p2_dead_letter" -> ((s, dir) => graft.ingest.Decode.deadLetterDecode(trades(s, dir))),
@@ -899,7 +908,10 @@ object SparkEntry {
     "d_semantic_dup" -> Similarity.semanticDupSql(),
     "t_df_rarity" -> TextOps.dfRaritySql(),
     "t_bpe_train" -> TextOps.bpeTrainSql(),
+    "t_bpe_encode" -> TextOps.bpeEncodeSql(),
     "t_tfidf_topk" -> TextOps.tfidfTopKSql(),
+    "g_pagerank" -> Dedup.similarityRankSql(),
+    "mv_incremental" -> Incremental.incrementalAggSql,
     "k10_compaction" ->
       s"""$T
          |SELECT event_id, symbol, "timestamp", price, volume

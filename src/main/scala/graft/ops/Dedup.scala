@@ -556,4 +556,59 @@ object Dedup {
     s"""WITH RECURSIVE ${resolveCtesFrom("documents")}
        |SELECT r.doc_id, r.canonical_doc, s.cluster_size
        |FROM resolved r JOIN sizes s USING (canonical_doc)""".stripMargin
+
+  /** Oracle for [[Graph.pageRank]] over the MinHash similarity graph:
+    * the same banded pair CTEs as [[resolveSql]], then the rank
+    * iterations unrolled — all BIGINT picounit arithmetic with floor
+    * division (`//` here, `div` in Spark; identical on non-negative
+    * operands), so a 32-thread shuffle and a single-threaded DuckDB
+    * scan produce byte-identical ranks. */
+  def similarityRankSql(iters: Int = 3): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, sum(r.r // deg.d) AS c
+         |  FROM edges e JOIN $prev r ON e.src = r.id
+         |              JOIN deg ON deg.src = e.src
+         |  GROUP BY 1
+         |), g$k AS (
+         |  SELECT CAST(coalesce(sum(r.r), 0) // (SELECT n FROM nn)
+         |              AS BIGINT) AS dsh
+         |  FROM $prev r LEFT JOIN deg ON deg.src = r.id
+         |  WHERE deg.src IS NULL
+         |), r$k AS (
+         |  SELECT v.id,
+         |         CAST(150000000000 // nn.n
+         |              + (85 * (coalesce(c.c, 0) + g.dsh)) // 100
+         |              AS BIGINT) AS r
+         |  FROM v CROSS JOIN nn CROSS JOIN g$k g
+         |       LEFT JOIN c$k c ON c.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${sigCteFrom("documents")},
+       |p AS (
+       |  SELECT s1.doc_id AS a, s2.doc_id AS b
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $resolveThreshold
+       |),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM p
+       |  UNION ALL
+       |  SELECT b, a FROM p
+       |),
+       |deg AS (
+       |  SELECT src, count(*) AS d FROM edges GROUP BY 1
+       |),
+       |v AS (SELECT doc_id AS id FROM documents),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |r0 AS (
+       |  SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS r
+       |  FROM v CROSS JOIN nn
+       |),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS rank_pico,
+       |       round(CAST(r AS DOUBLE) / 1e12, 8) AS rank
+       |FROM r$iters""".stripMargin
+  }
 }

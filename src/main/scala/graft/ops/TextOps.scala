@@ -685,6 +685,17 @@ object TextOps {
     * row per learned rule: (round, x, y, merged, cnt). */
   def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    val (learned, _) = bpeTrainLoop(docs, rounds)
+    import spark.implicits._
+    learned.toDF("round", "x", "y", "merged", "cnt")
+  }
+
+  /** The shared Lloyd-style merge loop behind [[bpeTrain]] and
+    * [[bpeEncode]]: returns both the learned rules and the final
+    * per-word symbol table (token, cnt, seq) — the trained tokenizer
+    * state an encoder applies. */
+  private def bpeTrainLoop(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val words = withWords(docs)
       // explode_outer: InferFiltersFromGenerate re-inlining trap (see
       // [[contamination]])
@@ -719,13 +730,42 @@ object TextOps {
             expr(s"replace(seq, '|$x||$y|', '|$x$y|')")).localCheckpoint()
       }
     }
-    import spark.implicits._
-    learned.toSeq.toDF("round", "x", "y", "merged", "cnt")
+    (learned.toSeq, seqs)
   }
 
-  /** Oracle for [[bpeTrain]]: the merge loop unrolled as one
-    * (pairs → argmax → replace) CTE trio per round. */
-  def bpeTrainSql(rounds: Int = 3): String = {
+  /** Apply the trained BPE merges back to the corpus — the encode half
+    * of the tokenizer: per-document word count and post-merge token
+    * count (the number every "trained on N tokens" figure actually
+    * reports). Shape: the encoder state is the VOCAB-sized symbol table
+    * from [[bpeTrainLoop]] (one row per distinct word — broadcastable
+    * at any corpus scale since vocab ≪ corpus), joined to the exploded
+    * corpus tokens and aggregated per doc. The corpus is touched
+    * exactly twice (once to train the vocab, once to encode), never per
+    * merge round. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, seqs) = bpeTrainLoop(docs, rounds)
+    // symbols per word = split of the sentinel-wrapped seq, exactly the
+    // parse the trainer's pair counter uses
+    val enc = seqs.select(col("token"),
+      size(split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|"))
+        .cast("long").as("n_sym"))
+    val tokens = withWords(docs)
+      // explode_outer: InferFiltersFromGenerate re-inlining trap (see
+      // [[contamination]])
+      .select(col("doc_id"), explode_outer(col("words")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+    tokens.join(enc, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** The (pairs → argmax → replace) CTE trio per round behind
+    * [[bpeTrainSql]] and [[bpeEncodeSql]], from the corpus through
+    * `s<rounds>` (token, cnt, seq). `LEFT JOIN … ON true` against the
+    * 0-or-1-row argmax keeps `s<r>` populated when a round learns
+    * nothing (exhausted corpus) — matching the Spark loop, which stops
+    * merging but keeps its symbol table. */
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"s${r - 1}"
       s"""sym$r AS (
@@ -740,29 +780,54 @@ object TextOps {
          |  FROM pr$r GROUP BY 1, 2
          |  ORDER BY c DESC, x, y LIMIT 1
          |), s$r AS (
-         |  SELECT cnt,
-         |         replace(seq, '|' || b.x || '||' || b.y || '|',
-         |                 '|' || b.x || b.y || '|') AS seq
-         |  FROM $prev, best$r b
+         |  SELECT token, cnt,
+         |         coalesce(replace(seq, '|' || b.x || '||' || b.y || '|',
+         |                          '|' || b.x || b.y || '|'), seq) AS seq
+         |  FROM $prev LEFT JOIN best$r b ON true
          |)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds)
-      .map(r => s"SELECT $r AS round, x, y, x || y AS merged, c AS cnt FROM best$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH t AS (
        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
        |), w AS (
        |  SELECT token, count(*) AS cnt FROM t
        |  WHERE token IS NOT NULL AND token != '' GROUP BY 1
        |), s0 AS (
-       |  SELECT cnt,
+       |  SELECT token, cnt,
        |         '|' || array_to_string(string_split(token, ''), '||') || '|'
        |           AS seq
        |  FROM w
        |),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** Oracle for [[bpeTrain]]: the merge loop unrolled as one
+    * (pairs → argmax → replace) CTE trio per round. */
+  def bpeTrainSql(rounds: Int = 3): String = {
+    val unions = (1 to rounds)
+      .map(r => s"SELECT $r AS round, x, y, x || y AS merged, c AS cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeCtes(rounds)}
        |$unions""".stripMargin
   }
+
+  /** Oracle for [[bpeEncode]]: the trained symbol table's per-word
+    * symbol count joined back to the exploded corpus. */
+  def bpeEncodeSql(rounds: Int = 3): String =
+    s"""${bpeCtes(rounds)},
+       |enc AS (
+       |  SELECT token,
+       |         CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+       |           AS n_sym
+       |  FROM s$rounds
+       |), dt AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |)
+       |SELECT dt.doc_id, count(*) AS n_words,
+       |       CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM dt JOIN enc e USING (token)
+       |WHERE dt.token IS NOT NULL AND dt.token != ''
+       |GROUP BY 1""".stripMargin
 
   /** Corpus document-frequency rarity scoring — the CCNet-style quality
     * proxy: how common are a document's tokens across the whole corpus?

@@ -62,6 +62,24 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Pipeline.pretrainManifest(emptyDocs).count() === 0)
   }
 
+  test("pageRank no-edge graph stays uniform; encode/view ops empty-safe") {
+    import spark.implicits._
+    // every vertex dangling: redistributed mass exactly restores the
+    // uniform rank each iteration
+    val pr = Graph.pageRank(Seq(1L, 2L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().map(_.getLong(1))
+    assert(pr.toSeq === Seq(500000000000L, 500000000000L))
+    assert(TextOps.bpeEncode(emptyDocs).count() === 0)
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    assert(graft.ops.Incremental.incrementalAgg(emptyEvents).count() === 0)
+  }
+
   test("connectedComponents on empty vertex and edge sets") {
     import spark.implicits._
     val noVerts = Seq.empty[Int].toDF("v")

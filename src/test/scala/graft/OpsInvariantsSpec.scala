@@ -319,6 +319,76 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("pageRank matches an integer-arithmetic driver reference on seeded graphs") {
+    import spark.implicits._
+    // same picounit integer arithmetic as Graph.pageRank, driver-side
+    def ref(n: Int, es: Seq[(Int, Int)], iters: Int): Map[Int, Long] = {
+      val half = es.filter { case (a, b) => a != b }
+      val edges = half ++ half.map(_.swap)
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val base = 150000000000L / n
+      var r = (0 until n).map(v => v -> (1000000000000L / n)).toMap
+      for (_ <- 1 to iters) {
+        val dsh = (0 until n).filterNot(deg.contains).map(r).sum / n
+        val contrib = edges.groupBy(_._2).map { case (dst, in) =>
+          dst -> in.map { case (s, _) => r(s) / deg(s) }.sum
+        }
+        r = (0 until n).map { v =>
+          v -> (base + 85L * (contrib.getOrElse(v, 0L) + dsh) / 100L)
+        }.toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(11)
+    val cases: Seq[(Int, Seq[(Int, Int)])] =
+      Seq((1, Nil), (4, Nil), (5, Seq((0, 1), (1, 2))), // path + dangling
+        (6, Seq((0, 1), (1, 0), (2, 2), (3, 4)))) ++    // dupes + self-loop
+      (1 to 8).map { _ =>
+        val n = 2 + rnd.nextInt(40)
+        (n, Seq.fill(rnd.nextInt(2 * n))((rnd.nextInt(n), rnd.nextInt(n))))
+      }
+    cases.foreach { case (n, es) =>
+      val got = graft.ops.Graph.pageRank((0 until n).toDF("v"), es.toDF("a", "b"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got === ref(n, es, 3), s"n=$n edges=$es")
+      // floor quantization only ever LOSES mass: total stays <= 1 unit
+      assert(got.values.sum <= 1000000000000L)
+    }
+  }
+
+  test("bpeEncode: exact counts on a hand corpus; bounded on the real one") {
+    import spark.implicits._
+    val tiny = Seq((0L, "ab ab", "en", "web", 5L), (1L, "ab", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // one learnable merge (a,b); rounds 2-3 exhaust without error
+    val got = graft.ops.TextOps.bpeEncode(tiny)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(0L -> ((2L, 2L)), 1L -> ((1L, 1L))))
+    val docs = Tables.load(spark, sf, "documents")
+    val enc = graft.ops.TextOps.bpeEncode(docs)
+    // every word is >= 1 symbol, and merging never adds symbols
+    assert(enc.filter(col("n_bpe_tokens") < col("n_words")).count() === 0)
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id").agg(sum(length(col("w"))).as("n_chars_words"))
+    val over = enc.join(chars, "doc_id")
+      .filter(col("n_bpe_tokens") > col("n_chars_words")).count()
+    assert(over === 0)
+  }
+
+  test("incremental view merge == flat recompute over all events") {
+    val events = Tables.events(spark, sf)
+    val inc = graft.ops.Incremental.incrementalAgg(events)
+    val flat = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("sum_value_micro"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .withColumn("day", col("day").cast("timestamp"))
+    assert(inc.count() === flat.count())
+    assert(inc.except(flat).isEmpty && flat.except(inc).isEmpty)
+  }
+
   test("compaction: bounded file count, rows identical, no shuffle") {
     val out = TradeOps.compactRoundTrip(spark, trades, targetFiles = 4)
     def parquetFiles(dir: String): Int =
