@@ -132,6 +132,8 @@ object SparkEntry {
     "t_df_rarity" -> ((s, dir) => TextOps.dfRarity(Tables.load(s, dir, "documents"))),
     "t_bpe_train" -> ((s, dir) => TextOps.bpeTrain(Tables.load(s, dir, "documents"))),
     "t_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(Tables.load(s, dir, "documents"))),
+    "t_domain_quota" -> ((s, dir) => TextOps.domainQuota(Tables.load(s, dir, "documents"))),
+    "d_cluster_best" -> ((s, dir) => Dedup.clusterBest(Tables.load(s, dir, "documents"))),
     "t_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(Tables.load(s, dir, "documents"))),
     "k10_compaction" -> ((s, dir) => TradeOps.compactRoundTrip(s, trades(s, dir))),
     "q4_returned_priority" -> ((s, dir) => Relational.returnedPriorityOrders(s, dir)),
@@ -909,6 +911,8 @@ object SparkEntry {
     "t_df_rarity" -> TextOps.dfRaritySql(),
     "t_bpe_train" -> TextOps.bpeTrainSql(),
     "t_bpe_encode" -> TextOps.bpeEncodeSql(),
+    "t_domain_quota" -> TextOps.domainQuotaSql(),
+    "d_cluster_best" -> Dedup.clusterBestSql,
     "t_tfidf_topk" -> TextOps.tfidfTopKSql(),
     "g_pagerank" -> Dedup.similarityRankSql(),
     "mv_incremental" -> Incremental.incrementalAggSql,

@@ -557,6 +557,41 @@ object Dedup {
        |SELECT r.doc_id, r.canonical_doc, s.cluster_size
        |FROM resolved r JOIN sizes s USING (canonical_doc)""".stripMargin
 
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * ([[resolveDuplicates]]), keep the HIGHEST-[[TextOps.qualityScore]]
+    * document rather than the lowest doc_id — what a curation pipeline
+    * actually wants from dedup resolution (drop the mirror, keep the
+    * clean original). Argmax is `max_by` over a (quality, -doc_id)
+    * struct: a total order, so ties are deterministic in both engines.
+    * One cluster-keyed aggregate on top of the resolution labels — the
+    * quality join is doc-keyed, never quadratic in cluster size. */
+  def clusterBest(docs: DataFrame): DataFrame =
+    resolveDuplicates(docs)
+      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .groupBy("canonical_doc", "cluster_size")
+      .agg(
+        expr("max_by(doc_id, struct(quality, -doc_id))").as("best_doc"),
+        max(col("quality")).as("best_quality"))
+      .select(col("canonical_doc"), col("cluster_size"),
+        col("best_doc"), col("best_quality"))
+
+  /** Oracle for [[clusterBest]]: the [[resolveSql]] closure plus the
+    * shared quality CTE, argmax via a windowed rank. */
+  val clusterBestSql: String =
+    s"""WITH RECURSIVE ${resolveCtesFrom("documents")},
+       |${TextOps.qualityCte},
+       |b AS (
+       |  SELECT r.canonical_doc, r.doc_id, q.quality,
+       |         row_number() OVER (PARTITION BY r.canonical_doc
+       |                            ORDER BY q.quality DESC, r.doc_id) AS rn
+       |  FROM resolved r JOIN q USING (doc_id)
+       |)
+       |SELECT b.canonical_doc, s.cluster_size, b.doc_id AS best_doc,
+       |       b.quality AS best_quality
+       |FROM b JOIN sizes s USING (canonical_doc)
+       |WHERE rn = 1""".stripMargin
+
   /** Oracle for [[Graph.pageRank]] over the MinHash similarity graph:
     * the same banded pair CTEs as [[resolveSql]], then the rank
     * iterations unrolled — all BIGINT picounit arithmetic with floor

@@ -507,6 +507,45 @@ object TextOps {
        |SELECT doc_id, n_chars, n_tokens, uniq_ratio, stop_ratio, quality
        |FROM q""".stripMargin
 
+  /** Per-source document quota — the domain-cap pass of web-corpus
+    * curation: no source may contribute more than `quota` documents, and
+    * the ones it keeps are its best by [[qualityScore]] (ties broken by
+    * doc_id, so the ranking is a total order and cross-engine
+    * deterministic — the quality doubles themselves are proven
+    * engine-identical by the `t_quality_score` oracle).
+    *
+    * One shuffle keyed by source. A pathologically dominant source makes
+    * that key hot; AQE's skew split handles moderate skew, and at true
+    * 100-TB scale the fix is a pre-filter: compute each source's
+    * approximate quality cutoff with a quantile sketch first, drop
+    * below-cutoff docs BEFORE the exact per-source window — the window
+    * then ranks ~quota docs per source instead of all of them. */
+  def domainQuota(docs: DataFrame, quota: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(qualityScore(docs).select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= quota)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("rank_in_source"))
+  }
+
+  /** Oracle for [[domainQuota]] — same quality CTE, same total order. */
+  def domainQuotaSql(quota: Int = 50): String =
+    s"""WITH $qualityCte,
+       |ranked AS (
+       |  SELECT q.doc_id, d.source, q.quality,
+       |         row_number() OVER (PARTITION BY d.source
+       |                            ORDER BY q.quality DESC, q.doc_id)
+       |           AS rank_in_source
+       |  FROM q JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id, source, quality,
+       |       CAST(rank_in_source AS BIGINT) AS rank_in_source
+       |FROM ranked WHERE rank_in_source <= $quota""".stripMargin
+
   /** Temperature-weighted source mixing (α = 0.5) — the pretraining
     * rebalancing pass that samples sources with probability ∝ n_s^α, so
     * rare sources are upweighted relative to their raw share. One tiny

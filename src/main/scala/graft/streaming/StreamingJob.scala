@@ -121,6 +121,22 @@ object StreamingJob {
     Seq(q1, q2, q3, q4)
   }
 
+  /** T16 (extension) — streaming exact dedup: at-least-once transports
+    * re-deliver, and the batch-tier [[graft.ops.Dedup.exactDedup]] has
+    * to have a streaming twin or re-deliveries poison every downstream
+    * agg. `dropDuplicatesWithinWatermark` keeps ONE state-store entry
+    * per key seen within the watermark horizon and evicts it once the
+    * watermark passes — state is bounded by horizon × arrival rate,
+    * where a plain `dropDuplicates` on a stream accretes keys forever.
+    * Re-deliveries farther apart than the horizon pass through: that is
+    * the contract's honest limit, and the horizon is chosen to cover
+    * the transport's redelivery window, not the data's lifetime. */
+  def dedupWithinWatermark(events: DataFrame,
+      keyCols: Seq[String], tsCol: String = "timestamp",
+      horizon: String = "30 seconds"): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** query_05 — the prediction vertical as a streaming consumer of the
     * FEATURES stream, composing T14 → §2.9 scoring → K7 writeback
     * exactly the way the reference splits it across processes

@@ -377,6 +377,43 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(over === 0)
   }
 
+  test("domain quota: per-source cap respected, kept docs dominate dropped") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kept = graft.ops.TextOps.domainQuota(docs, quota = 3)
+    assert(kept.groupBy("source").count().filter(col("count") > 3).count() === 0)
+    val q = graft.ops.TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val all = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    // no dropped doc outranks any kept doc of the same source under the
+    // (quality desc, doc_id asc) total order
+    val worstKept = kept.groupBy("source")
+      .agg(min(struct(col("quality"), -col("doc_id"))).as("wk"))
+    val bad = dropped.join(worstKept, "source")
+      .filter(struct(col("quality"), -col("doc_id")) > col("wk")).count()
+    assert(bad === 0)
+  }
+
+  test("cluster best: the representative is its cluster's quality argmax") {
+    val docs = Tables.load(spark, sf, "documents")
+    val best = graft.ops.Dedup.clusterBest(docs)
+    val members = graft.ops.Dedup.resolveDuplicates(docs)
+      .join(graft.ops.TextOps.qualityScore(docs)
+        .select(col("doc_id"), col("quality")), "doc_id")
+    val ref = members.groupBy("canonical_doc")
+      .agg(max(col("quality")).as("mq"), count(lit(1)).as("n"))
+    assert(best.count() === ref.count())
+    assert(best.join(ref, "canonical_doc")
+      .filter(col("best_quality") =!= col("mq") ||
+        col("cluster_size") =!= col("n")).count() === 0)
+    // best_doc really is a member carrying that quality
+    val matched = best.join(
+      members.withColumnRenamed("doc_id", "best_doc"),
+      Seq("canonical_doc", "best_doc"))
+    assert(matched.count() === best.count())
+    assert(matched.filter(col("quality") =!= col("best_quality")).count() === 0)
+  }
+
   test("incremental view merge == flat recompute over all events") {
     val events = Tables.events(spark, sf)
     val inc = graft.ops.Incremental.incrementalAgg(events)

@@ -97,6 +97,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: in-horizon re-deliveries dropped, state evicted after") {
+    import spark.implicits._
+    val input = MemoryStream[TradeEvent](spark)
+    val deduped = StreamingJob.dedupWithinWatermark(
+      input.toDF(), keyCols = Seq("symbol"), tsCol = "ts",
+      horizon = "10 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      def ev(offsetMs: Long, v: Double) =
+        TradeEvent("BTC", new java.sql.Timestamp(t0 + offsetMs), 1.0, v)
+      // intra- and cross-batch re-deliveries inside the horizon: one row
+      input.addData(ev(0, 1.0), ev(0, 1.0), ev(5000, 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1000, 9.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 1)
+      // watermark only advances at batch END: this far-future event still
+      // sees the live BTC entry (evicted only after the batch), so it is
+      // deduped — and its event time pushes the watermark to ~110s
+      input.addData(ev(120000, 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 1)
+      // now the entry is evicted: the key is accepted again and re-arms
+      input.addData(ev(121000, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2)
+      input.addData(ev(122000, 5.0)) // inside the re-armed horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2)
+    } finally q.stop()
+  }
+
   test("stateful cumulative volume carries across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[TradeEvent](spark)
