@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Decode
-import graft.ops.{AsOfJoin, Dedup, Graph, Incremental, Multimodal, Pipeline, Predict, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
+import graft.ops.{AsOfJoin, Dedup, EventAnalytics, Graph, Incremental, Multimodal, Pipeline, Predict, Relational, Resample, Scale, Similarity, TextOps, TradeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,7 @@ object SparkEntry {
     "s7_keyed_point_read" -> ((s, dir) =>
       TradeOps.keyedPointRead(s, trades(s, dir), dir, "click", "2024-01-05 00:00:00", "2024-01-20 00:00:00")),
     "s9_time_travel" -> ((s, dir) => TradeOps.timeTravelRead(s, trades(s, dir), dir)),
+    "s10_version_diff" -> ((s, dir) => TradeOps.versionDiff(s, trades(s, dir), dir)),
     "w4_analytic_funcs" -> ((s, dir) => TradeOps.analyticWindows(trades(s, dir))),
     "o2_last_row" -> ((s, dir) => TradeOps.lastRow(trades(s, dir))),
     "o4_ordered_split" -> ((s, dir) => TradeOps.orderedSplit(trades(s, dir))),
@@ -157,6 +158,8 @@ object SparkEntry {
           .select("doc_a", "doc_b"))
     }),
     "mv_incremental" -> ((s, dir) => Incremental.incrementalAgg(Tables.events(s, dir))),
+    "e_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
+    "e_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
     "p2_dead_letter" -> ((s, dir) => graft.ingest.Decode.deadLetterDecode(trades(s, dir))),
@@ -479,6 +482,37 @@ object SparkEntry {
          |)
          |SELECT symbol, hr, n_events, max_event_id
          |FROM pick WHERE rn = 1""".stripMargin,
+
+    "s10_version_diff" ->
+      s"""$T, k AS (
+         |  SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+         |         event_id % 3 AS batch,
+         |         count(*) AS n_events, max(event_id) AS max_event_id
+         |  FROM trades GROUP BY 1, 2, 3
+         |), v1 AS (
+         |  SELECT symbol, hr, n_events, max_event_id FROM (
+         |    SELECT symbol, hr, n_events, max_event_id,
+         |           row_number() OVER (PARTITION BY symbol, hr
+         |                              ORDER BY batch DESC) AS rn
+         |    FROM k WHERE batch <= 1)
+         |  WHERE rn = 1
+         |), v2 AS (
+         |  SELECT symbol, hr, n_events, max_event_id FROM (
+         |    SELECT symbol, hr, n_events, max_event_id,
+         |           row_number() OVER (PARTITION BY symbol, hr
+         |                              ORDER BY batch DESC) AS rn
+         |    FROM k WHERE batch <= 2)
+         |  WHERE rn = 1
+         |)
+         |SELECT symbol, hr,
+         |       o.n_events AS old_n, o.max_event_id AS old_max,
+         |       n.n_events AS new_n, n.max_event_id AS new_max,
+         |       CASE WHEN o.n_events IS NULL THEN 'insert'
+         |            WHEN n.n_events IS NULL THEN 'delete'
+         |            WHEN o.n_events != n.n_events
+         |              OR o.max_event_id != n.max_event_id THEN 'update'
+         |            ELSE 'unchanged' END AS change_type
+         |FROM v1 o FULL OUTER JOIN v2 n USING (symbol, hr)""".stripMargin,
 
     "w4_analytic_funcs" ->
       s"""$T
@@ -916,6 +950,8 @@ object SparkEntry {
     "t_tfidf_topk" -> TextOps.tfidfTopKSql(),
     "g_pagerank" -> Dedup.similarityRankSql(),
     "mv_incremental" -> Incremental.incrementalAggSql,
+    "e_funnel" -> EventAnalytics.funnelSql(),
+    "e_retention" -> EventAnalytics.retentionSql,
     "k10_compaction" ->
       s"""$T
          |SELECT event_id, symbol, "timestamp", price, volume

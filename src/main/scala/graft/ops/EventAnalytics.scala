@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the raw event stream — the funnel and
+  * cohort-retention shapes every product warehouse runs daily, included
+  * because a user of the reference pipeline's event store would expect
+  * them from a complete engine.
+  *
+  * Scale posture: both operators key everything by `user_id`. The
+  * funnel is ONE shuffle — three windowed conditional minima over the
+  * same user partitioning (Catalyst plans a single exchange; the
+  * ordered-stage dependency t1 → t2 → t3 is expressed across window
+  * passes, not self-joins), then a per-user aggregate that reuses the
+  * partitioning. Retention is a user-keyed aggregate, a co-keyed join
+  * back, and a (cohort × offset)-keyed distinct count — the
+  * `countDistinct` expand is exact; at true 100-TB event volumes swap
+  * in the [[Relational.hllMergeDistinct]] sketch union per cell.
+  */
+object EventAnalytics {
+
+  /** Ordered three-stage funnel: for each user, the first `s1`, the
+    * first `s2` AFTER that, the first `s3` after THAT — strict
+    * event-time order, so a click before the first view does not count.
+    * Timestamps compare at microsecond granularity (the [[graft.Tables
+    * .events]] read truncates nanos exactly as DuckDB's µs cast does).
+    */
+  def funnel(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.length == 3, "funnel expects exactly three stages")
+    val Seq(s1, s2, s3) = stages
+    val w = Window.partitionBy("user_id")
+    events
+      .withColumn("t1",
+        min(when(col("event_type") === s1, col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === s2 && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === s3 && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max(col("t1")).as("t_view"), max(col("t2")).as("t_click"),
+        max(col("t3")).as("t_purchase"))
+      .withColumn("stages_reached",
+        when(col("t_view").isNotNull, 1).otherwise(0) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0))
+  }
+
+  /** Oracle for [[funnel]]: the stage chain as three dependent
+    * aggregates (the join form — same fixpoint as the window form). */
+  def funnelSql(stages: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val Seq(s1, s2, s3) = stages
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events
+       |), f1 AS (
+       |  SELECT user_id,
+       |         min(CASE WHEN event_type = '$s1' THEN ts END) AS t_view
+       |  FROM e GROUP BY 1
+       |), f2 AS (
+       |  SELECT e.user_id, any_value(f1.t_view) AS t_view,
+       |         min(CASE WHEN e.event_type = '$s2' AND e.ts > f1.t_view
+       |                  THEN e.ts END) AS t_click
+       |  FROM e JOIN f1 USING (user_id) GROUP BY 1
+       |), f3 AS (
+       |  SELECT e.user_id, any_value(f2.t_view) AS t_view,
+       |         any_value(f2.t_click) AS t_click,
+       |         min(CASE WHEN e.event_type = '$s3' AND e.ts > f2.t_click
+       |                  THEN e.ts END) AS t_purchase
+       |  FROM e JOIN f2 USING (user_id) GROUP BY 1
+       |)
+       |SELECT user_id, t_view, t_click, t_purchase,
+       |       CAST(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END
+       |          AS INTEGER) AS stages_reached
+       |FROM f3""".stripMargin
+  }
+
+  /** Classic cohort retention: users grouped by first-seen day, counted
+    * distinctly on each later activity day, reported as (cohort,
+    * day-offset, active-user count). */
+  def retention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(cohorts, "user_id")
+      .groupBy("cohort_day", "day")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("n_active"))
+  }
+
+  /** Oracle for [[retention]]. */
+  val retentionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+      |       CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE))
+      |            AS INTEGER) AS day_offset,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM events e JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+}

@@ -426,8 +426,11 @@ object TradeOps {
     * integers (count, max event_id), so the expected v2 state is exactly
     * reproducible relationally — the oracle replays the overwrite with a
     * `batch DESC` row_number over batches ≤ 1. */
-  def timeTravelRead(spark: SparkSession, trades: DataFrame,
-      dirTag: String): DataFrame = {
+  /** Build-once 3-version upsert store over hour-keyed trade rollups —
+    * shared by [[timeTravelRead]] and [[versionDiff]] (same scratch
+    * root, guarded by the manifest, so one session builds it once). */
+  private def ttStore(spark: SparkSession, trades: DataFrame,
+      dirTag: String): String = {
     val root = scratchDir(spark,
       "tt_store_" + dirTag.replaceAll("[^A-Za-z0-9]", "_"))
     val keyed = trades
@@ -441,8 +444,38 @@ object TradeOps {
           keyed.filter(col("batch") === b).drop("batch"),
           b.toLong, root, keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
       }
+    root
+  }
+
+  def timeTravelRead(spark: SparkSession, trades: DataFrame,
+      dirTag: String): DataFrame = {
+    val root = ttStore(spark, trades, dirTag)
     graft.sinks.Upsert.readVersion(spark, root, 1L).get
       .select("symbol", "hr", "n_events", "max_event_id")
+  }
+
+  /** CDC between two retained store versions: full-outer join the
+    * version-1 and version-2 states on the merge key and classify every
+    * key as insert / update / unchanged (delete is impossible under
+    * pure-upsert merge but classified anyway — the diff is the sink's
+    * change feed, and a delete-capable merge would reuse it as-is).
+    * Both sides are bucket-pruned store reads co-bucketed on `symbol`,
+    * so the join needs no full shuffle at store scale. */
+  def versionDiff(spark: SparkSession, trades: DataFrame,
+      dirTag: String): DataFrame = {
+    val root = ttStore(spark, trades, dirTag)
+    def at(v: Long, pfx: String) =
+      graft.sinks.Upsert.readVersion(spark, root, v).get
+        .select(col("symbol"), col("hr"),
+          col("n_events").as(s"${pfx}_n"),
+          col("max_event_id").as(s"${pfx}_max"))
+    at(1L, "old").join(at(2L, "new"), Seq("symbol", "hr"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_n").isNull, "insert")
+          .when(col("new_n").isNull, "delete")
+          .when(col("old_n") =!= col("new_n") ||
+            col("old_max") =!= col("new_max"), "update")
+          .otherwise("unchanged"))
   }
 
   /** S4/F10 as a file format: JSON-lines export then schema-declared

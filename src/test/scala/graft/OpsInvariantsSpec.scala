@@ -414,6 +414,66 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(matched.filter(col("quality") =!= col("best_quality")).count() === 0)
   }
 
+  test("funnel: strict stage order enforced, one shuffle in the plan") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val ev = Seq(
+      // u1: clean view -> click -> purchase
+      (1L, ts(10), "view"), (1L, ts(5), "click"), (1L, ts(20), "click"),
+      (1L, ts(30), "purchase"),
+      // u2: click/purchase BEFORE the first view count for nothing
+      (2L, ts(5), "click"), (2L, ts(10), "purchase"), (2L, ts(20), "view"),
+      // u3: purchase precedes the qualifying click
+      (3L, ts(10), "view"), (3L, ts(20), "click"), (3L, ts(15), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val f = graft.ops.EventAnalytics.funnel(ev)
+    val got = f.collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 2))
+    // the u1 click that counts is the one AFTER the view
+    val u1 = f.filter(col("user_id") === 1).head
+    assert(u1.getTimestamp(2) === ts(20))
+    f.collect()
+    // AQE's toString prints the final plan AND an "Initial Plan" echo —
+    // count exchanges only in the final section
+    val plan = f.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1,
+      s"funnel must shuffle exactly once:\n$plan")
+  }
+
+  test("retention: every cohort fully active at offset zero") {
+    val events = Tables.events(spark, sf)
+    val r = graft.ops.EventAnalytics.retention(events)
+    assert(r.filter(col("day_offset") < 0).count() === 0)
+    val cohortSizes = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cd"))
+      .groupBy(col("cd").cast("timestamp").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val day0 = r.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active"))
+    // each user is by definition active on their cohort day
+    assert(day0.join(cohortSizes, "cohort_day")
+      .filter(col("n_active") =!= col("n_users")).count() === 0)
+    assert(day0.count() === cohortSizes.count())
+  }
+
+  test("version diff: no deletes under upsert, inserts exactly the new keys") {
+    val d = graft.ops.TradeOps.versionDiff(spark, trades, "spec")
+    assert(d.filter(col("change_type") === "delete").count() === 0)
+    assert(d.groupBy("symbol", "hr").count()
+      .filter(col("count") > 1).count() === 0)
+    val v1 = graft.ops.TradeOps.timeTravelRead(spark, trades, "spec")
+      .select("symbol", "hr")
+    // inserts are precisely the keys absent from version 1; everything
+    // else was already present
+    assert(d.filter(col("change_type") === "insert")
+      .join(v1, Seq("symbol", "hr"), "left_semi").count() === 0)
+    assert(d.filter(col("change_type") =!= "insert")
+      .join(v1, Seq("symbol", "hr"), "left_anti").count() === 0)
+  }
+
   test("incremental view merge == flat recompute over all events") {
     val events = Tables.events(spark, sf)
     val inc = graft.ops.Incremental.incrementalAgg(events)
