@@ -157,6 +157,16 @@ object SparkEntry {
           .filter(col("est_jaccard") >= Dedup.resolveThreshold)
           .select("doc_a", "doc_b"))
     }),
+    "g_contamination_hops" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Graph.hopDistance(
+        docs.select("doc_id"),
+        Dedup.minhashPairs(docs)
+          .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+          .select("doc_a", "doc_b"),
+        TextOps.contamination(docs)
+          .filter(col("contaminated") === 1).select("doc_id"))
+    }),
     "mv_incremental" -> ((s, dir) => Incremental.incrementalAgg(Tables.events(s, dir))),
     "e_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
     "e_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
@@ -949,6 +959,7 @@ object SparkEntry {
     "d_cluster_best" -> Dedup.clusterBestSql,
     "t_tfidf_topk" -> TextOps.tfidfTopKSql(),
     "g_pagerank" -> Dedup.similarityRankSql(),
+    "g_contamination_hops" -> Dedup.contaminationHopsSql(),
     "mv_incremental" -> Incremental.incrementalAggSql,
     "e_funnel" -> EventAnalytics.funnelSql(),
     "e_retention" -> EventAnalytics.retentionSql,

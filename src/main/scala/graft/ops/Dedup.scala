@@ -592,6 +592,47 @@ object Dedup {
        |FROM b JOIN sizes s USING (canonical_doc)
        |WHERE rn = 1""".stripMargin
 
+  /** Oracle for the transitive-taint query ([[Graph.hopDistance]]
+    * seeded from [[TextOps.contamination]] flags over the MinHash
+    * similarity graph): the [[similarityRankSql]] pair CTEs, the shared
+    * contamination hits CTEs, and the BFS rounds unrolled — each round
+    * discovers `DISTINCT` neighbors of the previous frontier and
+    * coalesces them in at distance k. */
+  def contaminationHopsSql(maxHops: Int = 2, flagAt: Int = 3): String = {
+    val rounds = (1 to maxHops).map { k =>
+      val prev = s"d${k - 1}"
+      s"""d$k AS (
+         |  SELECT $prev.id, coalesce($prev.d, f.nd) AS d
+         |  FROM $prev LEFT JOIN (
+         |    SELECT DISTINCT e.dst AS id, $k AS nd
+         |    FROM edges e JOIN $prev p ON e.src = p.id
+         |    WHERE p.d = ${k - 1}) f USING (id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${sigCteFrom("documents")},
+       |p AS (
+       |  SELECT s1.doc_id AS a, s2.doc_id AS b
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $resolveThreshold
+       |),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM p
+       |  UNION ALL
+       |  SELECT b, a FROM p
+       |),
+       |${TextOps.contaminationCtes()},
+       |seeds AS (SELECT doc_id FROM hits WHERE n_shared >= $flagAt),
+       |v AS (SELECT doc_id AS id FROM documents),
+       |d0 AS (
+       |  SELECT v.id, CASE WHEN s.doc_id IS NOT NULL THEN 0 END AS d
+       |  FROM v LEFT JOIN seeds s ON s.doc_id = v.id
+       |),
+       |$rounds
+       |SELECT id AS doc_id, CAST(d AS INTEGER) AS hop_dist
+       |FROM d$maxHops""".stripMargin
+  }
+
   /** Oracle for [[Graph.pageRank]] over the MinHash similarity graph:
     * the same banded pair CTEs as [[resolveSql]], then the rank
     * iterations unrolled — all BIGINT picounit arithmetic with floor

@@ -283,4 +283,58 @@ object Graph {
       .foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Multi-source BFS hop distance, bounded at `maxHops` — the
+    * transitive-taint primitive: "everything within k similarity hops
+    * of a flagged document" (contamination spreading through near-dup
+    * chains, abuse-cluster expansion, GDPR blast radius). Vertices
+    * unreached within the bound come back with a null distance.
+    *
+    * Frontier discipline: at round k only vertices discovered at k−1
+    * can reveal new ones, so the edge list is joined against the
+    * FRONTIER (vertex-sized or smaller, broadcast), never against the
+    * full distance table — per round the big list is scanned once, and
+    * the per-round state delta is exactly the new frontier. Pure
+    * integer labels; nothing about the result depends on execution
+    * order, so a DuckDB oracle matches exactly.
+    *
+    * @param vertices one column, the vertex id
+    * @param edges0   two columns (src, dst by position); symmetrized
+    * @param seeds    one column, the distance-0 vertex ids (⊆ vertices)
+    * @return (id, hop_dist) — 0 for seeds, k for k-hop discovery, null
+    *         beyond `maxHops` */
+  def hopDistance(vertices: DataFrame, edges0: DataFrame, seeds: DataFrame,
+      maxHops: Int = 2): DataFrame = {
+    val allocated = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      allocated ++= backingRdds(c)
+      c
+    }
+    val idCol = vertices.columns.head
+    val verts = vertices.select(col(idCol).as("id"))
+    val seedIds = seeds.select(col(seeds.columns.head).as("id"))
+      .withColumn("d0", lit(0))
+    val Array(srcC, dstC) = edges0.columns.take(2)
+    val half = ckpt(edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
+      .filter(col("src") =!= col("dst")))
+    val edges = half.union(half.select(col("dst"), col("src")))
+    var dist = ckpt(verts.join(broadcast(seedIds), Seq("id"), "left")
+      .select(col("id"), col("d0").as("d")))
+    for (k <- 1 to maxHops) {
+      val frontier = dist.filter(col("d") === (k - 1))
+        .select(col("id").as("src"))
+      val discovered = edges.join(broadcast(frontier), "src")
+        .select(col("dst").as("id")).distinct()
+        .withColumn("nd", lit(k))
+      dist = ckpt(dist.join(broadcast(discovered), Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), col("nd")).as("d")))
+    }
+    val out = dist.select(col("id").as("doc_id"), col("d").as("hop_dist"))
+    val keep = backingRdds(dist).map(_.id).toSet
+    allocated.filterNot(r => keep.contains(r.id)).distinct
+      .foreach(_.unpersist(blocking = false))
+    out
+  }
 }

@@ -310,10 +310,13 @@ object TextOps {
           .as("contaminated"))
   }
 
-  def contaminationSql(benchDocs: Long = 20, n: Int = 5,
-      flagAt: Int = 3): String = {
+  /** The [[contamination]] oracle's CTE chain through `hits(doc_id,
+    * n_shared, n_bench_docs)` — shared with the transitive-taint oracle
+    * ([[Dedup.contaminationHopsSql]]), which seeds its BFS from the
+    * same flags. */
+  private[ops] def contaminationCtes(benchDocs: Long = 20, n: Int = 5): String = {
     val gramExpr = (0 until n).map(k => s"words[i+$k]").mkString(", ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
        |), sh AS (
        |  SELECT doc_id,
@@ -329,7 +332,12 @@ object TextOps {
        |         count(DISTINCT b.bench_id) AS n_bench_docs
        |  FROM corpus c JOIN bench b ON b.gram = c.gram
        |  GROUP BY 1
-       |)
+       |)""".stripMargin
+  }
+
+  def contaminationSql(benchDocs: Long = 20, n: Int = 5,
+      flagAt: Int = 3): String = {
+    s"""WITH ${contaminationCtes(benchDocs, n)}
        |SELECT d.doc_id,
        |       coalesce(h.n_shared, 0) AS n_shared,
        |       coalesce(h.n_bench_docs, 0) AS n_bench_docs,

@@ -356,6 +356,42 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("hopDistance matches a driver BFS on seeded graphs") {
+    import spark.implicits._
+    def ref(n: Int, es: Seq[(Int, Int)], seeds: Seq[Int],
+        maxHops: Int): Map[Int, Option[Int]] = {
+      val sym = es.filter { case (a, b) => a != b }
+      val adj = (sym ++ sym.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = seeds.map(_ -> 0).toMap
+      for (k <- 1 to maxHops) {
+        val frontier = dist.collect { case (v, d) if d == k - 1 => v }
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Int]))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> k)
+      }
+      (0 until n).map(v => v -> dist.get(v)).toMap
+    }
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      (5, Seq((0, 1), (1, 2), (2, 3)), Seq(0)),  // chain: 0,1,2,null,null
+      (4, Nil, Seq(1)),                          // no edges
+      (4, Seq((0, 1)), Seq.empty[Int])) ++       // no seeds: all null
+      (1 to 8).map { _ =>
+        val n = 2 + rnd.nextInt(40)
+        (n, Seq.fill(rnd.nextInt(2 * n))((rnd.nextInt(n), rnd.nextInt(n))),
+          (0 until n).filter(_ => rnd.nextBoolean() && rnd.nextBoolean()))
+      }
+    cases.foreach { case (n, es, seeds) =>
+      val got = graft.ops.Graph.hopDistance(
+        (0 until n).toDF("v"), es.toDF("a", "b"), seeds.toDF("s"), maxHops = 2)
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(got === ref(n, es, seeds, 2), s"n=$n edges=$es seeds=$seeds")
+    }
+  }
+
   test("bpeEncode: exact counts on a hand corpus; bounded on the real one") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab", "en", "web", 5L), (1L, "ab", "en", "web", 2L))
