@@ -66,6 +66,7 @@ object SparkEntry {
     "s9_time_travel" -> ((s, dir) => TradeOps.timeTravelRead(s, trades(s, dir), dir)),
     "s10_version_diff" -> ((s, dir) => TradeOps.versionDiff(s, trades(s, dir), dir)),
     "w4_analytic_funcs" -> ((s, dir) => TradeOps.analyticWindows(trades(s, dir))),
+    "w5_ewma" -> ((s, dir) => TradeOps.ewma(trades(s, dir))),
     "o2_last_row" -> ((s, dir) => TradeOps.lastRow(trades(s, dir))),
     "o4_ordered_split" -> ((s, dir) => TradeOps.orderedSplit(trades(s, dir))),
     // -- joins (§2.6; as-of per predict_btc.py:88-91) --------------------
@@ -492,6 +493,10 @@ object SparkEntry {
          |)
          |SELECT symbol, hr, n_events, max_event_id
          |FROM pick WHERE rn = 1""".stripMargin,
+
+    "w5_ewma" ->
+      s"""$T
+         |${TradeOps.ewmaSql()}""".stripMargin,
 
     "s10_version_diff" ->
       s"""$T, k AS (

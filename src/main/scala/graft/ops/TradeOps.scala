@@ -90,6 +90,54 @@ object TradeOps {
       .filter(col("n_rows") === n)
   }
 
+  /** W5 (extension) — exponentially weighted moving average with
+    * halving weights over the last `L` prices per symbol, in EXACT
+    * integer arithmetic: a float EWMA is a sequential recurrence whose
+    * rounding depends on evaluation order, but with weights 2^(L-1-j)
+    * the weighted sum is an exact BIGINT (`price` quantized to micros),
+    * and the single final double division is IEEE-identical in both
+    * engines. Implemented as L lag() terms over one (symbol)-keyed
+    * window — one shuffle, whole-stage codegen'd, partial windows at
+    * the partition head normalized by the weights actually present. */
+  def ewma(trades: DataFrame, lags: Int = 16): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val withPm = trades.withColumn("pm",
+      expr("CAST(round(price * 1000000) AS BIGINT)"))
+    val terms = (0 until lags).map { j =>
+      val weight = 1L << (lags - 1 - j)
+      val lagged = lag(col("pm"), j).over(w)
+      (when(lagged.isNotNull, lagged * weight).otherwise(0L),
+        when(lagged.isNotNull, lit(weight)).otherwise(0L))
+    }
+    withPm
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        round(col("num").cast("double") / col("den").cast("double") /
+          lit(1e6), 6).as("ewma"))
+  }
+
+  /** Oracle for [[ewma]] (body only — caller prepends the trades CTE):
+    * identical lag terms, identical weights, identical division order. */
+  def ewmaSql(lags: Int = 16): String = {
+    val over = """OVER (PARTITION BY symbol ORDER BY "timestamp", event_id)"""
+    def term(j: Int, value: String): String =
+      s"CASE WHEN lag(pm, $j) $over IS NOT NULL THEN $value ELSE 0 END"
+    val num = (0 until lags).map { j =>
+      term(j, s"lag(pm, $j) $over * ${1L << (lags - 1 - j)}")
+    }.mkString("\n         + ")
+    val den = (0 until lags).map { j =>
+      term(j, (1L << (lags - 1 - j)).toString)
+    }.mkString("\n         + ")
+    s"""SELECT event_id, symbol, "timestamp",
+       |       round(CAST($num AS DOUBLE)
+       |             / CAST($den AS DOUBLE) / 1e6, 6) AS ewma
+       |FROM (SELECT event_id, symbol, "timestamp",
+       |             CAST(round(price * 1000000) AS BIGINT) AS pm
+       |      FROM trades)""".stripMargin
+  }
+
   /** F9 (reference `train_model.ipynb` cell 3, `predict_btc.py:40-50`):
     * per-symbol min-max scaling `(x - min) / (max - min)`. The fitted
     * stats are a tiny aggregate — broadcast back, no second shuffle. */

@@ -450,6 +450,23 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(matched.filter(col("quality") =!= col("best_quality")).count() === 0)
   }
 
+  test("ewma: constant series is identity; value bounded by window extremes") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val const = (1 to 40).map(i => (i.toLong, "C", ts(i), 5.5, 1.0, 5.5))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    assert(graft.ops.TradeOps.ewma(const)
+      .filter(col("ewma") =!= 5.5).count() === 0)
+    // a convex combination of the last 16 prices stays inside their range
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id")).rowsBetween(-15, 0)
+    val bounds = trades.select(col("event_id"),
+      min(col("price")).over(w).as("lo"), max(col("price")).over(w).as("hi"))
+    assert(graft.ops.TradeOps.ewma(trades).join(bounds, "event_id")
+      .filter(col("ewma") < col("lo") - 1e-4 ||
+        col("ewma") > col("hi") + 1e-4).count() === 0)
+  }
+
   test("funnel: strict stage order enforced, one shuffle in the plan") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
