@@ -173,6 +173,7 @@ object SparkEntry {
     "e_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
+    "p_curation_manifest" -> ((s, dir) => Pipeline.curationManifest(Tables.load(s, dir, "documents"))),
     "p2_dead_letter" -> ((s, dir) => graft.ingest.Decode.deadLetterDecode(trades(s, dir))),
     "a_hll_merge" -> ((s, dir) => Relational.hllMergeDistinct(s, dir)),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
@@ -975,6 +976,7 @@ object SparkEntry {
     "d_dedup_resolve" -> Dedup.resolveSql,
     "p_corpus_clean" -> Pipeline.corpusCleanSql,
     "p_pretrain_manifest" -> Pipeline.pretrainManifestSql,
+    "p_curation_manifest" -> Pipeline.curationManifestSql(),
     "p2_dead_letter" ->
       s"""$T
          |SELECT event_id,

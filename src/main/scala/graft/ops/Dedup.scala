@@ -598,7 +598,10 @@ object Dedup {
     * contamination hits CTEs, and the BFS rounds unrolled — each round
     * discovers `DISTINCT` neighbors of the previous frontier and
     * coalesces them in at distance k. */
-  def contaminationHopsSql(maxHops: Int = 2, flagAt: Int = 3): String = {
+  /** The [[contaminationHopsSql]] CTE chain through `d<maxHops>(id, d)`
+    * — shared with the curation-manifest composite
+    * ([[Pipeline.curationManifestSql]]). Chain after `WITH …`. */
+  private[ops] def contaminationHopsCtes(maxHops: Int = 2, flagAt: Int = 3): String = {
     val rounds = (1 to maxHops).map { k =>
       val prev = s"d${k - 1}"
       s"""d$k AS (
@@ -609,7 +612,7 @@ object Dedup {
          |    WHERE p.d = ${k - 1}) f USING (id)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""${sigCteFrom("documents")},
+    s"""${sigCteFrom("documents").stripPrefix("WITH ")},
        |p AS (
        |  SELECT s1.doc_id AS a, s2.doc_id AS b
        |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
@@ -628,10 +631,13 @@ object Dedup {
        |  SELECT v.id, CASE WHEN s.doc_id IS NOT NULL THEN 0 END AS d
        |  FROM v LEFT JOIN seeds s ON s.doc_id = v.id
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  def contaminationHopsSql(maxHops: Int = 2, flagAt: Int = 3): String =
+    s"""WITH ${contaminationHopsCtes(maxHops, flagAt)}
        |SELECT id AS doc_id, CAST(d AS INTEGER) AS hop_dist
        |FROM d$maxHops""".stripMargin
-  }
 
   /** Oracle for [[Graph.pageRank]] over the MinHash similarity graph:
     * the same banded pair CTEs as [[resolveSql]], then the rank

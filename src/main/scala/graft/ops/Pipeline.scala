@@ -108,4 +108,57 @@ object Pipeline {
        |),
        |${TextOps.packCtesFrom("cleaned")}
        |${TextOps.packSelect}""".stripMargin
+
+  /** The curation front-end composed: quality filter → transitive
+    * decontamination ([[Graph.hopDistance]] over the MinHash graph,
+    * dropping everything within 2 near-dup hops of a verbatim
+    * contamination flag) → per-source quota ranked among SURVIVORS
+    * (rank after filtering, so a source's slots go to clean docs).
+    * Output: the curated manifest (doc_id, source, quality,
+    * rank_in_source). Each stage is the already-scale-shaped operator
+    * it composes; the taint set joins as a doc-keyed anti-join. */
+  def curationManifest(docs: DataFrame, quota: Int = 50): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .filter(col("quality") >= minQuality)
+    val tainted = Graph.hopDistance(
+      docs.select("doc_id"),
+      Dedup.minhashPairs(docs)
+        .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+        .select("doc_a", "doc_b"),
+      TextOps.contamination(docs)
+        .filter(col("contaminated") === 1).select("doc_id"))
+      .filter(col("hop_dist").isNotNull).select("doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    base.join(tainted, Seq("doc_id"), "left_anti")
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= quota)
+  }
+
+  /** Oracle for [[curationManifest]]: quality CTE + the shared
+    * contamination-hops chain + anti-join + windowed quota. */
+  def curationManifestSql(quota: Int = 50): String =
+    s"""WITH ${TextOps.qualityCte},
+       |${Dedup.contaminationHopsCtes()},
+       |base AS (
+       |  SELECT q.doc_id, d.source, q.quality
+       |  FROM q JOIN documents d USING (doc_id)
+       |  WHERE q.quality >= $minQuality
+       |),
+       |taint AS (SELECT id AS doc_id FROM d2 WHERE d IS NOT NULL),
+       |clean AS (
+       |  SELECT b.* FROM base b LEFT JOIN taint t USING (doc_id)
+       |  WHERE t.doc_id IS NULL
+       |),
+       |ranked AS (
+       |  SELECT doc_id, source, quality,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY quality DESC, doc_id) AS rn
+       |  FROM clean
+       |)
+       |SELECT doc_id, source, quality, CAST(rn AS BIGINT) AS rank_in_source
+       |FROM ranked WHERE rn <= $quota""".stripMargin
 }

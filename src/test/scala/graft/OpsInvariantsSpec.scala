@@ -450,6 +450,22 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(matched.filter(col("quality") =!= col("best_quality")).count() === 0)
   }
 
+  test("curation manifest: quality-floored, taint-free, quota-capped") {
+    val docs = Tables.load(spark, sf, "documents")
+    val m = graft.ops.Pipeline.curationManifest(docs, quota = 5)
+    assert(m.filter(col("quality") < graft.ops.Pipeline.minQuality).count() === 0)
+    assert(m.groupBy("source").count().filter(col("count") > 5).count() === 0)
+    val tainted = graft.ops.Graph.hopDistance(
+      docs.select("doc_id"),
+      graft.ops.Dedup.minhashPairs(docs)
+        .filter(col("est_jaccard") >= graft.ops.Dedup.resolveThreshold)
+        .select("doc_a", "doc_b"),
+      graft.ops.TextOps.contamination(docs)
+        .filter(col("contaminated") === 1).select("doc_id"))
+      .filter(col("hop_dist").isNotNull).select("doc_id")
+    assert(m.join(tainted, Seq("doc_id"), "left_semi").count() === 0)
+  }
+
   test("ewma: constant series is identity; value bounded by window extremes") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
