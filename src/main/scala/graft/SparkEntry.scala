@@ -181,6 +181,7 @@ object SparkEntry {
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "v_pq_adc" -> ((s, dir) => Similarity.pqAdc(s, dir)),
+    "v_ivfpq_adc" -> ((s, dir) => Similarity.ivfPqAdc(s, dir)),
     "v_kmeans" -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(Tables.load(s, dir, "documents"))),
     "m_decode_stub" -> ((s, dir) => Multimodal.decodeMedia(s, Tables.load(s, dir, "documents")).toDF()),
@@ -998,6 +999,7 @@ object SparkEntry {
     "v_ann_ivf" -> Similarity.annIvfSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
+    "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),
     "v_kmeans" -> Similarity.kmeansSql(),
     "v_ann_lsh" -> Similarity.annLshSql(),
 

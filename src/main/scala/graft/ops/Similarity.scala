@@ -609,6 +609,155 @@ object Similarity {
        |) WHERE rnk <= $kNn""".stripMargin
   }
 
+  /** The composed IVF-PQ query path — [[annIvf]]'s coarse routing over
+    * [[pqAdc]]'s compressed scan, i.e. the actual FAISS-style index
+    * shape: candidates are stored as (cell, m×4-bit codes); a query
+    * probes its top-`nProbe` cells and ADC-scores ONLY the codes in
+    * those cells. The index read per query is (probed fraction of the
+    * corpus) × (m·log₂k bits per vector) — the two claims (IVF prunes
+    * the scan, PQ shrinks what's scanned) multiplying, which is what
+    * makes exhaustive reranking affordable at 100 TB.
+    *
+    * One k-means training serves both tiers (coarse quantizer and
+    * sub-codebooks, via the session cache — `nCells == k` here, so the
+    * cache key coincides; a production index would train residual
+    * codebooks separately, which this seam accommodates by passing a
+    * different k). Index build: one corpus pass (cell argmax + m code
+    * argmins, all literal-codebook codegen projections), materialized
+    * partitioned by cell. Probe: queries broadcast with their LUTs;
+    * the only shuffle is the final per-query top-k. */
+  def ivfPqAdc(spark: SparkSession, dir: String, nQueries: Int = 10,
+      kNn: Int = 5, nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      trainIters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val dim = emb.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val sub = dim / m
+    val cents = trainKmeansCached(spark, dir, emb, nCells, trainIters, dim)
+    val cb: IndexedSeq[IndexedSeq[Double]] = cents.map(_._2)
+    val withNorm = cents.map { case (_, c) =>
+      (c, math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    }
+    val nLive = cb.length
+    val sims = array(withNorm.map { case (cv, cn) =>
+      call_function("dot_product", col("v"), array(cv.map(lit): _*)) /
+        (col("norm") * lit(cn))
+    }: _*)
+    def centLit(ci: Int, s: Int) =
+      array(cb(ci).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    def scoreCol(vc: org.apache.spark.sql.Column, s: Int) =
+      array(cb.indices.map { ci =>
+        call_function("dot_product", centLit(ci, s), centLit(ci, s)) -
+          lit(2.0) * call_function("dot_product",
+            slice(vc, s * sub + 1, sub), centLit(ci, s))
+      }: _*)
+    // index build: cell + packed-code columns in one pass, stored by cell
+    val n = spark.sessionState.conf.numShufflePartitions
+    val index = (0 until m).foldLeft(
+      emb.withColumn("sims", sims)
+        .withColumn("cell",
+          (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+        .drop("sims")) { (df, s) =>
+      df.withColumn(s"c$s",
+        (array_position(scoreCol(col("v"), s),
+          array_min(scoreCol(col("v"), s))) - 1).cast("int"))
+    }.select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"c$s")): _*)
+      .repartition(n, col("cell"))
+      .localCheckpoint()
+    // probe side: top-nProbe cells + per-subspace LUTs, broadcast
+    val probeCells = expr(
+      s"transform(slice(reverse(array_sort(zip_with(sims, " +
+        s"sequence(0, ${nLive - 1}), (s, c) -> struct(s AS sim, -c AS negc)))), " +
+        s"1, $nProbe), x -> CAST(-x.negc AS INT))")
+    val queries = (0 until m).foldLeft(
+      emb.filter(col("vec_id") < nQueries)
+        .withColumn("sims", sims)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(probeCells).as("cell"))) { (df, s) =>
+      df.withColumn(s"lut$s", scoreCol(col("qv"), s))
+    }.drop("qv")
+    val adc = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
+    val byQ = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    index.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= kNn)
+      .select(col("q_id"), col("vec_id"), col("adc"), col("rnk"))
+  }
+
+  /** Oracle for [[ivfPqAdc]]: one k-means chain feeding both tiers,
+    * [[annIvfSql]]'s assignment/probe CTEs (renamed), [[pqAdcSql]]'s
+    * codes/LUT CTEs, with the ADC scan restricted to probed cells. */
+  def ivfPqAdcSql(nQueries: Int = 10, kNn: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, dim: Int = 64,
+      trainIters: Int = 2): String = {
+    val sub = dim / m
+    def sl(x: String) = s"$x[s.s * $sub + 1 : (s.s + 1) * $sub]"
+    val adcChain = (0 until m)
+      .map(s => s"max(CASE WHEN c.s = $s THEN lv END)").mkString(" + ")
+    s"""WITH ${kmeansChain(nCells, trainIters, dim)},
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |), cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS cell,
+       |         cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |  FROM cb$trainIters
+       |), cscored AS (
+       |  SELECT n.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+       |                    c.cell) AS rc
+       |  FROM n, cent c
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM cscored WHERE rc = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell FROM cscored
+       |  WHERE vec_id < $nQueries AND rc <= $nProbe
+       |), cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS ci, cv
+       |  FROM cb$trainIters
+       |), qscored AS (
+       |  SELECT e.vec_id, s.s, cb.ci,
+       |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
+       |    2.0::DOUBLE * list_dot_product(${sl("e.v")}, ${sl("cb.cv")}) AS score
+       |  FROM e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) s
+       |  CROSS JOIN cb
+       |), codes AS (
+       |  SELECT vec_id, s, ci FROM (
+       |    SELECT vec_id, s, ci,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |             ORDER BY score, ci) AS rc
+       |    FROM qscored
+       |  ) WHERE rc = 1
+       |), lut AS (
+       |  SELECT e.vec_id AS q_id, s.s, cb.ci,
+       |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
+       |    2.0::DOUBLE * list_dot_product(${sl("e.v")}, ${sl("cb.cv")}) AS lv
+       |  FROM e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) s
+       |  CROSS JOIN cb
+       |  WHERE e.vec_id < $nQueries
+       |), dist AS (
+       |  SELECT p.q_id, c.vec_id, $adcChain AS adc
+       |  FROM codes c
+       |  JOIN assigned a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN lut l ON l.q_id = p.q_id AND l.s = c.s AND l.ci = c.ci
+       |  WHERE c.vec_id != p.q_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, vec_id, adc, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, vec_id) AS rnk
+       |  FROM dist
+       |) WHERE rnk <= $kNn""".stripMargin
+  }
+
   /** Random-hyperplane LSH buckets: `nBits` sign bits of dot products
     * against deterministic ±1 hyperplanes (derived from (dim, plane)
     * indices, so every executor regenerates them identically — nothing

@@ -450,6 +450,20 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(matched.filter(col("quality") =!= col("best_quality")).count() === 0)
   }
 
+  test("ivf-pq: agrees with full PQ scan on shared pairs; pruning only loses") {
+    val full = Similarity.pqAdc(spark, sf)
+      .select(col("q_id"), col("vec_id"), col("adc").as("adc_full"))
+    val pruned = Similarity.ivfPqAdc(spark, sf)
+    // identical codes + LUT ⇒ identical ADC wherever both scans meet
+    assert(pruned.join(full, Seq("q_id", "vec_id"))
+      .filter(col("adc") =!= col("adc_full")).count() === 0)
+    // cell pruning can only DROP candidates, so its best distance per
+    // query is never better than the full scan's
+    val bestFull = full.groupBy("q_id").agg(min(col("adc_full")).as("bf"))
+    assert(pruned.filter(col("rnk") === 1).join(bestFull, "q_id")
+      .filter(col("adc") < col("bf") - lit(1e-12)).count() === 0)
+  }
+
   test("curation manifest: quality-floored, taint-free, quota-capped") {
     val docs = Tables.load(spark, sf, "documents")
     val m = graft.ops.Pipeline.curationManifest(docs, quota = 5)
