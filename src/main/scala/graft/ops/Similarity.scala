@@ -66,7 +66,7 @@ object Similarity {
     VectorOps.register(spark)
     val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("norm"))
-    val dim = emb.select(size(col("v"))).head.getInt(0)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
     // centroid norms via the same left-to-right product sum as the
     // codegen'd dot_product / DuckDB's list_dot_product — bit-identical
     val cents = trainKmeansCached(spark, dir, emb, nCells, trainIters, dim)
@@ -262,7 +262,7 @@ object Similarity {
     VectorOps.register(spark)
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
-    val dim = emb.select(size(col("v"))).head.getInt(0)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
     val sub = dim / m
     // codebook: m subvectors of each trained centroid (driver-side,
@@ -357,7 +357,7 @@ object Similarity {
     VectorOps.register(spark)
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
-    val dim = emb.select(size(col("v"))).head.getInt(0)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
     val cents = trainKmeans(emb, k, iters, dim)
 
     // integer-only digest: per-cell size, exact id sum, and the centroid
@@ -522,7 +522,7 @@ object Similarity {
     VectorOps.register(spark)
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
-    val dim = emb.select(size(col("v"))).head.getInt(0)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
     val sub = dim / m
     // same trained codebook as [[pqCodes]] (via the session cache, so
@@ -632,7 +632,7 @@ object Similarity {
     VectorOps.register(spark)
     val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("norm"))
-    val dim = emb.select(size(col("v"))).head.getInt(0)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
     val sub = dim / m
     val cents = trainKmeansCached(spark, dir, emb, nCells, trainIters, dim)
@@ -801,7 +801,7 @@ object Similarity {
     VectorOps.register(spark)
     val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("norm"))
-    val dim = emb.select(size(col("v"))).head.getInt(0)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
     val cents = trainKmeansCached(spark, dir, emb, nCells, trainIters, dim)
     val assigned = assignCells(emb, cents)
     val l = assigned.select(col("cell"), col("vec_id").as("vec_a"),

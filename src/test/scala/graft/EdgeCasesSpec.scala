@@ -60,6 +60,9 @@ class EdgeCasesSpec extends SparkSuite {
     // exhausted corpus: BPE stops learning rules, never throws
     assert(TextOps.bpeTrain(emptyDocs).count() === 0)
     assert(Pipeline.pretrainManifest(emptyDocs).count() === 0)
+    assert(TextOps.domainQuota(emptyDocs).count() === 0)
+    assert(Dedup.clusterBest(emptyDocs).count() === 0)
+    assert(Pipeline.curationManifest(emptyDocs).count() === 0)
   }
 
   test("pageRank no-edge graph stays uniform; encode/view ops empty-safe") {
