@@ -42,6 +42,14 @@ object Graph {
   private[graft] val lastCallUsedDriverFinish: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
+  /** Test-visible instrumentation: the physical plan of [[pageRank]]'s
+    * last rank-update iteration. Pins the broadcast discipline — without
+    * the explicit hints the stats-less checkpointed edge list gets
+    * sort-merge shuffled per iteration (measured 2× the whole query),
+    * and nothing else in the result would reveal the regression. */
+  private[graft] val lastRankUpdatePlan: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+
   /** Collect the RDDs backing a (possibly projected) checkpointed DF. */
   private def backingRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collect {
@@ -268,12 +276,14 @@ object Graph {
         .join(broadcast(ranks.select(col("id").as("src"), col("r"))), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("c"))
-      ranks = ckpt(verts
+      val update = verts
         .join(broadcast(contrib), verts("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(basePico) +
             expr(s"85 * (coalesce(c, CAST(0 AS BIGINT)) + ${dangShare}L) div 100")
-          ).as("r")))
+          ).as("r"))
+      lastRankUpdatePlan.set(update.queryExecution.executedPlan.toString)
+      ranks = ckpt(update)
     }
     val out = ranks.select(col("id").as("doc_id"),
       col("r").as("rank_pico"),

@@ -356,6 +356,22 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("pageRank iteration plan: rank table broadcast, no edge-list shuffle") {
+    import spark.implicits._
+    val es = (0 until 200).map(i => (i.toLong, ((i * 7) % 200).toLong))
+    graft.ops.Graph.pageRank((0 until 200).map(_.toLong).toDF("v"),
+      es.toDF("a", "b")).collect()
+    val plan = graft.ops.Graph.lastRankUpdatePlan.get()
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank update must broadcast the vertex-sized sides:\n$plan")
+    // the only hash exchange allowed is the contrib partial->final agg
+    // (vertex-sized); the edge list itself must never shuffle
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 1,
+      s"edge list shuffled in the rank update:\n$plan")
+  }
+
   test("hopDistance matches a driver BFS on seeded graphs") {
     import spark.implicits._
     def ref(n: Int, es: Seq[(Int, Int)], seeds: Seq[Int],
