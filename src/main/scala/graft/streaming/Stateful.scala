@@ -244,4 +244,58 @@ object Stateful {
           out.iterator
       }
   }
+
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  case class FunnelState(t1: Option[java.sql.Timestamp],
+      t2: Option[java.sql.Timestamp], t3: Option[java.sql.Timestamp])
+
+  case class FunnelRow(user_id: Long, t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp], stages_reached: Int)
+
+  /** The streaming form of [[graft.ops.EventAnalytics.funnel]]: per-user
+    * stage progress held as three write-once timestamps, advanced
+    * greedily as events arrive. For an event-time-ordered feed the
+    * greedy evaluation IS the batch fixpoint (first s1 = min s1; the
+    * first s2 seen after t1 = min s2 beyond t1; likewise t3) —
+    * StreamingSpec asserts exact agreement on the same events. The
+    * honest contract difference: a LATE event that would retroactively
+    * lower t1 does not reopen downstream stages — streaming funnels
+    * trade that reprocessing for bounded per-user state (three
+    * timestamps, regardless of history length).
+    *
+    * Update-mode emission: one row per touched user per batch. State
+    * refinement is monotone (each field set at most once), so the row
+    * with the highest `stages_reached` per user is the current truth —
+    * and an upsert sink keyed on user_id absorbs the re-emission, the
+    * [[StreamingJob]] q1 discipline. */
+  def funnelProgress(spark: SparkSession, ds: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelRow] = {
+    import spark.implicits._
+    val Seq(s1, s2, s3) = stages
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          events.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos))
+            .foreach { e =>
+              if (st.t1.isEmpty) {
+                if (e.event_type == s1) st = st.copy(t1 = Some(e.ts))
+              } else if (st.t2.isEmpty) {
+                if (e.event_type == s2 && e.ts.after(st.t1.get))
+                  st = st.copy(t2 = Some(e.ts))
+              } else if (st.t3.isEmpty) {
+                if (e.event_type == s3 && e.ts.after(st.t2.get))
+                  st = st.copy(t3 = Some(e.ts))
+              }
+            }
+          state.update(st)
+          Iterator(FunnelRow(uid, st.t1, st.t2, st.t3,
+            Seq(st.t1, st.t2, st.t3).count(_.isDefined)))
+      }
+  }
 }

@@ -97,6 +97,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch fixpoint on ordered events") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val batch = graft.ops.EventAnalytics.funnel(events)
+    val sorted = events.as[FunnelEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos))
+    val input = MemoryStream[FunnelEvent](spark)
+    val q = Stateful.funnelProgress(spark, input.toDS()).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      sorted.grouped(400).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // monotone refinement: the max-stages row per user is the final state
+      val streamed = spark.table("funnel_stream")
+        .groupBy("user_id")
+        .agg(max(struct(col("stages_reached"), col("t_view"),
+          col("t_click"), col("t_purchase"))).as("s"))
+        .select(col("user_id"), col("s.t_view").as("t_view"),
+          col("s.t_click").as("t_click"),
+          col("s.t_purchase").as("t_purchase"),
+          col("s.stages_reached").as("stages_reached"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup: in-horizon re-deliveries dropped, state evicted after") {
     import spark.implicits._
     val input = MemoryStream[TradeEvent](spark)
