@@ -67,6 +67,7 @@ object SparkEntry {
     "s10_version_diff" -> ((s, dir) => TradeOps.versionDiff(s, trades(s, dir), dir)),
     "w4_analytic_funcs" -> ((s, dir) => TradeOps.analyticWindows(trades(s, dir))),
     "w5_ewma" -> ((s, dir) => TradeOps.ewma(trades(s, dir))),
+    "w6_rolling_median" -> ((s, dir) => TradeOps.rollingMedian(trades(s, dir))),
     "o2_last_row" -> ((s, dir) => TradeOps.lastRow(trades(s, dir))),
     "o4_ordered_split" -> ((s, dir) => TradeOps.orderedSplit(trades(s, dir))),
     // -- joins (§2.6; as-of per predict_btc.py:88-91) --------------------
@@ -499,6 +500,10 @@ object SparkEntry {
     "w5_ewma" ->
       s"""$T
          |${TradeOps.ewmaSql()}""".stripMargin,
+
+    "w6_rolling_median" ->
+      s"""$T
+         |${TradeOps.rollingMedianSql()}""".stripMargin,
 
     "s10_version_diff" ->
       s"""$T, k AS (

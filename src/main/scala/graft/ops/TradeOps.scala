@@ -118,6 +118,43 @@ object TradeOps {
           lit(1e6), 6).as("ewma"))
   }
 
+  /** W6 (extension) — exact rolling median over the last `n` prices per
+    * symbol (`n` odd, so the median is a SELECTED element, no
+    * interpolation — the [[discreteQuantiles]] cross-engine discipline).
+    * Prices quantized to micro BIGINTs, the window's values collected
+    * and sorted per row, the middle element picked: O(n log n) per row
+    * on a 25-element array, all inside one symbol-keyed window shuffle.
+    * Emitted only once the buffer is full, like [[lookbackAvg]]. */
+  def rollingMedian(trades: DataFrame, n: Int = 25): DataFrame = {
+    require(n % 2 == 1, "rollingMedian needs an odd window")
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("buf", collect_list(col("pm")).over(w))
+      .filter(size(col("buf")) === n)
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        round(element_at(array_sort(col("buf")), (n + 1) / 2)
+          .cast("double") / lit(1e6), 6).as("rolling_median"))
+  }
+
+  /** Oracle for [[rollingMedian]] (body only — caller prepends the
+    * trades CTE): same frame, same sort-and-pick selection. */
+  def rollingMedianSql(n: Int = 25): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       round(CAST(list_sort(buf)[${(n + 1) / 2}] AS DOUBLE)
+       |             / 1e6, 6) AS rolling_median
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp",
+       |         list(CAST(round(price * 1000000) AS BIGINT))
+       |           OVER (PARTITION BY symbol
+       |                 ORDER BY "timestamp", event_id
+       |                 ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |           AS buf
+       |  FROM trades)
+       |WHERE len(buf) = $n""".stripMargin
+
   /** Oracle for [[ewma]] (body only — caller prepends the trades CTE):
     * identical lag terms, identical weights, identical division order. */
   def ewmaSql(lags: Int = 16): String = {

@@ -513,6 +513,27 @@ class OpsInvariantsSpec extends SparkSuite {
         col("ewma") > col("hi") + 1e-4).count() === 0)
   }
 
+  test("rolling median: within window range, exact on a crafted series") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // prices 1..40: median of any full 25-window ending at k is k-12
+    val ramp = (1 to 40).map(i => (i.toLong, "R", ts(i), i.toDouble, 1.0, i.toDouble))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    val got = graft.ops.TradeOps.rollingMedian(ramp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got === (25 to 40).map(k => k.toLong -> (k - 12).toDouble).toMap)
+    intercept[IllegalArgumentException] {
+      graft.ops.TradeOps.rollingMedian(ramp, n = 24)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id")).rowsBetween(-24, 0)
+    val bounds = trades.select(col("event_id"),
+      min(col("price")).over(w).as("lo"), max(col("price")).over(w).as("hi"))
+    assert(graft.ops.TradeOps.rollingMedian(trades).join(bounds, "event_id")
+      .filter(col("rolling_median") < col("lo") - 1e-4 ||
+        col("rolling_median") > col("hi") + 1e-4).count() === 0)
+  }
+
   test("funnel: strict stage order enforced, one shuffle in the plan") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
