@@ -68,6 +68,8 @@ object SparkEntry {
     "w4_analytic_funcs" -> ((s, dir) => TradeOps.analyticWindows(trades(s, dir))),
     "w5_ewma" -> ((s, dir) => TradeOps.ewma(trades(s, dir))),
     "w6_rolling_median" -> ((s, dir) => TradeOps.rollingMedian(trades(s, dir))),
+    "a11_price_histogram" -> ((s, dir) => TradeOps.priceHistogram(trades(s, dir))),
+    "t_bigram_topk" -> ((s, dir) => TextOps.bigramTopK(Tables.load(s, dir, "documents"))),
     "o2_last_row" -> ((s, dir) => TradeOps.lastRow(trades(s, dir))),
     "o4_ordered_split" -> ((s, dir) => TradeOps.orderedSplit(trades(s, dir))),
     // -- joins (§2.6; as-of per predict_btc.py:88-91) --------------------
@@ -505,6 +507,10 @@ object SparkEntry {
       s"""$T
          |${TradeOps.rollingMedianSql()}""".stripMargin,
 
+    "a11_price_histogram" ->
+      s"""$T,
+         |${TradeOps.priceHistogramSql().stripPrefix("WITH ")}""".stripMargin,
+
     "s10_version_diff" ->
       s"""$T, k AS (
          |  SELECT symbol, date_trunc('hour', "timestamp") AS hr,
@@ -914,6 +920,7 @@ object SparkEntry {
     "t_fingerprint" -> TextOps.fingerprintSql,
     "t_pii_redact" -> TextOps.piiRedactSql,
     "t_vocab_topk" -> TextOps.vocabTopKSql(),
+    "t_bigram_topk" -> TextOps.bigramTopKSql(),
     "t_repetition" -> TextOps.repetitionSql,
     "t_chunking" -> TextOps.chunkDocsSql(),
 

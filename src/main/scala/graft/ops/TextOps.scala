@@ -457,6 +457,46 @@ object TextOps {
        |  SELECT *, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM c
        |) WHERE rank <= $k""".stripMargin
 
+  /** Corpus bigram statistics, top-k — the n-gram LM count table
+    * (KenLM-style) every data-quality and contamination recipe keeps
+    * around. Adjacent pairs are BUILT inside one `transform` array
+    * expression per doc ([[segmentDedup]] discipline — no explode until
+    * pair rows are needed); same [[vocabTopK]] TakeOrdered shape, so
+    * the billions-of-distinct-bigrams tail never funnels through one
+    * task. */
+  def bigramTopK(docs: DataFrame, k: Int = 100): DataFrame = {
+    val pairs = withWords(docs)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode_outer(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> concat_ws(' ', words[i - 1], words[i]))")).as("bigram"))
+      .filter(col("bigram").isNotNull)
+    val counts = pairs.groupBy("bigram")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("bigram"))
+    counts.orderBy(col("tf").desc, col("bigram")).limit(k)
+      .withColumn("rank", row_number().over(byFreq))
+      .select(col("rank"), col("bigram"), col("tf"), col("df"))
+  }
+
+  /** Oracle for [[bigramTopK]]. */
+  def bigramTopKSql(k: Int = 100): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(2, len(words)),
+       |           i -> words[i - 1] || ' ' || words[i])) AS bigram
+       |  FROM w WHERE len(words) >= 2
+       |), c AS (
+       |  SELECT bigram, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT rank, bigram, tf, df FROM (
+       |  SELECT *, row_number() OVER (ORDER BY tf DESC, bigram) AS rank FROM c
+       |) WHERE rank <= $k""".stripMargin
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the same langWords constants.
   // ------------------------------------------------------------------

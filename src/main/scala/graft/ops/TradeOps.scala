@@ -118,6 +118,44 @@ object TradeOps {
           lit(1e6), 6).as("ewma"))
   }
 
+  /** A11 (extension) — fixed-width per-symbol price histogram: one tiny
+    * stats aggregate broadcast back (the [[minMaxScale]] shape), then a
+    * pure projection into `bins` equal-width buckets and a
+    * (symbol, bin)-keyed count. The bin index is `floor` of an
+    * IEEE-identical double expression (same association both engines);
+    * the top edge clamps into the last bin, degenerate flat series land
+    * in bin 0. */
+  def priceHistogram(trades: DataFrame, bins: Int = 20): DataFrame = {
+    val stats = trades.groupBy("symbol")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    trades.join(broadcast(stats), "symbol")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("price") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(bins).cast("double"))),
+            lit(bins - 1).cast("double")).cast("int")))
+      .groupBy("symbol", "bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("price")).as("bin_min"), max(col("price")).as("bin_max"))
+  }
+
+  /** Oracle for [[priceHistogram]] (body only — caller prepends the
+    * trades CTE). */
+  def priceHistogramSql(bins: Int = 20): String =
+    s"""WITH st AS (
+       |  SELECT symbol, min(price) AS lo, max(price) AS hi
+       |  FROM trades GROUP BY 1
+       |)
+       |SELECT t.symbol,
+       |       CAST(CASE WHEN st.hi = st.lo THEN 0
+       |            ELSE least(floor((t.price - st.lo) /
+       |                   ((st.hi - st.lo) / CAST($bins AS DOUBLE))),
+       |                 CAST(${bins - 1} AS DOUBLE)) END AS INTEGER) AS bin,
+       |       count(*) AS n,
+       |       min(t.price) AS bin_min, max(t.price) AS bin_max
+       |FROM trades t JOIN st USING (symbol)
+       |GROUP BY 1, 2""".stripMargin
+
   /** W6 (extension) — exact rolling median over the last `n` prices per
     * symbol (`n` odd, so the median is a SELECTED element, no
     * interpolation — the [[discreteQuantiles]] cross-engine discipline).

@@ -513,6 +513,35 @@ class OpsInvariantsSpec extends SparkSuite {
         col("ewma") > col("hi") + 1e-4).count() === 0)
   }
 
+  test("price histogram: bins partition each symbol's rows exactly") {
+    val h = graft.ops.TradeOps.priceHistogram(trades)
+    assert(h.filter(col("bin") < 0 || col("bin") > 19).count() === 0)
+    val totals = h.groupBy("symbol").agg(sum(col("n")).as("hist_n"))
+      .join(trades.groupBy("symbol").count(), "symbol")
+    assert(totals.filter(col("hist_n") =!= col("count")).count() === 0)
+    // bucket contents respect the bucket edges: per-symbol bins ordered
+    // by index have non-overlapping [bin_min, bin_max] ranges
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("bin")
+    val overlap = h.withColumn("prev_max", lag(col("bin_max"), 1).over(w))
+      .filter(col("prev_max").isNotNull && col("bin_min") < col("prev_max"))
+    assert(overlap.count() === 0)
+  }
+
+  test("bigram top-k: exact counts on a hand corpus") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a b a b c", "en", "web", 9L),
+      (1L, "a b", "en", "web", 3L),
+      (2L, "x", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextOps.bigramTopK(tiny)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "a b": 3 occurrences across 2 docs; "b a"/"b c": 1 each in doc 0
+    assert(got.toSeq === Seq((1, "a b", 3L, 2L), (2, "b a", 1L, 1L),
+      (3, "b c", 1L, 1L)))
+  }
+
   test("rolling median: within window range, exact on a crafted series") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
