@@ -174,6 +174,8 @@ object SparkEntry {
     "mv_incremental" -> ((s, dir) => Incremental.incrementalAgg(Tables.events(s, dir))),
     "e_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
     "e_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
+    "e_transitions" -> ((s, dir) => EventAnalytics.transitionMatrix(Tables.events(s, dir))),
+    "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
     "p_curation_manifest" -> ((s, dir) => Pipeline.curationManifest(Tables.load(s, dir, "documents"))),
@@ -982,6 +984,10 @@ object SparkEntry {
     "mv_incremental" -> Incremental.incrementalAggSql,
     "e_funnel" -> EventAnalytics.funnelSql(),
     "e_retention" -> EventAnalytics.retentionSql,
+    "e_transitions" -> EventAnalytics.transitionMatrixSql,
+    "w7_gap_detect" ->
+      s"""$T
+         |${TradeOps.gapDetectSql()}""".stripMargin,
     "k10_compaction" ->
       s"""$T
          |SELECT event_id, symbol, "timestamp", price, volume

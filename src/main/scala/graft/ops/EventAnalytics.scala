@@ -95,6 +95,34 @@ object EventAnalytics {
         col("n_active"))
   }
 
+  /** Event-type transition matrix — the Markov path-analysis counts
+    * behind "where do users go after X": consecutive per-user event
+    * pairs, counted by (from, to). One user-keyed window shuffle, then
+    * a transition-keyed aggregate over at most |types|² groups.
+    * Ordering ties break on event_id over µs-truncated timestamps, so
+    * both engines walk identical sequences. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle for [[transitionMatrix]] — ordering on the µs-cast
+    * timestamp so DuckDB's nanosecond reads cannot order ties
+    * differently from Spark's µs-truncated ones. */
+  val transitionMatrixSql: String =
+    """SELECT from_type, to_type, count(*) AS n FROM (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts::TIMESTAMP, event_id) AS to_type
+      |  FROM events)
+      |WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   /** Oracle for [[retention]]. */
   val retentionSql: String =
     """WITH c AS (

@@ -118,6 +118,37 @@ object TradeOps {
           lit(1e6), 6).as("ewma"))
   }
 
+  /** W7 (extension) — feed-gap detection, the data-quality monitor every
+    * ingest pipeline runs: per-symbol consecutive-event time deltas
+    * beyond a threshold. One window shuffle, exact integer microsecond
+    * arithmetic. */
+  def gapDetect(trades: DataFrame, thresholdSec: Long = 5): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_micros",
+        unix_micros(col("timestamp")) - unix_micros(col("prev_ts")))
+      .filter(col("gap_micros") > thresholdSec * 1000000L)
+      .select(col("symbol"), col("prev_ts"), col("timestamp"),
+        col("gap_micros"))
+  }
+
+  /** Oracle for [[gapDetect]] (body only — caller prepends the trades
+    * CTE). */
+  def gapDetectSql(thresholdSec: Long = 5): String =
+    s"""SELECT symbol, prev_ts, "timestamp",
+       |       date_diff('microsecond', prev_ts, "timestamp") AS gap_micros
+       |FROM (
+       |  SELECT symbol, "timestamp",
+       |         lag("timestamp", 1) OVER (PARTITION BY symbol
+       |           ORDER BY "timestamp", event_id) AS prev_ts
+       |  FROM trades)
+       |WHERE prev_ts IS NOT NULL
+       |  AND date_diff('microsecond', prev_ts, "timestamp")
+       |      > ${thresholdSec * 1000000L}""".stripMargin
+
   /** A11 (extension) — fixed-width per-symbol price histogram: one tiny
     * stats aggregate broadcast back (the [[minMaxScale]] shape), then a
     * pure projection into `bins` equal-width buckets and a

@@ -592,6 +592,17 @@ class OpsInvariantsSpec extends SparkSuite {
       s"funnel must shuffle exactly once:\n$plan")
   }
 
+  test("transition matrix: totals telescope, gaps respect the threshold") {
+    val events = Tables.events(spark, sf)
+    val t = graft.ops.EventAnalytics.transitionMatrix(events)
+    // each user contributes exactly (their events - 1) transitions
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(t.agg(sum(col("n"))).head.getLong(0) === expected)
+    val g = graft.ops.TradeOps.gapDetect(trades, thresholdSec = 1)
+    assert(g.filter(col("gap_micros") <= 1000000L).count() === 0)
+    assert(g.filter(col("prev_ts") >= col("timestamp")).count() === 0)
+  }
+
   test("retention: every cohort fully active at offset zero") {
     val events = Tables.events(spark, sf)
     val r = graft.ops.EventAnalytics.retention(events)
