@@ -175,6 +175,7 @@ object SparkEntry {
     "e_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
     "e_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
     "e_transitions" -> ((s, dir) => EventAnalytics.transitionMatrix(Tables.events(s, dir))),
+    "mv_incremental_distinct" -> ((s, dir) => Incremental.incrementalDistinct(Tables.events(s, dir))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
@@ -985,6 +986,7 @@ object SparkEntry {
     "e_funnel" -> EventAnalytics.funnelSql(),
     "e_retention" -> EventAnalytics.retentionSql,
     "e_transitions" -> EventAnalytics.transitionMatrixSql,
+    "mv_incremental_distinct" -> Incremental.incrementalDistinctSql,
     "w7_gap_detect" ->
       s"""$T
          |${TradeOps.gapDetectSql()}""".stripMargin,

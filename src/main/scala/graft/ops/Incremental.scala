@@ -61,6 +61,42 @@ object Incremental {
       // path; midnight TIMESTAMP carries the same value typed
       .withColumn("day", col("day").cast("timestamp"))
 
+  /** The mergeable-DISTINCT slot [[incrementalAgg]] deliberately leaves
+    * open: per-batch HLL sketch states (fixed-size register arrays,
+    * `localCheckpoint`ed like the other partials) merged register-wise
+    * with `hll_union_agg` — distinct users per event type maintained
+    * incrementally without ever rescanning history or keeping raw key
+    * sets. Checked against an exact recompute with an accuracy-envelope
+    * flag, the [[Relational.hllMergeDistinct]] discipline (default
+    * lgK=12 → rsd ≈ 1.6%; flag at 5%): if sketching, storage, or merge
+    * broke, the flag flips and the oracle hash breaks. */
+  def incrementalDistinct(events: DataFrame): DataFrame = {
+    val partials = (0 until nBatches).map { b =>
+      events.filter(pmod(col("event_id"), lit(nBatches)) === b)
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint()
+    }
+    val merged = partials.reduce(_ unionByName _)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(broadcast(merged), "event_type")
+      .select(col("event_type"), col("n_users"),
+        (abs(col("est") - col("n_users")) <= col("n_users") * 0.05)
+          .cast("int").as("within_5pct"))
+  }
+
+  /** Oracle for [[incrementalDistinct]]: exact distinct counts, and the
+    * envelope flag pinned to 1. */
+  val incrementalDistinctSql: String =
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       1 AS within_5pct
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   /** Oracle: the view recomputed flat from raw events — if partial
     * maintenance dropped or double-counted a batch, any group's count
     * or exact micro-unit sum breaks the hash. */

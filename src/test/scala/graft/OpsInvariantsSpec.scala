@@ -634,6 +634,16 @@ class OpsInvariantsSpec extends SparkSuite {
       .join(v1, Seq("symbol", "hr"), "left_anti").count() === 0)
   }
 
+  test("incremental distinct: merged sketches stay inside the envelope") {
+    val events = Tables.events(spark, sf)
+    val d = graft.ops.Incremental.incrementalDistinct(events)
+    assert(d.filter(col("within_5pct") =!= 1).count() === 0)
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("direct"))
+    assert(d.join(exact, "event_type")
+      .filter(col("n_users") =!= col("direct")).count() === 0)
+  }
+
   test("incremental view merge == flat recompute over all events") {
     val events = Tables.events(spark, sf)
     val inc = graft.ops.Incremental.incrementalAgg(events)
