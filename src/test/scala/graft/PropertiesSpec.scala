@@ -124,4 +124,53 @@ object PropertiesSpec extends Properties("graft") {
         }
     }
 
+  private val genEvents: Gen[List[(Long, Long, Long, String)]] = for {
+    n <- Gen.chooseNum(1, 80)
+    users <- Gen.listOfN(n, Gen.chooseNum(0L, 5L))
+    offs <- Gen.listOfN(n, Gen.chooseNum(0L, 100000L))
+    types <- Gen.listOfN(n,
+      Gen.oneOf("view", "click", "purchase", "signup", "error"))
+  } yield List.tabulate(n)(i => (i.toLong, users(i), t0 + offs(i), types(i)))
+
+  private def toEventsDf(evs: List[(Long, Long, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    evs.map { case (id, u, t, ty) => (id, u, new Timestamp(t), ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+  }
+
+  // funnel: the windowed plan equals the min-fixpoint definition
+  property("funnel matches the min-fixpoint reference") =
+    Prop.forAll(genEvents) { evs =>
+      val got = graft.ops.EventAnalytics.funnel(toEventsDf(evs)).collect()
+        .map(r => r.getLong(0) -> ((
+          Option(r.getTimestamp(1)).map(_.getTime),
+          Option(r.getTimestamp(2)).map(_.getTime),
+          Option(r.getTimestamp(3)).map(_.getTime), r.getInt(4)))).toMap
+      val ref = evs.groupBy(_._2).map { case (u, es) =>
+        val t1 = es.filter(_._4 == "view").map(_._3).minOption
+        val t2 = t1.flatMap(a =>
+          es.filter(e => e._4 == "click" && e._3 > a).map(_._3).minOption)
+        val t3 = t2.flatMap(b =>
+          es.filter(e => e._4 == "purchase" && e._3 > b).map(_._3).minOption)
+        u -> ((t1, t2, t3, Seq(t1, t2, t3).count(_.isDefined)))
+      }
+      got == ref
+    }
+
+  // transition matrix: per-user ordered-pair counts, ties on event_id
+  property("transitionMatrix matches the sorted-walk reference") =
+    Prop.forAll(genEvents) { evs =>
+      val got = graft.ops.EventAnalytics.transitionMatrix(toEventsDf(evs))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val ref = evs.groupBy(_._2).values.toSeq
+        .flatMap { es =>
+          val walk = es.sortBy(e => (e._3, e._1)).map(_._4)
+          walk.zip(walk.drop(1))
+        }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got == ref
+    }
+
 }
