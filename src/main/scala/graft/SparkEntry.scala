@@ -56,6 +56,7 @@ object SparkEntry {
     "v_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "f5_time_convert" -> ((s, dir) => TradeOps.timeConvert(trades(s, dir))),
     "s5_csv_roundtrip" -> ((s, dir) => TradeOps.csvRoundTrip(s, trades(s, dir))),
+    "s11_orc_roundtrip" -> ((s, dir) => TradeOps.orcRoundTrip(s, trades(s, dir))),
     "s8_json_roundtrip" -> ((s, dir) => TradeOps.jsonRoundTrip(s, trades(s, dir))),
     "k4_partitioned_roundtrip" -> ((s, dir) => TradeOps.partitionedRoundTrip(s, trades(s, dir))),
     // -- serving tier (S6, O1, O2, O4) -----------------------------------
@@ -320,6 +321,10 @@ object SparkEntry {
          |SELECT event_id, symbol, "timestamp", price, volume FROM trades""".stripMargin,
 
     "s8_json_roundtrip" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", price, volume FROM trades""".stripMargin,
+
+    "s11_orc_roundtrip" ->
       s"""$T
          |SELECT event_id, symbol, "timestamp", price, volume FROM trades""".stripMargin,
 

@@ -654,6 +654,19 @@ object TradeOps {
     * export then schema-declared header CSV scan — a full file-format
     * round-trip. Micros-precision timestampFormat on both sides (Spark's
     * CSV default truncates to millis). */
+  /** S11 (extension) — columnar ORC round-trip: the third major
+    * warehouse format alongside parquet (the native tables) and the
+    * text formats. ORC carries types natively (no schema-on-read
+    * declaration needed) and µs timestamps survive exactly; the oracle
+    * checks the round-tripped rows against the source relation, so a
+    * writer/reader asymmetry in any column breaks the hash. */
+  def orcRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val out = scratchDir(spark, "orc_roundtrip")
+    val cols = Seq("event_id", "symbol", "timestamp", "price", "volume")
+    trades.select(cols.map(col): _*).write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+  }
+
   def csvRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
     val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     val out = scratchDir(spark, "csv_roundtrip")
