@@ -27,6 +27,14 @@ class EdgeCasesSpec extends SparkSuite {
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType))))
 
+  test("format round-trips survive an empty table") {
+    assert(TradeOps.orcRoundTrip(spark, emptyTrades).count() === 0)
+    assert(TradeOps.ewma(emptyTrades).count() === 0)
+    assert(TradeOps.rollingMedian(emptyTrades).count() === 0)
+    assert(TradeOps.gapDetect(emptyTrades).count() === 0)
+    assert(TradeOps.priceHistogram(emptyTrades).count() === 0)
+  }
+
   test("trade operators return empty results on an empty table") {
     assert(TradeOps.tumblingVolume(emptyTrades).count() === 0)
     assert(TradeOps.slidingFeatures(emptyTrades).count() === 0)
