@@ -197,6 +197,19 @@ object SparkEntry {
     "m_batch_extract" -> ((s, dir) => Multimodal.extractBatched(s, Tables.load(s, dir, "documents")).toDF()),
     "a_pivot_dow" -> ((s, dir) => TradeOps.pivotDayOfWeek(trades(s, dir))),
     "a_unpivot_totals" -> ((s, dir) => TradeOps.unpivotTotals(trades(s, dir))),
+    // -- technical-indicator tier (W8-W10, A12-A13) ----------------------
+    "w8_bollinger" -> ((s, dir) => TradeOps.bollinger(trades(s, dir))),
+    "w9_rsi" -> ((s, dir) => TradeOps.rsi(trades(s, dir))),
+    "w10_drawdown" -> ((s, dir) => TradeOps.drawdown(trades(s, dir))),
+    "a12_pairwise_corr" -> ((s, dir) => TradeOps.pairwiseCorr(trades(s, dir))),
+    "a13_vwap" -> ((s, dir) => TradeOps.vwap(trades(s, dir))),
+    // -- fingerprint/coverage additions ----------------------------------
+    "t_winnow" -> ((s, dir) => TextOps.winnow(Tables.load(s, dir, "documents"))),
+    "t_lm_coverage" -> ((s, dir) => TextOps.lmCoverage(Tables.load(s, dir, "documents"))),
+    "e_cooccurrence" -> ((s, dir) => EventAnalytics.cooccurrence(Tables.events(s, dir))),
+    "w11_obv" -> ((s, dir) => TradeOps.obv(trades(s, dir))),
+    "f12_winsorize" -> ((s, dir) => TradeOps.winsorize(trades(s, dir))),
+    "t_boilerplate" -> ((s, dir) => TextOps.boilerplateStrip(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -1133,5 +1146,31 @@ object SparkEntry {
         |  CAST(ord(substr(text, -1, 1)) AS INTEGER) AS last_byte,
         |  (ord(substr(text, 1, 1)) + ord(substr(text, -1, 1))) / 2.0::DOUBLE AS mean_edge
         |FROM documents""".stripMargin,
+
+    "w8_bollinger" ->
+      s"""$T
+         |${TradeOps.bollingerSql()}""".stripMargin,
+    "w9_rsi" ->
+      s"""$T
+         |${TradeOps.rsiSql()}""".stripMargin,
+    "w10_drawdown" ->
+      s"""$T
+         |${TradeOps.drawdownSql}""".stripMargin,
+    "a12_pairwise_corr" ->
+      s"""$T, ${TradeOps.barsCte}
+         |${TradeOps.pairwiseCorrSql}""".stripMargin,
+    "a13_vwap" ->
+      s"""$T
+         |${TradeOps.vwapSql}""".stripMargin,
+    "t_winnow" -> TextOps.winnowSql(),
+    "t_lm_coverage" -> TextOps.lmCoverageSql(),
+    "e_cooccurrence" -> EventAnalytics.cooccurrenceSql,
+    "w11_obv" ->
+      s"""$T
+         |${TradeOps.obvSql}""".stripMargin,
+    "f12_winsorize" ->
+      s"""$T
+         |${TradeOps.winsorizeSql()}""".stripMargin,
+    "t_boilerplate" -> TextOps.boilerplateStripSql(),
   )
 }

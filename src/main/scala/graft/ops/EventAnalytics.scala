@@ -123,6 +123,37 @@ object EventAnalytics {
       |WHERE to_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** Event-type co-occurrence (market-basket shape): for every pair of
+    * event types, how many users performed BOTH. Stage 1 reduces the
+    * feed to distinct (user, type) rows — the only scan of the big
+    * table and the only data-sized shuffle; stage 2 self-joins that
+    * reduction on user_id (per-user fan-out is bounded by |types|, so
+    * the join output is ≤ |types|²/2 rows per user) and folds to at
+    * most |types|²/2 groups. The canonical basket-analysis plan at any
+    * scale. */
+  def cooccurrence(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      // (user, type_a, type_b) is unique post-distinct, so the plain
+      // count IS the distinct user count — no countDistinct rescan
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Oracle for [[cooccurrence]]. */
+  val cooccurrenceSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       count(*) AS n_users
+      |FROM ut a JOIN ut b USING (user_id)
+      |WHERE a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** Oracle for [[retention]]. */
   val retentionSql: String =
     """WITH c AS (

@@ -1067,6 +1067,17 @@ object TextOps {
     * quality-filtered corpus. Ends in `f` (one row per segment
     * occurrence with its first-occurrence rank). */
   private[ops] def segmentCtesFrom(src: String, segWords: Int = 8): String =
+    s"""${segsCtesFrom(src, segWords)}, f AS (
+       |  SELECT doc_id, seg_pos, seg_text,
+       |         row_number() OVER (PARTITION BY md5(seg_text)
+       |                            ORDER BY doc_id, seg_pos) AS rn
+       |  FROM segs
+       |)""".stripMargin
+
+  /** The segmentation prefix of [[segmentCtesFrom]] alone (ends in
+    * `segs`: one row per fixed-width word segment), shared with
+    * [[boilerplateStripSql]]. */
+  private[ops] def segsCtesFrom(src: String, segWords: Int = 8): String =
     s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS words FROM $src
        |), s AS (
@@ -1080,11 +1091,6 @@ object TextOps {
        |                               seg_pos * $segWords + $segWords],
        |                         ' ') AS seg_text
        |  FROM s
-       |), f AS (
-       |  SELECT doc_id, seg_pos, seg_text,
-       |         row_number() OVER (PARTITION BY md5(seg_text)
-       |                            ORDER BY doc_id, seg_pos) AS rn
-       |  FROM segs
        |)""".stripMargin
 
   /** Oracle for [[segmentDedup]]: same md5-keyed first-occurrence rule
@@ -1100,4 +1106,174 @@ object TextOps {
        |       coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END,
        |                           ' ' ORDER BY seg_pos), '') AS clean_text
        |FROM f GROUP BY 1""".stripMargin
+
+  /** Cross-document boilerplate removal — the C4-style filter that
+    * drops text blocks repeated across the corpus (headers, footers,
+    * license banners, navigation chrome). A segment occurring in ≥
+    * `minDf` DISTINCT documents is boilerplate; every occurrence is
+    * dropped and the survivors are reassembled in order. Complements
+    * [[segmentDedup]] (which keeps the FIRST occurrence — here nobody
+    * keeps a boilerplate block).
+    *
+    * Shape: same two-shuffle plan as [[segmentDedup]] — segment rows
+    * from one array expression, one `countDistinct` aggregate keyed by
+    * the 16-byte segment digest, a join back, a doc-keyed reassembly.
+    * The document-frequency table is small (distinct segments with
+    * df ≥ threshold), so at scale the join-back side broadcasts. */
+  def boilerplateStrip(docs: DataFrame, segWords: Int = 8,
+      minDf: Int = 3): DataFrame = {
+    val segs = withWords(docs).select(col("doc_id"),
+      posexplode_outer(expr(
+        s"transform(sequence(0, (size(words) - 1) div $segWords), " +
+          s"i -> concat_ws(' ', slice(words, i * $segWords + 1, $segWords)))"))
+        .as(Seq("seg_pos", "seg_text")))
+      .withColumn("seg_key", md5(col("seg_text")))
+    val df = segs.groupBy("seg_key")
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+    segs.join(df, "seg_key")
+      .withColumn("kept", col("seg_df") < minDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_boiler"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("seg_pos"),
+                when(col("kept"), col("seg_text")).as("s")))),
+              x => x.getField("s").isNotNull),
+            x => x.getField("s")),
+          " ").as("clean_text"))
+  }
+
+  /** Oracle for [[boilerplateStrip]]: the shared segmentation CTEs plus
+    * a document-frequency join. */
+  def boilerplateStripSql(segWords: Int = 8, minDf: Int = 3): String =
+    s"""WITH ${segsCtesFrom("documents", segWords)}, d AS (
+       |  SELECT md5(seg_text) AS seg_key,
+       |         count(DISTINCT doc_id) AS seg_df
+       |  FROM segs GROUP BY 1
+       |)
+       |SELECT doc_id,
+       |       count(*) AS n_segs,
+       |       CAST(sum(CASE WHEN seg_df < $minDf THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS n_boiler,
+       |       coalesce(string_agg(CASE WHEN seg_df < $minDf THEN seg_text END,
+       |                           ' ' ORDER BY seg_pos), '') AS clean_text
+       |FROM segs JOIN d ON md5(segs.seg_text) = d.seg_key
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Winnowing fingerprints + n-gram LM coverage
+  // ------------------------------------------------------------------
+
+  /** Winnowing (the MOSS fingerprint-selection algorithm, Schleimer et
+    * al. SIGMOD'03): hash every k-word shingle, then keep the MINIMUM
+    * hash of each window of `w` consecutive shingles — a position-robust
+    * fingerprint index that any two documents sharing a run of ≥ k+w−1
+    * words are GUARANTEED to overlap on. Output is the distinct
+    * (doc_id, fingerprint) index you'd join against for plagiarism /
+    * overlap detection.
+    *
+    * Shape: shingle hashes are built in ONE `transform` array expression
+    * per doc (no explode until the rows are needed — [[segmentDedup]]
+    * discipline), then a doc-keyed min window over positions. The only
+    * shuffle is the per-doc window (and docs are independent, so it
+    * partitions perfectly at any corpus size). The hash is the engine's
+    * cross-engine 32-bit md5 prefix ([[fingerprint]]). */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val shingle = (0 until k).map(j => s"words[i + $j]").mkString(", ")
+    val hashes =
+      s"""transform(sequence(0, size(words) - $k),
+         |  i -> CAST(conv(substring(md5(concat_ws(' ', $shingle)), 1, 8),
+         |            16, 10) AS BIGINT))""".stripMargin
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    withWords(docs)
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), posexplode(expr(hashes)).as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(byPos))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /** Oracle for [[winnow]]: DuckDB builds the same shingle hashes
+    * (1-based list indexing, so positions shift by one) and takes the
+    * same framed min. */
+  def winnowSql(k: Int = 4, w: Int = 4): String = {
+    val shingle = (0 until k).map {
+      case 0 => "words[i]"
+      case j => s"words[i + $j]"
+    }.mkString(" || ' ' || ")
+    s"""WITH wd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(words) - ${k - 1})) AS pos,
+       |         unnest(list_transform(generate_series(1, len(words) - ${k - 1}),
+       |           i -> ('0x' || substr(md5($shingle), 1, 8))::BIGINT)) AS h
+       |  FROM wd WHERE len(words) >= $k
+       |)
+       |SELECT DISTINCT doc_id,
+       |       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+       |         AS fp
+       |FROM g
+       |QUALIFY pos >= $w""".stripMargin
+  }
+
+  /** N-gram LM coverage scoring — the cheap KenLM stand-in of corpus
+    * quality pipelines: what fraction of a document's word bigrams
+    * appear in the corpus's top-`k` bigram vocabulary
+    * ([[bigramTopK]])? Low coverage flags out-of-domain or degenerate
+    * text. The score is an exact count ratio (ONE double division), so
+    * it is engine-identical without any float accumulation.
+    *
+    * Shape: the vocabulary is a top-k aggregate (tiny by construction)
+    * broadcast to a left join against the exploded bigram stream; the
+    * per-doc reduce is one partial+final count aggregate. Documents
+    * with fewer than two words have no bigrams and are excluded (the
+    * score is undefined). */
+  def lmCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
+    val vocab = bigramTopK(docs, k).select(col("bigram"), lit(1L).as("hit"))
+    withWords(docs)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> concat_ws(' ', words[i - 1], words[i]))")).as("bigram"))
+      .join(broadcast(vocab), Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
+        expr("round(CAST(n_hits AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)" +
+          " AS coverage"))
+  }
+
+  /** Oracle for [[lmCoverage]]: reuses the [[bigramTopKSql]] CTE chain
+    * as the vocabulary. */
+  def lmCoverageSql(k: Int = 100): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(2, len(words)),
+       |           i -> words[i - 1] || ' ' || words[i])) AS bigram
+       |  FROM w WHERE len(words) >= 2
+       |), c AS (
+       |  SELECT bigram, count(*) AS tf FROM b GROUP BY 1
+       |), v AS (
+       |  SELECT bigram, 1 AS hit FROM (
+       |    SELECT bigram, row_number() OVER (ORDER BY tf DESC, bigram) AS rank
+       |    FROM c) WHERE rank <= $k
+       |)
+       |SELECT b.doc_id,
+       |       count(*) AS n_bigrams,
+       |       CAST(sum(coalesce(v.hit, 0)) AS BIGINT) AS n_hits,
+       |       round(CAST(CAST(sum(coalesce(v.hit, 0)) AS BIGINT) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS coverage
+       |FROM b LEFT JOIN v USING (bigram)
+       |GROUP BY 1""".stripMargin
 }

@@ -681,4 +681,367 @@ object TradeOps {
         "price DOUBLE, volume DOUBLE")
       .csv(out)
   }
+
+  // ------------------------------------------------------------------
+  // W8-W10 / A12-A13 — the technical-indicator tier every market-data
+  // consumer derives from the flat trade feed (the reference's Grafana
+  // dashboards chart exactly these shapes downstream of the stream job).
+  // Shared discipline: the statistic's core is an EXACT integer window
+  // sum (prices quantized at the cast), and the final float arithmetic
+  // is ONE SQL string evaluated verbatim by both engines (`expr` here,
+  // the oracle body there), so the IEEE expression trees are identical
+  // and hash comparison survives any evaluation order.
+  // ------------------------------------------------------------------
+
+  /** The band arithmetic of [[bollinger]] as SQL text shared by the
+    * Spark plan and the DuckDB oracle. Bounds (price ≤ ~1e6 dollars):
+    * `s1 ≤ n·1e8`, `n·s2 ≤ n²·1e16` — exact in BIGINT and, for the
+    * n=20 default, far below 2^53, so the double casts are exact.
+    *
+    * Deliberately UNROUNDED: the inputs are bit-identical exact
+    * integers and every IEEE op (cast, ÷, ·, sqrt) is correctly
+    * rounded, so both engines produce the same double bits. A final
+    * `round(x, 6)` would REINTRODUCE divergence — a ratio of integers
+    * can land exactly on a decimal half, and Spark (BigDecimal
+    * HALF_UP on the true value) and DuckDB (float ×1e6 then rint)
+    * break that tie differently (measured on a13_vwap at sf0.01). */
+  private def bollingerExprs(n: Int, k: Int): Seq[String] = {
+    val mean = s"(CAST(s1 AS DOUBLE) / $n.0)"
+    val std = s"(sqrt(CAST($n * s2 - s1 * s1 AS DOUBLE)) / $n.0)"
+    Seq(
+      s"$mean / 100.0 AS sma",
+      s"($mean + $k.0 * $std) / 100.0 AS upper_band",
+      s"($mean - $k.0 * $std) / 100.0 AS lower_band")
+  }
+
+  /** W8 (extension) — Bollinger bands: n-row rolling mean ± k·σ per
+    * symbol, emitted once the window is full ([[lookbackAvg]]
+    * discipline). Prices quantized to cents so Σx and Σx² are exact
+    * BIGINTs inside one symbol-keyed window shuffle; σ uses the
+    * population form `sqrt(n·Σx² − (Σx)²)/n`, computed in the shared
+    * expression string (sqrt is IEEE correctly-rounded in both
+    * engines). */
+  def bollinger(trades: DataFrame, n: Int = 20, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("s1", sum(col("pc")).over(w))
+      .withColumn("s2", sum(col("pc") * col("pc")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .select(col("event_id") +: col("symbol") +: col("timestamp") +:
+        bollingerExprs(n, k).map(expr): _*)
+  }
+
+  /** Oracle for [[bollinger]] (body only — caller prepends the trades
+    * CTE). The inner sums are cast back to BIGINT (DuckDB widens BIGINT
+    * sums to HUGEINT) so the outer shared expressions see the same
+    * types Spark produces. */
+  def bollingerSql(n: Int = 20, k: Int = 2): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       ${bollingerExprs(n, k).mkString(",\n       ")}
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp",
+       |         CAST(sum(pc) OVER w AS BIGINT) AS s1,
+       |         CAST(sum(pc * pc) OVER w AS BIGINT) AS s2,
+       |         count(*) OVER w AS cnt
+       |  FROM (SELECT event_id, symbol, "timestamp",
+       |               CAST(round(price * 100) AS BIGINT) AS pc FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n""".stripMargin
+
+  /** The RSI ratio as shared SQL text: `100·G/(G+L)` — algebraically
+    * `100 − 100/(1+RS)` but with a SINGLE division so there is exactly
+    * one rounding step, and unrounded (see [[bollingerExprs]] — a
+    * post-division `round` can split an exact-half tie differently
+    * across engines). A flat window yields NULL. */
+  private val rsiExpr =
+    "CASE WHEN sg + sl = 0 THEN NULL ELSE " +
+      "100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) " +
+      "END AS rsi"
+
+  /** W9 (extension) — relative strength index over the last `n`
+    * price changes per symbol (simple-average RSI). Price diffs are
+    * exact micro-unit BIGINTs from one `lag`; gain/loss sums share the
+    * same symbol-keyed window shuffle (same key, same order — Spark
+    * plans ONE exchange for both window operators). Emitted only once
+    * `n` diffs exist. */
+  def rsi(trades: DataFrame, n: Int = 14): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val frame = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pm") - lag(col("pm"), 1).over(ord))
+      .filter(col("d").isNotNull)
+      .withColumn("sg", sum(greatest(col("d"), lit(0L))).over(frame))
+      .withColumn("sl", sum(greatest(-col("d"), lit(0L))).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .select(col("event_id"), col("symbol"), col("timestamp"), expr(rsiExpr))
+  }
+
+  /** Oracle for [[rsi]] (body only — caller prepends the trades CTE). */
+  def rsiSql(n: Int = 14): String =
+    s"""SELECT event_id, symbol, "timestamp", $rsiExpr
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp",
+       |         CAST(sum(greatest(d, 0)) OVER w AS BIGINT) AS sg,
+       |         CAST(sum(greatest(-d, 0)) OVER w AS BIGINT) AS sl,
+       |         count(*) OVER w AS cnt
+       |  FROM (
+       |    SELECT event_id, symbol, "timestamp",
+       |           pm - lag(pm, 1) OVER (PARTITION BY symbol
+       |             ORDER BY "timestamp", event_id) AS d
+       |    FROM (SELECT event_id, symbol, "timestamp",
+       |                 CAST(round(price * 1000000) AS BIGINT) AS pm
+       |          FROM trades))
+       |  WHERE d IS NOT NULL
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n""".stripMargin
+
+  /** Shared drawdown arithmetic: `(peak − p)·100` is an exact BIGINT
+    * (micro-units), then one division — unrounded ([[bollingerExprs]]
+    * tie-hazard note). A zero peak (the feed's floor price is 0.0) has
+    * no defined drawdown → NULL. */
+  private val drawdownExprs = Seq(
+    "CAST(peak AS DOUBLE) / 1000000.0 AS peak_price",
+    "CASE WHEN peak = 0 THEN NULL ELSE " +
+      "CAST((peak - pm) * 100 AS DOUBLE) / CAST(peak AS DOUBLE) " +
+      "END AS drawdown_pct")
+
+  /** W10 (extension) — running peak price and percent drawdown from it,
+    * per symbol: the risk metric charted on every trading dashboard.
+    * One cumulative `max` window over micro-unit BIGINTs — same single
+    * symbol-keyed exchange as [[cumulativeVolume]]. */
+  def drawdown(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("peak", max(col("pm")).over(w))
+      .select(col("event_id") +: col("symbol") +: col("timestamp") +:
+        drawdownExprs.map(expr): _*)
+  }
+
+  /** Oracle for [[drawdown]] (body only — caller prepends the trades
+    * CTE). */
+  def drawdownSql: String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       ${drawdownExprs.mkString(",\n       ")}
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp", pm,
+       |         max(pm) OVER (PARTITION BY symbol
+       |           ORDER BY "timestamp", event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM (SELECT event_id, symbol, "timestamp",
+       |               CAST(round(price * 1000000) AS BIGINT) AS pm
+       |        FROM trades))""".stripMargin
+
+  /** A13 (extension) — volume-weighted average price per symbol-hour:
+    * THE canonical trade-feed aggregate. Both sums are micro-quantized
+    * BIGINTs (the units cancel in the ratio; int64 → double is
+    * correctly rounded in both engines at any magnitude), and the
+    * quotient is emitted UNROUNDED: `213122000/6400000 = 33.3003125`
+    * sits exactly on a decimal half, and a final `round(x, 6)` split
+    * that tie differently across engines (Spark HALF_UP on the true
+    * decimal, DuckDB float-multiply rint) — the one-value sf0.01
+    * mismatch that motivated the [[bollingerExprs]] no-round rule.
+    * Volume is strictly positive by construction, so the division is
+    * total. One partial+final hash aggregate, one shuffle on
+    * (hour, symbol). */
+  def vwap(trades: DataFrame): DataFrame =
+    trades
+      .groupBy(window(col("timestamp"), "1 hour"), col("symbol"))
+      .agg(
+        sum(expr("CAST(round(usd_volume * 1000000) AS BIGINT)")).as("su"),
+        sum(expr("CAST(round(volume * 1000000) AS BIGINT)")).as("sv"),
+        count(lit(1)).as("n_trades"))
+      .select(col("symbol"), col("window.start").as("hour_start"),
+        expr("CAST(su AS DOUBLE) / CAST(sv AS DOUBLE) AS vwap"),
+        col("n_trades"))
+
+  /** Oracle for [[vwap]] (body only — caller prepends the trades CTE). */
+  val vwapSql: String =
+    """SELECT symbol, hour_start,
+      |       CAST(su AS DOUBLE) / CAST(sv AS DOUBLE) AS vwap,
+      |       n_trades
+      |FROM (
+      |  SELECT symbol, date_trunc('hour', "timestamp") AS hour_start,
+      |         CAST(sum(CAST(round(usd_volume * 1000000) AS BIGINT))
+      |            AS BIGINT) AS su,
+      |         CAST(sum(CAST(round(volume * 1000000) AS BIGINT))
+      |            AS BIGINT) AS sv,
+      |         count(*) AS n_trades
+      |  FROM trades GROUP BY 1, 2)""".stripMargin
+
+  /** Pearson correlation from exact integer sums, as shared SQL text.
+    * Bounds: hourly closes in cents (≤ ~5.6e4 at the feed's price cap),
+    * bars per pair ≤ hours in the feed (~720) — every product
+    * (`n·Σxy`, `Σx·Σy`, `n·Σx²`) stays ≤ ~2e15 < 2^53, so the BIGINT
+    * arithmetic is exact AND the double casts are exact. The variance
+    * factors are cast to double BEFORE the multiply (their product
+    * would overflow BIGINT); constant series yield NULL. */
+  private val corrExpr =
+    "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL " +
+      "ELSE CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+      "CAST(n * syy - sy * sy AS DOUBLE)) END AS corr_close"
+
+  /** A12 (extension) — pairwise Pearson correlation of hourly closes
+    * between symbols: the cross-asset co-movement matrix. Stage 1
+    * reduces the feed to (hour, symbol) close bars — THE shuffle, and
+    * the only scan of the big table; stage 2 self-joins the tiny bar
+    * table on hour (broadcast under AQE) and folds each pair's five
+    * exact BIGINT sums in one aggregate. Bars-per-pair is bounded by
+    * the feed's time span, not its row count, so the shape holds at any
+    * SF. The close is `max_by(price_cents, event_id)` — the engine's
+    * deterministic-close discipline ([[slidingFeatures]]). */
+  def pairwiseCorr(trades: DataFrame): DataFrame = {
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max_by(col("pc"), col("event_id")).as("close_c"))
+    val a = bars.select(col("hr"), col("symbol").as("sym_a"),
+      col("close_c").as("x"))
+    val b = bars.select(col("hr"), col("symbol").as("sym_b"),
+      col("close_c").as("y"))
+    a.join(b, Seq("hr"))
+      .filter(col("sym_a") < col("sym_b"))
+      .groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("sym_a"), col("sym_b"), col("n"), expr(corrExpr))
+  }
+
+  /** Oracle for [[pairwiseCorr]] (body only — caller prepends the
+    * trades CTE). */
+  val pairwiseCorrSql: String =
+    s"""SELECT sym_a, sym_b, n, $corrExpr
+       |FROM (
+       |  SELECT a.sym_a, b.sym_b, count(*) AS n,
+       |         CAST(sum(a.x) AS BIGINT) AS sx,
+       |         CAST(sum(b.y) AS BIGINT) AS sy,
+       |         CAST(sum(a.x * b.y) AS BIGINT) AS sxy,
+       |         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+       |         CAST(sum(b.y * b.y) AS BIGINT) AS syy
+       |  FROM (SELECT hr, symbol AS sym_a, x FROM bars) a
+       |  JOIN (SELECT hr, symbol AS sym_b, x AS y FROM bars) b USING (hr)
+       |  WHERE a.sym_a < b.sym_b
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The hourly-close bar CTE backing [[pairwiseCorrSql]] (named
+    * `bars`; chain after the trades CTE). */
+  val barsCte: String =
+    """bars AS (
+      |  SELECT date_trunc('hour', "timestamp") AS hr, symbol,
+      |         arg_max(CAST(round(price * 100) AS BIGINT), event_id) AS x
+      |  FROM trades GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** W11 (extension) — on-balance volume: the running sum of volume
+    * signed by the price-change direction. Direction comes from exact
+    * micro-unit diffs (one `lag`); the running sum is an exact BIGINT
+    * of micro-quantized volumes (int64, so even the window's running
+    * conversion to double is correctly rounded in both engines — the
+    * decimal/int128 path is not), divided once by 1e6 at the end,
+    * unrounded ([[bollingerExprs]] tie-hazard note). The first row of
+    * a symbol has no direction and contributes zero — the indicator's
+    * standard convention. Both windows share one symbol-keyed
+    * exchange. */
+  def obv(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val cum = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("vm", expr("CAST(round(volume * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pm") - lag(col("pm"), 1).over(ord))
+      .withColumn("sv",
+        when(col("d") > 0, col("vm"))
+          .when(col("d") < 0, -col("vm"))
+          .otherwise(lit(0L)))
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        (sum(col("sv")).over(cum).cast("double") / lit(1000000.0)).as("obv"))
+  }
+
+  /** Oracle for [[obv]] (body only — caller prepends the trades CTE). */
+  val obvSql: String =
+    """SELECT event_id, symbol, "timestamp",
+      |       CAST(CAST(sum(sv) OVER (PARTITION BY symbol
+      |         ORDER BY "timestamp", event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS DOUBLE) / 1000000.0 AS obv
+      |FROM (
+      |  SELECT event_id, symbol, "timestamp",
+      |         CASE WHEN d > 0 THEN vm
+      |              WHEN d < 0 THEN -vm
+      |              ELSE 0 END AS sv
+      |  FROM (
+      |    SELECT event_id, symbol, "timestamp", vm,
+      |           pm - lag(pm, 1) OVER (PARTITION BY symbol
+      |             ORDER BY "timestamp", event_id) AS d
+      |    FROM (SELECT event_id, symbol, "timestamp",
+      |                 CAST(round(price * 1000000) AS BIGINT) AS pm,
+      |                 CAST(round(volume * 1000000) AS BIGINT) AS vm
+      |          FROM trades)))""".stripMargin
+
+  /** F12 (extension) — winsorization: clamp each price into its
+    * symbol's [p_lo, p_hi] exact quantile band — the outlier guard in
+    * front of scaling/training ([[minMaxScale]] is its downstream).
+    * Quantiles are SELECTED elements at rank `ceil(p·n)` (the
+    * [[discreteQuantiles]] cross-engine discipline — no interpolation),
+    * fitted once per symbol and broadcast back; the clamp itself is a
+    * pure projection. The exact ranked quantile pays a per-symbol sort;
+    * at true 100-TB, swap the fit to [[approxQuantilesChecked]]'s GK
+    * sketch and keep the identical clamp stage. */
+  def winsorize(trades: DataFrame, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val byPrice = Window.partitionBy("symbol")
+      .orderBy(col("price"), col("event_id"))
+    val ranked = trades.select(col("symbol"), col("price"), col("event_id"))
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+    val qs = ranked.groupBy("symbol").agg(
+      max(when(col("rn") === ceil(lit(lo) * col("n")), col("price")))
+        .as("p_lo"),
+      max(when(col("rn") === ceil(lit(hi) * col("n")), col("price")))
+        .as("p_hi"))
+    trades.join(broadcast(qs), Seq("symbol"))
+      .select(col("event_id"), col("symbol"), col("price"),
+        least(greatest(col("price"), col("p_lo")), col("p_hi")).as("clamped"),
+        (col("price") < col("p_lo") || col("price") > col("p_hi"))
+          .as("was_clipped"))
+  }
+
+  /** Oracle for [[winsorize]] (body only — caller prepends the trades
+    * CTE). */
+  def winsorizeSql(lo: Double = 0.05, hi: Double = 0.95): String =
+    s"""SELECT t.event_id, t.symbol, t.price,
+       |       least(greatest(t.price, q.p_lo), q.p_hi) AS clamped,
+       |       (t.price < q.p_lo OR t.price > q.p_hi) AS was_clipped
+       |FROM trades t JOIN (
+       |  SELECT symbol,
+       |         max(CASE WHEN rn = ceil($lo::DOUBLE * n) THEN price END)
+       |           AS p_lo,
+       |         max(CASE WHEN rn = ceil($hi::DOUBLE * n) THEN price END)
+       |           AS p_hi
+       |  FROM (SELECT symbol, price,
+       |               row_number() OVER (PARTITION BY symbol
+       |                 ORDER BY price, event_id) AS rn,
+       |               count(*) OVER (PARTITION BY symbol) AS n
+       |        FROM trades)
+       |  GROUP BY 1) q USING (symbol)""".stripMargin
 }

@@ -145,7 +145,7 @@ object Upsert {
       // a one-row plan so the bucket matches what merge computed
       val b = spark.range(1)
         .select(pmod(xxhash64(typed: _*), lit(m.nBuckets))
-          .cast("int")).head.getInt(0)
+          .cast("int")).head().getInt(0)
       val pred = m.bucketBy.zip(typed)
         .map { case (k, l) => col(k) === l }
         .reduce(_ && _)

@@ -718,4 +718,178 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(r.getString(1) === "cond1")
     assert(r.isNullAt(2))
   }
+
+  test("bollinger: band order holds, sma within window extremes") {
+    val b = TradeOps.bollinger(trades).cache()
+    assert(b.count() > 0)
+    assert(b.filter(col("upper_band") < col("sma") ||
+      col("sma") < col("lower_band")).count() === 0)
+    // sma of a 20-row window can never leave the feed's global range
+    val (lo, hi) = (trades.agg(min("price")).head.getDouble(0),
+      trades.agg(max("price")).head.getDouble(0))
+    assert(b.filter(col("sma") < lo - 0.01 || col("sma") > hi + 0.01)
+      .count() === 0)
+    b.unpersist()
+  }
+
+  test("rsi: bounded in [0,100]; constant series yields NULL") {
+    val r = TradeOps.rsi(trades)
+    assert(r.count() > 0)
+    assert(r.filter(col("rsi") < 0 || col("rsi") > 100).count() === 0)
+    import spark.implicits._
+    val flat = (1 to 30).map(i =>
+      (i.toLong, "X", java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"),
+        5.0, 1.0, 5.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    val fr = TradeOps.rsi(flat)
+    assert(fr.count() > 0 && fr.filter(col("rsi").isNotNull).count() === 0)
+  }
+
+  test("drawdown: non-negative, zero exactly at running peaks") {
+    val d = TradeOps.drawdown(trades).cache()
+    assert(d.filter(col("drawdown_pct") < 0).count() === 0)
+    // at least one row per symbol sits AT its peak (the max itself)
+    val zeros = d.filter(col("drawdown_pct") === 0.0)
+      .select("symbol").distinct().count()
+    assert(zeros === trades.select("symbol").distinct().count())
+    d.unpersist()
+  }
+
+  test("vwap: between the hour's min and max price") {
+    val v = TradeOps.vwap(trades)
+    val hourly = trades.groupBy(date_trunc("hour", col("timestamp"))
+      .as("hour_start"), col("symbol"))
+      .agg(min("price").as("lo"), max("price").as("hi"))
+    val out = v.join(hourly, Seq("symbol", "hour_start"))
+      .filter(col("vwap") < col("lo") - 1e-6 ||
+        col("vwap") > col("hi") + 1e-6)
+    assert(out.count() === 0)
+  }
+
+  test("pairwise corr: |r| <= 1, all unordered pairs present, self-corr 1") {
+    val c = TradeOps.pairwiseCorr(trades).cache()
+    val nSym = trades.select("symbol").distinct().count()
+    assert(c.count() === nSym * (nSym - 1) / 2)
+    assert(c.filter(abs(col("corr_close")) > 1.0 + 1e-9).count() === 0)
+    // a symbol against itself must come out exactly 1 — run the same
+    // pipeline with a duplicated symbol column to cover the algebra
+    val dup = trades.withColumn("symbol",
+      concat(col("symbol"), lit(""))) // no-op, keeps one scan
+    val self = TradeOps.pairwiseCorr(
+      dup.union(dup.withColumn("symbol", concat(col("symbol"), lit("_b")))))
+      .filter(col("sym_b") === concat(col("sym_a"), lit("_b")))
+    assert(self.filter(abs(col("corr_close") - 1.0) > 1e-9).count() === 0)
+    c.unpersist()
+  }
+
+  test("winnow: fingerprints are a subset of shingle hashes; guarantee holds") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fps = graft.ops.TextOps.winnow(docs).cache()
+    assert(fps.count() > 0)
+    // every selected fingerprint is one of the doc's k-gram hashes:
+    // re-derive the raw hash stream and anti-join
+    val k = 4
+    val shingle = (0 until k).map(j => s"words[i + $j]").mkString(", ")
+    val raw = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(words) - $k),
+           |  i -> CAST(conv(substring(md5(concat_ws(' ', $shingle)), 1, 8),
+           |            16, 10) AS BIGINT))""".stripMargin)).as("fp"))
+    assert(fps.join(raw, Seq("doc_id", "fp"), "left_anti").count() === 0)
+    // winnowing guarantee: two docs sharing a long run share a fingerprint
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val twins = Seq((1L, s"one two $shared", "en", "s", 1L),
+      (2L, s"$shared nine ten", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tf = graft.ops.TextOps.winnow(twins)
+    assert(tf.filter(col("doc_id") === 1).join(
+      tf.filter(col("doc_id") === 2), Seq("fp")).count() > 0)
+    fps.unpersist()
+  }
+
+  test("lm coverage: in [0,1]; single-doc corpus covers itself") {
+    val docs = Tables.load(spark, sf, "documents")
+    val cov = graft.ops.TextOps.lmCoverage(docs)
+    assert(cov.filter(col("coverage") < 0 || col("coverage") > 1).count() === 0)
+    assert(cov.filter(col("n_hits") > col("n_bigrams")).count() === 0)
+    import spark.implicits._
+    val one = Seq((1L, "a b a b a", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c1 = graft.ops.TextOps.lmCoverage(one).head
+    assert(c1.getDouble(c1.fieldIndex("coverage")) === 1.0)
+  }
+
+  test("obv: zero first row per symbol, step size is exactly the volume") {
+    val o = TradeOps.obv(trades).cache()
+    // first row of each symbol contributes no direction → obv starts 0
+    val firsts = trades.groupBy("symbol")
+      .agg(min(struct(col("timestamp"), col("event_id"))).as("f"))
+      .select(col("symbol"), col("f.event_id").as("event_id"))
+    assert(o.join(firsts, Seq("symbol", "event_id"))
+      .filter(col("obv") =!= 0.0).count() === 0)
+    // |obv_t − obv_{t−1}| is the row's volume (or 0 on a flat tick)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy(col("timestamp"), col("event_id"))
+    val steps = o.withColumn("prev", lag(col("obv"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .join(trades.select("event_id", "volume"), "event_id")
+      .filter(abs(abs(col("obv") - col("prev")) - col("volume")) > 1e-6 &&
+        abs(col("obv") - col("prev")) > 1e-9)
+    assert(steps.count() === 0)
+    o.unpersist()
+  }
+
+  test("winsorize: clamped into band, clip flags match, order preserved") {
+    val wz = TradeOps.winsorize(trades).cache()
+    assert(wz.count() === trades.count())
+    assert(wz.filter(col("clamped") < col("price") && !col("was_clipped"))
+      .count() === 0)
+    assert(wz.filter(!col("was_clipped") && col("clamped") =!= col("price"))
+      .count() === 0)
+    // clip rate is bounded by the tail masses (≤ ~5% + 5% plus ties)
+    val rate = wz.filter(col("was_clipped")).count().toDouble / wz.count()
+    assert(rate <= 0.12, s"clip rate $rate")
+    wz.unpersist()
+  }
+
+  test("boilerplate: repeated segment dropped everywhere, unique text kept") {
+    import spark.implicits._
+    val banner = "this content is provided as is without any warranty"
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1L),
+      (2L, s"$banner iota kappa lambda mu nu xi omicron pi", "en", "s", 1L),
+      (3L, s"$banner rho sigma tau upsilon phi chi psi omega", "en", "s", 1L),
+      (4L, "unique words only here nothing repeats at all", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // banner is 9 words → with segWords=9 it is segment 0 of docs 1-3
+    val out = graft.ops.TextOps.boilerplateStrip(docs, segWords = 9, minDf = 3)
+      .cache()
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(m(1L)._2 === 1 && !m(1L)._3.contains("warranty"))
+    assert(m(1L)._3.contains("alpha"))
+    assert(m(4L)._2 === 0 && m(4L)._3.contains("unique"))
+    // real corpus: reassembly conserves non-boiler segments
+    val real = graft.ops.TextOps.boilerplateStrip(
+      Tables.load(spark, sf, "documents"))
+    assert(real.filter(col("n_boiler") > col("n_segs")).count() === 0)
+    out.unpersist()
+  }
+
+  test("cooccurrence: bounded by each type's user count, symmetric-free") {
+    val ev = Tables.events(spark, sf)
+    val co = graft.ops.EventAnalytics.cooccurrence(ev).cache()
+    assert(co.filter(col("type_a") >= col("type_b")).count() === 0)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(countDistinct("user_id").as("nu"))
+    val bad = co
+      .join(perType.withColumnRenamed("event_type", "type_a"), "type_a")
+      .withColumnRenamed("nu", "nu_a")
+      .join(perType.withColumnRenamed("event_type", "type_b"), "type_b")
+      .filter(col("n_users") > least(col("nu_a"), col("nu")))
+    assert(bad.count() === 0)
+    co.unpersist()
+  }
 }
