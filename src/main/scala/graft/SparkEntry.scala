@@ -210,6 +210,18 @@ object SparkEntry {
     "w11_obv" -> ((s, dir) => TradeOps.obv(trades(s, dir))),
     "f12_winsorize" -> ((s, dir) => TradeOps.winsorize(trades(s, dir))),
     "t_boilerplate" -> ((s, dir) => TextOps.boilerplateStrip(Tables.load(s, dir, "documents"))),
+    "w12_stochastic" -> ((s, dir) => TradeOps.stochasticK(trades(s, dir))),
+    "a14_atr" -> ((s, dir) => TradeOps.atr(trades(s, dir))),
+    "a15_anomaly" -> ((s, dir) => TradeOps.anomalyFlags(trades(s, dir))),
+    "g_triangles" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Graph.triangles(Dedup.minhashPairs(docs)
+        .filter(col("est_jaccard") >= Dedup.triangleThreshold)
+        .select("doc_a", "doc_b"))
+    }),
+    "d_fuzzy_pairs" -> ((s, dir) => Dedup.fuzzyPairs(Tables.load(s, dir, "documents"))),
+    "w13_cusum" -> ((s, dir) => TradeOps.cusum(trades(s, dir))),
+    "a16_profile" -> ((s, dir) => TradeOps.columnProfile(Tables.load(s, dir, "lineitem"))),
   )
 
   private val T = Tables.tradesCte
@@ -1172,5 +1184,23 @@ object SparkEntry {
       s"""$T
          |${TradeOps.winsorizeSql()}""".stripMargin,
     "t_boilerplate" -> TextOps.boilerplateStripSql(),
+    "w12_stochastic" ->
+      s"""$T
+         |${TradeOps.stochasticKSql()}""".stripMargin,
+    "a14_atr" ->
+      s"""$T, ${TradeOps.ohlcCte}
+         |${TradeOps.atrSql()}""".stripMargin,
+    "a15_anomaly" ->
+      s"""$T
+         |${TradeOps.anomalyFlagsSql()}""".stripMargin,
+    "g_triangles" -> Dedup.similarityTrianglesSql,
+    "d_fuzzy_pairs" -> Dedup.fuzzyPairsSql(),
+    "w13_cusum" ->
+      s"""$T
+         |${TradeOps.cusumSql()}""".stripMargin,
+    "a16_profile" -> TradeOps.columnProfileSql(Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate")),
   )
 }

@@ -527,14 +527,72 @@ object Dedup {
     * over corpus source `src` — chain after `WITH RECURSIVE …`. Ends in
     * `resolved(doc_id, canonical_doc)` and `sizes(canonical_doc,
     * cluster_size)`. */
-  private[ops] def resolveCtesFrom(src: String): String =
+  /** Record-linkage fuzzy matching: document pairs whose text PREFIX
+    * is within `maxDist` edits, blocked by (lang, source, length
+    * bucket) so the quadratic comparison never crosses block
+    * boundaries — the classic blocking+compare linkage plan. Both
+    * engines implement the same unit-cost Levenshtein, and the
+    * distance is an exact integer, so the oracle compares exactly.
+    * At scale the block key is THE cost control: comparisons are
+    * O(Σ block²), never O(corpus²); skewed blocks would re-block on a
+    * longer key (the [[Dedup]] banding discipline). */
+  def fuzzyPairs(docs: DataFrame, prefixLen: Int = 40,
+      maxDist: Int = 12): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 64").as("lenb"),
+      substring(col("text"), 1, prefixLen).as("head"))
+    val a = keyed.select(col("lang"), col("source"), col("lenb"),
+      col("doc_id").as("doc_a"), col("head").as("head_a"))
+    val b = keyed.select(col("lang"), col("source"), col("lenb"),
+      col("doc_id").as("doc_b"), col("head").as("head_b"))
+    a.join(b, Seq("lang", "source", "lenb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
+  /** Oracle for [[fuzzyPairs]]. */
+  def fuzzyPairsSql(prefixLen: Int = 40, maxDist: Int = 12): String =
+    s"""WITH k AS (
+       |  SELECT doc_id, lang, source, n_chars // 64 AS lenb,
+       |         substr(text, 1, $prefixLen) AS head
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+       |FROM k a JOIN k b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
+       |     AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.head, b.head) <= $maxDist""".stripMargin
+
+  /** sig + threshold-filtered pair CTEs alone (ends in `pairs`) —
+    * shared by [[resolveCtesFrom]] and the triangle-count oracle. */
+  private[ops] def pairsCtesFrom(src: String,
+      threshold: Double = resolveThreshold): String =
     s"""${sigCteFrom(src).stripPrefix("WITH ")},
        |pairs AS (
        |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
        |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
        |  WHERE ($bandEqSql)
-       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $resolveThreshold
-       |),
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $threshold
+       |)""".stripMargin
+
+  /** Edge threshold for triangle counting: the resolve-level 0.5 graph
+    * is HALF the complete graph on this heavily-duplicated corpus
+    * (Θ(n²) edges → Θ(n³) triangles — no algorithm survives that);
+    * 0.9 keeps the near-identical cliques, whose size is bounded by
+    * the dup-group size, not the corpus. */
+  val triangleThreshold: Double = 0.9
+
+  /** Oracle for [[Graph.triangles]] over the MinHash similarity graph
+    * at [[triangleThreshold]]. */
+  def similarityTrianglesSql: String =
+    s"""WITH ${pairsCtesFrom("documents", triangleThreshold)}
+       |${Graph.trianglesSql}""".stripMargin
+
+  private[ops] def resolveCtesFrom(src: String): String =
+    s"""${pairsCtesFrom(src)},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL

@@ -347,4 +347,91 @@ object Graph {
       .foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** The transitivity ratio shared with the oracle, unrounded
+    * (TradeOps' no-round rule: `3·T/W` is a ratio of exact integers
+    * and can land on a decimal half). */
+  private val transitivityExpr =
+    "CASE WHEN n_wedges = 0 THEN NULL ELSE " +
+      "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) " +
+      "END AS transitivity"
+
+  /** Triangle count + global clustering coefficient (transitivity) of
+    * an undirected graph, via the degree-ordered edge-iterator
+    * algorithm: orient every edge from its lower-(degree, id) endpoint
+    * to the higher one, build wedges only from ORIENTED out-neighbor
+    * pairs, and close them against the oriented edge set. Orientation
+    * bounds every vertex's out-degree by O(√m), so the wedge join —
+    * the only super-linear stage — generates O(m^1.5) rows worst case
+    * instead of Σd² on the raw adjacency: the standard scalable
+    * triangle plan (each triangle counted exactly once, at its
+    * smallest-key vertex). Three shuffle joins keyed on vertex ids, a
+    * tiny final cross of single-row aggregates. */
+  def triangles(edges0: DataFrame): DataFrame = {
+    val Array(ac, bc) = edges0.columns.take(2)
+    // normalize to a < b BEFORE distinct so a reversed duplicate
+    // (x,y)+(y,x) collapses to one undirected edge
+    val e = edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"),
+        when(lower, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = o.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+      o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val nW = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nE.crossJoin(nW).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr(transitivityExpr))
+  }
+
+  /** Oracle body for [[triangles]] — caller prepends a CTE chain
+    * ending in `pairs(doc_a, doc_b)` with `doc_a < doc_b`. */
+  val trianglesSql: String =
+    s"""SELECT n_edges, n_wedges, n_triangles, $transitivityExpr
+       |FROM (SELECT count(*) AS n_edges FROM pairs),
+       |     (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+       |        AS n_wedges
+       |      FROM (SELECT id, count(*) AS d FROM (
+       |              SELECT doc_a AS id FROM pairs
+       |              UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)),
+       |     (SELECT count(*) AS n_triangles
+       |      FROM (WITH deg AS (
+       |              SELECT id, count(*) AS d FROM (
+       |                SELECT doc_a AS id FROM pairs
+       |                UNION ALL SELECT doc_b FROM pairs) GROUP BY 1
+       |            ), o AS (
+       |              SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND
+       |                       p.doc_a < p.doc_b) THEN p.doc_a
+       |                     ELSE p.doc_b END AS u,
+       |                     CASE WHEN da.d < db.d OR (da.d = db.d AND
+       |                       p.doc_a < p.doc_b) THEN p.doc_b
+       |                     ELSE p.doc_a END AS v,
+       |                     CASE WHEN da.d < db.d OR (da.d = db.d AND
+       |                       p.doc_a < p.doc_b) THEN db.d
+       |                     ELSE da.d END AS dv
+       |              FROM pairs p JOIN deg da ON da.id = p.doc_a
+       |                           JOIN deg db ON db.id = p.doc_b
+       |            )
+       |            SELECT 1 AS one
+       |            FROM o e1 JOIN o e2 ON e1.u = e2.u
+       |                 AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+       |                 JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v))""".stripMargin
 }

@@ -346,6 +346,35 @@ object TradeOps {
     df.select(df.columns.toSeq.map(c =>
       count(when(col(c).isNull, 1)).as(s"nulls_$c")): _*)
 
+  /** A16 (extension) — exact per-column profile: rows, nulls, distinct
+    * count for every column — the schema-wide twin of [[nullProfile]]
+    * (which is one row of null counts). Emits only type-agnostic exact
+    * integers (no min/max strings: double→VARCHAR formatting differs
+    * across engines). One aggregate per column, unioned: each branch's
+    * scan is PRUNED to its single column, so the 11 branches together
+    * read ≈ one full pass of the columnar file — the true cost of
+    * exact per-column distincts anywhere; a one-pass profile would
+    * have to accept HLL sketches ([[approxQuantilesChecked]]
+    * discipline). */
+  def columnProfile(df: DataFrame): DataFrame =
+    df.columns.toSeq.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+    }.reduce(_ unionAll _)
+
+  /** Oracle for [[columnProfile]] over `lineitem`. */
+  def columnProfileSql(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** A9 (reference `clean_data.ipynb` cell 5 — `df.index.min()/max()` for
     * the resample grid): time-index bounds + row count in one aggregate. */
   def timeBounds(trades: DataFrame): DataFrame =
@@ -997,6 +1026,229 @@ object TradeOps {
       |                 CAST(round(price * 1000000) AS BIGINT) AS pm,
       |                 CAST(round(volume * 1000000) AS BIGINT) AS vm
       |          FROM trades)))""".stripMargin
+
+  /** Shared stochastic-%K arithmetic: numerator and denominator are
+    * exact cent-unit BIGINT differences, one multiply + one division,
+    * unrounded ([[bollingerExprs]] tie-hazard note). A flat window
+    * (max = min) carries no position information → NULL. */
+  private val stochasticExpr =
+    "CASE WHEN mx = mn THEN NULL ELSE " +
+      "100.0 * CAST(pc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) " +
+      "END AS pct_k"
+
+  /** W12 (extension) — stochastic oscillator %K: where the current
+    * price sits inside the last `n` rows' [min, max] band, per symbol.
+    * Two more aggregates over the SAME symbol-keyed window frame the
+    * other indicators use — one exchange, codegen'd min/max. */
+  def stochasticK(trades: DataFrame, n: Int = 14): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("mn", min(col("pc")).over(w))
+      .withColumn("mx", max(col("pc")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        expr(stochasticExpr))
+  }
+
+  /** Oracle for [[stochasticK]] (body only — caller prepends the trades
+    * CTE). */
+  def stochasticKSql(n: Int = 14): String =
+    s"""SELECT event_id, symbol, "timestamp", $stochasticExpr
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp", pc,
+       |         min(pc) OVER w AS mn, max(pc) OVER w AS mx,
+       |         count(*) OVER w AS cnt
+       |  FROM (SELECT event_id, symbol, "timestamp",
+       |               CAST(round(price * 100) AS BIGINT) AS pc FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n""".stripMargin
+
+  /** Shared ATR arithmetic: the true-range is an exact cent BIGINT,
+    * the average is one division (by n then by 100 — same association
+    * both engines), unrounded. */
+  private def atrExprs(n: Int): Seq[String] = Seq(
+    "CAST(tr AS DOUBLE) / 100.0 AS true_range",
+    s"CAST(s AS DOUBLE) / $n.0 / 100.0 AS atr")
+
+  /** A14 (extension) — average true range over hourly OHLC bars: bar
+    * construction (the [[pairwiseCorr]] reduction — high/low/close in
+    * exact cents, deterministic `max_by` close), true range
+    * `max(hi−lo, |hi−prevClose|, |lo−prevClose|)` as pure BIGINT
+    * arithmetic, then an n-bar rolling average. The feed scan is the
+    * only data-sized stage; everything after runs on span-bounded
+    * bars. First bar of a symbol has no previous close → TR = hi−lo
+    * (the indicator's standard convention). */
+  def atr(trades: DataFrame, n: Int = 14): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("hr"))
+    val frame = Window.partitionBy("symbol").orderBy(col("hr"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"),
+        max_by(col("pc"), col("event_id")).as("cl"))
+    bars
+      .withColumn("pcl", lag(col("cl"), 1).over(ord))
+      .withColumn("tr",
+        when(col("pcl").isNull, col("hi") - col("lo")).otherwise(
+          greatest(col("hi") - col("lo"), abs(col("hi") - col("pcl")),
+            abs(col("lo") - col("pcl")))))
+      .withColumn("s", sum(col("tr")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .select(col("symbol") +: col("hr") +: atrExprs(n).map(expr): _*)
+  }
+
+  /** Oracle for [[atr]] (body only — caller prepends the trades CTE +
+    * [[barsCte]]-style bars; uses its own OHLC bars CTE `ohlc`). */
+  def atrSql(n: Int = 14): String =
+    s"""SELECT symbol, hr,
+       |       ${atrExprs(n).mkString(",\n       ")}
+       |FROM (
+       |  SELECT symbol, hr, tr,
+       |         CAST(sum(tr) OVER w2 AS BIGINT) AS s,
+       |         count(*) OVER w2 AS cnt
+       |  FROM (
+       |    SELECT symbol, hr,
+       |           CASE WHEN pcl IS NULL THEN hi - lo
+       |                ELSE greatest(hi - lo, abs(hi - pcl), abs(lo - pcl))
+       |           END AS tr
+       |    FROM (
+       |      SELECT symbol, hr, hi, lo,
+       |             lag(cl, 1) OVER (PARTITION BY symbol ORDER BY hr) AS pcl
+       |      FROM ohlc))
+       |  WINDOW w2 AS (PARTITION BY symbol ORDER BY hr
+       |                ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n""".stripMargin
+
+  /** The hourly OHLC bar CTE backing [[atrSql]] (named `ohlc`; chain
+    * after the trades CTE). */
+  val ohlcCte: String =
+    """ohlc AS (
+      |  SELECT date_trunc('hour', "timestamp") AS hr, symbol,
+      |         max(CAST(round(price * 100) AS BIGINT)) AS hi,
+      |         min(CAST(round(price * 100) AS BIGINT)) AS lo,
+      |         arg_max(CAST(round(price * 100) AS BIGINT), event_id) AS cl
+      |  FROM trades GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** A15 (extension) — rolling z-score anomaly flags, with the test
+    * done ENTIRELY in exact integer arithmetic: `|x − μ| > k·σ` over
+    * the trailing n-row window is equivalent to
+    * `(n·x − Σx)² > k²·(n·Σx² − (Σx)²)` — both sides exact cent²
+    * BIGINTs, so there is NO float anywhere and the flag can never
+    * diverge across engines. Emits only the anomalous rows (the
+    * data-quality monitor shape: output ∝ anomalies, not feed size). */
+  def anomalyFlags(trades: DataFrame, n: Int = 20, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("s1", sum(col("pc")).over(w))
+      .withColumn("s2", sum(col("pc") * col("pc")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .filter(expr(anomalyPred(n, k)))
+      .select(col("event_id"), col("symbol"), col("timestamp"), col("price"))
+  }
+
+  /** The exact integer anomaly predicate, shared with the oracle. */
+  private def anomalyPred(n: Int, k: Int): String =
+    s"($n * pc - s1) * ($n * pc - s1) > ${k * k} * ($n * s2 - s1 * s1)"
+
+  /** Oracle for [[anomalyFlags]] (body only — caller prepends the
+    * trades CTE). */
+  def anomalyFlagsSql(n: Int = 20, k: Int = 3): String =
+    s"""SELECT event_id, symbol, "timestamp", price
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp", price, pc,
+       |         CAST(sum(pc) OVER w AS BIGINT) AS s1,
+       |         CAST(sum(pc * pc) OVER w AS BIGINT) AS s2,
+       |         count(*) OVER w AS cnt
+       |  FROM (SELECT event_id, symbol, "timestamp", price,
+       |               CAST(round(price * 100) AS BIGINT) AS pc FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n AND ${anomalyPred(n, k)}""".stripMargin
+
+  /** Shared CUSUM arithmetic: both running statistics are exact
+    * micro-unit BIGINTs (`C_t − min_{j≤t} C_j` restates the
+    * `max(0, prev + dev)` recurrence as two windows, so there is no
+    * sequential float state at all); one division each at the end,
+    * unrounded. The drift flag compares INTEGERS against the
+    * micro-quantized threshold — exact on both engines. */
+  private def cusumExprs(hMicros: Long): Seq[String] = Seq(
+    "CAST(c - runmin AS DOUBLE) / 1000000.0 AS cusum_pos",
+    "CAST(runmax - c AS DOUBLE) / 1000000.0 AS cusum_neg",
+    s"(c - runmin > ${hMicros}L OR runmax - c > ${hMicros}L) AS drifted")
+
+  /** DuckDB spelling of [[cusumExprs]] (no `L` literal suffix). */
+  private def cusumExprsSql(hMicros: Long): Seq[String] = Seq(
+    "CAST(c - runmin AS DOUBLE) / 1000000.0 AS cusum_pos",
+    "CAST(runmax - c AS DOUBLE) / 1000000.0 AS cusum_neg",
+    s"(c - runmin > $hMicros OR runmax - c > $hMicros) AS drifted")
+
+  /** W13 (extension) — CUSUM change-point statistic per symbol:
+    * cumulative deviation from the symbol's FIRST price (the page
+    * model's target), with the classic one-sided CUSUMs
+    * `max_{j≤t} Σ_{j..t} dev` recovered as `C_t − min_{j≤t} C_j` /
+    * `max_{j≤t} C_j − C_t` — running sum + running min + running max,
+    * three frames over ONE symbol-keyed exchange, every intermediate
+    * an exact BIGINT. Flags fire when either side exceeds `h` (in
+    * price units). Per-symbol Σdev stays under 2^63 up to ~10^10 rows
+    * per symbol; beyond that the statistic is day-partitioned anyway
+    * (it is a monitoring, not a batch-analytics, quantity). */
+  def cusum(trades: DataFrame, h: Double = 500.0): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val cum = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hMicros = math.round(h * 1e6)
+    trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("fv", first(col("pm")).over(cum))
+      .withColumn("c", sum(col("pm") - col("fv")).over(cum))
+      .withColumn("runmin", min(col("c")).over(cum))
+      .withColumn("runmax", max(col("c")).over(cum))
+      .select(col("event_id") +: col("symbol") +: col("timestamp") +:
+        cusumExprs(hMicros).map(expr): _*)
+  }
+
+  /** Oracle for [[cusum]] (body only — caller prepends the trades
+    * CTE). */
+  def cusumSql(h: Double = 500.0): String = {
+    val hMicros = math.round(h * 1e6)
+    s"""SELECT event_id, symbol, "timestamp",
+       |       ${cusumExprsSql(hMicros).mkString(",\n       ")}
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp", c,
+       |         min(c) OVER w AS runmin, max(c) OVER w AS runmax
+       |  FROM (
+       |    SELECT event_id, symbol, "timestamp",
+       |           CAST(sum(pm - fv) OVER w AS BIGINT) AS c
+       |    FROM (
+       |      SELECT event_id, symbol, "timestamp", pm,
+       |             first_value(pm) OVER w AS fv
+       |      FROM (SELECT event_id, symbol, "timestamp",
+       |                   CAST(round(price * 1000000) AS BIGINT) AS pm
+       |            FROM trades)
+       |      WINDOW w AS (PARTITION BY symbol
+       |                   ORDER BY "timestamp", event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING
+       |                   AND CURRENT ROW))
+       |    WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |WHERE TRUE""".stripMargin
+  }
 
   /** F12 (extension) — winsorization: clamp each price into its
     * symbol's [p_lo, p_hi] exact quantile band — the outlier guard in

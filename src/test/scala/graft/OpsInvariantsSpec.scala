@@ -878,6 +878,140 @@ class OpsInvariantsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("stochastic %K: in [0,100], NULL exactly when window is flat") {
+    val k = TradeOps.stochasticK(trades)
+    assert(k.count() > 0)
+    assert(k.filter(col("pct_k") < 0 || col("pct_k") > 100).count() === 0)
+    import spark.implicits._
+    val flat = (1 to 20).map(i =>
+      (i.toLong, "X", java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"),
+        7.5, 1.0, 7.5))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    assert(TradeOps.stochasticK(flat).filter(col("pct_k").isNotNull)
+      .count() === 0)
+  }
+
+  test("atr: positive, first-window average bounded by max bar range span") {
+    val a = TradeOps.atr(trades).cache()
+    assert(a.count() > 0)
+    assert(a.filter(col("atr") <= 0 || col("true_range") < 0).count() === 0)
+    // TR ≥ hi − lo of its own bar, so ATR ≥ the window's min bar range
+    // and ≤ ... sanity: ATR can never exceed the global price range ×2
+    val span = trades.agg((max("price") - min("price")).as("s"))
+      .head.getDouble(0)
+    assert(a.filter(col("atr") > span * 2 + 1).count() === 0)
+    a.unpersist()
+  }
+
+  test("anomaly flags: integer predicate agrees with the float z-score") {
+    val n = 20
+    val flagged = TradeOps.anomalyFlags(trades, n, 3).cache()
+    assert(flagged.count() > 0)
+    // recompute |x−μ| > 3σ in floats and check set equality (the data
+    // has no boundary-straddling row, so float and exact agree here;
+    // the exact form is the one that can't EVER disagree cross-engine)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    val floatFlags = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("mu", avg(col("pc")).over(w))
+      .withColumn("sg",
+        sqrt(avg(col("pc") * col("pc")).over(w) - col("mu") * col("mu")))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n &&
+        abs(col("pc") - col("mu")) > lit(3) * col("sg"))
+      .select("event_id")
+    assert(flagged.select("event_id").except(floatFlags).count() === 0)
+    assert(floatFlags.except(flagged.select("event_id")).count() === 0)
+    flagged.unpersist()
+  }
+
+  test("triangles: exact on crafted graphs, orientation counts each once") {
+    import spark.implicits._
+    // K4 minus an edge: 2 triangles, 8 wedges, transitivity 0.75
+    val g1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val r1 = graft.ops.Graph.triangles(g1).head
+    assert(r1.getLong(0) === 5 && r1.getLong(1) === 8 &&
+      r1.getLong(2) === 2 && math.abs(r1.getDouble(3) - 0.75) < 1e-12)
+    // star: no triangles, defined transitivity 0
+    val g2 = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r2 = graft.ops.Graph.triangles(g2).head
+    assert(r2.getLong(2) === 0 && r2.getDouble(3) === 0.0)
+    // duplicate + reversed + self-loop edges are cleaned first
+    val g3 = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val r3 = graft.ops.Graph.triangles(g3).head
+    assert(r3.getLong(0) === 3 && r3.getLong(2) === 1)
+  }
+
+  test("fuzzy pairs: ordered, within threshold, identical prefixes at 0") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fp = graft.ops.Dedup.fuzzyPairs(docs).cache()
+    assert(fp.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(fp.filter(col("edit_dist") > 12 || col("edit_dist") < 0)
+      .count() === 0)
+    import spark.implicits._
+    val twins = Seq(
+      (1L, "exactly the same forty characters here ok padding", "en", "s", 320L),
+      (2L, "exactly the same forty characters here ok differs", "en", "s", 321L),
+      (3L, "completely different text that shares nothing at all", "en", "s", 322L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tp = graft.ops.Dedup.fuzzyPairs(twins)
+    val m = tp.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m((1L, 2L)) === 0) // identical 40-char prefixes
+    fp.unpersist()
+  }
+
+  test("cusum: non-negative sides, zero at start, exact on a crafted drift") {
+    val c = TradeOps.cusum(trades)
+    assert(c.filter(col("cusum_pos") < 0 || col("cusum_neg") < 0)
+      .count() === 0)
+    import spark.implicits._
+    // constant then +10 jump: cusum_pos ramps by 10 per post-jump row
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val drift = ((1 to 5).map(i => (i.toLong, "X", ts(i), 100.0, 1.0, 100.0)) ++
+      (6 to 8).map(i => (i.toLong, "X", ts(i), 110.0, 1.0, 110.0)))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    val got = TradeOps.cusum(drift, h = 15.0).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(5))).toMap
+    assert(got(5L)._1 === 0.0)
+    assert(got(6L)._1 === 10.0 && !got(6L)._2)
+    assert(got(7L)._1 === 20.0 && got(7L)._2)
+    assert(got(8L)._1 === 30.0 && got(8L)._2)
+  }
+
+  test("column profile: one row per column, nulls+distincts consistent") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val p = TradeOps.columnProfile(li).cache()
+    assert(p.count() === li.columns.length)
+    val n = li.count()
+    assert(p.filter(col("n_rows") =!= n).count() === 0)
+    // distinct + nulls can never exceed rows; keys are fully distinct
+    assert(p.filter(col("n_distinct") + col("n_nulls") > col("n_rows"))
+      .count() === 0)
+    val lk = p.filter(col("col_name") === "l_orderkey").head
+    assert(lk.getLong(3) === li.select("l_orderkey").distinct().count())
+    p.unpersist()
+  }
+
+  test("indicator tier: each per-symbol window op shuffles exactly once") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      plan.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+    }
+    assert(exchanges(TradeOps.bollinger(trades)) === 1)
+    assert(exchanges(TradeOps.rsi(trades)) === 1)
+    assert(exchanges(TradeOps.stochasticK(trades)) === 1)
+    assert(exchanges(TradeOps.drawdown(trades)) === 1)
+    assert(exchanges(TradeOps.obv(trades)) === 1)
+    assert(exchanges(TradeOps.cusum(trades)) === 1)
+  }
+
   test("cooccurrence: bounded by each type's user count, symmetric-free") {
     val ev = Tables.events(spark, sf)
     val co = graft.ops.EventAnalytics.cooccurrence(ev).cache()
