@@ -215,9 +215,8 @@ object SparkEntry {
     "a15_anomaly" -> ((s, dir) => TradeOps.anomalyFlags(trades(s, dir))),
     "g_triangles" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Graph.triangles(Dedup.minhashPairs(docs)
-        .filter(col("est_jaccard") >= Dedup.triangleThreshold)
-        .select("doc_a", "doc_b"))
+      Graph.triangles(Dedup.mutualKnn(Dedup.minhashPairs(docs)
+        .filter(col("est_jaccard") >= Dedup.triangleThreshold)))
     }),
     "d_fuzzy_pairs" -> ((s, dir) => Dedup.fuzzyPairs(Tables.load(s, dir, "documents"))),
     "w13_cusum" -> ((s, dir) => TradeOps.cusum(trades(s, dir))),
@@ -1193,7 +1192,7 @@ object SparkEntry {
     "a15_anomaly" ->
       s"""$T
          |${TradeOps.anomalyFlagsSql()}""".stripMargin,
-    "g_triangles" -> Dedup.similarityTrianglesSql,
+    "g_triangles" -> Dedup.similarityTrianglesSql(),
     "d_fuzzy_pairs" -> Dedup.fuzzyPairsSql(),
     "w13_cusum" ->
       s"""$T

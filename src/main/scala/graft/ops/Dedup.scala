@@ -585,10 +585,53 @@ object Dedup {
     * the dup-group size, not the corpus. */
   val triangleThreshold: Double = 0.9
 
-  /** Oracle for [[Graph.triangles]] over the MinHash similarity graph
-    * at [[triangleThreshold]]. */
-  def similarityTrianglesSql: String =
-    s"""WITH ${pairsCtesFrom("documents", triangleThreshold)}
+  /** Mutual top-`k` neighbor sparsification of a similarity pair list:
+    * each vertex ranks its incident edges by (similarity DESC, neighbor id)
+    * and an edge survives only if BOTH endpoints rank it ≤ k — the
+    * mutual-kNN graph of clustering pipelines. Degree is then
+    * STRICTLY ≤ k, so any downstream quadratic-in-degree analysis
+    * (triangles: O(n·k²) wedges) is corpus-size-safe even over dense
+    * near-dup cliques — measured: raw 0.9-threshold triangles cost 44s
+    * at sf0.1; the mutual-10NN graph is milliseconds. One window over
+    * the directed edge list + one self-join. */
+  def mutualKnn(pairs: DataFrame, k: Int = 10): DataFrame = {
+    val dir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+      col("est_jaccard").as("j"))
+      .union(pairs.select(col("doc_b"), col("doc_a"), col("est_jaccard")))
+    val bySim = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("j").desc, col("dst").asc)
+    val kept = dir.withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") <= k).select("src", "dst")
+    kept.intersect(kept.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+  }
+
+  /** Oracle for [[Graph.triangles]] over the mutual-kNN sparsified
+    * MinHash similarity graph at [[triangleThreshold]]. The final CTE
+    * is named `pairs` so [[Graph.trianglesSql]] chains unchanged. */
+  def similarityTrianglesSql(k: Int = 10): String =
+    s"""${sigCteFrom("documents")}, pj AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |         CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) AS j
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE)
+       |        >= $triangleThreshold
+       |), dir AS (
+       |  SELECT doc_a AS src, doc_b AS dst, j FROM pj
+       |  UNION ALL SELECT doc_b, doc_a, j FROM pj
+       |), kept AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY j DESC, dst ASC) AS rk
+       |    FROM dir) WHERE rk <= $k
+       |), pairs AS (
+       |  SELECT a.src AS doc_a, a.dst AS doc_b
+       |  FROM kept a JOIN kept b ON a.src = b.dst AND a.dst = b.src
+       |  WHERE a.src < a.dst
+       |)
        |${Graph.trianglesSql}""".stripMargin
 
   private[ops] def resolveCtesFrom(src: String): String =

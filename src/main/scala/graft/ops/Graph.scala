@@ -396,7 +396,10 @@ object Graph {
       o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
       .agg(count(lit(1)).as("n_triangles"))
     val nE = e.agg(count(lit(1)).as("n_edges"))
-    val nW = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    // coalesce: an empty graph must report 0 wedges (matching the
+    // oracle's coalesce), not a NULL sum
+    val nW = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+      .as("n_wedges"))
     nE.crossJoin(nW).crossJoin(tri)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         expr(transitivityExpr))

@@ -298,4 +298,44 @@ object Stateful {
             Seq(st.t1, st.t2, st.t3).count(_.isDefined)))
       }
   }
+
+  case class CusumState(first: Long, c: Long, runMin: Long, runMax: Long)
+
+  case class CusumRow(symbol: String, ts: java.sql.Timestamp,
+      cusum_pos: Double, cusum_neg: Double, drifted: Boolean)
+
+  /** Streaming form of [[graft.ops.TradeOps.cusum]]: the per-symbol
+    * CUSUM state is FOUR Longs (first price, running sum of deviations,
+    * its running min and max — all exact micro-unit integers), so the
+    * stream carries the same exact arithmetic the batch windows
+    * compute and the two forms agree to the BIT on ordered input
+    * (spec'd in StreamingSpec). Bounded state per key, no buffer —
+    * the monitoring shape that runs forever. */
+  def cusumStream(spark: SparkSession, ds: Dataset[TradeEvent],
+      h: Double = 500.0): Dataset[CusumRow] = {
+    import spark.implicits._
+    val hMicros = math.round(h * 1e6)
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, events: Iterator[TradeEvent],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption.orNull
+          val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
+            val pm = math.round(e.price * 1e6)
+            st =
+              if (st == null) CusumState(pm, 0L, 0L, 0L)
+              else {
+                val c = st.c + (pm - st.first)
+                CusumState(st.first, c,
+                  math.min(st.runMin, c), math.max(st.runMax, c))
+              }
+            CusumRow(symbol, e.ts,
+              (st.c - st.runMin).toDouble / 1000000.0,
+              (st.runMax - st.c).toDouble / 1000000.0,
+              st.c - st.runMin > hMicros || st.runMax - st.c > hMicros)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -177,4 +177,47 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Upsert.readKey(spark, root, Seq(7)).get.count() === 1)
     assert(Upsert.readKey(spark, root, Seq(7L)).get.count() === 1)
   }
+
+  test("indicator tier survives an empty table") {
+    assert(TradeOps.bollinger(emptyTrades).count() === 0)
+    assert(TradeOps.rsi(emptyTrades).count() === 0)
+    assert(TradeOps.drawdown(emptyTrades).count() === 0)
+    assert(TradeOps.obv(emptyTrades).count() === 0)
+    assert(TradeOps.vwap(emptyTrades).count() === 0)
+    assert(TradeOps.pairwiseCorr(emptyTrades).count() === 0)
+    assert(TradeOps.stochasticK(emptyTrades).count() === 0)
+    assert(TradeOps.atr(emptyTrades).count() === 0)
+    assert(TradeOps.anomalyFlags(emptyTrades).count() === 0)
+    assert(TradeOps.cusum(emptyTrades).count() === 0)
+    assert(TradeOps.winsorize(emptyTrades).count() === 0)
+  }
+
+  test("new corpus/graph/event operators survive empty inputs") {
+    import graft.ops.{Dedup, EventAnalytics, Graph, TextOps}
+    assert(TextOps.winnow(emptyDocs).count() === 0)
+    assert(TextOps.lmCoverage(emptyDocs).count() === 0)
+    assert(TextOps.boilerplateStrip(emptyDocs).count() === 0)
+    assert(Dedup.fuzzyPairs(emptyDocs).count() === 0)
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_a", LongType),
+        StructField("doc_b", LongType))))
+    // an empty graph still yields the one summary row: 0/0/0 + NULL
+    val t = Graph.triangles(emptyEdges).head
+    assert(t.getLong(0) === 0 && t.getLong(2) === 0 && t.isNullAt(3))
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    assert(EventAnalytics.cooccurrence(emptyEvents).count() === 0)
+    val emptyLineitem = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_quantity", DoubleType))))
+    // profile of an empty table: one row per column, all zeros
+    val p = TradeOps.columnProfile(emptyLineitem).collect()
+    assert(p.length === 2 && p.forall(r => r.getLong(1) === 0))
+  }
 }

@@ -946,6 +946,23 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(r3.getLong(0) === 3 && r3.getLong(2) === 1)
   }
 
+  test("mutual kNN sparsifier: degree strictly bounded, edges are mutual") {
+    val docs = Tables.load(spark, sf, "documents")
+    val k = 10
+    val knn = graft.ops.Dedup.mutualKnn(
+      graft.ops.Dedup.minhashPairs(docs)
+        .filter(col("est_jaccard") >= graft.ops.Dedup.triangleThreshold),
+      k).cache()
+    assert(knn.count() > 0)
+    val maxDeg = knn.select(col("doc_a").as("id"))
+      .union(knn.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head.getLong(0)
+    assert(maxDeg <= k, s"degree $maxDeg exceeds k=$k")
+    assert(knn.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    knn.unpersist()
+  }
+
   test("fuzzy pairs: ordered, within threshold, identical prefixes at 0") {
     val docs = Tables.load(spark, sf, "documents")
     val fp = graft.ops.Dedup.fuzzyPairs(docs).cache()
