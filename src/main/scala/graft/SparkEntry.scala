@@ -221,6 +221,10 @@ object SparkEntry {
     "d_fuzzy_pairs" -> ((s, dir) => Dedup.fuzzyPairs(Tables.load(s, dir, "documents"))),
     "w13_cusum" -> ((s, dir) => TradeOps.cusum(trades(s, dir))),
     "a16_profile" -> ((s, dir) => TradeOps.columnProfile(Tables.load(s, dir, "lineitem"))),
+    "a17_beta" -> ((s, dir) => TradeOps.marketBeta(trades(s, dir))),
+    "w14_macd" -> ((s, dir) => TradeOps.macd(trades(s, dir))),
+    "a18_mode" -> ((s, dir) => TradeOps.modalPrice(trades(s, dir))),
+    "t_code_detect" -> ((s, dir) => TextOps.codeDetect(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -1201,5 +1205,15 @@ object SparkEntry {
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
       "l_linestatus", "l_shipdate")),
+    "a17_beta" ->
+      s"""$T, ${TradeOps.dbarsCte}
+         |${TradeOps.marketBetaSql}""".stripMargin,
+    "w14_macd" ->
+      s"""$T
+         |${TradeOps.macdSql()}""".stripMargin,
+    "a18_mode" ->
+      s"""$T
+         |${TradeOps.modalPriceSql}""".stripMargin,
+    "t_code_detect" -> TextOps.codeDetectSql,
   )
 }

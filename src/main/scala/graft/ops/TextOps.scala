@@ -1163,6 +1163,49 @@ object TextOps {
        |FROM segs JOIN d ON md5(segs.seg_text) = d.seg_key
        |GROUP BY 1""".stripMargin
 
+  /** Code-vs-prose detection — the pretraining corpus router: symbol
+    * and digit densities from character-class strips (Spark's
+    * `regexp_replace` is global by default; DuckDB needs the explicit
+    * `'g'` flag — a classic cross-engine trap), ratios as one exact
+    * division each, and the routing flag as a PURE INTEGER comparison
+    * (`10·symbols > chars` ⟺ density > 10%) that can never diverge. */
+  def codeDetect(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        // longs, not Spark's int `length`: DuckDB lengths are BIGINT
+        // and the driver compares schemas
+        length(col("text")).cast("long").as("len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+          .cast("long").as("n_sym"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"))
+      .select(col("doc_id"), col("n_sym"), col("n_digit"),
+        expr("CASE WHEN len = 0 THEN NULL ELSE " +
+          "CAST(n_sym AS DOUBLE) / CAST(len AS DOUBLE) END AS sym_ratio"),
+        expr("CASE WHEN len = 0 THEN NULL ELSE " +
+          "CAST(n_digit AS DOUBLE) / CAST(len AS DOUBLE) END AS digit_ratio"),
+        expr("(n_sym * 10 > len) AS is_code"))
+
+  /** Oracle for [[codeDetect]]. */
+  val codeDetectSql: String =
+    """SELECT doc_id, n_sym, n_digit,
+      |       CASE WHEN len = 0 THEN NULL ELSE
+      |         CAST(n_sym AS DOUBLE) / CAST(len AS DOUBLE) END AS sym_ratio,
+      |       CASE WHEN len = 0 THEN NULL ELSE
+      |         CAST(n_digit AS DOUBLE) / CAST(len AS DOUBLE)
+      |       END AS digit_ratio,
+      |       (n_sym * 10 > len) AS is_code
+      |FROM (
+      |  SELECT doc_id, length(text) AS len,
+      |         length(text) -
+      |           length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+      |           AS n_sym,
+      |         length(text) -
+      |           length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      |  FROM documents)""".stripMargin
+
   // ------------------------------------------------------------------
   // Winnowing fingerprints + n-gram LM coverage
   // ------------------------------------------------------------------

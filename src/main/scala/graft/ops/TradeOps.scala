@@ -1250,6 +1250,160 @@ object TradeOps {
        |WHERE TRUE""".stripMargin
   }
 
+  /** Shared beta arithmetic ([[bollingerExprs]] rules: exact integer
+    * sums, double casts, one division chain, unrounded). */
+  private val betaExpr =
+    "CASE WHEN n * smm - sm * sm = 0 THEN NULL ELSE " +
+      "CAST(n * sxm - sx * sm AS DOUBLE) / " +
+      "CAST(n * smm - sm * sm AS DOUBLE) END AS beta"
+
+  /** A17 (extension) — per-symbol market beta: the OLS slope of each
+    * symbol's hourly close against the equal-weight market index (the
+    * SUM of all symbols' closes — an exact integer, unlike a mean).
+    * Only hours where EVERY symbol printed a bar enter the fit, so the
+    * index composition never shifts — DAILY bars, which stay fully
+    * covered even on sparse feeds where hours have gaps (measured:
+    * sf0.001 has ZERO full-coverage hours but 30 full-coverage
+    * days). Closes are quantized to DOLLARS:
+    * the covariance products then sit ~10^6 below 2^53 even if the
+    * feed's span grows 100×, where cent units would be within 10% of
+    * the exact-conversion cliff. Two aggregates over span-bounded
+    * bars; the feed scan is the only data-sized stage. */
+  def marketBeta(trades: DataFrame): DataFrame = {
+    val bars = trades
+      .withColumn("pd", expr("CAST(round(price) AS BIGINT)"))
+      .groupBy(date_trunc("day", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max_by(col("pd"), col("event_id")).as("x"))
+    val nSym = bars.agg(countDistinct(col("symbol")).as("ns"))
+    val idx = bars.groupBy("hr")
+      .agg(sum(col("x")).as("m"), count(lit(1)).as("cnt"))
+      .join(broadcast(nSym), col("cnt") === col("ns"))
+      .select("hr", "m")
+    bars.join(idx, "hr")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("m") * col("m")).as("smm"))
+      .select(col("symbol"), col("n"), expr(betaExpr))
+  }
+
+  /** Oracle for [[marketBeta]] (body only — caller prepends the trades
+    * CTE). */
+  val marketBetaSql: String =
+    s"""SELECT symbol, n, $betaExpr
+       |FROM (
+       |  SELECT b.symbol, count(*) AS n,
+       |         CAST(sum(b.x) AS BIGINT) AS sx,
+       |         CAST(sum(i.m) AS BIGINT) AS sm,
+       |         CAST(sum(b.x * i.m) AS BIGINT) AS sxm,
+       |         CAST(sum(i.m * i.m) AS BIGINT) AS smm
+       |  FROM dbars b JOIN (
+       |    SELECT hr, CAST(sum(x) AS BIGINT) AS m, count(*) AS cnt
+       |    FROM dbars GROUP BY 1) i ON b.hr = i.hr
+       |  WHERE i.cnt = (SELECT count(DISTINCT symbol) FROM dbars)
+       |  GROUP BY 1)""".stripMargin
+
+  /** Dollar-quantized hourly close bars (named `dbars`; chain after
+    * the trades CTE) backing [[marketBetaSql]]. */
+  val dbarsCte: String =
+    """dbars AS (
+      |  SELECT date_trunc('day', "timestamp") AS hr, symbol,
+      |         arg_max(CAST(round(price) AS BIGINT), event_id) AS x
+      |  FROM trades GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** W14 (extension) — MACD as the difference of two power-of-two
+    * EWMAs (fast L=8, slow L=16 — the [[ewma]] exact-BIGINT
+    * discipline; a classic α=2/(n+1) EMA is a sequential float
+    * recurrence and can't be windowed exactly). Each side is an exact
+    * integer pair divided once; the difference is two IEEE divisions
+    * and one subtract, in the shared expression. Both weight pyramids
+    * ride ONE symbol-keyed window. */
+  def macd(trades: DataFrame, fast: Int = 8, slow: Int = 16): DataFrame = {
+    require(fast < slow, "macd needs fast < slow")
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val withPm = trades.withColumn("pm",
+      expr("CAST(round(price * 1000000) AS BIGINT)"))
+    def terms(lags: Int): (Seq[org.apache.spark.sql.Column],
+        Seq[org.apache.spark.sql.Column]) =
+      (0 until lags).map { j =>
+        val weight = 1L << (lags - 1 - j)
+        val lagged = lag(col("pm"), j).over(w)
+        (when(lagged.isNotNull, lagged * weight).otherwise(0L),
+          when(lagged.isNotNull, lit(weight)).otherwise(0L))
+      }.unzip
+    val (fn, fd) = terms(fast)
+    val (sn, sd) = terms(slow)
+    withPm
+      .withColumn("nf", fn.reduce(_ + _)).withColumn("df", fd.reduce(_ + _))
+      .withColumn("ns", sn.reduce(_ + _)).withColumn("ds", sd.reduce(_ + _))
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        expr(macdExpr))
+  }
+
+  /** The MACD difference as shared SQL text. */
+  private val macdExpr =
+    "(CAST(nf AS DOUBLE) / CAST(df AS DOUBLE) " +
+      "- CAST(ns AS DOUBLE) / CAST(ds AS DOUBLE)) / 1000000.0 AS macd"
+
+  /** Oracle for [[macd]] (body only — caller prepends the trades
+    * CTE). */
+  def macdSql(fast: Int = 8, slow: Int = 16): String = {
+    val over = """OVER (PARTITION BY symbol ORDER BY "timestamp", event_id)"""
+    def side(lags: Int, value: Int => String): String =
+      (0 until lags).map { j =>
+        s"CASE WHEN lag(pm, $j) $over IS NOT NULL THEN ${value(j)} ELSE 0 END"
+      }.mkString("\n           + ")
+    val nf = side(fast, j => s"lag(pm, $j) $over * ${1L << (fast - 1 - j)}")
+    val df = side(fast, j => (1L << (fast - 1 - j)).toString)
+    val ns = side(slow, j => s"lag(pm, $j) $over * ${1L << (slow - 1 - j)}")
+    val ds = side(slow, j => (1L << (slow - 1 - j)).toString)
+    s"""SELECT event_id, symbol, "timestamp", $macdExpr
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp",
+       |         $nf AS nf,
+       |         $df AS df,
+       |         $ns AS ns,
+       |         $ds AS ds
+       |  FROM (SELECT event_id, symbol, "timestamp",
+       |               CAST(round(price * 1000000) AS BIGINT) AS pm
+       |        FROM trades))""".stripMargin
+  }
+
+  /** A18 (extension) — modal price per symbol (most frequent cent
+    * price), with the FULLY DEFINED tie rule (higher count wins, then
+    * the LOWER price) both engines implement as the identical
+    * rank-and-pick — never a bare `mode()`, whose tie behavior is
+    * engine-private. Two aggregates: (symbol, price) counts, then a
+    * per-symbol argmax. */
+  def modalPrice(trades: DataFrame): DataFrame = {
+    val counts = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy("symbol", "pc").agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.partitionBy("symbol")
+      .orderBy(col("cnt").desc, col("pc").asc)
+    counts.withColumn("rn", row_number().over(byFreq))
+      .filter(col("rn") === 1)
+      .select(col("symbol"),
+        expr("CAST(pc AS DOUBLE) / 100.0 AS modal_price"), col("cnt"))
+  }
+
+  /** Oracle for [[modalPrice]] (body only — caller prepends the trades
+    * CTE). */
+  val modalPriceSql: String =
+    """SELECT symbol, CAST(pc AS DOUBLE) / 100.0 AS modal_price, cnt
+      |FROM (
+      |  SELECT symbol, pc, cnt,
+      |         row_number() OVER (PARTITION BY symbol
+      |           ORDER BY cnt DESC, pc ASC) AS rn
+      |  FROM (
+      |    SELECT symbol, CAST(round(price * 100) AS BIGINT) AS pc,
+      |           count(*) AS cnt
+      |    FROM trades GROUP BY 1, 2))
+      |WHERE rn = 1""".stripMargin
+
   /** F12 (extension) — winsorization: clamp each price into its
     * symbol's [p_lo, p_hi] exact quantile band — the outlier guard in
     * front of scaling/training ([[minMaxScale]] is its downstream).

@@ -1029,6 +1029,60 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(exchanges(TradeOps.cusum(trades)) === 1)
   }
 
+  test("market beta: one row per symbol, betas sum to symbol count") {
+    val b = TradeOps.marketBeta(trades).cache()
+    val nSym = trades.select("symbol").distinct().count()
+    assert(b.count() === nSym)
+    // the index is the SUM of the symbols' closes, so Σ cov(x_i, m)
+    // = var(m) and the betas sum to EXACTLY 1·nSym... no — they sum
+    // to 1 only for the mean index; for the sum index Σβ_i = 1.
+    val total = b.agg(sum("beta")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"sum of betas $total != 1")
+    b.unpersist()
+  }
+
+  test("macd: zero on constant series, fast-minus-slow sign on a ramp") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val flat = (1 to 20).map(i => (i.toLong, "X", ts(i), 5.0, 1.0, 5.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    assert(TradeOps.macd(flat).filter(col("macd") =!= 0.0).count() === 0)
+    // rising prices: the fast EWMA tracks closer to the top → macd > 0
+    val ramp = (1 to 30).map(i => (i.toLong, "X", ts(i), 10.0 + i, 1.0, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    val late = TradeOps.macd(ramp).filter(col("event_id") > 16)
+    assert(late.filter(col("macd") <= 0).count() === 0)
+  }
+
+  test("modal price: the returned price really is the argmax count") {
+    val m = TradeOps.modalPrice(trades)
+    val nSym = trades.select("symbol").distinct().count()
+    assert(m.count() === nSym)
+    val counts = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy("symbol", "pc").agg(count(lit(1)).as("c"))
+    val maxPer = counts.groupBy("symbol").agg(max("c").as("mx"))
+    assert(m.join(maxPer, "symbol").filter(col("cnt") =!= col("mx"))
+      .count() === 0)
+  }
+
+  test("code detect: flag is the exact 10% rule; crafted code flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def f(x): return {x: 1}; // y == z!", "en", "s", 35L),
+      (2L, "plain prose with ordinary words only", "en", "s", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = graft.ops.TextOps.codeDetect(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(d(1L).getBoolean(5) && !d(2L).getBoolean(5))
+    assert(d(2L).getLong(1) === 0)
+    // real corpus: ratios in [0,1], flag ⟺ integer rule
+    val real = graft.ops.TextOps.codeDetect(
+      Tables.load(spark, sf, "documents"))
+    assert(real.filter(col("sym_ratio") < 0 || col("sym_ratio") > 1)
+      .count() === 0)
+  }
+
   test("cooccurrence: bounded by each type's user count, symmetric-free") {
     val ev = Tables.events(spark, sf)
     val co = graft.ops.EventAnalytics.cooccurrence(ev).cache()
