@@ -225,6 +225,8 @@ object SparkEntry {
     "w14_macd" -> ((s, dir) => TradeOps.macd(trades(s, dir))),
     "a18_mode" -> ((s, dir) => TradeOps.modalPrice(trades(s, dir))),
     "t_code_detect" -> ((s, dir) => TextOps.codeDetect(Tables.load(s, dir, "documents"))),
+    "s12_gzip_roundtrip" -> ((s, dir) => TradeOps.gzipJsonRoundTrip(s, trades(s, dir))),
+    "a19_robust" -> ((s, dir) => TradeOps.robustStats(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1205,6 +1207,12 @@ object SparkEntry {
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
       "l_linestatus", "l_shipdate")),
+    "s12_gzip_roundtrip" ->
+      s"""$T
+         |SELECT event_id, symbol, "timestamp", price, volume FROM trades""".stripMargin,
+    "a19_robust" ->
+      s"""$T
+         |${TradeOps.robustStatsSql()}""".stripMargin,
     "a17_beta" ->
       s"""$T, ${TradeOps.dbarsCte}
          |${TradeOps.marketBetaSql}""".stripMargin,

@@ -679,6 +679,29 @@ object TradeOps {
       .json(out)
   }
 
+  /** S12 (extension) — gzip-compressed JSON-lines round-trip: the
+    * wire/archive shape of log deliveries. Note gzip is NOT splittable
+    * — each .json.gz file is one read task, so the WRITER's file count
+    * (here: the upstream partitioning) is the read parallelism; at
+    * 100 TB you'd size writer partitions ~128 MB compressed or land
+    * zstd/parquet instead. The round-trip proves the codec path and
+    * the schema-on-read contract survive compression. */
+  def gzipJsonRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val out = scratchDir(spark, "gzip_json_roundtrip")
+    val cols = Seq("event_id", "symbol", "timestamp", "price", "volume")
+    trades.select(cols.map(col): _*)
+      .write.mode("overwrite")
+      .option("timestampFormat", fmt)
+      .option("compression", "gzip")
+      .json(out)
+    spark.read
+      .option("timestampFormat", fmt)
+      .schema("event_id BIGINT, symbol STRING, timestamp TIMESTAMP, " +
+        "price DOUBLE, volume DOUBLE")
+      .json(out)
+  }
+
   /** S5 + K8 (reference `clean_data.ipynb` cell 1 / cell 11): header CSV
     * export then schema-declared header CSV scan — a full file-format
     * round-trip. Micros-precision timestampFormat on both sides (Spark's
@@ -1403,6 +1426,82 @@ object TradeOps {
       |           count(*) AS cnt
       |    FROM trades GROUP BY 1, 2))
       |WHERE rn = 1""".stripMargin
+
+  /** A19 (extension) — robust location/scale per symbol: median,
+    * MAD (median absolute deviation), and the robust-z outlier count
+    * at `k·1.4826·MAD` — the heavy-tail-safe twin of
+    * [[anomalyFlags]]'s mean/σ. Both medians are SELECTED elements at
+    * rank `ceil(n/2)` ([[discreteQuantiles]] discipline): the selected
+    * doubles are bit-identical across engines, deviations are one
+    * subtract each, and the outlier comparison involves no rounding at
+    * all. Cost is two ranked passes per symbol (price, then
+    * deviation); at 100 TB the fit stage swaps to the GK sketch like
+    * [[winsorize]], keeping the identical count stage. */
+  def robustStats(trades: DataFrame, k: Double = 3.0): DataFrame = {
+    def medianOf(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val byV = Window.partitionBy("symbol")
+        .orderBy(col(valueCol), col("event_id"))
+      df.select(col("symbol"), col(valueCol), col("event_id"))
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+        .groupBy("symbol")
+        .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")),
+          col(valueCol))).as(outCol), count(lit(1)).as("n"))
+    }
+    val med = medianOf(trades, "price", "med").drop("n")
+    val dev = trades.join(broadcast(med), Seq("symbol"))
+      .withColumn("ad", abs(col("price") - col("med")))
+    val mad = medianOf(dev, "ad", "mad")
+    dev.join(broadcast(mad.drop("n")), Seq("symbol"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(col("ad") > lit(k) * lit(1.4826) * col("mad"), 1))
+          .as("n_outliers"))
+  }
+
+  /** Oracle for [[robustStats]] (body only — caller prepends the
+    * trades CTE). */
+  def robustStatsSql(k: Double = 3.0): String =
+    s"""SELECT d.symbol, count(*) AS n, max(d.med) AS med,
+       |       max(m.mad) AS mad,
+       |       CAST(count(CASE WHEN d.ad > $k * 1.4826 * m.mad
+       |                  THEN 1 END) AS BIGINT) AS n_outliers
+       |FROM (
+       |  SELECT t.symbol, t.event_id, t.price, md.med,
+       |         abs(t.price - md.med) AS ad
+       |  FROM trades t JOIN (
+       |    SELECT symbol,
+       |           max(CASE WHEN rn = ceil(0.5 * n) THEN price END) AS med
+       |    FROM (SELECT symbol, price,
+       |                 row_number() OVER (PARTITION BY symbol
+       |                   ORDER BY price, event_id) AS rn,
+       |                 count(*) OVER (PARTITION BY symbol) AS n
+       |          FROM trades)
+       |    GROUP BY 1) md USING (symbol)) d
+       |JOIN (
+       |  SELECT symbol,
+       |         max(CASE WHEN rn = ceil(0.5 * n) THEN ad END) AS mad
+       |  FROM (
+       |    SELECT symbol, ad,
+       |           row_number() OVER (PARTITION BY symbol
+       |             ORDER BY ad, event_id) AS rn,
+       |           count(*) OVER (PARTITION BY symbol) AS n
+       |    FROM (
+       |      SELECT t.symbol, t.event_id,
+       |             abs(t.price - md.med) AS ad
+       |      FROM trades t JOIN (
+       |        SELECT symbol,
+       |               max(CASE WHEN rn = ceil(0.5 * n) THEN price END)
+       |                 AS med
+       |        FROM (SELECT symbol, price,
+       |                     row_number() OVER (PARTITION BY symbol
+       |                       ORDER BY price, event_id) AS rn,
+       |                     count(*) OVER (PARTITION BY symbol) AS n
+       |              FROM trades)
+       |        GROUP BY 1) md USING (symbol)))
+       |  GROUP BY 1) m USING (symbol)
+       |GROUP BY 1""".stripMargin
 
   /** F12 (extension) — winsorization: clamp each price into its
     * symbol's [p_lo, p_hi] exact quantile band — the outlier guard in

@@ -338,4 +338,40 @@ object Stateful {
           out.iterator
       }
   }
+
+  case class AnomState(buf: Seq[Long])
+
+  case class AnomRow(symbol: String, ts: java.sql.Timestamp, price: Double)
+
+  /** Streaming twin of [[graft.ops.TradeOps.anomalyFlags]]: the last
+    * `n` cent prices ride in per-key state and the SAME all-integer
+    * predicate `(n·x − Σx)² > k²·(n·Σx² − (Σx)²)` fires on each full
+    * buffer — zero floats, so stream and batch flag the identical row
+    * set by construction (spec'd). Emits only anomalous rows, the
+    * alerting shape: output ∝ anomalies, state = n longs per key. */
+  def anomalyStream(spark: SparkSession, ds: Dataset[TradeEvent],
+      n: Int = 20, k: Int = 3): Dataset[AnomRow] = {
+    import spark.implicits._
+    ds.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, events: Iterator[TradeEvent],
+            state: GroupState[AnomState]) =>
+          var buf = state.getOption.map(_.buf.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = events.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+            val pc = math.round(e.price * 100)
+            buf = (buf :+ pc).takeRight(n)
+            if (buf.size == n) {
+              val s1 = buf.sum
+              val s2 = buf.map(x => x * x).sum
+              val lhs = n * pc - s1
+              if (lhs * lhs > k.toLong * k * (n * s2 - s1 * s1))
+                Some(AnomRow(symbol, e.ts, e.price))
+              else None
+            } else None
+          }
+          state.update(AnomState(buf))
+          out.iterator
+      }
+  }
 }

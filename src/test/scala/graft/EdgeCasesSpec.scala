@@ -192,6 +192,15 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TradeOps.winsorize(emptyTrades).count() === 0)
   }
 
+  test("batch-4 operators survive an empty table") {
+    assert(TradeOps.marketBeta(emptyTrades).count() === 0)
+    assert(TradeOps.macd(emptyTrades).count() === 0)
+    assert(TradeOps.modalPrice(emptyTrades).count() === 0)
+    assert(TradeOps.robustStats(emptyTrades).count() === 0)
+    assert(TradeOps.gzipJsonRoundTrip(spark, emptyTrades).count() === 0)
+    assert(graft.ops.TextOps.codeDetect(emptyDocs).count() === 0)
+  }
+
   test("new corpus/graph/event operators survive empty inputs") {
     import graft.ops.{Dedup, EventAnalytics, Graph, TextOps}
     assert(TextOps.winnow(emptyDocs).count() === 0)

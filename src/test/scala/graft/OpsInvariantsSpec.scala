@@ -1083,6 +1083,31 @@ class OpsInvariantsSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("robust stats: median within range, MAD-z outliers subset of range") {
+    val r = TradeOps.robustStats(trades).cache()
+    val bounds = trades.groupBy("symbol")
+      .agg(min("price").as("lo"), max("price").as("hi"))
+    assert(r.join(bounds, "symbol")
+      .filter(col("med") < col("lo") || col("med") > col("hi"))
+      .count() === 0)
+    assert(r.filter(col("mad") < 0 || col("n_outliers") < 0 ||
+      col("n_outliers") > col("n")).count() === 0)
+    import spark.implicits._
+    // crafted: 9 at 10.0, one at 1000.0 → med 10, mad 0... use varied
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val crafted = (Seq(10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0,
+      18.0, 1000.0)).zipWithIndex.map { case (p, i) =>
+      ((i + 1).toLong, "X", ts(i + 1), p, 1.0, p)
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume", "usd_volume")
+    val c = TradeOps.robustStats(crafted).head
+    // n=10 → rank ceil(5)=5 → med = 14.0; ads sorted: 0,1,1,2,2,3,3,4,4,986
+    // → mad rank 5 = 2.0; outliers: ad > 3·1.4826·2 = 8.9 → only 1000.0
+    assert(c.getDouble(c.fieldIndex("med")) === 14.0)
+    assert(c.getDouble(c.fieldIndex("mad")) === 2.0)
+    assert(c.getLong(c.fieldIndex("n_outliers")) === 1)
+    r.unpersist()
+  }
+
   test("cooccurrence: bounded by each type's user count, symmetric-free") {
     val ev = Tables.events(spark, sf)
     val co = graft.ops.EventAnalytics.cooccurrence(ev).cache()

@@ -600,4 +600,35 @@ class StreamingSpec extends SparkSuite {
         .agg(min("cusum_neg")).head.getDouble(0) > 15.0)
     } finally q.stop()
   }
+
+  test("streaming anomaly: flags the identical rows as the batch windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[TradeEvent](spark)
+    val q = Stateful.anomalyStream(spark, input.toDS()).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_test").start()
+    try {
+      def ev(i: Int, p: Double) =
+        TradeEvent("BTC", new java.sql.Timestamp(t0 + i * 1000L), p, 1.0)
+      // flat feed with two spikes, the second in a later micro-batch so
+      // the ring buffer must carry across batches
+      val all = (1 to 60).map { i =>
+        ev(i, if (i == 30 || i == 52) 200.0 else 100.0)
+      }
+      val (b1, b2) = all.splitAt(40)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("anomaly_test")
+        .select("symbol", "ts", "price")
+      val batchIn = all.toDF()
+        .select(lit(0L).as("event_id"), col("symbol"),
+          col("ts").as("timestamp"), col("price"), col("volume"),
+          (col("price") * col("volume")).as("usd_volume"))
+      val batch = graft.ops.TradeOps.anomalyFlags(batchIn)
+        .select(col("symbol"), col("timestamp").as("ts"), col("price"))
+      assert(streamed.count() === 2) // exactly the two spike rows
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally q.stop()
+  }
 }
