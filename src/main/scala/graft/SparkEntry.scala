@@ -227,6 +227,19 @@ object SparkEntry {
     "t_code_detect" -> ((s, dir) => TextOps.codeDetect(Tables.load(s, dir, "documents"))),
     "s12_gzip_roundtrip" -> ((s, dir) => TradeOps.gzipJsonRoundTrip(s, trades(s, dir))),
     "a19_robust" -> ((s, dir) => TradeOps.robustStats(trades(s, dir))),
+    "a16b_profile_sketch" -> ((s, dir) => TradeOps.columnProfileSketch(Tables.load(s, dir, "lineitem"))),
+    "s13_keyset_page" -> ((s, dir) =>
+      TradeOps.keysetPage(trades(s, dir), "2024-01-15 00:00:00", 0L)),
+    "j_asof_forward" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val purchases = t.filter(col("symbol") === "purchase")
+        .select("event_id", "user_id", "timestamp", "price")
+      val clicks = t.filter(col("symbol") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max_by(col("price"), col("event_id")).as("next_click_price"))
+      AsOfJoin.asOfForward(purchases, clicks, "user_id", "timestamp",
+        "next_click_price", "next_click_price")
+    }),
   )
 
   private val T = Tables.tradesCte
@@ -1213,6 +1226,26 @@ object SparkEntry {
     "a19_robust" ->
       s"""$T
          |${TradeOps.robustStatsSql()}""".stripMargin,
+    "s13_keyset_page" ->
+      s"""$T
+         |${TradeOps.keysetPageSql("2024-01-15 00:00:00", 0L)}""".stripMargin,
+    "j_asof_forward" ->
+      s"""$T, p AS (
+         |  SELECT event_id, user_id, "timestamp", price
+         |  FROM trades WHERE symbol = 'purchase'
+         |), c AS (
+         |  SELECT user_id, "timestamp" AS cts,
+         |         arg_max(price, event_id) AS next_click_price
+         |  FROM trades WHERE symbol = 'click' GROUP BY 1, 2
+         |)
+         |SELECT p.event_id, p.user_id, p."timestamp", p.price,
+         |       c.next_click_price
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND c.cts >= p."timestamp"""".stripMargin,
+    "a16b_profile_sketch" -> TradeOps.columnProfileSketchSql(Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate")),
     "a17_beta" ->
       s"""$T, ${TradeOps.dbarsCte}
          |${TradeOps.marketBetaSql}""".stripMargin,

@@ -55,6 +55,41 @@ object AsOfJoin {
       .drop("_side", "_pay")
   }
 
+  /** Forward as-of: for each left row, attach the payload of the
+    * EARLIEST right row with the same `key` and `rightTs >= leftTs`
+    * (ties match — the "next quote at or after the order" association;
+    * complement of [[asOf]]'s backward direction). Same union-sort
+    * plan, mirrored: left rows sort BEFORE a same-timestamp right row,
+    * and `first(ignoreNulls)` over the FOLLOWING frame pulls the next
+    * payload back. Still exactly one shuffle of left+right on the
+    * key. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: String, as: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_side", lit(0))
+      .withColumn("_pay", lit(null).cast(right.schema(payload).dataType))
+    val r = right
+      .select(col(key), col(ts), col(payload).as("_pay"))
+      .withColumn("_side", lit(1))
+
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("_side") :+ col("_pay")): _*
+    ).unionByName(
+      r.select(
+        (leftCols.map(c => if (c == key || c == ts) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("_side") :+ col("_pay")): _*))
+
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn(as, first(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .drop("_side", "_pay")
+  }
+
   /** Binned range join: for each left row, aggregate right rows of the
     * same key whose `ts` falls in `(leftTs - windowSec, leftTs]`.
     *

@@ -149,6 +149,35 @@ object TradeOps {
        |  AND date_diff('microsecond', prev_ts, "timestamp")
        |      > ${thresholdSec * 1000000L}""".stripMargin
 
+  /** S13 (extension) — keyset pagination, the serving-layer "next
+    * page" read: rows strictly after the (timestamp, event_id) cursor
+    * in feed order, first `pageSize` only. The composite-key
+    * comparison makes the cursor total (an OFFSET page would re-scan
+    * and shift under concurrent appends); physically this is a
+    * predicate pushed to the scan + `TakeOrderedAndProject` — no full
+    * sort, no global shuffle, the plan you want when the table is
+    * 100 TB and the page is 100 rows. */
+  def keysetPage(trades: DataFrame, cursorTs: String,
+      cursorId: Long, pageSize: Int = 100): DataFrame =
+    trades
+      .filter(col("timestamp") > to_timestamp(lit(cursorTs)) ||
+        (col("timestamp") === to_timestamp(lit(cursorTs)) &&
+          col("event_id") > cursorId))
+      .orderBy(col("timestamp"), col("event_id"))
+      .limit(pageSize)
+      .select("event_id", "symbol", "timestamp", "price")
+
+  /** Oracle for [[keysetPage]] (body only — caller prepends the trades
+    * CTE). */
+  def keysetPageSql(cursorTs: String, cursorId: Long,
+      pageSize: Int = 100): String =
+    s"""SELECT event_id, symbol, "timestamp", price
+       |FROM trades
+       |WHERE "timestamp" > TIMESTAMP '$cursorTs'
+       |   OR ("timestamp" = TIMESTAMP '$cursorTs' AND event_id > $cursorId)
+       |ORDER BY "timestamp", event_id
+       |LIMIT $pageSize""".stripMargin
+
   /** A11 (extension) — fixed-width per-symbol price histogram: one tiny
     * stats aggregate broadcast back (the [[minMaxScale]] shape), then a
     * pure projection into `bins` equal-width buckets and a
@@ -372,6 +401,38 @@ object TradeOps {
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** A16b (extension) — the ONE-PASS profile that replaces
+    * [[columnProfile]] at 100 TB: every column's HLL++ distinct sketch
+    * computed in a single aggregate over one scan. Sketches aren't
+    * cross-engine comparable, so ([[approxQuantilesChecked]]
+    * discipline) the emitted row carries the EXACT distinct count plus
+    * a flag asserting the sketch landed within 3× its 5% rsd — the
+    * oracle pins the exacts and the flag as a constant, and a sketch
+    * drifting out of envelope flips the flag and breaks the hash. */
+  def columnProfileSketch(df: DataFrame, tol: Double = 0.15): DataFrame = {
+    val cols = df.columns.toSeq
+    val sketch = df.agg(
+      approx_count_distinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*)
+    val melted = sketch.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") + ") AS (col_name, apx)"))
+    columnProfile(df).join(broadcast(melted), "col_name")
+      .select(col("col_name"), col("n_distinct"),
+        (abs(col("apx") - col("n_distinct")) <=
+          lit(tol) * col("n_distinct")).cast("int").as("within_envelope"))
+  }
+
+  /** Oracle for [[columnProfileSketch]] over `lineitem`: exact
+    * distincts + the envelope flag pinned to 1. */
+  def columnProfileSketchSql(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  1 AS within_envelope
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 

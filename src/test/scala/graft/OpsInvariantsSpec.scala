@@ -999,6 +999,56 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(got(8L)._1 === 30.0 && got(8L)._2)
   }
 
+  test("profile sketch: envelope flag holds, exact distincts match") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val s = TradeOps.columnProfileSketch(li).cache()
+    assert(s.count() === li.columns.length)
+    assert(s.filter(col("within_envelope") =!= 1).count() === 0)
+    assert(s.filter(col("n_distinct") <= 0).count() === 0)
+    s.unpersist()
+  }
+
+  test("forward as-of: next-or-equal right row, NULL when none follows") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val left = Seq((1L, 7L, ts(10), 1.0), (2L, 7L, ts(20), 2.0),
+      (3L, 7L, ts(40), 3.0), (4L, 9L, ts(10), 4.0))
+      .toDF("event_id", "user_id", "timestamp", "price")
+    val right = Seq((7L, ts(5), 50.0), (7L, ts(20), 60.0), (7L, ts(30), 70.0))
+      .toDF("user_id", "timestamp", "p")
+    val got = graft.ops.AsOfJoin
+      .asOfForward(left, right, "user_id", "timestamp", "p", "nxt")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === Some(60.0)) // strictly-after right at t=20
+    assert(got(2L) === Some(60.0)) // tie at t=20 matches
+    assert(got(3L) === None)       // nothing at or after t=40
+    assert(got(4L) === None)       // other key has no rights at all
+  }
+
+  test("keyset page: contiguous slice strictly after the cursor") {
+    val page = TradeOps.keysetPage(trades, "2024-01-15 00:00:00", 0L, 50)
+      .cache()
+    assert(page.count() === 50)
+    val cursor = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    assert(page.filter(col("timestamp") <= cursor).count() === 0)
+    // the page is the EXACT first 50 post-cursor rows in feed order:
+    // nothing between the cursor and the page's max is missing
+    val hi = page.agg(max(struct(col("timestamp"), col("event_id"))))
+      .head.getStruct(0)
+    val expected = trades
+      .filter(col("timestamp") > cursor)
+      .filter(struct(col("timestamp"), col("event_id")) <=
+        struct(lit(hi.getTimestamp(0)), lit(hi.getLong(1))))
+      .count()
+    assert(expected === 50)
+    // second page resumes exactly where the first left off: no overlap
+    val page2 = TradeOps.keysetPage(trades,
+      hi.getTimestamp(0).toString.stripSuffix(".0"), hi.getLong(1), 50)
+    assert(page2.join(page, Seq("event_id"), "left_semi").count() === 0)
+    page.unpersist()
+  }
+
   test("column profile: one row per column, nulls+distincts consistent") {
     val li = Tables.load(spark, sf, "lineitem")
     val p = TradeOps.columnProfile(li).cache()
