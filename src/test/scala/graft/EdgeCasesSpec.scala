@@ -201,6 +201,29 @@ class EdgeCasesSpec extends SparkSuite {
     assert(graft.ops.TextOps.codeDetect(emptyDocs).count() === 0)
   }
 
+  test("keyset page and forward as-of survive empty sides") {
+    assert(TradeOps.keysetPage(emptyTrades, "2024-01-15 00:00:00", 0L)
+      .count() === 0)
+    assert(TradeOps.columnProfileSketch(
+      emptyTrades.select("event_id", "price")).count() === 2)
+    import spark.implicits._
+    val left = Seq((1L, 7L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1.0))
+      .toDF("event_id", "user_id", "timestamp", "price")
+    val emptyRight = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("timestamp", TimestampType),
+        StructField("p", DoubleType))))
+    val r = graft.ops.AsOfJoin
+      .asOfForward(left, emptyRight, "user_id", "timestamp", "p", "nxt")
+    assert(r.count() === 1 && r.head.isNullAt(4))
+    assert(graft.ops.AsOfJoin.asOfForward(
+      emptyTrades.select(col("event_id"), col("user_id"),
+        col("timestamp"), col("price")),
+      emptyRight, "user_id", "timestamp", "p", "nxt").count() === 0)
+  }
+
   test("new corpus/graph/event operators survive empty inputs") {
     import graft.ops.{Dedup, EventAnalytics, Graph, TextOps}
     assert(TextOps.winnow(emptyDocs).count() === 0)
