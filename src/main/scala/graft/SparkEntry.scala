@@ -240,6 +240,12 @@ object SparkEntry {
       AsOfJoin.asOfForward(purchases, clicks, "user_id", "timestamp",
         "next_click_price", "next_click_price")
     }),
+    "w15_interval_merge" -> ((s, dir) => TradeOps.mergeIntervals(trades(s, dir))),
+    "a20_equidepth" -> ((s, dir) => TradeOps.equiDepthHistogram(trades(s, dir))),
+    "o7_walk_forward" -> ((s, dir) => TradeOps.walkForwardSplits(trades(s, dir))),
+    "f13_delta_encode" -> ((s, dir) => TradeOps.deltaEncode(trades(s, dir))),
+    "e_attribution" -> ((s, dir) =>
+      EventAnalytics.lastTouchAttribution(Tables.events(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1256,5 +1262,18 @@ object SparkEntry {
       s"""$T
          |${TradeOps.modalPriceSql}""".stripMargin,
     "t_code_detect" -> TextOps.codeDetectSql,
+    "w15_interval_merge" ->
+      s"""$T
+         |${TradeOps.mergeIntervalsSql()}""".stripMargin,
+    "a20_equidepth" ->
+      s"""$T
+         |${TradeOps.equiDepthHistogramSql()}""".stripMargin,
+    "o7_walk_forward" ->
+      s"""$T
+         |${TradeOps.walkForwardSplitsSql()}""".stripMargin,
+    "f13_delta_encode" ->
+      s"""$T
+         |${TradeOps.deltaEncodeSql}""".stripMargin,
+    "e_attribution" -> EventAnalytics.lastTouchAttributionSql(),
   )
 }

@@ -166,4 +166,50 @@ object EventAnalytics {
       |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
       |FROM events e JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** Last-touch attribution: each purchase is credited to the LATEST
+    * click by the same user at or before it — the marketing-analytics
+    * association, which is exactly a backward as-of join
+    * ([[graft.ops.AsOfJoin.asOf]]: one shuffle of both sides on
+    * `user_id`, union-sort, NO per-key cross product). A purchase is
+    * `attributed` only when that click falls inside the lookback
+    * window; the daily digest keeps the output small and exact
+    * (counts only — rates are a consumer-side division). */
+  def lastTouchAttribution(events: DataFrame,
+      windowDays: Int = 3): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts")).distinct()
+      .withColumn("click_ts", col("ts"))
+    AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "click_ts", "click_ts")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("click_ts").isNotNull &&
+          col("click_ts") >= col("ts") - expr(s"INTERVAL $windowDays DAYS"),
+          1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("click_ts").isNull, 1L).otherwise(0L)).as("n_no_touch"))
+  }
+
+  /** Oracle for [[lastTouchAttribution]] — DuckDB's native ASOF LEFT
+    * JOIN expresses the same latest-click-at-or-before association. */
+  def lastTouchAttributionSql(windowDays: Int = 3): String =
+    s"""WITH p AS (
+       |  SELECT event_id, user_id, ts::TIMESTAMP AS ts
+       |  FROM events WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT DISTINCT user_id, ts::TIMESTAMP AS click_ts
+       |  FROM events WHERE event_type = 'click'
+       |)
+       |SELECT date_trunc('day', p.ts) AS day,
+       |       count(*) AS n_purchases,
+       |       CAST(sum(CASE WHEN c.click_ts IS NOT NULL
+       |                      AND c.click_ts >= p.ts - INTERVAL $windowDays DAY
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       |       CAST(sum(CASE WHEN c.click_ts IS NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_no_touch
+       |FROM p ASOF LEFT JOIN c
+       |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+       |GROUP BY 1""".stripMargin
 }

@@ -1610,4 +1610,192 @@ object TradeOps {
        |               count(*) OVER (PARTITION BY symbol) AS n
        |        FROM trades)
        |  GROUP BY 1) q USING (symbol)""".stripMargin
+
+  /** W15 (extension) — interval merge (gaps-and-islands): each event
+    * opens a `spanSec` activity interval per user; overlapping or
+    * touching intervals coalesce into maximal islands — the classic
+    * uptime/coverage consolidation every observability pipeline runs.
+    *
+    * The scalable form: NO self-join. One user-keyed window computes the
+    * running max of interval ends over STRICTLY PRECEDING rows; an
+    * island starts exactly where the current start exceeds it, and a
+    * running sum of those break flags numbers the islands. Everything
+    * after the single hash exchange on `user_id` is window + partial
+    * aggregation over the same partitioning — one shuffle total, exact
+    * integer microsecond arithmetic throughout. */
+  def mergeIntervals(trades: DataFrame, spanSec: Long = 30): DataFrame = {
+    val spanUs = spanSec * 1000000L
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("s_us"), col("event_id"))
+    val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val runSum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("timestamp")).as("s_us"))
+      .withColumn("e_us", col("s_us") + spanUs)
+      .withColumn("prev_max_e", max(col("e_us")).over(prevMax))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull || col("s_us") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(runSum))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        timestamp_micros(min(col("s_us"))).as("island_start"),
+        timestamp_micros(max(col("e_us"))).as("island_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Oracle for [[mergeIntervals]] (body only — caller prepends the
+    * trades CTE). */
+  def mergeIntervalsSql(spanSec: Long = 30): String = {
+    val spanUs = spanSec * 1000000L
+    s"""SELECT user_id, CAST(island AS BIGINT) AS island,
+       |       make_timestamp(min(s_us)) AS island_start,
+       |       make_timestamp(max(e_us)) AS island_end,
+       |       count(*) AS n_events
+       |FROM (
+       |  SELECT user_id, island, s_us, e_us FROM (
+       |    SELECT user_id, s_us, e_us,
+       |           sum(CASE WHEN prev_max_e IS NULL OR s_us > prev_max_e
+       |                    THEN 1 ELSE 0 END)
+       |             OVER (PARTITION BY user_id ORDER BY s_us, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             AS island
+       |    FROM (
+       |      SELECT user_id, event_id,
+       |             epoch_us("timestamp") AS s_us,
+       |             epoch_us("timestamp") + $spanUs AS e_us,
+       |             max(epoch_us("timestamp") + $spanUs)
+       |               OVER (PARTITION BY user_id
+       |                     ORDER BY epoch_us("timestamp"), event_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |               AS prev_max_e
+       |      FROM trades)))
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** A20 (extension) — equi-depth histogram: `buckets` per-symbol price
+    * buckets each holding (near-)equal row counts, the boundary source
+    * for range-partitioned writes and optimizer statistics. `ntile`
+    * over the total (price, event_id) order is deterministic and
+    * standard-identical in both engines (first buckets absorb the
+    * remainder). One shuffle on `symbol`; the agg reuses the window's
+    * partitioning. The complement of [[priceHistogram]]'s equi-WIDTH
+    * bins. */
+  def equiDepthHistogram(trades: DataFrame, buckets: Int = 8): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("price"), col("event_id"))
+    trades
+      // ntile is INT in Spark, BIGINT in DuckDB — align on BIGINT
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("symbol"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("price")).as("lo"), max(col("price")).as("hi"))
+  }
+
+  /** Oracle for [[equiDepthHistogram]] (body only — caller prepends the
+    * trades CTE). */
+  def equiDepthHistogramSql(buckets: Int = 8): String =
+    s"""SELECT symbol, bucket, count(*) AS n,
+       |       min(price) AS lo, max(price) AS hi
+       |FROM (
+       |  SELECT symbol, price,
+       |         ntile($buckets) OVER (PARTITION BY symbol
+       |           ORDER BY price, event_id) AS bucket
+       |  FROM trades)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** O7 (extension) — walk-forward (rolling-origin) backtest splits:
+    * fold `f` trains on days `[f·test, f·test+train)` and tests on the
+    * next `test` days, anchored at the feed's first day — the standard
+    * time-series evaluation protocol ([[orderedSplit]]'s single split,
+    * iterated). Membership is pure timestamp arithmetic against a
+    * broadcast fold table (no global sort, no row numbering), so the
+    * fact table is scanned ONCE and each row fans out only to the ≤2
+    * folds whose ranges cover it. Digest output: per (fold, role) row
+    * counts, user reach, and exact volume. */
+  def walkForwardSplits(trades: DataFrame, folds: Int = 4,
+      trainDays: Int = 10, testDays: Int = 3): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val anchor = trades.agg(
+      date_trunc("day", min(col("timestamp"))).as("t0"))
+    val foldDf = (0 until folds).map(_.toLong).toDF("fold")
+    trades.crossJoin(broadcast(anchor))
+      .withColumn("day", datediff(col("timestamp"), col("t0")))
+      .join(broadcast(foldDf),
+        col("day") >= col("fold") * testDays &&
+          col("day") < col("fold") * testDays + trainDays + testDays)
+      .withColumn("role",
+        when(col("day") < col("fold") * testDays + trainDays, "train")
+          .otherwise("test"))
+      .groupBy(col("fold"), col("role"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        exactSum(col("volume")).as("sum_volume"))
+  }
+
+  /** Oracle for [[walkForwardSplits]] (body only — caller prepends the
+    * trades CTE). */
+  def walkForwardSplitsSql(folds: Int = 4, trainDays: Int = 10,
+      testDays: Int = 3): String =
+    s"""SELECT f.fold, CASE WHEN t.day < f.fold * $testDays + $trainDays
+       |                    THEN 'train' ELSE 'test' END AS role,
+       |       count(*) AS n_rows,
+       |       count(DISTINCT t.user_id) AS n_users,
+       |       CAST(sum(CAST(t.volume AS DECIMAL(18,6))) AS DOUBLE)
+       |         AS sum_volume
+       |FROM (
+       |  SELECT user_id, volume,
+       |         date_diff('day',
+       |           (SELECT date_trunc('day', min("timestamp")) FROM trades),
+       |           date_trunc('day', "timestamp")) AS day
+       |  FROM trades) t
+       |JOIN (SELECT CAST(range AS BIGINT) AS fold
+       |      FROM range(0, $folds)) f
+       |  ON t.day >= f.fold * $testDays
+       | AND t.day < f.fold * $testDays + ${trainDays + testDays}
+       |GROUP BY 1, 2""".stripMargin
+
+  /** F13 (extension) — delta encoding digest: per-symbol consecutive
+    * price deltas in exact micro-unit BIGINTs — the columnar-compression
+    * preprocessing (and the feed-drift monitor) in one pass. The digest
+    * proves losslessness arithmetically: `sum_deltas` telescopes to
+    * `last − first`, so a decoder that cumulative-sums the deltas lands
+    * exactly on the original series (the round-trip itself is spec'd in
+    * ScalaTest). One symbol-keyed window shuffle; the aggregate reuses
+    * its partitioning. */
+  def deltaEncode(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pm") - lag(col("pm"), 1).over(w))
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("d")).as("n_deltas"),
+        sum(col("d")).as("sum_deltas"),
+        sum(abs(col("d"))).as("sum_abs_deltas"),
+        max(abs(col("d"))).as("max_abs_delta"),
+        sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero_deltas"))
+  }
+
+  /** Oracle for [[deltaEncode]] (body only — caller prepends the trades
+    * CTE). */
+  val deltaEncodeSql: String =
+    """SELECT symbol, count(*) AS n_rows,
+      |       count(d) AS n_deltas,
+      |       CAST(sum(d) AS BIGINT) AS sum_deltas,
+      |       CAST(sum(abs(d)) AS BIGINT) AS sum_abs_deltas,
+      |       max(abs(d)) AS max_abs_delta,
+      |       CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_zero_deltas
+      |FROM (
+      |  SELECT symbol,
+      |         pm - lag(pm, 1) OVER (PARTITION BY symbol
+      |           ORDER BY "timestamp", event_id) AS d
+      |  FROM (SELECT symbol, "timestamp", event_id,
+      |               CAST(round(price * 1000000) AS BIGINT) AS pm
+      |        FROM trades))
+      |GROUP BY 1""".stripMargin
 }

@@ -252,4 +252,18 @@ class EdgeCasesSpec extends SparkSuite {
     val p = TradeOps.columnProfile(emptyLineitem).collect()
     assert(p.length === 2 && p.forall(r => r.getLong(1) === 0))
   }
+
+  test("batch-5 operators survive empty inputs") {
+    assert(TradeOps.mergeIntervals(emptyTrades).count() === 0)
+    assert(TradeOps.equiDepthHistogram(emptyTrades).count() === 0)
+    assert(TradeOps.walkForwardSplits(emptyTrades).count() === 0)
+    assert(TradeOps.deltaEncode(emptyTrades).count() === 0)
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+    assert(graft.ops.EventAnalytics.lastTouchAttribution(emptyEvents)
+      .count() === 0)
+  }
 }

@@ -1172,4 +1172,108 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(bad.count() === 0)
     co.unpersist()
   }
+
+  test("interval merge: islands disjoint with real gaps, events conserved") {
+    import org.apache.spark.sql.expressions.Window
+    val m = TradeOps.mergeIntervals(trades).cache()
+    // every event lands in exactly one island
+    assert(m.agg(sum(col("n_events"))).head.getLong(0) === trades.count())
+    // consecutive islands per user are separated by a genuine gap
+    val w = Window.partitionBy("user_id").orderBy("island")
+    val overlaps = m
+      .withColumn("prev_end", lag(col("island_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("island_start") <= col("prev_end"))
+    assert(overlaps.count() === 0)
+    m.unpersist()
+    // crafted: 0s/10s/50s with a 30s span → [0,40) and [50,80)
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${s}%02d")
+    val crafted = Seq((1L, 9L, ts(0)), (2L, 9L, ts(10)), (3L, 9L, ts(50)))
+      .toDF("event_id", "user_id", "timestamp")
+    val c = TradeOps.mergeIntervals(crafted, spanSec = 30)
+      .orderBy("island").collect()
+    assert(c.length === 2)
+    assert(c(0).getLong(4) === 2 && c(1).getLong(4) === 1)
+    assert(c(0).getTimestamp(3) === java.sql.Timestamp.valueOf("2024-01-01 00:00:40"))
+    assert(c(1).getTimestamp(2) === java.sql.Timestamp.valueOf("2024-01-01 00:00:50"))
+  }
+
+  test("equi-depth histogram: balanced buckets, ordered boundaries, conserved") {
+    import org.apache.spark.sql.expressions.Window
+    val h = TradeOps.equiDepthHistogram(trades).cache()
+    val perSym = trades.groupBy("symbol").agg(count(lit(1)).as("total"))
+    // counts conserve and buckets differ by at most one row
+    assert(h.groupBy("symbol").agg(sum(col("n")).as("s")).join(perSym, "symbol")
+      .filter(col("s") =!= col("total")).count() === 0)
+    assert(h.groupBy("symbol").agg((max(col("n")) - min(col("n"))).as("spread"))
+      .filter(col("spread") > 1).count() === 0)
+    // depth boundaries are monotone: next bucket's lo >= this bucket's hi
+    val w = Window.partitionBy("symbol").orderBy("bucket")
+    assert(h.withColumn("prev_hi", lag(col("hi"), 1).over(w))
+      .filter(col("prev_hi").isNotNull && col("lo") < col("prev_hi"))
+      .count() === 0)
+    h.unpersist()
+  }
+
+  test("walk-forward splits: exact membership on a crafted calendar") {
+    import spark.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")
+    // one event per day on days 0..3; folds=2, train=2, test=1:
+    //   fold 0 trains days [0,2) tests [2,3); fold 1 trains [1,3) tests [3,4)
+    val crafted = (0 to 3).map(d => (d.toLong, d.toLong, day(d), 1.0))
+      .toDF("event_id", "user_id", "timestamp", "volume")
+    val out = TradeOps.walkForwardSplits(crafted, folds = 2,
+      trainDays = 2, testDays = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, "train") -> 2L, (0L, "test") -> 1L,
+      (1L, "train") -> 2L, (1L, "test") -> 1L))
+    // real feed: every fold has both roles and test follows train in time
+    val real = TradeOps.walkForwardSplits(trades)
+    assert(real.filter(col("n_rows") <= 0).count() === 0)
+    assert(real.groupBy("fold").agg(count(lit(1)).as("roles"))
+      .filter(col("roles") =!= 2).count() === 0)
+  }
+
+  test("delta encoding is lossless: cumulative deltas rebuild the series") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy(col("timestamp"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enc = trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pm") - lag(col("pm"), 1).over(w))
+    // a decoder is a running sum of (first value, then deltas)
+    val rebuilt = enc.withColumn("rec",
+      sum(coalesce(col("d"), col("pm"))).over(run))
+    assert(rebuilt.filter(col("rec") =!= col("pm")).count() === 0)
+    // digest telescopes: sum_deltas = last - first, n_deltas = n - 1
+    val digest = TradeOps.deltaEncode(trades)
+    assert(digest.filter(col("n_deltas") =!= col("n_rows") - 1).count() === 0)
+    assert(digest.filter(col("sum_abs_deltas") < abs(col("sum_deltas")))
+      .count() === 0)
+  }
+
+  test("attribution: counts partition purchases; crafted window semantics") {
+    val ev = Tables.events(spark, sf)
+    val a = graft.ops.EventAnalytics.lastTouchAttribution(ev)
+    assert(a.filter(col("n_attributed") + col("n_no_touch") > col("n_purchases"))
+      .count() === 0)
+    val totals = a.agg(sum(col("n_purchases"))).head.getLong(0)
+    assert(totals === ev.filter(col("event_type") === "purchase").count())
+    // crafted: click at t0; purchase 1h later attributed, 5d later not,
+    // separate user with no click ever lands in n_no_touch
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val crafted = Seq(
+      (1L, 7L, "click", t("2024-01-01 00:00:00")),
+      (2L, 7L, "purchase", t("2024-01-01 01:00:00")),
+      (3L, 7L, "purchase", t("2024-01-06 00:00:00")),
+      (4L, 8L, "purchase", t("2024-01-01 02:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val c = graft.ops.EventAnalytics.lastTouchAttribution(crafted)
+      .collect().map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(c("2024-01-01 00:00:00.0") === ((2L, 1L, 1L)))
+    assert(c("2024-01-06 00:00:00.0") === ((1L, 0L, 0L)))
+  }
 }
