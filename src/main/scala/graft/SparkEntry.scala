@@ -246,6 +246,9 @@ object SparkEntry {
     "f13_delta_encode" -> ((s, dir) => TradeOps.deltaEncode(trades(s, dir))),
     "e_attribution" -> ((s, dir) =>
       EventAnalytics.lastTouchAttribution(Tables.events(s, dir))),
+    "b_bloom_join" -> ((s, dir) => Relational.bloomSemiJoinRevenue(s, dir)),
+    "k11_scd2" -> ((s, dir) => TradeOps.scd2Build(trades(s, dir))),
+    "o8_kfold" -> ((s, dir) => TradeOps.kfoldAssign(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1275,5 +1278,12 @@ object SparkEntry {
       s"""$T
          |${TradeOps.deltaEncodeSql}""".stripMargin,
     "e_attribution" -> EventAnalytics.lastTouchAttributionSql(),
+    "b_bloom_join" -> Relational.bloomSemiJoinRevenueSql,
+    "k11_scd2" ->
+      s"""$T
+         |${TradeOps.scd2BuildSql}""".stripMargin,
+    "o8_kfold" ->
+      s"""$T
+         |${TradeOps.kfoldAssignSql()}""".stripMargin,
   )
 }

@@ -684,4 +684,70 @@ object Relational {
       .agg(grouping(rf).as("g_rf"), grouping(ls).as("g_ls"),
         sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
   }
+
+  /** Bloom-filter bits per bucket word. */
+  private val BloomBits = 1 << 20
+  private val BloomSeeds = Seq(0x1234, 0x5678, 0x9abc, 0xdef0)
+
+  /** Bloom membership test for `key` against `words` (an ArrayType(LONG)
+    * literal of `BloomBits/64` words): k xxhash64 probes, each checking
+    * one bit with dynamic shifts — built-in functions only, fully
+    * whole-stage-codegen'd. No false negatives by construction. */
+  private def bloomMightContain(key: Column, words: Column): Column =
+    BloomSeeds.map { seed =>
+      val pos = pmod(xxhash64(key, lit(seed)), lit(BloomBits.toLong))
+      val word = element_at(words, (pos / 64L).cast("int") + 1)
+      // dynamic shift amount needs the SQL-function form of shiftright
+      call_function("shiftright", word, (pos % 64L).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+
+  /** Semi-join reduction via an explicit Bloom runtime filter — the
+    * pattern that makes selective dim⨝fact joins survive 100 TB: the
+    * filtered `orders` keys are folded into a 1 Mbit Bloom filter (a
+    * 128 KB long-array literal, built with ONE distributed bit_or
+    * aggregate and a 16 K-row collect), which prunes the `lineitem`
+    * scan BEFORE the shuffle join. The exact semi-join still runs after
+    * the probe, so Bloom false positives cannot leak into the result —
+    * output is byte-identical to the plain semi-join the oracle runs.
+    * Spark's AQE injects this automatically when statistics allow
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`); this form is
+    * explicit and deterministic, sized m=2^20 for ~1.5M keys at 1% FP
+    * (scale m with the build-side count at larger SFs). */
+  def bloomSemiJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // build: key → k (word, bit) pairs → bit_or per word → tiny collect
+    val wordsRows = hot
+      .select(explode(array(BloomSeeds.map(seed =>
+        pmod(xxhash64(col("o_orderkey"), lit(seed)),
+          lit(BloomBits.toLong))): _*)).as("pos"))
+      .select((col("pos") / 64L).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64L).cast("int"))
+          .as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("word"))
+      .collect()
+    val words = Array.ofDim[Long](BloomBits / 64)
+    wordsRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(bloomMightContain(col("l_orderkey"), lit(words)))
+    li.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  /** Oracle for [[bloomSemiJoinRevenue]] — the Bloom probe is a pure
+    * pre-filter, so the oracle is the plain semi-join. */
+  val bloomSemiJoinRevenueSql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
 }

@@ -1798,4 +1798,80 @@ object TradeOps {
       |               CAST(round(price * 1000000) AS BIGINT) AS pm
       |        FROM trades))
       |GROUP BY 1""".stripMargin
+
+  /** K11 (extension) — SCD2 (type-2 slowly changing dimension) build:
+    * from the raw change feed, the versioned history every warehouse
+    * dimension table needs — one row per (user, attribute) EPOCH with
+    * `[valid_from, valid_to)` validity and an `is_current` flag. The
+    * tracked attribute here is the user's price tier (`floor(price)`).
+    *
+    * Two steps, ONE exchange: consecutive-duplicate compaction (keep
+    * only rows where the tier actually changes — the lag() form), then
+    * `lead()` for the validity horizon and `row_number()` for the
+    * version — all three windows share the `user_id` partitioning, so
+    * Catalyst plans a single hash exchange followed by in-partition
+    * sorts. No self-join, no global ordering. */
+  def scd2Build(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .select(col("user_id"), col("event_id"), col("timestamp"),
+        floor(col("price")).cast("long").as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("valid_from", col("timestamp"))
+      .withColumn("valid_to", lead(col("timestamp"), 1).over(w))
+      // row_number is INT in Spark, BIGINT in DuckDB
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Oracle for [[scd2Build]] (body only — caller prepends the trades
+    * CTE). */
+  val scd2BuildSql: String =
+    """SELECT user_id, version, tier, valid_from, valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM (
+      |  SELECT user_id, tier, "timestamp" AS valid_from,
+      |         lead("timestamp", 1) OVER (PARTITION BY user_id
+      |           ORDER BY "timestamp", event_id) AS valid_to,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY "timestamp", event_id) AS version
+      |  FROM (
+      |    SELECT user_id, event_id, "timestamp", tier,
+      |           lag(tier, 1) OVER (PARTITION BY user_id
+      |             ORDER BY "timestamp", event_id) AS prev_tier
+      |    FROM (SELECT user_id, event_id, "timestamp",
+      |                 CAST(floor(price) AS BIGINT) AS tier
+      |          FROM trades))
+      |  WHERE prev_tier IS NULL OR tier <> prev_tier)""".stripMargin
+
+  /** O8 (extension) — deterministic k-fold assignment: Knuth
+    * multiplicative hash of the row id, mod k — an engine-portable,
+    * shuffle-free splitter (every engine with 64-bit integers computes
+    * the identical fold, unlike rand(seed) which is engine-private).
+    * All products stay under 2^63 for ids < ~3.5e9; at larger scales
+    * hash a stable business key the same way. Digest output keeps the
+    * oracle row count at k. */
+  def kfoldAssign(trades: DataFrame, k: Int = 5): DataFrame =
+    trades
+      .withColumn("fold",
+        ((col("event_id") * 2654435761L) % 4294967296L) % k)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        exactSum(col("volume")).as("sum_volume"))
+
+  /** Oracle for [[kfoldAssign]] (body only — caller prepends the trades
+    * CTE). */
+  def kfoldAssignSql(k: Int = 5): String =
+    s"""SELECT ((event_id * 2654435761) % 4294967296) % $k AS fold,
+       |       count(*) AS n_rows,
+       |       count(DISTINCT user_id) AS n_users,
+       |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE)
+       |         AS sum_volume
+       |FROM trades
+       |GROUP BY 1""".stripMargin
 }

@@ -265,5 +265,7 @@ class EdgeCasesSpec extends SparkSuite {
         StructField("event_type", StringType))))
     assert(graft.ops.EventAnalytics.lastTouchAttribution(emptyEvents)
       .count() === 0)
+    assert(TradeOps.scd2Build(emptyTrades).count() === 0)
+    assert(TradeOps.kfoldAssign(emptyTrades).count() === 0)
   }
 }

@@ -1276,4 +1276,53 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(c("2024-01-01 00:00:00.0") === ((2L, 1L, 1L)))
     assert(c("2024-01-06 00:00:00.0") === ((1L, 0L, 0L)))
   }
+
+  test("bloom semi-join equals the plain semi-join (no false negatives)") {
+    val bloom = Relational.bloomSemiJoinRevenue(spark, sf)
+      .orderBy("l_returnflag").collect()
+    val hot = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag").collect()
+    assert(bloom.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("scd2: chained non-overlapping epochs, one current row per user") {
+    import org.apache.spark.sql.expressions.Window
+    val d = TradeOps.scd2Build(trades).cache()
+    // exactly one open (is_current) epoch per user
+    assert(d.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() === 0)
+    assert(d.groupBy("user_id").agg(sum(when(col("valid_to").isNull, 1)
+      .otherwise(0)).as("opens")).filter(col("opens") =!= 1).count() === 0)
+    // versions are 1..n and epochs chain: valid_to(v) = valid_from(v+1)
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val chained = d
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("next_ver", lead(col("version"), 1).over(w))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() === 0)
+    assert(chained.filter(col("next_ver").isNotNull &&
+      col("next_ver") =!= col("version") + 1).count() === 0)
+    // compaction really compacted: consecutive versions change the tier
+    assert(chained.filter(col("prev_tier").isNotNull &&
+      col("tier") === col("prev_tier")).count() === 0)
+    d.unpersist()
+  }
+
+  test("k-fold: folds partition the feed, ids land deterministically") {
+    val f = TradeOps.kfoldAssign(trades, k = 5).cache()
+    assert(f.agg(sum(col("n_rows"))).head.getLong(0) === trades.count())
+    assert(f.filter(col("fold") < 0 || col("fold") >= 5).count() === 0)
+    // same id → same fold on re-evaluation (hash is pure arithmetic)
+    val again = TradeOps.kfoldAssign(trades, k = 5)
+    assert(f.orderBy("fold").collect().toSeq ===
+      again.orderBy("fold").collect().toSeq)
+    f.unpersist()
+  }
 }
