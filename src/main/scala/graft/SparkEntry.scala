@@ -249,6 +249,11 @@ object SparkEntry {
     "b_bloom_join" -> ((s, dir) => Relational.bloomSemiJoinRevenue(s, dir)),
     "k11_scd2" -> ((s, dir) => TradeOps.scd2Build(trades(s, dir))),
     "o8_kfold" -> ((s, dir) => TradeOps.kfoldAssign(trades(s, dir))),
+    "f14_zscore" -> ((s, dir) => TradeOps.zscoreScale(trades(s, dir))),
+    "s14_schema_evolution" -> ((s, dir) =>
+      TradeOps.schemaEvolutionRead(s, trades(s, dir))),
+    "mv_retract" -> ((s, dir) =>
+      Incremental.incrementalRetract(Tables.events(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1285,5 +1290,12 @@ object SparkEntry {
     "o8_kfold" ->
       s"""$T
          |${TradeOps.kfoldAssignSql()}""".stripMargin,
+    "f14_zscore" ->
+      s"""$T
+         |${TradeOps.zscoreScaleSql}""".stripMargin,
+    "s14_schema_evolution" ->
+      s"""$T
+         |${TradeOps.schemaEvolutionReadSql()}""".stripMargin,
+    "mv_retract" -> Incremental.incrementalRetractSql,
   )
 }

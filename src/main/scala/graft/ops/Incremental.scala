@@ -108,4 +108,54 @@ object Incremental {
       |       min(value) AS min_value, max(value) AS max_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
+
+  /** Deletions are simulated as a CDC retraction batch covering every
+    * event with `event_id % RetractMod == 0`. */
+  val RetractMod: Int = 7
+
+  /** Retraction-capable view maintenance (the signed-multiplicity /
+    * Z-set discipline of incremental view maintenance): each change
+    * row carries `sign` = +1 (insert) or −1 (delete), partial states
+    * aggregate `sum(sign)` and `sum(sign·measure)`, and merging is the
+    * same commutative sum — so a delete is just another delta batch,
+    * never a rescan of history. Only LINEAR measures survive deletion
+    * (count, sum); min/max are not invertible under retraction — that's
+    * precisely why [[incrementalAgg]] keeps them in the insert-only
+    * tier. Groups whose net multiplicity reaches zero leave the view.
+    *
+    * The oracle recomputes flat over the surviving rows: if a
+    * retraction under- or over-cancelled anywhere, some group's count
+    * or exact micro-unit sum breaks the hash. */
+  def incrementalRetract(events: DataFrame): DataFrame = {
+    val signed = events.withColumn("sign", lit(1L))
+    val retractions = events
+      .filter(pmod(col("event_id"), lit(RetractMod)) === 0)
+      .withColumn("sign", lit(-1L))
+    val partials = ((0 until nBatches).map { b =>
+      signed.filter(pmod(col("event_id"), lit(nBatches)) === b)
+    } :+ retractions).map {
+      _.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("sign")).as("n"),
+          sum(col("sign") *
+            expr("CAST(round(value * 1000000) AS BIGINT)")).as("v_micro"))
+        .localCheckpoint()
+    }
+    partials.reduce(_ unionByName _)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v_micro")).as("sum_value_micro"))
+      .filter(col("n_events") > 0)
+      .withColumn("day", col("day").cast("timestamp"))
+  }
+
+  /** Oracle for [[incrementalRetract]]: flat recompute over rows that
+    * were never retracted. */
+  val incrementalRetractSql: String =
+    s"""SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       |       count(*) AS n_events,
+       |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+       |         AS sum_value_micro
+       |FROM events
+       |WHERE event_id % $RetractMod <> 0
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -1874,4 +1874,80 @@ object TradeOps {
        |         AS sum_volume
        |FROM trades
        |GROUP BY 1""".stripMargin
+
+  /** F14 (extension) — per-symbol z-score standardization (the standard
+    * scaler next to [[minMaxScale]]'s min-max): fit = one tiny
+    * aggregate of EXACT cent-BIGINT sums (n, Σpc, Σpc² — all under 2^63
+    * at any per-symbol count the bench reaches; at true 100 TB the sums
+    * move to DECIMAL(38,0), same plan) broadcast back; transform = a
+    * pure projection. μ and σ are derived from the exact sums with a
+    * fixed IEEE expression tree — division, square, subtraction in the
+    * same order in both engines — so the rounded z is engine-identical.
+    * Flat symbols (σ = 0) emit NULL via nullif, not a divide-by-zero. */
+  def zscoreScale(trades: DataFrame): DataFrame = {
+    val fit = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("s1"),
+        sum(col("pc") * col("pc")).as("s2"))
+      .select(col("symbol"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu_c"),
+        sqrt(col("s2").cast("double") / col("n").cast("double") -
+          (col("s1").cast("double") / col("n").cast("double")) *
+            (col("s1").cast("double") / col("n").cast("double")))
+          .as("sigma_c"))
+    trades.join(broadcast(fit), "symbol")
+      .select(col("event_id"), col("symbol"), col("price"),
+        round((expr("CAST(round(price * 100) AS BIGINT)").cast("double") -
+          col("mu_c")) / nullif(col("sigma_c"), lit(0.0d)), 6).as("z"))
+  }
+
+  /** Oracle for [[zscoreScale]] (body only — caller prepends the trades
+    * CTE). */
+  val zscoreScaleSql: String =
+    """SELECT t.event_id, t.symbol, t.price,
+      |       round((CAST(CAST(round(t.price * 100) AS BIGINT) AS DOUBLE)
+      |              - f.mu_c) / nullif(f.sigma_c, 0.0), 6) AS z
+      |FROM trades t JOIN (
+      |  SELECT symbol,
+      |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu_c,
+      |         sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+      |              (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |              (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sigma_c
+      |  FROM (
+      |    SELECT symbol, count(*) AS n,
+      |           CAST(sum(pc) AS BIGINT) AS s1,
+      |           CAST(sum(pc * pc) AS BIGINT) AS s2
+      |    FROM (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades)
+      |    GROUP BY 1)) f USING (symbol)""".stripMargin
+
+  /** S14 (extension) — schema-evolution read: an early batch written
+    * WITHOUT the `volume` column and a later batch written with it,
+    * read back as one table via parquet `mergeSchema` — the
+    * add-a-column migration every long-lived 100 TB table goes
+    * through (per-file schemas reconciled at read; missing columns
+    * null-fill). The oracle reproduces the merged view with a CASE on
+    * the cutover predicate. */
+  def schemaEvolutionRead(spark: SparkSession, trades: DataFrame,
+      cutover: String = "2024-01-15 00:00:00"): DataFrame = {
+    val out = scratchDir(spark, "schema_evo")
+    val cut = to_timestamp(lit(cutover))
+    trades.filter(col("timestamp") < cut)
+      .select("event_id", "symbol", "timestamp", "price")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    trades.filter(col("timestamp") >= cut)
+      .select("event_id", "symbol", "timestamp", "price", "volume")
+      .write.mode("overwrite").parquet(s"$out/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/v1", s"$out/v2")
+  }
+
+  /** Oracle for [[schemaEvolutionRead]] (body only — caller prepends
+    * the trades CTE). */
+  def schemaEvolutionReadSql(cutover: String = "2024-01-15 00:00:00"): String =
+    s"""SELECT event_id, symbol, "timestamp", price,
+       |       CASE WHEN "timestamp" < TIMESTAMP '$cutover' THEN NULL
+       |            ELSE volume END AS volume
+       |FROM trades""".stripMargin
 }

@@ -267,5 +267,7 @@ class EdgeCasesSpec extends SparkSuite {
       .count() === 0)
     assert(TradeOps.scd2Build(emptyTrades).count() === 0)
     assert(TradeOps.kfoldAssign(emptyTrades).count() === 0)
+    assert(TradeOps.zscoreScale(emptyTrades).count() === 0)
+    assert(TradeOps.schemaEvolutionRead(spark, emptyTrades).count() === 0)
   }
 }

@@ -1315,6 +1315,58 @@ class OpsInvariantsSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("z-score: standardized moments, flat series yields NULL") {
+    val z = TradeOps.zscoreScale(trades).cache()
+    // per symbol: mean(z) ~ 0 and var(z) ~ 1 (up to the 6-dec rounding)
+    val moments = z.groupBy("symbol")
+      .agg(avg(col("z")).as("m"), avg(col("z") * col("z")).as("v"))
+    assert(moments.filter(abs(col("m")) > 1e-4).count() === 0)
+    assert(moments.filter(abs(col("v") - 1.0) > 1e-3).count() === 0)
+    assert(z.count() === trades.count())
+    z.unpersist()
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val flat = Seq((1L, "F", ts(1), 5.0), (2L, "F", ts(2), 5.0))
+      .toDF("event_id", "symbol", "timestamp", "price")
+    assert(TradeOps.zscoreScale(flat).filter(col("z").isNotNull)
+      .count() === 0)
+  }
+
+  test("schema evolution: pre-cutover rows null-fill the added column") {
+    val cut = "2024-01-15 00:00:00"
+    val merged = TradeOps.schemaEvolutionRead(spark, trades, cut).cache()
+    assert(merged.count() === trades.count())
+    val cutTs = to_timestamp(lit(cut))
+    assert(merged.filter(col("timestamp") < cutTs &&
+      col("volume").isNotNull).count() === 0)
+    assert(merged.filter(col("timestamp") >= cutTs &&
+      col("volume").isNull).count() === 0)
+    merged.unpersist()
+  }
+
+  test("retractable view: delete deltas cancel exactly, zero groups drop") {
+    import graft.ops.Incremental
+    val ev = Tables.events(spark, sf)
+    val view = Incremental.incrementalRetract(ev)
+    val direct = ev.filter(pmod(col("event_id"), lit(Incremental.RetractMod)) =!= 0)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 1000000) AS BIGINT)"))
+          .as("sum_value_micro"))
+    assert(view.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(view).count() === 0)
+    // crafted: a group fully retracted must vanish from the view
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val crafted = Seq(
+      (7L, 1L, "solo", t("2024-01-01 10:00:00"), 2.5),   // 7 % 7 == 0 → retracted
+      (8L, 1L, "kept", t("2024-01-01 11:00:00"), 4.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val c = Incremental.incrementalRetract(crafted).collect()
+    assert(c.length === 1 && c.head.getString(0) === "kept")
+    assert(c.head.getLong(2) === 1L && c.head.getLong(3) === 4000000L)
+  }
+
   test("k-fold: folds partition the feed, ids land deterministically") {
     val f = TradeOps.kfoldAssign(trades, k = 5).cache()
     assert(f.agg(sum(col("n_rows"))).head.getLong(0) === trades.count())
