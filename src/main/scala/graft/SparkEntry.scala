@@ -254,6 +254,10 @@ object SparkEntry {
       TradeOps.schemaEvolutionRead(s, trades(s, dir))),
     "mv_retract" -> ((s, dir) =>
       Incremental.incrementalRetract(Tables.events(s, dir))),
+    "e_rfm" -> ((s, dir) => Relational.rfmSegments(s, dir)),
+    "a21_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
+    "k12_cdc_apply" -> ((s, dir) => Incremental.cdcApply(trades(s, dir))),
+    "v_range_search" -> ((s, dir) => Similarity.rangeSearch(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1297,5 +1301,9 @@ object SparkEntry {
       s"""$T
          |${TradeOps.schemaEvolutionReadSql()}""".stripMargin,
     "mv_retract" -> Incremental.incrementalRetractSql,
+    "e_rfm" -> Relational.rfmSegmentsSql,
+    "a21_yoy_revenue" -> Relational.yoyRevenueSql,
+    "k12_cdc_apply" -> s"$T,\n${Incremental.cdcApplySql}",
+    "v_range_search" -> Similarity.rangeSearchSql(),
   )
 }

@@ -158,4 +158,47 @@ object Incremental {
        |FROM events
        |WHERE event_id % $RetractMod <> 0
        |GROUP BY 1, 2""".stripMargin
+
+  /** K12 (extension) — CDC apply: collapse an upsert/delete changefeed
+    * into the final snapshot, the "apply the Debezium topic to the
+    * table" step every CDC ingestion ends with. The feed is derived
+    * deterministically from the trade stream (every 10th event is a
+    * tombstone, the rest are upserts), keyed by `user_id`, sequenced by
+    * the total (timestamp, event_id) order.
+    *
+    * Shape: ONE map-side-combinable aggregate — `max_by` over the
+    * composite sequence struct picks each key's last change, partials
+    * merge associatively, so a 100-TB feed reduces without the
+    * per-key-window sort-the-world plan the oracle runs (row_number
+    * DESC, rn=1). Tombstone keys drop AFTER the reduce: a 'D' only
+    * wins if it is genuinely the last operation for its key. */
+  def cdcApply(trades: DataFrame): DataFrame =
+    trades
+      .withColumn("op",
+        when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("timestamp"), col("price"), col("op")),
+          struct(col("timestamp"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.timestamp").as("last_ts"),
+        col("last.price").as("last_price"), col("n_changes"))
+
+  /** Oracle for [[cdcApply]] (body only — caller prepends the trades
+    * CTE): the windowed latest-row form. */
+  val cdcApplySql: String =
+    """feed AS (
+      |  SELECT user_id, "timestamp" AS ts, event_id, price,
+      |         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM trades
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, event_id DESC) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM feed
+      |)
+      |SELECT user_id, ts AS last_ts, price AS last_price,
+      |       CAST(n AS BIGINT) AS n_changes
+      |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin
 }

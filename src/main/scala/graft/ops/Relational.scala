@@ -750,4 +750,144 @@ object Relational {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
       |                     WHERE o_orderpriority = '1-URGENT')
       |GROUP BY 1""".stripMargin
+
+  /** Distributed exact rank (1-based) under `ORDER BY metric, key` —
+    * the [[graft.ops.TradeOps.orderedSplit]] shape generalized: bucket
+    * by a coarse non-decreasing function of the metric, per-bucket
+    * counts broadcast back as prefix-sum offsets, then a per-bucket
+    * `row_number`. The only global window runs over the tiny bucket
+    * table (#buckets rows), so no single task ever sorts the full
+    * input — the global-window rank this exists to avoid would.
+    * Adds `_rank` and `_total`; `_bkt` must coarsen `metric` (equal
+    * metric ⇒ equal bucket, metric order preserved across buckets). */
+  private def distributedRank(df: DataFrame, bkt: Column,
+      metric: Column, key: Column): DataFrame = {
+    val bucketed = df.withColumn("_bkt", bkt)
+    val counts = bucketed.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+    val prior = Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("_bkt"),
+      coalesce(sum(col("_n")).over(prior), lit(0L)).as("_prior"),
+      sum(col("_n")).over(all).as("_total"))
+    val inBucket = Window.partitionBy("_bkt").orderBy(metric, key)
+    bucketed.join(broadcast(offsets), "_bkt")
+      .withColumn("_rank", col("_prior") + row_number().over(inBucket))
+      .drop("_bkt", "_prior")
+  }
+
+  /** Exact long integer division. `Column./` is IEEE double division;
+    * subtracting the remainder first makes the quotient an exactly
+    * representable integer, so the double divide is exact (< 2^53). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** SQL-standard NTILE from an exact rank: the first `n mod t` tiles
+    * carry `ceil(n/t)` rows — pure integer arithmetic, so the Spark
+    * side reproduces the oracle's `ntile(t)` without its global sort. */
+  private def ntileOfRank(rank: Column, n: Column, t: Int): Column = {
+    val size = idiv(n, lit(t.toLong))
+    val rem = n % t
+    val cut = rem * (size + 1L)
+    when(rank <= cut, idiv(rank - 1L, size + 1L) + 1L)
+      .otherwise(rem + idiv(rank - cut - 1L, size) + 1L)
+  }
+
+  /** RFM customer segmentation (extension) — the marketing-warehouse
+    * classic: per customer recency (latest order date), frequency
+    * (order count), monetary (exact-decimal lifetime spend), each
+    * scored into quartiles (1 = best) and composed into the 3-digit
+    * RFM segment.
+    *
+    * The naive form is three `ntile(4) OVER (ORDER BY …)` global
+    * windows — a single-task full sort each, the exact shape
+    * [[TextOps.vocabTopK]] refused. Here each quartile comes from
+    * [[distributedRank]] + [[ntileOfRank]]: rank via coarse-bucket
+    * prefix sums (recency buckets by month, frequency by its own small
+    * value, monetary by $1k bands), tile by integer arithmetic — the
+    * plan is three aggregate-sized shuffles and holds at any customer
+    * cardinality. Ordering is total (metric DESC, custkey DESC via the
+    * reversed ascending rank), so ties are engine-identical. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).as("_monetary"))
+    // rank ascending by (metric, custkey); n+1-rank is then the rank
+    // under (metric DESC, custkey DESC) — total order, no ties.
+    def quartileDesc(df: DataFrame, bkt: Column, metric: Column,
+        outCol: String): DataFrame =
+      distributedRank(df, bkt, metric, col("custkey"))
+        .withColumn(outCol,
+          ntileOfRank(col("_total") + 1L - col("_rank"), col("_total"), 4))
+        .drop("_rank", "_total")
+    val r = quartileDesc(base, date_trunc("month", col("recency")),
+      col("recency"), "r_q")
+    val f = quartileDesc(r, col("frequency"), col("frequency"), "f_q")
+    val m = quartileDesc(f, floor(col("_monetary") / 1000L),
+      col("_monetary"), "m_q")
+    m.select(col("custkey"), col("recency"), col("frequency"),
+      col("_monetary").cast("double").as("monetary"),
+      col("r_q"), col("f_q"), col("m_q"),
+      (col("r_q") * 100L + col("f_q") * 10L + col("m_q")).as("rfm_segment"))
+  }
+
+  /** Oracle for [[rfmSegments]] — the textbook triple-ntile form the
+    * Spark side deliberately avoids executing. */
+  val rfmSegmentsSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey AS custkey, max(o_orderdate) AS recency,
+      |         count(*) AS frequency,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT custkey, recency, frequency, CAST(monetary AS DOUBLE) AS monetary,
+      |       CAST(ntile(4) OVER (ORDER BY recency DESC, custkey DESC)
+      |            AS BIGINT) AS r_q,
+      |       CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey DESC)
+      |            AS BIGINT) AS f_q,
+      |       CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey DESC)
+      |            AS BIGINT) AS m_q,
+      |       CAST(ntile(4) OVER (ORDER BY recency DESC, custkey DESC) * 100
+      |          + ntile(4) OVER (ORDER BY frequency DESC, custkey DESC) * 10
+      |          + ntile(4) OVER (ORDER BY monetary DESC, custkey DESC)
+      |            AS BIGINT) AS rfm_segment
+      |FROM base""".stripMargin
+
+  /** Year-over-year monthly revenue growth (extension) — monthly
+    * exact-decimal revenue self-joined to the same month one year
+    * earlier (the join form: a `lag(12)` ordinal window would silently
+    * pair across gaps if a month were empty, and needs a global sort
+    * besides). Post-aggregation cardinality is #months — bounded at any
+    * fact-table size, so the join is trivially broadcast. */
+  def yoyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.load(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val prev = monthly.select((col("y") + 1L).as("y"), col("m"),
+      col("rev").as("prev_rev"))
+    monthly.join(broadcast(prev), Seq("y", "m"), "left")
+      .select(col("y"), col("m"),
+        col("rev").cast("double").as("revenue"),
+        col("prev_rev").cast("double").as("prev_revenue"),
+        round((col("rev").cast("double") - col("prev_rev").cast("double"))
+          / col("prev_rev").cast("double") * 100d, 4).as("yoy_pct"))
+  }
+
+  /** Oracle for [[yoyRevenue]] — same join form, same cast points. */
+  val yoyRevenueSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |         CAST(month(o_orderdate) AS BIGINT) AS m,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT c.y, c.m, CAST(c.rev AS DOUBLE) AS revenue,
+      |       CAST(p.rev AS DOUBLE) AS prev_revenue,
+      |       round((CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE))
+      |             / CAST(p.rev AS DOUBLE) * 100, 4) AS yoy_pct
+      |FROM monthly c LEFT JOIN monthly p ON p.y = c.y - 1 AND p.m = c.m""".stripMargin
 }

@@ -836,4 +836,52 @@ object Similarity {
        |WHERE a.vec_id < b.vec_id
        |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
        |        >= ${threshold}::DOUBLE""".stripMargin
+
+  /** Cosine RANGE search (extension) — the other half of the vector-
+    * serving API next to [[cosineTopK]]: every candidate within a
+    * similarity radius of each query, however many there are (radius
+    * recall for dedup review queues, "more like this" feeds with a
+    * quality floor). Same plan skeleton as top-k — broadcast query
+    * side, codegen'd [[graft.functions.DotProduct]] scan — but with NO
+    * per-query window at all: the threshold filter replaces the rank,
+    * so the whole plan is one shuffle-free scan (top-k can't avoid its
+    * final per-query ordering; range search can, and at 100 TB that is
+    * the difference between a scan and a sort).
+    *
+    * The raw IEEE cosine (not the rounded display value) feeds the
+    * threshold compare, and both engines build it from bit-identical
+    * dot products with correctly-rounded sqrt/divide — so the boundary
+    * set is engine-identical. */
+  def rangeSearch(spark: SparkSession, dir: String, nQueries: Int = 5,
+      minCos: Double = 0.2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    emb.select(col("vec_id"), col("v").as("cv"), col("norm").as("cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Oracle for [[rangeSearch]] — same unrounded threshold compare. */
+  def rangeSearchSql(nQueries: Int = 5, minCos: Double = 0.2): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       |  WHERE vec_id < $nQueries
+       |)
+       |SELECT q.q_id, n.vec_id,
+       |       round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
+       |         AS cos_sim
+       |FROM q, n
+       |WHERE n.vec_id != q.q_id
+       |  AND list_dot_product(q.qv, n.v) / (q.qn * n.nrm)
+       |        >= ${minCos}::DOUBLE""".stripMargin
 }

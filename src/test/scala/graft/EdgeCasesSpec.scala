@@ -270,4 +270,48 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TradeOps.zscoreScale(emptyTrades).count() === 0)
     assert(TradeOps.schemaEvolutionRead(spark, emptyTrades).count() === 0)
   }
+
+  test("batch-8: cdc apply, rfm quartiles, yoy, range search invariants") {
+    import graft.ops.{Incremental, Relational, Similarity}
+    // CDC apply: empty feed → empty snapshot
+    assert(Incremental.cdcApply(emptyTrades).count() === 0)
+    // every surviving key's LAST change must be an upsert, and every
+    // tombstone-last key must be absent — cross-checked via max_by on
+    // the same total (timestamp, event_id) order
+    val trades = graft.Tables.trades(spark, sf)
+    val lastOp = trades
+      .groupBy("user_id")
+      .agg(max_by(col("event_id") % 10 === 0,
+        struct(col("timestamp"), col("event_id"))).as("last_is_del"))
+    val applied = Incremental.cdcApply(trades)
+    val joined = applied.join(lastOp, "user_id")
+    assert(joined.filter(col("last_is_del")).count() === 0)
+    assert(applied.count() ===
+      lastOp.filter(!col("last_is_del")).count())
+    // RFM: quartile sizes differ by at most 1 per score; segments
+    // compose the three digits exactly
+    val rfm = Relational.rfmSegments(spark, sf).cache()
+    for (c <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = rfm.groupBy(c).count().select("count")
+        .collect().map(_.getLong(0))
+      assert(sizes.length === 4, s"$c must have 4 tiles")
+      assert(sizes.max - sizes.min <= 1, s"$c tiles unbalanced: ${sizes.toSeq}")
+    }
+    assert(rfm.filter(col("rfm_segment") =!=
+      col("r_q") * 100 + col("f_q") * 10 + col("m_q")).count() === 0)
+    rfm.unpersist()
+    // YoY: exactly the months with no prior-year twin have NULL pct
+    val yoy = Relational.yoyRevenue(spark, sf).cache()
+    val firstYear = yoy.agg(min("y")).head().getLong(0)
+    assert(yoy.filter(col("yoy_pct").isNull && col("y") =!= firstYear)
+      .count() === 0)
+    assert(yoy.filter(col("y") === firstYear && col("yoy_pct").isNotNull)
+      .count() === 0)
+    yoy.unpersist()
+    // range search ⊇ the top-k hits that clear the same threshold
+    val topk = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 5)
+      .filter(col("cos_sim") >= 0.2).select("q_id", "vec_id")
+    val range = Similarity.rangeSearch(spark, sf).select("q_id", "vec_id")
+    assert(topk.join(range, Seq("q_id", "vec_id"), "left_anti").count() === 0)
+  }
 }
