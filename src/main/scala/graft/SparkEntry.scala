@@ -258,6 +258,16 @@ object SparkEntry {
     "a21_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
     "k12_cdc_apply" -> ((s, dir) => Incremental.cdcApply(trades(s, dir))),
     "v_range_search" -> ((s, dir) => Similarity.rangeSearch(s, dir)),
+    "d_containment" -> ((s, dir) => Dedup.containment(Tables.load(s, dir, "documents"))),
+    "d_lsh_recall" -> ((s, dir) => Dedup.lshRecall(Tables.load(s, dir, "documents"))),
+    "t_feature_hash" -> ((s, dir) => TextOps.featureHash(Tables.load(s, dir, "documents"))),
+    "g_degree_hist" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Graph.degreeHistogram(docs.select("doc_id"),
+        Dedup.minhashPairs(docs)
+          .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+          .select("doc_a", "doc_b"))
+    }),
   )
 
   private val T = Tables.tradesCte
@@ -1305,5 +1315,9 @@ object SparkEntry {
     "a21_yoy_revenue" -> Relational.yoyRevenueSql,
     "k12_cdc_apply" -> s"$T,\n${Incremental.cdcApplySql}",
     "v_range_search" -> Similarity.rangeSearchSql(),
+    "d_containment" -> Dedup.containmentSql(),
+    "d_lsh_recall" -> Dedup.lshRecallSql(),
+    "t_feature_hash" -> TextOps.featureHashSql(),
+    "g_degree_hist" -> Dedup.similarityDegreeSql(),
   )
 }

@@ -30,7 +30,7 @@ object Dedup {
   val simhashBits: Int = 60
 
   /** 32-bit word hash from md5 — identical in both engines. */
-  private val wordHash = "CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"
+  private[ops] val wordHash = "CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"
 
   /** Exact dedup: group by content hash, keep the lowest doc_id as
     * canonical (hash-groupBy; one shuffle on the 128-bit digest). */
@@ -794,4 +794,140 @@ object Dedup {
        |       round(CAST(r AS DOUBLE) / 1e12, 8) AS rank
        |FROM r$iters""".stripMargin
   }
+
+  /** N-gram CONTAINMENT near-dup pairs (extension) — the asymmetric
+    * companion to [[ngramJaccard]]: `C(A→B) = |A∩B| / |A|` catches a
+    * short document embedded verbatim in a long one, which symmetric
+    * Jaccard dilutes to noise (quote pages, aggregator articles,
+    * prompt-with-context training rows). Same inverted-index postings
+    * join — all counters exact integers until two final divides, and
+    * the (lang, source) blocking keys bound each posting list. */
+  def containment(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0, "containment postings join needs threshold > 0")
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("array_distinct(transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("shingles"))
+    val posts = sh.select(col("lang"), col("source"), col("doc_id"),
+      size(col("shingles")).as("sz"), explode_outer(col("shingles")).as("shingle"))
+    val l = posts.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val r = posts.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    l.join(r, Seq("lang", "source", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"),
+        count(lit(1)).as("n_inter"))
+      .withColumn("c_ab", col("n_inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("c_ba", col("n_inter").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 6).as("containment_ab"),
+        round(col("c_ba"), 6).as("containment_ba"))
+  }
+
+  /** Oracle for [[containment]] — list-intersect form over the same
+    * shingle sets and blocking keys. */
+  def containmentSql(threshold: Double = 0.3): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+       |  FROM documents
+       |), p AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |         len(list_intersect(s1.shingles, s2.shingles)) AS n_inter,
+       |         len(s1.shingles) AS na, len(s2.shingles) AS nb
+       |  FROM sh s1 JOIN sh s2
+       |    ON s1.lang = s2.lang AND s1.source = s2.source AND s1.doc_id < s2.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment_ab,
+       |       round(CAST(n_inter AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment_ba
+       |FROM p
+       |WHERE n_inter > 0
+       |  AND greatest(CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE),
+       |               CAST(n_inter AS DOUBLE) / CAST(nb AS DOUBLE))
+       |        >= ${threshold}::DOUBLE""".stripMargin
+
+  /** LSH quality report (extension) — "measure, don't guess" made a
+    * first-class operator: recall and precision of the banded candidate
+    * generator ([[minhashPairs]]'s any-band-equal predicate) against the
+    * ground truth `slot-match fraction ≥ τ`, over an EXPLICIT
+    * deterministic document sample (`doc_id % sampleMod = 0`; the
+    * all-pairs ground truth is quadratic by definition, so production
+    * runs bound it by sampling — the cap is a parameter, never silent).
+    * One row: the numbers that tell you whether the band layout's
+    * false-negative rate is acceptable before a 100-TB dedup run. */
+  def lshRecall(docs: DataFrame, tau: Double = resolveThreshold,
+      sampleMod: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs)
+      .filter(col("doc_id") % sampleMod === 0)
+    val s1 = sig.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val s2 = sig.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+    val matches = (0 until 16)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val bandEq = (0 until 4).map { band =>
+      (0 until 4).map(j => col(s"a${band * 4 + j}") === col(s"b${band * 4 + j}"))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    s1.crossJoin(s2).filter(col("doc_a") < col("doc_b"))
+      .select((matches.cast("double") / 16d >= tau).as("is_true"),
+        bandEq.as("is_cand"))
+      .agg(sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("is_true") && col("is_cand"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          when(col("n_true") === 0L, lit(null)).otherwise(col("n_true"))
+            .cast("double"), 6).as("recall"),
+        round(col("n_hits").cast("double") /
+          when(col("n_candidates") === 0L, lit(null)).otherwise(col("n_candidates"))
+            .cast("double"), 6).as("precision"))
+  }
+
+  /** Oracle for [[lshRecall]] — same sampled all-pairs scan in SQL. */
+  def lshRecallSql(tau: Double = resolveThreshold, sampleMod: Int = 3): String =
+    s"""$sigCte, sampled AS (
+       |  SELECT * FROM sig WHERE doc_id % $sampleMod = 0
+       |), scored AS (
+       |  SELECT (CAST($matchesSql AS DOUBLE) / 16 >= ${tau}::DOUBLE) AS is_true,
+       |         ($bandEqSql) AS is_cand
+       |  FROM sampled s1 JOIN sampled s2 ON s1.doc_id < s2.doc_id
+       |), agg AS (
+       |  SELECT CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |         CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       |         CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM scored
+       |)
+       |SELECT n_true, n_candidates, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(nullif(n_true, 0) AS DOUBLE), 6) AS recall,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(nullif(n_candidates, 0) AS DOUBLE), 6) AS "precision"
+       |FROM agg""".stripMargin
+
+  /** Oracle for the minhash-similarity-graph degree histogram
+    * ([[Graph.degreeHistogram]] over [[minhashPairs]] ≥
+    * [[resolveThreshold]] edges): per-doc degree from both edge
+    * endpoints, isolated docs counted at degree 0. */
+  def similarityDegreeSql(threshold: Double = resolveThreshold): String =
+    s"""$sigCte,
+       |p AS (
+       |  SELECT s1.doc_id AS a, s2.doc_id AS b
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $threshold
+       |), deg AS (
+       |  SELECT id, count(*) AS d FROM (
+       |    SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p
+       |  ) GROUP BY 1
+       |)
+       |SELECT CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+       |       count(*) AS n_docs
+       |FROM documents LEFT JOIN deg ON documents.doc_id = deg.id
+       |GROUP BY 1""".stripMargin
 }

@@ -437,4 +437,26 @@ object Graph {
        |            FROM o e1 JOIN o e2 ON e1.u = e2.u
        |                 AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
        |                 JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v))""".stripMargin
+
+  /** Degree histogram (extension) — the first thing to look at before
+    * any iterative graph algorithm: (degree → vertex count), isolated
+    * vertices included at degree 0. Two aggregate-sized shuffles
+    * (endpoint counts, then the histogram over ≤ max-degree groups) and
+    * one key-colocated left join — no iteration, holds at any edge
+    * count. Reversed duplicate edges collapse like [[triangles]]. */
+  def degreeHistogram(vertices: DataFrame, edges0: DataFrame): DataFrame = {
+    val Array(vc) = vertices.columns.take(1)
+    val Array(ac, bc) = edges0.columns.take(2)
+    val e = edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    vertices.select(col(vc).cast("long").as("id"))
+      .join(deg, Seq("id"), "left")
+      .groupBy(coalesce(col("d"), lit(0L)).as("degree"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -1319,4 +1319,33 @@ object TextOps {
        |             / CAST(count(*) AS DOUBLE), 6) AS coverage
        |FROM b LEFT JOIN v USING (bigram)
        |GROUP BY 1""".stripMargin
+
+  /** F15 (extension) — the hashing trick: project an unbounded token
+    * vocabulary into `nBuckets` fixed feature slots via the same
+    * portable md5-prefix hash the dedup tier uses
+    * ([[Dedup.wordHash]] — engine-reproducible where xxhash/murmur
+    * seeds are engine-private). Emits the SPARSE (doc, bucket, tf)
+    * form — the only representation that scales: a dense vector
+    * column is a constant-factor rewrite downstream, but a dense
+    * PIVOT here would shuffle nBuckets columns of mostly zeros.
+    * Raw token counts (no distinct): term frequency is the feature.
+    * One explode + one (doc, bucket) aggregate, map-side combined. */
+  def featureHash(docs: DataFrame, nBuckets: Int = 32): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("bucket", pmod(expr(Dedup.wordHash), lit(nBuckets.toLong)))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Oracle for [[featureHash]] — same hash arithmetic in DuckDB. */
+  def featureHashSql(nBuckets: Int = 32): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       ('0x' || substr(md5(word), 1, 8))::BIGINT % $nBuckets AS bucket,
+       |       count(*) AS tf
+       |FROM words
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -314,4 +314,52 @@ class EdgeCasesSpec extends SparkSuite {
     val range = Similarity.rangeSearch(spark, sf).select("q_id", "vec_id")
     assert(topk.join(range, Seq("q_id", "vec_id"), "left_anti").count() === 0)
   }
+
+  test("batch-9: containment, lsh recall, feature hash, degree histogram") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    // max-containment dominates jaccard, so every strong jaccard pair
+    // must reappear in the containment report at the same threshold
+    val jac = Dedup.ngramJaccard(docs).filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b")
+    val cont = Dedup.containment(docs).cache()
+    assert(jac.join(cont, Seq("doc_a", "doc_b"), "left_anti").count() === 0)
+    assert(cont.filter(col("containment_ab") > 1.0 ||
+      col("containment_ba") > 1.0).count() === 0)
+    cont.unpersist()
+    // lsh recall report: hit count bounded by both sides, rates in [0,1]
+    val rec = Dedup.lshRecall(docs).head()
+    val (nTrue, nCand, nHits) =
+      (rec.getLong(0), rec.getLong(1), rec.getLong(2))
+    assert(nHits <= math.min(nTrue, nCand))
+    assert(rec.getDouble(3) >= 0 && rec.getDouble(3) <= 1)
+    assert(rec.getDouble(4) >= 0 && rec.getDouble(4) <= 1)
+    // feature hash: per-doc tf mass equals the doc's token count and
+    // buckets stay in range
+    val fh = TextOps.featureHash(docs).cache()
+    assert(fh.filter(col("bucket") < 0 || col("bucket") >= 32).count() === 0)
+    val mass = fh.groupBy("doc_id").agg(sum("tf").as("mass"))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    assert(mass.join(toks, "doc_id")
+      .filter(col("mass") =!= col("n_tok")).count() === 0)
+    fh.unpersist()
+    // degree histogram: vertex mass conserved; edge mass = 2|E|
+    val edges = Dedup.minhashPairs(docs)
+      .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+      .select("doc_a", "doc_b")
+    val hist = Graph.degreeHistogram(docs.select("doc_id"), edges).cache()
+    assert(hist.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    val edgeMass = hist.agg(sum(col("degree") * col("n_docs"))).head().getLong(0)
+    val nEdges = edges.select(least(col("doc_a"), col("doc_b")),
+      greatest(col("doc_a"), col("doc_b"))).distinct().count()
+    assert(edgeMass === 2 * nEdges)
+    hist.unpersist()
+    // empty-input coverage
+    assert(Dedup.containment(emptyDocs).count() === 0)
+    assert(TextOps.featureHash(emptyDocs).count() === 0)
+    assert(Graph.degreeHistogram(
+      emptyDocs.select("doc_id"),
+      emptyDocs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+      .count() === 0)
+  }
 }
