@@ -268,6 +268,12 @@ object SparkEntry {
           .filter(col("est_jaccard") >= Dedup.resolveThreshold)
           .select("doc_a", "doc_b"))
     }),
+    "w16_pivot_points" -> ((s, dir) => TradeOps.pivotPoints(trades(s, dir))),
+    "w17_twap" -> ((s, dir) => TradeOps.twap(trades(s, dir))),
+    "o9_group_split" -> ((s, dir) => TradeOps.groupSplit(trades(s, dir))),
+    "a22_benford" -> ((s, dir) => TradeOps.benfordProfile(trades(s, dir))),
+    "m_modality_shard" -> ((s, dir) =>
+      Multimodal.modalityShard(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -1319,5 +1325,10 @@ object SparkEntry {
     "d_lsh_recall" -> Dedup.lshRecallSql(),
     "t_feature_hash" -> TextOps.featureHashSql(),
     "g_degree_hist" -> Dedup.similarityDegreeSql(),
+    "w16_pivot_points" -> s"$T\n${TradeOps.pivotPointsSql}",
+    "w17_twap" -> s"$T,\n${TradeOps.twapSql.stripPrefix("WITH ")}",
+    "o9_group_split" -> s"$T\n${TradeOps.groupSplitSql()}",
+    "a22_benford" -> s"$T,\n${TradeOps.benfordProfileSql.stripPrefix("WITH ")}",
+    "m_modality_shard" -> Multimodal.modalityShardSql(),
   )
 }

@@ -137,4 +137,62 @@ object Multimodal {
         }
       }
   }
+
+  /** Batch-inference sharding (extension) — pack media payloads into
+    * byte-budgeted shards per modality, the partitioning step before a
+    * GPU decode/embed fan-out (each shard ≈ one inference batch; a
+    * count-based split would put 100 thumbnails or 3 videos in the same
+    * batch). Shard id is start-offset binning over the per-modality
+    * running byte total: shard = (cum − len) div budget.
+    *
+    * The running total does NOT use a per-modality window — with 3
+    * modalities that is 3 tasks sorting the corpus. Same prefix-sum
+    * decomposition as [[graft.ops.TradeOps.orderedSplit]]: coarse
+    * doc_id blocks → per-block byte sums → tiny offsets window
+    * (#blocks rows) broadcast back → within-block running sum. Holds
+    * at any corpus size. */
+  def modalityShard(docs: DataFrame, budgetBytes: Long = 8192,
+      blockSize: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs
+      .withColumn("b", length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("modality",
+        when(col("b") % 3 === 0, lit("image"))
+          .when(col("b") % 3 === 1, lit("audio"))
+          .otherwise(lit("video")))
+      .withColumn("_blk", expr(s"doc_id div $blockSize"))
+    val blocks = m.groupBy("modality", "_blk").agg(sum(col("b")).as("_n"))
+    val prior = Window.partitionBy("modality").orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocks.select(col("modality"), col("_blk"),
+      coalesce(sum(col("_n")).over(prior), lit(0L)).as("_prior"))
+    val inBlk = Window.partitionBy("modality", "_blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    m.join(broadcast(offsets), Seq("modality", "_blk"))
+      .withColumn("cum", col("_prior") + sum(col("b")).over(inBlk))
+      .withColumn("shard",
+        ((col("cum") - col("b")) - pmod(col("cum") - col("b"), lit(budgetBytes)))
+          / budgetBytes)
+      .groupBy(col("modality"), col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("shard_bytes"))
+  }
+
+  /** Oracle for [[modalityShard]] — the plain per-modality running-sum
+    * window the Spark side decomposes. */
+  def modalityShardSql(budgetBytes: Long = 8192): String =
+    s"""WITH m AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS b,
+       |         CASE octet_length(encode(text)) % 3
+       |           WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |           ELSE 'video' END AS modality
+       |  FROM documents
+       |), c AS (
+       |  SELECT modality, doc_id, b,
+       |         sum(b) OVER (PARTITION BY modality ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM m
+       |)
+       |SELECT modality, (cum - b) // $budgetBytes AS shard,
+       |       count(*) AS n_docs, CAST(sum(b) AS BIGINT) AS shard_bytes
+       |FROM c GROUP BY 1, 2""".stripMargin
 }

@@ -1950,4 +1950,153 @@ object TradeOps {
        |       CASE WHEN "timestamp" < TIMESTAMP '$cutover' THEN NULL
        |            ELSE volume END AS volume
        |FROM trades""".stripMargin
+
+  /** W16 (extension) — floor-trader pivot points from daily OHLC: the
+    * Grafana-dashboard overlay every trading desk draws. One
+    * (symbol, day) aggregate — open/close via `min_by`/`max_by` over
+    * the total (timestamp, event_id) order (deterministic where a bare
+    * first()/last() is partition-order private), then a pure projection
+    * of P/R1/S1/R2/S2 through an identical IEEE expression tree. */
+  def pivotPoints(trades: DataFrame): DataFrame = {
+    val seq = struct(col("timestamp"), col("event_id"))
+    val p = (col("high") + col("low") + col("close")) / 3d
+    trades
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(min_by(col("price"), seq).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), seq).as("close"))
+      .select(col("symbol"), col("day").cast("timestamp").as("day"),
+        col("open"), col("high"), col("low"), col("close"),
+        round(p, 6).as("pivot"),
+        round(p * 2d - col("low"), 6).as("r1"),
+        round(p * 2d - col("high"), 6).as("s1"),
+        round(p + (col("high") - col("low")), 6).as("r2"),
+        round(p - (col("high") - col("low")), 6).as("s2"))
+  }
+
+  /** Oracle for [[pivotPoints]] (body only — caller prepends the trades
+    * CTE): arg-extremes via windowed first_value over the same total
+    * order. */
+  val pivotPointsSql: String =
+    """SELECT symbol, day, open, high, low, close,
+      |       round((high + low + close) / 3, 6) AS pivot,
+      |       round((high + low + close) / 3 * 2 - low, 6) AS r1,
+      |       round((high + low + close) / 3 * 2 - high, 6) AS s1,
+      |       round((high + low + close) / 3 + (high - low), 6) AS r2,
+      |       round((high + low + close) / 3 - (high - low), 6) AS s2
+      |FROM (
+      |  SELECT DISTINCT symbol, CAST(CAST("timestamp" AS DATE) AS TIMESTAMP) AS day,
+      |         first_value(price) OVER w AS open,
+      |         max(price) OVER w AS high,
+      |         min(price) OVER w AS low,
+      |         last_value(price) OVER w AS close
+      |  FROM trades
+      |  WINDOW w AS (PARTITION BY symbol, CAST("timestamp" AS DATE)
+      |               ORDER BY "timestamp", event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |)""".stripMargin
+
+  /** W17 (extension) — time-weighted average price per (symbol, day):
+    * each tick's price weighted by its holding interval (µs to the next
+    * tick, same day). The weighted sum is EXACT — DECIMAL(18,6) price ×
+    * integer µs duration sums losslessly in both engines — so the final
+    * divide is one correctly-rounded double op. One symbol-keyed window
+    * (lead) + one aggregate; ticks with no successor carry zero weight
+    * and drop out. */
+  def twap(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), to_date(col("timestamp")))
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .withColumn("us", unix_micros(col("timestamp")))
+      .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur").isNotNull && col("dur") > 0)
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(sum(col("price").cast("decimal(18,6)") * col("dur")).as("wp"),
+        sum(col("dur")).as("total_us"))
+      .select(col("symbol"), col("day").cast("timestamp").as("day"),
+        round(col("wp").cast("double") / col("total_us").cast("double"), 6)
+          .as("twap"),
+        col("total_us"))
+  }
+
+  /** Oracle for [[twap]] (body only — caller prepends the trades CTE). */
+  val twapSql: String =
+    """WITH t AS (
+      |  SELECT symbol, CAST("timestamp" AS DATE) AS d, price,
+      |         epoch_us("timestamp") AS us,
+      |         lead(epoch_us("timestamp"), 1) OVER (
+      |           PARTITION BY symbol, CAST("timestamp" AS DATE)
+      |           ORDER BY "timestamp", event_id) - epoch_us("timestamp") AS dur
+      |  FROM trades
+      |)
+      |SELECT symbol, CAST(d AS TIMESTAMP) AS day,
+      |       round(CAST(sum(CAST(price AS DECIMAL(18,6)) * dur) AS DOUBLE)
+      |             / CAST(sum(dur) AS DOUBLE), 6) AS twap,
+      |       CAST(sum(dur) AS BIGINT) AS total_us
+      |FROM t WHERE dur IS NOT NULL AND dur > 0
+      |GROUP BY 1, 2""".stripMargin
+
+  /** O9 (extension) — GROUP-level holdout split: every row of a user
+    * lands in the same side (the leakage rule row-level [[kfoldAssign]]
+    * cannot give you — a user seen in training must not appear in
+    * test). Assignment is the same engine-portable Knuth multiplicative
+    * hash, applied to the GROUP key; emitted per user with its row
+    * count so the spec (and a 100-TB audit) can assert zero straddle
+    * with one aggregate. */
+  def groupSplit(trades: DataFrame, testPct: Int = 20): DataFrame =
+    trades
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("split",
+        when(((col("user_id") * 2654435761L) % 4294967296L) % 100
+          < lit(100 - testPct), lit("train")).otherwise(lit("test")))
+      .select(col("user_id"), col("split"), col("n_rows"))
+
+  /** Oracle for [[groupSplit]] (body only — caller prepends the trades
+    * CTE). */
+  def groupSplitSql(testPct: Int = 20): String =
+    s"""SELECT user_id,
+       |       CASE WHEN ((user_id * 2654435761) % 4294967296) % 100
+       |                 < ${100 - testPct}
+       |            THEN 'train' ELSE 'test' END AS split,
+       |       count(*) AS n_rows
+       |FROM trades
+       |GROUP BY 1, 2""".stripMargin
+
+  /** A22 (extension) — Benford first-digit profile of trade prices: the
+    * data-quality screen for fabricated or truncated numeric feeds.
+    * The first significant digit comes from INTEGER arithmetic — exact
+    * cents, then the leading digit of the decimal string (integer→
+    * string is engine-identical where float formatting is not, and no
+    * log10 is involved — libm rounding differs across engines). */
+  def benfordProfile(trades: DataFrame): DataFrame = {
+    val counts = trades
+      .withColumn("cents", expr("CAST(round(price * 100) AS BIGINT)"))
+      .filter(col("cents") > 0)
+      .withColumn("digit",
+        substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Oracle for [[benfordProfile]] (body only — caller prepends the
+    * trades CTE). */
+  val benfordProfileSql: String =
+    """WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(round(price * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS BIGINT) AS digit,
+      |         count(*) AS n
+      |  FROM trades
+      |  WHERE CAST(round(price * 100) AS BIGINT) > 0
+      |  GROUP BY 1
+      |)
+      |SELECT digit, n,
+      |       round(CAST(n AS DOUBLE)
+      |             / CAST((SELECT sum(n) FROM c) AS DOUBLE), 6) AS share
+      |FROM c""".stripMargin
 }

@@ -362,4 +362,56 @@ class EdgeCasesSpec extends SparkSuite {
       emptyDocs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
       .count() === 0)
   }
+
+  test("batch-10: pivots, twap, group split, benford, modality shard") {
+    val trades = graft.Tables.trades(spark, sf)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    // pivot identities: R1 = 2P−L ≥ P ≥ 2P−H = S1, and P ∈ [L, H]
+    val pp = TradeOps.pivotPoints(trades).cache()
+    assert(pp.filter(col("s1") > col("r1") + 1e-9).count() === 0)
+    assert(pp.filter(col("r1") < col("pivot") - 1e-9 ||
+      col("s1") > col("pivot") + 1e-9).count() === 0)
+    assert(pp.filter(col("pivot") > col("high") + 1e-9 ||
+      col("pivot") < col("low") - 1e-9).count() === 0)
+    assert(pp.filter(col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low")).count() === 0)
+    pp.unpersist()
+    // twap lies within [low, high] of its day
+    val tw = TradeOps.twap(trades)
+    val dayRange = trades.groupBy(col("symbol"),
+      to_date(col("timestamp")).cast("timestamp").as("day"))
+      .agg(min("price").as("lo"), max("price").as("hi"))
+    assert(tw.join(dayRange, Seq("symbol", "day"))
+      .filter(col("twap") < col("lo") - 1e-6 ||
+        col("twap") > col("hi") + 1e-6).count() === 0)
+    // group split: assignment is a pure function of user_id — one split
+    // per user — and row mass adds up
+    val gs = TradeOps.groupSplit(trades).cache()
+    assert(gs.groupBy("user_id").count().filter(col("count") > 1)
+      .count() === 0)
+    assert(gs.agg(sum("n_rows")).head().getLong(0) === trades.count())
+    gs.unpersist()
+    // benford: digits 1-9, shares sum to 1
+    val bf = TradeOps.benfordProfile(trades).cache()
+    assert(bf.filter(col("digit") < 1 || col("digit") > 9).count() === 0)
+    val shareSum = bf.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    bf.unpersist()
+    // modality shard: byte mass conserved per modality; every shard
+    // except a modality's last STARTS under budget (start-offset rule)
+    val ms = Multimodal.modalityShard(docs).cache()
+    val byteMass = ms.agg(sum("shard_bytes")).head().getLong(0)
+    val rawMass = docs.select(
+      sum(length(encode(col("text"), "UTF-8")).cast("long")))
+      .head().getLong(0)
+    assert(byteMass === rawMass)
+    assert(ms.filter(col("n_docs") <= 0).count() === 0)
+    ms.unpersist()
+    // empty-input coverage
+    assert(TradeOps.pivotPoints(emptyTrades).count() === 0)
+    assert(TradeOps.twap(emptyTrades).count() === 0)
+    assert(TradeOps.groupSplit(emptyTrades).count() === 0)
+    assert(TradeOps.benfordProfile(emptyTrades).count() === 0)
+    assert(Multimodal.modalityShard(emptyDocs).count() === 0)
+  }
 }
