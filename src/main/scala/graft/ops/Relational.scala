@@ -817,9 +817,12 @@ object Relational {
         sum(dec(col("o_totalprice"))).as("_monetary"))
     // rank ascending by (metric, custkey); n+1-rank is then the rank
     // under (metric DESC, custkey DESC) — total order, no ties.
+    // Each stage is localCheckpoint'ed: distributedRank reads its input
+    // twice (bucketed rows + bucket counts), so an unmaterialized
+    // 3-stage chain would re-run the orders aggregate 2^3 times.
     def quartileDesc(df: DataFrame, bkt: Column, metric: Column,
         outCol: String): DataFrame =
-      distributedRank(df, bkt, metric, col("custkey"))
+      distributedRank(df.localCheckpoint(), bkt, metric, col("custkey"))
         .withColumn(outCol,
           ntileOfRank(col("_total") + 1L - col("_rank"), col("_total"), 4))
         .drop("_rank", "_total")
