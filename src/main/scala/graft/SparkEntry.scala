@@ -274,6 +274,11 @@ object SparkEntry {
     "a22_benford" -> ((s, dir) => TradeOps.benfordProfile(trades(s, dir))),
     "m_modality_shard" -> ((s, dir) =>
       Multimodal.modalityShard(Tables.load(s, dir, "documents"))),
+    "e_conversion_paths" -> ((s, dir) =>
+      EventAnalytics.conversionPaths(Tables.events(s, dir))),
+    "p3_props_shred" -> ((s, dir) =>
+      EventAnalytics.propsShred(Tables.events(s, dir))),
+    "w18_run_length" -> ((s, dir) => TradeOps.runLength(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1330,5 +1335,8 @@ object SparkEntry {
     "o9_group_split" -> s"$T\n${TradeOps.groupSplitSql()}",
     "a22_benford" -> s"$T,\n${TradeOps.benfordProfileSql.stripPrefix("WITH ")}",
     "m_modality_shard" -> Multimodal.modalityShardSql(),
+    "e_conversion_paths" -> EventAnalytics.conversionPathsSql(),
+    "p3_props_shred" -> EventAnalytics.propsShredSql,
+    "w18_run_length" -> s"$T,\n${TradeOps.runLengthSql().stripPrefix("WITH ")}",
   )
 }

@@ -212,4 +212,73 @@ object EventAnalytics {
        |FROM p ASOF LEFT JOIN c
        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
        |GROUP BY 1""".stripMargin
+
+  /** Top conversion paths (extension) — the ordered-sequence aggregate
+    * behind "which journeys convert": each user's first `maxSteps`
+    * events as a `>`-joined path string, counted by (path, converted).
+    *
+    * The ordered list is `collect_list(struct(µs, event_id, type))`
+    * sorted AFTER collection — `collect_list` order is
+    * partition-private, but `array_sort` over the total (µs, event_id)
+    * key makes the sequence engine-identical. Per-user arrays are
+    * bounded by the explicit `maxSteps` cap (stated, never silent), so
+    * a power user cannot blow an executor; the path table folds to at
+    * most |paths| groups. */
+  def conversionPaths(events: DataFrame, maxSteps: Int = 8): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type").as("t")).as("step"))
+      .groupBy("user_id")
+      .agg(collect_list(col("step")).as("steps"))
+      .select(col("user_id"),
+        expr(s"slice(transform(array_sort(steps), x -> x.t), 1, $maxSteps)")
+          .as("path_arr"))
+      .select(
+        concat_ws(">", col("path_arr")).as("path"),
+        array_contains(col("path_arr"), "purchase").as("converted"))
+      .groupBy("path", "converted")
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Oracle for [[conversionPaths]] — DuckDB's ordered list aggregate
+    * sliced to the same cap. */
+  def conversionPathsSql(maxSteps: Int = 8): String =
+    s"""WITH p AS (
+       |  SELECT user_id,
+       |         (list(event_type ORDER BY ts::TIMESTAMP, event_id))[1:$maxSteps]
+       |           AS path_arr
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT array_to_string(path_arr, '>') AS path,
+       |       list_contains(path_arr, 'purchase') AS converted,
+       |       count(*) AS n_users
+       |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** P3 (extension) — schema-on-read shredding of the raw `props` JSON
+    * column: `from_json` with a declared schema, then an exact-integer
+    * profile per event type. The pattern every landed semi-structured
+    * feed needs before it becomes columns; the declared schema keeps
+    * the parse codegen'd and null-safe (malformed JSON → NULL k,
+    * counted, never thrown). */
+  def propsShred(events: DataFrame): DataFrame =
+    events
+      .withColumn("k",
+        from_json(col("props"), lit("k INT")).getField("k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("k").isNull, 1)).as("n_null"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Oracle for [[propsShred]]. */
+  val propsShredSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(CASE WHEN CAST(props->>'k' AS BIGINT) IS NULL
+      |                       THEN 1 END) AS BIGINT) AS n_null,
+      |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |GROUP BY 1""".stripMargin
 }

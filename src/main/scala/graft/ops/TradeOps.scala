@@ -2064,6 +2064,66 @@ object TradeOps {
        |FROM trades
        |GROUP BY 1, 2""".stripMargin
 
+  /** W18 (extension) — direction-run encoding, the MATCH_RECOGNIZE-lite
+    * pattern detector: consecutive same-direction tick runs per symbol
+    * (up / down / flat vs the previous price), reported for runs of at
+    * least `minLen` — "N rises in a row" momentum screens without a
+    * pattern-matching engine. Gaps-and-islands on the direction column:
+    * break flag where direction changes, running sum of breaks = run id
+    * — TWO windows over ONE symbol-keyed exchange (same partitioning,
+    * Catalyst plans a single shuffle), then a per-run aggregate.
+    * Directions come from exact cent comparisons, so sign() never sees
+    * float noise. */
+  def runLength(trades: DataFrame, minLen: Int = 3): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("timestamp"), col("event_id"))
+    val cum = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("dir",
+        when(col("pc") > lag(col("pc"), 1).over(w), lit("up"))
+          .when(col("pc") < lag(col("pc"), 1).over(w), lit("down"))
+          .when(lag(col("pc"), 1).over(w).isNotNull, lit("flat")))
+      .filter(col("dir").isNotNull)
+      .withColumn("brk",
+        when(col("dir") === lag(col("dir"), 1).over(w), 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("brk")).over(cum))
+      .groupBy("symbol", "run_id", "dir")
+      .agg(count(lit(1)).as("run_len"),
+        min(col("timestamp")).as("start_ts"),
+        max(col("timestamp")).as("end_ts"))
+      .filter(col("run_len") >= minLen)
+      .select("symbol", "dir", "run_len", "start_ts", "end_ts")
+  }
+
+  /** Oracle for [[runLength]] (body only — caller prepends the trades
+    * CTE). */
+  def runLengthSql(minLen: Int = 3): String =
+    s"""WITH d AS (
+       |  SELECT symbol, "timestamp", event_id,
+       |         CASE WHEN pc > lag(pc) OVER w THEN 'up'
+       |              WHEN pc < lag(pc) OVER w THEN 'down'
+       |              WHEN lag(pc) OVER w IS NOT NULL THEN 'flat' END AS dir
+       |  FROM (SELECT symbol, "timestamp", event_id,
+       |               CAST(round(price * 100) AS BIGINT) AS pc FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id)
+       |), b AS (
+       |  SELECT *, CASE WHEN dir = lag(dir) OVER w2 THEN 0 ELSE 1 END AS brk
+       |  FROM d WHERE dir IS NOT NULL
+       |  WINDOW w2 AS (PARTITION BY symbol ORDER BY "timestamp", event_id)
+       |), r AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY symbol
+       |    ORDER BY "timestamp", event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM b
+       |)
+       |SELECT symbol, dir, count(*) AS run_len,
+       |       min("timestamp") AS start_ts, max("timestamp") AS end_ts
+       |FROM r
+       |GROUP BY symbol, run_id, dir
+       |HAVING count(*) >= $minLen""".stripMargin
+
   /** A22 (extension) — Benford first-digit profile of trade prices: the
     * data-quality screen for fabricated or truncated numeric feeds.
     * The first significant digit comes from INTEGER arithmetic — exact

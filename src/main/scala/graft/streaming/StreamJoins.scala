@@ -37,4 +37,19 @@ object StreamJoins {
       .select(col("user_id"), col("purchase_ts"), col("purchase_price"),
         col("click_ts"))
   }
+
+  /** Stream–static enrichment: the streaming trade feed joined to a
+    * small static dimension (symbol → metadata) — the most common
+    * streaming join in practice (reference analog: attaching instrument
+    * metadata before the dashboard write).
+    *
+    * Scale posture: the static side is `broadcast()` explicitly, so
+    * every micro-batch is a map-side hash join — NO state store, no
+    * watermark needed (stream-static joins are stateless by
+    * definition), no shuffle of the stream. A left join keeps
+    * unenriched ticks flowing (inner would silently drop symbols
+    * missing from the dimension — at 100 TB that is data loss, not
+    * enrichment). */
+  def enrichWithDimension(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), Seq("symbol"), "left")
 }

@@ -631,4 +631,26 @@ class StreamingSpec extends SparkSuite {
       assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
     } finally q.stop()
   }
+
+  test("stream-static enrichment: broadcast dim join, left keeps unmatched") {
+    import spark.implicits._
+    val input = MemoryStream[TradeEvent](spark)
+    val dim = Seq(("BTC", "crypto"), ("ETH", "crypto"))
+      .toDF("symbol", "sector")
+    val q = graft.streaming.StreamJoins
+      .enrichWithDimension(input.toDF(), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich").start()
+    try {
+      input.addData(
+        TradeEvent("BTC", new java.sql.Timestamp(t0), 1.0, 100.0),
+        TradeEvent("XAU", new java.sql.Timestamp(t0), 1.0, 200.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich")
+        .select("symbol", "sector").as[(String, Option[String])]
+        .collect().toMap
+      // enriched where the dim knows the symbol, NULL (not dropped) where not
+      assert(out === Map("BTC" -> Some("crypto"), "XAU" -> None))
+    } finally q.stop()
+  }
 }
