@@ -279,6 +279,15 @@ object SparkEntry {
     "p3_props_shred" -> ((s, dir) =>
       EventAnalytics.propsShred(Tables.events(s, dir))),
     "w18_run_length" -> ((s, dir) => TradeOps.runLength(trades(s, dir))),
+    "g_kcore" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Graph.kCore(Dedup.minhashPairs(docs)
+        .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+        .select("doc_a", "doc_b"))
+    }),
+    "k13_dynamic_overwrite" -> ((s, dir) =>
+      TradeOps.dynamicPartitionOverwrite(s, trades(s, dir))),
+    "a23_autocorr" -> ((s, dir) => TradeOps.autocorr(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1338,5 +1347,8 @@ object SparkEntry {
     "e_conversion_paths" -> EventAnalytics.conversionPathsSql(),
     "p3_props_shred" -> EventAnalytics.propsShredSql,
     "w18_run_length" -> s"$T,\n${TradeOps.runLengthSql().stripPrefix("WITH ")}",
+    "g_kcore" -> Dedup.kCoreSql(),
+    "k13_dynamic_overwrite" -> s"$T\n${TradeOps.dynamicPartitionOverwriteSql()}",
+    "a23_autocorr" -> s"$T,\n${TradeOps.autocorrSql.stripPrefix("WITH ")}",
   )
 }

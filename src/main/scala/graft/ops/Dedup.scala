@@ -910,6 +910,39 @@ object Dedup {
        |       round(CAST(n_hits AS DOUBLE) / CAST(nullif(n_candidates, 0) AS DOUBLE), 6) AS "precision"
        |FROM agg""".stripMargin
 
+  /** Oracle for [[Graph.kCore]] over the minhash similarity graph: the
+    * peel loop unrolled to exactly the Spark side's `maxIter` bound.
+    * Peeling is monotone and idempotent at the fixpoint, so iterations
+    * past convergence are no-ops — over-unrolling is safe, and the
+    * Spark side fails loud if it would ever need MORE than the unroll
+    * (the one case where the two sides could diverge). */
+  def kCoreSql(k: Int = 2, unroll: Int = 20,
+      threshold: Double = resolveThreshold): String = {
+    // MATERIALIZED: each CTE references its predecessor 2-3 times;
+    // DuckDB's default inlining would expand the chain exponentially
+    // (observed as fd exhaustion re-opening the parquet).
+    val iters = (1 to unroll).map { i =>
+      val prev = s"e${i - 1}"
+      s"""v$i AS MATERIALIZED (
+         |  SELECT id, count(*) AS degree FROM (
+         |    SELECT a AS id FROM $prev UNION ALL SELECT b AS id FROM $prev
+         |  ) GROUP BY 1 HAVING count(*) >= $k
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN v$i x ON e.a = x.id JOIN v$i y ON e.b = y.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$sigCte,
+       |e0 AS MATERIALIZED (
+       |  SELECT s1.doc_id AS a, s2.doc_id AS b
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $threshold
+       |),
+       |$iters
+       |SELECT id, degree FROM v$unroll""".stripMargin
+  }
+
   /** Oracle for the minhash-similarity-graph degree histogram
     * ([[Graph.degreeHistogram]] over [[minhashPairs]] ≥
     * [[resolveThreshold]] edges): per-doc degree from both edge

@@ -438,6 +438,65 @@ object Graph {
        |                 AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
        |                 JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v))""".stripMargin
 
+  /** K-core decomposition (extension) — iterative peeling to the
+    * maximal subgraph where every vertex keeps degree ≥ k: the standard
+    * "dense cluster vs stragglers" cut before expensive per-cluster
+    * work (here: which near-dup clusters are tight enough to collapse
+    * aggressively).
+    *
+    * Each round is one degree aggregate + one semi-join edge
+    * restriction — aggregate-sized shuffles, `localCheckpoint` per
+    * round to cut lineage (released on exit, the
+    * [[connectedComponents]] leak lesson). Peeling is monotone
+    * (vertices only leave), so a converged state is a FIXPOINT: extra
+    * rounds are no-ops — which is exactly what lets the SQL oracle
+    * over-unroll a fixed iteration count. Fails loud on non-convergence
+    * like [[connectedComponents]]. */
+  def kCore(edges0: DataFrame, k: Int = 2, maxIter: Int = 20): DataFrame = {
+    val allocated = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      allocated ++= backingRdds(c)
+      c
+    }
+    val Array(ac, bc) = edges0.columns.take(2)
+    var edges = ckpt(edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var iter = 0
+    var converged = false
+    var nEdges = edges.count()
+    var result: DataFrame = null
+    while (iter < maxIter && !converged) {
+      val deg = edges.select(col("a").as("id"))
+        .union(edges.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val keep = ckpt(deg.filter(col("degree") >= k))
+      val next = ckpt(edges
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b"))
+      val nNext = next.count()
+      if (nNext == nEdges) {
+        converged = true
+        result = keep
+      } else {
+        edges = next
+        nEdges = nNext
+        iter += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxIter rounds")
+    val keepRdds = backingRdds(result).toSet
+    allocated.filterNot(keepRdds).distinct
+      .foreach(_.unpersist(blocking = false))
+    result
+  }
+
   /** Degree histogram (extension) — the first thing to look at before
     * any iterative graph algorithm: (degree → vertex count), isolated
     * vertices included at degree 0. Two aggregate-sized shuffles

@@ -490,6 +490,109 @@ object TradeOps {
       .select("event_id", "symbol", "timestamp", "price", "volume")
   }
 
+  /** K13 (extension) — dynamic partition overwrite, the warehouse
+    * backfill primitive: rewrite ONLY the date partitions present in
+    * the incoming batch, leave every other partition byte-identical
+    * (static overwrite mode would truncate the whole table — the
+    * classic destroyed-history outage). Here: day `reviseDay` is
+    * re-written with corrected prices (a deterministic +1.00 revision),
+    * all other days untouched; the read-back proves both halves.
+    * `partitionOverwriteMode=dynamic` is set per-write via option, not
+    * session-wide — a library must not mutate caller session state. */
+  def dynamicPartitionOverwrite(spark: SparkSession, trades: DataFrame,
+      reviseDay: String = "2024-01-15"): DataFrame = {
+    val out = scratchDir(spark, "dyn_overwrite")
+    val base = trades
+      .withColumn("day", to_date(col("timestamp")))
+      .select("event_id", "symbol", "timestamp", "price", "day")
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    val revision = base.filter(col("day") === lit(reviseDay).cast("date"))
+      .withColumn("price", col("price") + 1.0d)
+    revision.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        col("price"), col("day").cast("timestamp").as("day"))
+  }
+
+  /** Oracle for [[dynamicPartitionOverwrite]] (body only — caller
+    * prepends the trades CTE): the revision as a CASE on the day. */
+  def dynamicPartitionOverwriteSql(reviseDay: String = "2024-01-15"): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       CASE WHEN CAST("timestamp" AS DATE) = DATE '$reviseDay'
+       |            THEN price + 1.0 ELSE price END AS price,
+       |       CAST(CAST("timestamp" AS DATE) AS TIMESTAMP) AS day
+       |FROM trades""".stripMargin
+
+  /** A23 (extension) — lag-1 autocorrelation of per-symbol prices over
+    * the total (timestamp, event_id) order: the mean-reversion /
+    * momentum screen. Same exactness discipline as [[marketBeta]]: all
+    * sums are exact cent BIGINTs (Σx, Σx², Σxy and the two boundary
+    * sums), μ enters only in the final fixed IEEE expression tree, so
+    * the rounded coefficient is engine-identical. One symbol-keyed
+    * window (lag) + one aggregate. */
+  def autocorr(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("timestamp"), col("event_id"))
+    val d = col("denom")
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("prev", lag(col("pc"), 1).over(w))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pc")).as("sx"),
+        sum(col("pc") * col("pc")).as("sxx"),
+        sum(when(col("prev").isNotNull, col("prev") * col("pc"))).as("sxy"),
+        sum(when(col("prev").isNotNull, col("prev"))).as("s_lead"),
+        sum(when(col("prev").isNotNull, col("pc"))).as("s_lag"))
+      .filter(col("n") >= 2)
+      .withColumn("mu", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("num",
+        col("sxy").cast("double")
+          - col("mu") * (col("s_lead") + col("s_lag")).cast("double")
+          + (col("n") - 1L).cast("double") * col("mu") * col("mu"))
+      .withColumn("denom",
+        col("sxx").cast("double")
+          - col("mu") * col("sx").cast("double") * 2d
+          + col("n").cast("double") * col("mu") * col("mu"))
+      .select(col("symbol"), col("n"),
+        when(d === 0d, lit(null)).otherwise(round(col("num") / d, 6))
+          .as("autocorr_lag1"))
+  }
+
+  /** Oracle for [[autocorr]] (body only — caller prepends the trades
+    * CTE): the identical expression tree in SQL. */
+  val autocorrSql: String =
+    """WITH l AS (
+      |  SELECT symbol, CAST(round(price * 100) AS BIGINT) AS pc,
+      |         lag(CAST(round(price * 100) AS BIGINT)) OVER (
+      |           PARTITION BY symbol ORDER BY "timestamp", event_id) AS prev
+      |  FROM trades
+      |), s AS (
+      |  SELECT symbol, count(*) AS n,
+      |         CAST(sum(pc) AS BIGINT) AS sx,
+      |         CAST(sum(pc * pc) AS BIGINT) AS sxx,
+      |         CAST(sum(CASE WHEN prev IS NOT NULL THEN prev * pc END) AS BIGINT) AS sxy,
+      |         CAST(sum(CASE WHEN prev IS NOT NULL THEN prev END) AS BIGINT) AS s_lead,
+      |         CAST(sum(CASE WHEN prev IS NOT NULL THEN pc END) AS BIGINT) AS s_lag
+      |  FROM l GROUP BY 1 HAVING count(*) >= 2
+      |), m AS (
+      |  SELECT symbol, n,
+      |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |         CAST(sxy AS DOUBLE) AS dxy, CAST(sxx AS DOUBLE) AS dxx,
+      |         CAST(s_lead + s_lag AS DOUBLE) AS dsl, CAST(sx AS DOUBLE) AS dx
+      |  FROM s
+      |)
+      |SELECT symbol, n,
+      |       CASE WHEN (dxx - mu * dx * 2 + CAST(n AS DOUBLE) * mu * mu) = 0
+      |            THEN NULL
+      |            ELSE round((dxy - mu * dsl
+      |                        + CAST(n - 1 AS DOUBLE) * mu * mu)
+      |                       / (dxx - mu * dx * 2
+      |                          + CAST(n AS DOUBLE) * mu * mu), 6)
+      |       END AS autocorr_lag1
+      |FROM m""".stripMargin
+
   /** Reshaping breadth: pivot — day-of-week trade counts as one column
     * per weekday. Explicit pivot values keep the output schema static
     * (no extra distinct-scan job, and a plan Catalyst can fully

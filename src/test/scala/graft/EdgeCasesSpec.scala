@@ -414,4 +414,44 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TradeOps.benfordProfile(emptyTrades).count() === 0)
     assert(Multimodal.modalityShard(emptyDocs).count() === 0)
   }
+
+  test("batch-12: k-core, dynamic overwrite, autocorr invariants") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val edges = Dedup.minhashPairs(docs)
+      .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+      .select("doc_a", "doc_b")
+    // every survivor keeps degree >= k INSIDE the core, and the 1-core
+    // is exactly the non-isolated vertex set
+    val core2 = Graph.kCore(edges, k = 2).cache()
+    assert(core2.filter(col("degree") < 2).count() === 0)
+    val nonIso = edges.select(col("doc_a").as("id"))
+      .union(edges.select(col("doc_b").as("id"))).distinct()
+    assert(Graph.kCore(edges, k = 1).count() === nonIso.count())
+    // 2-core ⊆ non-isolated
+    assert(core2.join(nonIso, Seq("id"), "left_anti").count() === 0)
+    core2.unpersist()
+    // empty graph converges to an empty core
+    assert(Graph.kCore(
+      emptyDocs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+      .count() === 0)
+    // dynamic overwrite: untouched days byte-identical to the source,
+    // revised day shifted by exactly +1.00
+    val trades = graft.Tables.trades(spark, sf)
+    val out = TradeOps.dynamicPartitionOverwrite(spark, trades,
+      reviseDay = "2024-01-15").cache()
+    val orig = trades.select(col("event_id"), col("price").as("p0"))
+    val joined = out.join(orig, "event_id")
+    assert(joined.filter(
+      col("day") =!= lit("2024-01-15").cast("timestamp") &&
+        col("price") =!= col("p0")).count() === 0)
+    assert(joined.filter(
+      col("day") === lit("2024-01-15").cast("timestamp") &&
+        col("price") =!= col("p0") + 1.0d).count() === 0)
+    assert(out.count() === trades.count())
+    out.unpersist()
+    // autocorrelation is a correlation: |r| <= 1 (Cauchy-Schwarz)
+    val ac = TradeOps.autocorr(trades)
+    assert(ac.filter(abs(col("autocorr_lag1")) > 1.0 + 1e-9).count() === 0)
+    assert(TradeOps.autocorr(emptyTrades).count() === 0)
+  }
 }
