@@ -288,6 +288,12 @@ object SparkEntry {
     "k13_dynamic_overwrite" -> ((s, dir) =>
       TradeOps.dynamicPartitionOverwrite(s, trades(s, dir))),
     "a23_autocorr" -> ((s, dir) => TradeOps.autocorr(trades(s, dir))),
+    "a24_ks_drift" -> ((s, dir) => TradeOps.ksDrift(trades(s, dir))),
+    "e_stickiness" -> ((s, dir) =>
+      EventAnalytics.stickiness(Tables.events(s, dir))),
+    "k14_wap" -> ((s, dir) => graft.sinks.Wap.roundTrip(s, trades(s, dir))),
+    "p_filter_funnel" -> ((s, dir) =>
+      Pipeline.filterFunnel(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -1350,5 +1356,9 @@ object SparkEntry {
     "g_kcore" -> Dedup.kCoreSql(),
     "k13_dynamic_overwrite" -> s"$T\n${TradeOps.dynamicPartitionOverwriteSql()}",
     "a23_autocorr" -> s"$T,\n${TradeOps.autocorrSql.stripPrefix("WITH ")}",
+    "a24_ks_drift" -> s"$T,\n${TradeOps.ksDriftSql().stripPrefix("WITH ")}",
+    "e_stickiness" -> EventAnalytics.stickinessSql,
+    "k14_wap" -> s"$T\n${graft.sinks.Wap.roundTripSql}",
+    "p_filter_funnel" -> Pipeline.filterFunnelSql,
   )
 }

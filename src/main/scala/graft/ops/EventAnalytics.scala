@@ -254,6 +254,55 @@ object EventAnalytics {
        |       count(*) AS n_users
        |FROM p GROUP BY 1, 2""".stripMargin
 
+  /** DAU/MAU stickiness (extension) — the product-health ratio: average
+    * daily active users over monthly active users per calendar month.
+    * Two distinct-count aggregates: (day → DAU) folds to ≤ 31 rows per
+    * month before the tiny month-level average; MAU is one
+    * month-keyed distinct count (exact here — at true event scale the
+    * [[Relational.hllMergeDistinct]] sketch slots in per month). Only
+    * observed days enter the DAU average (a dead day with zero events
+    * is invisible to both engines equally). */
+  def stickiness(events: DataFrame): DataFrame = {
+    val dau = events
+      .groupBy(date_trunc("month", col("ts")).as("month"),
+        to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_total"))
+    val mau = events
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("mau"), col("n_days"),
+        round(col("dau_total").cast("double") / col("n_days").cast("double"), 6)
+          .as("avg_dau"),
+        round(col("dau_total").cast("double") / col("n_days").cast("double")
+          / col("mau").cast("double"), 6).as("stickiness"))
+  }
+
+  /** Oracle for [[stickiness]]. */
+  val stickinessSql: String =
+    """WITH d AS (
+      |  SELECT date_trunc('month', ts::TIMESTAMP) AS month,
+      |         CAST(ts AS DATE) AS day,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM events GROUP BY 1, 2
+      |), dm AS (
+      |  SELECT month, count(*) AS n_days,
+      |         CAST(sum(dau) AS BIGINT) AS dau_total
+      |  FROM d GROUP BY 1
+      |), m AS (
+      |  SELECT date_trunc('month', ts::TIMESTAMP) AS month,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT dm.month, m.mau, dm.n_days,
+      |       round(CAST(dau_total AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+      |         AS avg_dau,
+      |       round(CAST(dau_total AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |             / CAST(m.mau AS DOUBLE), 6) AS stickiness
+      |FROM dm JOIN m USING (month)""".stripMargin
+
   /** P3 (extension) — schema-on-read shredding of the raw `props` JSON
     * column: `from_json` with a declared schema, then an exact-integer
     * profile per event type. The pattern every landed semi-structured

@@ -161,4 +161,48 @@ object Pipeline {
        |)
        |SELECT doc_id, source, quality, CAST(rn AS BIGINT) AS rank_in_source
        |FROM ranked WHERE rn <= $quota""".stripMargin
+
+  /** Filter funnel (extension) — the cleaning pipeline's observability
+    * row: how many documents survive each stage (raw → quality →
+    * exact-dedup → near-dedup). The numbers a data curator reads before
+    * trusting a corpus build; "no silent caps" as a query. Stage 2/3
+    * reuse the session-cached signature table and the same contraction
+    * as [[corpusClean]], so the funnel costs one extra count per stage,
+    * not a pipeline re-run. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val kept = TextOps.qualityScore(docs)
+      .filter(col("quality") >= minQuality).select("doc_id")
+    val corpus = docs.join(kept, Seq("doc_id"), "left_semi")
+    val sigKept = Dedup.minhashSignatures(docs)
+      .join(kept, Seq("doc_id"), "left_semi")
+    val resolved = Dedup.resolveBySignature(sigKept)
+    def stage(i: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    stage(0, "raw", docs)
+      .unionByName(stage(1, "quality", corpus))
+      .unionByName(stage(2, "exact_dedup",
+        corpus.select(md5(col("text")).as("fp")).distinct()))
+      .unionByName(stage(3, "near_dedup",
+        resolved.filter(col("doc_id") === col("canonical_doc"))))
+  }
+
+  /** Oracle for [[filterFunnel]]. */
+  val filterFunnelSql: String =
+    s"""WITH RECURSIVE ${TextOps.qualityCte},
+       |corpus AS (
+       |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+       |  WHERE q.quality >= $minQuality
+       |),
+       |${Dedup.resolveCtesFrom("corpus")}
+       |SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs
+       |FROM documents
+       |UNION ALL
+       |SELECT 1, 'quality', count(*) FROM corpus
+       |UNION ALL
+       |SELECT 2, 'exact_dedup', count(DISTINCT md5(text)) FROM corpus
+       |UNION ALL
+       |SELECT 3, 'near_dedup', count(*) FROM resolved
+       |WHERE doc_id = canonical_doc""".stripMargin
 }

@@ -593,6 +593,69 @@ object TradeOps {
       |       END AS autocorr_lag1
       |FROM m""".stripMargin
 
+  /** A24 (extension) — two-sample Kolmogorov–Smirnov drift statistic
+    * per symbol: reference window vs current window (the feature-drift
+    * monitor an ML pipeline runs before every retrain). KS = max |ECDF
+    * difference|, evaluated at every distinct price — exact: counts per
+    * (symbol, cent) fold first (the only data-sized shuffle), the ECDFs
+    * are cumulative INTEGER counts over at most |distinct cents| rows
+    * per symbol (bounded by the price grid, not the row count), and the
+    * two divisions are correctly rounded on exact inputs. The unrounded
+    * max picks the boundary row identically in both engines. */
+  def ksDrift(trades: DataFrame, splitDay: String = "2024-01-16"): DataFrame = {
+    val cut = lit(splitDay).cast("timestamp")
+    val counts = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy("symbol", "pc")
+      .agg(sum(when(col("timestamp") < cut, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("timestamp") >= cut, 1L).otherwise(0L)).as("nc"))
+    val totals = counts.groupBy("symbol")
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    val cum = Window.partitionBy("symbol").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("cr", sum(col("nr")).over(cum))
+      .withColumn("cc", sum(col("nc")).over(cum))
+      .join(broadcast(totals), "symbol")
+      .filter(col("tr") > 0 && col("tc") > 0)
+      .withColumn("diff",
+        abs(col("cr").cast("double") / col("tr").cast("double")
+          - col("cc").cast("double") / col("tc").cast("double")))
+      .groupBy("symbol")
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        round(max(col("diff")), 6).as("ks_stat"))
+  }
+
+  /** Oracle for [[ksDrift]] (body only — caller prepends the trades
+    * CTE). */
+  def ksDriftSql(splitDay: String = "2024-01-16"): String =
+    s"""WITH k AS (
+       |  SELECT symbol, CAST(round(price * 100) AS BIGINT) AS pc,
+       |         CAST(sum(CASE WHEN "timestamp" < TIMESTAMP '$splitDay'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |         CAST(sum(CASE WHEN "timestamp" >= TIMESTAMP '$splitDay'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |  FROM trades GROUP BY 1, 2
+       |), t AS (
+       |  SELECT symbol, CAST(sum(nr) AS BIGINT) AS tr,
+       |         CAST(sum(nc) AS BIGINT) AS tc
+       |  FROM k GROUP BY 1
+       |), c AS (
+       |  SELECT k.symbol,
+       |         sum(nr) OVER (PARTITION BY k.symbol ORDER BY pc
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+       |         sum(nc) OVER (PARTITION BY k.symbol ORDER BY pc
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+       |         t.tr, t.tc
+       |  FROM k JOIN t ON k.symbol = t.symbol
+       |  WHERE t.tr > 0 AND t.tc > 0
+       |)
+       |SELECT symbol, max(tr) AS n_ref, max(tc) AS n_cur,
+       |       round(max(abs(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
+       |                     - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))), 6)
+       |         AS ks_stat
+       |FROM c GROUP BY 1""".stripMargin
+
   /** Reshaping breadth: pivot — day-of-week trade counts as one column
     * per weekday. Explicit pivot values keep the output schema static
     * (no extra distinct-scan job, and a plan Catalyst can fully

@@ -454,4 +454,41 @@ class EdgeCasesSpec extends SparkSuite {
     assert(ac.filter(abs(col("autocorr_lag1")) > 1.0 + 1e-9).count() === 0)
     assert(TradeOps.autocorr(emptyTrades).count() === 0)
   }
+
+  test("batch-13: WAP transaction, KS drift, stickiness, filter funnel") {
+    import graft.sinks.Wap
+    val trades = graft.Tables.trades(spark, sf)
+    val root = tmpDir("wap_spec")
+    // valid publish lands and reads back exactly
+    val r1 = Wap.publish(spark, trades, root)
+    assert(r1.published, r1.reason)
+    assert(Wap.read(spark, root).count() === trades.count())
+    // each audit rule rejects, and a failed publish NEVER moves the pointer
+    val nullKeys = trades.withColumn("event_id",
+      when(col("event_id") % 2 === 0, lit(null)).otherwise(col("event_id")))
+    assert(!Wap.publish(spark, nullKeys, root).published)
+    val dupKeys = trades.withColumn("event_id", lit(7L))
+    assert(!Wap.publish(spark, dupKeys, root).published)
+    assert(!Wap.publish(spark, trades.limit(0), root).published)
+    val served = Wap.read(spark, root)
+    assert(served.count() === trades.count())
+    assert(served.filter(col("event_id").isNull).count() === 0)
+    // KS of a distribution against itself is 0; disjoint split is > 0
+    val ks = TradeOps.ksDrift(trades).cache()
+    assert(ks.filter(col("ks_stat") < 0 || col("ks_stat") > 1).count() === 0)
+    assert(ks.count() > 0)
+    ks.unpersist()
+    // stickiness: avg DAU can never exceed MAU
+    val st = graft.ops.EventAnalytics.stickiness(graft.Tables.events(spark, sf))
+    assert(st.filter(col("stickiness") > 1.0 + 1e-9).count() === 0)
+    assert(st.filter(col("avg_dau") > col("mau").cast("double") + 1e-9)
+      .count() === 0)
+    // funnel counts are monotone non-increasing after raw
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val fn = Pipeline.filterFunnel(docs).orderBy("stage_idx")
+      .select("n_docs").collect().map(_.getLong(0))
+    assert(fn.length === 4)
+    assert(fn(0) >= fn(1) && fn(1) >= fn(2) && fn(2) >= fn(3),
+      s"funnel not monotone: ${fn.toSeq}")
+  }
 }
