@@ -294,6 +294,8 @@ object SparkEntry {
     "k14_wap" -> ((s, dir) => graft.sinks.Wap.roundTrip(s, trades(s, dir))),
     "p_filter_funnel" -> ((s, dir) =>
       Pipeline.filterFunnel(Tables.load(s, dir, "documents"))),
+    "a25_concentration" -> ((s, dir) => TradeOps.concentration(trades(s, dir))),
+    "f16_target_encode" -> ((s, dir) => TradeOps.targetEncode(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1360,5 +1362,7 @@ object SparkEntry {
     "e_stickiness" -> EventAnalytics.stickinessSql,
     "k14_wap" -> s"$T\n${graft.sinks.Wap.roundTripSql}",
     "p_filter_funnel" -> Pipeline.filterFunnelSql,
+    "a25_concentration" -> s"$T,\n${TradeOps.concentrationSql.stripPrefix("WITH ")}",
+    "f16_target_encode" -> s"$T,\n${TradeOps.targetEncodeSql.stripPrefix("WITH ")}",
   )
 }

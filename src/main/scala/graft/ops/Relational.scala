@@ -794,6 +794,13 @@ object Relational {
       .otherwise(rem + idiv(rank - cut - 1L, size) + 1L)
   }
 
+  /** Test hook: [[ntileOfRank]] applied to an explicit (rank, n)
+    * table, so the arithmetic can be property-tested against Spark's
+    * own `ntile` window. */
+  private[graft] def ntileForTest(df: DataFrame, rank: Column, n: Column,
+      t: Int): DataFrame =
+    df.withColumn("tile", ntileOfRank(rank, n, t))
+
   /** RFM customer segmentation (extension) — the marketing-warehouse
     * classic: per customer recency (latest order date), frequency
     * (order count), monetary (exact-decimal lifetime spend), each

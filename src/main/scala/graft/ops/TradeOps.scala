@@ -656,6 +656,110 @@ object TradeOps {
        |         AS ks_stat
        |FROM c GROUP BY 1""".stripMargin
 
+  /** A25 (extension) — market-concentration profile per symbol:
+    * Herfindahl–Hirschman index and Gini coefficient of per-user volume
+    * (who dominates this market?). Everything is exact integers until
+    * the final divisions: per-user cent volumes, their squares (HHI),
+    * and the rank-weighted Gini sums. The per-symbol rank comes from
+    * the coarse-bucket prefix-sum decomposition (offsets window runs
+    * over the tiny (symbol, bucket) table), NOT a per-symbol sort —
+    * per-user aggregates at 100 TB still mean billions of users.
+    * Gini = (2·Σ(r·v) − (n+1)·Σv) / (n·Σv) over ranks ordered by
+    * (v, user_id) — a total order, so ties are engine-identical. */
+  def concentration(trades: DataFrame): DataFrame = {
+    val uv = trades
+      .withColumn("vc", expr("CAST(round(volume * 100) AS BIGINT)"))
+      .groupBy("symbol", "user_id")
+      .agg(sum(col("vc")).as("v"))
+      .withColumn("_bkt", expr("v div 10000"))
+    val counts = uv.groupBy("symbol", "_bkt").agg(count(lit(1)).as("_n"))
+    val prior = Window.partitionBy("symbol").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("symbol"), col("_bkt"),
+      coalesce(sum(col("_n")).over(prior), lit(0L)).as("_prior"))
+    val inBkt = Window.partitionBy("symbol", "_bkt")
+      .orderBy(col("v"), col("user_id"))
+    uv.join(broadcast(offsets), Seq("symbol", "_bkt"))
+      .withColumn("r", col("_prior") + row_number().over(inBkt))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("r") * col("v")).as("srv"))
+      .filter(col("sv") > 0)
+      .select(col("symbol"), col("n_users"),
+        round(col("svv").cast("double") /
+          (col("sv").cast("double") * col("sv").cast("double")), 6).as("hhi"),
+        round((lit(2d) * col("srv").cast("double")
+          - (col("n_users") + 1L).cast("double") * col("sv").cast("double"))
+          / (col("n_users").cast("double") * col("sv").cast("double")), 6)
+          .as("gini"))
+  }
+
+  /** Oracle for [[concentration]] (body only — caller prepends the
+    * trades CTE): plain per-symbol rank window, identical formula. */
+  val concentrationSql: String =
+    """WITH uv AS (
+      |  SELECT symbol, user_id,
+      |         CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM trades GROUP BY 1, 2
+      |), r AS (
+      |  SELECT symbol, v,
+      |         row_number() OVER (PARTITION BY symbol
+      |           ORDER BY v, user_id) AS rnk
+      |  FROM uv
+      |), s AS (
+      |  SELECT symbol, count(*) AS n_users,
+      |         CAST(sum(v) AS BIGINT) AS sv,
+      |         CAST(sum(v * v) AS BIGINT) AS svv,
+      |         CAST(sum(rnk * v) AS BIGINT) AS srv
+      |  FROM r GROUP BY 1 HAVING CAST(sum(v) AS BIGINT) > 0
+      |)
+      |SELECT symbol, n_users,
+      |       round(CAST(svv AS DOUBLE)
+      |             / (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)), 6) AS hhi,
+      |       round((2 * CAST(srv AS DOUBLE)
+      |              - CAST(n_users + 1 AS DOUBLE) * CAST(sv AS DOUBLE))
+      |             / (CAST(n_users AS DOUBLE) * CAST(sv AS DOUBLE)), 6)
+      |         AS gini
+      |FROM s""".stripMargin
+
+  /** F16 (extension) — leave-one-out mean target encoding: the
+    * leakage-aware categorical encoder (a plain group mean leaks each
+    * row's own target into its feature; LOO subtracts it:
+    * `(Σ_group − x) / (n_group − 1)`). Fit = one tiny exact-decimal
+    * aggregate broadcast back; transform = a pure projection — the
+    * [[minMaxScale]]/[[zscoreScale]] family shape. Groups of one emit
+    * NULL (no peers to borrow a mean from), never a 0/0. */
+  def targetEncode(trades: DataFrame): DataFrame = {
+    val x = col("usd_volume").cast("decimal(18,6)")
+    val stats = trades.groupBy("symbol")
+      .agg(sum(x).as("s"), count(lit(1)).as("n"))
+    trades.join(broadcast(stats), "symbol")
+      .select(col("event_id"), col("symbol"),
+        when(col("n") > 1L,
+          round((col("s").cast("double") - x.cast("double"))
+            / (col("n") - 1L).cast("double"), 6))
+          .as("symbol_loo_mean"))
+  }
+
+  /** Oracle for [[targetEncode]] (body only — caller prepends the
+    * trades CTE). */
+  val targetEncodeSql: String =
+    """WITH s AS (
+      |  SELECT symbol,
+      |         sum(CAST(usd_volume AS DECIMAL(18,6))) AS sm,
+      |         count(*) AS n
+      |  FROM trades GROUP BY 1
+      |)
+      |SELECT t.event_id, t.symbol,
+      |       CASE WHEN s.n > 1 THEN
+      |         round((CAST(s.sm AS DOUBLE)
+      |                - CAST(CAST(t.usd_volume AS DECIMAL(18,6)) AS DOUBLE))
+      |               / CAST(s.n - 1 AS DOUBLE), 6)
+      |       END AS symbol_loo_mean
+      |FROM trades t JOIN s USING (symbol)""".stripMargin
+
   /** Reshaping breadth: pivot — day-of-week trade counts as one column
     * per weekday. Explicit pivot values keep the output schema static
     * (no extra distinct-scan job, and a plan Catalyst can fully

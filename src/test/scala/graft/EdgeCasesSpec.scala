@@ -491,4 +491,39 @@ class EdgeCasesSpec extends SparkSuite {
     assert(fn(0) >= fn(1) && fn(1) >= fn(2) && fn(2) >= fn(3),
       s"funnel not monotone: ${fn.toSeq}")
   }
+
+  test("batch-14: concentration bounds, LOO encoding identity") {
+    val trades = graft.Tables.trades(spark, sf)
+    // HHI ∈ (0, 1]; Gini ∈ [0, 1); uniform volumes → gini 0, hhi 1/n
+    val cc = TradeOps.concentration(trades).cache()
+    assert(cc.filter(col("hhi") <= 0 || col("hhi") > 1).count() === 0)
+    assert(cc.filter(col("gini") < -1e-9 || col("gini") >= 1).count() === 0)
+    cc.unpersist()
+    // a perfectly uniform market: every user the same volume
+    import spark.implicits._
+    val uniform = (1L to 100L).map(u =>
+      (u, "X", u, new java.sql.Timestamp(1700000000000L + u), 1.0, 2.0, 2.0))
+      .toDF("event_id", "symbol", "user_id", "timestamp", "price",
+        "volume", "usd_volume")
+    val u = TradeOps.concentration(uniform).head()
+    assert(u.getAs[Double]("gini") === 0.0)
+    assert(math.abs(u.getAs[Double]("hhi") - 0.01) < 1e-9)
+    // LOO identity: n·mean = Σ = loo·(n−1) + x for every row
+    val enc = TradeOps.targetEncode(trades)
+    val stats = trades.groupBy("symbol")
+      .agg(sum(col("usd_volume").cast("decimal(18,6)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+    val joined = enc.join(trades.select("event_id", "usd_volume"), "event_id")
+      .join(stats, "symbol")
+      .withColumn("rebuilt",
+        col("symbol_loo_mean") * (col("n") - 1).cast("double")
+          + col("usd_volume"))
+    // loo was rounded to 6 dp; (n-1) ≤ corpus size bounds the error
+    assert(joined.filter(
+      abs(col("rebuilt") - col("s")) > col("n").cast("double") * 1e-5)
+      .count() === 0)
+    assert(TradeOps.concentration(emptyTrades).count() === 0)
+    assert(TradeOps.targetEncode(emptyTrades).count() === 0)
+    assert(TradeOps.ksDrift(emptyTrades).count() === 0)
+  }
 }

@@ -173,4 +173,100 @@ object PropertiesSpec extends Properties("graft") {
       got == ref
     }
 
+  private def toTradesDf(ts: List[PropTrade]) = {
+    val s = spark
+    import s.implicits._
+    ts.toDF().withColumn("user_id", col("event_id") % 7)
+      .withColumn("usd_volume", col("price") * col("volume"))
+  }
+
+  // CDC apply: survivors are exactly the users whose LAST change (by the
+  // total (ts, event_id) order) is not a tombstone, valued at that change
+  property("cdcApply matches the sorted-replay reference") =
+    Prop.forAll(genTrades) { ts =>
+      val got = graft.ops.Incremental.cdcApply(toTradesDf(ts))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getTimestamp(1).getTime, r.getDouble(2), r.getLong(3)))).toMap
+      val ref = ts.groupBy(_.event_id % 7).flatMap { case (u, es) =>
+        val last = es.maxBy(e => (e.timestamp.getTime, e.event_id))
+        if (last.event_id % 10 == 0) None
+        else Some(u -> ((last.timestamp.getTime, last.price, es.size.toLong)))
+      }
+      got == ref
+    }
+
+  // run-length encoding: rebuild runs by a straight scan of each
+  // symbol's sorted cent series
+  property("runLength matches the linear-scan reference") =
+    Prop.forAll(genTrades) { ts =>
+      val got = graft.ops.TradeOps.runLength(toTradesDf(ts), minLen = 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
+      val ref = ts.groupBy(_.symbol).flatMap { case (sym, es) =>
+        val sorted = es.sortBy(e => (e.timestamp.getTime, e.event_id))
+        val cents = sorted.map(e => math.round(e.price * 100))
+        val dirs = cents.zip(cents.drop(1)).map { case (a, b) =>
+          if (b > a) "up" else if (b < a) "down" else "flat"
+        }
+        val withTs = dirs.zip(sorted.drop(1).map(_.timestamp.getTime))
+        // group consecutive equal directions
+        val runs = scala.collection.mutable.ListBuffer
+          .empty[(String, Long, Long, Long)]
+        for ((d, t) <- withTs) {
+          runs.lastOption match {
+            case Some((pd, len, st, _)) if pd == d =>
+              runs.update(runs.length - 1, (d, len + 1, st, t))
+            case _ => runs += ((d, 1L, t, t))
+          }
+        }
+        runs.map { case (d, len, st, en) => (sym, d, len, st, en) }
+      }.toSet
+      got == ref
+    }
+
+  // the arithmetic ntile (rank → tile, no global sort) agrees with
+  // Spark's own ntile window on every n
+  property("ntileOfRank reproduces the ntile window") =
+    Prop.forAll(Gen.chooseNum(1, 200)) { n =>
+      val s = spark
+      import s.implicits._
+      val df = (1L to n.toLong).toDF("rank")
+        .withColumn("n", lit(n.toLong))
+      val tiles = graft.ops.Relational.ntileForTest(
+          df, col("rank"), col("n"), 4)
+        .withColumn("win_tile",
+          ntile(4).over(org.apache.spark.sql.expressions.Window
+            .orderBy("rank")).cast("long"))
+      tiles.filter(col("tile") =!= col("win_tile")).count() == 0L
+    }
+
+  // k-core peel: equals the brute-force fixpoint on small random graphs
+  property("kCore matches the brute-force peel") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(0, 25)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+      } yield (a, b))
+    } yield edges) { edges =>
+      val s = spark
+      import s.implicits._
+      val df = edges.toDF("doc_a", "doc_b")
+      val got = graft.ops.Graph.kCore(df, k = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: repeatedly drop vertices with degree < 2
+      var es = edges.map { case (a, b) => (a min b, a max b) }
+        .filter { case (a, b) => a != b }.distinct
+      var stable = false
+      while (!stable) {
+        val deg = es.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (k2, v) => k2 -> v.size }
+        val keep = deg.filter(_._2 >= 2).keySet
+        val next = es.filter { case (a, b) => keep(a) && keep(b) }
+        if (next == es) stable = true else es = next
+      }
+      val ref = es.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+      got == ref
+    }
 }
