@@ -444,15 +444,29 @@ object Graph {
     * work (here: which near-dup clusters are tight enough to collapse
     * aggressively).
     *
-    * Each round is one degree aggregate + one semi-join edge
-    * restriction — aggregate-sized shuffles, `localCheckpoint` per
-    * round to cut lineage (released on exit, the
-    * [[connectedComponents]] leak lesson). Peeling is monotone
-    * (vertices only leave), so a converged state is a FIXPOINT: extra
-    * rounds are no-ops — which is exactly what lets the SQL oracle
-    * over-unroll a fixed iteration count. Fails loud on non-convergence
-    * like [[connectedComponents]]. */
-  def kCore(edges0: DataFrame, k: Int = 2, maxIter: Int = 20): DataFrame = {
+    * Frontier/delta peel: the edge list is deduped, checkpointed ONCE
+    * and never rewritten — measurement showed the naive
+    * rewrite-the-edges round spending seconds re-materializing a 6M-edge
+    * set to remove 22 edges (the dup graph's 2-core IS essentially the
+    * graph; peel rounds touch a vanishing frontier). Instead each round
+    * (a) finds the edges incident to the vertices removed last round,
+    * (b) decrements the surviving endpoints' maintained degrees, and
+    * (c) emits the next frontier (survivors that dropped below k). The
+    * frontier is usually tiny, so the incident-edge probe is a broadcast
+    * semi-join — a map-only scan of the immutable edge checkpoint; past
+    * `broadcastFrontier` rows (a huge first wave at 100 TB) it falls
+    * back to a shuffle semi-join on the same plan, and
+    * `broadcastFrontier = 0` forces that path so the spec can prove the
+    * two agree. Per-round shuffles are vertex-sized (the degree-loss
+    * aggregate + the degree update), never edge-sized. Peeling is
+    * monotone (vertices only leave), so a converged state is a FIXPOINT:
+    * extra rounds are no-ops — which is exactly what lets the SQL oracle
+    * over-unroll a fixed iteration count. `localCheckpoint` per round
+    * cuts lineage (released on exit, the [[connectedComponents]] leak
+    * lesson); fails loud on non-convergence like
+    * [[connectedComponents]]. */
+  def kCore(edges0: DataFrame, k: Int = 2, maxIter: Int = 20,
+      broadcastFrontier: Long = 5000000L): DataFrame = {
     val allocated = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     def ckpt(df: DataFrame): DataFrame = {
@@ -461,40 +475,49 @@ object Graph {
       c
     }
     val Array(ac, bc) = edges0.columns.take(2)
-    var edges = ckpt(edges0.select(
+    val edges = ckpt(edges0.select(
       least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
       greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
+    var deg = ckpt(edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree")))
+    var frontier = ckpt(deg.filter(col("degree") < k).select("id"))
+    var nFrontier = frontier.count()
     var iter = 0
-    var converged = false
-    var nEdges = edges.count()
-    var result: DataFrame = null
-    while (iter < maxIter && !converged) {
-      val deg = edges.select(col("a").as("id"))
-        .union(edges.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("degree"))
-      val keep = ckpt(deg.filter(col("degree") >= k))
-      val next = ckpt(edges
-        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-        .select("a", "b"))
-      val nNext = next.count()
-      if (nNext == nEdges) {
-        converged = true
-        result = keep
-      } else {
-        edges = next
-        nEdges = nNext
-        iter += 1
-      }
+    while (nFrontier > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not converge in $maxIter rounds")
+      val f =
+        if (broadcastFrontier > 0 && nFrontier <= broadcastFrontier)
+          broadcast(frontier)
+        else frontier
+      // Each edge with exactly one endpoint leaving charges one degree
+      // loss to the endpoint that stays; edges losing both endpoints
+      // charge rows only to removed vertices, which the anti-join below
+      // discards — so the maintained degree is always the degree within
+      // the current surviving subgraph.
+      val loss = edges
+        .join(f.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .select(col("b").as("id"))
+        .union(edges
+          .join(f.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .select(col("a").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("loss"))
+      val nextDeg = ckpt(deg.join(f, Seq("id"), "left_anti")
+        .join(loss, Seq("id"), "left")
+        .select(col("id"),
+          (col("degree") - coalesce(col("loss"), lit(0L))).as("degree")))
+      frontier = ckpt(nextDeg.filter(col("degree") < k).select("id"))
+      deg = nextDeg
+      nFrontier = frontier.count()
+      iter += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"kCore(k=$k) did not converge in $maxIter rounds")
-    val keepRdds = backingRdds(result).toSet
+    val keepRdds = backingRdds(deg).toSet
     allocated.filterNot(keepRdds).distinct
       .foreach(_.unpersist(blocking = false))
-    result
+    deg
   }
 
   /** Degree histogram (extension) — the first thing to look at before

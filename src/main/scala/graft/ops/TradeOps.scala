@@ -505,10 +505,16 @@ object TradeOps {
     val base = trades
       .withColumn("day", to_date(col("timestamp")))
       .select("event_id", "symbol", "timestamp", "price", "day")
-    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    // Cluster by the partition column before the partitioned write:
+    // without it every one of the N shuffle partitions opens a file in
+    // every day directory (N × days tiny files — the classic
+    // dynamic-partition write explosion; at 1000 executors it's also
+    // the metadata-server killer). One exchange, one file per day.
+    base.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
     val revision = base.filter(col("day") === lit(reviseDay).cast("date"))
       .withColumn("price", col("price") + 1.0d)
-    revision.write
+    revision.repartition(col("day")).write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy("day").parquet(out)
     spark.read.parquet(out)

@@ -429,6 +429,13 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Graph.kCore(edges, k = 1).count() === nonIso.count())
     // 2-core ⊆ non-isolated
     assert(core2.join(nonIso, Seq("id"), "left_anti").count() === 0)
+    // the shuffle-join fallback (broadcastFrontier = 0) is the SAME
+    // peel — the broadcast fast path can never become the only tested
+    // path (the connectedComponents localFinishEdges discipline)
+    val coreShuffle = Graph.kCore(edges, k = 2, broadcastFrontier = 0L)
+    assert(core2.select("id", "degree")
+      .exceptAll(coreShuffle.select("id", "degree")).count() === 0)
+    assert(coreShuffle.count() === core2.count())
     core2.unpersist()
     // empty graph converges to an empty core
     assert(Graph.kCore(
