@@ -157,18 +157,13 @@ object SparkEntry {
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
     "g_pagerank" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Graph.pageRank(docs.select("doc_id"),
-        Dedup.minhashPairs(docs)
-          .filter(col("est_jaccard") >= Dedup.resolveThreshold)
-          .select("doc_a", "doc_b"))
+      Graph.pageRank(docs.select("doc_id"), Dedup.dupEdges(docs))
     }),
     "g_contamination_hops" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Graph.hopDistance(
         docs.select("doc_id"),
-        Dedup.minhashPairs(docs)
-          .filter(col("est_jaccard") >= Dedup.resolveThreshold)
-          .select("doc_a", "doc_b"),
+        Dedup.dupEdges(docs),
         TextOps.contamination(docs)
           .filter(col("contaminated") === 1).select("doc_id"))
     }),
@@ -263,10 +258,7 @@ object SparkEntry {
     "t_feature_hash" -> ((s, dir) => TextOps.featureHash(Tables.load(s, dir, "documents"))),
     "g_degree_hist" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Graph.degreeHistogram(docs.select("doc_id"),
-        Dedup.minhashPairs(docs)
-          .filter(col("est_jaccard") >= Dedup.resolveThreshold)
-          .select("doc_a", "doc_b"))
+      Graph.degreeHistogram(docs.select("doc_id"), Dedup.dupEdges(docs))
     }),
     "w16_pivot_points" -> ((s, dir) => TradeOps.pivotPoints(trades(s, dir))),
     "w17_twap" -> ((s, dir) => TradeOps.twap(trades(s, dir))),
@@ -281,9 +273,7 @@ object SparkEntry {
     "w18_run_length" -> ((s, dir) => TradeOps.runLength(trades(s, dir))),
     "g_kcore" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Graph.kCore(Dedup.minhashPairs(docs)
-        .filter(col("est_jaccard") >= Dedup.resolveThreshold)
-        .select("doc_a", "doc_b"))
+      Graph.kCore(Dedup.dupEdges(docs))
     }),
     "k13_dynamic_overwrite" -> ((s, dir) =>
       TradeOps.dynamicPartitionOverwrite(s, trades(s, dir))),

@@ -90,6 +90,30 @@ object Dedup {
   def minhashPairs(docs: DataFrame): DataFrame =
     pairsFromSignatures(minhashSignatures(docs))
 
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+
+  /** Thresholded duplicate-graph edge list (doc_a < doc_b, no
+    * self-loops, one row per pair) — the shared input of the graph
+    * consumers (degree histogram, PageRank, hop distance, k-core).
+    * Cached per (session, corpus, threshold) like the signature table:
+    * unlike the raw candidate-pair table (whose non-caching rationale is
+    * documented on [[minhashPairs]] — quadratic AND signature-laden
+    * before the threshold) the surviving edge set is two longs per
+    * edge, so pinning it is cheap and every consumer stops re-running
+    * the band join. The weight column is dropped on purpose; consumers
+    * that rank by similarity ([[mutualKnn]]) keep using the pair
+    * table. */
+  def dupEdges(docs: DataFrame,
+      threshold: Double = resolveThreshold): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.analyzed.canonicalized.semanticHash(),
+      java.lang.Double.doubleToLongBits(threshold))
+    edgeCache.computeIfAbsent(key, _ =>
+      minhashPairs(docs).filter(col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b").distinct().localCheckpoint())
+  }
+
   /** Banded-LSH candidate pairs from an already-computed signature table
     * (doc_id, m0..m15) — the seam [[resolveDuplicates]] uses to band-join
     * signature-group REPRESENTATIVES instead of all docs. */
