@@ -286,6 +286,10 @@ object SparkEntry {
       Pipeline.filterFunnel(Tables.load(s, dir, "documents"))),
     "a25_concentration" -> ((s, dir) => TradeOps.concentration(trades(s, dir))),
     "f16_target_encode" -> ((s, dir) => TradeOps.targetEncode(trades(s, dir))),
+    "f17_quantile_rank" -> ((s, dir) => TradeOps.quantileRank(trades(s, dir))),
+    "a26_chisq" -> ((s, dir) => TradeOps.chisqHourly(trades(s, dir))),
+    "s16_table_fingerprint" -> ((s, dir) =>
+      TradeOps.tableFingerprint(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1354,5 +1358,8 @@ object SparkEntry {
     "p_filter_funnel" -> Pipeline.filterFunnelSql,
     "a25_concentration" -> s"$T,\n${TradeOps.concentrationSql.stripPrefix("WITH ")}",
     "f16_target_encode" -> s"$T,\n${TradeOps.targetEncodeSql.stripPrefix("WITH ")}",
+    "f17_quantile_rank" -> s"$T,\n${TradeOps.quantileRankSql.stripPrefix("WITH ")}",
+    "a26_chisq" -> s"$T,\n${TradeOps.chisqHourlySql.stripPrefix("WITH ")}",
+    "s16_table_fingerprint" -> s"$T,\n${TradeOps.tableFingerprintSql.stripPrefix("WITH ")}",
   )
 }

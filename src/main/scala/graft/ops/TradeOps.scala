@@ -766,6 +766,158 @@ object TradeOps {
       |       END AS symbol_loo_mean
       |FROM trades t JOIN s USING (symbol)""".stripMargin
 
+  /** F17 (extension) — per-symbol percent-rank (empirical CDF)
+    * transform of price: quantile normalization, the rank-based scaler
+    * that is immune to outliers where [[minMaxScale]] isn't. The rank
+    * comes from the coarse-bucket prefix-sum decomposition
+    * ([[concentration]] / orderedSplit discipline) — the offsets window
+    * runs over the tiny (symbol, bucket) table, NEVER a per-symbol
+    * global sort over the fact rows. The (cents, event_id) order is
+    * total, so ranks are engine-identical; `pct = (r−1)/(n−1)` with a
+    * single-row partition pinned to 0 (both engines' percent_rank
+    * convention). */
+  def quantileRank(trades: DataFrame): DataFrame = {
+    val t = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("_bkt", expr("pc div 100"))
+    val counts = t.groupBy("symbol", "_bkt").agg(count(lit(1)).as("_n"))
+    val prior = Window.partitionBy("symbol").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy("symbol")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(col("symbol"), col("_bkt"),
+      coalesce(sum(col("_n")).over(prior), lit(0L)).as("_prior"),
+      sum(col("_n")).over(whole).as("_total"))
+    val inBkt = Window.partitionBy("symbol", "_bkt")
+      .orderBy(col("pc"), col("event_id"))
+    t.join(broadcast(offsets), Seq("symbol", "_bkt"))
+      .withColumn("r", col("_prior") + row_number().over(inBkt))
+      .select(col("event_id"), col("symbol"),
+        when(col("_total") > 1L,
+          round((col("r") - 1L).cast("double")
+            / (col("_total") - 1L).cast("double"), 6))
+          .otherwise(lit(0d)).as("pct_rank"))
+  }
+
+  /** Oracle for [[quantileRank]] (body only — caller prepends the
+    * trades CTE): the plain window form on the same total order. */
+  val quantileRankSql: String =
+    """WITH q AS (
+      |  SELECT event_id, symbol,
+      |         percent_rank() OVER (PARTITION BY symbol
+      |           ORDER BY CAST(round(price * 100) AS BIGINT), event_id)
+      |           AS pr
+      |  FROM trades
+      |)
+      |SELECT event_id, symbol, round(CAST(pr AS DOUBLE), 6) AS pct_rank
+      |FROM q""".stripMargin
+
+  /** A26 (extension) — chi-square homogeneity of each symbol's
+    * hour-of-day activity against the corpus-wide hourly profile: the
+    * "is this market's intraday shape unusual" screen. All counts are
+    * exact; each cell's expected value `e = n_sym·ch/N` and term
+    * `(o−e)²/e` go through an identical IEEE tree in both engines; the
+    * per-symbol sum of ≤24 terms is a FIXED-ORDER left fold (sorted
+    * `aggregate` lambda here, `list_reduce(list(... ORDER BY h))` in
+    * the oracle) because a parallel double `sum()` reassociates — the
+    * one operation whose result is engine-private. The dense
+    * symbol×hour grid comes from crossing two aggregate-sized tables
+    * (zero-count cells still contribute e), never from the fact
+    * rows. */
+  def chisqHourly(trades: DataFrame): DataFrame = {
+    val cell = trades
+      .select(col("symbol"), hour(col("timestamp")).as("h"))
+      .groupBy("symbol", "h").agg(count(lit(1)).as("o"))
+    val colTot = cell.groupBy("h").agg(sum(col("o")).as("ch"))
+    val rowTot = cell.groupBy("symbol").agg(sum(col("o")).as("n_sym"))
+    val grand = colTot.agg(sum(col("ch")).as("n_all"))
+    rowTot.crossJoin(broadcast(colTot)).crossJoin(broadcast(grand))
+      .join(cell, Seq("symbol", "h"), "left")
+      .withColumn("e", (col("n_sym") * col("ch")).cast("double")
+        / col("n_all").cast("double"))
+      .withColumn("term",
+        (coalesce(col("o"), lit(0L)).cast("double") - col("e"))
+          * (coalesce(col("o"), lit(0L)).cast("double") - col("e"))
+          / col("e"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_hours"),
+        expr("""aggregate(sort_array(collect_list(struct(h, term))),
+                CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("chi2raw"))
+      .select(col("symbol"), (col("n_hours") - 1L).as("dof"),
+        round(col("chi2raw"), 6).as("chi2"))
+  }
+
+  /** Oracle for [[chisqHourly]] (body only — caller prepends the
+    * trades CTE). */
+  val chisqHourlySql: String =
+    """WITH cell AS (
+      |  SELECT symbol, EXTRACT(hour FROM "timestamp") AS h,
+      |         count(*) AS o
+      |  FROM trades GROUP BY 1, 2
+      |), ct AS (
+      |  SELECT h, CAST(sum(o) AS BIGINT) AS ch FROM cell GROUP BY 1
+      |), rt AS (
+      |  SELECT symbol, CAST(sum(o) AS BIGINT) AS n_sym FROM cell GROUP BY 1
+      |), g AS (
+      |  SELECT CAST(sum(ch) AS BIGINT) AS n_all FROM ct
+      |), terms AS (
+      |  SELECT rt.symbol, ct.h,
+      |         (CAST(coalesce(cell.o, 0) AS DOUBLE)
+      |            - CAST(rt.n_sym * ct.ch AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+      |         * (CAST(coalesce(cell.o, 0) AS DOUBLE)
+      |            - CAST(rt.n_sym * ct.ch AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+      |         / (CAST(rt.n_sym * ct.ch AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+      |           AS term
+      |  FROM rt CROSS JOIN ct CROSS JOIN g
+      |       LEFT JOIN cell ON cell.symbol = rt.symbol AND cell.h = ct.h
+      |)
+      |SELECT symbol, CAST(count(*) - 1 AS BIGINT) AS dof,
+      |       round(list_reduce(list(term ORDER BY h),
+      |             (a, b) -> a + b) + 0.0::DOUBLE, 6) AS chi2
+      |FROM terms GROUP BY 1""".stripMargin
+
+  /** S16 (extension) — order-independent table fingerprint: per
+    * partition-group row count + XOR of a 60-bit per-row content hash.
+    * THE cheap replication/migration equality check at 100 TB: one
+    * aggregate, no sort, no co-shuffle of the two tables being
+    * compared — fingerprints are tiny and comparable across clusters.
+    * Every hashed field is rendered as an INTEGER string (ids,
+    * epoch-µs, cents) — float formatting is engine-private, integer
+    * strings aren't; md5 is bit-identical everywhere; XOR is
+    * commutative/associative with no overflow, so the aggregate never
+    * leaves BIGINT in either engine (a DECIMAL sum materializes as
+    * float on the oracle side — exactness lost in the comparison
+    * layer, the q12 HUGEINT lesson). Standard XOR-checksum caveat,
+    * acceptable here because event_id makes rows unique: a row
+    * appearing an even number of times cancels out. */
+  def tableFingerprint(trades: DataFrame): DataFrame =
+    trades
+      .withColumn("_h", expr(
+        """CAST(conv(substring(md5(concat_ws('|',
+          |  CAST(event_id AS STRING), symbol,
+          |  CAST(unix_micros(timestamp) AS STRING),
+          |  CAST(CAST(round(price * 100) AS BIGINT) AS STRING))),
+          |  1, 15), 16, 10) AS BIGINT)""".stripMargin))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("fingerprint"))
+
+  /** Oracle for [[tableFingerprint]] (body only — caller prepends the
+    * trades CTE). */
+  val tableFingerprintSql: String =
+    """WITH h AS (
+      |  SELECT symbol,
+      |         ('0x' || substr(md5(concat_ws('|',
+      |            CAST(event_id AS VARCHAR), symbol,
+      |            CAST(epoch_us("timestamp") AS VARCHAR),
+      |            CAST(CAST(round(price * 100) AS BIGINT) AS VARCHAR))),
+      |            1, 15))::BIGINT AS x
+      |  FROM trades
+      |)
+      |SELECT symbol, count(*) AS n_rows,
+      |       bit_xor(x) AS fingerprint
+      |FROM h GROUP BY 1""".stripMargin
+
   /** Reshaping breadth: pivot — day-of-week trade counts as one column
     * per weekday. Explicit pivot values keep the output schema static
     * (no extra distinct-scan job, and a plan Catalyst can fully

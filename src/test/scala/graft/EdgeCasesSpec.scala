@@ -499,6 +499,41 @@ class EdgeCasesSpec extends SparkSuite {
       s"funnel not monotone: ${fn.toSeq}")
   }
 
+  test("batch-15: quantile rank ≡ percent_rank, chi2 zero-drift, fingerprint") {
+    val trades = graft.Tables.trades(spark, sf)
+    // the bucket-decomposed rank reproduces Spark's own percent_rank
+    // window on the same total order, row for row
+    val qr = TradeOps.quantileRank(trades)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+      .orderBy(expr("CAST(round(price * 100) AS BIGINT)"), col("event_id"))
+    val ref = trades.select(col("event_id"),
+      round(percent_rank().over(w), 6).as("ref_pr"))
+    assert(qr.join(ref, "event_id")
+      .filter(col("pct_rank") =!= col("ref_pr")).count() === 0)
+    // chi-square: non-negative on real data; exactly zero when every
+    // symbol's hourly profile is proportional to the global one
+    assert(TradeOps.chisqHourly(trades)
+      .filter(col("chi2") < 0).count() === 0)
+    import spark.implicits._
+    val uniform = (for { s <- Seq("A", "B"); h <- 0 until 4; i <- 0 until 3 }
+      yield (s.hashCode.toLong * 100 + h * 10 + i, s,
+        new java.sql.Timestamp(1700000000000L + h * 3600L * 1000L), 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price")
+    val z = TradeOps.chisqHourly(uniform)
+    assert(z.filter(col("chi2") =!= 0.0d).count() === 0)
+    // fingerprint: invariant under row order, sensitive to a value edit
+    val fp = TradeOps.tableFingerprint(trades).cache()
+    val fpShuffled = TradeOps.tableFingerprint(
+      trades.repartition(7, col("event_id")))
+    assert(fp.exceptAll(fpShuffled).count() === 0)
+    val tampered = TradeOps.tableFingerprint(
+      trades.withColumn("price",
+        when(col("event_id") === 0L, col("price") + 1.0d)
+          .otherwise(col("price"))))
+    assert(fp.exceptAll(tampered).count() === 1)
+    fp.unpersist()
+  }
+
   test("batch-14: concentration bounds, LOO encoding identity") {
     val trades = graft.Tables.trades(spark, sf)
     // HHI ∈ (0, 1]; Gini ∈ [0, 1); uniform volumes → gini 0, hhi 1/n
