@@ -290,6 +290,9 @@ object SparkEntry {
     "a26_chisq" -> ((s, dir) => TradeOps.chisqHourly(trades(s, dir))),
     "s16_table_fingerprint" -> ((s, dir) =>
       TradeOps.tableFingerprint(trades(s, dir))),
+    "v_mips_topk" -> ((s, dir) => Similarity.mipsTopK(s, dir)),
+    "d_cross_dedup" -> ((s, dir) =>
+      Dedup.crossDedup(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -1361,5 +1364,7 @@ object SparkEntry {
     "f17_quantile_rank" -> s"$T,\n${TradeOps.quantileRankSql.stripPrefix("WITH ")}",
     "a26_chisq" -> s"$T,\n${TradeOps.chisqHourlySql.stripPrefix("WITH ")}",
     "s16_table_fingerprint" -> s"$T,\n${TradeOps.tableFingerprintSql.stripPrefix("WITH ")}",
+    "v_mips_topk" -> Similarity.mipsTopKSql(),
+    "d_cross_dedup" -> Dedup.crossDedupSql(),
   )
 }

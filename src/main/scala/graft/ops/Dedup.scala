@@ -118,11 +118,17 @@ object Dedup {
     * (doc_id, m0..m15) — the seam [[resolveDuplicates]] uses to band-join
     * signature-group REPRESENTATIVES instead of all docs. */
   private[ops] def pairsFromSignatures(sig: DataFrame): DataFrame = {
-    // Flat m0..m15 columns on both join sides (no array wrapping): every
-    // per-pair expression below stays inside whole-stage codegen —
-    // zip_with/filter lambdas are interpreted and cost ~like a UDF on
-    // millions of candidate pairs.
-    val bands = sig.select(
+    val b = bandsOf(sig)
+    bandJoin(b, b, col("doc_a") < col("doc_b"))
+  }
+
+  /** Exploded (doc_id, band, key, m0..m15) band table of a signature
+    * table — flat m0..m15 columns on both join sides (no array
+    * wrapping): every per-pair expression in [[bandJoin]] stays inside
+    * whole-stage codegen — zip_with/filter lambdas are interpreted and
+    * cost ~like a UDF on millions of candidate pairs. */
+  private[ops] def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(
       (col("doc_id") +: (0 until 16).map(j => col(s"m$j"))) :+
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
@@ -130,10 +136,17 @@ object Dedup {
         }: _*)).as("bk"): _*)
       .select(Seq(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key")) ++ (0 until 16).map(j => col(s"m$j")): _*)
-    val l = bands.select(Seq(col("band"), col("key"),
+
+  /** Band-bucket join of two band tables ([[bandsOf]]): emits each
+    * (doc_a ← left, doc_b ← right) pair passing `cond` exactly once
+    * (from its FIRST truly-matching band — collision-proof and
+    * shuffle-free dedup) with the slot-match Jaccard estimate. */
+  private[ops] def bandJoin(lb: DataFrame, rb: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame = {
+    val l = lb.select(Seq(col("band"), col("key"),
       col("doc_id").as("doc_a")) ++
       (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
-    val r = bands.select(Seq(col("band"), col("key"),
+    val r = rb.select(Seq(col("band"), col("key"),
       col("doc_id").as("doc_b")) ++
       (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
     // index of the first band whose 4 slots all truly match (0-based),
@@ -150,14 +163,64 @@ object Dedup {
     // explicit numbered repartition, which AQE will not coalesce away
     // (coalescing by input bytes serialized the whole pair production
     // into one task: 3× slower at sf0.1).
-    val n = sig.sparkSession.sessionState.conf.numShufflePartitions
+    val n = lb.sparkSession.sessionState.conf.numShufflePartitions
     l.repartition(n, col("band"), col("key"))
       .join(r, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(cond)
       .filter(col("band") === expr(firstMatch))
       .select(col("doc_a"), col("doc_b"),
         (expr(nMatch).cast("double") / lit(16).cast("double")).as("est_jaccard"))
   }
+
+  /** Incremental (cross-corpus) dedup — the daily-crawl production
+    * pattern: screen a NEW batch of documents (here the deterministic
+    * `doc_id % 10 = 0` slice) against the already-ingested corpus plus
+    * the batch's own earlier arrivals, and never corpus-vs-corpus. The
+    * band join is RESTRICTED on the probe side (only new docs explode
+    * into probes; the corpus side is the stored band table a real
+    * pipeline keeps materialized), so the per-batch cost scales with
+    * the batch, not the corpus — the whole point of incremental dedup.
+    * Output: one row per new doc with its match count and dup flag. */
+  def crossDedup(docs: DataFrame,
+      threshold: Double = resolveThreshold): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = bandsOf(sig)
+    val newBands = bands.filter(col("doc_id") % 10 === 0)
+    // a new doc is a dup against the corpus (any id) or an EARLIER new
+    // doc — each candidate (new, other) pair emitted exactly once
+    val matches = bandJoin(newBands, bands,
+        col("doc_b") % 10 =!= 0 || col("doc_b") < col("doc_a"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    sig.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(coalesce(col("n_matches"), lit(0L)) > 0L, 1L).otherwise(0L)
+          .as("is_dup"))
+  }
+
+  /** Oracle for [[crossDedup]]. */
+  def crossDedupSql(threshold: Double = resolveThreshold): String =
+    s"""${sigCteFrom("documents")},
+       |m AS (
+       |  SELECT s1.doc_id AS new_id, count(*) AS n_matches
+       |  FROM sig s1 JOIN sig s2
+       |    ON s1.doc_id % 10 = 0
+       |   AND (s2.doc_id % 10 != 0 OR s2.doc_id < s1.doc_id)
+       |   AND s1.doc_id != s2.doc_id
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE)
+       |          >= $threshold
+       |  GROUP BY 1
+       |)
+       |SELECT s.doc_id,
+       |       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       |       CAST(CASE WHEN coalesce(m.n_matches, 0) > 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM sig s LEFT JOIN m ON m.new_id = s.doc_id
+       |WHERE s.doc_id % 10 = 0""".stripMargin
 
   /** SimHash signature: 60 bit-planes, each the sign of a +1/-1 vote sum
     * over distinct word hashes. Computed as 60 aggregate columns — no

@@ -41,6 +41,50 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — the recommendation /
+    * retrieval serving read where magnitude matters and cosine's
+    * normalization is wrong (a user-item score IS the raw dot
+    * product). Same broadcast-query scan shape as [[cosineTopK]];
+    * candidate magnitudes rank, so no norm division anywhere. For the
+    * approximate path at 100 TB, MIPS reduces to cosine ANN by the
+    * standard norm augmentation (append `sqrt(M²−‖x‖²)` to candidates
+    * and 0 to queries, M = max norm) and then rides [[annLsh]] /
+    * [[annIvf]] unchanged — the reduction is a projection, so the
+    * exact form here stays the oracle baseline. */
+  def mipsTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = emb.select(col("vec_id"), col("v").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ip", expr("dot_product(qv, cv)"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        round(col("ip"), 6).as("inner_product"), col("rnk"))
+  }
+
+  /** Oracle for [[mipsTopK]]. */
+  def mipsTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT q_id, vec_id, list_dot_product(qv, v) AS ip
+       |  FROM e, q WHERE vec_id != q_id
+       |)
+       |SELECT q_id, vec_id, round(ip, 6) AS inner_product, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ip DESC, vec_id) AS rnk
+       |  FROM s
+       |) WHERE rnk <= $k""".stripMargin
+
   /** IVF (inverted-file) approximate nearest neighbor: partition the
     * vector space into `nCells` cells around centroid vectors, assign
     * every candidate to its nearest centroid, and at query time search

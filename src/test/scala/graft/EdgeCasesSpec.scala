@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Dedup, Graph, Multimodal, Pipeline, TextOps, TradeOps}
+import graft.ops.{Dedup, Graph, Multimodal, Pipeline, Similarity, TextOps, TradeOps}
 
 /** Empty-input and degenerate-shape behavior: every operator must
   * return an empty (or well-defined) result on an empty table, never
@@ -497,6 +497,41 @@ class EdgeCasesSpec extends SparkSuite {
     assert(fn.length === 4)
     assert(fn(0) >= fn(1) && fn(1) >= fn(2) && fn(2) >= fn(3),
       s"funnel not monotone: ${fn.toSeq}")
+  }
+
+  test("batch-16: cross-dedup vs full pair list, MIPS ranking") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val cd = Dedup.crossDedup(docs).cache()
+    // output covers exactly the new-batch slice, one row each
+    assert(cd.filter(col("doc_id") % 10 =!= 0).count() === 0)
+    assert(cd.count() ===
+      docs.filter(col("doc_id") % 10 === 0).count())
+    assert(cd.filter(
+      (col("is_dup") === 1) =!= (col("n_matches") > 0)).count() === 0)
+    // every flagged new doc has a witness in the FULL pair list whose
+    // other side is corpus or an earlier new doc (and vice versa)
+    val pairs = Dedup.minhashPairs(docs)
+      .filter(col("est_jaccard") >= Dedup.resolveThreshold)
+    val witnesses = pairs.select(col("doc_a").as("n"), col("doc_b").as("o"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .filter(col("n") % 10 === 0 &&
+        (col("o") % 10 =!= 0 || col("o") < col("n")))
+      .select(col("n").as("doc_id")).distinct()
+    val flagged = cd.filter(col("is_dup") === 1).select("doc_id")
+    assert(flagged.exceptAll(witnesses).count() === 0)
+    assert(witnesses.exceptAll(flagged).count() === 0)
+    cd.unpersist()
+    // MIPS: ranks are dense 1..k per query and scores non-increasing
+    val m = Similarity.mipsTopK(spark, sf).cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("rnk"))
+    assert(m.withColumn("prev", lag(col("inner_product"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("inner_product"))
+      .count() === 0)
+    assert(m.groupBy("q_id").agg(max(col("rnk")).as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count() === 0)
+    m.unpersist()
   }
 
   test("batch-15: quantile rank ≡ percent_rank, chi2 zero-drift, fingerprint") {
