@@ -293,6 +293,11 @@ object SparkEntry {
     "v_mips_topk" -> ((s, dir) => Similarity.mipsTopK(s, dir)),
     "d_cross_dedup" -> ((s, dir) =>
       Dedup.crossDedup(Tables.load(s, dir, "documents"))),
+    "v_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
+    "o10_purged_embargo" -> ((s, dir) =>
+      TradeOps.purgedEmbargoSplits(trades(s, dir))),
+    "t_tv_drift" -> ((s, dir) =>
+      TextOps.tvDrift(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -1366,5 +1371,8 @@ object SparkEntry {
     "s16_table_fingerprint" -> s"$T,\n${TradeOps.tableFingerprintSql.stripPrefix("WITH ")}",
     "v_mips_topk" -> Similarity.mipsTopKSql(),
     "d_cross_dedup" -> Dedup.crossDedupSql(),
+    "v_hybrid_rrf" -> Similarity.hybridRrfSql(),
+    "o10_purged_embargo" -> s"$T\n${TradeOps.purgedEmbargoSplitsSql()}",
+    "t_tv_drift" -> TextOps.tvDriftSql,
   )
 }

@@ -69,6 +69,106 @@ object Similarity {
         round(col("ip"), 6).as("inner_product"), col("rnk"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the modern RAG /
+    * search stack's default: a lexical ranking (distinct-term overlap
+    * via an inverted-index join — integer scores, so exactly
+    * deterministic) and a vector ranking (cosine over the aligned
+    * embedding) fused per query as `Σ 1/(60+rank)` over the lists the
+    * doc appears in. Ranks are integers and each doc has at most TWO
+    * terms added in a FIXED order (lex then vec), so the fused score
+    * never hits float reassociation — the [[graft.ops.TradeOps
+    * .chisqHourly]] lesson applied by construction rather than by
+    * sorted fold. Both rankings keep only their top `kList` before the
+    * fusion join (list truncation is part of RRF's definition, and the
+    * per-query state stays O(kList) at any corpus size). */
+  def hybridRrf(spark: SparkSession, dir: String, nQueries: Int = 5,
+      kList: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    VectorOps.register(spark)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val qWords = words.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("word"))
+    val overlap = words.join(qWords, "word")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("ov"))
+    val byOv = Window.partitionBy("q_id")
+      .orderBy(col("ov").desc, col("doc_id"))
+    val lex = overlap.withColumn("rl", row_number().over(byOv))
+      .filter(col("rl") <= kList).select("q_id", "doc_id", "rl")
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val byCos = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    val vec = emb.select(col("vec_id").as("doc_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("rv", row_number().over(byCos))
+      .filter(col("rv") <= kList).select("q_id", "doc_id", "rv")
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1d) / (col("rl") + lit(rrfK)).cast("double"), lit(0d))
+          + coalesce(lit(1d) / (col("rv") + lit(rrfK)).cast("double"),
+            lit(0d)))
+    val byRrf = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(byRrf))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("rnk"))
+  }
+
+  /** Oracle for [[hybridRrf]]. */
+  def hybridRrfSql(nQueries: Int = 5, kList: Int = 20, k: Int = 10,
+      rrfK: Int = 60): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+       |  FROM documents
+       |), lexall AS (
+       |  SELECT q.doc_id AS q_id, d.doc_id, count(*) AS ov
+       |  FROM w q JOIN w d ON q.word = d.word AND d.doc_id != q.doc_id
+       |  WHERE q.doc_id < $nQueries
+       |  GROUP BY 1, 2
+       |), lex AS (
+       |  SELECT q_id, doc_id, rl FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ov DESC, doc_id) AS rl
+       |    FROM lexall) WHERE rl <= $kList
+       |), e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+       |  WHERE vec_id < $nQueries
+       |), vecall AS (
+       |  SELECT qv.q_id, e.vec_id AS doc_id,
+       |         list_dot_product(qv.qv, e.v) / (qv.qn * e.nrm) AS cos
+       |  FROM e, qv WHERE e.vec_id != qv.q_id
+       |), vec AS (
+       |  SELECT q_id, doc_id, rv FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, doc_id) AS rv
+       |    FROM vecall) WHERE rv <= $kList
+       |), fused AS (
+       |  SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+       |         coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |         coalesce(1.0::DOUBLE / CAST(lex.rl + $rrfK AS DOUBLE), 0.0::DOUBLE)
+       |           + coalesce(1.0::DOUBLE / CAST(vec.rv + $rrfK AS DOUBLE), 0.0::DOUBLE)
+       |           AS rrf
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id
+       |)
+       |SELECT q_id, doc_id, round(rrf, 6) AS rrf, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM fused) WHERE rnk <= $k""".stripMargin
+
   /** Oracle for [[mipsTopK]]. */
   def mipsTopKSql(nQueries: Int = 10, k: Int = 5): String =
     s"""WITH e AS (

@@ -633,6 +633,66 @@ object TextOps {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Total-variation token drift per source (extension) — "which
+    * source's language is most unlike the corpus": TV distance between
+    * each source's token distribution and the global one. ENTIRELY
+    * exact until one final division: `TV = Σ_w |c_s·N_g − c_g·N_s| /
+    * (2·N_s·N_g)` keeps every term in BIGINT (products ≤ N_s·N_g,
+    * summed ≤ 2·N_s·N_g ≪ 2⁶³) — the log-free drift measure; KL /
+    * perplexity need `ln`, and libm rounding is engine-private. The
+    * absent-token mass is folded in ARITHMETICALLY — `Σ_absent c_g·N_s
+    * = N_s·(N_g − Σ_present c_g)` — so the plan never builds a
+    * source×vocab grid: two aggregate-sized shuffles (global token
+    * counts joined to per-source token counts, then per-source sums),
+    * at any source cardinality. */
+  def tvDrift(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("word"))
+    val global = tokens.groupBy("word").agg(count(lit(1)).as("cg"))
+    val bySrc = tokens.groupBy("source", "word")
+      .agg(count(lit(1)).as("cs"))
+    val srcTot = tokens.groupBy("source").agg(count(lit(1)).as("ns"))
+    val gTot = global.agg(sum(col("cg")).as("ng"))
+    bySrc.join(global, "word")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(gTot))
+      .groupBy(col("source"), col("ns"), col("ng"))
+      .agg(sum(abs(col("cs") * col("ng") - col("cg") * col("ns")))
+        .as("present"),
+        sum(col("cg")).as("cg_present"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        round((col("present")
+          + col("ns") * (col("ng") - col("cg_present"))).cast("double")
+          / (lit(2L) * col("ns") * col("ng")).cast("double"), 6)
+          .as("tv_drift"))
+  }
+
+  /** Oracle for [[tvDrift]] — identical decomposition. */
+  val tvDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), g AS (
+      |  SELECT word, count(*) AS cg FROM tok GROUP BY 1
+      |), s AS (
+      |  SELECT source, word, count(*) AS cs FROM tok GROUP BY 1, 2
+      |), st AS (
+      |  SELECT source, count(*) AS ns FROM tok GROUP BY 1
+      |), gt AS (
+      |  SELECT CAST(sum(cg) AS BIGINT) AS ng FROM g
+      |), agg AS (
+      |  SELECT s.source, st.ns, gt.ng,
+      |         CAST(sum(abs(s.cs * gt.ng - g.cg * st.ns)) AS BIGINT)
+      |           AS present,
+      |         CAST(sum(g.cg) AS BIGINT) AS cg_present
+      |  FROM s JOIN g USING (word) JOIN st USING (source) CROSS JOIN gt
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT source, ns AS n_tokens,
+      |       round(CAST(present + ns * (ng - cg_present) AS DOUBLE)
+      |             / CAST(2 * ns * ng AS DOUBLE), 6) AS tv_drift
+      |FROM agg""".stripMargin
+
   /** Oracle for [[sourceMixSample]]: identical integer cross-multiplied
     * threshold, identical md5-derived hash. */
   def sourceMixSampleSql(targetFrac: Double = 0.4): String =

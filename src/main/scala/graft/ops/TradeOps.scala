@@ -2184,6 +2184,65 @@ object TradeOps {
        | AND t.day < f.fold * $testDays + ${trainDays + testDays}
        |GROUP BY 1, 2""".stripMargin
 
+  /** O10 (extension) — purged walk-forward split with an embargo: the
+    * leakage-proof backtest protocol. A plain walk-forward
+    * ([[walkForwardSplits]]) lets samples whose LABELS are computed
+    * over a horizon straddle the train/test boundary — information
+    * leaks backward. The purge inserts an `embargoDays` band between
+    * each fold's train and test windows; rows landing there are
+    * surfaced as an explicit third role (never silently dropped —
+    * observability over truncation). Same scale shape as the parent:
+    * one fact scan against a broadcast fold table, no global row
+    * numbering. */
+  def purgedEmbargoSplits(trades: DataFrame, folds: Int = 4,
+      trainDays: Int = 8, embargoDays: Int = 2, testDays: Int = 3)
+      : DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val span = trainDays + embargoDays + testDays
+    val anchor = trades.agg(
+      date_trunc("day", min(col("timestamp"))).as("t0"))
+    val foldDf = (0 until folds).map(_.toLong).toDF("fold")
+    trades.crossJoin(broadcast(anchor))
+      .withColumn("day", datediff(col("timestamp"), col("t0")))
+      .join(broadcast(foldDf),
+        col("day") >= col("fold") * testDays &&
+          col("day") < col("fold") * testDays + span)
+      .withColumn("role",
+        when(col("day") < col("fold") * testDays + trainDays, "train")
+          .when(col("day") <
+            col("fold") * testDays + trainDays + embargoDays, "embargo")
+          .otherwise("test"))
+      .groupBy(col("fold"), col("role"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Oracle for [[purgedEmbargoSplits]] (body only — caller prepends
+    * the trades CTE). */
+  def purgedEmbargoSplitsSql(folds: Int = 4, trainDays: Int = 8,
+      embargoDays: Int = 2, testDays: Int = 3): String =
+    s"""SELECT f.fold,
+       |       CASE WHEN t.day < f.fold * $testDays + $trainDays
+       |              THEN 'train'
+       |            WHEN t.day < f.fold * $testDays
+       |                           + ${trainDays + embargoDays}
+       |              THEN 'embargo'
+       |            ELSE 'test' END AS role,
+       |       count(*) AS n_rows,
+       |       count(DISTINCT t.user_id) AS n_users
+       |FROM (
+       |  SELECT user_id,
+       |         date_diff('day',
+       |           (SELECT date_trunc('day', min("timestamp")) FROM trades),
+       |           date_trunc('day', "timestamp")) AS day
+       |  FROM trades) t
+       |JOIN (SELECT CAST(range AS BIGINT) AS fold
+       |      FROM range(0, $folds)) f
+       |  ON t.day >= f.fold * $testDays
+       | AND t.day < f.fold * $testDays + ${trainDays + embargoDays + testDays}
+       |GROUP BY 1, 2""".stripMargin
+
   /** F13 (extension) — delta encoding digest: per-symbol consecutive
     * price deltas in exact micro-unit BIGINTs — the columnar-compression
     * preprocessing (and the feed-drift monitor) in one pass. The digest

@@ -499,6 +499,35 @@ class EdgeCasesSpec extends SparkSuite {
       s"funnel not monotone: ${fn.toSeq}")
   }
 
+  test("batch-17: RRF bounds, embargo partition, TV drift range") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    // RRF: scores bounded by the two-list maximum, ranks dense per query
+    val h = Similarity.hybridRrf(spark, sf).cache()
+    assert(h.filter(col("rrf") > 2.0d / 61.0d + 1e-9).count() === 0)
+    assert(h.filter(col("rrf") <= 0).count() === 0)
+    assert(h.groupBy("q_id").agg(max(col("rnk")).as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count() === 0)
+    h.unpersist()
+    // purged embargo: roles partition each fold's span; the embargo band
+    // really holds rows at this sf (the leak zone is non-empty), and
+    // train/test never touch it
+    val trades = graft.Tables.trades(spark, sf)
+    val pe = TradeOps.purgedEmbargoSplits(trades).cache()
+    assert(pe.filter(col("role") === "embargo").count() > 0)
+    val wf = pe.groupBy("fold").pivot("role",
+      Seq("train", "embargo", "test")).sum("n_rows")
+    assert(wf.filter(col("train").isNull || col("embargo").isNull ||
+      col("test").isNull).count() === 0)
+    pe.unpersist()
+    // TV drift ∈ [0, 1); a single-source corpus drifts exactly 0
+    val tv = TextOps.tvDrift(docs)
+    assert(tv.filter(col("tv_drift") < 0 || col("tv_drift") >= 1).count() === 0)
+    val one = TextOps.tvDrift(docs.withColumn("source", lit("only")))
+    assert(one.count() === 1 &&
+      one.head.getAs[Double]("tv_drift") === 0.0)
+  }
+
   test("batch-16: cross-dedup vs full pair list, MIPS ranking") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val cd = Dedup.crossDedup(docs).cache()
