@@ -298,6 +298,11 @@ object SparkEntry {
       TradeOps.purgedEmbargoSplits(trades(s, dir))),
     "t_tv_drift" -> ((s, dir) =>
       TextOps.tvDrift(Tables.load(s, dir, "documents"))),
+    "k15_merge_on_read" -> ((s, dir) =>
+      TradeOps.mergeOnRead(s, trades(s, dir))),
+    "s17_zonemap_prune" -> ((s, dir) =>
+      TradeOps.zonemapPrune(s, trades(s, dir))),
+    "f18_robust_scale" -> ((s, dir) => TradeOps.robustScale(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1374,5 +1379,8 @@ object SparkEntry {
     "v_hybrid_rrf" -> Similarity.hybridRrfSql(),
     "o10_purged_embargo" -> s"$T\n${TradeOps.purgedEmbargoSplitsSql()}",
     "t_tv_drift" -> TextOps.tvDriftSql,
+    "k15_merge_on_read" -> s"$T\n${TradeOps.mergeOnReadSql()}",
+    "s17_zonemap_prune" -> s"$T\n${TradeOps.zonemapPruneSql()}",
+    "f18_robust_scale" -> s"$T,\n${TradeOps.robustScaleSql.stripPrefix("WITH ")}",
   )
 }

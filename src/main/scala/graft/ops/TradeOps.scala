@@ -2184,6 +2184,137 @@ object TradeOps {
        | AND t.day < f.fold * $testDays + ${trainDays + testDays}
        |GROUP BY 1, 2""".stripMargin
 
+  /** K15 (extension) — merge-on-read table: row-level upserts land as
+    * small DELTA files beside the immutable base; readers reconcile by
+    * newest-version-wins at scan time. The write-amplification dual of
+    * the copy-on-write [[graft.sinks.Upsert]] store (which rewrites
+    * whole buckets per merge): MOR writes are O(delta) regardless of
+    * base size — the lakehouse ingestion shape for high-churn tables —
+    * at the price of a read-time merge, which [[compactSmallFiles]]
+    * (k10) periodically folds away. The merge is ONE `max_by` hash
+    * aggregate keyed by the row id (map-side combinable), never a
+    * window over the union. */
+  def mergeOnRead(spark: SparkSession, trades: DataFrame,
+      reviseDay: String = "2024-01-15"): DataFrame = {
+    val base = scratchDir(spark, "mor_base")
+    val delta = scratchDir(spark, "mor_delta")
+    trades.select(col("event_id"), col("symbol"), col("timestamp"),
+        col("price")).withColumn("_v", lit(0L))
+      .write.mode("overwrite").parquet(base)
+    trades.filter(to_date(col("timestamp")) === lit(reviseDay).cast("date"))
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        (col("price") + 2.0d).as("price"))
+      .withColumn("_v", lit(1L))
+      .write.mode("overwrite").parquet(delta)
+    spark.read.parquet(base, delta)
+      .groupBy("event_id")
+      .agg(max_by(struct(col("symbol"), col("timestamp"), col("price")),
+        col("_v")).as("r"))
+      .select(col("event_id"), col("r.symbol").as("symbol"),
+        col("r.timestamp").as("timestamp"), col("r.price").as("price"))
+  }
+
+  /** Oracle for [[mergeOnRead]] (body only — caller prepends the
+    * trades CTE): the revision as a CASE on the day. */
+  def mergeOnReadSql(reviseDay: String = "2024-01-15"): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       CASE WHEN CAST("timestamp" AS DATE) = DATE '$reviseDay'
+       |            THEN price + 2.0 ELSE price END AS price
+       |FROM trades""".stripMargin
+
+  /** S17 (extension) — zone-map file pruning: write range-clustered
+    * files, collect a per-file (min, max) stats table, and answer a
+    * range predicate by reading ONLY the files whose zone intersects
+    * it — the explicit form of what Iceberg/Delta manifests and
+    * parquet row-group stats do, surfaced as an operator so the
+    * pruning is measurable (the spec asserts surviving files < total).
+    * The stats table is manifest-sized (one row per file — in
+    * production it comes from the commit log, not a scan; here one
+    * scan builds it), and the driver-side file-list collect is
+    * manifest-sized too, never data-sized. Clustering is what makes
+    * zones selective: unsorted writes give every file the full value
+    * range and prune nothing. */
+  def zonemapPrune(spark: SparkSession, trades: DataFrame,
+      lo: Double = 50.0, hi: Double = 100.0): DataFrame = {
+    val out = scratchDir(spark, "zonemap")
+    trades.select(col("symbol"), col("price"), col("volume"))
+      .repartitionByRange(16, col("price"))
+      .write.mode("overwrite").parquet(out)
+    val stats = spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("price")).as("zlo"), max(col("price")).as("zhi"))
+    val files = stats
+      .filter(col("zhi") >= lo && col("zlo") <= hi)
+      .select("file").collect().map(_.getString(0))
+    spark.read.parquet(files: _*)
+      .filter(col("price").between(lo, hi))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(volume * 100) AS BIGINT)")).as("sum_vol_cents"))
+  }
+
+  /** Oracle for [[zonemapPrune]] (body only — caller prepends the
+    * trades CTE): the same range aggregate with no pruning involved. */
+  def zonemapPruneSql(lo: Double = 50.0, hi: Double = 100.0): String =
+    s"""SELECT symbol, count(*) AS n_rows,
+       |       CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS BIGINT)
+       |         AS sum_vol_cents
+       |FROM trades
+       |WHERE price BETWEEN ${lo}::DOUBLE AND ${hi}::DOUBLE
+       |GROUP BY 1""".stripMargin
+
+  /** F18 (extension) — robust scaling `(x − median)/IQR`: the member
+    * of the scaler family ([[minMaxScale]], [[zscoreScale]]) that
+    * outliers cannot move. Fit = three selected elements (q1, median,
+    * q3) per symbol — selected ELEMENTS of the total (price, event_id)
+    * order are bit-identical doubles in any engine, the [[robustStats]]
+    * discipline (and like there, the per-symbol rank window is the
+    * documented GK-sketch swap point at 100 TB); transform = a pure
+    * broadcast projection. Zero-IQR symbols scale to NULL, never
+    * 0/0. */
+  def robustScale(trades: DataFrame): DataFrame = {
+    val byV = Window.partitionBy("symbol")
+      .orderBy(col("price"), col("event_id"))
+    val fit = trades.select(col("symbol"), col("price"), col("event_id"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .groupBy("symbol")
+      .agg(
+        max(when(col("rn") === ceil(lit(0.25) * col("n")), col("price")))
+          .as("q1"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("price")))
+          .as("med"),
+        max(when(col("rn") === ceil(lit(0.75) * col("n")), col("price")))
+          .as("q3"))
+    trades.join(broadcast(fit), Seq("symbol"))
+      .select(col("event_id"), col("symbol"),
+        when(col("q3") > col("q1"),
+          round((col("price") - col("med")) / (col("q3") - col("q1")), 6))
+          .as("robust_scaled"))
+  }
+
+  /** Oracle for [[robustScale]] (body only — caller prepends the
+    * trades CTE). */
+  val robustScaleSql: String =
+    """WITH r AS (
+      |  SELECT symbol, price, event_id,
+      |         row_number() OVER (PARTITION BY symbol
+      |           ORDER BY price, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY symbol) AS n
+      |  FROM trades
+      |), fit AS (
+      |  SELECT symbol,
+      |         max(CASE WHEN rn = ceil(0.25 * n) THEN price END) AS q1,
+      |         max(CASE WHEN rn = ceil(0.5 * n) THEN price END) AS med,
+      |         max(CASE WHEN rn = ceil(0.75 * n) THEN price END) AS q3
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT t.event_id, t.symbol,
+      |       CASE WHEN f.q3 > f.q1 THEN
+      |         round((t.price - f.med) / (f.q3 - f.q1), 6)
+      |       END AS robust_scaled
+      |FROM trades t JOIN fit f USING (symbol)""".stripMargin
+
   /** O10 (extension) — purged walk-forward split with an embargo: the
     * leakage-proof backtest protocol. A plain walk-forward
     * ([[walkForwardSplits]]) lets samples whose LABELS are computed

@@ -499,6 +499,47 @@ class EdgeCasesSpec extends SparkSuite {
       s"funnel not monotone: ${fn.toSeq}")
   }
 
+  test("batch-18: MOR merge, zone-map pruning really prunes, robust scale") {
+    val trades = graft.Tables.trades(spark, sf)
+    // merge-on-read: untouched rows identical, revised day +2.00, no
+    // row gained or lost by the read-time merge
+    val mor = TradeOps.mergeOnRead(spark, trades,
+      reviseDay = "2024-01-15").cache()
+    assert(mor.count() === trades.count())
+    val j = mor.join(
+      trades.select(col("event_id"), col("price").as("p0")), "event_id")
+    assert(j.filter(to_date(col("timestamp")) =!= lit("2024-01-15") &&
+      col("price") =!= col("p0")).count() === 0)
+    assert(j.filter(to_date(col("timestamp")) === lit("2024-01-15") &&
+      col("price") =!= col("p0") + 2.0d).count() === 0)
+    mor.unpersist()
+    // zone maps: pruned answer ≡ unpruned answer, and the stats table
+    // proves at least one file was skippable (clustering worked)
+    val zp = TradeOps.zonemapPrune(spark, trades)
+    val plain = trades.filter(col("price").between(50.0, 100.0))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(volume * 100) AS BIGINT)")).as("sum_vol_cents"))
+    assert(zp.exceptAll(plain).count() === 0 &&
+      plain.exceptAll(zp).count() === 0)
+    val zdir = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
+      spark.sparkContext.applicationId
+    val stats = spark.read.parquet(zdir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("price")).as("zlo"), max(col("price")).as("zhi"))
+    assert(stats.filter(col("zhi") < 50.0 || col("zlo") > 100.0)
+      .count() > 0, "no file was prunable — range clustering failed")
+    // robust scale: monotone in price per symbol, median row at 0
+    val rs = TradeOps.robustScale(trades)
+      .join(trades.select("event_id", "price"), "event_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+      .orderBy(col("price"), col("event_id"))
+    assert(rs.withColumn("prev", lag(col("robust_scaled"), 1).over(w))
+      .filter(col("prev").isNotNull && col("robust_scaled").isNotNull &&
+        col("prev") > col("robust_scaled")).count() === 0)
+    assert(TradeOps.robustScale(emptyTrades).count() === 0)
+  }
+
   test("batch-17: RRF bounds, embargo partition, TV drift range") {
     val docs = graft.Tables.load(spark, sf, "documents")
     // RRF: scores bounded by the two-list maximum, ranks dense per query
