@@ -1367,6 +1367,22 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(c.head.getLong(2) === 1L && c.head.getLong(3) === 4000000L)
   }
 
+  test("plan sweep: no CartesianProduct in ANY registered query") {
+    // The fleet-wide scale invariant: an unbounded cartesian is the one
+    // plan node that cannot survive 100×. Every intentional cross join
+    // in the engine broadcasts a provably tiny side, which plans as
+    // BroadcastNestedLoopJoin — so a CartesianProduct anywhere is a
+    // regression, and this sweep pins ALL current and future queries.
+    // (Construction executes the side-effecting round-trip queries at
+    // sf0.001 — the same cost the bench warmup already pays.)
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("k-fold: folds partition the feed, ids land deterministically") {
     val f = TradeOps.kfoldAssign(trades, k = 5).cache()
     assert(f.agg(sum(col("n_rows"))).head.getLong(0) === trades.count())
