@@ -124,9 +124,7 @@ object Pipeline {
       .filter(col("quality") >= minQuality)
     val tainted = Graph.hopDistance(
       docs.select("doc_id"),
-      Dedup.minhashPairs(docs)
-        .filter(col("est_jaccard") >= Dedup.resolveThreshold)
-        .select("doc_a", "doc_b"),
+      Dedup.dupEdges(docs),
       TextOps.contamination(docs)
         .filter(col("contaminated") === 1).select("doc_id"))
       .filter(col("hop_dist").isNotNull).select("doc_id")
