@@ -303,6 +303,11 @@ object SparkEntry {
     "s17_zonemap_prune" -> ((s, dir) =>
       TradeOps.zonemapPrune(s, trades(s, dir))),
     "f18_robust_scale" -> ((s, dir) => TradeOps.robustScale(trades(s, dir))),
+    "e_time_to_convert" -> ((s, dir) =>
+      EventAnalytics.timeToConvert(Tables.events(s, dir))),
+    "e_ltv_curve" -> ((s, dir) =>
+      EventAnalytics.ltvCurve(Tables.events(s, dir))),
+    "w19_realized_vol" -> ((s, dir) => TradeOps.realizedVol(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1382,5 +1387,8 @@ object SparkEntry {
     "k15_merge_on_read" -> s"$T\n${TradeOps.mergeOnReadSql()}",
     "s17_zonemap_prune" -> s"$T\n${TradeOps.zonemapPruneSql()}",
     "f18_robust_scale" -> s"$T,\n${TradeOps.robustScaleSql.stripPrefix("WITH ")}",
+    "e_time_to_convert" -> EventAnalytics.timeToConvertSql,
+    "e_ltv_curve" -> EventAnalytics.ltvCurveSql,
+    "w19_realized_vol" -> s"$T,\n${TradeOps.realizedVolSql.stripPrefix("WITH ")}",
   )
 }

@@ -330,4 +330,112 @@ object EventAnalytics {
       |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events
       |GROUP BY 1""".stripMargin
+
+  /** Time-to-convert quantiles (extension) — per signup-cohort day,
+    * the median and p90 latency from a user's first `view` to their
+    * first subsequent `purchase`. Latencies are exact µs BIGINTs; the
+    * quantiles are selected ELEMENTS of the total (latency, user_id)
+    * order — bit-identical in any engine, the [[graft.ops.TradeOps
+    * .robustStats]] discipline. Converted users only (an unconverted
+    * latency is undefined, not infinite); the per-cohort rank window
+    * runs over converted users, not events. */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val perUser = events
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tv"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max(col("tv")).as("tv"), max(col("tp")).as("tp"))
+      .filter(col("tp").isNotNull)
+      .select(col("user_id"), to_date(col("tv")).as("cohort_day"),
+        (unix_micros(col("tp")) - unix_micros(col("tv"))).as("lat_us"))
+    val byLat = Window.partitionBy("cohort_day")
+      .orderBy(col("lat_us"), col("user_id"))
+    perUser
+      .withColumn("rn", row_number().over(byLat))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort_day")))
+      .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"))
+      .agg(count(lit(1)).as("n_converted"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("lat_us")))
+          .as("median_us"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")), col("lat_us")))
+          .as("p90_us"))
+  }
+
+  /** Oracle for [[timeToConvert]]. */
+  val timeToConvertSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+      |  FROM events GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, any_value(u.tv) AS tv,
+      |         min(CASE WHEN e.event_type = 'purchase' AND e.ts > u.tv
+      |                  THEN e.ts END) AS tp
+      |  FROM events e JOIN u USING (user_id) GROUP BY 1
+      |), lat AS (
+      |  SELECT user_id, CAST(tv AS DATE) AS cohort_day,
+      |         epoch_us(tp) - epoch_us(tv) AS lat_us
+      |  FROM p WHERE tp IS NOT NULL
+      |), r AS (
+      |  SELECT cohort_day, lat_us,
+      |         row_number() OVER (PARTITION BY cohort_day
+      |           ORDER BY lat_us, user_id) AS rn,
+      |         count(*) OVER (PARTITION BY cohort_day) AS n
+      |  FROM lat
+      |)
+      |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+      |       count(*) AS n_converted,
+      |       CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN lat_us END)
+      |            AS BIGINT) AS median_us,
+      |       CAST(max(CASE WHEN rn = ceil(0.9 * n) THEN lat_us END)
+      |            AS BIGINT) AS p90_us
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** Cohort LTV curves (extension) — cumulative purchase revenue per
+    * (first-seen cohort day, account age in days): the curve a growth
+    * team reads lifetime value off. Revenue stays in exact cent
+    * BIGINTs; the cumulative window runs over the (cohort, age)
+    * AGGREGATE — a calendar-sized table — never over user rows. */
+  def ltvCurve(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val aged = events
+      .withColumn("cohort_day", min(to_date(col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("age_days",
+        datediff(to_date(col("ts")), col("cohort_day")))
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+    val daily = aged.groupBy("cohort_day", "age_days")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("vc")).as("rev"))
+    val cum = Window.partitionBy("cohort_day").orderBy("age_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("cohort_day").cast("timestamp").as("cohort_day"),
+      col("age_days").cast("long").as("age_days"), col("n_purchases"),
+      sum(col("rev")).over(cum).as("cum_revenue_cents"))
+  }
+
+  /** Oracle for [[ltvCurve]]. */
+  val ltvCurveSql: String =
+    """WITH c AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1
+      |), daily AS (
+      |  SELECT c.cohort_day,
+      |         date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+      |         count(*) AS n_purchases,
+      |         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+      |           AS rev
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+      |       CAST(age_days AS BIGINT) AS age_days, n_purchases,
+      |       CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_days
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |         AS cum_revenue_cents
+      |FROM daily""".stripMargin
 }

@@ -499,6 +499,34 @@ class EdgeCasesSpec extends SparkSuite {
       s"funnel not monotone: ${fn.toSeq}")
   }
 
+  test("batch-19: convert latency order, LTV monotone, realized vol") {
+    import graft.ops.EventAnalytics
+    val events = graft.Tables.events(spark, sf)
+    // median ≤ p90, both positive (tp strictly after tv by construction)
+    val ttc = EventAnalytics.timeToConvert(events)
+    assert(ttc.filter(col("median_us") <= 0 ||
+      col("p90_us") < col("median_us")).count() === 0)
+    // LTV: cumulative revenue never decreases along a cohort's ages
+    val ltv = EventAnalytics.ltvCurve(events)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_day").orderBy("age_days")
+    assert(ltv.withColumn("prev", lag(col("cum_revenue_cents"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        col("cum_revenue_cents") < col("prev")).count() === 0)
+    // realized vol: non-negative; a flat crafted series realizes 0
+    val trades = graft.Tables.trades(spark, sf)
+    assert(TradeOps.realizedVol(trades)
+      .filter(col("realized_vol") < 0).count() === 0)
+    import spark.implicits._
+    val flat = (1L to 10L).map(i =>
+      (i, "F", new java.sql.Timestamp(1700000000000L + i * 1000), 5.0))
+      .toDF("event_id", "symbol", "timestamp", "price")
+    val fv = TradeOps.realizedVol(flat).head()
+    assert(fv.getAs[Long]("rv_micro2") === 0L &&
+      fv.getAs[Double]("realized_vol") === 0.0)
+    assert(TradeOps.realizedVol(emptyTrades).count() === 0)
+  }
+
   test("batch-18: MOR merge, zone-map pruning really prunes, robust scale") {
     val trades = graft.Tables.trades(spark, sf)
     // merge-on-read: untouched rows identical, revised day +2.00, no
