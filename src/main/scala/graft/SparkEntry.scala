@@ -308,6 +308,8 @@ object SparkEntry {
     "e_ltv_curve" -> ((s, dir) =>
       EventAnalytics.ltvCurve(Tables.events(s, dir))),
     "w19_realized_vol" -> ((s, dir) => TradeOps.realizedVol(trades(s, dir))),
+    "q25_copurchase" -> ((s, dir) => Relational.copurchase(s, dir)),
+    "v_kmeans_purity" -> ((s, dir) => Similarity.kmeansPurity(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1390,5 +1392,7 @@ object SparkEntry {
     "e_time_to_convert" -> EventAnalytics.timeToConvertSql,
     "e_ltv_curve" -> EventAnalytics.ltvCurveSql,
     "w19_realized_vol" -> s"$T,\n${TradeOps.realizedVolSql.stripPrefix("WITH ")}",
+    "q25_copurchase" -> Relational.copurchaseSql(),
+    "v_kmeans_purity" -> Similarity.kmeansPuritySql(),
   )
 }

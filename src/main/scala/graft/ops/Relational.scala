@@ -900,4 +900,59 @@ object Relational {
       |       round((CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE))
       |             / CAST(p.rev AS DOUBLE) * 100, 4) AS yoy_pct
       |FROM monthly c LEFT JOIN monthly p ON p.y = c.y - 1 AND p.m = c.m""".stripMargin
+
+  /** Q25 analog (extension) — market-basket co-purchase affinity: for
+    * part pairs ordered together in ≥ `minSupport` orders, the lift
+    * `N·c_ab/(c_a·c_b)` (>1 ⇔ the pair co-occurs more than chance).
+    * The self-join explodes per ORDER — pairs per order are bounded by
+    * lines-per-order² (single digits in this schema), so the blowup is
+    * group-bounded like [[graft.ops.EventAnalytics.transitionMatrix]],
+    * never corpus². Distinct (order, part) first so duplicate lines of
+    * the same part can't inflate support; all counts exact, lift is
+    * one fixed double expression over exact integers. */
+  def copurchase(spark: SparkSession, dir: String,
+      minSupport: Long = 3L): DataFrame = {
+    val op = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partCnt = op.groupBy("l_partkey").agg(count(lit(1)).as("cp"))
+    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(broadcast(partCnt.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("cp", "ca")), "part_a")
+      .join(broadcast(partCnt.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("cp", "cb")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        round((col("n_both") * col("n_orders")).cast("double")
+          / (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+  }
+
+  /** Oracle for [[copurchase]]. */
+  def copurchaseSql(minSupport: Long = 3L): String =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), n AS (
+       |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+       |), pc AS (
+       |  SELECT l_partkey, count(*) AS cp FROM op GROUP BY 1
+       |), pr AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |         count(*) AS n_both
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |   AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |)
+       |SELECT pr.part_a, pr.part_b, pr.n_both,
+       |       round(CAST(pr.n_both * n.n_orders AS DOUBLE)
+       |             / CAST(ca.cp * cb.cp AS DOUBLE), 6) AS lift
+       |FROM pr JOIN pc ca ON ca.l_partkey = pr.part_a
+       |        JOIN pc cb ON cb.l_partkey = pr.part_b
+       |        CROSS JOIN n""".stripMargin
 }

@@ -647,6 +647,60 @@ object Similarity {
        |WHERE a.rc = 1
        |GROUP BY a.cell""".stripMargin
 
+  /** K-means cluster purity vs the held labels (extension) — the
+    * measure-don't-guess row for the vector tier ([[graft.ops.Dedup
+    * .lshRecall]] discipline): per trained cell, how label-homogeneous
+    * is it? Majority label by the total (count DESC, label ASC) order;
+    * purity = majority/size through one exact integer division. Reuses
+    * the session-cached quantizer ([[trainKmeansCached]]) and the same
+    * literal-centroid assignment projection as [[annIvf]] — no extra
+    * training, no shuffle beyond two aggregate-sized groupBys. */
+  def kmeansPurity(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val cents = trainKmeansCached(spark, dir, emb, k, iters, dim)
+    val byCell = Window.partitionBy("cell")
+      .orderBy(col("c").desc, col("label"))
+    assignCells(emb, cents)
+      .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(byCell))
+      .groupBy("cell")
+      .agg(sum(col("c")).as("n_points"),
+        max(when(col("rk") === 1, col("label"))).as("majority_label"),
+        max(when(col("rk") === 1, col("c"))).as("n_majority"))
+      .withColumn("purity",
+        round(col("n_majority").cast("double")
+          / col("n_points").cast("double"), 6))
+  }
+
+  /** Oracle for [[kmeansPurity]] — the unrolled k-means chain plus the
+    * label join. */
+  def kmeansPuritySql(k: Int = 8, iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${kmeansChain(k, iters, dim)},
+       |${kmAssignCte(s"cb$iters", "F")},
+       |asg AS (
+       |  SELECT a.vec_id, a.cell FROM aF a WHERE a.rc = 1
+       |), lab AS (
+       |  SELECT asg.cell, e2.label, count(*) AS c
+       |  FROM asg JOIN embeddings e2 USING (vec_id)
+       |  GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT cell, label, c,
+       |         row_number() OVER (PARTITION BY cell
+       |           ORDER BY c DESC, label) AS rk
+       |  FROM lab
+       |)
+       |SELECT cell, CAST(sum(c) AS BIGINT) AS n_points,
+       |       max(CASE WHEN rk = 1 THEN label END) AS majority_label,
+       |       CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT)
+       |         AS n_majority,
+       |       round(CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+       |             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS purity
+       |FROM rk GROUP BY 1""".stripMargin
+
   /** PQ asymmetric-distance (ADC) top-k search — the query path of an
     * IVF-PQ index over the [[pqCodes]] layout: each query builds an
     * m×k lookup table of per-subspace distances to every codebook entry

@@ -499,6 +499,35 @@ class EdgeCasesSpec extends SparkSuite {
       s"funnel not monotone: ${fn.toSeq}")
   }
 
+  test("batch-20: co-purchase lift, k-means purity bounds") {
+    import graft.ops.Relational
+    val cp = Relational.copurchase(spark, sf, minSupport = 3L).cache()
+    assert(cp.filter(col("part_a") >= col("part_b")).count() === 0)
+    assert(cp.filter(col("n_both") < 3).count() === 0)
+    assert(cp.filter(col("lift") <= 0).count() === 0)
+    cp.unpersist()
+    // crafted lift: parts (1,2) together in 5 of 10 orders, never apart
+    // -> c_ab=5, c_a=c_b=5, N=10, lift = 5*10/(5*5) = 2 exactly
+    import spark.implicits._
+    val li = ((1L to 5L).flatMap(o => Seq((o, 1L), (o, 2L))) ++
+      (6L to 10L).map(o => (o, 3L)))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = tmpDir("graft-copurchase")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val crafted = Relational.copurchase(spark, dir, minSupport = 2L)
+      .collect()
+    assert(crafted.length === 1)
+    assert(crafted.head.getAs[Long]("n_both") === 5L &&
+      crafted.head.getAs[Double]("lift") === 2.0)
+    // purity: bounded, majority never exceeds the cell, masses conserve
+    val pu = Similarity.kmeansPurity(spark, sf).cache()
+    assert(pu.filter(col("purity") <= 0 || col("purity") > 1).count() === 0)
+    assert(pu.filter(col("n_majority") > col("n_points")).count() === 0)
+    assert(pu.agg(sum(col("n_points"))).head.getLong(0) ===
+      graft.Tables.load(spark, sf, "embeddings").count())
+    pu.unpersist()
+  }
+
   test("batch-19: convert latency order, LTV monotone, realized vol") {
     import graft.ops.EventAnalytics
     val events = graft.Tables.events(spark, sf)
