@@ -2184,6 +2184,52 @@ object TradeOps {
        | AND t.day < f.fold * $testDays + ${trainDays + testDays}
        |GROUP BY 1, 2""".stripMargin
 
+  /** W20 (extension) — sliding-window distinct users (3h windows,
+    * hourly slide): the "rolling reach" metric. Exact distinct over a
+    * sliding window has no window-function form in either engine; both
+    * paths here use the hour→window EXPLODE (each hour feeds
+    * `windowHours` windows — the [[slidingFeatures]] trick, a
+    * constant-factor blowup). The exact count re-scans per window; the
+    * SHIPPED path at 100 TB is the second one — one HLL sketch per
+    * hour, merged per window ([[graft.ops.Relational.hllMergeDistinct]]
+    * shape: merge fixed-size registers, never re-scan raw data for a
+    * broader scope) — and the oracle pins exact counts plus the
+    * sketch-accuracy envelope flag, so a broken merge flips the row
+    * red. */
+  def rollingDistinct(trades: DataFrame, windowHours: Int = 3): DataFrame = {
+    val hours = trades
+      .withColumn("h", date_trunc("hour", col("timestamp")))
+    def toWindows(df: DataFrame): DataFrame =
+      df.withColumn("w_end", explode(array((0 until windowHours).map(i =>
+        col("h") + expr(s"INTERVAL $i HOURS")): _*)))
+    val exact = toWindows(hours).groupBy("w_end")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("h")).as("n_hours"))
+    val sketches = hours.groupBy("h")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = toWindows(sketches).groupBy("w_end")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    exact.join(merged, "w_end")
+      .select(col("w_end"), col("n_hours"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.05).cast("int").as("within_5pct"))
+  }
+
+  /** Oracle for [[rollingDistinct]] (body only — caller prepends the
+    * trades CTE): exact counts via the same explode; the envelope flag
+    * pinned to 1 (the [[graft.ops.Relational.hllMergeDistinct]]
+    * discipline — a broken sketch merge flips it). */
+  def rollingDistinctSql(windowHours: Int = 3): String =
+    s"""SELECT "h" + to_hours(d.i) AS w_end,
+       |       CAST(count(DISTINCT "h") AS BIGINT) AS n_hours,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       |       1 AS within_5pct
+       |FROM (
+       |  SELECT user_id, date_trunc('hour', "timestamp") AS "h"
+       |  FROM trades) t,
+       |  (SELECT unnest(generate_series(0, ${windowHours - 1})) AS i) d
+       |GROUP BY 1""".stripMargin
+
   /** W19 (extension) — daily realized volatility: the sum of squared
     * tick-to-tick moves per (symbol, day), the microstructure
     * volatility estimator. Squared micro-unit diffs are exact BIGINTs
