@@ -192,7 +192,7 @@ object Multimodal {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM m
        |)
-       |SELECT modality, (cum - b) // $budgetBytes AS shard,
+       |SELECT modality, CAST((cum - b) // $budgetBytes AS BIGINT) AS shard,
        |       count(*) AS n_docs, CAST(sum(b) AS BIGINT) AS shard_bytes
        |FROM c GROUP BY 1, 2""".stripMargin
 }
