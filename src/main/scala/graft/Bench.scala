@@ -41,24 +41,41 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // A query whose rep throws must record "err", NEVER a number: r7's
+    // loader break made 102 queries fail-fast in ~50 ms each, and the old
+    // code posted those as min-of-3 "times" — a bench that improves
+    // because the code stopped running is a benchmark-integrity bug.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, benchDir).write.format("noop").mode("overwrite").save()
+              Right((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+            }
           }
-          (System.nanoTime() - t0) / 1e9
+          val ok = times.collect { case Right(t) => t }
+          // any failed rep poisons the query: partial timings are not
+          // comparable to full min-of-N
+          name -> (if (ok.size == reps) Right(ok.min)
+                   else Left(times.collectFirst { case Left(m) => m }.get))
         }
-        name -> times.min
-      }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(v)) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"queries":$qs,"sf":"$sfDir"}"""
+    if (failedNames.nonEmpty)
+      System.err.println(
+        s"[bench] ${failedNames.size} queries FAILED: ${failedNames.mkString(", ")}")
     println(line)
     // Also persist the complete per-query JSON: the driver's captured
     // stdout tail has truncated mid-object before (BENCH_r05), hiding

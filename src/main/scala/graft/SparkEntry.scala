@@ -210,8 +210,10 @@ object SparkEntry {
     "a15_anomaly" -> ((s, dir) => TradeOps.anomalyFlags(trades(s, dir))),
     "g_triangles" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Graph.triangles(Dedup.mutualKnn(Dedup.minhashPairs(docs)
-        .filter(col("est_jaccard") >= Dedup.triangleThreshold)))
+      // session-cached weighted edge table: repeat invocations (and any
+      // other consumer at this threshold) skip the band join
+      Graph.triangles(Dedup.mutualKnn(
+        Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
     }),
     "d_fuzzy_pairs" -> ((s, dir) => Dedup.fuzzyPairs(Tables.load(s, dir, "documents"))),
     "w13_cusum" -> ((s, dir) => TradeOps.cusum(trades(s, dir))),

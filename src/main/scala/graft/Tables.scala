@@ -27,7 +27,9 @@ object Tables {
     * bench stages once per session to give the local run the same
     * production shape (scans split, pruning/pushdown intact, no
     * per-query repartition shuffles). Sized ~1 MiB/file, capped at core
-    * count; `ts` nanos stay a LONG so [[events]] semantics are identical.
+    * count. `events.ts` is re-written in whatever type it was read as
+    * (LONG nanos under the legacy flag, or native TIMESTAMP micros);
+    * [[events]] is schema-adaptive so either round-trips identically.
     */
   def stage(spark: SparkSession, dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_staged_" +
@@ -46,18 +48,33 @@ object Tables {
     out
   }
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with
-    * integer division — the exact behavior of DuckDB's reader on the same
-    * file, so oracle comparisons see identical microsecond timestamps.
-    * (Double division would lose integer precision: epoch-nanos ≈ 1.7e18
-    * exceeds 2^53.)
+  /** Schema-adaptive `ts` loader. The driver has shipped `events.parquet`
+    * in two formats: INT64 TIMESTAMP(NANOS) — which Spark's parquet reader
+    * rejects unless `spark.sql.legacy.parquet.nanosAsLong` maps it to LONG,
+    * then truncated to micros with integer division (DuckDB's reader does
+    * the same truncation, so oracles agree; double division would lose
+    * precision: epoch-nanos ≈ 1.7e18 exceeds 2^53) — and native
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ and is cast to TimestampType below. Branch on the
+    * loaded type so every format the driver has shipped yields identical
+    * microsecond timestamps.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // legacy INT64 TIMESTAMP(NANOS) read as raw nanos
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // Native TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ;
+        // downstream operators (unix_micros, double casts, Timestamp
+        // getters) and the Verify dumps assume TimestampType. With the
+        // session timezone pinned to UTC the cast is value-identical to
+        // the old nanos path and to DuckDB's naive read of the same file.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already TimestampType
+    }
   }
 
   /** Flat trade rows (reference `ProcessStockStream.py:102-109` output

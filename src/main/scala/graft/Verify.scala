@@ -9,7 +9,10 @@ object Verify {
     // query (no SparkSession needed) — feeds tools/check_oracle_types.py,
     // the gate that kills the DuckDB HUGEINT hash-break class.
     if (args.headOption.contains("--sql-only")) {
-      val dir = args(1)
+      val dir = args.lift(1).getOrElse {
+        System.err.println("usage: graft.Verify --sql-only <outDir>")
+        sys.exit(2)
+      }
       new java.io.File(dir).mkdirs()
       Files.writeString(Paths.get(s"$dir/oracle_sql.json"), oracleJson)
       return
@@ -27,6 +30,12 @@ object Verify {
     // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 runs just those
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Failures must be LOUD: r7's testdata regeneration broke 102 queries
+    // and this loop's stderr-only handling let the round's correctness
+    // artifact silently shrink to the surviving half. Collect every
+    // failure into failed.json (name → message) so the driver — and any
+    // human — sees a red row per broken query, and exit non-zero.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -34,9 +43,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+        .mkString("{", ",", "}"))
+    // Loud but not fatal: a non-zero exit could make the driver discard
+    // the good dumps; failed.json + the FAILED summary line are the signal.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 

@@ -114,6 +114,26 @@ object Dedup {
         .select("doc_a", "doc_b").distinct().localCheckpoint())
   }
 
+  private val wEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+
+  /** [[dupEdges]] with the similarity weight kept — for consumers that
+    * rank by similarity ([[mutualKnn]] → triangles). Cached separately
+    * per (session, corpus, threshold): at the high thresholds these
+    * consumers use ([[triangleThreshold]] 0.9) the surviving pair set is
+    * bounded by near-identical-clique size, so pinning three columns per
+    * edge is as cheap as the unweighted table, and repeat consumers skip
+    * the band join entirely. */
+  def weightedDupEdges(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.analyzed.canonicalized.semanticHash(),
+      java.lang.Double.doubleToLongBits(threshold))
+    wEdgeCache.computeIfAbsent(key, _ =>
+      minhashPairs(docs).filter(col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard").localCheckpoint())
+  }
+
   /** Banded-LSH candidate pairs from an already-computed signature table
     * (doc_id, m0..m15) — the seam [[resolveDuplicates]] uses to band-join
     * signature-group REPRESENTATIVES instead of all docs. */

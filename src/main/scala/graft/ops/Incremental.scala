@@ -33,7 +33,13 @@ object Incremental {
     * is simulated deterministically as `event_id % nBatches` (arrival
     * order is immaterial: merge is commutative). Each partial is
     * `localCheckpoint`ed — the stored-state seam: the merge below reads
-    * materialized state, not a re-derivation from raw events. */
+    * materialized state, not a re-derivation from raw events.
+    *
+    * Release exemption (the Graph.connectedComponents discipline): these
+    * checkpoints are GROUP-cardinality-sized (event_type × day — hundreds
+    * of rows at any corpus scale, the whole point of partial-state MV
+    * maintenance), and every one of them backs the returned view, so
+    * none can be unpersisted before the caller consumes the result. */
   private[ops] def partialStates(events: DataFrame): Seq[DataFrame] =
     (0 until nBatches).map { b =>
       events.filter(pmod(col("event_id"), lit(nBatches)) === b)
@@ -71,6 +77,8 @@ object Incremental {
     * lgK=12 → rsd ≈ 1.6%; flag at 5%): if sketching, storage, or merge
     * broke, the flag flips and the oracle hash breaks. */
   def incrementalDistinct(events: DataFrame): DataFrame = {
+    // release exemption: fixed-size sketch rows (one per event_type),
+    // all backing the returned frame — see [[partialStates]]
     val partials = (0 until nBatches).map { b =>
       events.filter(pmod(col("event_id"), lit(nBatches)) === b)
         .groupBy("event_type")
@@ -134,6 +142,8 @@ object Incremental {
     val partials = ((0 until nBatches).map { b =>
       signed.filter(pmod(col("event_id"), lit(nBatches)) === b)
     } :+ retractions).map {
+      // release exemption: group-sized signed partials, all backing the
+      // returned view — see [[partialStates]]
       _.groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(col("sign")).as("n"),
           sum(col("sign") *

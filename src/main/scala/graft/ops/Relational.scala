@@ -827,12 +827,24 @@ object Relational {
     // Each stage is localCheckpoint'ed: distributedRank reads its input
     // twice (bucketed rows + bucket counts), so an unmaterialized
     // 3-stage chain would re-run the orders aggregate 2^3 times.
+    // Release discipline (Graph.connectedComponents): each stage's EAGER
+    // checkpoint fully materializes from its predecessor's, so the
+    // predecessor is dead weight the moment the next stage's checkpoint
+    // exists — unpersist it then. Only the LAST checkpoint (which the
+    // returned frame rests on) stays pinned.
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     def quartileDesc(df: DataFrame, bkt: Column, metric: Column,
-        outCol: String): DataFrame =
-      distributedRank(df.localCheckpoint(), bkt, metric, col("custkey"))
+        outCol: String): DataFrame = {
+      val c = df.localCheckpoint() // eager: predecessor now released below
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = c.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      distributedRank(c, bkt, metric, col("custkey"))
         .withColumn(outCol,
           ntileOfRank(col("_total") + 1L - col("_rank"), col("_total"), 4))
         .drop("_rank", "_total")
+    }
     val r = quartileDesc(base, date_trunc("month", col("recency")),
       col("recency"), "r_q")
     val f = quartileDesc(r, col("frequency"), col("frequency"), "f_q")

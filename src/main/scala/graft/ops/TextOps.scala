@@ -852,6 +852,12 @@ object TextOps {
     var seqs = words.withColumn("seq",
       concat(lit("|"), array_join(split(col("token"), ""), "||"), lit("|")))
     val learned = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    // Graph.connectedComponents release discipline: each round's
+    // localCheckpoint supersedes the previous round's — unpersist the
+    // stale one immediately or every bpe call leaks (rounds−1)
+    // vocab-sized pinned RDD copies per session. The FINAL checkpoint
+    // stays: the returned symbol table rests on it.
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
       val pairs = seqs
@@ -875,6 +881,10 @@ object TextOps {
           // replace-chain lineage between rounds (the kmeans discipline)
           seqs = seqs.withColumn("seq",
             expr(s"replace(seq, '|$x||$y|', '|$x$y|')")).localCheckpoint()
+          prevCkpt.foreach(_.unpersist(blocking = false))
+          prevCkpt = seqs.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }
       }
     }
     (learned.toSeq, seqs)

@@ -137,6 +137,90 @@ object StreamingJob {
     events.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** query_06 (extension) — the incremental-MV tier's streaming twin:
+    * [[graft.ops.Incremental.incrementalAgg]] maintained continuously by
+    * a `foreachBatch` merge sink instead of simulated batch splits. Each
+    * micro-batch contributes its PARTIAL aggregate state (count / exact
+    * micro-unit sum / min / max — the mergeable tier), which merges into
+    * the stored view keyed `(event_type, day)` via [[Upsert.merge]]:
+    * per batch the cost is O(micro-batch + affected groups), never a
+    * rescan of history — the property that keeps a 100 TB rollup
+    * continuously fresh. `events` is a streaming DataFrame with at least
+    * (event_type, ts, value). Batch/stream equality is spec'd in
+    * StreamingSpec. */
+  def runIncrementalAgg(spark: SparkSession, events: DataFrame,
+      cfg: Config): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_06")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        mergeIncrementalAgg(df, id, s"${cfg.outRoot}/mv_event_daily")
+      }
+      .queryName("mv_event_daily").start()
+
+  /** One micro-batch of incremental view maintenance: aggregate the
+    * batch to its partial state, merge register-wise with the CURRENT
+    * values of only the affected groups (semi-join — untouched groups
+    * are never read), and upsert the merged rows back. Exactly the
+    * foreachBatch seam a Delta/Iceberg `MERGE INTO` target drops into.
+    *
+    * Replay safety: Structured Streaming re-runs a batch after a crash,
+    * and an additive merge is NOT naturally idempotent (re-merging
+    * double-counts), so the last applied batch id is recorded in the
+    * view dir and replays of it are skipped. The marker lands after the
+    * store's pointer flip — a crash exactly between the two re-merges
+    * one batch; closing that hairline window needs a sink whose commit
+    * is transactional with the data (Delta txn log), which is what the
+    * production connector at this seam provides. */
+  def mergeIncrementalAgg(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val spark = batch.sparkSession
+    val marker = Paths.get(root, "_LAST_APPLIED")
+    val lastApplied =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker)).trim.toLongOption
+      else None
+    if (lastApplied.exists(_ >= batchId)) return
+    val keys = Seq("event_type", "day")
+    val partial = batch
+      .groupBy(col("event_type"),
+        to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 1000000) AS BIGINT)"))
+          .as("sum_value_micro"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    val cols = keys ++ Seq("n_events", "sum_value_micro",
+      "min_value", "max_value")
+    val merged = Upsert.read(spark, root) match {
+      case None => partial
+      case Some(state) =>
+        // current values of the groups this batch touches — only those
+        // buckets get rewritten; the rest of the view is carried forward
+        // by manifest reference inside Upsert.merge
+        state.select(cols.map(col): _*)
+          .join(partial.select(keys.map(col): _*), keys, "left_semi")
+          .unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_value_micro")).as("sum_value_micro"),
+            min(col("min_value")).as("min_value"),
+            max(col("max_value")).as("max_value"))
+    }
+    if (!merged.isEmpty) {
+      Upsert.merge(merged, batchId, root, keys)
+      Files.createDirectories(Paths.get(root))
+      val tmp = Paths.get(root, s"_LAST_APPLIED.tmp.$batchId")
+      Files.write(tmp, batchId.toString.getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** query_05 — the prediction vertical as a streaming consumer of the
     * FEATURES stream, composing T14 → §2.9 scoring → K7 writeback
     * exactly the way the reference splits it across processes

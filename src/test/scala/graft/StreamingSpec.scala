@@ -632,6 +632,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("query_06 incremental MV: streamed merge equals batch incrementalAgg, replay-safe") {
+    import spark.implicits._
+    // deterministic events over 5 days / 3 event types, fed in 3
+    // micro-batches — the streamed view must equal the batch-tier
+    // full-history incrementalAgg over the same rows
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 90).map { i =>
+      (i.toLong,
+        new java.sql.Timestamp(t0 + (i % 5) * 86400000L + rnd.nextInt(900000)),
+        1000L + i % 11,
+        Seq("view", "click", "buy")(rnd.nextInt(3)),
+        rnd.nextInt(10000) / 100.0,
+        "{}")
+    }
+    val colNames = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)](spark)
+    val out = tmpDir("graft-mv-out")
+    val ckpt = tmpDir("graft-mv-ckpt")
+    val q = StreamingJob.runIncrementalAgg(spark,
+      input.toDF().toDF(colNames: _*), StreamingJob.Config(out, ckpt))
+    val mvRoot = s"$out/mv_event_daily"
+    val outCols = Seq("event_type", "day", "n_events", "sum_value_micro",
+      "min_value", "max_value")
+    try {
+      events.grouped(30).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      def streamedView() = Upsert.read(spark, mvRoot).get
+        .select(outCols.map(col): _*)
+      val batch = graft.ops.Incremental
+        .incrementalAgg(events.toDF(colNames: _*))
+        .select(outCols.map(col): _*)
+      val streamed = streamedView()
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed MV state differs from batch full recompute")
+      // replay safety: re-applying the LAST batch id must be a no-op —
+      // an additive merge would otherwise double-count on crash replay
+      val before = streamed.collect().map(_.toString).sorted.toSeq
+      StreamingJob.mergeIncrementalAgg(
+        events.drop(60).toDF(colNames: _*), batchId = 2L, mvRoot)
+      val after = streamedView().collect().map(_.toString).sorted.toSeq
+      assert(after === before, "batch replay mutated the view (double count)")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: broadcast dim join, left keeps unmatched") {
     import spark.implicits._
     val input = MemoryStream[TradeEvent](spark)

@@ -16,6 +16,13 @@ BIGINT / INTEGER / DOUBLE / VARCHAR / TIMESTAMP / DATE / BOOLEAN.
 Anything else (HUGEINT, DECIMAL, FLOAT, UBIGINT, TIME, interval, nested)
 fails, naming the query and column. Exit 0 = gate green.
 
+Scope limit: this checks only the DuckDB-side types against ALLOWED. A
+cross-engine mismatch between two *allowed* types (e.g. Spark emitting
+INTEGER where DuckDB emits BIGINT) would pass here yet still hash-break
+under the driver's encoded-value compare — that class is caught
+downstream by the driver's per-query schema_match row, and would need
+the Verify parquet dumps (Spark-side schemas) to gate pre-emptively.
+
 Generate the json without running queries:
   sbt "runMain graft.Verify --sql-only /tmp/sqlonly"
 """
