@@ -172,6 +172,10 @@ object SparkEntry {
     "e_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir))),
     "e_transitions" -> ((s, dir) => EventAnalytics.transitionMatrix(Tables.events(s, dir))),
     "mv_incremental_distinct" -> ((s, dir) => Incremental.incrementalDistinct(Tables.events(s, dir))),
+    "mv_join_incremental" -> ((s, dir) => Incremental.incrementalJoinAgg(
+      Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"))),
+    "t_importance_weights" -> ((s, dir) =>
+      TextOps.importanceWeights(Tables.load(s, dir, "documents"))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
@@ -181,6 +185,7 @@ object SparkEntry {
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
+    "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "v_pq_adc" -> ((s, dir) => Similarity.pqAdc(s, dir)),
     "v_ivfpq_adc" -> ((s, dir) => Similarity.ivfPqAdc(s, dir)),
@@ -1107,6 +1112,8 @@ object SparkEntry {
     "e_retention" -> EventAnalytics.retentionSql,
     "e_transitions" -> EventAnalytics.transitionMatrixSql,
     "mv_incremental_distinct" -> Incremental.incrementalDistinctSql,
+    "mv_join_incremental" -> Incremental.incrementalJoinAggSql,
+    "t_importance_weights" -> TextOps.importanceWeightsSql(),
     "w7_gap_detect" ->
       s"""$T
          |${TradeOps.gapDetectSql()}""".stripMargin,
@@ -1137,6 +1144,7 @@ object SparkEntry {
         |       1 AS within_5pct
         |FROM lineitem""".stripMargin,
     "v_ann_ivf" -> Similarity.annIvfSql(),
+    "v_ivf_recall" -> Similarity.ivfRecallSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),

@@ -117,6 +117,60 @@ object Incremental {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Incremental JOIN-view maintenance — the delta-join (bilinearity)
+    * identity every incremental engine (DBSP/Materialize/Delta live
+    * tables) rests on:
+    *
+    *   V((A ∪ ΔA) ⋈ (B ∪ ΔB)) = V(A⋈B) + V(ΔA⋈B) + V(A⋈ΔB) + V(ΔA⋈ΔB)
+    *
+    * so refreshing a JOIN view after both sides receive new rows costs
+    * three delta joins — each bounded by a delta's size times join
+    * fan-out — plus a group-sized merge, never a re-join of the full
+    * fact history. Deltas are simulated deterministically (`o_orderkey %
+    * nBatches == 0` is the new-orders batch, `c_custkey % 10 == 0` the
+    * new-customers batch); measures are the mergeable tier (count +
+    * exact cent sums) so partial-merge order cannot change the result.
+    * The customer side is broadcast here (dim-sized); at 100 TB with a
+    * non-broadcastable build side the same four terms run as shuffle
+    * joins on `o_custkey` — the identity, not the join strategy, is the
+    * operator. Oracle: flat join-agg over the full tables. */
+  def incrementalJoinAgg(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val newOrd = pmod(col("o_orderkey"), lit(nBatches)) === 0
+    val newCust = pmod(col("c_custkey"), lit(10)) === 0
+    // release exemption: four (segment × month)-sized partials, all
+    // backing the returned view — see [[partialStates]]
+    def term(o: DataFrame, c: DataFrame): DataFrame =
+      o.join(broadcast(c.select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+        .localCheckpoint()
+    Seq(
+      term(orders.filter(!newOrd), customer.filter(!newCust)), // stored view
+      term(orders.filter(newOrd), customer.filter(!newCust)),  // ΔA ⋈ B
+      term(orders.filter(!newOrd), customer.filter(newCust)),  // A ⋈ ΔB
+      term(orders.filter(newOrd), customer.filter(newCust)))   // ΔA ⋈ ΔB
+      .reduce(_ unionByName _)
+      .groupBy("segment", "month")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("revenue_cents")).as("revenue_cents"))
+  }
+
+  /** Oracle for [[incrementalJoinAgg]]: the view recomputed flat from
+    * the full join — if any of the four delta terms dropped or
+    * double-counted rows, some group's count or cent sum breaks. */
+  val incrementalJoinAggSql: String =
+    """SELECT c_mktsegment AS segment,
+      |       date_trunc('month', o_orderdate) AS month,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   /** Deletions are simulated as a CDC retraction batch covering every
     * event with `event_id % RetractMod == 0`. */
   val RetractMod: Int = 7

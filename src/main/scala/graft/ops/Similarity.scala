@@ -264,9 +264,12 @@ object Similarity {
     * the inlined-literal projection), with the centroid table coming
     * from the same unrolled k-means chain as [[kmeansSql]] — surviving
     * cells re-indexed by position, exactly as the Scala side does. */
-  def annIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
-      nProbe: Int = 4, trainIters: Int = 2, dim: Int = 64): String =
-    s"""WITH ${kmeansChain(nCells, trainIters, dim)},
+  /** The [[annIvfSql]] CTE chain up to a ranked `ivf` relation —
+    * shared with [[ivfRecallSql]] so the recall oracle probes the
+    * IDENTICAL index the serving oracle reads. */
+  private def annIvfCtes(nQueries: Int, nCells: Int,
+      nProbe: Int, trainIters: Int, dim: Int): String =
+    s"""${kmeansChain(nCells, trainIters, dim)},
        |n AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
        |), cent AS (
@@ -293,12 +296,65 @@ object Similarity {
        |  JOIN assigned a ON a.cell = p.cell
        |  JOIN q ON q.q_id = p.q_id
        |  WHERE a.vec_id != p.q_id
-       |)
-       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |), ivf AS (
+       |  SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, vec_id) AS rnk
        |  FROM s
-       |) WHERE rnk <= $k""".stripMargin
+       |)""".stripMargin
+
+  def annIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4, trainIters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${annIvfCtes(nQueries, nCells, nProbe, trainIters, dim)}
+       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk
+       |FROM ivf WHERE rnk <= $k""".stripMargin
+
+  /** Recall@k of the IVF index against exact brute-force cosine top-k —
+    * the quality dial every IVF deployment tunes `nProbe` with,
+    * completing the measurement family (LSH: [[graft.ops.Dedup.lshRecall]];
+    * quantizer: [[kmeansPurity]]). Both sides exclude self-matches and
+    * break ties by candidate id, and both engines compute the identical
+    * IEEE cosine, so the hit count is deterministic cross-engine. The
+    * exact side is the [[cosineTopK]] broadcast-query scan — at 100 TB
+    * recall is measured over a SAMPLE of queries (nQueries), never the
+    * corpus, which is exactly what this plan does. */
+  def ivfRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
+    val ivf = annIvf(spark, dir, nQueries, k, nCells, nProbe, trainIters)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    cosineTopK(spark, dir, nQueries, k)
+      .select("q_id", "vec_id")
+      .join(ivf, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** Oracle for [[ivfRecall]]: the same IVF chain as [[annIvfSql]] plus
+    * a brute-force top-k CTE, hit-joined. */
+  def ivfRecallSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 4, trainIters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${annIvfCtes(nQueries, nCells, nProbe, trainIters, dim)},
+       |ivfk AS (
+       |  SELECT q_id, vec_id FROM ivf WHERE rnk <= $k
+       |), brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, n2.vec_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY list_dot_product(q.qv, n2.v) / (q.qn * n2.nrm) DESC,
+       |                      n2.vec_id) AS rnk
+       |    FROM q, n n2 WHERE n2.vec_id != q.q_id
+       |  ) WHERE rnk <= $k
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM brute b LEFT JOIN ivfk i
+       |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id""".stripMargin
 
   /** Per-vector int8 scalar quantization — the storage-compression pass
     * ANN systems run before indexing (4× smaller than float32):

@@ -1400,6 +1400,83 @@ object TextOps {
     * PIVOT here would shuffle nBuckets columns of mostly zeros.
     * Raw token counts (no distinct): term frequency is the feature.
     * One explode + one (doc, bucket) aggregate, map-side combined. */
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how target-like its hashed-feature profile
+    * is, so a 100-TB raw corpus can be resampled toward a target domain
+    * with one weighted pass. The feature space is the same hashed word
+    * buckets as [[featureHash]]; the target distribution is the corpus
+    * slice `lang = targetLang`.
+    *
+    * Determinism discipline: DSIR's log-likelihood ratio needs `ln` —
+    * libm-private rounding, the [[TradeOps.chisqHourly]] lesson — so the
+    * weight stays in correctly-rounded IEEE ops only: per-bucket ratio
+    * `r_b = (tgt_b + 1) / (raw_b + 1)` (add-one smoothing; one double
+    * divide), per-doc term `tf_b · r_b` (one multiply), and the per-doc
+    * sum is a FIXED-ORDER fold over buckets (sorted `aggregate` here,
+    * `list_reduce(list(... ORDER BY bucket))` in the oracle) because a
+    * parallel double `sum()` reassociates. Monotone in the same doc
+    * ranking as the log form for selection-by-threshold purposes.
+    *
+    * Scale shape: the ratio table is `nBuckets` rows — broadcast —, the
+    * per-doc fold is over ≤ nBuckets terms, and everything else is the
+    * one exploded-words shuffle [[featureHash]] already pays. */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en",
+      nBuckets: Int = 32): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .withColumn("bucket", pmod(expr(Dedup.wordHash), lit(nBuckets.toLong)))
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("tf"))
+    val raw = tf.groupBy("bucket").agg(sum(col("tf")).as("raw_c"))
+    val tgt = tf.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(sum(col("tf")).as("tgt_c"))
+    val ratios = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        ((coalesce(col("tgt_c"), lit(0L)) + lit(1L)).cast("double")
+          / (col("raw_c") + lit(1L)).cast("double")).as("r"))
+    tf.join(broadcast(ratios), "bucket")
+      .withColumn("term", col("tf").cast("double") * col("r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        expr("""round(aggregate(sort_array(collect_list(struct(bucket, term))),
+                CAST(0 AS DOUBLE), (acc, x) -> acc + x.term), 6)""")
+          .as("weight"))
+  }
+
+  /** Oracle for [[importanceWeights]] — identical hash, smoothing, and
+    * fold order in DuckDB. */
+  def importanceWeightsSql(targetLang: String = "en",
+      nBuckets: Int = 32): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(word), 1, 8))::BIGINT % $nBuckets AS bucket,
+       |         count(*) AS tf
+       |  FROM words GROUP BY 1, 2, 3
+       |), raw AS (
+       |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS raw_c FROM tf GROUP BY 1
+       |), tgt AS (
+       |  SELECT bucket, CAST(sum(tf) AS BIGINT) AS tgt_c
+       |  FROM tf WHERE lang = '$targetLang' GROUP BY 1
+       |), r AS (
+       |  SELECT raw.bucket,
+       |         CAST(coalesce(tgt.tgt_c, 0) + 1 AS DOUBLE)
+       |           / CAST(raw.raw_c + 1 AS DOUBLE) AS r
+       |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+       |), terms AS (
+       |  SELECT tf.doc_id, tf.bucket, CAST(tf.tf AS DOUBLE) * r.r AS term
+       |  FROM tf JOIN r ON tf.bucket = r.bucket
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       round(list_reduce(list(term ORDER BY bucket),
+       |             (acc, x) -> acc + x), 6) AS weight
+       |FROM terms
+       |GROUP BY 1""".stripMargin
+
   def featureHash(docs: DataFrame, nBuckets: Int = 32): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

@@ -71,6 +71,27 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TextOps.domainQuota(emptyDocs).count() === 0)
     assert(Dedup.clusterBest(emptyDocs).count() === 0)
     assert(Pipeline.curationManifest(emptyDocs).count() === 0)
+    assert(TextOps.importanceWeights(emptyDocs).count() === 0)
+  }
+
+  test("incremental join view is empty when both join sides are empty") {
+    val emptyOrders = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType))))
+    val emptyCustomer = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))))
+    assert(graft.ops.Incremental
+      .incrementalJoinAgg(emptyOrders, emptyCustomer).count() === 0)
   }
 
   test("pageRank no-edge graph stays uniform; encode/view ops empty-safe") {
