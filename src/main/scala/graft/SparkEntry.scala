@@ -182,6 +182,7 @@ object SparkEntry {
     "p_curation_manifest" -> ((s, dir) => Pipeline.curationManifest(Tables.load(s, dir, "documents"))),
     "p2_dead_letter" -> ((s, dir) => graft.ingest.Decode.deadLetterDecode(trades(s, dir))),
     "a_hll_merge" -> ((s, dir) => Relational.hllMergeDistinct(s, dir)),
+    "a27_cms_topk" -> ((s, dir) => Relational.cmsTopK(s, dir)),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -1145,6 +1146,7 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "v_ann_ivf" -> Similarity.annIvfSql(),
     "v_ivf_recall" -> Similarity.ivfRecallSql(),
+    "a27_cms_topk" -> Relational.cmsTopKSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),

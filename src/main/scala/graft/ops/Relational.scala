@@ -176,6 +176,90 @@ object Relational {
           .cast("int").as("within_5pct"))
   }
 
+  /** Count-min-sketch heavy hitters — the frequency member of the
+    * sketch family ([[hllMergeDistinct]] distinct, KLL quantiles, Bloom
+    * membership): estimate per-key frequencies from d×w integer
+    * counters instead of a key-cardinality-sized exact table. At 100 TB
+    * the sketch is the only per-partition state (d·w longs, mergeable by
+    * plain addition — the same partial-merge property as the HLL
+    * registers), and the exact side here exists purely to pin the
+    * guarantee: CM never underestimates, and overestimates by at most
+    * εN (ε = e/w) with the standard probabilistic bound — checked
+    * deterministically per heavy hitter because the salted md5 bucket
+    * hashes are fixed, so both engines compute the IDENTICAL integer
+    * sketch and the comparison is exact, not statistical.
+    *
+    * Emits the exact top-`topK` part keys (count DESC, key tie-break)
+    * with their exact count, the sketch estimate, and two flags:
+    * `never_under` (the CM invariant, must be 1 everywhere) and
+    * `within_eps` (estimate − exact ≤ εN). */
+  def cmsTopK(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 256, topK: Int = 20): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val counts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // key-cardinality table, read by all d sketch rows
+    def bucket(d: Int): Column = expr(
+      s"CAST(conv(substring(md5(concat(CAST(l_partkey AS STRING), '_$d')), " +
+        s"1, 8), 16, 10) AS BIGINT) % $width")
+    // sketch row d: bucket → total count (built from the exact counts —
+    // identical to summing the raw stream, since addition is the merge)
+    val est = (0 until depth).map { d =>
+      val row = counts.withColumn("bucket", bucket(d))
+        .groupBy("bucket").agg(sum(col("cnt")).as(s"bsum"))
+      counts.withColumn("bucket", bucket(d))
+        .join(broadcast(row), "bucket")
+        .select(col("l_partkey"), col("bsum").as(s"est_$d"))
+    }.reduce(_.join(_, "l_partkey"))
+      .select(col("l_partkey"),
+        least((0 until depth).map(d => col(s"est_$d")): _*).as("cms_est"))
+    val n = li.agg(count(lit(1)).as("n_total"))
+    counts.join(est, "l_partkey").crossJoin(broadcast(n))
+      .select(col("l_partkey"), col("cnt").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("cnt")).cast("int").as("never_under"),
+        ((col("cms_est") - col("cnt")).cast("double") <=
+          lit(math.E / width) * col("n_total").cast("double"))
+          .cast("int").as("within_eps"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+      .limit(topK)
+  }
+
+  /** Oracle for [[cmsTopK]] — the identical salted-hash sketch in SQL. */
+  def cmsTopKSql(depth: Int = 4, width: Int = 256, topK: Int = 20): String = {
+    val bucketSql = (d: Int) =>
+      s"('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '_$d'), 1, 8))::BIGINT % $width"
+    // built from the exact counts, like the Spark side
+    val sketchCtes = (0 until depth).map { d =>
+      s"""s$d AS (
+         |  SELECT ${bucketSql(d)} AS bucket, CAST(sum(cnt) AS BIGINT) AS bsum
+         |  FROM counts GROUP BY 1
+         |), e$d AS (
+         |  SELECT c.l_partkey, s$d.bsum AS est_$d
+         |  FROM counts c JOIN s$d ON ${bucketSql(d)} = s$d.bucket
+         |)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until depth).map(d => s"JOIN e$d USING (l_partkey)").mkString(" ")
+    val leastExpr = s"least(${(0 until depth).map(d => s"est_$d").mkString(", ")})"
+    s"""WITH counts AS (
+       |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM lineitem
+       |),
+       |$sketchCtes,
+       |est AS (
+       |  SELECT l_partkey, $leastExpr AS cms_est
+       |  FROM e0 $joins
+       |)
+       |SELECT c.l_partkey, CAST(c.cnt AS BIGINT) AS exact_cnt,
+       |       CAST(est.cms_est AS BIGINT) AS cms_est,
+       |       CAST(est.cms_est >= c.cnt AS INTEGER) AS never_under,
+       |       CAST(CAST(est.cms_est - c.cnt AS DOUBLE)
+       |         <= ${math.E / width}::DOUBLE * CAST(n.n_total AS DOUBLE)
+       |         AS INTEGER) AS within_eps
+       |FROM counts c JOIN est USING (l_partkey), n
+       |ORDER BY c.cnt DESC, c.l_partkey
+       |LIMIT $topK""".stripMargin
+  }
+
   /** Analytic window functions: per-customer order ranking with lag/lead
     * (deterministic tiebreak on orderkey). */
   def orderRanks(spark: SparkSession, dir: String): DataFrame = {
