@@ -178,6 +178,7 @@ object SparkEntry {
       TextOps.importanceWeights(Tables.load(s, dir, "documents"))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
+    "p_leakage_split" -> ((s, dir) => Pipeline.leakageSafeSplit(Tables.load(s, dir, "documents"))),
     "p_pretrain_manifest" -> ((s, dir) => Pipeline.pretrainManifest(Tables.load(s, dir, "documents"))),
     "p_curation_manifest" -> ((s, dir) => Pipeline.curationManifest(Tables.load(s, dir, "documents"))),
     "p2_dead_letter" -> ((s, dir) => graft.ingest.Decode.deadLetterDecode(trades(s, dir))),
@@ -1147,6 +1148,7 @@ object SparkEntry {
     "v_ann_ivf" -> Similarity.annIvfSql(),
     "v_ivf_recall" -> Similarity.ivfRecallSql(),
     "a27_cms_topk" -> Relational.cmsTopKSql(),
+    "p_leakage_split" -> Pipeline.leakageSafeSplitSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),

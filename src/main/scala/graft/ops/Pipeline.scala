@@ -186,6 +186,37 @@ object Pipeline {
         resolved.filter(col("doc_id") === col("canonical_doc"))))
   }
 
+  /** Leakage-safe train/test split: assign every document to a side by
+    * its DUPLICATE CLUSTER, not by the document itself — hashing the
+    * cluster's canonical id means near-identical copies can never
+    * straddle train and test, the contamination mode that silently
+    * inflates every eval metric when a 100-TB crawl (where the same page
+    * appears thousands of times) is split row-wise. The split hash is
+    * the engine-shared salted md5 (the [[Dedup]] discipline), so
+    * assignment is deterministic and identical cross-engine; `testMod`
+    * = 5 puts ~1/5 of CLUSTERS (not docs — a giant dup cluster moves as
+    * one unit, which is the point) in test. One label join on top of
+    * [[Dedup.resolveDuplicates]]; nothing here touches pair space. */
+  def leakageSafeSplit(docs: DataFrame, testMod: Int = 5): DataFrame =
+    Dedup.resolveDuplicates(docs)
+      .withColumn("bucket", pmod(expr(
+        "CAST(conv(substring(md5(CAST(canonical_doc AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT)"), lit(testMod.toLong)))
+      .select(col("doc_id"), col("canonical_doc"), col("cluster_size"),
+        when(col("bucket") === 0L, lit("test")).otherwise(lit("train"))
+          .as("split"))
+
+  /** Oracle for [[leakageSafeSplit]] — same resolution closure, same
+    * salted hash. A cluster straddling the sides is impossible by
+    * construction in BOTH engines, so the hash compare pins it. */
+  def leakageSafeSplitSql(testMod: Int = 5): String =
+    s"""WITH RECURSIVE ${Dedup.resolveCtesFrom("documents")}
+       |SELECT r.doc_id, r.canonical_doc, s.cluster_size,
+       |       CASE WHEN ('0x' || substr(md5(CAST(r.canonical_doc AS VARCHAR)),
+       |                  1, 8))::BIGINT % $testMod = 0
+       |            THEN 'test' ELSE 'train' END AS split
+       |FROM resolved r JOIN sizes s USING (canonical_doc)""".stripMargin
+
   /** Oracle for [[filterFunnel]]. */
   val filterFunnelSql: String =
     s"""WITH RECURSIVE ${TextOps.qualityCte},

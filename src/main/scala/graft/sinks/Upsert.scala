@@ -166,8 +166,15 @@ object Upsert {
     * keeps each entity's rows in one bucket, so [[readKey]] serves
     * point/range lookups from a single bucket dir. Defaults to the full
     * key (uniform spread, no serving-path pruning). */
+  /** @param tombstoneCol optional BOOLEAN column marking delete rows:
+    *   a tombstone competes in last-writer-wins like any other change
+    *   (it can supersede an older live row), and a key whose WINNING row
+    *   is a tombstone is dropped from the rewritten bucket — the
+    *   Cassandra/Delta DELETE semantics. The column itself is not
+    *   persisted. Omitted (None) = pure upsert, the original contract. */
   def merge(batch: DataFrame, batchId: Long, root: String, keys: Seq[String],
-      nBuckets: Int = defaultBuckets, bucketBy: Seq[String] = Seq.empty): Unit = {
+      nBuckets: Int = defaultBuckets, bucketBy: Seq[String] = Seq.empty,
+      tombstoneCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(root))
     val cur = currentVersion(root)
@@ -205,29 +212,54 @@ object Upsert {
     // is recomputed from the bucketing columns, which the rows carry.
     val existingPaths = touched.toSeq
       .flatMap(b => manifest.buckets.get(b).map(g => s"$root/$g/_bucket=$b"))
-    val merged =
+    val winners =
       if (existingPaths.isEmpty) inc
       else {
         val existing = spark.read.parquet(existingPaths: _*)
           .withColumn("_bucket",
             pmod(xxhash64(manifest.bucketBy.map(col): _*),
               lit(manifest.nBuckets)).cast("int"))
+        // stored rows never carry the tombstone marker — they are live
+        // by definition; only the incoming batch can delete
+        val existing2 = tombstoneCol.fold(existing)(tc =>
+          existing.withColumn(tc, lit(false)))
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_gen").desc)
-        existing.unionByName(inc)
+        existing2.unionByName(inc)
           .withColumn("_rank", row_number().over(w))
           .filter(col("_rank") === 1)
           .drop("_rank")
       }
+    // a key whose winning row is a tombstone leaves the table
+    val merged = tombstoneCol.fold(winners)(tc =>
+      winners.filter(!coalesce(col(tc), lit(false))).drop(tc))
     // one shuffle on the bucket key: each write task holds exactly one
     // bucket, so each bucket dir gets one file
     merged
       .repartition(math.max(touched.length, 1), col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket")
       .parquet(s"$root/gen$next")
+    // With deletes, a touched bucket can come out EMPTY (its last rows
+    // tombstoned): partitionBy emits no dir for it, so pointing the
+    // manifest there would break reads — such buckets leave the
+    // manifest instead. Pure upserts always leave every touched bucket
+    // non-empty; skip the extra scan on that path.
+    val writtenBuckets: Set[Int] =
+      if (tombstoneCol.isEmpty) touched.toSet
+      else {
+        import scala.jdk.CollectionConverters._
+        val gd = Paths.get(s"$root/gen$next")
+        if (!Files.isDirectory(gd)) Set.empty
+        else Files.list(gd).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("_bucket=") =>
+            s.stripPrefix("_bucket=").toIntOption }
+          .flatten.toSet
+      }
     inc.unpersist()
 
     val nextManifest = Manifest(manifest.nBuckets, manifest.bucketBy,
-      manifest.buckets ++ touched.map(b => b -> s"gen$next"))
+      (manifest.buckets -- touched.filterNot(writtenBuckets)) ++
+        touched.filter(writtenBuckets).map(b => b -> s"gen$next"))
     writeManifest(root, next, nextManifest)
     // Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash
     // mid-write can never leave a truncated/empty pointer (readers see

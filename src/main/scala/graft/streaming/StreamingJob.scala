@@ -221,6 +221,47 @@ object StreamingJob {
     }
   }
 
+  /** query_07 (extension) — CDC apply as a stream: the batch-tier
+    * [[graft.ops.Incremental.cdcApply]] ("collapse the Debezium topic
+    * into the final snapshot") maintained continuously. Each micro-batch
+    * of change rows (user_id, timestamp, event_id, price, op∈{U,D}) is
+    * reduced to its last change per key with the same map-side-combinable
+    * `max_by` the batch operator uses, then merged into the keyed store —
+    * upserts last-writer-wins, deletes as TOMBSTONES ([[Upsert.merge]]
+    * `tombstoneCol`): a key whose latest change is a delete leaves the
+    * table, and a later re-insert brings it back. Cross-batch ordering is
+    * the store's generation order (arrival order), within-batch ordering
+    * the (timestamp, event_id) total order — for an in-order feed this
+    * equals the batch fixpoint, spec'd in StreamingSpec. Replay-safe
+    * with no marker: re-reducing and re-merging the same batch writes
+    * the same winners and the same absences (CDC apply is naturally
+    * idempotent), unlike the additive [[mergeIncrementalAgg]]. */
+  def runCdcApply(spark: SparkSession, changes: DataFrame,
+      cfg: Config): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_07")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        applyCdcBatch(df, id, s"${cfg.outRoot}/cdc_state")
+      }
+      .queryName("cdc_apply").start()
+
+  /** One micro-batch of CDC apply: per-key last change, then a
+    * tombstone-aware keyed merge. */
+  def applyCdcBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    val reduced = batch
+      .groupBy("user_id")
+      .agg(max_by(struct(col("timestamp"), col("price"), col("op")),
+        struct(col("timestamp"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.timestamp").as("last_ts"),
+        col("last.price").as("last_price"),
+        (col("last.op") === "D").as("_tomb"))
+    Upsert.merge(reduced, batchId, root, Seq("user_id"),
+      tombstoneCol = Some("_tomb"))
+  }
+
   /** query_05 — the prediction vertical as a streaming consumer of the
     * FEATURES stream, composing T14 → §2.9 scoring → K7 writeback
     * exactly the way the reference splits it across processes

@@ -679,6 +679,61 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("query_07 cdc apply: streamed tombstone merge equals batch cdcApply") {
+    import spark.implicits._
+    val trades = Tables.trades(spark, sf)
+    val expected = graft.ops.Incremental.cdcApply(trades)
+      .select("user_id", "last_ts", "last_price")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    assert(expected.nonEmpty)
+    // the identical change feed, in (timestamp, event_id) order, three
+    // micro-batches — deletes interleaved exactly as the batch derives them
+    val feed = trades
+      .withColumn("op",
+        when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+      .select(col("user_id"), col("timestamp"), col("event_id"), col("price"),
+        col("op"))
+      .as[(Long, java.sql.Timestamp, Long, Double, String)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double, String)](spark)
+    val out = tmpDir("graft-cdc-out")
+    val ckpt = tmpDir("graft-cdc-ckpt")
+    val q = StreamingJob.runCdcApply(spark,
+      input.toDF().toDF("user_id", "timestamp", "event_id", "price", "op"),
+      StreamingJob.Config(out, ckpt))
+    try {
+      feed.grouped((feed.length / 3).max(1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = Upsert.read(spark, s"$out/cdc_state").get
+        .select("user_id", "last_ts", "last_price")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+      assert(got === expected,
+        "streamed CDC snapshot differs from batch cdcApply fixpoint")
+    } finally q.stop()
+  }
+
+  test("cdc tombstones: delete removes the key, a later change re-adds it") {
+    import spark.implicits._
+    val root = tmpDir("graft-cdc-tomb") + "/state"
+    def row(uid: Long, t: Long, eid: Long, p: Double, op: String) =
+      (uid, new java.sql.Timestamp(t0 + t), eid, p, op)
+    def batch(id: Long, rows: Seq[(Long, java.sql.Timestamp, Long, Double, String)]): Unit =
+      StreamingJob.applyCdcBatch(
+        rows.toDF("user_id", "timestamp", "event_id", "price", "op"), id, root)
+    batch(0, Seq(row(1, 1000, 1, 10.0, "U"), row(2, 1000, 2, 20.0, "U")))
+    batch(1, Seq(row(1, 2000, 3, 0.0, "D"))) // delete user 1
+    val afterDelete = Upsert.read(spark, root).get
+      .select("user_id").as[Long].collect().toSet
+    assert(afterDelete === Set(2L), "tombstone failed to remove the key")
+    batch(2, Seq(row(1, 3000, 4, 30.0, "U"))) // re-insert user 1
+    val afterReinsert = Upsert.read(spark, root).get
+      .select("user_id", "last_price").as[(Long, Double)].collect().toMap
+    assert(afterReinsert === Map(1L -> 30.0, 2L -> 20.0),
+      "re-insert after delete must restore the key with the new value")
+  }
+
   test("stream-static enrichment: broadcast dim join, left keeps unmatched") {
     import spark.implicits._
     val input = MemoryStream[TradeEvent](spark)
