@@ -207,6 +207,7 @@ object SparkEntry {
     "a13_vwap" -> ((s, dir) => TradeOps.vwap(trades(s, dir))),
     // -- fingerprint/coverage additions ----------------------------------
     "t_winnow" -> ((s, dir) => TextOps.winnow(Tables.load(s, dir, "documents"))),
+    "d_substring_dup" -> ((s, dir) => TextOps.substringDup(Tables.load(s, dir, "documents"))),
     "t_lm_coverage" -> ((s, dir) => TextOps.lmCoverage(Tables.load(s, dir, "documents"))),
     "e_cooccurrence" -> ((s, dir) => EventAnalytics.cooccurrence(Tables.events(s, dir))),
     "w11_obv" -> ((s, dir) => TradeOps.obv(trades(s, dir))),
@@ -1149,6 +1150,7 @@ object SparkEntry {
     "v_ivf_recall" -> Similarity.ivfRecallSql(),
     "a27_cms_topk" -> Relational.cmsTopKSql(),
     "p_leakage_split" -> Pipeline.leakageSafeSplitSql(),
+    "d_substring_dup" -> TextOps.substringDupSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),

@@ -1337,6 +1337,55 @@ object TextOps {
        |QUALIFY pos >= $w""".stripMargin
   }
 
+  /** Substring-level near-duplicate pairs: documents sharing at least
+    * `minShared` winnowed fingerprints ([[winnow]]) — the copy-paste /
+    * quotation contamination detector that document-level MinHash misses
+    * (a page that EMBEDS a paragraph of another page is far below any
+    * whole-doc Jaccard threshold but lights up here). Winnowing's
+    * guarantee makes the fingerprint set a sound substring witness: any
+    * shared run of ≥ w+k−1 words shares at least one fingerprint.
+    *
+    * Scale shape: an inverted-index postings self-join keyed on the
+    * fingerprint (the [[graft.ops.Dedup.ngramJaccard]] discipline —
+    * never doc × doc), with a document-frequency guard: a fingerprint present in
+    * more than `maxDf` docs is boilerplate (navigation chrome, license
+    * headers) whose postings list would blow up quadratically; dropping
+    * it is both the performance bound — pair production is capped at
+    * Σ min(df, maxDf)² per fingerprint — and the semantically right
+    * call, exactly the IDF argument. */
+  def substringDup(docs: DataFrame, minShared: Int = 8,
+      maxDf: Int = 50, k: Int = 4, w: Int = 4): DataFrame = {
+    val fps = winnow(docs, k, w)
+    val live = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= maxDf)
+      .select("fp")
+    val posted = fps.join(live, "fp")
+    posted.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(posted.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Oracle for [[substringDup]] — the [[winnowSql]] statement nested as
+    * a CTE, same df guard and pair count. */
+  def substringDupSql(minShared: Int = 8, maxDf: Int = 50,
+      k: Int = 4, w: Int = 4): String =
+    s"""WITH fps AS (
+       |${winnowSql(k, w)}
+       |), live AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxDf
+       |), posted AS (
+       |  SELECT f.fp, f.doc_id FROM fps f JOIN live USING (fp)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM posted a JOIN posted b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared""".stripMargin
+
   /** N-gram LM coverage scoring — the cheap KenLM stand-in of corpus
     * quality pipelines: what fraction of a document's word bigrams
     * appear in the corpus's top-`k` bigram vocabulary
