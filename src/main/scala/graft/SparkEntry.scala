@@ -188,6 +188,7 @@ object SparkEntry {
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
+    "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
     "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "v_pq_adc" -> ((s, dir) => Similarity.pqAdc(s, dir)),
     "v_ivfpq_adc" -> ((s, dir) => Similarity.ivfPqAdc(s, dir)),
@@ -1151,6 +1152,7 @@ object SparkEntry {
     "a27_cms_topk" -> Relational.cmsTopKSql(),
     "p_leakage_split" -> Pipeline.leakageSafeSplitSql(),
     "d_substring_dup" -> TextOps.substringDupSql(),
+    "v_mrl_recall" -> Similarity.mrlRecallSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),

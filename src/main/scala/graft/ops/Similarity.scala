@@ -356,6 +356,83 @@ object Similarity {
        |FROM brute b LEFT JOIN ivfk i
        |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id""".stripMargin
 
+  /** Matryoshka (truncated-dimension) retrieval quality: recall@k of
+    * cosine search over only the FIRST `subDim` embedding dimensions
+    * against full-dimension search — the measurement behind
+    * matryoshka-representation deployment (serve a prefix of the vector,
+    * keep most of the quality, cut index memory subDim/dim-fold). Same
+    * hit-join shape as [[ivfRecall]]; both sides share tie-break and
+    * IEEE cosine, so the count is exact cross-engine. At 100 TB this is
+    * the experiment run BEFORE building the index fleet — on a query
+    * sample, exactly this plan. */
+  def mrlRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, subDim: Int = 16): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val sub = emb.select(col("vec_id"), expr(s"slice(v, 1, $subDim)").as("sv"))
+      .withColumn("snorm", sqrt(expr("dot_product(sv, sv)")))
+    def topk(cands: DataFrame, vc: String, nc: String): DataFrame = {
+      val q = cands.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col(vc).as("qv"), col(nc).as("qn"))
+      val byQ = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      cands.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr(s"dot_product(qv, $vc)") / (col("qn") * col(nc)))
+        .withColumn("rnk", row_number().over(byQ))
+        .filter(col("rnk") <= k)
+        .select("q_id", "vec_id")
+    }
+    val full = topk(emb.select(col("vec_id"), col("v"), col("norm")),
+      "v", "norm")
+    val trunc = topk(sub, "sv", "snorm").withColumn("hit", lit(1L))
+    full.join(trunc, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"),
+        lit(subDim).as("sub_dim"))
+  }
+
+  /** Oracle for [[mrlRecall]] — DuckDB's inclusive list slice `v[1:d]`
+    * is Spark's `slice(v, 1, d)`. */
+  def mrlRecallSql(nQueries: Int = 10, k: Int = 5, subDim: Int = 16): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT vec_id, v[1:$subDim] AS sv,
+       |         sqrt(list_dot_product(v[1:$subDim], v[1:$subDim])) AS snrm
+       |  FROM n
+       |), bf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, n2.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, n2.v) / (q.nrm * n2.nrm) DESC,
+       |                      n2.vec_id) AS rnk
+       |    FROM n q, n n2
+       |    WHERE q.vec_id < $nQueries AND n2.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |), bs AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, s2.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.sv, s2.sv) / (q.snrm * s2.snrm) DESC,
+       |                      s2.vec_id) AS rnk
+       |    FROM s q, s s2
+       |    WHERE q.vec_id < $nQueries AND s2.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN bs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN bs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
+       |       $subDim AS sub_dim
+       |FROM bf LEFT JOIN bs ON bf.q_id = bs.q_id AND bf.vec_id = bs.vec_id""".stripMargin
+
   /** Per-vector int8 scalar quantization — the storage-compression pass
     * ANN systems run before indexing (4× smaller than float32):
     * `q_i = round((x_i - min) / ((max - min) / 255)) - 128`. Emitted as
