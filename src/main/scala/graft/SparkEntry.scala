@@ -284,7 +284,9 @@ object SparkEntry {
     "w18_run_length" -> ((s, dir) => TradeOps.runLength(trades(s, dir))),
     "g_kcore" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Graph.kCore(Dedup.dupEdges(docs))
+      // dupEdges guarantees a canonical (doc_a < doc_b, distinct,
+      // checkpointed) list — skip kCore's normalize+distinct shuffle
+      Graph.kCore(Dedup.dupEdges(docs), assumeCanonical = true)
     }),
     "k13_dynamic_overwrite" -> ((s, dir) =>
       TradeOps.dynamicPartitionOverwrite(s, trades(s, dir))),

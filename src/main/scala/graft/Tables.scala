@@ -41,8 +41,12 @@ object Tables {
         val df = spark.read.parquet(f.getPath)
         // split only the genuinely large tables — fanning small tables
         // into 32 shards just adds task overhead (measured: v_ann_lsh
-        // 3x slower on a 32-sharded 2k-row embeddings table)
-        val parts = if (df.count() < 50000) 1 else cores
+        // 3x slower on a 32-sharded 2k-row embeddings table).
+        // SPARK_GRAFT_STAGE_SPLIT=0 is the diagnostic control: stage
+        // everything single-file to A/B a suspected staging effect
+        // (used to adjudicate the r8 k11/k10/w10 floor-shift question).
+        val split = sys.env.get("SPARK_GRAFT_STAGE_SPLIT").forall(_ != "0")
+        val parts = if (!split || df.count() < 50000) 1 else cores
         df.repartition(parts).write.mode("overwrite").parquet(s"$out/${f.getName}")
       }
     out

@@ -38,34 +38,50 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_docs"))
 
-  /** Generic per-(session, input-plan) result cache — the shared-stage
-    * mechanism for the signature and candidate-pair tables (see
-    * [[pairCache]] for the rationale). */
-  private def cached(cache: java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame],
-      df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+  /** Generic per-(session, input-plan[, extra]) result cache — the
+    * shared-stage mechanism for the signature and thresholded-edge
+    * tables. `extra` carries any parameter beyond the input plan that
+    * changes the result (e.g. a similarity threshold's bits); callers
+    * with no such parameter leave it 0. Entries belonging to a STOPPED
+    * session are evicted on every access: their checkpoint blocks died
+    * with the context, and `identityHashCode` keys could be reused by a
+    * later session — pruning here bounds every cache to live sessions
+    * without a listener. */
+  private def cached(
+      cache: java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame],
+      df: DataFrame, extra: Long = 0L)(f: DataFrame => DataFrame): DataFrame = {
+    cache.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
     val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.canonicalized.semanticHash())
+      df.queryExecution.analyzed.canonicalized.semanticHash(), extra)
     cache.computeIfAbsent(key, _ => f(df).localCheckpoint())
   }
 
   private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
 
   /** MinHash signatures: explode distinct words, hash, take 16 mins via
     * partial+final aggregation (map-side combine keeps the shuffle tiny:
     * 16 longs per doc). Cached per (session, input): the table also
     * feeds [[minhashPairs]] and [[resolveDuplicates]]. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    cached(sigCache, docs) { d =>
-      val words = d
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("word"))
-        .withColumn("x", expr(wordHash))
-      val mins = minhashParams.zipWithIndex.map { case ((a, b), j) =>
-        min(expr(s"(x * ${a}L + ${b}L) % ${prime}L")).as(s"m$j")
-      }
-      words.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    cached(sigCache, docs)(signaturesOf)
+
+  /** The signature computation itself, UNCACHED — the per-micro-batch
+    * entry point ([[graft.streaming.StreamingJob.applyDedupBatch]]):
+    * every micro-batch is a fresh plan, so routing batches through the
+    * session cache would pin one checkpoint per batch for the session
+    * lifetime. Batch-tier callers want [[minhashSignatures]]. */
+  def signaturesOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .withColumn("x", expr(wordHash))
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(x * ${a}L + ${b}L) % ${prime}L")).as(s"m$j")
     }
+    words.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   /** LSH candidate pairs: 4 bands × 4 rows. A pair is a candidate iff
     * at least one band's 4 signature slots all match; the estimated
@@ -105,14 +121,12 @@ object Dedup {
     * that rank by similarity ([[mutualKnn]]) keep using the pair
     * table. */
   def dupEdges(docs: DataFrame,
-      threshold: Double = resolveThreshold): DataFrame = {
-    val key = (System.identityHashCode(docs.sparkSession),
-      docs.queryExecution.analyzed.canonicalized.semanticHash(),
-      java.lang.Double.doubleToLongBits(threshold))
-    edgeCache.computeIfAbsent(key, _ =>
-      minhashPairs(docs).filter(col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b").distinct().localCheckpoint())
-  }
+      threshold: Double = resolveThreshold): DataFrame =
+    cached(edgeCache, docs,
+        java.lang.Double.doubleToLongBits(threshold)) { d =>
+      minhashPairs(d).filter(col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b").distinct()
+    }
 
   private val wEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
@@ -125,14 +139,12 @@ object Dedup {
     * edge is as cheap as the unweighted table, and repeat consumers skip
     * the band join entirely. */
   def weightedDupEdges(docs: DataFrame,
-      threshold: Double): DataFrame = {
-    val key = (System.identityHashCode(docs.sparkSession),
-      docs.queryExecution.analyzed.canonicalized.semanticHash(),
-      java.lang.Double.doubleToLongBits(threshold))
-    wEdgeCache.computeIfAbsent(key, _ =>
-      minhashPairs(docs).filter(col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard").localCheckpoint())
-  }
+      threshold: Double): DataFrame =
+    cached(wEdgeCache, docs,
+        java.lang.Double.doubleToLongBits(threshold)) { d =>
+      minhashPairs(d).filter(col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    }
 
   /** Banded-LSH candidate pairs from an already-computed signature table
     * (doc_id, m0..m15) — the seam [[resolveDuplicates]] uses to band-join
@@ -214,6 +226,49 @@ object Dedup {
       .groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
     sig.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(coalesce(col("n_matches"), lit(0L)) > 0L, 1L).otherwise(0L)
+          .as("is_dup"))
+  }
+
+  /** Screen one batch of NEW documents against the stored corpus — the
+    * per-micro-batch core of the STREAMING cross-corpus dedup twin
+    * ([[graft.streaming.StreamingJob.applyDedupBatch]]): for every doc
+    * in `batchSig`, count near-dup matches among (a) the stored corpus
+    * signatures and (b) the batch's own earlier arrivals (`doc_b <
+    * doc_a` — the same within-batch order [[crossDedup]] uses).
+    *
+    * Corpus candidates whose `doc_id` is IN the batch are excluded by
+    * anti-join before banding: after a crash between the flag merge and
+    * the signature merge, a replayed batch would otherwise find ITSELF
+    * in the store and double-count (self-match + within-batch dupes) —
+    * the anti-join makes the whole micro-batch replay-idempotent with
+    * no marker. Cost: the probe side is batch-sized; the corpus side is
+    * the stored band table — per-batch work scales with the batch plus
+    * its bucket collisions, never corpus², exactly the [[crossDedup]]
+    * restriction maintained incrementally.
+    *
+    * @return (doc_id, n_matches, is_dup) — one row per batch doc */
+  def screenBatch(batchSig: DataFrame, corpusSig: Option[DataFrame],
+      threshold: Double = resolveThreshold): DataFrame = {
+    val bb = bandsOf(batchSig)
+    val within = bandJoin(bb, bb, col("doc_b") < col("doc_a"))
+    val all = corpusSig match {
+      case None => within
+      case Some(cs) =>
+        val candidates = cs.join(batchSig.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        // disjoint candidate sets (corpus excludes batch ids), so the
+        // union introduces no duplicate pairs
+        within.unionByName(
+          bandJoin(bb, bandsOf(candidates), lit(true)))
+    }
+    val matches = all.filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    batchSig.select("doc_id")
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),

@@ -243,44 +243,70 @@ object Graph {
     val n = verts.count() // scalar: the one driver number PageRank needs
     require(n > 0, "pageRank: empty vertex set")
     val Array(srcC, dstC) = edges0.columns.take(2)
-    // materialize the half-edge list once; the symmetrized view and the
-    // degree table derive from the checkpoint, so the (possibly
-    // expensive) upstream pair computation runs exactly once
-    val half = ckpt(edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
-      .filter(col("src") =!= col("dst")))
-    val edges = half.union(half.select(col("dst"), col("src")))
-    val deg = ckpt(edges.groupBy("src").agg(count(lit(1)).as("d")))
-    // Static per-iteration join input, computed once: each edge tagged
-    // with its source's out-degree. Checkpointed DFs carry no stats, so
-    // every vertex-sized side here and in the loop gets an explicit
-    // broadcast hint (the [[connectedComponents]] lesson) — without them
-    // Catalyst sort-merge shuffles the FULL edge list once per
-    // iteration, which at sf0.1 made the rank loop 5× more expensive
-    // than any other bench query. Where the vertex table outgrows
-    // broadcast, drop the hints; the plan degrades to shuffle joins
-    // gracefully.
-    val edgesDeg = ckpt(edges.join(broadcast(deg), "src"))
+    val half = edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // Checkpointed DFs carry no stats, so every vertex-sized side here
+    // and in the loop gets an explicit broadcast hint (the
+    // [[connectedComponents]] lesson) — without them Catalyst
+    // sort-merge shuffles the FULL edge list once per iteration, which
+    // at sf0.1 made the rank loop 5× more expensive than any other
+    // bench query. Where the vertex table outgrows broadcast, drop the
+    // hints; the plan degrades to shuffle joins gracefully.
+    //
+    // ONE static edge materialization — the HALF (undirected) pair
+    // list, not the symmetrized copy: each iteration scans it once and
+    // emits BOTH directed contributions per row in-stage (explode of a
+    // 2-struct array — GenerateExec is codegen'd), so the big scan and
+    // the pinned bytes are half of the symmetrized design's. The degree
+    // division happens on the VERTEX-sized rank table before the
+    // per-iteration join (5k divisions instead of one per edge-row), so
+    // no `d` column rides the big list.
+    val halfPairs = ckpt(half)
+    val deg = ckpt(halfPairs
+      .select(explode(array(col("src"), col("dst"))).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("d")))
+    // the dangling-vertex SET is static (no out-edges ever) — compute it
+    // once outside the loop; only its rank SUM changes per iteration
+    val dangVerts = ckpt(verts.join(broadcast(deg),
+      verts("id") === deg("src"), "left_anti").select("id"))
     val basePico = 150000000000L / n // (1-d) share, floor — oracle matches
     var ranks = ckpt(verts.select(col("id"),
       lit(1000000000000L / n).as("r")))
     for (_ <- 1 to iters) {
       // dangling mass: rank parked on vertices with no out-edges, spread
-      // uniformly. One scalar per iteration.
-      val dang = ranks.join(broadcast(deg), ranks("id") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
-      val dangShare = dang / n
-      // broadcast the rank table into the edge scan: per iteration the
-      // big list is SCANNED (map-side combined partial agg) but never
-      // shuffled — only vertex-sized partials move
-      val contrib = edgesDeg
-        .join(broadcast(ranks.select(col("id").as("src"), col("r"))), "src")
-        .select(col("dst"), expr("r div d").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("c"))
+      // uniformly. Folded INTO the update plan as a broadcast 1-row
+      // aggregate (crossJoin) instead of a per-iteration driver collect —
+      // one less job barrier per iteration, and the driver never blocks
+      // on a scalar mid-loop. Integer semantics identical: `dang div n`
+      // is the same floor division the driver did. (r9 profiling note:
+      // the standalone floor is NOT scheduling — it's the genuine
+      // per-iteration scan of the 12M-row directed edge list, ~400 ms
+      // per broadcast-agg stage; see BUILDLOG r9.)
+      val dangRow = ranks.join(broadcast(dangVerts), Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      // broadcast the PRE-DIVIDED per-vertex contribution (r div d,
+      // vertex-sized) into the half-edge scan: per iteration the big
+      // list is SCANNED once (both directed contributions emitted
+      // in-stage, map-side combined partial agg) but never shuffled —
+      // only vertex-sized partials move
+      val perSrc = ranks.join(deg, ranks("id") === deg("src"))
+        .select(col("src"), expr("r div d").as("rd"))
+      val contrib = halfPairs
+        .join(broadcast(perSrc.select(col("src"), col("rd").as("rd_s"))),
+          "src")
+        .join(broadcast(perSrc.select(col("src").as("dst"),
+          col("rd").as("rd_d"))), "dst")
+        .select(explode(array(
+          struct(col("dst").as("to"), col("rd_s").as("rd")),
+          struct(col("src").as("to"), col("rd_d").as("rd")))).as("x"))
+        .select(col("x.to").as("dst"), col("x.rd").as("rd"))
+        .groupBy("dst").agg(sum(col("rd")).as("c"))
       val update = verts
         .join(broadcast(contrib), verts("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangRow))
         .select(col("id"),
           (lit(basePico) +
-            expr(s"85 * (coalesce(c, CAST(0 AS BIGINT)) + ${dangShare}L) div 100")
+            expr(s"85 * (coalesce(c, CAST(0 AS BIGINT)) + dang div ${n}L) div 100")
           ).as("r"))
       lastRankUpdatePlan.set(update.queryExecution.executedPlan.toString)
       ranks = ckpt(update)
@@ -465,8 +491,16 @@ object Graph {
     * cuts lineage (released on exit, the [[connectedComponents]] leak
     * lesson); fails loud on non-convergence like
     * [[connectedComponents]]. */
+  /** @param assumeCanonical the input is ALREADY a deduplicated
+    *   canonical edge list (`a < b`, distinct, materialized — what
+    *   [[graft.ops.Dedup.dupEdges]] checkpoints): skip the
+    *   normalize+distinct pass, which is otherwise a full shuffle of
+    *   the edge list (measured 1.9 s of the g_kcore floor at sf0.1 —
+    *   the single most expensive stage — re-deduplicating 6M
+    *   already-distinct rows) and skip re-pinning a second copy. */
   def kCore(edges0: DataFrame, k: Int = 2, maxIter: Int = 20,
-      broadcastFrontier: Long = 5000000L): DataFrame = {
+      broadcastFrontier: Long = 5000000L,
+      assumeCanonical: Boolean = false): DataFrame = {
     val allocated = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     def ckpt(df: DataFrame): DataFrame = {
@@ -475,14 +509,24 @@ object Graph {
       c
     }
     val Array(ac, bc) = edges0.columns.take(2)
-    val edges = ckpt(edges0.select(
-      least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
-      greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+    val edges =
+      if (assumeCanonical)
+        // cheap cast projection over the caller's (materialized) list —
+        // the per-round semi-join probes re-read it in place
+        edges0.select(col(ac).cast("long").as("a"),
+          col(bc).cast("long").as("b"))
+      else ckpt(edges0.select(
+        least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
+        greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
     var deg = ckpt(edges.select(col("a").as("id"))
       .union(edges.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree")))
-    var frontier = ckpt(deg.filter(col("degree") < k).select("id"))
+    // the frontier is never checkpointed: it is a cheap filter over the
+    // ALREADY-checkpointed degree table (one fewer eager job per round;
+    // both of its uses — the count and the next round's probes — rescan
+    // the materialized parent in place)
+    var frontier = deg.filter(col("degree") < k).select("id")
     var nFrontier = frontier.count()
     var iter = 0
     while (nFrontier > 0) {
@@ -509,7 +553,7 @@ object Graph {
         .join(loss, Seq("id"), "left")
         .select(col("id"),
           (col("degree") - coalesce(col("loss"), lit(0L))).as("degree")))
-      frontier = ckpt(nextDeg.filter(col("degree") < k).select("id"))
+      frontier = nextDeg.filter(col("degree") < k).select("id")
       deg = nextDeg
       nFrontier = frontier.count()
       iter += 1

@@ -59,16 +59,20 @@ object Upsert {
   }
 
   /** Manifest: bucket count + bucketing columns (both fixed at table
-    * creation) + bucket→gen map, as a single hand-rolled JSON object
-    * (no JSON lib in scope). */
+    * creation) + bucket→gen map + the optional LAST APPLIED BATCH id
+    * (for sinks whose merge is NOT naturally idempotent — the additive
+    * incremental-MV merge — so data commit and replay marker ride the
+    * same atomic pointer flip; see [[lastAppliedBatch]]), as a single
+    * hand-rolled JSON object (no JSON lib in scope). */
   private case class Manifest(nBuckets: Int, bucketBy: Seq[String],
-      buckets: Map[Int, String])
+      buckets: Map[Int, String], appliedBatch: Option[Long] = None)
 
   private def writeManifest(root: String, v: Long, m: Manifest): Unit = {
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, g) => s""""$b":"$g"""" }.mkString(",")
+    val ab = m.appliedBatch.map(id => s""","ab":$id""").getOrElse("")
     Files.write(manifestPath(root, v),
-      s"""{"nb":${m.nBuckets},"by":"${m.bucketBy.mkString(",")}","buckets":{$entries}}"""
+      s"""{"nb":${m.nBuckets},"by":"${m.bucketBy.mkString(",")}"$ab,"buckets":{$entries}}"""
         .getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
@@ -76,6 +80,7 @@ object Upsert {
   private val entryRe = """"(\d+)"\s*:\s*"([^"]+)"""".r
   private val nbRe = """"nb"\s*:\s*(\d+)""".r
   private val byRe = """"by"\s*:\s*"([^"]*)"""".r
+  private val abRe = """"ab"\s*:\s*(-?\d+)""".r
 
   private def readManifest(root: String, v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(root, v)))
@@ -83,16 +88,28 @@ object Upsert {
       .getOrElse(defaultBuckets)
     val by = byRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       .split(",").toSeq.filter(_.nonEmpty)
+    val ab = abRe.findFirstMatchIn(s).map(_.group(1).toLong)
     val inner = s.drop(s.indexOf("buckets"))
     Manifest(nb, by,
       entryRe.findAllMatchIn(inner)
-        .map(m => m.group(1).toInt -> m.group(2)).toMap)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap, ab)
   }
 
+  /** The last batch id recorded via `merge(..., appliedBatchId = …)` on
+    * the CURRENT version — the crash-safe replay guard for sinks whose
+    * merge is not naturally idempotent: the id is part of the manifest,
+    * so it becomes visible in the SAME atomic `_CURRENT` flip that
+    * commits the data. A replayed batch either sees its own id (data
+    * committed → skip) or doesn't (data not committed → re-merge); no
+    * window where the two disagree. */
+  def lastAppliedBatch(root: String): Option[Long] =
+    currentVersion(root).flatMap(v => readManifest(root, v).appliedBatch)
+
   /** Read the current state of the keyed table (None if nothing has
-    * been written yet — including a defensive guard against a
-    * zero-bucket manifest, which [[merge]] never writes but a legacy or
-    * hand-edited table could carry; reading an empty path list throws). */
+    * been written yet — or if the current manifest lists zero buckets,
+    * which a tombstone-only [[merge]] legitimately writes when deletes
+    * empty the last live bucket: None is the intended
+    * empty-table result either way; reading an empty path list throws). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(root).flatMap(v => readManifestVersion(spark, root, v))
 
@@ -172,9 +189,14 @@ object Upsert {
     *   is a tombstone is dropped from the rewritten bucket — the
     *   Cassandra/Delta DELETE semantics. The column itself is not
     *   persisted. Omitted (None) = pure upsert, the original contract. */
+  /** @param appliedBatchId when set, recorded in the new manifest (see
+    *   [[lastAppliedBatch]]) so the replay marker commits atomically
+    *   with the data. Carried forward unchanged by merges that omit
+    *   it. */
   def merge(batch: DataFrame, batchId: Long, root: String, keys: Seq[String],
       nBuckets: Int = defaultBuckets, bucketBy: Seq[String] = Seq.empty,
-      tombstoneCol: Option[String] = None): Unit = {
+      tombstoneCol: Option[String] = None,
+      appliedBatchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(root))
     val cur = currentVersion(root)
@@ -259,7 +281,8 @@ object Upsert {
 
     val nextManifest = Manifest(manifest.nBuckets, manifest.bucketBy,
       (manifest.buckets -- touched.filterNot(writtenBuckets)) ++
-        touched.filter(writtenBuckets).map(b => b -> s"gen$next"))
+        touched.filter(writtenBuckets).map(b => b -> s"gen$next"),
+      appliedBatchId.orElse(manifest.appliedBatch))
     writeManifest(root, next, nextManifest)
     // Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash
     // mid-write can never leave a truncated/empty pointer (readers see

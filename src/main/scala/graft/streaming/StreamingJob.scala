@@ -167,22 +167,16 @@ object StreamingJob {
     *
     * Replay safety: Structured Streaming re-runs a batch after a crash,
     * and an additive merge is NOT naturally idempotent (re-merging
-    * double-counts), so the last applied batch id is recorded in the
-    * view dir and replays of it are skipped. The marker lands after the
-    * store's pointer flip — a crash exactly between the two re-merges
-    * one batch; closing that hairline window needs a sink whose commit
-    * is transactional with the data (Delta txn log), which is what the
-    * production connector at this seam provides. */
+    * double-counts), so the last applied batch id is recorded IN the
+    * store's manifest ([[Upsert.lastAppliedBatch]]) and replays of it
+    * are skipped. Because the id rides the same atomic `_CURRENT`
+    * pointer flip that commits the data, there is no crash window where
+    * the data is committed but the marker is not (the transactional
+    * commit a Delta txn log provides, scaled down to this store). */
   def mergeIncrementalAgg(batch: DataFrame, batchId: Long,
       root: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
     val spark = batch.sparkSession
-    val marker = Paths.get(root, "_LAST_APPLIED")
-    val lastApplied =
-      if (Files.exists(marker))
-        new String(Files.readAllBytes(marker)).trim.toLongOption
-      else None
-    if (lastApplied.exists(_ >= batchId)) return
+    if (Upsert.lastAppliedBatch(root).exists(_ >= batchId)) return
     val keys = Seq("event_type", "day")
     val partial = batch
       .groupBy(col("event_type"),
@@ -209,16 +203,9 @@ object StreamingJob {
             min(col("min_value")).as("min_value"),
             max(col("max_value")).as("max_value"))
     }
-    if (!merged.isEmpty) {
-      Upsert.merge(merged, batchId, root, keys)
-      Files.createDirectories(Paths.get(root))
-      val tmp = Paths.get(root, s"_LAST_APPLIED.tmp.$batchId")
-      Files.write(tmp, batchId.toString.getBytes,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(tmp, marker,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (!merged.isEmpty)
+      Upsert.merge(merged, batchId, root, keys,
+        appliedBatchId = Some(batchId))
   }
 
   /** query_07 (extension) — CDC apply as a stream: the batch-tier
@@ -260,6 +247,56 @@ object StreamingJob {
         (col("last.op") === "D").as("_tomb"))
     Upsert.merge(reduced, batchId, root, Seq("user_id"),
       tombstoneCol = Some("_tomb"))
+  }
+
+  /** query_08 (extension) — INCREMENTAL CROSS-CORPUS DEDUP as a stream:
+    * the "continuously ingest a training corpus" loop an LLM data
+    * pipeline actually runs, the streaming twin of the delta-shaped
+    * batch operator [[graft.ops.Dedup.crossDedup]]. Each micro-batch of
+    * document rows (doc_id, text, …) is screened against the corpus
+    * ingested SO FAR plus the batch's own earlier arrivals
+    * ([[graft.ops.Dedup.screenBatch]]), its dup flags appended to a
+    * keyed store, and its signatures merged into the corpus signature
+    * store — so the expensive signature computation runs exactly once
+    * per document, ever, and per-batch cost scales with the batch, not
+    * the corpus. Cross-batch "earlier" is store arrival order,
+    * within-batch order is `doc_id` — for an in-order feed the
+    * accumulated flags equal the batch [[graft.ops.Dedup.crossDedup]]
+    * over the same documents (spec'd in StreamingSpec), the same
+    * batch-equivalence contract as query_06/query_07. Replay-safe with
+    * no marker: [[graft.ops.Dedup.screenBatch]] anti-joins the batch's
+    * own ids out of the corpus side, so re-running a batch after ANY
+    * crash point recomputes identical rows into idempotent merges. */
+  def runIncrementalDedup(spark: SparkSession, docs: DataFrame,
+      cfg: Config): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_08")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        applyDedupBatch(df, id, s"${cfg.outRoot}/dedup")
+      }
+      .queryName("incremental_dedup").start()
+
+  /** One micro-batch of incremental dedup: signatures once, screen
+    * against the store, append flags, merge signatures. The signature
+    * table is persisted for the batch's duration — it is read twice
+    * (screen + store merge) and each read would otherwise recompute the
+    * word explosion. */
+  def applyDedupBatch(batch: DataFrame, batchId: Long, root: String,
+      threshold: Double = graft.ops.Dedup.resolveThreshold): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val sig = graft.ops.Dedup.signaturesOf(batch).persist()
+    try {
+      val corpus = Upsert.read(spark, s"$root/signatures")
+      val flags = graft.ops.Dedup.screenBatch(sig, corpus, threshold)
+      Upsert.merge(flags, batchId, s"$root/flags", Seq("doc_id"))
+      // signatures merge LAST: a crash before this point replays into
+      // an unchanged corpus store (same flags); after it, screenBatch's
+      // anti-join hides the batch from itself (same flags again)
+      Upsert.merge(sig, batchId, s"$root/signatures", Seq("doc_id"))
+    } finally sig.unpersist()
   }
 
   /** query_05 — the prediction vertical as a streaming consumer of the

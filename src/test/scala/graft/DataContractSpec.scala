@@ -20,9 +20,16 @@ class DataContractSpec extends SparkSuite {
 
   private val exact: DataType => Set[DataType] = Set(_)
   private def intOrLong: Set[DataType] = Set(IntegerType, LongType)
-  // every timestamp format the driver has shipped; Tables.events adapts
+  // every timestamp format the driver has shipped; Tables.events adapts —
+  // LongType (raw INT64 nanos) is accepted ONLY for events.ts, because
+  // Tables.events is the one loader with a schema-adaptive branch
   private def anyTs: Set[DataType] =
     Set(LongType, TimestampType, TimestampNTZType)
+  // orders/lineitem go through the plain Tables.load parquet read: a
+  // regeneration shipping raw INT64 dates would pass a LongType-wide
+  // contract while breaking every date operator — pin them to the
+  // timestamp family so that regeneration fails HERE with a named test
+  private def loadedTs: Set[DataType] = Set(TimestampType, TimestampNTZType)
 
   private val contracts: Map[String, Contract] = Map(
     "region" -> Seq("r_regionkey" -> intOrLong, "r_name" -> exact(StringType)),
@@ -38,13 +45,13 @@ class DataContractSpec extends SparkSuite {
       "p_size" -> intOrLong, "p_retailprice" -> exact(DoubleType)),
     "orders" -> Seq("o_orderkey" -> intOrLong, "o_custkey" -> intOrLong,
       "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
-      "o_orderdate" -> anyTs, "o_orderpriority" -> exact(StringType)),
+      "o_orderdate" -> loadedTs, "o_orderpriority" -> exact(StringType)),
     "lineitem" -> Seq("l_orderkey" -> intOrLong, "l_partkey" -> intOrLong,
       "l_suppkey" -> intOrLong, "l_linenumber" -> intOrLong,
       "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
       "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
       "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
-      "l_shipdate" -> anyTs),
+      "l_shipdate" -> loadedTs),
     "events" -> Seq("event_id" -> intOrLong, "ts" -> anyTs,
       "user_id" -> intOrLong, "event_type" -> exact(StringType),
       "value" -> exact(DoubleType), "props" -> exact(StringType)),
