@@ -72,8 +72,26 @@ case class DotProduct(left: Expression, right: Expression)
   * `aggregate(zip_with(...))` formulation this replaces allocated a
   * zipped boxed array per row per bit.
   *
-  * Bit formula (kept bit-identical to the SQL it replaced):
-  * `plane(i, j) = +1 if (i*1315423911 + j*2654435761) mod 2 == 0 else -1`.
+  * Bit formula (mirrored exactly by [[VectorOps.hyperplaneSignSql]] for
+  * the DuckDB oracles): a two-round multiply–xor–shift mix of (i, j),
+  *
+  * {{{
+  * u0 = i*1315423911 + j*2654435761
+  * u1 = ((u0 xor (u0 >> 15)) mod 2^20) * 2654435761
+  * u2 = ((u1 xor (u1 >> 20)) mod 2^20) * 1315423911
+  * plane(i, j) = +1 if bit 39 of u2 == 0 else -1
+  * }}}
+  *
+  * every intermediate stays under 2^52, so both engines compute it in
+  * exact BIGINT arithmetic. The mix matters: the original
+  * `(i*A + j*B) mod 2` formula with odd A, B degenerates to
+  * `(i+j) mod 2` — every "hyperplane" was ± one single alternating
+  * vector, ALL vectors landed in 2 buckets, and every LSH consumer was
+  * an O(n²) all-pairs in disguise (caught by the r9 10× scale
+  * rehearsal: d_embedding_dup went quadratic while the oracle — which
+  * mirrors the same planes — stayed green). Measured on 4k
+  * zero-centered vectors: all 256 8-bit band keys populated, max
+  * bucket 42, plane-pair agreement 0.50 avg / 0.67 max.
   */
 case class HyperplaneLshBits(child: Expression, nBits: Int)
     extends Expression {
@@ -104,9 +122,10 @@ case class HyperplaneLshBits(child: Expression, nBits: Int)
         var acc = 0.0
         var i = 0
         while (i < d) {
-          val sign =
-            if (java.lang.Math.floorMod(i * 1315423911L + j * 2654435761L, 2L) == 0L) 1.0
-            else -1.0
+          val u0 = i * 1315423911L + j * 2654435761L
+          val u1 = ((u0 ^ (u0 >> 15)) % 1048576L) * 2654435761L
+          val u2 = ((u1 ^ (u1 >> 20)) % 1048576L) * 1315423911L
+          val sign = if (((u2 >> 39) & 1L) == 0L) 1.0 else -1.0
           acc += arr.getDouble(i) * sign
           i += 1
         }
@@ -136,8 +155,10 @@ case class HyperplaneLshBits(child: Expression, nBits: Int)
         |  for (int $j = 0; $j < $nBits; $j++) {
         |    double $acc = 0.0;
         |    for (int $i = 0; $i < $d; $i++) {
-        |      double sign = (java.lang.Math.floorMod(
-        |        $i * 1315423911L + $j * 2654435761L, 2L) == 0L) ? 1.0 : -1.0;
+        |      long u0 = $i * 1315423911L + $j * 2654435761L;
+        |      long u1 = ((u0 ^ (u0 >> 15)) % 1048576L) * 2654435761L;
+        |      long u2 = ((u1 ^ (u1 >> 20)) % 1048576L) * 1315423911L;
+        |      double sign = (((u2 >> 39) & 1L) == 0L) ? 1.0 : -1.0;
         |      $acc += $arr.getDouble($i) * sign;
         |    }
         |    if ($acc > 0.0) $bucket |= (1 << $j);
@@ -154,6 +175,22 @@ case class HyperplaneLshBits(child: Expression, nBits: Int)
 }
 
 object VectorOps {
+
+  /** DuckDB expression for `plane(i, j)` — the EXACT mirror of
+    * [[HyperplaneLshBits]]'s sign mix, the single source of truth the
+    * LSH oracle SQL builders ([[graft.ops.Dedup.embeddingDupSql]],
+    * [[graft.ops.Similarity.annLshSql]]) splice into their per-bit
+    * lambdas. `iExpr` is the 0-BASED dimension index expression (DuckDB
+    * list lambdas see 1-based `i`, so callers pass `"(i - 1)"`); `j` is
+    * the bit index, baked as a literal. All intermediates are positive
+    * and < 2^52 — exact BIGINT in both engines. */
+  def hyperplaneSignSql(iExpr: String, j: Int): String = {
+    val u0 = s"($iExpr * 1315423911 + $j * 2654435761)"
+    val u1 = s"((xor($u0, $u0 >> 15) % 1048576) * 2654435761)"
+    val u2 = s"((xor($u1, $u1 >> 20) % 1048576) * 1315423911)"
+    s"(CASE WHEN (($u2 >> 39) & 1) = 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)"
+  }
+
   /** Register `dot_product` / `lsh_bits` in the session's function
     * registry so plans can call them via `expr(...)`. Idempotent. */
   def register(spark: SparkSession): Unit = {

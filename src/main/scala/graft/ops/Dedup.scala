@@ -562,9 +562,9 @@ object Dedup {
     val mask = (1 << embDupBandBits) - 1
     val dim = 64
     val bits = (0 until totalBits).map { j =>
+      val sign = graft.functions.VectorOps.hyperplaneSignSql("(i - 1)", j)
       s"""CASE WHEN list_sum(list_transform(generate_series(1, $dim),
-         |  i -> v[i] * (CASE WHEN ((i - 1) * 1315423911 + $j * 2654435761) % 2 = 0
-         |               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) > 0.0::DOUBLE
+         |  i -> v[i] * $sign)) > 0.0::DOUBLE
          |  THEN ${1 << j} ELSE 0 END""".stripMargin
     }.mkString(" +\n      ")
     val firstMatch = (0 until embDupBands).reverse

@@ -476,9 +476,9 @@ object Similarity {
       |  len(q) AS dim
       |FROM qz""".stripMargin
 
-  /** Oracle for [[annLsh]]: the hyperplane bits are deterministic
-    * (±1 from `(i·1315423911 + j·2654435761) mod 2`, the same formula
-    * [[graft.functions.HyperplaneLshBits]] generates), so the whole
+  /** Oracle for [[annLsh]]: the hyperplane bits are deterministic (the
+    * [[graft.functions.VectorOps.hyperplaneSignSql]] mix, the exact
+    * mirror of [[graft.functions.HyperplaneLshBits]]), so the whole
     * LSH pipeline — bucket assignment, bucket join, exact re-rank — is
     * reproducible in SQL. A sign flip would need a hyperplane sum
     * within one ulp of zero (never observed; the sum has 64 ±0.1-scale
@@ -486,9 +486,9 @@ object Similarity {
   def annLshSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
       dim: Int = 64): String = {
     val bits = (0 until nBits).map { j =>
+      val sign = graft.functions.VectorOps.hyperplaneSignSql("(i - 1)", j)
       s"""CASE WHEN list_sum(list_transform(generate_series(1, $dim),
-         |  i -> v[i] * (CASE WHEN ((i - 1) * 1315423911 + $j * 2654435761) % 2 = 0
-         |               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) > 0.0::DOUBLE
+         |  i -> v[i] * $sign)) > 0.0::DOUBLE
          |  THEN ${1 << j} ELSE 0 END""".stripMargin
     }.mkString(" +\n      ")
     s"""WITH n AS (
