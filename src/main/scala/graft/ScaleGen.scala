@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   *    source's. Across copies the product of two independent sign
   *    patterns makes cosines collapse toward 0, so copies are NOT
   *    near-dups of each other and dup-pair volume grows LINEARLY with
-  *    the factor (the first rehearsal used a ±0.1% jitter, which made
-  *    every copy a ~0.999998-cosine dup of its source and inflated
-  *    d_embedding_dup's pair volume ~100× — a generator artifact, not
-  *    an operator property; see BUILDLOG r9).
+  *    the factor. (The first rehearsal used a ±0.1% jitter instead,
+  *    which made every copy a ~0.999998-cosine dup of its source —
+  *    quadratic TRUE-dup inflation. The 10× blowup it surfaced turned
+  *    out to be dominated by the degenerate hyperplane family in
+  *    `lsh_bits` — see BUILDLOG r9 — but the sign-pattern design stays:
+  *    a corpus decade should not be 10 near-copies of itself.)
   *  - `orders`/`lineitem`: o_orderkey/l_orderkey offset per copy (FK
   *    consistency); all other columns kept, so dimension joins fan out
   *    10× like a real fact-table decade.

@@ -186,6 +186,7 @@ object SparkEntry {
     "a27_cms_topk" -> ((s, dir) => Relational.cmsTopK(s, dir)),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "v_lsh_ann_recall" -> ((s, dir) => Similarity.lshAnnRecall(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
@@ -1160,6 +1161,7 @@ object SparkEntry {
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),
     "v_kmeans" -> Similarity.kmeansSql(),
     "v_ann_lsh" -> Similarity.annLshSql(),
+    "v_lsh_ann_recall" -> Similarity.lshAnnRecallSql(),
 
     "d_ngram_jaccard" ->
       """WITH sh AS (

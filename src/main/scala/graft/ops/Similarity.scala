@@ -483,15 +483,18 @@ object Similarity {
     * reproducible in SQL. A sign flip would need a hyperplane sum
     * within one ulp of zero (never observed; the sum has 64 ±0.1-scale
     * terms). */
-  def annLshSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
-      dim: Int = 64): String = {
+  /** The [[annLshSql]] CTE chain up to the scored candidate relation
+    * `s(q_id, vec_id, cos)` — shared with [[lshAnnRecallSql]] so the
+    * recall oracle probes the IDENTICAL buckets the serving oracle
+    * reads (the [[ivfRecallSql]] pattern). */
+  private def annLshCtes(nQueries: Int, nBits: Int, dim: Int): String = {
     val bits = (0 until nBits).map { j =>
       val sign = graft.functions.VectorOps.hyperplaneSignSql("(i - 1)", j)
       s"""CASE WHEN list_sum(list_transform(generate_series(1, $dim),
          |  i -> v[i] * $sign)) > 0.0::DOUBLE
          |  THEN ${1 << j} ELSE 0 END""".stripMargin
     }.mkString(" +\n      ")
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
@@ -507,13 +510,73 @@ object Similarity {
        |         list_dot_product(q.qv, b.v) / (q.qn * b.nrm) AS cos
        |  FROM b JOIN q ON b.bucket = q.bucket
        |  WHERE b.vec_id != q.q_id
-       |)
+       |)""".stripMargin
+  }
+
+  def annLshSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
+      dim: Int = 64): String =
+    s"""WITH ${annLshCtes(nQueries, nBits, dim)}
        |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, vec_id) AS rnk
        |  FROM s
        |) WHERE rnk <= $k""".stripMargin
+
+  /** Recall@k of the hyperplane-LSH index against exact brute-force
+    * cosine top-k — the quality dial `nBits` is tuned with, completing
+    * the recall family ([[ivfRecall]]: IVF/nProbe; [[mrlRecall]]:
+    * truncated dims; [[graft.ops.Dedup.lshRecall]]: MinHash bands).
+    * Same hit-join shape as [[ivfRecall]]: both sides exclude
+    * self-matches, tie-break by candidate id, and compute the identical
+    * IEEE cosine, so the hit count is deterministic cross-engine. This
+    * row exists because a DEGENERATE plane family is invisible to the
+    * serving oracle (it mirrors the same planes, broken or not — the r9
+    * lesson): collapsed buckets show up here instead as a
+    * suspiciously-perfect recall from near-all-pairs scanning, while a
+    * healthy family pays measurable recall for its bucket selectivity. */
+  def lshAnnRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 3, nBits: Int = 8): DataFrame = {
+    val lsh = annLsh(spark, dir, nQueries, k, nBits)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    cosineTopK(spark, dir, nQueries, k)
+      .select("q_id", "vec_id")
+      .join(lsh, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"),
+        lit(nBits).as("n_bits"))
   }
+
+  /** Oracle for [[lshAnnRecall]]: the same LSH chain as [[annLshSql]]
+    * plus a brute-force top-k CTE, hit-joined. */
+  def lshAnnRecallSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
+      dim: Int = 64): String =
+    s"""WITH ${annLshCtes(nQueries, nBits, dim)},
+       |lshk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM s
+       |  ) WHERE rnk <= $k
+       |), brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, n2.vec_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY list_dot_product(q.qv, n2.v) / (q.qn * n2.nrm) DESC,
+       |                      n2.vec_id) AS rnk
+       |    FROM q, n n2 WHERE n2.vec_id != q.q_id
+       |  ) WHERE rnk <= $k
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
+       |       $nBits AS n_bits
+       |FROM brute b LEFT JOIN lshk l
+       |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id""".stripMargin
 
   /** Product quantization codes — the storage layout of an IVF-PQ ANN
     * index ([[annIvf]] is the coarse stage; PQ compresses the residual
