@@ -174,6 +174,10 @@ object SparkEntry {
     "mv_incremental_distinct" -> ((s, dir) => Incremental.incrementalDistinct(Tables.events(s, dir))),
     "mv_join_incremental" -> ((s, dir) => Incremental.incrementalJoinAgg(
       Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"))),
+    "mv_minmax_retract" -> ((s, dir) =>
+      Incremental.retractableMinMax(Tables.events(s, dir))),
+    "mv_topk_retract" -> ((s, dir) =>
+      Incremental.retractableTopK(Tables.events(s, dir))),
     "t_importance_weights" -> ((s, dir) =>
       TextOps.importanceWeights(Tables.load(s, dir, "documents"))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
@@ -1120,6 +1124,8 @@ object SparkEntry {
     "e_transitions" -> EventAnalytics.transitionMatrixSql,
     "mv_incremental_distinct" -> Incremental.incrementalDistinctSql,
     "mv_join_incremental" -> Incremental.incrementalJoinAggSql,
+    "mv_minmax_retract" -> Incremental.retractableMinMaxSql,
+    "mv_topk_retract" -> Incremental.retractableTopKSql,
     "t_importance_weights" -> TextOps.importanceWeightsSql(),
     "w7_gap_detect" ->
       s"""$T

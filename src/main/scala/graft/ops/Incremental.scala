@@ -265,4 +265,117 @@ object Incremental {
       |SELECT user_id, ts AS last_ts, price AS last_price,
       |       CAST(n AS BIGINT) AS n_changes
       |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin
+
+  /** Net-multiplicity auxiliary state shared by [[retractableMinMax]]
+    * and [[retractableTopK]] — the standard answer (Flink's retractable
+    * aggregates, DBSP's indexed Z-sets) to the measure classes
+    * [[incrementalRetract]] documents as NON-invertible: min/max and
+    * top-k can't subtract a delete from a scalar state, so the state
+    * keeps the full VALUE MULTISET per group as (group, value) → net
+    * multiplicity. A delete is then still just a signed delta batch
+    * (refresh cost O(|delta|)), and any deletion — including of the
+    * current min/max/top-k holder — is recoverable because the runner-up
+    * values are in state. State size is O(groups × distinct values),
+    * not O(rows ever ingested): value-cardinality-sized, the accepted
+    * cost of retractable extremes in every production incremental
+    * engine. Values are keyed by exact micro-unit BIGINT so multiset
+    * identity can never straddle a double ulp.
+    *
+    * Release exemption: partials are (group × distinct-value)-sized and
+    * all back the returned view — see [[partialStates]]. */
+  private def netValueMultiplicity(events: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val signed = events.withColumn("sign", lit(1L))
+    val retractions = events
+      .filter(pmod(col("event_id"), lit(RetractMod)) === 0)
+      .withColumn("sign", lit(-1L))
+    val keyed = (df: DataFrame) => df
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("v_micro", expr("CAST(round(value * 1000000) AS BIGINT)"))
+    val partials = ((0 until nBatches).map { b =>
+      signed.filter(pmod(col("event_id"), lit(nBatches)) === b)
+    } :+ retractions).map { df =>
+      keyed(df)
+        .groupBy(groupCols.map(col) :+ col("v_micro"): _*)
+        .agg(sum(col("sign")).as("mult"))
+        .localCheckpoint()
+    }
+    partials.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("v_micro"): _*)
+      .agg(sum(col("mult")).as("mult"))
+      .filter(col("mult") > 0)
+  }
+
+  /** Retraction-capable MIN/MAX view maintenance over the multiset
+    * state: the view is a value-cardinality-sized aggregate over
+    * surviving (net multiplicity > 0) values, so deleting the current
+    * extreme simply promotes the next surviving value — no history
+    * rescan. Oracle: flat min/max recompute over never-retracted rows;
+    * if the multiset under- or over-cancelled any value anywhere, some
+    * group's extreme or surviving-value count breaks the hash. */
+  def retractableMinMax(events: DataFrame): DataFrame =
+    netValueMultiplicity(events, Seq("event_type", "day"))
+      .groupBy("event_type", "day")
+      .agg(
+        min(col("v_micro")).as("min_value_micro"),
+        max(col("v_micro")).as("max_value_micro"),
+        count(lit(1)).as("n_live_values"),
+        sum(col("mult")).as("n_live_rows"))
+      .withColumn("day", col("day").cast("timestamp"))
+
+  /** Oracle for [[retractableMinMax]]. */
+  val retractableMinMaxSql: String =
+    s"""SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       |       min(CAST(round(value * 1000000) AS BIGINT)) AS min_value_micro,
+       |       max(CAST(round(value * 1000000) AS BIGINT)) AS max_value_micro,
+       |       CAST(count(DISTINCT CAST(round(value * 1000000) AS BIGINT))
+       |            AS BIGINT) AS n_live_values,
+       |       count(*) AS n_live_rows
+       |FROM events
+       |WHERE event_id % $RetractMod <> 0
+       |GROUP BY 1, 2""".stripMargin
+
+  /** How many ranked values the top-k view emits per group. */
+  val TopK: Int = 3
+
+  /** Retraction-capable TOP-K view maintenance (Flink's
+    * RetractableTopN discipline): rank the surviving value multiset per
+    * group and emit the top [[TopK]] values with their live
+    * multiplicities. Because the state holds every surviving value —
+    * not just the current top k — a delete that evicts a top-k member
+    * promotes the next value exactly; the bounded-candidate shortcut
+    * (keep only k' > k per batch) is deliberately NOT taken, since an
+    * adversarial delete stream invalidates any fixed k'. The rank sort
+    * runs over the value-cardinality-sized state, never the corpus.
+    * Values are distinct within a group by construction, so
+    * `row_number` over (value DESC) is deterministic without a
+    * tiebreak. */
+  def retractableTopK(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("v_micro").desc)
+    netValueMultiplicity(events, Seq("event_type"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("event_type"), col("rank").cast("long").as("rank"),
+        col("v_micro").as("value_micro"), col("mult").as("n_live_rows"))
+  }
+
+  /** Oracle for [[retractableTopK]]: surviving multiset recomputed
+    * flat, ranked, top k. */
+  val retractableTopKSql: String =
+    s"""WITH surviving AS (
+       |  SELECT event_type,
+       |         CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+       |         count(*) AS n_live_rows
+       |  FROM events
+       |  WHERE event_id % $RetractMod <> 0
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |             ORDER BY value_micro DESC) AS rank
+       |  FROM surviving
+       |)
+       |SELECT event_type, CAST(rank AS BIGINT) AS rank, value_micro,
+       |       n_live_rows
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
 }

@@ -299,6 +299,88 @@ object StreamingJob {
     } finally sig.unpersist()
   }
 
+  /** query_09 (extension) — RETRACTABLE MIN/MAX view maintenance as a
+    * stream, the twin of [[graft.ops.Incremental.retractableMinMax]]:
+    * the change feed carries signed rows (`sign` = +1 insert / −1
+    * delete) and the store holds the net-multiplicity VALUE MULTISET
+    * keyed (event_type, day, v_micro) — the Z-set state that makes the
+    * non-invertible extremes recoverable under deletion (deleting the
+    * current min promotes the next surviving value; no history rescan).
+    * Per micro-batch: reduce the batch to its signed partial, merge
+    * additively with only the AFFECTED (group, value) rows (semi-join,
+    * the [[mergeIncrementalAgg]] discipline), and tombstone keys whose
+    * net multiplicity reaches exactly zero — a Z-set zero IS absence,
+    * so dropping the row keeps state minimal without breaking
+    * commutativity (a fully-cancelled value re-inserted later starts
+    * cleanly from +1). Negative multiplicities (a delete racing ahead
+    * of its insert in the feed) stay IN the store so the late insert
+    * still sums to the right net — the view filters `mult > 0` instead
+    * of trusting the store to contain only live rows. Replay safety:
+    * the additive merge is not idempotent, so the applied-batch id
+    * rides the store's atomic `_CURRENT` flip
+    * ([[Upsert.lastAppliedBatch]]), the [[mergeIncrementalAgg]]
+    * contract. Batch-equivalence to `retractableMinMax` over the same
+    * change rows and replay idempotence are spec'd in StreamingSpec. */
+  def runRetractableMinMax(spark: SparkSession, changes: DataFrame,
+      cfg: Config): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_09")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        applyRetractBatch(df, id, s"${cfg.outRoot}/minmax_state")
+      }
+      .queryName("mv_minmax_retract").start()
+
+  /** One micro-batch of net-multiplicity maintenance. `batch` columns:
+    * event_type, ts, value, sign. */
+  def applyRetractBatch(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    if (Upsert.lastAppliedBatch(root).exists(_ >= batchId)) return
+    val spark = batch.sparkSession
+    val keys = Seq("event_type", "day", "v_micro")
+    val partial = batch
+      .groupBy(col("event_type"),
+        to_date(col("ts")).cast("timestamp").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+      .agg(sum(col("sign")).as("mult"))
+    val merged = Upsert.read(spark, root) match {
+      case None => partial
+      case Some(state) =>
+        state.select((keys :+ "mult").map(col): _*)
+          .join(partial.select(keys.map(col): _*), keys, "left_semi")
+          .unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("mult")).as("mult"))
+    }
+    val withTomb = merged.withColumn("_tomb", col("mult") === 0)
+    if (!withTomb.isEmpty)
+      Upsert.merge(withTomb, batchId, root, keys,
+        tombstoneCol = Some("_tomb"), appliedBatchId = Some(batchId))
+  }
+
+  /** The refreshed view over the multiset store — column-identical to
+    * the batch [[graft.ops.Incremental.retractableMinMax]]. */
+  def retractMinMaxView(spark: SparkSession, root: String): DataFrame =
+    Upsert.read(spark, root).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("v_micro",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mult",
+              org.apache.spark.sql.types.LongType)))))
+      .filter(col("mult") > 0)
+      .groupBy("event_type", "day")
+      .agg(
+        min(col("v_micro")).as("min_value_micro"),
+        max(col("v_micro")).as("max_value_micro"),
+        count(lit(1)).as("n_live_values"),
+        sum(col("mult")).as("n_live_rows"))
+
   /** query_05 — the prediction vertical as a streaming consumer of the
     * FEATURES stream, composing T14 → §2.9 scoring → K7 writeback
     * exactly the way the reference splits it across processes

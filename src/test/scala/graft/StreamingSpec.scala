@@ -720,6 +720,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("query_09 retractable minmax: streamed Z-set merge equals batch retractableMinMax, replay-safe") {
+    import spark.implicits._
+    // the SAME deterministic events as query_06, but as a SIGNED change
+    // feed: every row arrives as an insert (+1) and the batch
+    // operator's retraction slice (event_id % RetractMod == 0) arrives
+    // as deletes (−1) spread over later micro-batches — including ONE
+    // delete racing AHEAD of its insert, the negative-multiplicity path
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 90).map { i =>
+      (i.toLong,
+        new java.sql.Timestamp(t0 + (i % 5) * 86400000L + rnd.nextInt(900000)),
+        1000L + i % 11,
+        Seq("view", "click", "buy")(rnd.nextInt(3)),
+        rnd.nextInt(10000) / 100.0,
+        "{}")
+    }
+    val colNames = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def signed(e: (Long, java.sql.Timestamp, Long, String, Double, String),
+        sign: Long) = (e._4, e._2, e._5, sign)
+    val mod = graft.ops.Incremental.RetractMod
+    val del = events.filter(_._1 % mod == 0)
+    val aheadDel = del.filter(_._1 >= 60).head   // insert arrives in batch 3
+    val batches = Seq(
+      events.slice(0, 30).map(signed(_, 1L)),
+      events.slice(30, 60).map(signed(_, 1L)) ++
+        del.filter(_._1 < 30).map(signed(_, -1L)) :+ signed(aheadDel, -1L),
+      events.slice(60, 90).map(signed(_, 1L)) ++
+        del.filter(e => e._1 >= 30 && e != aheadDel).map(signed(_, -1L)))
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)](spark)
+    val out = tmpDir("graft-zset-out")
+    val ckpt = tmpDir("graft-zset-ckpt")
+    val q = StreamingJob.runRetractableMinMax(spark,
+      input.toDF().toDF("event_type", "ts", "value", "sign"),
+      StreamingJob.Config(out, ckpt))
+    val root = s"$out/minmax_state"
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      def view() = StreamingJob.retractMinMaxView(spark, root)
+      val batch = graft.ops.Incremental
+        .retractableMinMax(events.toDF(colNames: _*))
+      assert(view().count() === batch.count())
+      assert(view().exceptAll(batch).isEmpty && batch.exceptAll(view()).isEmpty,
+        "streamed Z-set view differs from batch retractableMinMax")
+      // replay safety: the additive multiset merge is guarded by the
+      // applied-batch marker riding the store's atomic pointer flip
+      val before = view().collect().map(_.toString).sorted.toSeq
+      StreamingJob.applyRetractBatch(
+        batches.last.toDF("event_type", "ts", "value", "sign"),
+        batchId = 2L, root)
+      val after = view().collect().map(_.toString).sorted.toSeq
+      assert(after === before, "batch replay mutated the multiset (double count)")
+    } finally q.stop()
+  }
+
   test("query_07 cdc apply: streamed tombstone merge equals batch cdcApply") {
     import spark.implicits._
     val trades = Tables.trades(spark, sf)
