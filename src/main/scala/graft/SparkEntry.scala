@@ -229,6 +229,14 @@ object SparkEntry {
       Graph.triangles(Dedup.mutualKnn(
         Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
     }),
+    "g_link_pred" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // same session-cached weighted edges + mutual-kNN graph as
+      // g_triangles — the band join runs once for both consumers
+      Graph.linkPrediction(Dedup.mutualKnn(
+        Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
+    }),
+    "skew_salted_join" -> ((s, dir) => Scale.saltedSkewJoin(trades(s, dir))),
     "d_fuzzy_pairs" -> ((s, dir) => Dedup.fuzzyPairs(Tables.load(s, dir, "documents"))),
     "w13_cusum" -> ((s, dir) => TradeOps.cusum(trades(s, dir))),
     "a16_profile" -> ((s, dir) => TradeOps.columnProfile(Tables.load(s, dir, "lineitem"))),
@@ -1310,6 +1318,8 @@ object SparkEntry {
       s"""$T
          |${TradeOps.anomalyFlagsSql()}""".stripMargin,
     "g_triangles" -> Dedup.similarityTrianglesSql(),
+    "g_link_pred" -> Dedup.similarityLinkPredSql(),
+    "skew_salted_join" -> s"$T,\n${Scale.saltedSkewJoinSql}",
     "d_fuzzy_pairs" -> Dedup.fuzzyPairsSql(),
     "w13_cusum" ->
       s"""$T

@@ -772,7 +772,11 @@ object Dedup {
   /** Oracle for [[Graph.triangles]] over the mutual-kNN sparsified
     * MinHash similarity graph at [[triangleThreshold]]. The final CTE
     * is named `pairs` so [[Graph.trianglesSql]] chains unchanged. */
-  def similarityTrianglesSql(k: Int = 10): String =
+  /** The shared CTE chain — MinHash band-join pairs at
+    * [[triangleThreshold]], mutual-kNN sparsified, ending in
+    * `pairs(doc_a, doc_b)` with `doc_a < doc_b` — that both the
+    * triangle and link-prediction oracles append their body to. */
+  private def mutualKnnCtes(k: Int): String =
     s"""${sigCteFrom("documents")}, pj AS (
        |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
        |         CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) AS j
@@ -793,8 +797,16 @@ object Dedup {
        |  SELECT a.src AS doc_a, a.dst AS doc_b
        |  FROM kept a JOIN kept b ON a.src = b.dst AND a.dst = b.src
        |  WHERE a.src < a.dst
-       |)
+       |)""".stripMargin
+
+  def similarityTrianglesSql(k: Int = 10): String =
+    s"""${mutualKnnCtes(k)}
        |${Graph.trianglesSql}""".stripMargin
+
+  /** Oracle for [[Graph.linkPrediction]] over the same mutual-kNN
+    * similarity graph as [[similarityTrianglesSql]]. */
+  def similarityLinkPredSql(k: Int = 10, topN: Int = 50): String =
+    s"""${mutualKnnCtes(k)}${Graph.linkPredictionSql(topN)}""".stripMargin
 
   private[ops] def resolveCtesFrom(src: String): String =
     s"""${pairsCtesFrom(src)},

@@ -431,6 +431,78 @@ object Graph {
         expr(transitivityExpr))
   }
 
+  /** Common-neighbor link prediction over an undirected edge list —
+    * the "which near-duplicate pairs did the banding MISS" triage a
+    * dedup pipeline runs over its own similarity graph: two documents
+    * sharing many graph neighbors but no edge are the likeliest
+    * false negatives. Scores every non-adjacent two-hop pair by
+    * common-neighbor count plus a neighborhood-Jaccard tiebreak
+    * (exact integer micro-units — `(cn * 1e6) div (|N(a)|+|N(b)|-cn)`
+    * — so the hash can never straddle a double ulp), and returns the
+    * global top `topN` by (count desc, doc_a, doc_b).
+    *
+    * Scale shape: the wedge self-join is keyed on the shared neighbor,
+    * so its output is Σ_v deg(v)² — bounded by k·m on a kNN-sparsified
+    * graph (deg ≤ k), never all-pairs; the anti-join and degree joins
+    * shuffle on vertex ids; and the global top-N compiles to
+    * TakeOrderedAndProject (per-partition heaps + a topN-row driver
+    * merge), not a full sort. */
+  def linkPrediction(edges0: DataFrame, topN: Int = 50): DataFrame = {
+    val Array(ac, bc) = edges0.columns.take(2)
+    val e = edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("doc_a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
+    val dir = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b"), col("doc_a")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cand = dir.select(col("src"), col("dst").as("doc_a"))
+      .join(dir.select(col("src"), col("dst").as("doc_b")), Seq("src"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(e, Seq("doc_a", "doc_b"), "left_anti")
+    cand
+      .join(deg.select(col("src").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("src").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
+        expr("(common_neighbors * 1000000) div " +
+          "(deg_a + deg_b - common_neighbors)").as("jaccard_micro"))
+      .orderBy(col("common_neighbors").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
+  /** Oracle body for [[linkPrediction]] — continues a WITH chain whose
+    * last CTE is `pairs(doc_a, doc_b)`, `doc_a < doc_b` (note the
+    * leading comma). */
+  def linkPredictionSql(topN: Int = 50): String =
+    s""", dirlp AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), deglp AS (
+       |  SELECT src, count(*) AS deg FROM dirlp GROUP BY 1
+       |), candlp AS (
+       |  SELECT x.dst AS doc_a, y.dst AS doc_b,
+       |         count(*) AS common_neighbors
+       |  FROM dirlp x JOIN dirlp y ON x.src = y.src AND x.dst < y.dst
+       |  GROUP BY 1, 2
+       |), nonedge AS (
+       |  SELECT c.doc_a, c.doc_b, c.common_neighbors
+       |  FROM candlp c LEFT JOIN pairs p
+       |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+       |  WHERE p.doc_a IS NULL
+       |)
+       |SELECT n.doc_a, n.doc_b,
+       |       CAST(n.common_neighbors AS BIGINT) AS common_neighbors,
+       |       CAST((n.common_neighbors * 1000000) //
+       |            (da.deg + db.deg - n.common_neighbors) AS BIGINT)
+       |         AS jaccard_micro
+       |FROM nonedge n
+       |JOIN deglp da ON da.src = n.doc_a
+       |JOIN deglp db ON db.src = n.doc_b
+       |ORDER BY n.common_neighbors DESC, n.doc_a, n.doc_b
+       |LIMIT $topN""".stripMargin
+
   /** Oracle body for [[triangles]] — caller prepends a CTE chain
     * ending in `pairs(doc_a, doc_b)` with `doc_a < doc_b`. */
   val trianglesSql: String =

@@ -50,6 +50,52 @@ object Scale {
         min(col("mn")).as("min_price"),
         max(col("mx")).as("max_price"))
 
+  /** Skew-safe REPLICATE-AND-SALT join — what a hot-key fact⋈dim join
+    * needs when the dim is too big to broadcast and a plain shuffle
+    * join would funnel every hot-key row through one reducer (here the
+    * worst case on purpose: `symbol` has ~5 values, so an unsalted
+    * shuffle join is ≤5 active tasks no matter the cluster size). The
+    * fact side salts each row into one of `salts` sub-keys; the dim
+    * side is REPLICATED `salts`× via a codegen'd explode — dim×salts
+    * rows, the deliberate price of spreading each hot key over `salts`
+    * reducers. The `shuffle_hash` hint pins the demonstrated plan
+    * (local[32] would otherwise broadcast the small dim and hide the
+    * skew entirely; at 100 TB with a 100 GB dim there is no broadcast
+    * to hide behind — salting is the only lever, since AQE's skew
+    * split handles sort-merge stragglers but still cannot split one
+    * key's hash bucket across reducers).
+    *
+    * The dim is derived from the fact itself (per-symbol floor price —
+    * deterministic, self-contained); the post-join per-symbol
+    * aggregate folds the salt back out, and the result is
+    * bit-identical to the unsalted join the oracle runs: salting is a
+    * physical rewrite, invisible in the algebra. */
+  def saltedSkewJoin(trades: DataFrame, salts: Int = 16): DataFrame = {
+    val dim = trades.groupBy("symbol")
+      .agg(min(col("price")).as("floor_price"))
+    val replicated = dim.withColumn("salt",
+      explode(array((0 until salts).map(lit): _*)))
+    val fact = trades.withColumn("salt",
+      pmod(col("event_id"), lit(salts)).cast("int"))
+    fact.join(replicated.hint("shuffle_hash"), Seq("symbol", "salt"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_trades"),
+        TradeOps.exactSum(col("price") - col("floor_price"))
+          .as("sum_over_floor"))
+  }
+
+  /** Oracle for [[saltedSkewJoin]] (body only — caller prepends the
+    * trades CTE): the plain unsalted join-aggregate. */
+  val saltedSkewJoinSql: String =
+    """dim AS (
+      |  SELECT symbol, min(price) AS floor_price FROM trades GROUP BY 1
+      |)
+      |SELECT t.symbol, count(*) AS n_trades,
+      |       CAST(sum(CAST(t.price - d.floor_price AS DECIMAL(18,6)))
+      |            AS DOUBLE) AS sum_over_floor
+      |FROM trades t JOIN dim d ON t.symbol = d.symbol
+      |GROUP BY t.symbol""".stripMargin
+
   /** Morton (Z-order) key over two dimensions — bit-interleave the low
     * 16 bits of each, so lexicographic order on the key is a space-
     * filling curve over (a, b). Pure integer shifts/masks: 32
