@@ -180,6 +180,10 @@ object SparkEntry {
       Incremental.retractableTopK(Tables.events(s, dir))),
     "t_importance_weights" -> ((s, dir) =>
       TextOps.importanceWeights(Tables.load(s, dir, "documents"))),
+    "t_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(Tables.load(s, dir, "documents"))),
+    "p_token_budget" -> ((s, dir) =>
+      Pipeline.tokenBudgetSelect(Tables.load(s, dir, "documents"))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_leakage_split" -> ((s, dir) => Pipeline.leakageSafeSplit(Tables.load(s, dir, "documents"))),
@@ -1135,6 +1139,8 @@ object SparkEntry {
     "mv_minmax_retract" -> Incremental.retractableMinMaxSql,
     "mv_topk_retract" -> Incremental.retractableTopKSql,
     "t_importance_weights" -> TextOps.importanceWeightsSql(),
+    "t_ngram_novelty" -> TextOps.ngramNoveltySql(),
+    "p_token_budget" -> Pipeline.tokenBudgetSelectSql(),
     "w7_gap_detect" ->
       s"""$T
          |${TradeOps.gapDetectSql()}""".stripMargin,

@@ -217,6 +217,58 @@ object Pipeline {
        |            THEN 'test' ELSE 'train' END AS split
        |FROM resolved r JOIN sizes s USING (canonical_doc)""".stripMargin
 
+  /** Token-budget prefix selection — "fill the training budget with the
+    * best data": walk the corpus in (quality desc, doc_id) order and
+    * keep documents while the running token total stays within
+    * `budget`. The cumulative sum is NOT a global window sort (that
+    * would funnel 100 TB through one task): quality is coarsened to
+    * integer milli-buckets (a monotone function of the sort key, so
+    * bucket-desc + in-bucket order IS the global order), per-bucket
+    * token totals collapse to ≤1001 rows whose prefix offsets are a
+    * bucket-cardinality-sized window (broadcast back), and the exact
+    * cumulative sum runs per-bucket — the same two-phase
+    * distributed-rank discipline as [[graft.ops.TradeOps.orderedSplit]]
+    * and [[graft.ops.Relational.rfmSegments]]. Token counts are exact
+    * BIGINTs, so the kept-set boundary is engine-portable. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"))
+      .withColumn("qb", floor(col("quality") * 1000).cast("long"))
+    val wOff = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤1001 rows: the bucket-total table the single-partition window
+    // runs over — bucket-cardinality-sized by construction
+    val offsets = q.groupBy("qb").agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("offset", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select("qb", "offset")
+    val wIn = Window.partitionBy("qb")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(broadcast(offsets), "qb")
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  /** Oracle for [[tokenBudgetSelect]]: the straight global-window form
+    * — equal to the two-phase plan because the bucket key is monotone
+    * in the sort key. */
+  def tokenBudgetSelectSql(budget: Long = 20000L): String =
+    s"""WITH ${TextOps.qualityCte},
+       |cum AS (
+       |  SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |         sum(CAST(n_tokens AS BIGINT)) OVER (
+       |           ORDER BY quality DESC, doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM q
+       |)
+       |SELECT doc_id, quality, n_tokens,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens <= $budget""".stripMargin
+
   /** Oracle for [[filterFunnel]]. */
   val filterFunnelSql: String =
     s"""WITH RECURSIVE ${TextOps.qualityCte},

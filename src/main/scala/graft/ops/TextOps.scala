@@ -497,6 +497,63 @@ object TextOps {
        |  SELECT *, row_number() OVER (ORDER BY tf DESC, bigram) AS rank FROM c
        |) WHERE rank <= $k""".stripMargin
 
+  /** Per-document n-gram NOVELTY — the marginal-content curve of a
+    * growing corpus: for each document, the fraction of its DISTINCT
+    * word n-grams that no lower-`doc_id` document contains (the
+    * dedup-aware "how much new text does this doc actually add"
+    * accounting that decides whether continued crawling is worth the
+    * tokens). A gram's first owner is the minimum doc_id holding it, so
+    * novelty is one `min` window over the gram-keyed shuffle — two
+    * exchanges total (gram, then doc), never a per-doc-pair compare.
+    * The ratio is exact integer ppm (`(novel · 1e6) div grams`) so the
+    * hash can't straddle a double ulp. Docs with fewer than `n` words
+    * have no grams and are absent, by contract in both engines. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val gramExpr = (0 until n).map(j => s"words[i - ${n - 1 - j}]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val grams = withWords(docs)
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), explode_outer(expr(
+        s"transform(sequence(${n - 1}, size(words) - 1), i -> $gramExpr)"))
+        .as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    grams
+      .withColumn("novel",
+        (col("doc_id") === min(col("doc_id")).over(byGram)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("novel")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+  }
+
+  /** Oracle for [[ngramNovelty]] (DuckDB arrays are 1-based, so the
+    * window is `generate_series(n, len)` with back-references). */
+  def ngramNoveltySql(n: Int = 3): String = {
+    val gramExpr = (0 until n).map(j => s"words[i - ${n - 1 - j}]")
+      .mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), g0 AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series($n, len(words)),
+       |           i -> $gramExpr)) AS gram
+       |  FROM w WHERE len(words) >= $n
+       |), g AS (
+       |  SELECT DISTINCT doc_id, gram FROM g0
+       |), f AS (
+       |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1
+       |)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_novel,
+       |       CAST((sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |             * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+       |FROM g JOIN f USING (gram)
+       |GROUP BY g.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL, generated from the same langWords constants.
   // ------------------------------------------------------------------
