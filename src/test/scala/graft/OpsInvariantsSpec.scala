@@ -1393,4 +1393,102 @@ class OpsInvariantsSpec extends SparkSuite {
       again.orderBy("fold").collect().toSeq)
     f.unpersist()
   }
+
+  test("retractable minmax: multiset totals agree with the linear retract view") {
+    val events = Tables.events(spark, sf)
+    val mm = graft.ops.Incremental.retractableMinMax(events).cache()
+    // bounds are ordered and distinct-value counts can't exceed row counts
+    assert(mm.filter(col("min_value_micro") > col("max_value_micro")).count() === 0)
+    assert(mm.filter(col("n_live_values") > col("n_live_rows")).count() === 0)
+    // the multiset's surviving-row mass must equal the LINEAR retractable
+    // view's per-group count — two independent retraction paths, one truth
+    val linear = graft.ops.Incremental.incrementalRetract(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+    val joined = mm.join(linear, Seq("event_type", "day"), "full_outer")
+    assert(joined.filter(col("n_live_rows").isNull || col("n_events").isNull ||
+      col("n_live_rows") =!= col("n_events")).count() === 0)
+    mm.unpersist()
+  }
+
+  test("retractable topk: ranks dense from 1, values strictly decreasing") {
+    val tk = graft.ops.Incremental.retractableTopK(Tables.events(spark, sf)).cache()
+    assert(tk.filter(col("rank") < 1 ||
+      col("rank") > graft.ops.Incremental.TopK).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("rank"))
+    val seq = tk.withColumn("prev_v", lag(col("value_micro"), 1).over(w))
+      .withColumn("prev_r", lag(col("rank"), 1).over(w))
+    assert(seq.filter(col("prev_v").isNotNull &&
+      (col("prev_v") <= col("value_micro") ||
+        col("rank") =!= col("prev_r") + 1)).count() === 0)
+    assert(tk.filter(col("rank") === 1).count() ===
+      tk.select("event_type").distinct().count())
+    tk.unpersist()
+  }
+
+  test("link prediction: path, triangle, and cycle graphs score exactly") {
+    import spark.implicits._
+    // path 1-2-3: only candidate (1,3) via 2; Jaccard 1/(1+1-1) = 1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val p = graft.ops.Graph.linkPrediction(path).collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq((1L, 3L, 1L, 1000000L)))
+    // triangle: every pair adjacent → no predictions
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    assert(graft.ops.Graph.linkPrediction(tri).count() === 0)
+    // 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4), cn=2, J = 2/(2+2-2) = 1
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val c = graft.ops.Graph.linkPrediction(cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(c === Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("salted skew join: row mass conserved, equal to the unsalted join") {
+    val skew = graft.ops.Scale.saltedSkewJoin(trades).cache()
+    assert(skew.agg(sum(col("n_trades"))).head.getLong(0) === trades.count())
+    // salting is a physical rewrite only — the plain broadcast join agrees
+    val dim = trades.groupBy("symbol").agg(min(col("price")).as("floor_price"))
+    val plain = trades.join(broadcast(dim), "symbol")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_trades"),
+        sum((col("price") - col("floor_price")).cast("decimal(18,6)"))
+          .cast("double").as("sum_over_floor"))
+    assert(skew.exceptAll(plain).isEmpty && plain.exceptAll(skew).isEmpty)
+    skew.unpersist()
+  }
+
+  test("token budget: within budget, prefix-closed in quality order") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kept = graft.ops.Pipeline.tokenBudgetSelect(docs).cache()
+    assert(kept.filter(col("cum_tokens") > 20000L).count() === 0)
+    assert(kept.count() > 0)
+    // prefix property: any doc STRICTLY better than the worst kept row
+    // (quality desc, doc_id asc order) must itself be kept
+    val worst = kept.orderBy(col("quality").asc, col("doc_id").desc).head
+    val (wq, wid) = (worst.getAs[Double]("quality"), worst.getAs[Long]("doc_id"))
+    val better = graft.ops.TextOps.qualityScore(docs)
+      .filter(col("quality") > wq ||
+        (col("quality") === wq && col("doc_id") < wid))
+    assert(better.join(kept, Seq("doc_id"), "left_anti").count() === 0)
+    kept.unpersist()
+  }
+
+  test("ngram novelty: earliest doc fully novel, totals count distinct grams") {
+    val docs = Tables.load(spark, sf, "documents")
+    val nov = graft.ops.TextOps.ngramNovelty(docs).cache()
+    assert(nov.filter(col("n_novel") > col("n_grams")).count() === 0)
+    val firstDoc = nov.agg(min(col("doc_id"))).head.getLong(0)
+    assert(nov.filter(col("doc_id") === firstDoc)
+      .filter(col("novelty_ppm") === 1000000L).count() === 1)
+    // every distinct gram is novel exactly once, corpus-wide
+    val distinctGrams = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(2, size(split(text, ' ')) - 1), " +
+          "i -> concat_ws(' ', split(text, ' ')[i - 2], " +
+          "split(text, ' ')[i - 1], split(text, ' ')[i]))")).as("g"))
+      .agg(countDistinct(col("g"))).head.getLong(0)
+    assert(nov.agg(sum(col("n_novel"))).head.getLong(0) === distinctGrams)
+    nov.unpersist()
+  }
 }
