@@ -193,6 +193,7 @@ object SparkEntry {
     "a_hll_merge" -> ((s, dir) => Relational.hllMergeDistinct(s, dir)),
     "a27_cms_topk" -> ((s, dir) => Relational.cmsTopK(s, dir)),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "v_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_lsh_ann_recall" -> ((s, dir) => Similarity.lshAnnRecall(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -1201,6 +1202,7 @@ object SparkEntry {
         |FROM p
         |WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.1::DOUBLE""".stripMargin,
 
+    "v_hard_negatives" -> Similarity.hardNegativesSql(),
     "v_cosine_topk" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -41,6 +41,60 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the `k` nearest candidates by cosine whose LABEL
+    * differs from the query's (close in embedding space, different
+    * class — exactly the negatives a contrastive or reranker loss
+    * wants; easy negatives are free, hard ones must be MINED). Same
+    * broadcast-query one-pass candidate scan as [[cosineTopK]] — the
+    * label inequality is a codegen'd filter before the score, so
+    * mining costs no more than plain top-k. At 100 TB the exact scan
+    * swaps for the ANN tier ([[annIvf]]/[[annLsh]]) with the label
+    * filter applied post-probe; this exact form is the oracle
+    * baseline, the [[cosineTopK]] discipline. */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 3): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val c = emb.select(col("vec_id"), col("label"), col("v").as("cv"),
+      col("norm").as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label").as("neg_label"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+
+  /** Oracle for [[hardNegatives]]. */
+  def hardNegativesSql(nQueries: Int = 10, k: Int = 3): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |           AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       |  FROM n WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT q_id, q_label, vec_id, label AS neg_label,
+       |         list_dot_product(qv, v) / (qn * nrm) AS cos
+       |  FROM n, q WHERE label != q_label
+       |)
+       |SELECT q_id, q_label, vec_id, neg_label,
+       |       round(cos, 6) AS cos_sim, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM s
+       |) WHERE rnk <= $k""".stripMargin
+
   /** Exact maximum-inner-product top-k (MIPS) — the recommendation /
     * retrieval serving read where magnitude matters and cosine's
     * normalization is wrong (a user-item score IS the raw dot
