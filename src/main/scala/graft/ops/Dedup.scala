@@ -769,9 +769,6 @@ object Dedup {
       .select(col("src").as("doc_a"), col("dst").as("doc_b"))
   }
 
-  /** Oracle for [[Graph.triangles]] over the mutual-kNN sparsified
-    * MinHash similarity graph at [[triangleThreshold]]. The final CTE
-    * is named `pairs` so [[Graph.trianglesSql]] chains unchanged. */
   /** The shared CTE chain — MinHash band-join pairs at
     * [[triangleThreshold]], mutual-kNN sparsified, ending in
     * `pairs(doc_a, doc_b)` with `doc_a < doc_b` — that both the
@@ -799,6 +796,9 @@ object Dedup {
        |  WHERE a.src < a.dst
        |)""".stripMargin
 
+  /** Oracle for [[Graph.triangles]] over the mutual-kNN sparsified
+    * MinHash similarity graph at [[triangleThreshold]]. The final CTE
+    * is named `pairs` so [[Graph.trianglesSql]] chains unchanged. */
   def similarityTrianglesSql(k: Int = 10): String =
     s"""${mutualKnnCtes(k)}
        |${Graph.trianglesSql}""".stripMargin

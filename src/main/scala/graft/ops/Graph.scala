@@ -436,10 +436,12 @@ object Graph {
     * dedup pipeline runs over its own similarity graph: two documents
     * sharing many graph neighbors but no edge are the likeliest
     * false negatives. Scores every non-adjacent two-hop pair by
-    * common-neighbor count plus a neighborhood-Jaccard tiebreak
+    * common-neighbor count and also EMITS a neighborhood-Jaccard score
     * (exact integer micro-units — `(cn * 1e6) div (|N(a)|+|N(b)|-cn)`
-    * — so the hash can never straddle a double ulp), and returns the
-    * global top `topN` by (count desc, doc_a, doc_b).
+    * — so the hash can never straddle a double ulp); the returned rows
+    * are the global top `topN` by (count desc, doc_a, doc_b) — Jaccard
+    * is a reported score only, ties break on the id pair in both
+    * engines.
     *
     * Scale shape: the wedge self-join is keyed on the shared neighbor,
     * so its output is Σ_v deg(v)² — bounded by k·m on a kNN-sparsified

@@ -229,7 +229,17 @@ object Pipeline {
     * cumulative sum runs per-bucket — the same two-phase
     * distributed-rank discipline as [[graft.ops.TradeOps.orderedSplit]]
     * and [[graft.ops.Relational.rfmSegments]]. Token counts are exact
-    * BIGINTs, so the kept-set boundary is engine-portable. */
+    * BIGINTs, so the kept-set boundary is engine-portable.
+    *
+    * Skew caveat: the per-bucket cumsum partitions on the milli-bucket,
+    * so a corpus whose quality mass piles into a few buckets (e.g. a
+    * saturating scorer emitting mostly 1.000) still funnels those rows
+    * through single window partitions. The production mitigation is a
+    * second offset round inside hot buckets (sub-split on a doc_id-hash
+    * subkey, compute sub-bucket prefix offsets the same way, then
+    * cumsum per (qb, sub)) — mechanical because the discipline nests;
+    * not wired here since the quality scorer's output is ~uniform over
+    * its range at every tested sf. */
   def tokenBudgetSelect(docs: DataFrame, budget: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = TextOps.qualityScore(docs)

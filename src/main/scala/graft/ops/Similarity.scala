@@ -871,15 +871,31 @@ object Similarity {
   /** WITH-clause fragment `e, cb0, a1, u1, cb1, …, cb<iters>` — the
     * unrolled [[trainKmeans]] loop the kmeans/IVF/PQ oracles all build
     * on. `cb<iters>` holds the trained (cell, cv, picosum) rows. */
-  private def kmeansChain(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansChain(k: Int, iters: Int, dim: Int): String =
+    kmeansChainSeeded(k.toString, "", iters, dim)
+
+  /** [[kmeansChain]] with `k` derived IN-SQL as
+    * `max(16, round(sqrt(n)))` over the embedding table itself — the
+    * corpus-proportional cell count [[semanticDup]] uses, mirrored
+    * exactly so the seed set (`vec_id < k`) is engine-identical at any
+    * sf without a baked literal. */
+  private def kmeansChainSqrtN(iters: Int, dim: Int): String =
+    kmeansChainSeeded("(SELECT k FROM kparam)",
+      """kparam AS (
+        |  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+        |    + 0.5::DOUBLE) AS INT)) AS k FROM e
+        |), """.stripMargin, iters, dim)
+
+  private def kmeansChainSeeded(kExpr: String, preCte: String, iters: Int,
+      dim: Int): String = {
     val loop = (1 to iters).map { it =>
       val prev = if (it == 1) "cb0" else s"cb${it - 1}"
       s"${kmAssignCte(prev, it.toString)},\n${kmUpdCte(it.toString, dim)}"
     }.mkString(",\n")
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), cb0 AS (
-       |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k
+       |), ${preCte}cb0 AS (
+       |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $kExpr
        |),
        |$loop""".stripMargin
   }
@@ -1237,20 +1253,26 @@ object Similarity {
     * quantizer, then compare pairs ONLY within a cluster. The quadratic
     * pair blowup is per-cell (corpus/k on average, and k grows with the
     * corpus), never corpus-wide — the same reason IVF probes cells
-    * instead of scanning. Reuses the session-cached k-means quantizer
-    * ([[trainKmeansCached]]) that [[annIvf]]/[[pqCodes]] share, so the
-    * production shape (one fitted quantizer, many consumers) carries
-    * over; cell assignment is the codegen'd argmin projection
+    * instead of scanning. `nCells` defaults to 0 = DERIVED from the
+    * corpus as `max(16, round(sqrt(n)))` ([[derivedCells]]), so the
+    * expected cell population — and with it the per-cell pair blowup —
+    * shrinks as the corpus grows instead of riding a baked literal into
+    * an n²/const join; the oracle derives the identical value in-SQL
+    * ([[kmeansChainSqrtN]]), so no parameter is smuggled through the
+    * compare. Trains through the session quantizer cache
+    * ([[trainKmeansCached]], keyed by the derived k); cell assignment
+    * is the codegen'd argmin projection
     * ([[assignCells]]) — the only shuffle is the self-join on `cell`.
     * Emits the near-dup pair list (feeds [[Dedup.resolveFromPairs]]'
     * connected-components resolution like every other pair source). */
-  def semanticDup(spark: SparkSession, dir: String, nCells: Int = 16,
+  def semanticDup(spark: SparkSession, dir: String, nCells: Int = 0,
       trainIters: Int = 2, threshold: Double = 0.35): DataFrame = {
     VectorOps.register(spark)
     val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("norm"))
     val dim = emb.select(size(col("v"))).head().getInt(0)
-    val cents = trainKmeansCached(spark, dir, emb, nCells, trainIters, dim)
+    val cells = if (nCells > 0) nCells else derivedCells(emb.count())
+    val cents = trainKmeansCached(spark, dir, emb, cells, trainIters, dim)
     val assigned = assignCells(emb, cents)
     val l = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("norm").as("na"))
@@ -1264,14 +1286,27 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** Oracle for [[semanticDup]]: the unrolled k-means chain (shared with
-    * [[kmeansSql]]), a final assignment, and a within-cell self-join with
-    * the identical round-6 cosine filter. Cell ids are the raw surviving
-    * k-means cell ids on both sides (no re-indexing needed — Spark's
-    * [[assignCells]] carries them through). */
-  def semanticDupSql(nCells: Int = 16, trainIters: Int = 2,
+  /** `max(16, round(sqrt(n)))` — the corpus-proportional cell count
+    * [[semanticDup]] trains with when no explicit `nCells` is given.
+    * √n balances the two costs that pull against each other: per-cell
+    * pair compare (≈ n²/k for uniform cells) and quantizer
+    * train/assign (≈ n·k) both land at n^1.5 — the blocked-SemDeDup
+    * sweet spot. Mirrored in-SQL by [[kmeansChainSqrtN]] (same
+    * correctly-rounded sqrt + 0.5 floor in both engines, so the seed
+    * boundary can't straddle an ulp). */
+  private[ops] def derivedCells(n: Long): Int =
+    math.max(16, math.floor(math.sqrt(n.toDouble) + 0.5).toInt)
+
+  /** Oracle for [[semanticDup]]: the unrolled k-means chain with the
+    * in-SQL √n cell count ([[kmeansChainSqrtN]]; a positive `nCells`
+    * bakes a literal instead), a final assignment, and a within-cell
+    * self-join with the identical round-6 cosine filter. Cell ids are
+    * the raw surviving k-means cell ids on both sides (no re-indexing
+    * needed — Spark's [[assignCells]] carries them through). */
+  def semanticDupSql(nCells: Int = 0, trainIters: Int = 2,
       threshold: Double = 0.35, dim: Int = 64): String =
-    s"""WITH ${kmeansChain(nCells, trainIters, dim)},
+    s"""WITH ${if (nCells > 0) kmeansChain(nCells, trainIters, dim)
+         else kmeansChainSqrtN(trainIters, dim)},
        |${kmAssignCte(s"cb$trainIters", "F")},
        |asg AS (
        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cell

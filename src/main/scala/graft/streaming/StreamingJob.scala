@@ -337,13 +337,25 @@ object StreamingJob {
   def applyRetractBatch(batch: DataFrame, batchId: Long,
       root: String): Unit = {
     if (Upsert.lastAppliedBatch(root).exists(_ >= batchId)) return
-    val spark = batch.sparkSession
-    val keys = Seq("event_type", "day", "v_micro")
     val partial = batch
       .groupBy(col("event_type"),
         to_date(col("ts")).cast("timestamp").as("day"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
       .agg(sum(col("sign")).as("mult"))
+    mergeZsetPartial(partial, batchId, root,
+      Seq("event_type", "day", "v_micro"))
+  }
+
+  /** The shared micro-batch Z-set step: fold a signed partial
+    * (keys…, mult) additively into the keyed net-multiplicity store —
+    * only the AFFECTED keys are read back (semi-join), exact zeros
+    * leave as tombstones, negatives stay (see [[runRetractableMinMax]]
+    * for why), and the applied-batch id rides the store's atomic
+    * `_CURRENT` flip. [[applyRetractBatch]] and
+    * [[applyRetractTopKBatch]] differ only in their grouping keys. */
+  private def mergeZsetPartial(partial: DataFrame, batchId: Long,
+      root: String, keys: Seq[String]): Unit = {
+    val spark = partial.sparkSession
     val merged = Upsert.read(spark, root) match {
       case None => partial
       case Some(state) =>
@@ -357,6 +369,67 @@ object StreamingJob {
     if (!withTomb.isEmpty)
       Upsert.merge(withTomb, batchId, root, keys,
         tombstoneCol = Some("_tomb"), appliedBatchId = Some(batchId))
+  }
+
+  /** query_10 (extension) — RETRACTABLE TOP-K view maintenance as a
+    * stream, the twin of [[graft.ops.Incremental.retractableTopK]] and
+    * the completion of the Z-set pattern query_09 started: the same
+    * signed change feed, the same additive multiset merge
+    * ([[mergeZsetPartial]]), but keyed (event_type, v_micro) — and the
+    * RANKING lives in the view, not the state. That split is the whole
+    * design: because the store keeps EVERY surviving value (not just
+    * the current top k), a delete that evicts a top-k member is just
+    * another signed delta — the next read of [[retractTopKView]]
+    * promotes the runner-up exactly, with no bounded-candidate k'
+    * heuristic to invalidate (Flink's RetractableTopN discipline). The
+    * per-batch cost is O(batch + affected values); the rank sort runs
+    * over value-cardinality-sized state at read time, never the
+    * corpus. Batch-equivalence (including a forced eviction of the
+    * reigning max) and replay idempotence are spec'd in
+    * StreamingSpec. */
+  def runRetractableTopK(spark: SparkSession, changes: DataFrame,
+      cfg: Config): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/query_10")
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        applyRetractTopKBatch(df, id, s"${cfg.outRoot}/topk_state")
+      }
+      .queryName("mv_topk_retract").start()
+
+  /** One micro-batch of per-type value-multiset maintenance. `batch`
+    * columns: event_type, ts, value, sign (ts unused — the top-k view
+    * is day-less, matching the batch operator). */
+  def applyRetractTopKBatch(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    if (Upsert.lastAppliedBatch(root).exists(_ >= batchId)) return
+    val partial = batch
+      .groupBy(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+      .agg(sum(col("sign")).as("mult"))
+    mergeZsetPartial(partial, batchId, root, Seq("event_type", "v_micro"))
+  }
+
+  /** The refreshed top-k view over the per-type multiset store —
+    * column-identical to [[graft.ops.Incremental.retractableTopK]]. */
+  def retractTopKView(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("v_micro").desc)
+    Upsert.read(spark, root).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("v_micro",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mult",
+              org.apache.spark.sql.types.LongType)))))
+      .filter(col("mult") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= graft.ops.Incremental.TopK)
+      .select(col("event_type"), col("rank").cast("long").as("rank"),
+        col("v_micro").as("value_micro"), col("mult").as("n_live_rows"))
   }
 
   /** The refreshed view over the multiset store — column-identical to

@@ -774,6 +774,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("query_10 retractable topk: streamed Z-set merge equals batch retractableTopK, eviction promotes") {
+    import spark.implicits._
+    // values are crafted so every retraction slice row (event_id %
+    // RetractMod == 0) holds a TOP value for its type: the deletes
+    // evict the reigning top-k members, forcing the promotion path —
+    // exactly what a bounded-candidate top-k state cannot survive
+    val mod = graft.ops.Incremental.RetractMod
+    val events = (0 until 90).map { i =>
+      val topValue = i % mod == 0
+      (i.toLong,
+        new java.sql.Timestamp(t0 + (i % 5) * 86400000L + i * 1000L),
+        1000L + i % 11,
+        Seq("view", "click", "buy")(i % 3),
+        if (topValue) 500.0 + i else 10.0 + (i % 37),
+        "{}")
+    }
+    val colNames = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def signed(e: (Long, java.sql.Timestamp, Long, String, Double, String),
+        sign: Long) = (e._4, e._2, e._5, sign)
+    val del = events.filter(_._1 % mod == 0)
+    val batches = Seq(
+      events.slice(0, 45).map(signed(_, 1L)),
+      events.slice(45, 90).map(signed(_, 1L)) ++
+        del.filter(_._1 < 45).map(signed(_, -1L)),
+      del.filter(_._1 >= 45).map(signed(_, -1L)))
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long)](spark)
+    val out = tmpDir("graft-topk-out")
+    val ckpt = tmpDir("graft-topk-ckpt")
+    val q = StreamingJob.runRetractableTopK(spark,
+      input.toDF().toDF("event_type", "ts", "value", "sign"),
+      StreamingJob.Config(out, ckpt))
+    val root = s"$out/topk_state"
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      def view() = StreamingJob.retractTopKView(spark, root)
+      val batch = graft.ops.Incremental
+        .retractableTopK(events.toDF(colNames: _*))
+      // the crafted top values really were deleted: no surviving value
+      // reaches the 500-band, so the batch top-k is all promoted rows
+      assert(batch.filter(col("value_micro") >= 500000000L).count() === 0)
+      assert(view().count() === batch.count())
+      assert(view().exceptAll(batch).isEmpty && batch.exceptAll(view()).isEmpty,
+        "streamed Z-set top-k view differs from batch retractableTopK")
+      // replay safety: additive merge behind the applied-batch marker
+      val before = view().collect().map(_.toString).sorted.toSeq
+      StreamingJob.applyRetractTopKBatch(
+        batches.last.toDF("event_type", "ts", "value", "sign"),
+        batchId = 2L, root)
+      val after = view().collect().map(_.toString).sorted.toSeq
+      assert(after === before, "batch replay mutated the multiset (double count)")
+    } finally q.stop()
+  }
+
   test("query_07 cdc apply: streamed tombstone merge equals batch cdcApply") {
     import spark.implicits._
     val trades = Tables.trades(spark, sf)
