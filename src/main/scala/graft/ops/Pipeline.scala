@@ -221,42 +221,44 @@ object Pipeline {
     * best data": walk the corpus in (quality desc, doc_id) order and
     * keep documents while the running token total stays within
     * `budget`. The cumulative sum is NOT a global window sort (that
-    * would funnel 100 TB through one task): quality is coarsened to
-    * integer milli-buckets (a monotone function of the sort key, so
-    * bucket-desc + in-bucket order IS the global order), per-bucket
-    * token totals collapse to ≤1001 rows whose prefix offsets are a
-    * bucket-cardinality-sized window (broadcast back), and the exact
-    * cumulative sum runs per-bucket — the same two-phase
-    * distributed-rank discipline as [[graft.ops.TradeOps.orderedSplit]]
-    * and [[graft.ops.Relational.rfmSegments]]. Token counts are exact
-    * BIGINTs, so the kept-set boundary is engine-portable.
-    *
-    * Skew caveat: the per-bucket cumsum partitions on the milli-bucket,
-    * so a corpus whose quality mass piles into a few buckets (e.g. a
-    * saturating scorer emitting mostly 1.000) still funnels those rows
-    * through single window partitions. The production mitigation is a
-    * second offset round inside hot buckets (sub-split on a doc_id-hash
-    * subkey, compute sub-bucket prefix offsets the same way, then
-    * cumsum per (qb, sub)) — mechanical because the discipline nests;
-    * not wired here since the quality scorer's output is ~uniform over
-    * its range at every tested sf. */
+    * would funnel 100 TB through one task) — it is the textbook
+    * distributed prefix-sum: range-partition on the FULL sort key
+    * (`repartitionByRange(quality desc, doc_id)` — the same sampled
+    * range partitioner Spark's own global orderBy uses; because the
+    * unique `doc_id` is part of the key, the sampler splits even an
+    * exact-quality tie pile across partitions, so NO input
+    * distribution can produce a hot partition), take per-partition
+    * token totals (≤ shuffle-partition-count rows), prefix-sum those
+    * on the driver-adjacent single-partition window, broadcast the
+    * offsets back, and run the exact cumsum per partition in residual
+    * (quality desc, doc_id) order. Offsets compose into the global
+    * cumsum wherever the sampled boundaries happen to land, so the
+    * output is boundary-independent. Partition ids are pinned by a
+    * `localCheckpoint` (release exemption: a 3-narrow-column
+    * projection of the corpus backing both the offsets pass and the
+    * returned view — the materialization any distributed sort pays),
+    * because the two consumers must observe identical sampled
+    * boundaries. Token counts are exact BIGINTs, so the kept-set
+    * boundary is engine-portable. */
   def tokenBudgetSelect(docs: DataFrame, budget: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = TextOps.qualityScore(docs)
+    val ranged = TextOps.qualityScore(docs)
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"))
-      .withColumn("qb", floor(col("quality") * 1000).cast("long"))
-    val wOff = Window.orderBy(col("qb").desc)
+      .repartitionByRange(col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // ≤1001 rows: the bucket-total table the single-partition window
-    // runs over — bucket-cardinality-sized by construction
-    val offsets = q.groupBy("qb").agg(sum(col("n_tokens")).as("bt"))
-      .withColumn("offset", coalesce(sum(col("bt")).over(wOff), lit(0L)))
-      .select("qb", "offset")
-    val wIn = Window.partitionBy("qb")
+    // ≤ shuffle-partition-count rows: the per-partition total table the
+    // single-partition window runs over
+    val offsets = ranged.groupBy("pid").agg(sum(col("n_tokens")).as("pt"))
+      .withColumn("offset", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+      .select("pid", "offset")
+    val wIn = Window.partitionBy("pid")
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.join(broadcast(offsets), "qb")
+    ranged.join(broadcast(offsets), "pid")
       .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("quality"), col("n_tokens"),
