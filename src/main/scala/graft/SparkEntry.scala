@@ -282,6 +282,7 @@ object SparkEntry {
     "a21_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
     "k12_cdc_apply" -> ((s, dir) => Incremental.cdcApply(trades(s, dir))),
     "v_range_search" -> ((s, dir) => Similarity.rangeSearch(s, dir)),
+    "v_kcenter_seeds" -> ((s, dir) => Similarity.kcenterSeeds(s, dir)),
     "d_containment" -> ((s, dir) => Dedup.containment(Tables.load(s, dir, "documents"))),
     "d_lsh_recall" -> ((s, dir) => Dedup.lshRecall(Tables.load(s, dir, "documents"))),
     "t_feature_hash" -> ((s, dir) => TextOps.featureHash(Tables.load(s, dir, "documents"))),
@@ -1403,6 +1404,7 @@ object SparkEntry {
     "a21_yoy_revenue" -> Relational.yoyRevenueSql,
     "k12_cdc_apply" -> s"$T,\n${Incremental.cdcApplySql}",
     "v_range_search" -> Similarity.rangeSearchSql(),
+    "v_kcenter_seeds" -> Similarity.kcenterSeedsSql(),
     "d_containment" -> Dedup.containmentSql(),
     "d_lsh_recall" -> Dedup.lshRecallSql(),
     "t_feature_hash" -> TextOps.featureHashSql(),

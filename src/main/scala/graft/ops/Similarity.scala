@@ -1350,6 +1350,101 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Greedy k-center diversity seeds (farthest-point traversal,
+    * Gonzalez 1985 — a 2-approximation to the optimal k-center cover):
+    * the coreset / diversity-sampling op a curation pipeline runs to
+    * pick k maximally-spread exemplars from an embedded corpus (seed
+    * clusters, pick eval probes, cover a space with annotation
+    * budget). Start from the lowest vec_id, then k−1 times select the
+    * vector farthest (cosine distance) from the already-selected set,
+    * tie-broken by vec_id.
+    *
+    * Scale shape: the corpus is pinned once (localCheckpoint here;
+    * DISK persist on a cluster) and each round is ONE narrow
+    * codegen'd scan — the r selected vectors enter as broadcast
+    * literals in a `least(...)` chain, so round r costs O(n·r·d) FLOPs
+    * with no shuffle, and the argmax compiles to
+    * TakeOrderedAndProject (per-partition heaps + a 1-row driver
+    * merge). Total driver traffic is k rows (the k-means precedent);
+    * at 100 TB run the traversal over a uniform sample first
+    * (k-center++), then one assignment pass — same operator shape.
+    *
+    * Determinism: each seed distance is the same
+    * dot-product/norm-divide double in both engines, `min` over the
+    * selected set involves no accumulation, and ranking uses the raw
+    * IEEE value (the [[rangeSearch]] discipline); the display value
+    * alone is rounded. */
+  def kcenterSeeds(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("norm"))
+      .localCheckpoint()
+    val first = emb.orderBy("vec_id").limit(1).collect()(0)
+    // (rank, vec_id, rounded min-dist, vector, norm)
+    var seeds = Vector[(Int, Long, Option[Double], Seq[Double], Double)](
+      (1, first.getLong(0), None, first.getSeq[Double](1), first.getDouble(2)))
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
+      val mind = seeds.map { case (_, _, _, sv, sn) =>
+        lit(1.0) -
+          call_function("dot_product", col("v"), typedLit(sv)) /
+            (col("norm") * lit(sn))
+      }.reduce(least(_, _))
+      val picked = emb
+        .filter(!col("vec_id").isin(seeds.map(_._2): _*))
+        .select(col("vec_id"), mind.as("mind"),
+          round(col("mind"), 6).as("mind6"), col("v"), col("norm"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
+      if (picked.isEmpty) exhausted = true
+      else {
+        val row = picked(0)
+        seeds :+= ((r, row.getLong(0), Some(row.getDouble(2)),
+          row.getSeq[Double](3), row.getDouble(4)))
+      }
+    }
+    import spark.implicits._
+    seeds.map { case (r, id, d, _, _) => (r, id, d) }
+      .toDF("seed_rank", "vec_id", "min_dist")
+  }
+
+  /** Oracle for [[kcenterSeeds]] — the greedy rounds unrolled into a
+    * CTE chain (`s1 … s_k`), each round the identical
+    * min-over-selected / argmax the Spark loop runs. */
+  def kcenterSeedsSql(k: Int = 8): String = {
+    val sb = new StringBuilder(
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[],
+        |                               embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), s1 AS (
+        |  SELECT 1 AS seed_rank, vec_id, CAST(NULL AS DOUBLE) AS mind,
+        |         v, nrm
+        |  FROM n WHERE vec_id = (SELECT min(vec_id) FROM n))""".stripMargin)
+    for (r <- 2 to k) {
+      val prev = s"s${r - 1}"
+      sb ++= s""",
+        | d$r AS (
+        |  SELECT n.vec_id,
+        |         min(1 - list_dot_product(n.v, s.v) / (n.nrm * s.nrm))
+        |           AS mind
+        |  FROM n, $prev s GROUP BY 1
+        |), p$r AS (
+        |  SELECT vec_id, mind FROM d$r
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM $prev)
+        |  ORDER BY mind DESC, vec_id LIMIT 1
+        |), s$r AS (
+        |  SELECT * FROM $prev UNION ALL
+        |  SELECT $r AS seed_rank, n.vec_id, p.mind, n.v, n.nrm
+        |  FROM n JOIN p$r p USING (vec_id))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CAST(seed_rank AS INTEGER) AS seed_rank, vec_id,
+      |       round(mind, 6) AS min_dist
+      |FROM s$k ORDER BY seed_rank""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for [[rangeSearch]] — same unrounded threshold compare. */
   def rangeSearchSql(nQueries: Int = 5, minCos: Double = 0.2): String =
     s"""WITH e AS (

@@ -1491,4 +1491,20 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(nov.agg(sum(col("n_novel"))).head.getLong(0) === distinctGrams)
     nov.unpersist()
   }
+
+  test("k-center seeds: distinct, seeded at min vec_id, non-increasing radius") {
+    val seeds = Similarity.kcenterSeeds(spark, sf).collect().sortBy(_.getInt(0))
+    assert(seeds.length === 8)
+    assert(seeds.map(_.getLong(1)).distinct.length === seeds.length)
+    val minId = Tables.load(spark, sf, "embeddings")
+      .agg(min(col("vec_id"))).head.getLong(0)
+    assert(seeds.head.getLong(1) === minId)
+    assert(seeds.head.isNullAt(2))
+    // greedy farthest-point: each new seed's distance to the selected
+    // set can only shrink as the set grows (the covering-radius chain)
+    val dists = seeds.tail.map(_.getDouble(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // every distance is a valid cosine distance
+    assert(dists.forall(d => d >= -1e-9 && d <= 2.0 + 1e-9))
+  }
 }
