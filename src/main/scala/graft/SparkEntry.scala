@@ -191,6 +191,7 @@ object SparkEntry {
     "p_curation_manifest" -> ((s, dir) => Pipeline.curationManifest(Tables.load(s, dir, "documents"))),
     "p2_dead_letter" -> ((s, dir) => graft.ingest.Decode.deadLetterDecode(trades(s, dir))),
     "a_hll_merge" -> ((s, dir) => Relational.hllMergeDistinct(s, dir)),
+    "a28_hll_intersect" -> ((s, dir) => Relational.hllIntersect(s, dir)),
     "a27_cms_topk" -> ((s, dir) => Relational.cmsTopK(s, dir)),
     "v_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "v_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
@@ -334,6 +335,8 @@ object SparkEntry {
       TradeOps.mergeOnRead(s, trades(s, dir))),
     "s17_zonemap_prune" -> ((s, dir) =>
       TradeOps.zonemapPrune(s, trades(s, dir))),
+    "s18_bloom_prune" -> ((s, dir) =>
+      TradeOps.bloomPrune(s, trades(s, dir))),
     "f18_robust_scale" -> ((s, dir) => TradeOps.robustScale(trades(s, dir))),
     "e_time_to_convert" -> ((s, dir) =>
       EventAnalytics.timeToConvert(Tables.events(s, dir))),
@@ -1172,6 +1175,18 @@ object SparkEntry {
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supp,
         |       1 AS within_5pct
         |FROM lineitem""".stripMargin,
+    "a28_hll_intersect" ->
+      """SELECT
+        |  CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem
+        |        WHERE l_returnflag = 'R') AS BIGINT) AS exact_a,
+        |  CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem
+        |        WHERE l_returnflag = 'A') AS BIGINT) AS exact_b,
+        |  CAST((SELECT count(*) FROM (
+        |          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |          INTERSECT
+        |          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'))
+        |        AS BIGINT) AS exact_both,
+        |  1 AS within_env""".stripMargin,
     "v_ann_ivf" -> Similarity.annIvfSql(),
     "v_ivf_recall" -> Similarity.ivfRecallSql(),
     "a27_cms_topk" -> Relational.cmsTopKSql(),
@@ -1436,6 +1451,7 @@ object SparkEntry {
     "t_tv_drift" -> TextOps.tvDriftSql,
     "k15_merge_on_read" -> s"$T\n${TradeOps.mergeOnReadSql()}",
     "s17_zonemap_prune" -> s"$T\n${TradeOps.zonemapPruneSql()}",
+    "s18_bloom_prune" -> s"$T\n${TradeOps.bloomPruneSql()}",
     "f18_robust_scale" -> s"$T,\n${TradeOps.robustScaleSql.stripPrefix("WITH ")}",
     "e_time_to_convert" -> EventAnalytics.timeToConvertSql,
     "e_ltv_curve" -> EventAnalytics.ltvCurveSql,

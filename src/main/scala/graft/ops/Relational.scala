@@ -176,6 +176,44 @@ object Relational {
           .cast("int").as("within_5pct"))
   }
 
+  /** A28 (extension) — HLL set-INTERSECTION estimate by
+    * inclusion–exclusion: `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, with
+    * the union taken by sketch merge (`hll_union`), never by
+    * re-scanning — the audience-overlap / cross-segment-dedup question
+    * ("how many suppliers serve both return classes?") answered from
+    * two fixed-size register arrays. This is THE reason mergeable
+    * sketches matter at 100 TB: each segment's sketch is built in one
+    * partial-aggregated pass (or read precomputed from a cube), and
+    * every pairwise overlap after that is register arithmetic.
+    *
+    * Oracle discipline = [[hllMergeDistinct]]: the exact cardinalities
+    * pin the data, and an accuracy-envelope flag pins the sketch —
+    * inclusion–exclusion compounds up to three ±1.6% (lgK=12) errors,
+    * so the envelope is 5% of (|A|+|B|), and a broken sketch or merge
+    * flips the flag red. At every tested sf the supplier cardinality
+    * sits in HLL's sparse-exact regime, so the flag is deterministic,
+    * not statistical. */
+  def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "R")
+      .agg(hll_sketch_agg(col("l_suppkey")).as("ska"),
+        countDistinct(col("l_suppkey")).as("exact_a"))
+    val b = li.filter(col("l_returnflag") === "A")
+      .agg(hll_sketch_agg(col("l_suppkey")).as("skb"),
+        countDistinct(col("l_suppkey")).as("exact_b"))
+    val both = li.filter(col("l_returnflag") === "R").select("l_suppkey")
+      .intersect(li.filter(col("l_returnflag") === "A").select("l_suppkey"))
+      .agg(count(lit(1)).as("exact_both"))
+    a.crossJoin(b).crossJoin(broadcast(both))
+      .select(col("exact_a"), col("exact_b"), col("exact_both"),
+        (abs(hll_sketch_estimate(col("ska"))
+            + hll_sketch_estimate(col("skb"))
+            - hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            - col("exact_both"))
+          <= (col("exact_a") + col("exact_b")) * 0.05)
+          .cast("int").as("within_env"))
+  }
+
   /** Count-min-sketch heavy hitters — the frequency member of the
     * sketch family ([[hllMergeDistinct]] distinct, KLL quantiles, Bloom
     * membership): estimate per-key frequencies from d×w integer

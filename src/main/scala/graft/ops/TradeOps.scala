@@ -2342,6 +2342,86 @@ object TradeOps {
         sum(expr("CAST(round(volume * 100) AS BIGINT)")).as("sum_vol_cents"))
   }
 
+  /** S18 (extension) — per-file Bloom-filter data skipping: the
+    * point-lookup sibling of [[zonemapPrune]]. Zone maps prune RANGE
+    * predicates on clustered columns; for a point lookup on a
+    * high-cardinality hash-distributed key (event_id here) every
+    * file's (min, max) spans the whole domain and zones prune
+    * nothing — the standard lakehouse answer is a per-file Bloom
+    * summary (Parquet bloom filters, Delta/Iceberg file-skipping
+    * indexes), built here as an explicit operator.
+    *
+    * The summary is RELATIONAL, never a driver-side bitset: one row
+    * per (file, 64-bit word) holding the `bit_or` of the d=3 probe
+    * bits each key sets (m = 2^19 bits/file ≈ 64 KB — manifest-scale,
+    * ~8k rows per file). A lookup joins its d probe positions against
+    * the summary on the word index and keeps files where ALL d bits
+    * are set; only the SURVIVING file list (manifest-sized) is ever
+    * collected, and only those files are re-read. With ~14 bits/key
+    * the false-positive rate is <1%, so a k-key lookup reads ~k files
+    * out of 16 — at 100 TB, ~k files out of 100k, which is the whole
+    * point. Missing keys (probe 7777777 below any tested sf's range)
+    * prune to zero files and cost zero data reads. The oracle is the
+    * plain IN-list lookup — pruning must be invisible to results;
+    * the files-read reduction is spec-asserted via
+    * [[bloomSurvivingFiles]]. */
+  def bloomPrune(spark: SparkSession, trades: DataFrame,
+      probeIds: Seq[Long] = Seq(3L, 555L, 4444L, 7777777L)): DataFrame = {
+    val (out, survivors) = bloomSurvivingFiles(spark, trades, probeIds)
+    val lookedUp =
+      if (survivors.isEmpty) spark.read.parquet(out).limit(0)
+      else spark.read.parquet(survivors: _*)
+    lookedUp
+      .filter(col("event_id").isin(probeIds: _*))
+      .select(col("event_id"), col("symbol"),
+        expr("CAST(round(price * 100) AS BIGINT)").as("price_cents"))
+  }
+
+  /** The write + summary-build + probe stages of [[bloomPrune]],
+    * returning (dataDir, surviving file list) so the spec can assert
+    * survivors < total files. */
+  private[graft] def bloomSurvivingFiles(spark: SparkSession,
+      trades: DataFrame, probeIds: Seq[Long]): (String, Seq[String]) = {
+    import spark.implicits._
+    val out = scratchDir(spark, "bloomprune")
+    trades.select(col("event_id"), col("symbol"), col("price"))
+      .repartition(16, col("event_id"))
+      .write.mode("overwrite").parquet(out)
+    val m = 1 << 19
+    val d = 3
+    // (probe index, bit position) pairs — the index rides along so a
+    // within-key (w, b) collision can never undercount a full match
+    def probeBits(key: org.apache.spark.sql.Column) = explode(array(
+      (0 until d).map(i => struct(lit(i).as("i"),
+        pmod(xxhash64(lit(i), key), lit(m.toLong)).as("pos"))): _*)).as("ip")
+    val summary = spark.read.parquet(out)
+      .select(input_file_name().as("file"), probeBits(col("event_id")))
+      .select(col("file"), (col("ip.pos") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(ip.pos % 64 AS INT))").as("b"))
+      .groupBy("file", "w").agg(expr("bit_or(b)").as("word"))
+    val probes = probeIds.toDF("pid")
+      .select(col("pid"), probeBits(col("pid")))
+      .select(col("pid"), col("ip.i").as("i"),
+        (col("ip.pos") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(ip.pos % 64 AS INT))").as("b"))
+    val survivors = summary.join(probes, Seq("w"))
+      .filter((col("word").bitwiseAND(col("b"))) =!= lit(0L))
+      .groupBy("file", "pid").agg(countDistinct(col("i")).as("hits"))
+      .filter(col("hits") === d)
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
+    (out, survivors)
+  }
+
+  /** Oracle for [[bloomPrune]] (body only — caller prepends the trades
+    * CTE): the same point lookup with no pruning involved. */
+  def bloomPruneSql(
+      probeIds: Seq[Long] = Seq(3L, 555L, 4444L, 7777777L)): String =
+    s"""SELECT event_id, symbol,
+       |       CAST(round(price * 100) AS BIGINT) AS price_cents
+       |FROM trades
+       |WHERE event_id IN (${probeIds.mkString(", ")})""".stripMargin
+
   /** Oracle for [[zonemapPrune]] (body only — caller prepends the
     * trades CTE): the same range aggregate with no pruning involved. */
   def zonemapPruneSql(lo: Double = 50.0, hi: Double = 100.0): String =

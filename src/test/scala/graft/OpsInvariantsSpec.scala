@@ -1492,6 +1492,23 @@ class OpsInvariantsSpec extends SparkSuite {
     nov.unpersist()
   }
 
+  test("bloom pruning skips most files and never loses a present key") {
+    val probes = Seq(3L, 555L, 4444L, 7777777L)
+    val (_, survivors) =
+      TradeOps.bloomSurvivingFiles(spark, trades, probes)
+    // 4 probe keys against 16 hash-bucketed files: <1% FP rate means
+    // at most the ~4 true files plus the odd false positive survive
+    assert(survivors.nonEmpty && survivors.length < 16,
+      s"bloom pruned nothing: ${survivors.length} files")
+    // no false negatives: the pruned lookup returns exactly the rows a
+    // full-scan lookup does
+    val pruned = TradeOps.bloomPrune(spark, trades, probes)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val full = trades.filter(col("event_id").isin(probes: _*))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq === full.toSeq)
+  }
+
   test("k-center seeds: distinct, seeded at min vec_id, non-increasing radius") {
     val seeds = Similarity.kcenterSeeds(spark, sf).collect().sortBy(_.getInt(0))
     assert(seeds.length === 8)
