@@ -808,27 +808,59 @@ object Dedup {
   def similarityLinkPredSql(k: Int = 10, topN: Int = 50): String =
     s"""${mutualKnnCtes(k)}${Graph.linkPredictionSql(topN)}""".stripMargin
 
-  private[ops] def resolveCtesFrom(src: String): String =
+  /** CC labels by UNROLLED min-label propagation + pointer jumping —
+    * NOT a recursive transitive closure. The closure (`reach` as
+    * all (doc, reachable-label) pairs) is Θ(Σ cluster²) rows: at
+    * sf0.1 the 0.5-threshold graph is one ~5k-doc component, the
+    * closure is ~25M pairs rebuilt across diameter-many recursive
+    * UNION rounds, and DuckDB ran >40 min on it (the r10 full-sf0.1
+    * pass caught it). Each unrolled round here is linear in
+    * |edges| + |docs| — keep current label, take neighbors' labels
+    * (propagate), and compose label-of-label (jump, which doubles
+    * effective reach per round) — so `rounds` = 14 covers any
+    * component of diameter ≤ 2^13 and the whole chain is
+    * O(rounds · |edges|). Non-convergence cannot pass silently:
+    * unconverged labels differ from the engine's true components and
+    * the row goes red. Grow `rounds` logarithmically with corpus
+    * size. Every round CTE is `AS MATERIALIZED`: each round references
+    * its predecessor three times, and DuckDB's default CTE INLINING
+    * would otherwise expand the chain to 3^rounds plan copies
+    * (observed as millions of parquet re-opens → fd exhaustion). */
+  private[ops] def resolveCtesFrom(src: String, rounds: Int = 14): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = s"l${k - 1}"
+      s"""l$k AS MATERIALIZED (
+         |  SELECT doc, min(lbl) AS lbl FROM (
+         |    SELECT doc, lbl FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS doc, p.lbl
+         |    FROM $prev p JOIN edges e ON e.src = p.doc
+         |    UNION ALL
+         |    SELECT p.doc, q.lbl
+         |    FROM $prev p JOIN $prev q ON p.lbl = q.doc
+         |  ) GROUP BY doc
+         |)""".stripMargin
+    }.mkString(",\n")
     s"""${pairsCtesFrom(src)},
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT doc_b, doc_a FROM pairs
        |),
-       |reach(doc, lbl) AS (
-       |  SELECT doc_id, doc_id FROM $src
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+       |l0 AS MATERIALIZED (
+       |  SELECT doc_id AS doc, doc_id AS lbl FROM $src
        |),
+       |$roundCtes,
        |resolved AS (
-       |  SELECT doc AS doc_id, min(lbl) AS canonical_doc FROM reach GROUP BY doc
+       |  SELECT doc AS doc_id, lbl AS canonical_doc FROM l$rounds
        |),
        |sizes AS (
        |  SELECT canonical_doc, count(*) AS cluster_size FROM resolved GROUP BY 1
        |)""".stripMargin
+  }
 
   val resolveSql: String =
-    s"""WITH RECURSIVE ${resolveCtesFrom("documents")}
+    s"""WITH ${resolveCtesFrom("documents")}
        |SELECT r.doc_id, r.canonical_doc, s.cluster_size
        |FROM resolved r JOIN sizes s USING (canonical_doc)""".stripMargin
 
@@ -854,7 +886,7 @@ object Dedup {
   /** Oracle for [[clusterBest]]: the [[resolveSql]] closure plus the
     * shared quality CTE, argmax via a windowed rank. */
   val clusterBestSql: String =
-    s"""WITH RECURSIVE ${resolveCtesFrom("documents")},
+    s"""WITH ${resolveCtesFrom("documents")},
        |${TextOps.qualityCte},
        |b AS (
        |  SELECT r.canonical_doc, r.doc_id, q.quality,

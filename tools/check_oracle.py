@@ -28,8 +28,14 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional 3rd arg "i/n": check only the i-th of n round-robin
+    # shards (0-based) so big-sf passes can run N processes in parallel
+    names = sorted(oracle)
+    if len(sys.argv) > 3:
+        i, n = map(int, sys.argv[3].split("/"))
+        names = names[i::n]
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    for name in names:
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
