@@ -184,6 +184,8 @@ object SparkEntry {
       TextOps.ngramNovelty(Tables.load(s, dir, "documents"))),
     "p_token_budget" -> ((s, dir) =>
       Pipeline.tokenBudgetSelect(Tables.load(s, dir, "documents"))),
+    "p_mixture_epochs" -> ((s, dir) =>
+      Pipeline.mixtureEpochs(Tables.load(s, dir, "documents"))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_leakage_split" -> ((s, dir) => Pipeline.leakageSafeSplit(Tables.load(s, dir, "documents"))),
@@ -1146,6 +1148,7 @@ object SparkEntry {
     "t_importance_weights" -> TextOps.importanceWeightsSql(),
     "t_ngram_novelty" -> TextOps.ngramNoveltySql(),
     "p_token_budget" -> Pipeline.tokenBudgetSelectSql(),
+    "p_mixture_epochs" -> Pipeline.mixtureEpochsSql(),
     "w7_gap_detect" ->
       s"""$T
          |${TradeOps.gapDetectSql()}""".stripMargin,

@@ -281,6 +281,72 @@ object Pipeline {
        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
        |FROM cum WHERE cum_tokens <= $budget""".stripMargin
 
+  /** Temperature-scaled source-mixture planning (the multilingual /
+    * multi-source sampling-rate op): given per-language token mass
+    * `n_i`, sample language i with probability ∝ (n_i/N)^α — upweight
+    * the tail so low-resource languages aren't drowned, the standard
+    * pretraining-mixture move. α is FIXED at 0.5 because IEEE sqrt is
+    * correctly rounded (bit-identical in any engine) while pow is not;
+    * the sqrt output is immediately micro-quantized to a BIGINT and
+    * every downstream step (normalization, target-token allocation,
+    * epoch factor) is exact integer arithmetic — so the emitted plan
+    * is engine-portable to the last digit. `epochs_micro > 1e6` flags
+    * languages the budget forces to repeat (oversampled), the signal
+    * mixture reviews watch.
+    *
+    * Scale shape: one partial-aggregated groupBy(lang) over the
+    * corpus, then all planning math on the ≤|langs|-row table with the
+    * scalar total broadcast — nothing after the first aggregate
+    * touches corpus-sized data. */
+  def mixtureEpochs(docs: DataFrame, budget: Long = 50000L): DataFrame = {
+    val byLang = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+      .groupBy("lang").agg(sum(col("n_tokens")).as("lang_tokens"))
+    val total = byLang.agg(sum(col("lang_tokens")).as("total_tokens"))
+    val scaled = byLang.crossJoin(broadcast(total))
+      .withColumn("s_micro",
+        expr("CAST(round(sqrt(CAST(lang_tokens AS DOUBLE) " +
+          "/ CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val sTot = scaled.agg(sum(col("s_micro")).as("s_total"))
+    scaled.crossJoin(broadcast(sTot))
+      .select(col("lang"), col("lang_tokens"),
+        expr(s"$budget * s_micro div s_total").as("target_tokens"),
+        expr(s"($budget * s_micro div s_total) * 1000000 div lang_tokens")
+          .as("epochs_micro"))
+      .withColumn("oversampled",
+        (col("epochs_micro") > 1000000L).cast("int"))
+  }
+
+  /** Oracle for [[mixtureEpochs]] — identical sqrt-then-quantize
+    * plan. */
+  def mixtureEpochsSql(budget: Long = 50000L): String =
+    s"""WITH bylang AS (
+       |  SELECT lang,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |           AS lang_tokens
+       |  FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+       |  FROM bylang
+       |), scaled AS (
+       |  SELECT lang, lang_tokens,
+       |         CAST(round(sqrt(CAST(lang_tokens AS DOUBLE)
+       |             / CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+       |           AS s_micro
+       |  FROM bylang, tot
+       |), st AS (
+       |  SELECT CAST(sum(s_micro) AS BIGINT) AS s_total FROM scaled
+       |)
+       |SELECT lang, lang_tokens,
+       |       CAST($budget * s_micro // s_total AS BIGINT)
+       |         AS target_tokens,
+       |       CAST(($budget * s_micro // s_total) * 1000000 // lang_tokens
+       |         AS BIGINT) AS epochs_micro,
+       |       CAST(($budget * s_micro // s_total) * 1000000 // lang_tokens
+       |         > 1000000 AS INTEGER) AS oversampled
+       |FROM scaled, st""".stripMargin
+
   /** Oracle for [[filterFunnel]]. */
   val filterFunnelSql: String =
     s"""WITH RECURSIVE ${TextOps.qualityCte},

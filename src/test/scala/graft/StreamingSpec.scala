@@ -632,6 +632,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("t15 streaming sessions: cross-batch merge, append equals batch sessionize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val feed = input.toDF().toDF("user_id", "timestamp", "usd_volume")
+    val q = graft.ops.Scale.sessionizeStream(feed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_test").start()
+    try {
+      def ev(u: Long, offSec: Long, v: Double) =
+        (u, new java.sql.Timestamp(t0 + offSec * 1000L), v)
+      // user 1: one session spanning BOTH micro-batches (events 0-240 s,
+      // gaps < 5 min), then a separate session at +30 min; user 2: a
+      // single-event session — state merge across batches is the test
+      val b1 = Seq(ev(1L, 0, 10.0), ev(1L, 60, 5.0), ev(2L, 10, 7.0))
+      val b2 = Seq(ev(1L, 240, 2.5), ev(1L, 1800, 1.0))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // two advancer batches push the watermark past every real session
+      // (watermark for batch N comes from batch N-1's max event time)
+      input.addData(ev(99L, 7200, 0.0)); q.processAllAvailable()
+      input.addData(ev(99L, 7300, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("sessions_test")
+        .filter(col("user_id") =!= 99L)
+      val batch = graft.ops.Scale.sessionize(
+        (b1 ++ b2).toDF("user_id", "timestamp", "usd_volume"))
+        .filter(col("user_id") =!= 99L)
+      // user 1's first session merged across batches: 3 events, one row
+      assert(streamed.filter(col("user_id") === 1L &&
+        col("n_events") === 3).count() === 1)
+      assert(streamed.count() === 3) // u1 x2 sessions + u2 x1
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("query_06 incremental MV: streamed merge equals batch incrementalAgg, replay-safe") {
     import spark.implicits._
     // deterministic events over 5 days / 3 event types, fed in 3

@@ -26,7 +26,10 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # Spark writes directory-style parquet (ScaleGen's 10x dirs);
+        # the driver testdata is single files — accept both
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # optional 3rd arg "i/n": check only the i-th of n round-robin
     # shards (0-based) so big-sf passes can run N processes in parallel
