@@ -148,6 +148,7 @@ object SparkEntry {
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.load(s, dir, "documents"))),
     "d_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.load(s, dir, "documents"))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.load(s, dir, "documents"))),
+    "d_threshold_curve" -> ((s, dir) => Dedup.thresholdCurve(Tables.load(s, dir, "documents"))),
     "d_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.load(s, dir, "documents"))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
@@ -199,6 +200,8 @@ object SparkEntry {
     "v_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "v_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "v_lsh_ann_recall" -> ((s, dir) => Similarity.lshAnnRecall(s, dir)),
+    "v_ann_multiprobe" -> ((s, dir) => Similarity.annLshMultiprobe(s, dir)),
+    "v_multiprobe_recall" -> ((s, dir) => Similarity.multiprobeRecall(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
@@ -1105,6 +1108,7 @@ object SparkEntry {
 
     "d_minhash_sig" -> Dedup.minhashSigSql,
     "d_minhash_pairs" -> Dedup.minhashPairsSql,
+    "d_threshold_curve" -> Dedup.thresholdCurveSql(),
     "d_simhash_sig" -> Dedup.simhashSigSql,
     "d_simhash_pairs" -> Dedup.simhashPairsSql,
 
@@ -1202,6 +1206,8 @@ object SparkEntry {
     "v_kmeans" -> Similarity.kmeansSql(),
     "v_ann_lsh" -> Similarity.annLshSql(),
     "v_lsh_ann_recall" -> Similarity.lshAnnRecallSql(),
+    "v_ann_multiprobe" -> Similarity.annLshMultiprobeSql(),
+    "v_multiprobe_recall" -> Similarity.multiprobeRecallSql(),
 
     "d_ngram_jaccard" ->
       """WITH sh AS (

@@ -647,6 +647,64 @@ object Dedup {
        |FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
        |WHERE $bandEqSql""".stripMargin
 
+  /** Dedup threshold-sweep curve — the tuning table a curation run
+    * reads before COMMITTING to a similarity cutoff: for each candidate
+    * threshold, how many near-dup pairs fire and how many documents
+    * they touch. One banded candidate pass feeds every threshold (the
+    * thresholds ride a ≤|thresholds|-row broadcast join, so the sweep
+    * costs one pair scan, not |thresholds| of them). Thresholds default
+    * to exact multiples of 1/16 — est_jaccard IS k/16, so every
+    * comparison is boundary-exact in both engines. */
+  def thresholdCurve(docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.625, 0.75, 0.875, 1.0))
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tDf = thresholds.toDF("threshold")
+    val j = minhashPairs(docs)
+      .join(broadcast(tDf), col("est_jaccard") >= col("threshold"))
+    val np = j.groupBy("threshold").agg(count(lit(1)).as("p"))
+    val nd = j.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("nd"))
+    tDf.join(np, Seq("threshold"), "left").join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("p"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"))
+  }
+
+  /** Oracle for [[thresholdCurve]]. */
+  def thresholdCurveSql(
+      thresholds: Seq[Double] = Seq(0.5, 0.625, 0.75, 0.875, 1.0))
+      : String = {
+    val values = thresholds.map(t => s"(${t}::DOUBLE)").mkString(", ")
+    s"""$sigCte,
+       |pj AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |         CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE)
+       |           AS est_jaccard
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE $bandEqSql
+       |), t AS (
+       |  SELECT * FROM (VALUES $values) v(threshold)
+       |), j AS (
+       |  SELECT t.threshold, pj.doc_a, pj.doc_b
+       |  FROM pj, t WHERE pj.est_jaccard >= t.threshold
+       |), np AS (
+       |  SELECT threshold, count(*) AS p FROM j GROUP BY 1
+       |), nd AS (
+       |  SELECT threshold, count(DISTINCT d) AS nd FROM (
+       |    SELECT threshold, doc_a AS d FROM j
+       |    UNION ALL SELECT threshold, doc_b FROM j
+       |  ) GROUP BY 1
+       |)
+       |SELECT t.threshold,
+       |       CAST(coalesce(np.p, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(nd.nd, 0) AS BIGINT) AS n_docs
+       |FROM t LEFT JOIN np USING (threshold)
+       |       LEFT JOIN nd USING (threshold)""".stripMargin
+  }
+
   private val simhashCte: String = {
     val votes = (0 until simhashBits)
       .map(b => s"sum(CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")

@@ -1248,6 +1248,118 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes its
+    * own bucket PLUS every Hamming-1 neighbor (one hyperplane bit
+    * flipped) — the standard recall-vs-cost dial that buys recall
+    * WITHOUT more hash tables or a bigger index. A vector whose true
+    * neighbor lies just across one separating hyperplane is exactly the
+    * failure mode single-probe LSH pays for; flipping each bit in turn
+    * recovers those misses at (nBits+1)/2^nBits of the corpus scanned
+    * per query instead of a rescan. The probe fan-out is a ≤nBits+1
+    * per-query explode on the BROADCAST side — the candidate corpus is
+    * still scanned once, and each candidate joins at most one probe row
+    * (its single bucket), so no dedup pass is needed. */
+  def annLshMultiprobe(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 3, nBits: Int = 8): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val bucketed = emb.withColumn("bucket", expr(s"lsh_bits(v, $nBits)"))
+    val probes = array(col("bucket") +:
+      (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), explode(probes).as("bucket"))
+    val c = bucketed.select(col("vec_id"), col("v").as("cv"),
+      col("norm").as("cn"), col("bucket"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+
+  /** Recall@k of [[annLshMultiprobe]] vs exact cosine top-k — paired
+    * with [[lshAnnRecall]] (same index, same k): the multiprobe hit
+    * count must dominate the single-probe one, which the spec asserts;
+    * the oracle pins the exact values. */
+  def multiprobeRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 3, nBits: Int = 8): DataFrame = {
+    val mp = annLshMultiprobe(spark, dir, nQueries, k, nBits)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    cosineTopK(spark, dir, nQueries, k)
+      .select("q_id", "vec_id")
+      .join(mp, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_exact"), col("n_hits"),
+        expr("CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)")
+          .as("recall"))
+  }
+
+  /** The [[annLshCtes]] chain with the query side expanded to its
+    * Hamming-1 probe ring — ends in the same `s(q_id, vec_id, cos)`. */
+  private def multiprobeCtes(nQueries: Int, nBits: Int, dim: Int): String = {
+    val ring = (0 until nBits).map(j => s"xor(bucket, ${1L << j})")
+      .mkString("[bucket, ", ", ", "]")
+    val singleProbeScan =
+      """), s AS (
+        |  SELECT q.q_id, b.vec_id,
+        |         list_dot_product(q.qv, b.v) / (q.qn * b.nrm) AS cos
+        |  FROM b JOIN q ON b.bucket = q.bucket
+        |  WHERE b.vec_id != q.q_id
+        |)""".stripMargin
+    val multiProbeScan =
+      s"""), qp AS (
+        |  SELECT q_id, qv, qn, unnest($ring) AS bucket FROM q
+        |), s AS (
+        |  SELECT qp.q_id, b.vec_id,
+        |         list_dot_product(qp.qv, b.v) / (qp.qn * b.nrm) AS cos
+        |  FROM b JOIN qp ON b.bucket = qp.bucket
+        |  WHERE b.vec_id != qp.q_id
+        |)""".stripMargin
+    val base = annLshCtes(nQueries, nBits, dim)
+    require(base.contains(singleProbeScan),
+      "annLshCtes scan stage changed; update multiprobeCtes")
+    base.replace(singleProbeScan, multiProbeScan)
+  }
+
+  /** Oracle for [[annLshMultiprobe]]. */
+  def annLshMultiprobeSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
+      dim: Int = 64): String =
+    s"""WITH ${multiprobeCtes(nQueries, nBits, dim)}
+       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM s
+       |) WHERE rnk <= $k""".stripMargin
+
+  /** Oracle for [[multiprobeRecall]] — same exact-side CTE pairing as
+    * [[lshAnnRecallSql]]. */
+  def multiprobeRecallSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
+      dim: Int = 64): String =
+    s"""WITH ${multiprobeCtes(nQueries, nBits, dim)},
+       |ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM s) WHERE rnk <= $k
+       |), ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, n2.vec_id, row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_dot_product(q.qv, n2.v) / (q.qn * n2.nrm) DESC,
+       |               n2.vec_id) AS rnk
+       |    FROM n n2, q
+       |    WHERE n2.vec_id != q.q_id) WHERE rnk <= $k
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       |       CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS recall
+       |FROM ex e LEFT JOIN ann a USING (q_id, vec_id)""".stripMargin
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * deduplication: cluster the embedding space with the trained coarse
     * quantizer, then compare pairs ONLY within a cluster. The quadratic

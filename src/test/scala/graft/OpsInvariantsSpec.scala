@@ -1492,6 +1492,25 @@ class OpsInvariantsSpec extends SparkSuite {
     nov.unpersist()
   }
 
+  test("multiprobe LSH recall dominates single-probe on the same index") {
+    val single = Similarity.lshAnnRecall(spark, sf).head
+    val multi = Similarity.multiprobeRecall(spark, sf).head
+    assert(multi.getLong(0) === single.getLong(0)) // same exact baseline
+    // probing the Hamming-1 ring can only ADD candidates
+    assert(multi.getLong(1) >= single.getLong(1))
+  }
+
+  test("dedup threshold curve is monotone non-increasing") {
+    val rows = graft.ops.Dedup
+      .thresholdCurve(Tables.load(spark, sf, "documents"))
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.length === 5)
+    val pairs = rows.map(_.getLong(1))
+    val docs = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a })
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a })
+  }
+
   test("bloom pruning skips most files and never loses a present key") {
     val probes = Seq(3L, 555L, 4444L, 7777777L)
     val (_, survivors) =
