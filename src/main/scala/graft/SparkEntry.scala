@@ -202,6 +202,7 @@ object SparkEntry {
     "v_lsh_ann_recall" -> ((s, dir) => Similarity.lshAnnRecall(s, dir)),
     "v_ann_multiprobe" -> ((s, dir) => Similarity.annLshMultiprobe(s, dir)),
     "v_multiprobe_recall" -> ((s, dir) => Similarity.multiprobeRecall(s, dir)),
+    "v_label_outliers" -> ((s, dir) => Similarity.labelOutliers(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
@@ -257,6 +258,7 @@ object SparkEntry {
     "t_code_detect" -> ((s, dir) => TextOps.codeDetect(Tables.load(s, dir, "documents"))),
     "s12_gzip_roundtrip" -> ((s, dir) => TradeOps.gzipJsonRoundTrip(s, trades(s, dir))),
     "a19_robust" -> ((s, dir) => TradeOps.robustStats(trades(s, dir))),
+    "a29_weighted_median" -> ((s, dir) => TradeOps.weightedMedian(trades(s, dir))),
     "a16b_profile_sketch" -> ((s, dir) => TradeOps.columnProfileSketch(Tables.load(s, dir, "lineitem"))),
     "s13_keyset_page" -> ((s, dir) =>
       TradeOps.keysetPage(trades(s, dir), "2024-01-15 00:00:00", 0L)),
@@ -1208,6 +1210,7 @@ object SparkEntry {
     "v_lsh_ann_recall" -> Similarity.lshAnnRecallSql(),
     "v_ann_multiprobe" -> Similarity.annLshMultiprobeSql(),
     "v_multiprobe_recall" -> Similarity.multiprobeRecallSql(),
+    "v_label_outliers" -> Similarity.labelOutliersSql(),
 
     "d_ngram_jaccard" ->
       """WITH sh AS (
@@ -1367,6 +1370,9 @@ object SparkEntry {
     "a19_robust" ->
       s"""$T
          |${TradeOps.robustStatsSql()}""".stripMargin,
+    "a29_weighted_median" ->
+      s"""$T
+         |${TradeOps.weightedMedianSql}""".stripMargin,
     "s13_keyset_page" ->
       s"""$T
          |${TradeOps.keysetPageSql("2024-01-15 00:00:00", 0L)}""".stripMargin,

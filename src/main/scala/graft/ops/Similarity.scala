@@ -1248,6 +1248,77 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Label-conditional outlier triage (the mislabel / out-of-domain
+    * sweep a labeled-embedding corpus gets before training): score
+    * every vector by cosine to its OWN label's centroid and surface
+    * the k least-typical members per label — a low score means the
+    * example disagrees with its class in embedding space, the classic
+    * confident-learning signal. The centroid is computed EXACTLY:
+    * per-dim micro-quantized BIGINT sums (order-independent integer
+    * addition — a float mean would be partition-order-dependent and
+    * break the cross-engine hash), divided once at the end; the
+    * ≤|labels|-row centroid table broadcasts back onto one codegen'd
+    * corpus scan. The per-dim explode is the only non-flat stage —
+    * |corpus|·dim rows through a partial-aggregated groupBy, the same
+    * transpose shape [[kmeansCentroids]] trains with. */
+  def labelOutliers(spark: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val dims = emb.select(col("label"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("xm", expr("CAST(round(x * 1000000) AS BIGINT)"))
+    val cent = dims.groupBy("label", "d")
+      .agg(sum(col("xm")).as("sm"), count(lit(1)).as("nn"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("sm"), col("nn")))),
+        s => s.getField("sm").cast("double") /
+          (s.getField("nn").cast("double") * lit(1000000.0))).as("c"))
+    val byLabel = Window.partitionBy("label")
+      .orderBy(col("cos").asc, col("vec_id"))
+    emb.join(broadcast(cent), "label")
+      .withColumn("cn", sqrt(expr("dot_product(c, c)")))
+      .withColumn("cos", expr("dot_product(v, c)") / (col("norm") * col("cn")))
+      .withColumn("rnk", row_number().over(byLabel))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("vec_id"),
+        round(col("cos"), 6).as("cos_centroid"), col("rnk"))
+  }
+
+  /** Oracle for [[labelOutliers]] — identical micro-quantized integer
+    * centroid, dims exploded via generate_series. */
+  def labelOutliersSql(k: Int = 3, dim: Int = 64): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), dims AS (
+       |  SELECT label, u.i AS d,
+       |         CAST(round(v[u.i] * 1000000) AS BIGINT) AS xm
+       |  FROM n, (SELECT unnest(generate_series(1, $dim)) AS i) u
+       |), csum AS (
+       |  SELECT label, d, CAST(sum(xm) AS BIGINT) AS sm,
+       |         count(*) AS nn
+       |  FROM dims GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label,
+       |         list(CAST(sm AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000.0)
+       |              ORDER BY d) AS c
+       |  FROM csum GROUP BY 1
+       |), s AS (
+       |  SELECT n.label, n.vec_id,
+       |         list_dot_product(n.v, cent.c)
+       |           / (n.nrm * sqrt(list_dot_product(cent.c, cent.c))) AS cos
+       |  FROM n JOIN cent USING (label)
+       |)
+       |SELECT label, vec_id, round(cos, 6) AS cos_centroid, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY cos ASC, vec_id) AS rnk
+       |  FROM s
+       |) WHERE rnk <= $k""".stripMargin
+
   /** Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes its
     * own bucket PLUS every Hamming-1 neighbor (one hyperplane bit
     * flipped) — the standard recall-vs-cost dial that buys recall

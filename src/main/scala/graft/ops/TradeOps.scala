@@ -1916,6 +1916,48 @@ object TradeOps {
       |    FROM trades GROUP BY 1, 2))
       |WHERE rn = 1""".stripMargin
 
+  /** A29 (extension) — VOLUME-weighted median price per symbol: the
+    * robust twin of [[vwap]] (one outsized print can drag a
+    * volume-weighted MEAN anywhere; the weighted median moves only if
+    * half the traded volume moves). Weighted lower median: first price
+    * in (price, event_id) order whose cumulative volume reaches half
+    * the total — weights are exact volume CENTS (BIGINT), so the
+    * boundary compare `2·cumw ≥ total` never touches a float and the
+    * selected price is a bit-identical stored element
+    * ([[discreteQuantiles]] discipline). One per-symbol rank window +
+    * one argmin — same two-exchange shape as the unweighted median. */
+  def weightedMedian(trades: DataFrame): DataFrame = {
+    val byP = Window.partitionBy("symbol")
+      .orderBy(col("price"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("symbol")
+    trades
+      .withColumn("wc", expr("CAST(round(volume * 100) AS BIGINT)"))
+      .withColumn("cumw", sum(col("wc")).over(byP))
+      .withColumn("total", sum(col("wc")).over(all))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy("symbol")
+      .agg(min(col("price")).as("w_median_price"),
+        max(col("total")).as("total_vol_cents"))
+  }
+
+  /** Oracle for [[weightedMedian]] (body only — caller prepends the
+    * trades CTE). */
+  val weightedMedianSql: String =
+    """SELECT symbol,
+      |       min(price) AS w_median_price,
+      |       CAST(max(total) AS BIGINT) AS total_vol_cents
+      |FROM (
+      |  SELECT symbol, event_id, price,
+      |         sum(CAST(round(volume * 100) AS BIGINT)) OVER (
+      |           PARTITION BY symbol ORDER BY price, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS cumw,
+      |         sum(CAST(round(volume * 100) AS BIGINT)) OVER (
+      |           PARTITION BY symbol) AS total
+      |  FROM trades)
+      |WHERE cumw * 2 >= total
+      |GROUP BY 1""".stripMargin
+
   /** A19 (extension) — robust location/scale per symbol: median,
     * MAD (median absolute deviation), and the robust-z outlier count
     * at `k·1.4826·MAD` — the heavy-tail-safe twin of

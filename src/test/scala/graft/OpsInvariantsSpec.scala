@@ -1492,6 +1492,35 @@ class OpsInvariantsSpec extends SparkSuite {
     nov.unpersist()
   }
 
+  test("weighted median: at least half the volume sits on each side") {
+    val wm = TradeOps.weightedMedian(trades).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cents = trades.select(col("symbol"), col("price"),
+      expr("CAST(round(volume * 100) AS BIGINT)").as("wc")).collect()
+    wm.foreach { case (sym, med) =>
+      val rows = cents.filter(_.getString(0) === sym)
+      val total = rows.map(_.getLong(2)).sum
+      val below = rows.filter(_.getDouble(1) <= med).map(_.getLong(2)).sum
+      val above = rows.filter(_.getDouble(1) >= med).map(_.getLong(2)).sum
+      assert(2 * below >= total, s"$sym: below-mass too small")
+      assert(2 * above >= total, s"$sym: above-mass too small")
+    }
+  }
+
+  test("label outliers: k rows per label, each vector's own label, valid cosine") {
+    val out = Similarity.labelOutliers(spark, sf).cache()
+    val perLabel = out.groupBy("label").count()
+    assert(perLabel.filter(col("count") =!= 3).count() === 0)
+    assert(out.filter(col("cos_centroid") > 1.000001 ||
+      col("cos_centroid") < -1.000001).count() === 0)
+    // every surfaced vec really carries the label it is scored against
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").as("true_label"))
+    assert(out.join(emb, "vec_id")
+      .filter(col("label") =!= col("true_label")).count() === 0)
+    out.unpersist()
+  }
+
   test("multiprobe LSH recall dominates single-probe on the same index") {
     val single = Similarity.lshAnnRecall(spark, sf).head
     val multi = Similarity.multiprobeRecall(spark, sf).head
