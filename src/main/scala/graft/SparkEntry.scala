@@ -84,6 +84,16 @@ object SparkEntry {
       AsOfJoin.asOf(purchases, clicks, "user_id", "timestamp",
         "click_price", "click_price")
     }),
+    "j_asof_nearest" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val purchases = t.filter(col("symbol") === "purchase")
+        .select("event_id", "user_id", "timestamp", "price")
+      val clicks = t.filter(col("symbol") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max_by(col("price"), col("event_id")).as("click_price"))
+      AsOfJoin.asOfNearest(purchases, clicks, "user_id", "timestamp",
+        "click_price", "near_price")
+    }),
     "j_semi_customers_with_orders" -> ((s, dir) => Relational.customersWithOrders(s, dir)),
     "j_anti_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     // -- relational breadth ----------------------------------------------
@@ -135,6 +145,7 @@ object SparkEntry {
     "t_chunking" -> ((s, dir) => TextOps.chunkDocs(Tables.load(s, dir, "documents"))),
     "t_pii_redact" -> ((s, dir) => TextOps.piiRedact(Tables.load(s, dir, "documents"))),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.load(s, dir, "documents"))),
+    "t_freq_spectrum" -> ((s, dir) => TextOps.freqSpectrum(Tables.load(s, dir, "documents"))),
     "t_df_rarity" -> ((s, dir) => TextOps.dfRarity(Tables.load(s, dir, "documents"))),
     "t_bpe_train" -> ((s, dir) => TextOps.bpeTrain(Tables.load(s, dir, "documents"))),
     "t_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(Tables.load(s, dir, "documents"))),
@@ -747,6 +758,66 @@ object SparkEntry {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND c.cts <= p."timestamp"""".stripMargin,
 
+    "j_asof_nearest" ->
+      s"""$T, p AS (
+         |  SELECT event_id, user_id, "timestamp", price
+         |  FROM trades WHERE symbol = 'purchase'
+         |), c AS (
+         |  SELECT user_id, "timestamp" AS cts,
+         |         arg_max(price, event_id) AS click_price
+         |  FROM trades WHERE symbol = 'click' GROUP BY 1, 2
+         |), b AS (
+         |  SELECT p.event_id, c.cts AS bt, c.click_price AS bp
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND c.cts <= p."timestamp"
+         |), f AS (
+         |  SELECT p.event_id, c.cts AS ft, c.click_price AS fp
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND c.cts > p."timestamp"
+         |)
+         |SELECT p.event_id, p.user_id, p."timestamp", p.price,
+         |       CASE WHEN bt IS NOT NULL AND (ft IS NULL
+         |                  OR epoch_us(p."timestamp") - epoch_us(bt)
+         |                     <= epoch_us(ft) - epoch_us(p."timestamp"))
+         |            THEN bp ELSE fp END AS near_price,
+         |       CASE WHEN bt IS NOT NULL AND (ft IS NULL
+         |                  OR epoch_us(p."timestamp") - epoch_us(bt)
+         |                     <= epoch_us(ft) - epoch_us(p."timestamp"))
+         |            THEN -((epoch_us(p."timestamp") - epoch_us(bt)) // 1000)
+         |            ELSE (epoch_us(ft) - epoch_us(p."timestamp")) // 1000
+         |       END AS delta_ms
+         |FROM p LEFT JOIN b USING (event_id)
+         |       LEFT JOIN f USING (event_id)""".stripMargin,
+    "j_asof_nearest" ->
+      s"""$T, p AS (
+         |  SELECT event_id, user_id, "timestamp", price
+         |  FROM trades WHERE symbol = 'purchase'
+         |), c AS (
+         |  SELECT user_id, "timestamp" AS cts,
+         |         arg_max(price, event_id) AS click_price
+         |  FROM trades WHERE symbol = 'click' GROUP BY 1, 2
+         |), b AS (
+         |  SELECT p.event_id, c.cts AS bt, c.click_price AS bp
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND c.cts <= p."timestamp"
+         |), f AS (
+         |  SELECT p.event_id, c.cts AS ft, c.click_price AS fp
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND c.cts > p."timestamp"
+         |)
+         |SELECT p.event_id, p.user_id, p."timestamp", p.price,
+         |       CASE WHEN bt IS NOT NULL AND (ft IS NULL
+         |                  OR epoch_us(p."timestamp") - epoch_us(bt)
+         |                     <= epoch_us(ft) - epoch_us(p."timestamp"))
+         |            THEN bp ELSE fp END AS near_price,
+         |       CASE WHEN bt IS NOT NULL AND (ft IS NULL
+         |                  OR epoch_us(p."timestamp") - epoch_us(bt)
+         |                     <= epoch_us(ft) - epoch_us(p."timestamp"))
+         |            THEN -((epoch_us(p."timestamp") - epoch_us(bt)) // 1000)
+         |            ELSE (epoch_us(ft) - epoch_us(p."timestamp")) // 1000
+         |       END AS delta_ms
+         |FROM p LEFT JOIN b USING (event_id)
+         |       LEFT JOIN f USING (event_id)""".stripMargin,
     "j_semi_customers_with_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
@@ -1083,6 +1154,7 @@ object SparkEntry {
     "t_fingerprint" -> TextOps.fingerprintSql,
     "t_pii_redact" -> TextOps.piiRedactSql,
     "t_vocab_topk" -> TextOps.vocabTopKSql(),
+    "t_freq_spectrum" -> TextOps.freqSpectrumSql,
     "t_bigram_topk" -> TextOps.bigramTopKSql(),
     "t_repetition" -> TextOps.repetitionSql,
     "t_chunking" -> TextOps.chunkDocsSql(),

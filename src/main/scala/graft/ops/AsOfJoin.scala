@@ -90,6 +90,65 @@ object AsOfJoin {
       .drop("_side", "_pay")
   }
 
+  /** Nearest as-of: for each left row, attach the payload of the right
+    * row with the same `key` whose timestamp is CLOSEST in either
+    * direction — the sensor-alignment / nearest-quote association
+    * ([[asOf]] backward and [[asOfForward]] forward are the one-sided
+    * halves; ties at equal distance go backward, and an equal-timestamp
+    * right row is a zero-delta backward match). Emits the signed
+    * `delta_ms` (`rightTs − leftTs`, ≤ 0 backward) alongside the
+    * payload.
+    *
+    * Plan: ONE union-sort (the [[asOf]] shape) carries BOTH directions
+    * — the backward candidate via `last(ignoreNulls)` over the
+    * preceding frame and the forward candidate via `first(ignoreNulls)`
+    * over the following frame of the same (key, ts, side) order — so
+    * nearest costs exactly what one-sided as-of costs: a single
+    * shuffle of left+right on the key, no inequality join anywhere.
+    * Deltas are exact epoch-micro BIGINTs; the millisecond display
+    * value divides the non-negative magnitude first and negates after
+    * (signed floor-vs-truncate division differs across engines;
+    * non-negative division does not). */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: String, as: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn("_pay", lit(null).cast(right.schema(payload).dataType))
+    val r = right
+      .select(col(key), col(ts), col(payload).as("_pay"))
+      .withColumn("_side", lit(0))
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("_side") :+ col("_pay")): _*
+    ).unionByName(
+      r.select(
+        (leftCols.map(c => if (c == key || c == ts) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("_side") :+ col("_pay")): _*))
+    // right (_side=0) sorts before a same-ts left row: the backward
+    // frame sees it (zero-delta match), the forward frame does not —
+    // which is exactly the tie rule
+    val wB = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightTs = when(col("_side") === 0, col(ts))
+    val dB = unix_micros(col(ts)) - unix_micros(col("_bt"))
+    val dF = unix_micros(col("_ft")) - unix_micros(col(ts))
+    val useB = col("_bt").isNotNull && (col("_ft").isNull || dB <= dF)
+    unioned
+      .withColumn("_bp", last(col("_pay"), ignoreNulls = true).over(wB))
+      .withColumn("_bt", last(rightTs, ignoreNulls = true).over(wB))
+      .withColumn("_fp", first(col("_pay"), ignoreNulls = true).over(wF))
+      .withColumn("_ft", first(rightTs, ignoreNulls = true).over(wF))
+      .filter(col("_side") === 1)
+      .withColumn(as, when(useB, col("_bp")).otherwise(col("_fp")))
+      .withColumn("delta_ms",
+        when(useB, -expr(s"(unix_micros(`$ts`) - unix_micros(_bt)) div 1000"))
+          .otherwise(expr(s"(unix_micros(_ft) - unix_micros(`$ts`)) div 1000")))
+      .drop("_side", "_pay", "_bp", "_bt", "_fp", "_ft")
+  }
+
   /** Binned range join: for each left row, aggregate right rows of the
     * same key whose `ts` falls in `(leftTs - windowSec, leftTs]`.
     *

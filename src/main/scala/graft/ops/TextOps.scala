@@ -425,6 +425,36 @@ object TextOps {
     * top-k over |vocab| rows — the word-count shape that holds at any
     * corpus size. Document frequency rides along (distinct doc count
     * per token) for downstream IDF/filtering. */
+  /** Token frequency-of-frequencies spectrum (count-of-counts): for
+    * each occurrence count f, how many distinct tokens occur exactly f
+    * times — the input of Good–Turing smoothing, Zipf-fit QC, and the
+    * "what fraction of the vocabulary is hapax" health check a corpus
+    * gets before tokenizer training (a hapax share far from ~50%
+    * usually means boilerplate flooding or aggressive dedup). Two
+    * partial-aggregated exchanges — (token) then (tf) — and the output
+    * is spectrum-sized: distinct frequencies are O(√total_tokens)
+    * (f·n_f ≤ N bounds the support), so the result stays tiny at any
+    * corpus scale. */
+  def freqSpectrum(docs: DataFrame): DataFrame =
+    withWords(docs)
+      .select(col("doc_id"), explode_outer(col("words")).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .groupBy("tf").agg(count(lit(1)).as("n_tokens"))
+      .select(col("tf").as("freq"), col("n_tokens"))
+
+  /** Oracle for [[freqSpectrum]]. */
+  val freqSpectrumSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), c AS (
+      |  SELECT token, count(*) AS tf
+      |  FROM t WHERE token IS NOT NULL AND token != ''
+      |  GROUP BY 1
+      |)
+      |SELECT tf AS freq, CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY 1""".stripMargin
+
   def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame = {
     val tokens = withWords(docs)
       // explode_outer: InferFiltersFromGenerate re-inlining trap (see

@@ -35,6 +35,24 @@ object StreamingJob {
     * `value` column (Kafka-shaped). */
   def decode(envelopes: DataFrame): DataFrame = Decode.decodeFlatten(envelopes)
 
+  /** Pipeline observability via `Dataset.observe`: per-micro-batch
+    * ingest metrics (row count, exact cent volume, max event time)
+    * computed INSIDE the running plan — accumulator-backed, so they
+    * cost no extra pass, no extra action, and no sampling, and surface
+    * on every `QueryProgressEvent.observedMetrics` for a
+    * StreamingQueryListener to ship to monitoring. This is the
+    * always-on freshness/volume telemetry a production ingest needs
+    * (watermark lag = wall clock − max_ts; silent-drop detection = rows
+    * vs producer counts) — pulled from the stream itself rather than a
+    * parallel counting job. Works identically on batch reads (metrics
+    * arrive via QueryExecutionListener). */
+  def withIngestMetrics(flat: DataFrame, name: String = "ingest"): DataFrame =
+    flat.observe(name,
+      count(lit(1)).as("rows"),
+      sum(expr("CAST(round(usd_volume * 100) AS BIGINT)"))
+        .as("usd_vol_cents"),
+      max(col("timestamp")).as("max_ts"))
+
   /** Start all four queries; caller awaits/stops them. */
   def run(spark: SparkSession, envelopes: DataFrame, cfg: Config): Seq[StreamingQuery] = {
     val flat = decode(envelopes)

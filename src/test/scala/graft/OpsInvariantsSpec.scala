@@ -1492,6 +1492,44 @@ class OpsInvariantsSpec extends SparkSuite {
     nov.unpersist()
   }
 
+  test("frequency spectrum conserves the token mass") {
+    val docs = Tables.load(spark, sf, "documents")
+    val spec = graft.ops.TextOps.freqSpectrum(docs)
+    val mass = spec.agg(sum(col("freq") * col("n_tokens"))).head.getLong(0)
+    val total = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(mass === total)
+  }
+
+  test("nearest as-of matches a brute-force nearest per purchase") {
+    val purchases = trades.filter(col("symbol") === "purchase")
+      .select("event_id", "user_id", "timestamp", "price")
+    val clicks = trades.filter(col("symbol") === "click")
+      .groupBy("user_id", "timestamp")
+      .agg(max_by(col("price"), col("event_id")).as("click_price"))
+    val got = AsOfJoin.asOfNearest(purchases, clicks, "user_id",
+        "timestamp", "click_price", "near_price")
+      .select("event_id", "delta_ms").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // timestamps carry sub-ms precision: compare in exact micros and
+    // apply the op's magnitude-first ms conversion only at the end
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val cl = clicks.collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    purchases.collect().foreach { p =>
+      val (eid, uid, t) = (p.getLong(0), p.getLong(1), micros(p.getTimestamp(2)))
+      val expected = cl.get(uid).filter(_.nonEmpty).map { ts =>
+        // nearest by |delta| in micros, ties backward (delta <= 0 wins)
+        val d = ts.map(c => c - t).minBy(d => (math.abs(d), d))
+        if (d < 0) -((-d) / 1000L) else d / 1000L
+      }
+      assert(got(eid) === expected, s"event $eid")
+    }
+  }
+
   test("weighted median: at least half the volume sits on each side") {
     val wm = TradeOps.weightedMedian(trades).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -632,6 +632,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("observe API: per-batch ingest metrics arrive on query progress") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long)]() // (rows, usd_vol_cents) per micro-batch
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("ingest")
+        if (m != null && m.getLong(0) > 0)
+          metrics.add((m.getLong(0), m.getLong(1)))
+      }
+    }
+    spark.streams.addListener(listener)
+    val input = MemoryStream[TradeEvent](spark)
+    val flat = input.toDF()
+      .select(col("symbol"), col("ts").as("timestamp"), col("price"),
+        col("volume"), (col("price") * col("volume")).as("usd_volume"))
+    val q = graft.streaming.StreamingJob.withIngestMetrics(flat)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("observe_test").start()
+    try {
+      def ev(i: Int, p: Double, v: Double) =
+        TradeEvent("BTC", new java.sql.Timestamp(t0 + i * 1000L), p, v)
+      input.addData(ev(1, 100.0, 2.0), ev(2, 50.0, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 10.0, 10.0))
+      q.processAllAvailable()
+      // listener delivery is async relative to processAllAvailable
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (metrics.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val seen = metrics.toArray(Array.empty[(Long, Long)]).sortBy(_._1)
+      assert(seen.length === 2, s"got ${seen.mkString(",")}")
+      assert(seen(0) === ((1L, 10000L)))   // 10.0 * 10.0 = 100.00 usd
+      assert(seen(1) === ((2L, 25000L)))   // 200.00 + 50.00 usd
+    } finally {
+      q.stop(); spark.streams.removeListener(listener)
+    }
+  }
+
   test("t15 streaming sessions: cross-batch merge, append equals batch sessionize") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
