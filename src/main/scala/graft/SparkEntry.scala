@@ -160,6 +160,7 @@ object SparkEntry {
     "d_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(Tables.load(s, dir, "documents"))),
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.load(s, dir, "documents"))),
     "d_threshold_curve" -> ((s, dir) => Dedup.thresholdCurve(Tables.load(s, dir, "documents"))),
+    "d_band_tuning" -> ((s, dir) => Dedup.bandTuning(Tables.load(s, dir, "documents"))),
     "d_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.load(s, dir, "documents"))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
@@ -1183,6 +1184,7 @@ object SparkEntry {
     "d_minhash_sig" -> Dedup.minhashSigSql,
     "d_minhash_pairs" -> Dedup.minhashPairsSql,
     "d_threshold_curve" -> Dedup.thresholdCurveSql(),
+    "d_band_tuning" -> Dedup.bandTuningSql(),
     "d_simhash_sig" -> Dedup.simhashSigSql,
     "d_simhash_pairs" -> Dedup.simhashPairsSql,
 

@@ -705,6 +705,124 @@ object Dedup {
        |       LEFT JOIN nd USING (threshold)""".stripMargin
   }
 
+  /** LSH band-geometry tuning table — the MEASURED S-curve behind the
+    * (bands × rows) choice: for each way of splitting the 16-slot
+    * MinHash signature into b bands of r rows, how many candidate
+    * pairs fire and what fraction of the true ≥0.5-Jaccard pairs they
+    * capture. More bands → higher recall AND more candidates; this
+    * table is how a corpus picks its operating point instead of
+    * trusting the 1−(1−j^r)^b formula on faith.
+    *
+    * ONE join feeds every config: the any-single-slot-match pair set
+    * is a superset of every banding's candidates AND of all true
+    * pairs (≥8 matching slots implies ≥1), so each config's fired
+    * flag and the truth flag are pure per-pair bit expressions over
+    * that superset — no per-config re-join, no all-pairs scan. The
+    * superset join is the only quadratic-risk stage, so it runs on a
+    * deterministic doc_id sample (`sampleMod`) — exactly how band
+    * geometry is tuned in practice — with the first-matching-slot
+    * emit rule ([[bandJoin]]'s collision-proof dedup). */
+  def bandTuning(docs: DataFrame, sampleMod: Int = 5): DataFrame = {
+    val sig = minhashSignatures(docs.filter(col("doc_id") % sampleMod === 0))
+    val slots = sig.select(
+      Seq(col("doc_id")) ++ (0 until 16).map(j => col(s"m$j")) :+
+        explode(array((0 until 16).map(j =>
+          struct(lit(j).as("slot"), col(s"m$j").as("v"))): _*)).as("sv"): _*)
+      .select(Seq(col("doc_id"), col("sv.slot").as("slot"),
+        col("sv.v").as("v")) ++ (0 until 16).map(j => col(s"m$j")): _*)
+    val l = slots.select(Seq(col("slot"), col("v"),
+      col("doc_id").as("doc_a")) ++
+      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val r = slots.select(Seq(col("slot"), col("v"),
+      col("doc_id").as("doc_b")) ++
+      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+    val firstEq = (0 until 16).map(j => s"WHEN a$j = b$j THEN $j")
+      .mkString("CASE ", " ", " ELSE -1 END")
+    val pairs = l.join(r, Seq("slot", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(firstEq) === col("slot"))
+    val base = pairs
+      .withColumn("nm", expr(bandTuningNMatch))
+      .withColumn("is_true", col("nm") >= 8)
+    val aggs = bandTuningConfigs.flatMap { case cfg @ (b, rr) =>
+      Seq(
+        sum(when(expr(bandTuningFired(cfg)), 1L).otherwise(0L))
+          .as(s"cand_${b}_$rr"),
+        sum(when(expr(bandTuningFired(cfg)) && col("is_true"), 1L)
+          .otherwise(0L)).as(s"capt_${b}_$rr"))
+    } :+ sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true")
+    val stackArgs = bandTuningConfigs.map { case (b, rr) =>
+      s"$b, $rr, cand_${b}_$rr, capt_${b}_$rr"
+    }.mkString(", ")
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${bandTuningConfigs.size}, $stackArgs) AS " +
+        "(bands, rows_per_band, n_candidates, n_captured)"),
+        col("n_true"))
+      .select(col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_captured"), col("n_true"),
+        expr("CASE WHEN n_true > 0 " +
+          "THEN n_captured * 1000000 div n_true END").as("recall_ppm"))
+  }
+
+  private val bandTuningConfigs: Seq[(Int, Int)] =
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  private val bandTuningNMatch: String =
+    (0 until 16).map(j => s"(CASE WHEN a$j = b$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** "∃ band with all r slots equal" for the (b, r) split, over
+    * a/b-prefixed slot columns. */
+  private def bandTuningFired(cfg: (Int, Int)): String = {
+    val (b, r) = cfg
+    (0 until b).map { band =>
+      (0 until r).map(i => s"a${band * r + i} = b${band * r + i}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+  }
+
+  /** Oracle for [[bandTuning]]: all-pairs over the same sample (cheap
+    * there), identical fired/truth bit expressions, configs stacked by
+    * UNION ALL. */
+  def bandTuningSql(sampleMod: Int = 5): String = {
+    val eqs = (0 until 16).map(j =>
+      s"s1.m$j = s2.m$j").mkString(" OR ")
+    def fired(cfg: (Int, Int)): String = {
+      val (b, r) = cfg
+      (0 until b).map { band =>
+        (0 until r).map(i => s"s1.m${band * r + i} = s2.m${band * r + i}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+    }
+    val nm = (0 until 16).map(j =>
+      s"(CASE WHEN s1.m$j = s2.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val flagCols = bandTuningConfigs.map { case cfg @ (b, r) =>
+      s"CASE WHEN ${fired(cfg)} THEN 1 ELSE 0 END AS f_${b}_$r"
+    }.mkString(",\n         ")
+    val perCfg = bandTuningConfigs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST(sum(f_${b}_$r) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN f_${b}_$r = 1 AND nm >= 8 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_captured,
+         |  CAST(sum(CASE WHEN nm >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true
+         |FROM p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sample AS (
+       |  SELECT * FROM documents WHERE doc_id % $sampleMod = 0
+       |), ${sigCteFrom("sample").stripPrefix("WITH ")},
+       |p AS MATERIALIZED (
+       |  SELECT $nm AS nm,
+       |         $flagCols
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE $eqs
+       |)
+       |SELECT bands, rows_per_band, n_candidates, n_captured, n_true,
+       |       CASE WHEN n_true > 0
+       |            THEN n_captured * 1000000 // n_true END AS recall_ppm
+       |FROM ($perCfg)""".stripMargin
+  }
+
   private val simhashCte: String = {
     val votes = (0 until simhashBits)
       .map(b => s"sum(CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")

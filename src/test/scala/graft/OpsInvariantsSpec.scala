@@ -1567,6 +1567,25 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(multi.getLong(1) >= single.getLong(1))
   }
 
+  test("band tuning: nested halving chain is monotone, captured bounded") {
+    val rows = graft.ops.Dedup
+      .bandTuning(Tables.load(spark, sf, "documents"))
+      .collect().sortBy(_.getInt(0)) // by bands: 1,2,4,8,16
+    assert(rows.length === 5)
+    val cand = rows.map(_.getLong(2))
+    val capt = rows.map(_.getLong(3))
+    val truth = rows.map(_.getLong(4)).distinct
+    assert(truth.length === 1) // same truth set for every config
+    // each (2b, r/2) banding is a superset of (b, r) by construction
+    assert(cand.zip(cand.tail).forall { case (a, b) => b >= a })
+    assert(capt.zip(capt.tail).forall { case (a, b) => b >= a })
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(3) <= r.getLong(4))
+    }
+    // (16,1) = any-slot-match is the superset: it captures everything
+    assert(capt.last === truth.head)
+  }
+
   test("dedup threshold curve is monotone non-increasing") {
     val rows = graft.ops.Dedup
       .thresholdCurve(Tables.load(spark, sf, "documents"))
