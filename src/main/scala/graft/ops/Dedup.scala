@@ -705,6 +705,125 @@ object Dedup {
        |       LEFT JOIN nd USING (threshold)""".stripMargin
   }
 
+  /** Modularity (Newman–Girvan) of the STRICT-threshold dedup
+    * clustering measured against the LOOSE-threshold similarity
+    * graph — the clustering-quality QC of a threshold pair:
+    * Q = Σ_c [m_c/m − (d_c/2m)²] with labels = connected components at
+    * `strictThreshold` (0.9, the near-identical cliques) and edges =
+    * the [[resolveThreshold]] 0.5 graph. Labels from the SAME graph
+    * would be vacuous (CC cuts no edges of its own graph — Q
+    * degenerates to a size-concentration number); against the looser
+    * graph the cut edges are exactly the moderate-similarity pairs the
+    * strict clustering separates, so Q falling means the two tiers
+    * disagree about structure — the signal to revisit one of them.
+    *
+    * Exact-integer fraction: numerator `Σ_c (4·m·m_c − d_c²)` and
+    * denominator `4m²` are BIGINTs; ONE correctly-rounded double
+    * division at the end, so the rounded value is engine-identical.
+    * Cost on top of the two (session-cached) edge lists + labels: two
+    * cluster-cardinality-sized aggregates. */
+  def modularity(docs: DataFrame,
+      strictThreshold: Double = triangleThreshold): DataFrame = {
+    val edges = dupEdges(docs)
+    val strict = weightedDupEdges(docs, strictThreshold)
+      .select("doc_a", "doc_b")
+    val labels = Graph.connectedComponents(
+        docs.select(col("doc_id")), strict)
+      .select(col("id").as("doc_id"), col("lbl").as("c"))
+    val labeled = edges
+      .join(labels.select(col("doc_id").as("doc_a"), col("c").as("ca")),
+        "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"), col("c").as("cb")),
+        "doc_b")
+    val m = labeled.count()
+    val intra = labeled.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("mc"))
+    val deg = labeled.select(col("ca").as("c"))
+      .union(labeled.select(col("cb")))
+      .groupBy("c").agg(count(lit(1)).as("dc"))
+    deg.join(intra, Seq("c"), "left")
+      .select((lit(4L) * lit(m) * coalesce(col("mc"), lit(0L))
+        - col("dc") * col("dc")).as("term"))
+      .agg(sum(col("term")).as("num"))
+      .select(
+        lit(m).as("n_edges"),
+        round(col("num").cast("double")
+          / (lit(4.0) * lit(m).cast("double") * lit(m).cast("double")), 6)
+          .as("modularity"))
+  }
+
+  /** Oracle for [[modularity]]: the [[resolveCtesFrom]] label chain at
+    * the strict threshold, a second loose pair set off the same `sig`
+    * CTE, and the identical exact-integer fraction. */
+  def modularitySql(strictThreshold: Double = triangleThreshold): String =
+    s"""WITH ${resolveCtesFrom("documents", threshold = strictThreshold)},
+       |p05 AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE ($bandEqSql)
+       |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE)
+       |        >= $resolveThreshold
+       |), lbl AS (
+       |  SELECT e.doc_a, e.doc_b, ra.canonical_doc AS ca,
+       |         rb.canonical_doc AS cb
+       |  FROM p05 e
+       |  JOIN resolved ra ON ra.doc_id = e.doc_a
+       |  JOIN resolved rb ON rb.doc_id = e.doc_b
+       |), m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m FROM lbl
+       |), intra AS (
+       |  SELECT ca AS c, CAST(count(*) AS BIGINT) AS mc
+       |  FROM lbl WHERE ca = cb GROUP BY 1
+       |), deg AS (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS dc FROM (
+       |    SELECT ca AS c FROM lbl UNION ALL SELECT cb FROM lbl
+       |  ) GROUP BY 1
+       |), num AS (
+       |  SELECT CAST(sum(4 * m.m * coalesce(i.mc, 0) - d.dc * d.dc)
+       |              AS BIGINT) AS num
+       |  FROM deg d LEFT JOIN intra i USING (c), m
+       |)
+       |SELECT m.m AS n_edges,
+       |       round(CAST(num.num AS DOUBLE)
+       |             / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6)
+       |         AS modularity
+       |FROM num, m""".stripMargin
+
+  /** Cross-source duplication matrix — WHICH sources mirror each
+    * other: near-dup pairs rolled up by the (lexicographically
+    * ordered) source pair of their endpoints. The crawl-diagnostics
+    * read of the dup graph: a hot off-diagonal cell is a mirror site /
+    * syndication pair worth a crawl rule; the diagonal is
+    * within-source duplication. One join of the (cached) edge list to
+    * the doc→source map on each endpoint, then a ≤|sources|²-row
+    * aggregate. */
+  def dupBySource(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val edges = dupEdges(docs)
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "sa"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "sb"), "doc_b")
+    edges
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  /** Oracle for [[dupBySource]]. */
+  val dupBySourceSql: String =
+    s"""WITH ${pairsCtesFrom("documents")},
+       |e AS (
+       |  SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |)
+       |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_dup_pairs
+       |FROM e GROUP BY 1, 2""".stripMargin
+
   /** LSH band-geometry tuning table — the MEASURED S-curve behind the
     * (bands × rows) choice: for each way of splitting the 16-slot
     * MinHash signature into b bands of r rows, how many candidate
@@ -1002,7 +1121,8 @@ object Dedup {
     * its predecessor three times, and DuckDB's default CTE INLINING
     * would otherwise expand the chain to 3^rounds plan copies
     * (observed as millions of parquet re-opens → fd exhaustion). */
-  private[ops] def resolveCtesFrom(src: String, rounds: Int = 14): String = {
+  private[ops] def resolveCtesFrom(src: String, rounds: Int = 14,
+      threshold: Double = resolveThreshold): String = {
     val roundCtes = (1 to rounds).map { k =>
       val prev = s"l${k - 1}"
       s"""l$k AS MATERIALIZED (
@@ -1017,7 +1137,7 @@ object Dedup {
          |  ) GROUP BY doc
          |)""".stripMargin
     }.mkString(",\n")
-    s"""${pairsCtesFrom(src)},
+    s"""${pairsCtesFrom(src, threshold)},
        |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL

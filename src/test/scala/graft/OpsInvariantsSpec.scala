@@ -1567,6 +1567,18 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(multi.getLong(1) >= single.getLong(1))
   }
 
+  test("modularity is in the Newman bound and dup-by-source conserves edges") {
+    val docs = Tables.load(spark, sf, "documents")
+    val q = graft.ops.Dedup.modularity(docs).head
+    // Newman: -1/2 <= Q < 1 always
+    assert(q.getDouble(1) >= -0.5 - 1e-9 && q.getDouble(1) <= 1.0)
+    val bySrc = graft.ops.Dedup.dupBySource(docs)
+    val pairTotal = bySrc.agg(sum(col("n_dup_pairs"))).head.getLong(0)
+    assert(pairTotal === q.getLong(0)) // every dup edge lands in one cell
+    // pairs are emitted with the canonical source order
+    assert(bySrc.filter(col("source_a") > col("source_b")).count() === 0)
+  }
+
   test("band tuning: nested halving chain is monotone, captured bounded") {
     val rows = graft.ops.Dedup
       .bandTuning(Tables.load(spark, sf, "documents"))
