@@ -217,6 +217,7 @@ object SparkEntry {
     "v_ann_multiprobe" -> ((s, dir) => Similarity.annLshMultiprobe(s, dir)),
     "v_multiprobe_recall" -> ((s, dir) => Similarity.multiprobeRecall(s, dir)),
     "v_label_outliers" -> ((s, dir) => Similarity.labelOutliers(s, dir)),
+    "v_centroid_shift" -> ((s, dir) => Similarity.centroidShift(s, dir)),
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
@@ -1289,6 +1290,7 @@ object SparkEntry {
     "v_ann_multiprobe" -> Similarity.annLshMultiprobeSql(),
     "v_multiprobe_recall" -> Similarity.multiprobeRecallSql(),
     "v_label_outliers" -> Similarity.labelOutliersSql(),
+    "v_centroid_shift" -> Similarity.centroidShiftSql(),
 
     "d_ngram_jaccard" ->
       """WITH sh AS (

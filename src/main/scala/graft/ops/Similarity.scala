@@ -1319,6 +1319,72 @@ object Similarity {
        |  FROM s
        |) WHERE rnk <= $k""".stripMargin
 
+  /** Per-label embedding drift between two corpus snapshots — the
+    * embedding-model regression / corpus-shift monitor: cosine between
+    * each label's centroid in snapshot A and snapshot B. A re-embedded
+    * corpus whose per-class centroids rotate away from their previous
+    * positions breaks every downstream ANN index and classifier
+    * threshold silently; this is the table that catches it. Snapshots
+    * here are the deterministic vec_id parity halves (the stand-in for
+    * time-ordered ingest generations). Centroids are EXACT — the
+    * [[labelOutliers]] per-dim micro-quantized BIGINT sums, divided
+    * once — and the final cosine is the usual correctly-rounded
+    * dot/norm arithmetic, so the rounded value is engine-identical.
+    * Everything after the one |corpus|·dim transpose aggregate is
+    * |labels|-sized. */
+  def centroidShift(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val dims = emb.select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("xm", expr("CAST(round(x * 1000000) AS BIGINT)"))
+    val cent = dims.groupBy("label", "half", "d")
+      .agg(sum(col("xm")).as("sm"), count(lit(1)).as("nn"))
+      .groupBy("label", "half")
+      .agg(max(col("nn")).as("n_vecs"),
+        transform(
+          array_sort(collect_list(struct(col("d"), col("sm"), col("nn")))),
+          s => s.getField("sm").cast("double") /
+            (s.getField("nn").cast("double") * lit(1000000.0))).as("c"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("n_vecs").as("n_even"), col("c").as("ca"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("n_vecs").as("n_odd"), col("c").as("cb"))
+    a.join(b, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(expr("dot_product(ca, cb)")
+          / (sqrt(expr("dot_product(ca, ca)"))
+            * sqrt(expr("dot_product(cb, cb)"))), 6).as("centroid_cos"))
+  }
+
+  /** Oracle for [[centroidShift]]. */
+  def centroidShiftSql(dim: Int = 64): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, vec_id % 2 AS half,
+       |         embedding::DOUBLE[] AS v
+       |  FROM embeddings
+       |), dims AS (
+       |  SELECT label, half, u.i AS d,
+       |         CAST(round(v[u.i] * 1000000) AS BIGINT) AS xm
+       |  FROM n, (SELECT unnest(generate_series(1, $dim)) AS i) u
+       |), csum AS (
+       |  SELECT label, half, d, CAST(sum(xm) AS BIGINT) AS sm,
+       |         count(*) AS nn
+       |  FROM dims GROUP BY 1, 2, 3
+       |), cent AS (
+       |  SELECT label, half, CAST(max(nn) AS BIGINT) AS n_vecs,
+       |         list(CAST(sm AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000.0)
+       |              ORDER BY d) AS c
+       |  FROM csum GROUP BY 1, 2
+       |)
+       |SELECT a.label, a.n_vecs AS n_even, b.n_vecs AS n_odd,
+       |       round(list_dot_product(a.c, b.c)
+       |             / (sqrt(list_dot_product(a.c, a.c))
+       |                * sqrt(list_dot_product(b.c, b.c))), 6)
+       |         AS centroid_cos
+       |FROM cent a JOIN cent b
+       |  ON a.label = b.label AND a.half = 0 AND b.half = 1""".stripMargin
+
   /** Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes its
     * own bucket PLUS every Hamming-1 neighbor (one hyperplane bit
     * flipped) — the standard recall-vs-cost dial that buys recall

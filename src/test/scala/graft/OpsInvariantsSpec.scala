@@ -1567,6 +1567,19 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(multi.getLong(1) >= single.getLong(1))
   }
 
+  test("centroid shift: halves partition each label, cosine valid") {
+    val out = Similarity.centroidShift(spark, sf).cache()
+    assert(out.filter(col("centroid_cos") > 1.000001 ||
+      col("centroid_cos") < -1.000001).count() === 0)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val perLabel = emb.groupBy("label").count()
+    // for labels with both halves, the half sizes must sum to the label total
+    val broken = out.join(perLabel, "label")
+      .filter(col("n_even") + col("n_odd") =!= col("count")).count()
+    assert(broken === 0)
+    out.unpersist()
+  }
+
   test("modularity is in the Newman bound and dup-by-source conserves edges") {
     val docs = Tables.load(spark, sf, "documents")
     val q = graft.ops.Dedup.modularity(docs).head
