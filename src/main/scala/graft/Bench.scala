@@ -12,9 +12,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
+    // Shuffle partitions default to the core count (right for the
+    // sf0.1 bench tier) but are overridable: per-partition working
+    // sets grow linearly with the data at fixed partitioning, and the
+    // 100x probe showed the consequence (execution-memory exhaustion
+    // in the PageRank contribution aggregate at 32 partitions x 1.2B
+    // rows). Sizing partitions to the data, not the cores, is the
+    // standard first lever on a real cluster.
+    val shufflePartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

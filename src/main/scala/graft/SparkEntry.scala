@@ -172,7 +172,9 @@ object SparkEntry {
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
     "g_pagerank" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Graph.pageRank(docs.select("doc_id"), Dedup.dupEdges(docs))
+      // dupEdges is session-checkpointed; skip pageRank's duplicate pin
+      Graph.pageRank(docs.select("doc_id"), Dedup.dupEdges(docs),
+        assumeMaterialized = true)
     }),
     "g_contamination_hops" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")

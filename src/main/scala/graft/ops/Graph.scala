@@ -230,7 +230,7 @@ object Graph {
     * @return (id, rank_pico, rank) — rank_pico the exact BIGINT state,
     *         rank its 8-dp readable form */
   def pageRank(vertices: DataFrame, edges0: DataFrame,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, assumeMaterialized: Boolean = false): DataFrame = {
     val allocated = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     def ckpt(df: DataFrame): DataFrame = {
@@ -261,7 +261,16 @@ object Graph {
     // division happens on the VERTEX-sized rank table before the
     // per-iteration join (5k divisions instead of one per edge-row), so
     // no `d` column rides the big list.
-    val halfPairs = ckpt(half)
+    //
+    // `assumeMaterialized`: when the caller's edge list is ALREADY
+    // pinned (the session-cached dup-edge table — every registry
+    // caller), re-checkpointing here duplicates the single biggest
+    // allocation in the engine. The 100x probe measured the cost: two
+    // 600M-row deserialized pins of the same list blew the 24g heap
+    // outright. With the flag the cheap projection re-reads the
+    // caller's blocks in place, the kCore `assumeCanonical`
+    // discipline.
+    val halfPairs = if (assumeMaterialized) half else ckpt(half)
     val deg = ckpt(halfPairs
       .select(explode(array(col("src"), col("dst"))).as("src"))
       .groupBy("src").agg(count(lit(1)).as("d")))
