@@ -21,6 +21,17 @@ object Bench {
     // standard first lever on a real cluster.
     val shufflePartitions = sys.env.getOrElse(
       "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Contention guard (VERDICT r10 #6): a loaded host uniformly
+    // inflates every query ~1.2x with no plan change (seen rounds
+    // 7/9/10) — numbers from such a run are not comparable to a floor.
+    // Record 1-min loadavg before/after in the artifact and flag the
+    // run when it STARTED hot, institutionalizing the manual
+    // idle-host adjudication habit.
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -80,8 +91,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
+    val loadAfter = loadAvg()
+    // >2.0 1-min load at start on this 32-way host means another JVM /
+    // build was already running — the contention signature's onset
+    val contended = loadBefore > 2.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"queries":$qs,"sf":"$sfDir"}"""
+    if (contended)
+      System.err.println(
+        s"[bench] WARNING: started at loadavg $loadBefore (>2.0) — timings " +
+          "likely inflated by host contention; re-run on an idle host " +
+          "before comparing to a floor")
     if (failedNames.nonEmpty)
       System.err.println(
         s"[bench] ${failedNames.size} queries FAILED: ${failedNames.mkString(", ")}")

@@ -794,36 +794,6 @@ object SparkEntry {
          |       END AS delta_ms
          |FROM p LEFT JOIN b USING (event_id)
          |       LEFT JOIN f USING (event_id)""".stripMargin,
-    "j_asof_nearest" ->
-      s"""$T, p AS (
-         |  SELECT event_id, user_id, "timestamp", price
-         |  FROM trades WHERE symbol = 'purchase'
-         |), c AS (
-         |  SELECT user_id, "timestamp" AS cts,
-         |         arg_max(price, event_id) AS click_price
-         |  FROM trades WHERE symbol = 'click' GROUP BY 1, 2
-         |), b AS (
-         |  SELECT p.event_id, c.cts AS bt, c.click_price AS bp
-         |  FROM p ASOF LEFT JOIN c
-         |    ON p.user_id = c.user_id AND c.cts <= p."timestamp"
-         |), f AS (
-         |  SELECT p.event_id, c.cts AS ft, c.click_price AS fp
-         |  FROM p ASOF LEFT JOIN c
-         |    ON p.user_id = c.user_id AND c.cts > p."timestamp"
-         |)
-         |SELECT p.event_id, p.user_id, p."timestamp", p.price,
-         |       CASE WHEN bt IS NOT NULL AND (ft IS NULL
-         |                  OR epoch_us(p."timestamp") - epoch_us(bt)
-         |                     <= epoch_us(ft) - epoch_us(p."timestamp"))
-         |            THEN bp ELSE fp END AS near_price,
-         |       CASE WHEN bt IS NOT NULL AND (ft IS NULL
-         |                  OR epoch_us(p."timestamp") - epoch_us(bt)
-         |                     <= epoch_us(ft) - epoch_us(p."timestamp"))
-         |            THEN -((epoch_us(p."timestamp") - epoch_us(bt)) // 1000)
-         |            ELSE (epoch_us(ft) - epoch_us(p."timestamp")) // 1000
-         |       END AS delta_ms
-         |FROM p LEFT JOIN b USING (event_id)
-         |       LEFT JOIN f USING (event_id)""".stripMargin,
     "j_semi_customers_with_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,

@@ -747,8 +747,11 @@ object Dedup {
       .agg(sum(col("term")).as("num"))
       .select(
         lit(m).as("n_edges"),
-        round(col("num").cast("double")
-          / (lit(4.0) * lit(m).cast("double") * lit(m).cast("double")), 6)
+        // m == 0 (empty loose graph) would divide by zero → NULL; an
+        // edgeless graph has nothing to cut, so Q is defined as 0.
+        (if (m == 0L) lit(0.0)
+         else round(col("num").cast("double")
+           / (lit(4.0) * lit(m).cast("double") * lit(m).cast("double")), 6))
           .as("modularity"))
   }
 
@@ -784,9 +787,10 @@ object Dedup {
        |  FROM deg d LEFT JOIN intra i USING (c), m
        |)
        |SELECT m.m AS n_edges,
-       |       round(CAST(num.num AS DOUBLE)
-       |             / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6)
-       |         AS modularity
+       |       CASE WHEN m.m > 0
+       |            THEN round(CAST(num.num AS DOUBLE)
+       |               / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6)
+       |            ELSE 0.0 END AS modularity
        |FROM num, m""".stripMargin
 
   /** Cross-source duplication matrix — WHICH sources mirror each

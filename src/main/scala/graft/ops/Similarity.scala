@@ -1641,7 +1641,8 @@ object Similarity {
       }.reduce(least(_, _))
       val picked = emb
         .filter(!col("vec_id").isin(seeds.map(_._2): _*))
-        .select(col("vec_id"), mind.as("mind"),
+        .withColumn("mind", mind)
+        .select(col("vec_id"), col("mind"),
           round(col("mind"), 6).as("mind6"), col("v"), col("norm"))
         .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
       if (picked.isEmpty) exhausted = true

@@ -418,13 +418,6 @@ object TextOps {
        |  md5(red) AS redacted_md5
        |FROM r""".stripMargin
 
-  /** Vocabulary induction — the corpus-global token frequency table a
-    * tokenizer build starts from: explode tokens, count, keep the top-k
-    * by (count desc, token) with dense rank. ONE shuffle, map-side
-    * combined (partial counts merge before the exchange), then a tiny
-    * top-k over |vocab| rows — the word-count shape that holds at any
-    * corpus size. Document frequency rides along (distinct doc count
-    * per token) for downstream IDF/filtering. */
   /** Token frequency-of-frequencies spectrum (count-of-counts): for
     * each occurrence count f, how many distinct tokens occur exactly f
     * times — the input of Good–Turing smoothing, Zipf-fit QC, and the
@@ -455,6 +448,13 @@ object TextOps {
       |SELECT tf AS freq, CAST(count(*) AS BIGINT) AS n_tokens
       |FROM c GROUP BY 1""".stripMargin
 
+  /** Vocabulary induction — the corpus-global token frequency table a
+    * tokenizer build starts from: explode tokens, count, keep the top-k
+    * by (count desc, token) with dense rank. ONE shuffle, map-side
+    * combined (partial counts merge before the exchange), then a tiny
+    * top-k over |vocab| rows — the word-count shape that holds at any
+    * corpus size. Document frequency rides along (distinct doc count
+    * per token) for downstream IDF/filtering. */
   def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame = {
     val tokens = withWords(docs)
       // explode_outer: InferFiltersFromGenerate re-inlining trap (see

@@ -18,7 +18,8 @@ thr = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 shared = [k for k in new if k in old
           and isinstance(old[k], (int, float)) and isinstance(new[k], (int, float))]
 so, sn = sum(old[k] for k in shared), sum(new[k] for k in shared)
-print(f"shared {len(shared)} queries: old={so:.1f}s new={sn:.1f}s ratio={sn/so:.3f}x")
+ratio = f"{sn/so:.3f}x" if so > 0 else "n/a"
+print(f"shared {len(shared)} queries: old={so:.1f}s new={sn:.1f}s ratio={ratio}")
 only_new = [k for k in new if k not in old]
 if only_new:
     print(f"new-only ({len(only_new)}): " + ", ".join(
