@@ -161,7 +161,8 @@ object SparkEntry {
     "d_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(Tables.load(s, dir, "documents"))),
     "d_threshold_curve" -> ((s, dir) => Dedup.thresholdCurve(Tables.load(s, dir, "documents"))),
     "d_band_tuning" -> ((s, dir) => Dedup.bandTuning(Tables.load(s, dir, "documents"))),
-    "g_modularity" -> ((s, dir) => Dedup.modularity(Tables.load(s, dir, "documents"))),
+    "g_modularity" -> ((s, dir) => Dedup.modularity(
+      Tables.load(s, dir, "documents"), edgeBudget = 2000000L)),
     "d_dup_by_source" -> ((s, dir) => Dedup.dupBySource(Tables.load(s, dir, "documents"))),
     "d_simhash_sig" -> ((s, dir) => Dedup.simhashSignatures(Tables.load(s, dir, "documents"))),
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
@@ -1160,7 +1161,7 @@ object SparkEntry {
     "d_minhash_pairs" -> Dedup.minhashPairsSql,
     "d_threshold_curve" -> Dedup.thresholdCurveSql(),
     "d_band_tuning" -> Dedup.bandTuningSql(),
-    "g_modularity" -> Dedup.modularitySql(),
+    "g_modularity" -> Dedup.modularitySql(edgeBudget = 2000000L),
     "d_dup_by_source" -> Dedup.dupBySourceSql,
     "d_simhash_sig" -> Dedup.simhashSigSql,
     "d_simhash_pairs" -> Dedup.simhashPairsSql,

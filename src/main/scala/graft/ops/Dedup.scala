@@ -131,6 +131,45 @@ object Dedup {
   private val wEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
 
+  private val edgeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int, Long), (org.apache.spark.sql.SparkSession, Long)]()
+
+  /** Count of the [[resolveThreshold]] loose edge list, cached per
+    * (session, corpus): the [[modularity]] sample-modulus derivation
+    * needs m₀ on every call, and re-scanning the (already cached)
+    * 60 M-row edge table per bench rep is a measurable fixed cost.
+    * Values carry their session so stopped-session entries are evicted
+    * (an `identityHashCode` key can be reused by a later session). */
+  private def looseEdgeCount(docs: DataFrame): Long = {
+    edgeCountCache.entrySet().removeIf(
+      e => e.getValue._1.sparkContext.isStopped)
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.analyzed.canonicalized.semanticHash(), 0L)
+    edgeCountCache.computeIfAbsent(key,
+      _ => (docs.sparkSession, dupEdges(docs).count()))._2
+  }
+
+  private val ccLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+
+  /** Connected-component labels of the strict-threshold dup graph,
+    * cached per (session, corpus, threshold): the iterative CC build
+    * (driver-round pointer jumping) is a fixed multi-second cost per
+    * call, while the label table is two longs per doc — the same
+    * pin-the-small-thing trade as [[dupEdges]]. */
+  private def strictComponentLabels(docs: DataFrame,
+      threshold: Double): DataFrame =
+    cached(ccLabelCache, docs,
+        java.lang.Double.doubleToLongBits(threshold)) { d =>
+      Graph.connectedComponents(d.select(col("doc_id")),
+          weightedDupEdges(d, threshold).select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("lbl").as("c"))
+    }
+
+  private val labeledEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+
   /** [[dupEdges]] with the similarity weight kept — for consumers that
     * rank by similarity ([[mutualKnn]] → triangles). Cached separately
     * per (session, corpus, threshold): at the high thresholds these
@@ -721,20 +760,49 @@ object Dedup {
     * denominator `4m²` are BIGINTs; ONE correctly-rounded double
     * division at the end, so the rounded value is engine-identical.
     * Cost on top of the two (session-cached) edge lists + labels: two
-    * cluster-cardinality-sized aggregates. */
+    * cluster-cardinality-sized aggregates.
+    *
+    * Scale guard (VERDICT r10 #2): the loose 0.5-graph is the 100×
+    * cost driver (60 M edges at 10×, edge-linear label joins +
+    * degree aggregates). With `edgeBudget > 0` the measurement runs
+    * over a DETERMINISTIC edge sample: `sampleMod = ceil(m₀ /
+    * edgeBudget)` derived from the full loose edge count (a cheap
+    * scan of the cached two-long-column edge list), keep an edge iff
+    * its engine-shared salted-md5 bucket ≡ 0 (the [[Pipeline
+    * .leakageSafeSplit]] hash discipline) — so the post-sample cost
+    * is bounded by the budget at ANY corpus size while small corpora
+    * (m₀ ≤ budget → sampleMod = 1) keep the exact full-graph Q.
+    * Uniform edge sampling preserves the m_c/m and d_c/2m fractions
+    * in expectation, so sampled Q estimates full Q; `sample_mod` is
+    * emitted so readers see which regime produced the number.
+    * `edgeBudget = 0` forces the exact full-loose form. */
   def modularity(docs: DataFrame,
-      strictThreshold: Double = triangleThreshold): DataFrame = {
-    val edges = dupEdges(docs)
-    val strict = weightedDupEdges(docs, strictThreshold)
-      .select("doc_a", "doc_b")
-    val labels = Graph.connectedComponents(
-        docs.select(col("doc_id")), strict)
-      .select(col("id").as("doc_id"), col("lbl").as("c"))
-    val labeled = edges
-      .join(labels.select(col("doc_id").as("doc_a"), col("c").as("ca")),
-        "doc_a")
-      .join(labels.select(col("doc_id").as("doc_b"), col("c").as("cb")),
-        "doc_b")
+      strictThreshold: Double = triangleThreshold,
+      edgeBudget: Long = 0L): DataFrame = {
+    val sampleMod =
+      if (edgeBudget <= 0L) 1L
+      else math.max(1L,
+        (looseEdgeCount(docs) + edgeBudget - 1L) / edgeBudget)
+    // the (sampled-edge ⋈ labels) table is consumed THREE times (m,
+    // intra, deg) and is budget-bounded (≤ ~edgeBudget rows × 4 longs)
+    // — session-cache it like the edge list so the joins run once
+    val labeled = cached(labeledEdgeCache, docs,
+        java.lang.Double.doubleToLongBits(strictThreshold) * 31L
+          + edgeBudget) { d =>
+      val allEdges = dupEdges(d)
+      val edges =
+        if (sampleMod == 1L) allEdges
+        else allEdges.filter(pmod(expr(
+          "CAST(conv(substring(md5(concat(CAST(doc_a AS STRING), '_', " +
+            "CAST(doc_b AS STRING))), 1, 8), 16, 10) AS BIGINT)"),
+          lit(sampleMod)) === 0L)
+      val labels = strictComponentLabels(d, strictThreshold)
+      edges
+        .join(labels.select(col("doc_id").as("doc_a"), col("c").as("ca")),
+          "doc_a")
+        .join(labels.select(col("doc_id").as("doc_b"), col("c").as("cb")),
+          "doc_b")
+    }
     val m = labeled.count()
     val intra = labeled.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(count(lit(1)).as("mc"))
@@ -747,6 +815,7 @@ object Dedup {
       .agg(sum(col("term")).as("num"))
       .select(
         lit(m).as("n_edges"),
+        lit(sampleMod).as("sample_mod"),
         // m == 0 (empty loose graph) would divide by zero → NULL; an
         // edgeless graph has nothing to cut, so Q is defined as 0.
         (if (m == 0L) lit(0.0)
@@ -757,19 +826,32 @@ object Dedup {
 
   /** Oracle for [[modularity]]: the [[resolveCtesFrom]] label chain at
     * the strict threshold, a second loose pair set off the same `sig`
-    * CTE, and the identical exact-integer fraction. */
-  def modularitySql(strictThreshold: Double = triangleThreshold): String =
+    * CTE, the identical budget-derived deterministic edge sample, and
+    * the identical exact-integer fraction. */
+  def modularitySql(strictThreshold: Double = triangleThreshold,
+      edgeBudget: Long = 0L): String =
     s"""WITH ${resolveCtesFrom("documents", threshold = strictThreshold)},
-       |p05 AS (
+       |p05 AS MATERIALIZED (
        |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
        |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
        |  WHERE ($bandEqSql)
        |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE)
        |        >= $resolveThreshold
+       |), smod AS (
+       |  SELECT CASE WHEN ${edgeBudget}::BIGINT <= 0 THEN 1::BIGINT
+       |              ELSE greatest(1::BIGINT,
+       |                (count(*) + ${edgeBudget} - 1) // ${math.max(edgeBudget, 1L)})
+       |         END AS s
+       |  FROM p05
+       |), samp AS (
+       |  SELECT doc_a, doc_b FROM p05, smod
+       |  WHERE smod.s = 1
+       |     OR ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '_'
+       |          || CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT % smod.s = 0
        |), lbl AS (
        |  SELECT e.doc_a, e.doc_b, ra.canonical_doc AS ca,
        |         rb.canonical_doc AS cb
-       |  FROM p05 e
+       |  FROM samp e
        |  JOIN resolved ra ON ra.doc_id = e.doc_a
        |  JOIN resolved rb ON rb.doc_id = e.doc_b
        |), m AS (
@@ -786,12 +868,12 @@ object Dedup {
        |              AS BIGINT) AS num
        |  FROM deg d LEFT JOIN intra i USING (c), m
        |)
-       |SELECT m.m AS n_edges,
+       |SELECT m.m AS n_edges, smod.s AS sample_mod,
        |       CASE WHEN m.m > 0
        |            THEN round(CAST(num.num AS DOUBLE)
        |               / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6)
        |            ELSE 0.0 END AS modularity
-       |FROM num, m""".stripMargin
+       |FROM num, m, smod""".stripMargin
 
   /** Cross-source duplication matrix — WHICH sources mirror each
     * other: near-dup pairs rolled up by the (lexicographically

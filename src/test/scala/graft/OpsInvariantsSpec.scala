@@ -1584,7 +1584,14 @@ class OpsInvariantsSpec extends SparkSuite {
     val docs = Tables.load(spark, sf, "documents")
     val q = graft.ops.Dedup.modularity(docs).head
     // Newman: -1/2 <= Q < 1 always
-    assert(q.getDouble(1) >= -0.5 - 1e-9 && q.getDouble(1) <= 1.0)
+    assert(q.getLong(1) === 1L) // edgeBudget=0 -> exact full graph
+    assert(q.getDouble(2) >= -0.5 - 1e-9 && q.getDouble(2) <= 1.0)
+    // budget-derived deterministic edge sample: strictly fewer edges,
+    // sample_mod > 1, and the sampled Q stays inside the Newman bound
+    val qs = graft.ops.Dedup
+      .modularity(docs, edgeBudget = q.getLong(0) / 3 + 1).head
+    assert(qs.getLong(1) > 1L && qs.getLong(0) < q.getLong(0))
+    assert(qs.getDouble(2) >= -0.5 - 1e-9 && qs.getDouble(2) <= 1.0)
     val bySrc = graft.ops.Dedup.dupBySource(docs)
     val pairTotal = bySrc.agg(sum(col("n_dup_pairs"))).head.getLong(0)
     assert(pairTotal === q.getLong(0)) // every dup edge lands in one cell
