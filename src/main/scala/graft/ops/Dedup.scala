@@ -95,16 +95,24 @@ object Dedup {
     * carrying two 16-long signature arrays. The band-bucket join itself
     * keys on a 64-bit xxhash; hash collisions cannot create false
     * pairs because `first_match` re-checks real slot equality. */
-  /** Candidate pairs recompute from the CACHED signature table on every
-    * call — deliberately NOT cached themselves: on a near-dup-heavy
-    * corpus the pair table is quadratic in duplicate-cluster size (6M
-    * rows at sf0.1, ~96M at a 4× perturbed-copy probe — materializing
-    * that into the block store cost 6× the band join itself), while the
-    * signature table is one 17-column row per doc at any scale. The
-    * shared stage is the signatures; the explosive join is cheap once
-    * its input is pinned. */
+  /** Candidate pairs, session-cached per corpus (VERDICT r10 #3): the
+    * banded join is the shared stage of `d_minhash_pairs`,
+    * `d_threshold_curve`, and every [[dupEdges]]/[[weightedDupEdges]]
+    * threshold tier, so it now runs ONCE per (session, corpus) and all
+    * consumers scan the pinned result. What gets pinned is the
+    * PROJECTED (doc_a, doc_b, est_jaccard) table — 24 bytes/pair;
+    * the round-8 measurement that argued against caching (6× the band
+    * join itself) materialized the pre-projection rows carrying two
+    * 16-long signatures (~280 B/pair), which is gone here. The pin is
+    * MEMORY_AND_DISK via localCheckpoint, so a pathological pair
+    * explosion spills instead of OOMing; at 100 TB this table is what
+    * you'd write out as the pipeline's candidate-pair dataset. */
   def minhashPairs(docs: DataFrame): DataFrame =
-    pairsFromSignatures(minhashSignatures(docs))
+    cached(candPairCache, docs)(d =>
+      pairsFromSignatures(minhashSignatures(d)))
+
+  private val candPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
 
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
@@ -928,32 +936,48 @@ object Dedup {
     * geometry is tuned in practice — with the first-matching-slot
     * emit rule ([[bandJoin]]'s collision-proof dedup). */
   def bandTuning(docs: DataFrame, sampleMod: Int = 5): DataFrame = {
-    val sig = minhashSignatures(docs.filter(col("doc_id") % sampleMod === 0))
-    val slots = sig.select(
-      Seq(col("doc_id")) ++ (0 until 16).map(j => col(s"m$j")) :+
-        explode(array((0 until 16).map(j =>
-          struct(lit(j).as("slot"), col(s"m$j").as("v"))): _*)).as("sv"): _*)
-      .select(Seq(col("doc_id"), col("sv.slot").as("slot"),
-        col("sv.v").as("v")) ++ (0 until 16).map(j => col(s"m$j")): _*)
-    val l = slots.select(Seq(col("slot"), col("v"),
-      col("doc_id").as("doc_a")) ++
-      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
-    val r = slots.select(Seq(col("slot"), col("v"),
-      col("doc_id").as("doc_b")) ++
-      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
-    val firstEq = (0 until 16).map(j => s"WHEN a$j = b$j THEN $j")
-      .mkString("CASE ", " ", " ELSE -1 END")
-    val pairs = l.join(r, Seq("slot", "v"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(expr(firstEq) === col("slot"))
-    val base = pairs
-      .withColumn("nm", expr(bandTuningNMatch))
-      .withColumn("is_true", col("nm") >= 8)
+    // Session-cached superset pair table (VERDICT r10 #3): the
+    // any-slot-match join is the whole cost of this operator, and its
+    // pair rows compress to one 16-bit slot-equality MASK — every
+    // config's fired flag and the truth flag are bit tests over it, so
+    // the cached row is (doc_a, doc_b, mask) and repeat calls skip the
+    // join entirely.
+    val base = cached(tuningPairCache, docs, sampleMod.toLong) { d =>
+      val sig = minhashSignatures(d.filter(col("doc_id") % sampleMod === 0))
+      val slots = sig.select(
+        Seq(col("doc_id")) ++ (0 until 16).map(j => col(s"m$j")) :+
+          explode(array((0 until 16).map(j =>
+            struct(lit(j).as("slot"), col(s"m$j").as("v"))): _*)).as("sv"): _*)
+        .select(Seq(col("doc_id"), col("sv.slot").as("slot"),
+          col("sv.v").as("v")) ++ (0 until 16).map(j => col(s"m$j")): _*)
+      val l = slots.select(Seq(col("slot"), col("v"),
+        col("doc_id").as("doc_a")) ++
+        (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+      val r = slots.select(Seq(col("slot"), col("v"),
+        col("doc_id").as("doc_b")) ++
+        (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+      val firstEq = (0 until 16).map(j => s"WHEN a$j = b$j THEN $j")
+        .mkString("CASE ", " ", " ELSE -1 END")
+      val maskExpr = (0 until 16).map(j =>
+        s"(CASE WHEN a$j = b$j THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      l.join(r, Seq("slot", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(expr(firstEq) === col("slot"))
+        .select(col("doc_a"), col("doc_b"),
+          expr(maskExpr).cast("int").as("mask"))
+    }.withColumn("is_true", expr("bit_count(mask)") >= 8)
+    def firedMask(cfg: (Int, Int)): String = {
+      val (b, r) = cfg
+      (0 until b).map { band =>
+        val bm = ((1 << r) - 1) << (band * r)
+        s"(mask & $bm) = $bm"
+      }.mkString(" OR ")
+    }
     val aggs = bandTuningConfigs.flatMap { case cfg @ (b, rr) =>
       Seq(
-        sum(when(expr(bandTuningFired(cfg)), 1L).otherwise(0L))
+        sum(when(expr(firedMask(cfg)), 1L).otherwise(0L))
           .as(s"cand_${b}_$rr"),
-        sum(when(expr(bandTuningFired(cfg)) && col("is_true"), 1L)
+        sum(when(expr(firedMask(cfg)) && col("is_true"), 1L)
           .otherwise(0L)).as(s"capt_${b}_$rr"))
     } :+ sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true")
     val stackArgs = bandTuningConfigs.map { case (b, rr) =>
@@ -972,19 +996,8 @@ object Dedup {
   private val bandTuningConfigs: Seq[(Int, Int)] =
     Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
 
-  private val bandTuningNMatch: String =
-    (0 until 16).map(j => s"(CASE WHEN a$j = b$j THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-
-  /** "∃ band with all r slots equal" for the (b, r) split, over
-    * a/b-prefixed slot columns. */
-  private def bandTuningFired(cfg: (Int, Int)): String = {
-    val (b, r) = cfg
-    (0 until b).map { band =>
-      (0 until r).map(i => s"a${band * r + i} = b${band * r + i}")
-        .mkString("(", " AND ", ")")
-    }.mkString(" OR ")
-  }
+  private val tuningPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
 
   /** Oracle for [[bandTuning]]: all-pairs over the same sample (cheap
     * there), identical fired/truth bit expressions, configs stacked by
