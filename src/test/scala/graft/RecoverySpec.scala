@@ -115,4 +115,194 @@ class RecoverySpec extends SparkSuite {
     assert(got === expected,
       "restarted predict stream must equal the batch scorer result")
   }
+
+  /** Land a small DataFrame as exactly one parquet file in `dir` —
+    * the file-source seam every kill-and-resume scenario uses
+    * (MemoryStream cannot survive a checkpoint restart; files can). */
+  private def landParquet(df: org.apache.spark.sql.DataFrame,
+      dir: String, name: String): Unit = {
+    val tmp = tmpDir("graft-recov-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, name))
+  }
+
+  test("query_10 retractable topk: kill mid-feed, resume with evicting deletes, double-replay no-ops") {
+    import spark.implicits._
+    // per-type values 1..20: phase 2 DELETES the reigning top value of
+    // each type, so the post-restart view must promote runners-up from
+    // multiset state that predates the restart
+    def signedDf(rows: Seq[(String, Long, Long)]) =
+      rows.map { case (et, v, s) =>
+        (et, new java.sql.Timestamp(t0), v.toDouble, s) }
+        .toDF("event_type", "ts", "value", "sign")
+    val inserts = for (et <- Seq("view", "buy"); v <- 1L to 20L)
+      yield (et, v, 1L)
+    val (phase1, phase2in) = inserts.splitAt(25)
+    val deletes = Seq(("view", 20L, -1L), ("buy", 20L, -1L))
+    val in = tmpDir("graft-topk-in")
+    val out = tmpDir("graft-topk-out")
+    val ckpt = tmpDir("graft-topk-ckpt")
+    val schema = signedDf(Seq.empty).schema
+    def start() = StreamingJob.runRetractableTopK(spark,
+      spark.readStream.schema(schema).parquet(in),
+      StreamingJob.Config(out, ckpt))
+    landParquet(signedDf(phase1), in, "b1.parquet")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // deletes of the top values arrive while the job is down
+    landParquet(signedDf(phase2in ++ deletes), in, "b2.parquet")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val root = s"$out/topk_state"
+    def view() = StreamingJob.retractTopKView(spark, root)
+      .select("event_type", "rank", "value_micro")
+      .as[(String, Long, Long)].collect().toSet
+    // value 20 deleted -> top-3 is 19, 18, 17 for both types
+    val expected = (for (et <- Seq("view", "buy"); r <- 1 to 3)
+      yield (et, r.toLong, (20L - r) * 1000000L)).toSet
+    assert(view() === expected,
+      "post-restart view must promote runners-up after top eviction")
+    // forced double-replay of the final batch: the applied-batch marker
+    // riding the store's _CURRENT flip must make the re-merge a no-op
+    val lastId = Upsert.lastAppliedBatch(root).get
+    StreamingJob.applyRetractTopKBatch(
+      signedDf(phase2in ++ deletes), lastId, root)
+    assert(view() === expected, "replayed batch double-counted the multiset")
+  }
+
+  test("query_09 minmax: a delete racing its insert survives the restart as negative multiplicity") {
+    import spark.implicits._
+    def signedDf(rows: Seq[(String, Long, Long)]) =
+      rows.map { case (et, v, s) =>
+        (et, new java.sql.Timestamp(t0), v.toDouble, s) }
+        .toDF("event_type", "ts", "value", "sign")
+    // phase 1: values 5..8 insert, PLUS a delete of value 9 whose
+    // insert only arrives after the restart (mult -1 must persist)
+    val phase1 = Seq(("view", 5L, 1L), ("view", 6L, 1L),
+      ("view", 7L, 1L), ("view", 8L, 1L), ("view", 9L, -1L))
+    // phase 2: the raced insert (nets to zero -> absent) and value 4
+    val phase2 = Seq(("view", 9L, 1L), ("view", 4L, 1L))
+    val in = tmpDir("graft-minmax-in")
+    val out = tmpDir("graft-minmax-out")
+    val ckpt = tmpDir("graft-minmax-ckpt")
+    val schema = signedDf(Seq.empty).schema
+    def start() = StreamingJob.runRetractableMinMax(spark,
+      spark.readStream.schema(schema).parquet(in),
+      StreamingJob.Config(out, ckpt))
+    landParquet(signedDf(phase1), in, "b1.parquet")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val root = s"$out/minmax_state"
+    // the raced delete is IN the store as a negative row right now
+    val raced = Upsert.read(spark, root).get
+      .filter(col("v_micro") === 9000000L)
+      .select("mult").as[Long].collect().toSeq
+    assert(raced === Seq(-1L),
+      "negative multiplicity must persist across the stop")
+    landParquet(signedDf(phase2), in, "b2.parquet")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val view = StreamingJob.retractMinMaxView(spark, root)
+      .select("min_value_micro", "max_value_micro")
+      .as[(Long, Long)].collect().toSeq
+    // 9 cancelled to zero: max is 8, min is 4
+    assert(view === Seq((4000000L, 8000000L)),
+      "cancelled value must not appear; min/max over survivors")
+    val lastId = Upsert.lastAppliedBatch(root).get
+    StreamingJob.applyRetractBatch(signedDf(phase2), lastId, root)
+    val view2 = StreamingJob.retractMinMaxView(spark, root)
+      .select("min_value_micro", "max_value_micro")
+      .as[(Long, Long)].collect().toSeq
+    assert(view2 === view, "replayed batch double-counted the multiset")
+  }
+
+  test("query_07 cdc: tombstoned key stays dead over a restart, re-insert after resume revives it") {
+    import spark.implicits._
+    def cdcDf(rows: Seq[(Long, Long, Long, Double, String)]) =
+      rows.map { case (u, tsOff, eid, p, op) =>
+        (u, new java.sql.Timestamp(t0 + tsOff), eid, p, op) }
+        .toDF("user_id", "timestamp", "event_id", "price", "op")
+    // phase 1: u1 insert+update, u2 insert then DELETE (tombstone)
+    val phase1 = Seq(
+      (1L, 0L, 1L, 10.0, "U"), (1L, 1000L, 2L, 11.0, "U"),
+      (2L, 0L, 3L, 20.0, "U"), (2L, 2000L, 4L, 0.0, "D"))
+    // phase 2 (after restart): u3 insert, u2 REVIVED
+    val phase2 = Seq(
+      (3L, 3000L, 5L, 30.0, "U"), (2L, 4000L, 6L, 25.0, "U"))
+    val in = tmpDir("graft-cdc-in")
+    val out = tmpDir("graft-cdc-rout")
+    val ckpt = tmpDir("graft-cdc-rckpt")
+    val schema = cdcDf(Seq.empty).schema
+    def start() = StreamingJob.runCdcApply(spark,
+      spark.readStream.schema(schema).parquet(in),
+      StreamingJob.Config(out, ckpt))
+    landParquet(cdcDf(phase1), in, "b1.parquet")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val root = s"$out/cdc_state"
+    def state() = Upsert.read(spark, root).get
+      .select("user_id", "last_price").as[(Long, Double)].collect().toSet
+    assert(state() === Set((1L, 11.0)),
+      "tombstoned key must be absent at the stop point")
+    landParquet(cdcDf(phase2), in, "b2.parquet")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() === Set((1L, 11.0), (2L, 25.0), (3L, 30.0)),
+      "re-insert after restart must revive the tombstoned key")
+    // CDC apply is naturally idempotent: re-running the last batch
+    // (same batchId) must leave the snapshot unchanged — no marker
+    StreamingJob.applyCdcBatch(cdcDf(phase2), batchId = 99L, root)
+    assert(state() === Set((1L, 11.0), (2L, 25.0), (3L, 30.0)),
+      "CDC batch replay must be a no-op on the snapshot")
+  }
+
+  test("interval join: click buffered before the kill joins a purchase after resume, exactly once") {
+    import spark.implicits._
+    def evDf(rows: Seq[(Long, Long, Double)]) =
+      rows.map { case (u, tsOff, p) =>
+        (u, new java.sql.Timestamp(t0 + tsOff), p) }
+        .toDF("user_id", "ts", "price")
+    val clicksIn = tmpDir("graft-ssj-clicks")
+    val purchIn = tmpDir("graft-ssj-purch")
+    val out = tmpDir("graft-ssj-out")
+    val ckpt = tmpDir("graft-ssj-ckpt")
+    val schema = evDf(Seq.empty).schema
+    def start() = graft.streaming.StreamJoins.purchasesWithRecentClicks(
+        spark.readStream.schema(schema).parquet(purchIn),
+        spark.readStream.schema(schema).parquet(clicksIn),
+        windowSec = 60)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    // phase 1: user 1 clicks; an unrelated purchase keeps event time
+    // LOW (t0+10s) so the watermark cannot evict the buffered click
+    landParquet(evDf(Seq((1L, 30000L, 1.0))), clicksIn, "c1.parquet")
+    landParquet(evDf(Seq((9L, 10000L, 5.0))), purchIn, "p1.parquet")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: user 1 purchases 30s after the click — the click lives
+    // only in the RECOVERED join state
+    landParquet(evDf(Seq((1L, 60000L, 99.0))), purchIn, "p2.parquet")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // phase 3: restart once more with nothing new — no re-emission
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val rows = spark.read.schema(org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("purchase_ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("purchase_price",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("click_ts",
+            org.apache.spark.sql.types.TimestampType))))
+      .parquet(out)
+      .select("user_id", "purchase_price", "click_ts")
+      .as[(Long, Double, java.sql.Timestamp)].collect().toSeq
+    assert(rows === Seq((1L, 99.0, new java.sql.Timestamp(t0 + 30000L))),
+      "exactly one cross-restart join row, from recovered state")
+  }
 }
