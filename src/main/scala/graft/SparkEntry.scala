@@ -168,6 +168,7 @@ object SparkEntry {
     "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.load(s, dir, "documents"))),
     "d_embedding_dup" -> ((s, dir) => Dedup.embeddingDup(s, dir)),
+    "d_cos_threshold_curve" -> ((s, dir) => Dedup.cosThresholdCurve(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(Tables.load(s, dir, "documents"))),
     "d_semantic_dup" -> ((s, dir) => Similarity.semanticDup(s, dir)),
     "d_dedup_resolve" -> ((s, dir) => Dedup.resolveDuplicates(Tables.load(s, dir, "documents"))),
@@ -204,6 +205,10 @@ object SparkEntry {
       Pipeline.tokenBudgetSelect(Tables.load(s, dir, "documents"))),
     "p_mixture_epochs" -> ((s, dir) =>
       Pipeline.mixtureEpochs(Tables.load(s, dir, "documents"))),
+    "p_dup_quality_profile" -> ((s, dir) =>
+      Pipeline.dupQualityProfile(Tables.load(s, dir, "documents"))),
+    "p_anneal_schedule" -> ((s, dir) =>
+      Pipeline.annealSchedule(Tables.load(s, dir, "documents"))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_leakage_split" -> ((s, dir) => Pipeline.leakageSafeSplit(Tables.load(s, dir, "documents"))),
@@ -224,6 +229,7 @@ object SparkEntry {
     "v_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
+    "v_int8_recall" -> ((s, dir) => Similarity.int8Recall(s, dir)),
     "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "v_pq_adc" -> ((s, dir) => Similarity.pqAdc(s, dir)),
     "v_ivfpq_adc" -> ((s, dir) => Similarity.ivfPqAdc(s, dir)),
@@ -1185,6 +1191,7 @@ object SparkEntry {
          |GROUP BY p.event_id, p.user_id, p."timestamp", p.price""".stripMargin,
 
     "d_embedding_dup" -> Dedup.embeddingDupSql,
+    "d_cos_threshold_curve" -> Dedup.cosThresholdCurveSql(),
     "d_segment_dedup" -> TextOps.segmentDedupSql(),
     "d_semantic_dup" -> Similarity.semanticDupSql(),
     "t_df_rarity" -> TextOps.dfRaritySql(),
@@ -1207,6 +1214,8 @@ object SparkEntry {
     "t_ngram_novelty" -> TextOps.ngramNoveltySql(),
     "p_token_budget" -> Pipeline.tokenBudgetSelectSql(),
     "p_mixture_epochs" -> Pipeline.mixtureEpochsSql(),
+    "p_dup_quality_profile" -> Pipeline.dupQualityProfileSql,
+    "p_anneal_schedule" -> Pipeline.annealScheduleSql(),
     "w7_gap_detect" ->
       s"""$T
          |${TradeOps.gapDetectSql()}""".stripMargin,
@@ -1254,6 +1263,7 @@ object SparkEntry {
     "p_leakage_split" -> Pipeline.leakageSafeSplitSql(),
     "d_substring_dup" -> TextOps.substringDupSql(),
     "v_mrl_recall" -> Similarity.mrlRecallSql(),
+    "v_int8_recall" -> Similarity.int8RecallSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),

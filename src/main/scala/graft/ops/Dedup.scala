@@ -487,43 +487,84 @@ object Dedup {
     * vectors collide with high probability; the oracle mirrors the same
     * buckets, so the comparison is exact regardless). */
   def embeddingDup(spark: org.apache.spark.sql.SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4): DataFrame =
+    embeddingPairs(spark, dir).filter(col("cos_sim") >= threshold)
+
+  private val embPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+
+  /** The hyperplane-LSH bucketed candidate pair table (vec_a, vec_b,
+    * cos_sim — rounded display cosine) shared by [[embeddingDup]] and
+    * [[cosThresholdCurve]], session-cached per (session, corpus) the
+    * way [[minhashPairs]] is: the bucket join is the shared stage; the
+    * surviving projection is three values per pair. */
+  private def embeddingPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     graft.functions.VectorOps.register(spark)
     val totalBits = embDupBands * embDupBandBits
     val mask = (1 << embDupBandBits) - 1
-    val emb = graft.Tables.load(spark, dir, "embeddings")
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("norm", sqrt(expr("dot_product(v, v)")))
-      .withColumn("bkt", expr(s"lsh_bits(v, $totalBits)"))
-    def banded(df: DataFrame) = df.withColumn("bk",
-      explode(array((0 until embDupBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("bkt"), b * embDupBandBits)
-            .bitwiseAND(lit(mask)).as("key"))
-      }: _*)))
-      .select(col("vec_id"), col("v"), col("norm"), col("bkt"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = banded(emb).select(col("band"), col("key"),
-      col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"),
-      col("bkt").as("ba"))
-    val r = banded(emb).select(col("band"), col("key"),
-      col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"),
-      col("bkt").as("bb"))
-    // first matching band of the pair — joined rows satisfy band's slice
-    // equality already, so firstMatch ≤ band and the == test emits each
-    // pair exactly once
-    val firstMatch = (0 until embDupBands).foldRight(lit(-1): Column) {
-      case (b, els) =>
-        when(shiftright(col("ba"), b * embDupBandBits).bitwiseAND(lit(mask)) ===
-          shiftright(col("bb"), b * embDupBandBits).bitwiseAND(lit(mask)),
-          lit(b)).otherwise(els)
+    val embIn = graft.Tables.load(spark, dir, "embeddings")
+    cached(embPairCache, embIn) { emb0 =>
+      val emb = emb0
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("norm", sqrt(expr("dot_product(v, v)")))
+        .withColumn("bkt", expr(s"lsh_bits(v, $totalBits)"))
+      def banded(df: DataFrame) = df.withColumn("bk",
+        explode(array((0 until embDupBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("bkt"), b * embDupBandBits)
+              .bitwiseAND(lit(mask)).as("key"))
+        }: _*)))
+        .select(col("vec_id"), col("v"), col("norm"), col("bkt"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val l = banded(emb).select(col("band"), col("key"),
+        col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"),
+        col("bkt").as("ba"))
+      val r = banded(emb).select(col("band"), col("key"),
+        col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"),
+        col("bkt").as("bb"))
+      // first matching band of the pair — joined rows satisfy band's slice
+      // equality already, so firstMatch ≤ band and the == test emits each
+      // pair exactly once
+      val firstMatch = (0 until embDupBands).foldRight(lit(-1): Column) {
+        case (b, els) =>
+          when(shiftright(col("ba"), b * embDupBandBits).bitwiseAND(lit(mask)) ===
+            shiftright(col("bb"), b * embDupBandBits).bitwiseAND(lit(mask)),
+            lit(b)).otherwise(els)
+      }
+      l.join(r, Seq("band", "key"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(col("band") === firstMatch)
+        .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
     }
-    l.join(r, Seq("band", "key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(col("band") === firstMatch)
-      .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
-      .filter(round(col("cos"), 6) >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Embedding-dup threshold-sweep curve — [[thresholdCurve]] for the
+    * SEMANTIC tier: for each candidate cosine cutoff, how many
+    * LSH-bucket candidate pairs fire and how many vectors they touch —
+    * the tuning table a curation run reads before committing to an
+    * embedding-dup threshold (too low merges topical neighbors into
+    * "duplicates"; too high misses paraphrases). One bucketed pair
+    * scan (the cached [[embeddingPairs]] table) feeds every cutoff via
+    * a ≤|thresholds|-row broadcast join; comparisons run on the
+    * 6-rounded display cosine, which both engines compute identically
+    * (the [[embeddingDup]] boundary discipline). */
+  def cosThresholdCurve(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6)): DataFrame = {
+    import spark.implicits._
+    val tDf = thresholds.toDF("threshold")
+    val j = embeddingPairs(spark, dir)
+      .join(broadcast(tDf), col("cos_sim") >= col("threshold"))
+    val np = j.groupBy("threshold").agg(count(lit(1)).as("p"))
+    val nv = j.select(col("threshold"),
+        explode(array(col("vec_a"), col("vec_b"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("nv"))
+    tDf.join(np, Seq("threshold"), "left").join(nv, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("p"), lit(0L)).as("n_pairs"),
+        coalesce(col("nv"), lit(0L)).as("n_vecs"))
   }
 
   /** Jaccard-estimate cutoff above which a MinHash candidate pair is an
@@ -604,7 +645,10 @@ object Dedup {
     * [[Similarity.annLshSql]] — proven bit-compatible), the same banded
     * keys, the same first-matching-band emission, the same exact-double
     * cosine. */
-  val embeddingDupSql: String = {
+  /** The [[embeddingPairs]] chain in SQL, ending in
+    * `epairs(vec_a, vec_b, cos_sim)` — shared by [[embeddingDupSql]]
+    * and [[cosThresholdCurveSql]]. */
+  private val embeddingPairCtes: String = {
     val totalBits = embDupBands * embDupBandBits
     val mask = (1 << embDupBandBits) - 1
     val dim = 64
@@ -619,7 +663,7 @@ object Dedup {
         s"CASE WHEN ((ba >> ${b * embDupBandBits}) & $mask) = " +
           s"((bb >> ${b * embDupBandBits}) & $mask) THEN $b ELSE $els END"
       }
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
@@ -637,11 +681,41 @@ object Dedup {
        |         list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS cos
        |  FROM b a JOIN b b2
        |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+       |), epairs AS MATERIALIZED (
+       |  SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+       |  FROM p
+       |  WHERE band = ($firstMatch)
+       |)""".stripMargin
+  }
+
+  val embeddingDupSql: String =
+    s"""WITH $embeddingPairCtes
+       |SELECT vec_a, vec_b, cos_sim FROM epairs
+       |WHERE cos_sim >= 0.4""".stripMargin
+
+  /** Oracle for [[cosThresholdCurve]]. */
+  def cosThresholdCurveSql(
+      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6)): String = {
+    val values = thresholds.map(t => s"(${t}::DOUBLE)").mkString(", ")
+    s"""WITH $embeddingPairCtes,
+       |t AS (
+       |  SELECT * FROM (VALUES $values) v(threshold)
+       |), j AS (
+       |  SELECT t.threshold, e.vec_a, e.vec_b
+       |  FROM epairs e, t WHERE e.cos_sim >= t.threshold
+       |), np AS (
+       |  SELECT threshold, count(*) AS p FROM j GROUP BY 1
+       |), nv AS (
+       |  SELECT threshold, count(DISTINCT d) AS nv FROM (
+       |    SELECT threshold, vec_a AS d FROM j
+       |    UNION ALL SELECT threshold, vec_b FROM j
+       |  ) GROUP BY 1
        |)
-       |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
-       |FROM p
-       |WHERE band = ($firstMatch)
-       |  AND round(cos, 6) >= 0.4""".stripMargin
+       |SELECT t.threshold,
+       |       CAST(coalesce(np.p, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(nv.nv, 0) AS BIGINT) AS n_vecs
+       |FROM t LEFT JOIN np USING (threshold)
+       |       LEFT JOIN nv USING (threshold)""".stripMargin
   }
 
   // ------------------------------------------------------------------

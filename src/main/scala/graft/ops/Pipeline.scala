@@ -347,6 +347,134 @@ object Pipeline {
        |         > 1000000 AS INTEGER) AS oversampled
        |FROM scaled, st""".stripMargin
 
+  /** Duplication-by-quality profile — the crawl diagnostic that answers
+    * "is my duplication concentrated in the junk?": documents bucketed
+    * into quality bands (floor(quality·10), capped at band 9) crossed
+    * with their [[Dedup.resolveDuplicates]] cluster membership. High
+    * dup_ppm in low bands means dedup is mostly deleting junk (cheap
+    * win); high dup_ppm in TOP bands means the crawl is re-fetching its
+    * best sources (a crawl-scheduling bug worth fixing upstream).
+    * Both inputs are session-cached shared stages (signature-contracted
+    * CC labels + the quality scan); the profile itself is one keyed
+    * join and a ≤10-row aggregate. The band boundary is computed from
+    * the 6-rounded quality by identical double arithmetic in both
+    * engines, so banding is drift-free. */
+  def dupQualityProfile(docs: DataFrame): DataFrame =
+    TextOps.qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(Dedup.resolveDuplicates(docs), "doc_id")
+      .withColumn("q_band",
+        least(floor(col("quality") * 10).cast("long"), lit(9L)))
+      .groupBy("q_band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum(when(col("doc_id") =!= col("canonical_doc"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+
+  /** Oracle for [[dupQualityProfile]]. */
+  val dupQualityProfileSql: String =
+    s"""WITH RECURSIVE ${TextOps.qualityCte},
+       |${Dedup.resolveCtesFrom("documents")}
+       |SELECT least(CAST(floor(q.quality * 10) AS BIGINT), 9) AS q_band,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_dup_docs,
+       |       CAST(sum(CASE WHEN r.doc_id != r.canonical_doc THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+       |         * 1000000 // count(*) AS BIGINT) AS dup_ppm
+       |FROM q
+       |JOIN resolved r USING (doc_id)
+       |JOIN sizes s USING (canonical_doc)
+       |GROUP BY 1""".stripMargin
+
+  /** Two-phase anneal schedule — the midtraining curriculum plan the
+    * modern pretraining recipe ends with: spend the bulk of the token
+    * budget on the full source mixture, then an ANNEAL phase (here 1/5
+    * of the budget, the exact-integer fraction) drawn only from the
+    * top half of sources by mean document quality. Source ranking uses
+    * the integer-micro mean quality (floor division — deterministic,
+    * ties broken by source name); within each phase the budget is
+    * allocated ∝ source token mass by exact floor division, so the
+    * emitted plan is engine-portable to the digit.
+    *
+    * Scale shape: one partial-aggregated groupBy(source) over the
+    * corpus (riding the same quality scan every other curation op
+    * uses), then all planning math on the ≤|sources|-row table —
+    * nothing after the first aggregate touches corpus-sized data. */
+  def annealSchedule(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("source_tokens"),
+        sum(col("q_micro")).as("q_sum"), count(lit(1)).as("n_docs"))
+      // exact floor division — a double quotient cast to long can land
+      // on the wrong side of the boundary when the true quotient is
+      // within one ulp of an integer
+      .withColumn("mean_q_micro", expr("q_sum div n_docs"))
+      .drop("q_sum", "n_docs")
+    val ranked = perSrc
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_q_micro").desc, col("source"))))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy()))
+    val annealBudget = budget / 5
+    val mainBudget = budget - annealBudget
+    val main = ranked
+      .withColumn("phase_total", sum(col("source_tokens")).over(
+        Window.partitionBy()))
+      .select(lit(1L).as("phase"), col("source"), col("source_tokens"),
+        col("mean_q_micro"),
+        expr(s"$mainBudget * source_tokens div phase_total")
+          .as("target_tokens"))
+    val anneal = ranked
+      .filter(col("rk") <= (col("n_src") + 1) / 2)
+      .withColumn("phase_total", sum(col("source_tokens")).over(
+        Window.partitionBy()))
+      .select(lit(2L).as("phase"), col("source"), col("source_tokens"),
+        col("mean_q_micro"),
+        expr(s"$annealBudget * source_tokens div phase_total")
+          .as("target_tokens"))
+    main.unionByName(anneal)
+  }
+
+  /** Oracle for [[annealSchedule]]. */
+  def annealScheduleSql(budget: Long = 1000000L): String = {
+    val annealBudget = budget / 5
+    val mainBudget = budget - annealBudget
+    s"""WITH RECURSIVE ${TextOps.qualityCte},
+       |src AS (
+       |  SELECT d.source,
+       |         CAST(sum(q.n_tokens) AS BIGINT) AS source_tokens,
+       |         CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT))
+       |           // count(*) AS BIGINT) AS mean_q_micro
+       |  FROM documents d JOIN q USING (doc_id)
+       |  GROUP BY 1
+       |), ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (ORDER BY mean_q_micro DESC, source) AS rk,
+       |         count(*) OVER () AS n_src
+       |  FROM src
+       |), mt AS (
+       |  SELECT CAST(sum(source_tokens) AS BIGINT) AS t FROM ranked
+       |), at AS (
+       |  SELECT CAST(sum(source_tokens) AS BIGINT) AS t FROM ranked
+       |  WHERE rk <= (n_src + 1) // 2
+       |)
+       |SELECT 1 AS phase, source, source_tokens, mean_q_micro,
+       |       CAST($mainBudget * source_tokens // mt.t AS BIGINT)
+       |         AS target_tokens
+       |FROM ranked, mt
+       |UNION ALL
+       |SELECT 2, source, source_tokens, mean_q_micro,
+       |       CAST($annealBudget * source_tokens // at.t AS BIGINT)
+       |FROM ranked, at WHERE rk <= (n_src + 1) // 2""".stripMargin
+  }
+
   /** Oracle for [[filterFunnel]]. */
   val filterFunnelSql: String =
     s"""WITH RECURSIVE ${TextOps.qualityCte},

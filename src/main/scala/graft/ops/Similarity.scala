@@ -511,6 +511,98 @@ object Similarity {
         size(col("q")).as("dim"))
   }
 
+  /** Recall@k of brute-force cosine search over INT8-RECONSTRUCTED
+    * vectors against full-precision search — the measured-recall twin
+    * [[quantizeInt8]] was missing (every approximate path ships one:
+    * LSH, IVF, multi-probe, PQ, MRL — scalar quantization is equally
+    * lossy and equally deployed). Each vector is dequantized through
+    * the same per-vector affine code [[quantizeInt8]] emits
+    * (`x̂ = round((x−min)/s)·s + min`, s = (max−min)/255), and the
+    * top-k runs on x̂ cosines — so the number answers "what recall do
+    * I keep if I serve int8". All arithmetic is IEEE mul/div/add and
+    * half-up round, identical in both engines; ranking uses the raw
+    * double with vec_id tiebreak (the [[rangeSearch]] discipline).
+    * Scale shape: the query side broadcasts, the candidate scan is
+    * shuffle-free, the top-k is per-partition heaps. */
+  def int8Recall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val rec = emb
+      .withColumn("vh", expr(
+        """CASE WHEN array_max(v) = array_min(v) THEN v
+          |  ELSE transform(v, x ->
+          |    round((x - array_min(v)) /
+          |      ((array_max(v) - array_min(v)) / 255.0D), 0) *
+          |      ((array_max(v) - array_min(v)) / 255.0D) + array_min(v))
+          |END""".stripMargin))
+      .withColumn("hn", sqrt(expr("dot_product(vh, vh)")))
+    val q = rec.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("vh").as("qv"), col("hn").as("qn"))
+    val scored = rec.select(col("vec_id"), col("vh").as("cv"), col("hn").as("cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val int8k = scored.withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    cosineTopK(spark, dir, nQueries, k)
+      .select("q_id", "vec_id")
+      .join(int8k, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** Oracle for [[int8Recall]]: the identical dequantization lambda,
+    * brute-force top-k in both spaces, hit-joined. */
+  def int8RecallSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |           AS nrm
+       |  FROM embeddings
+       |), r AS (
+       |  SELECT vec_id,
+       |    CASE WHEN list_max(v) = list_min(v) THEN v
+       |      ELSE list_transform(v, x ->
+       |        round((x - list_min(v)) /
+       |          ((list_max(v) - list_min(v)) / 255.0::DOUBLE)) *
+       |          ((list_max(v) - list_min(v)) / 255.0::DOUBLE) + list_min(v))
+       |    END AS vh
+       |  FROM n
+       |), rh AS (
+       |  SELECT vec_id, vh, sqrt(list_dot_product(vh, vh)) AS hn FROM r
+       |), i8 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.vh, c.vh) / (q.hn * c.hn) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM rh q, rh c
+       |    WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |), bf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM n q, n c
+       |    WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN i8 i
+       |  ON bf.q_id = i.q_id AND bf.vec_id = i.vec_id""".stripMargin
+
   val quantizeInt8Sql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
