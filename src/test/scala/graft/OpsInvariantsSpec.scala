@@ -1661,4 +1661,66 @@ class OpsInvariantsSpec extends SparkSuite {
     // every distance is a valid cosine distance
     assert(dists.forall(d => d >= -1e-9 && d <= 2.0 + 1e-9))
   }
+
+  test("cos threshold curve: monotone non-increasing, consistent with embeddingDup") {
+    val rows = graft.ops.Dedup.cosThresholdCurve(spark, sf)
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.length === 5)
+    val pairs = rows.map(_.getLong(1))
+    val vecs = rows.map(_.getLong(2))
+    // raising the cutoff can only lose pairs and vectors
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a })
+    assert(vecs.zip(vecs.tail).forall { case (a, b) => b <= a })
+    // each row's vec count is bounded by 2x its pair count
+    rows.foreach(r => assert(r.getLong(2) <= 2 * r.getLong(1)))
+    // the 0.4 row agrees with the registry's embeddingDup pair count
+    val atDefault = rows.find(_.getDouble(0) == 0.4).get.getLong(1)
+    assert(atDefault === graft.ops.Dedup.embeddingDup(spark, sf).count())
+  }
+
+  test("int8 recall: valid fraction, and exact search recalls itself") {
+    val r = graft.ops.Similarity.int8Recall(spark, sf).head
+    assert(r.getLong(0) === 50L) // 10 queries x k=5 exact rows
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(0))
+    val frac = r.getDouble(2)
+    assert(frac >= 0.0 && frac <= 1.0)
+    // int8 over 64 dims rarely destroys ranking wholesale: demand a
+    // non-degenerate index (recall above a loose floor)
+    assert(frac >= 0.5, s"int8 recall collapsed: $frac")
+  }
+
+  test("dup quality profile partitions the corpus; ppm consistent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Pipeline.dupQualityProfile(docs).collect()
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 9))
+    assert(rows.map(_.getLong(1)).sum === docs.count(),
+      "every document lands in exactly one quality band")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // dup docs <= docs
+      assert(r.getLong(3) <= r.getLong(2)) // dropped <= dup members
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
+  test("anneal schedule: phase budgets disjoint, anneal is the top half") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Pipeline.annealSchedule(docs, budget = 1000000L)
+      .collect()
+    val (p1, p2) = rows.partition(_.getLong(0) == 1L)
+    assert(p2.nonEmpty && p1.length >= p2.length,
+      "anneal phase draws from at most half the sources")
+    // anneal sources are a subset of the mixture sources
+    val s1 = p1.map(_.getString(1)).toSet
+    assert(p2.map(_.getString(1)).toSet.subsetOf(s1))
+    // floor-division allocation never exceeds the phase budget
+    assert(p1.map(_.getLong(4)).sum <= 800000L)
+    assert(p2.map(_.getLong(4)).sum <= 200000L)
+    // anneal sources have mean quality >= every excluded source
+    val annealMin = p2.map(_.getLong(3)).min
+    val excluded = s1 -- p2.map(_.getString(1)).toSet
+    val excludedMax = p1.filter(r => excluded.contains(r.getString(1)))
+      .map(_.getLong(3))
+    assert(excludedMax.forall(_ <= annealMin),
+      "a higher-quality source was left out of the anneal set")
+  }
 }
