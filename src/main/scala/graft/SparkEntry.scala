@@ -272,6 +272,12 @@ object SparkEntry {
       Graph.linkPrediction(Dedup.mutualKnn(
         Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
     }),
+    "g_labelprop" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // third consumer of the cached mutual-kNN similarity graph
+      Graph.labelPropagation(Dedup.mutualKnn(
+        Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
+    }),
     "skew_salted_join" -> ((s, dir) => Scale.saltedSkewJoin(trades(s, dir))),
     "d_fuzzy_pairs" -> ((s, dir) => Dedup.fuzzyPairs(Tables.load(s, dir, "documents"))),
     "w13_cusum" -> ((s, dir) => TradeOps.cusum(trades(s, dir))),
@@ -1418,6 +1424,7 @@ object SparkEntry {
          |${TradeOps.anomalyFlagsSql()}""".stripMargin,
     "g_triangles" -> Dedup.similarityTrianglesSql(),
     "g_link_pred" -> Dedup.similarityLinkPredSql(),
+    "g_labelprop" -> Dedup.similarityLabelPropSql(),
     "skew_salted_join" -> s"$T,\n${Scale.saltedSkewJoinSql}",
     "d_fuzzy_pairs" -> Dedup.fuzzyPairsSql(),
     "w13_cusum" ->

@@ -1276,6 +1276,11 @@ object Dedup {
   def similarityLinkPredSql(k: Int = 10, topN: Int = 50): String =
     s"""${mutualKnnCtes(k)}${Graph.linkPredictionSql(topN)}""".stripMargin
 
+  /** Oracle for [[Graph.labelPropagation]] over the same mutual-kNN
+    * similarity graph as [[similarityTrianglesSql]]. */
+  def similarityLabelPropSql(k: Int = 10, rounds: Int = 4): String =
+    s"""${mutualKnnCtes(k)}${Graph.labelPropagationSql(rounds)}""".stripMargin
+
   /** CC labels by UNROLLED min-label propagation + pointer jumping —
     * NOT a recursive transitive closure. The closure (`reach` as
     * all (doc, reachable-label) pairs) is Θ(Σ cluster²) rows: at

@@ -440,6 +440,89 @@ object Graph {
         expr(transitivityExpr))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * made DETERMINISTIC): every vertex starts labeled with itself;
+    * each round it adopts the label with the most votes among its
+    * neighbors' current labels PLUS one self-vote, ties broken by the
+    * smallest label. A fixed `rounds` count (not convergence) keeps
+    * the computation a pure function of the input — sync LPA can
+    * oscillate, and a data-dependent stopping rule would make the
+    * result engine-fragile. Communities differ from connected
+    * components (which only see reachability): LPA splits a weakly
+    * bridged component into its dense cores — the sub-cluster
+    * structure dedup resolution flattens. Output is the
+    * community-SIZE histogram (size, n_communities): stable and tiny
+    * at any corpus scale.
+    *
+    * Scale shape: each round is one (edges ⋈ labels) shuffle keyed on
+    * vertex id plus two partial-aggregated groupBys — O(rounds · m)
+    * total, no quadratic stage; on a mutual-kNN input (deg ≤ k) each
+    * vote table is ≤ k·n rows. The per-round `max_by(lbl, (votes,
+    * −lbl))` argmax is a single map-side-combinable aggregate. */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 4): DataFrame = {
+    val Array(ac, bc) = edges0.columns.take(2)
+    val e = edges0.select(col(ac).cast("long").as("doc_a"),
+      col(bc).cast("long").as("doc_b"))
+    val dir = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b"), col("doc_a")))
+    val verts = dir.select(col("src").as("v")).distinct()
+    var lbl = verts.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nbr = dir
+        .join(lbl.select(col("v").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("v"), col("lbl"))
+      val votes = nbr.unionByName(lbl)
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+      lbl = votes.groupBy("v")
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+          .as("lbl"))
+    }
+    lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+  }
+
+  /** Oracle body for [[labelPropagation]] — continues a WITH chain
+    * whose last CTE is `pairs(doc_a, doc_b)` (note the leading
+    * comma). Rounds unrolled; every round CTE is MATERIALIZED (each is
+    * referenced twice — DuckDB would otherwise inline and re-run the
+    * whole prefix exponentially, the round-10 lesson). */
+  def labelPropagationSql(rounds: Int = 4): String = {
+    val sb = new StringBuilder(
+      """, dirp AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), lp0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS v, src AS lbl FROM dirp
+        |)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"lp${r - 1}"
+      sb ++= s""",
+        | lp$r AS MATERIALIZED (
+        |  SELECT v, lbl FROM (
+        |    SELECT v, lbl,
+        |           row_number() OVER (PARTITION BY v
+        |             ORDER BY c DESC, lbl ASC) AS rn
+        |    FROM (
+        |      SELECT v, lbl, count(*) AS c FROM (
+        |        SELECT e.src AS v, l.lbl
+        |        FROM dirp e JOIN $prev l ON l.v = e.dst
+        |        UNION ALL SELECT v, lbl FROM $prev
+        |      ) GROUP BY 1, 2
+        |    )
+        |  ) WHERE rn = 1
+        |)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT sz AS community_size,
+      |       CAST(count(*) AS BIGINT) AS n_communities
+      |FROM (
+      |  SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+      |  FROM lp$rounds GROUP BY 1
+      |) GROUP BY 1""".stripMargin
+    sb.toString
+  }
+
   /** Common-neighbor link prediction over an undirected edge list —
     * the "which near-duplicate pairs did the banding MISS" triage a
     * dedup pipeline runs over its own similarity graph: two documents

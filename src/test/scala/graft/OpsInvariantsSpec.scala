@@ -1662,6 +1662,21 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(dists.forall(d => d >= -1e-9 && d <= 2.0 + 1e-9))
   }
 
+  test("label propagation: histogram conserves vertices, sizes positive") {
+    val docs = Tables.load(spark, sf, "documents")
+    val knn = graft.ops.Dedup.mutualKnn(
+      graft.ops.Dedup.weightedDupEdges(docs, graft.ops.Dedup.triangleThreshold))
+    val hist = graft.ops.Graph.labelPropagation(knn).collect()
+    assert(hist.forall(r => r.getLong(0) >= 1 && r.getLong(1) >= 1))
+    // every edge-touched vertex lands in exactly one community
+    val nVerts = knn.select(explode(array(col("doc_a"), col("doc_b"))))
+      .distinct().count()
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum === nVerts)
+    // communities refine no coarser than one-per-vertex, no finer than one
+    val nComms = hist.map(_.getLong(1)).sum
+    assert(nComms >= 1 && nComms <= nVerts)
+  }
+
   test("cos threshold curve: monotone non-increasing, consistent with embeddingDup") {
     val rows = graft.ops.Dedup.cosThresholdCurve(spark, sf)
       .collect().sortBy(_.getDouble(0))
