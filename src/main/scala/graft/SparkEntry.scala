@@ -94,6 +94,16 @@ object SparkEntry {
       AsOfJoin.asOfNearest(purchases, clicks, "user_id", "timestamp",
         "click_price", "near_price")
     }),
+    "j_asof_tolerance" -> ((s, dir) => {
+      val t = trades(s, dir)
+      val purchases = t.filter(col("symbol") === "purchase")
+        .select("event_id", "user_id", "timestamp", "price")
+      val clicks = t.filter(col("symbol") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max_by(col("price"), col("event_id")).as("click_price"))
+      AsOfJoin.asOfTolerance(purchases, clicks, "user_id", "timestamp",
+        "click_price", "tol_price", toleranceMs = 60000L)
+    }),
     "j_semi_customers_with_orders" -> ((s, dir) => Relational.customersWithOrders(s, dir)),
     "j_anti_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     // -- relational breadth ----------------------------------------------
@@ -209,6 +219,12 @@ object SparkEntry {
       Pipeline.dupQualityProfile(Tables.load(s, dir, "documents"))),
     "p_anneal_schedule" -> ((s, dir) =>
       Pipeline.annealSchedule(Tables.load(s, dir, "documents"))),
+    "p_dedup_savings" -> ((s, dir) =>
+      Pipeline.dedupSavings(Tables.load(s, dir, "documents"))),
+    "t_langid_confusion" -> ((s, dir) =>
+      TextOps.langIdConfusion(Tables.load(s, dir, "documents"))),
+    "t_bpe_fertility" -> ((s, dir) =>
+      TextOps.bpeFertility(Tables.load(s, dir, "documents"))),
     "w7_gap_detect" -> ((s, dir) => TradeOps.gapDetect(trades(s, dir))),
     "p_corpus_clean" -> ((s, dir) => Pipeline.corpusClean(Tables.load(s, dir, "documents"))),
     "p_leakage_split" -> ((s, dir) => Pipeline.leakageSafeSplit(Tables.load(s, dir, "documents"))),
@@ -230,6 +246,7 @@ object SparkEntry {
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
     "v_int8_recall" -> ((s, dir) => Similarity.int8Recall(s, dir)),
+    "v_recall_curve" -> ((s, dir) => Similarity.ivfRecallCurve(s, dir)),
     "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "v_pq_adc" -> ((s, dir) => Similarity.pqAdc(s, dir)),
     "v_ivfpq_adc" -> ((s, dir) => Similarity.ivfPqAdc(s, dir)),
@@ -807,6 +824,32 @@ object SparkEntry {
          |       END AS delta_ms
          |FROM p LEFT JOIN b USING (event_id)
          |       LEFT JOIN f USING (event_id)""".stripMargin,
+    "j_asof_tolerance" ->
+      s"""$T, p AS (
+         |  SELECT event_id, user_id, "timestamp", price
+         |  FROM trades WHERE symbol = 'purchase'
+         |), c AS (
+         |  SELECT user_id, "timestamp" AS cts,
+         |         arg_max(price, event_id) AS click_price
+         |  FROM trades WHERE symbol = 'click' GROUP BY 1, 2
+         |), b AS (
+         |  SELECT p.event_id, p.user_id, p."timestamp", p.price,
+         |         c.cts, c.click_price
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND c.cts <= p."timestamp"
+         |)
+         |SELECT event_id, user_id, "timestamp", price,
+         |       CASE WHEN cts IS NOT NULL
+         |                 AND (epoch_us("timestamp") - epoch_us(cts)) // 1000
+         |                     <= 60000
+         |            THEN click_price END AS tol_price,
+         |       CASE WHEN cts IS NOT NULL
+         |                 AND (epoch_us("timestamp") - epoch_us(cts)) // 1000
+         |                     <= 60000
+         |            THEN (epoch_us("timestamp") - epoch_us(cts)) // 1000
+         |       END AS staleness_ms
+         |FROM b""".stripMargin,
+
     "j_semi_customers_with_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
@@ -1222,6 +1265,9 @@ object SparkEntry {
     "p_mixture_epochs" -> Pipeline.mixtureEpochsSql(),
     "p_dup_quality_profile" -> Pipeline.dupQualityProfileSql,
     "p_anneal_schedule" -> Pipeline.annealScheduleSql(),
+    "p_dedup_savings" -> Pipeline.dedupSavingsSql,
+    "t_langid_confusion" -> TextOps.langIdConfusionSql,
+    "t_bpe_fertility" -> TextOps.bpeFertilitySql(),
     "w7_gap_detect" ->
       s"""$T
          |${TradeOps.gapDetectSql()}""".stripMargin,
@@ -1270,6 +1316,7 @@ object SparkEntry {
     "d_substring_dup" -> TextOps.substringDupSql(),
     "v_mrl_recall" -> Similarity.mrlRecallSql(),
     "v_int8_recall" -> Similarity.int8RecallSql(),
+    "v_recall_curve" -> Similarity.ivfRecallCurveSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),
     "v_ivfpq_adc" -> Similarity.ivfPqAdcSql(),

@@ -55,6 +55,51 @@ object AsOfJoin {
       .drop("_side", "_pay")
   }
 
+  /** Backward as-of with a STALENESS TOLERANCE — the serving-layer
+    * variant of [[asOf]]: a match older than `toleranceMs` is REJECTED
+    * (payload and staleness both NULL), the "don't enrich with a quote
+    * from last Tuesday" rule every feature-store point-in-time join
+    * ships with. Same one-shuffle union-sort plan; the matched right
+    * timestamp rides the carried struct so staleness is computable
+    * without a second join. Staleness is the exact non-negative
+    * epoch-micro difference floor-divided to ms (backward match ⇒
+    * `leftTs ≥ rightTs`, so floor vs truncate cannot differ). */
+  def asOfTolerance(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: String, as: String,
+      toleranceMs: Long): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn("_pay", lit(null).cast(right.schema(payload).dataType))
+    val r = right
+      .select(col(key), col(ts), col(payload).as("_pay"))
+      .withColumn("_side", lit(0))
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("_side") :+ col("_pay")): _*
+    ).unionByName(
+      r.select(
+        (leftCols.map(c => if (c == key || c == ts) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("_side") :+ col("_pay")): _*))
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one carried struct keeps payload and match-timestamp in lockstep
+    // (two separate last(ignoreNulls) could desync on a null payload)
+    unioned
+      .withColumn("_m", last(
+        when(col("_side") === 0, struct(col("_pay").as("p"),
+          col(ts).as("rts"))), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .withColumn("_stale_ms",
+        expr(s"(unix_micros($ts) - unix_micros(_m.rts)) div 1000"))
+      .withColumn(as,
+        when(col("_stale_ms") <= toleranceMs, col("_m.p")))
+      .withColumn("staleness_ms",
+        when(col("_stale_ms") <= toleranceMs, col("_stale_ms")))
+      .select((leftCols.map(col) :+ col(as) :+ col("staleness_ms")): _*)
+  }
+
   /** Forward as-of: for each left row, attach the payload of the
     * EARLIEST right row with the same `key` and `rightTs >= leftTs`
     * (ties match — the "next quote at or after the order" association;

@@ -389,6 +389,46 @@ object Pipeline {
        |JOIN sizes s USING (canonical_doc)
        |GROUP BY 1""".stripMargin
 
+  /** Per-source dedup token savings — what near-dup resolution is
+    * WORTH, in budget terms: for each source, total token mass vs the
+    * mass surviving canonical-only selection, with the exact-ppm
+    * savings rate. The number that justifies (or kills) a dedup stage
+    * in a 100-TB run, and per-source so the win is attributable to a
+    * crawl. Rides the session-cached quality scan and resolution
+    * labels; the profile is one keyed join + ≤|sources|-row
+    * aggregate. */
+  def dedupSavings(docs: DataFrame): DataFrame =
+    TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(Dedup.resolveDuplicates(docs)
+        .select(col("doc_id"), col("canonical_doc")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("doc_id") === col("canonical_doc"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .withColumn("savings_ppm",
+        expr("(total_tokens - kept_tokens) * 1000000 div total_tokens"))
+
+  /** Oracle for [[dedupSavings]]. */
+  val dedupSavingsSql: String =
+    s"""WITH RECURSIVE ${TextOps.qualityCte},
+       |${Dedup.resolveCtesFrom("documents")}
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(sum(CASE WHEN r.doc_id = r.canonical_doc
+       |                     THEN q.n_tokens ELSE 0 END) AS BIGINT)
+       |         AS kept_tokens,
+       |       CAST((sum(q.n_tokens) - sum(CASE WHEN r.doc_id = r.canonical_doc
+       |                     THEN q.n_tokens ELSE 0 END)) * 1000000
+       |            // sum(q.n_tokens) AS BIGINT) AS savings_ppm
+       |FROM q
+       |JOIN documents d USING (doc_id)
+       |JOIN resolved r USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   /** Two-phase anneal schedule — the midtraining curriculum plan the
     * modern pretraining recipe ends with: spend the bulk of the token
     * budget on the full source mixture, then an ANNEAL phase (here 1/5

@@ -410,6 +410,69 @@ object Similarity {
        |FROM brute b LEFT JOIN ivfk i
        |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id""".stripMargin
 
+  /** Recall-vs-k operating curve for the IVF index — the band-tuning
+    * S-curve idea applied to ANN serving: one probe pass at k_max
+    * feeds EVERY cutoff (recall@1, @5, @10, @20) as rank-threshold
+    * bit tests, so the table an index review tunes k against costs one
+    * index probe plus a broadcast of the 4-row cutoff list, not four
+    * searches. Recall@k = |top_k(exact) ∩ top_k(ivf)| / (nQueries·k),
+    * the same definition the single-point recall rows use. */
+  def ivfRecallCurve(spark: SparkSession, dir: String, nQueries: Int = 10,
+      ks: Seq[Int] = Seq(1, 5, 10, 20), nCells: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val kmax = ks.max
+    val approx = annIvf(spark, dir, nQueries, kmax, nCells, nProbe,
+        trainIters)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("ra"))
+    val exact = cosineTopK(spark, dir, nQueries, kmax)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("re"))
+    val kDf = ks.toDF("k")
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .join(broadcast(kDf), col("re") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("ra").isNotNull && col("ra") <= col("k"), 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("k"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** Oracle for [[ivfRecallCurve]]: the shared [[annIvfCtes]] index,
+    * both rankings kept to k_max, cutoffs stacked by VALUES. */
+  def ivfRecallCurveSql(nQueries: Int = 10, ks: Seq[Int] = Seq(1, 5, 10, 20),
+      nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 2,
+      dim: Int = 64): String = {
+    val kmax = ks.max
+    val values = ks.map(k => s"($k)").mkString(", ")
+    s"""WITH ${annIvfCtes(nQueries, nCells, nProbe, trainIters, dim)},
+       |ik AS (
+       |  SELECT q_id, vec_id, rnk AS ra FROM ivf WHERE rnk <= $kmax
+       |), bfc AS (
+       |  SELECT q_id, vec_id, rnk AS re FROM (
+       |    SELECT q.q_id, n2.vec_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY list_dot_product(q.qv, n2.v) / (q.qn * n2.nrm) DESC,
+       |                      n2.vec_id) AS rnk
+       |    FROM q, n n2 WHERE n2.vec_id != q.q_id
+       |  ) WHERE rnk <= $kmax
+       |), t AS (
+       |  SELECT * FROM (VALUES $values) v(k)
+       |)
+       |SELECT t.k,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN i.ra IS NOT NULL AND i.ra <= t.k
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN i.ra IS NOT NULL AND i.ra <= t.k
+       |                          THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM bfc b
+       |JOIN t ON b.re <= t.k
+       |LEFT JOIN ik i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Matryoshka (truncated-dimension) retrieval quality: recall@k of
     * cosine search over only the FIRST `subDim` embedding dimensions
     * against full-dimension search — the measurement behind

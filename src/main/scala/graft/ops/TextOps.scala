@@ -68,6 +68,85 @@ object TextOps {
         predicted.as("predicted_lang")): _*)
   }
 
+  /** Language-ID confusion matrix — the measured-accuracy twin of
+    * [[langId]] (the same discipline every approximate ANN path gets a
+    * recall row for): predicted language crossed with the corpus's
+    * labeled `lang` column. Off-diagonal mass is the heuristic's error
+    * profile; a hot cell says which marker set needs work before the
+    * classifier gates a 100-TB crawl. One projection + one
+    * ≤|langs|²-row aggregate on top of the lang-ID scan. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs).select(col("doc_id"), col("predicted_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang").as("true_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Oracle for [[langIdConfusion]] — the [[langIdSql]] score/argmax
+    * chain joined back to the labeled column. */
+  val langIdConfusionSql: String = {
+    val langs = langWords.map(_._1)
+    val scores = langWords.map { case (lang, ws) =>
+      s"len(list_filter(words, x -> x IN (${inList(ws)}))) AS score_$lang"
+    }.mkString(",\n       ")
+    val cases = langs.zipWithIndex.flatMap { case (lang, i) =>
+      val later = langs.drop(i + 1)
+      if (later.isEmpty) None
+      else Some("WHEN " + later.map(l => s"score_$lang >= score_$l")
+        .mkString(" AND ") + s" THEN '$lang'")
+    }.mkString("\n            ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |       $scores
+       |  FROM w
+       |), pred AS (
+       |  SELECT doc_id, CASE $cases
+       |                   ELSE '${langs.last}' END AS predicted_lang
+       |  FROM s
+       |)
+       |SELECT d.lang AS true_lang, p.predicted_lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred p JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Per-language BPE fertility (symbols emitted per whitespace word) —
+    * THE tokenizer-equity metric: a language whose fertility is 2× the
+    * corpus mean pays 2× the context length for the same content, the
+    * number multilingual tokenizer reviews are built around. Rides the
+    * [[bpeEncode]] per-doc counts (the merge table is the session's
+    * trained one) and rolls up by the corpus `lang` column with the
+    * exact-integer micro ratio. */
+  def bpeFertility(docs: DataFrame, rounds: Int = 3): DataFrame =
+    bpeEncode(docs, rounds)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility_micro",
+        expr("n_bpe_tokens * 1000000 div n_words"))
+
+  /** Oracle for [[bpeFertility]]. */
+  def bpeFertilitySql(rounds: Int = 3): String =
+    s"""${bpeCtes(rounds)},
+       |enc AS (
+       |  SELECT token,
+       |         CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+       |           AS n_sym
+       |  FROM s$rounds
+       |), dt AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |)
+       |SELECT dt.lang,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(e.n_sym) * 1000000 // count(*) AS BIGINT)
+       |         AS fertility_micro
+       |FROM dt JOIN enc e USING (token)
+       |WHERE dt.token IS NOT NULL AND dt.token != ''
+       |GROUP BY 1""".stripMargin
+
   /** Text normalization — the standard pre-tokenization cleanup pass:
     * lowercase, non-alphanumerics → space, collapse runs, trim. Pure
     * per-row projection (RE2-compatible patterns on both engines). */

@@ -1662,6 +1662,92 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(dists.forall(d => d >= -1e-9 && d <= 2.0 + 1e-9))
   }
 
+  test("asof tolerance: subset of plain asof, staleness bounded, null iff rejected") {
+    import spark.implicits._
+    val t = Tables.trades(spark, sf)
+    val purchases = t.filter(col("symbol") === "purchase")
+      .select("event_id", "user_id", "timestamp", "price")
+    val clicks = t.filter(col("symbol") === "click")
+      .groupBy("user_id", "timestamp")
+      .agg(max_by(col("price"), col("event_id")).as("click_price"))
+    val tol = graft.ops.AsOfJoin.asOfTolerance(purchases, clicks,
+      "user_id", "timestamp", "click_price", "tol_price", 60000L)
+    val plain = graft.ops.AsOfJoin.asOf(purchases, clicks,
+      "user_id", "timestamp", "click_price", "click_price")
+    assert(tol.count() === purchases.count(), "left-join cardinality")
+    // staleness in range and payload present exactly together
+    assert(tol.filter(col("staleness_ms").isNotNull &&
+      (col("staleness_ms") < 0 || col("staleness_ms") > 60000L)).count() === 0)
+    assert(tol.filter(col("tol_price").isNotNull =!=
+      col("staleness_ms").isNotNull).count() === 0)
+    // every accepted payload equals the plain backward-asof payload
+    val joined = tol.filter(col("tol_price").isNotNull)
+      .select(col("event_id"), col("tol_price"))
+      .join(plain.select(col("event_id"), col("click_price")), "event_id")
+    assert(joined.filter(col("tol_price") =!= col("click_price")).count() === 0,
+      "tolerance accepts only what plain asof matched")
+    assert(tol.filter(col("tol_price").isNotNull).count() <=
+      plain.filter(col("click_price").isNotNull).count())
+  }
+
+  test("ivf recall curve: 4 cutoffs, n_exact = q*k, recall valid") {
+    val rows = graft.ops.Similarity.ivfRecallCurve(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 5, 10, 20))
+    rows.foreach { r =>
+      assert(r.getLong(1) === 10L * r.getInt(0)) // nQueries * k exact rows
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the k=5 point of the curve equals the standalone ivf recall row
+    val single = graft.ops.Similarity.ivfRecall(spark, sf).head
+    val at5 = rows.find(_.getInt(0) == 5).get
+    assert(at5.getLong(2) === single.getLong(1),
+      "curve k=5 must equal the single-point ivf recall")
+  }
+
+  test("dedup savings: kept <= total, ppm exact, canonical mass conserved") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Pipeline.dedupSavings(docs).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // kept <= total
+      assert(r.getLong(4) ===
+        (r.getLong(2) - r.getLong(3)) * 1000000L / r.getLong(2))
+    }
+    // total kept tokens across sources = token mass of canonical docs
+    val kept = rows.map(_.getLong(3)).sum
+    val expected = graft.ops.TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("nt"))
+      .join(graft.ops.Dedup.resolveDuplicates(docs)
+        .filter(col("doc_id") === col("canonical_doc")), "doc_id")
+      .agg(sum(col("nt"))).head.getLong(0)
+    assert(kept === expected)
+  }
+
+  test("langid confusion conserves docs and matches langId accuracy") {
+    val docs = Tables.load(spark, sf, "documents")
+    val m = graft.ops.TextOps.langIdConfusion(docs).collect()
+    assert(m.map(_.getLong(2)).sum === docs.count())
+    val diag = m.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val correct = graft.ops.TextOps.langId(docs)
+      .select(col("doc_id"), col("predicted_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("predicted_lang") === col("lang")).count()
+    assert(diag === correct)
+  }
+
+  test("bpe fertility: per-lang masses conserve the per-doc encode") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fert = graft.ops.TextOps.bpeFertility(docs).collect()
+    // fertility >= 1e6: BPE can never emit fewer symbols than words
+    fert.foreach(r => assert(r.getLong(3) >= 1000000L))
+    val enc = graft.ops.TextOps.bpeEncode(docs)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).head
+    assert(fert.map(_.getLong(1)).sum === enc.getLong(0))
+    assert(fert.map(_.getLong(2)).sum === enc.getLong(1))
+  }
+
   test("label propagation: histogram conserves vertices, sizes positive") {
     val docs = Tables.load(spark, sf, "documents")
     val knn = graft.ops.Dedup.mutualKnn(
