@@ -205,6 +205,8 @@ object SparkEntry {
       Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"))),
     "mv_minmax_retract" -> ((s, dir) =>
       Incremental.retractableMinMax(Tables.events(s, dir))),
+    "mv_median_retract" -> ((s, dir) =>
+      Incremental.retractableMedian(Tables.events(s, dir))),
     "mv_topk_retract" -> ((s, dir) =>
       Incremental.retractableTopK(Tables.events(s, dir))),
     "t_importance_weights" -> ((s, dir) =>
@@ -1258,6 +1260,7 @@ object SparkEntry {
     "mv_incremental_distinct" -> Incremental.incrementalDistinctSql,
     "mv_join_incremental" -> Incremental.incrementalJoinAggSql,
     "mv_minmax_retract" -> Incremental.retractableMinMaxSql,
+    "mv_median_retract" -> Incremental.retractableMedianSql,
     "mv_topk_retract" -> Incremental.retractableTopKSql,
     "t_importance_weights" -> TextOps.importanceWeightsSql(),
     "t_ngram_novelty" -> TextOps.ngramNoveltySql(),

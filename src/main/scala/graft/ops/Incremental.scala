@@ -335,6 +335,53 @@ object Incremental {
        |WHERE event_id % $RetractMod <> 0
        |GROUP BY 1, 2""".stripMargin
 
+  /** Retraction-capable MEDIAN view maintenance — the HOLISTIC
+    * aggregate that proves the Z-set multiset state carries more than
+    * extremes: the lower median (selected element, no interpolation —
+    * the engine-portable choice) of the live value multiset per
+    * (event_type, day). A delete anywhere reshuffles the cumulative
+    * multiplicities and the view re-selects exactly; no sketch, no
+    * rescan of history. Selection: smallest v with cumulative
+    * multiplicity ≥ ⌈n/2⌉, computed by one value-ordered window over
+    * the (group × distinct values) state — value-cardinality-sized,
+    * never row-sized. Integer-exact throughout (micro values, integer
+    * ceil-half), so both engines select the identical element. */
+  def retractableMedian(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ms = netValueMultiplicity(events, Seq("event_type", "day"))
+    val byVal = Window.partitionBy("event_type", "day").orderBy("v_micro")
+    val grp = Window.partitionBy("event_type", "day")
+    ms.withColumn("cum", sum(col("mult")).over(byVal))
+      .withColumn("n", sum(col("mult")).over(grp))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type", "day")
+      .agg(min(col("v_micro")).as("median_value_micro"),
+        max(col("n")).as("n_live_rows"))
+      .withColumn("day", col("day").cast("timestamp"))
+  }
+
+  /** Oracle for [[retractableMedian]]: the same live multiset and the
+    * same cumulative-multiplicity selection. */
+  val retractableMedianSql: String =
+    s"""WITH ms AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+       |         CAST(count(*) AS BIGINT) AS mult
+       |  FROM events WHERE event_id % $RetractMod <> 0
+       |  GROUP BY 1, 2, 3
+       |), c AS (
+       |  SELECT *,
+       |         sum(mult) OVER (PARTITION BY event_type, day
+       |           ORDER BY v_micro ROWS UNBOUNDED PRECEDING) AS cum,
+       |         sum(mult) OVER (PARTITION BY event_type, day) AS n
+       |  FROM ms
+       |)
+       |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       |       min(v_micro) AS median_value_micro,
+       |       CAST(max(n) AS BIGINT) AS n_live_rows
+       |FROM c WHERE cum >= (n + 1) // 2
+       |GROUP BY 1, 2""".stripMargin
+
   /** How many ranked values the top-k view emits per group. */
   val TopK: Int = 3
 

@@ -472,6 +472,35 @@ object StreamingJob {
         count(lit(1)).as("n_live_values"),
         sum(col("mult")).as("n_live_rows"))
 
+  /** Retractable MEDIAN view over the SAME query_09 multiset store —
+    * the holistic-aggregate payoff of keeping full net multiplicities:
+    * no new state, no new stream; the lower median re-selects exactly
+    * under any delete. Column-identical to the batch
+    * [[graft.ops.Incremental.retractableMedian]]. */
+  def retractMedianView(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = Upsert.read(spark, root).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("v_micro",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mult",
+              org.apache.spark.sql.types.LongType)))))
+      .filter(col("mult") > 0)
+    val byVal = Window.partitionBy("event_type", "day").orderBy("v_micro")
+    val grp = Window.partitionBy("event_type", "day")
+    live.withColumn("cum", sum(col("mult")).over(byVal))
+      .withColumn("n", sum(col("mult")).over(grp))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type", "day")
+      .agg(min(col("v_micro")).as("median_value_micro"),
+        max(col("n")).as("n_live_rows"))
+  }
+
   /** query_05 — the prediction vertical as a streaming consumer of the
     * FEATURES stream, composing T14 → §2.9 scoring → K7 writeback
     * exactly the way the reference splits it across processes

@@ -842,6 +842,14 @@ class StreamingSpec extends SparkSuite {
       assert(view().count() === batch.count())
       assert(view().exceptAll(batch).isEmpty && batch.exceptAll(view()).isEmpty,
         "streamed Z-set view differs from batch retractableMinMax")
+      // the SAME multiset store serves the holistic median view — no
+      // extra state, and it must agree with the batch selection
+      val medView = StreamingJob.retractMedianView(spark, root)
+      val medBatch = graft.ops.Incremental
+        .retractableMedian(events.toDF(colNames: _*))
+      assert(medView.exceptAll(medBatch).isEmpty &&
+        medBatch.exceptAll(medView).isEmpty,
+        "streamed median view differs from batch retractableMedian")
       // replay safety: the additive multiset merge is guarded by the
       // applied-batch marker riding the store's atomic pointer flip
       val before = view().collect().map(_.toString).sorted.toSeq
