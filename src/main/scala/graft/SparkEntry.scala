@@ -248,6 +248,17 @@ object SparkEntry {
     "v_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir)),
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
     "v_int8_recall" -> ((s, dir) => Similarity.int8Recall(s, dir)),
+    "v_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
+    "v_hamming_recall" -> ((s, dir) => Similarity.hammingRecall(s, dir)),
+    "w_aroon" -> ((s, dir) => TradeOps.aroon(trades(s, dir))),
+    "e_burst_detect" -> ((s, dir) =>
+      EventAnalytics.burstDetect(Tables.events(s, dir))),
+    "g_clustering_coeff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // fourth consumer of the cached mutual-kNN similarity graph
+      Graph.localClustering(Dedup.mutualKnn(
+        Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
+    }),
     "v_recall_curve" -> ((s, dir) => Similarity.ivfRecallCurve(s, dir)),
     "v_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "v_pq_adc" -> ((s, dir) => Similarity.pqAdc(s, dir)),
@@ -1319,6 +1330,13 @@ object SparkEntry {
     "d_substring_dup" -> TextOps.substringDupSql(),
     "v_mrl_recall" -> Similarity.mrlRecallSql(),
     "v_int8_recall" -> Similarity.int8RecallSql(),
+    "v_hamming_topk" -> Similarity.hammingTopKSql(),
+    "v_hamming_recall" -> Similarity.hammingRecallSql(),
+    "w_aroon" ->
+      s"""$T
+         |${TradeOps.aroonSql()}""".stripMargin,
+    "e_burst_detect" -> EventAnalytics.burstDetectSql,
+    "g_clustering_coeff" -> Dedup.similarityLocalClusteringSql(),
     "v_recall_curve" -> Similarity.ivfRecallCurveSql(),
     "v_pq_codes" -> Similarity.pqCodesSql(),
     "v_pq_adc" -> Similarity.pqAdcSql(),

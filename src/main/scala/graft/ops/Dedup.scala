@@ -1281,6 +1281,12 @@ object Dedup {
   def similarityLabelPropSql(k: Int = 10, rounds: Int = 4): String =
     s"""${mutualKnnCtes(k)}${Graph.labelPropagationSql(rounds)}""".stripMargin
 
+  /** Oracle for [[Graph.localClustering]] over the same mutual-kNN
+    * similarity graph as [[similarityTrianglesSql]]. */
+  def similarityLocalClusteringSql(k: Int = 10): String =
+    s"""${mutualKnnCtes(k)}
+       |${Graph.localClusteringSql}""".stripMargin
+
   /** CC labels by UNROLLED min-label propagation + pointer jumping —
     * NOT a recursive transitive closure. The closure (`reach` as
     * all (doc, reachable-label) pairs) is Θ(Σ cluster²) rows: at

@@ -438,4 +438,46 @@ object EventAnalytics {
       |              ROWS UNBOUNDED PRECEDING) AS BIGINT)
       |         AS cum_revenue_cents
       |FROM daily""".stripMargin
+
+  /** Per-user burst detection — the bot/spam-user triage a
+    * training-data event pipeline runs before trusting engagement
+    * signals: for each user, the MAXIMUM number of events inside any
+    * trailing one-hour window, against their total volume. A user whose
+    * entire history concentrates into one hour (`burst_ppm` → 10⁶) is
+    * a scraper or replay artifact; an even poster sits near
+    * `10⁶·window/span`. The window is a RANGE frame over integer epoch
+    * micros ([−3600 s + 1 µs, now]) — range frames include all order
+    * peers, so simultaneous events can't make the count
+    * order-dependent, and the micros are exact BIGINTs in both
+    * engines. One user-keyed shuffle serves the range window and the
+    * per-user reduce; at 100 TB the frame state is bounded by the
+    * densest single user-hour, not the table. */
+  def burstDetect(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-(3600L * 1000000 - 1), Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("in_hour", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("in_hour")).as("max_1h"))
+      .withColumn("burst_ppm", expr("(max_1h * 1000000) div n_events"))
+  }
+
+  /** Oracle for [[burstDetect]]. */
+  val burstDetectSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+      |), h AS (
+      |  SELECT user_id,
+      |         count(*) OVER (PARTITION BY user_id ORDER BY us
+      |           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      |           AS in_hour
+      |  FROM e
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |       CAST(max(in_hour) AS BIGINT) AS max_1h,
+      |       (CAST(max(in_hour) AS BIGINT) * 1000000) // count(*)
+      |         AS burst_ppm
+      |FROM h GROUP BY 1""".stripMargin
 }

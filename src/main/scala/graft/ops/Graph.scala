@@ -630,6 +630,95 @@ object Graph {
        |                 AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
        |                 JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v))""".stripMargin
 
+  /** Local clustering coefficient per vertex — the node-level twin of
+    * [[triangles]]' global transitivity: `lcc = 2·tri(v) / (deg(v)·
+    * (deg(v)−1))` for deg ≥ 2, emitted as an exact ppm integer
+    * (`2·tri·10⁶ div deg·(deg−1)` — all operands non-negative, so
+    * floor and truncate division agree across engines). On the dup
+    * similarity graph this separates tight template cliques (lcc → 1:
+    * collapse the whole cluster) from hub-and-spoke near-dup stars
+    * (lcc → 0: the hub matches many docs that don't match each other —
+    * the classic boilerplate-laden-prefix signature), which is the
+    * per-cluster triage [[triangles]]' single global number can't do.
+    *
+    * Scale shape: identical to [[triangles]] — degree-oriented wedge
+    * join, O(Σ d·d_max) with the orientation bounding each vertex's
+    * wedge fan-out by its LOWER-degree endpoints — plus one explode
+    * (3 rows per triangle) and a vertex-keyed count. On a mutual-kNN
+    * input (deg ≤ k) the whole thing is O(k·m). */
+  def localClustering(edges0: DataFrame): DataFrame = {
+    val Array(ac, bc) = edges0.columns.take(2)
+    val e = edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"),
+        when(lower, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = o.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val triVerts = e1.join(e2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      .join(o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+    val triCnt = triVerts.groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triCnt, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_ppm",
+        expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+  }
+
+  /** Oracle for [[localClustering]]; chains on a CTE named `pairs`
+    * (the [[trianglesSql]] convention). Same degree orientation, the
+    * triangle's three vertices unnested, per-vertex counts
+    * left-joined onto deg ≥ 2 vertices. */
+  val localClusteringSql: String =
+    """SELECT d.id, d.deg,
+      |       CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+      |       (2 * CAST(coalesce(t.tri, 0) AS BIGINT) * 1000000)
+      |         // (d.deg * (d.deg - 1)) AS lcc_ppm
+      |FROM (SELECT id, count(*) AS deg FROM (
+      |        SELECT doc_a AS id FROM pairs
+      |        UNION ALL SELECT doc_b FROM pairs) GROUP BY 1) d
+      |LEFT JOIN (
+      |  WITH cdeg AS (
+      |    SELECT id, count(*) AS d FROM (
+      |      SELECT doc_a AS id FROM pairs
+      |      UNION ALL SELECT doc_b FROM pairs) GROUP BY 1
+      |  ), o AS (
+      |    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND
+      |             p.doc_a < p.doc_b) THEN p.doc_a
+      |           ELSE p.doc_b END AS u,
+      |           CASE WHEN da.d < db.d OR (da.d = db.d AND
+      |             p.doc_a < p.doc_b) THEN p.doc_b
+      |           ELSE p.doc_a END AS v,
+      |           CASE WHEN da.d < db.d OR (da.d = db.d AND
+      |             p.doc_a < p.doc_b) THEN db.d
+      |           ELSE da.d END AS dv
+      |    FROM pairs p JOIN cdeg da ON da.id = p.doc_a
+      |                 JOIN cdeg db ON db.id = p.doc_b
+      |  )
+      |  SELECT id, count(*) AS tri FROM (
+      |    SELECT unnest([e1.u, e1.v, e2.v]) AS id
+      |    FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |         AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+      |         JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+      |  ) GROUP BY 1
+      |) t ON t.id = d.id
+      |WHERE d.deg >= 2""".stripMargin
+
   /** K-core decomposition (extension) — iterative peeling to the
     * maximal subgraph where every vertex keeps degree ≥ k: the standard
     * "dense cluster vs stragglers" cut before expensive per-cluster

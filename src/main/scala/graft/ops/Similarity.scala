@@ -1850,6 +1850,152 @@ object Similarity {
     sb.toString
   }
 
+  // ---------------------------------------------------------------------
+  // Binary sign-sketch (Hamming) search
+  // ---------------------------------------------------------------------
+
+  /** Spark-side packing of the 64-dim sign pattern into two 32-bit
+    * lanes, each carried in a BIGINT (`lo` = dims 1–32, `hi` = dims
+    * 33–64). Two lanes instead of one 64-bit word because the oracle
+    * builds the same value via `list_sum` of powers of two, and bit 63
+    * would overflow BIGINT on the sum path; 2×32 keeps every
+    * intermediate ≤ 2³²−1 in BOTH engines. A sum of DISTINCT powers of
+    * two is exactly the bitwise OR, so the packing is deterministic. */
+  private def signLaneExpr(lane: Int): String = {
+    val base = lane * 32
+    s"""aggregate(sequence($base, ${base + 31}), 0L,
+       |  (a, i) -> a + CASE WHEN element_at(v, i + 1) > 0D
+       |                THEN shiftleft(1L, i - $base) ELSE 0L END)""".stripMargin
+  }
+
+  private def withSketch(df: DataFrame): DataFrame =
+    df.withColumn("slo", expr(signLaneExpr(0)))
+      .withColumn("shi", expr(signLaneExpr(1)))
+
+  /** Binary sign-sketch top-k: each embedding collapses to its 64-bit
+    * sign pattern (bit i set iff v[i] > 0 — the classic SimHash/sign
+    * random-projection sketch with the identity projection), and
+    * nearest neighbors rank by Hamming distance `bit_count(xor)`.
+    *
+    * This is the 100-TB pre-filter tier below even [[quantizeInt8]]:
+    * 8 bytes/vector vs 256 for the float64 form (32× compression), the
+    * distance is two XOR+POPCNT ops inside whole-stage codegen, and the
+    * sketch column can live in the page index of a parquet sort key.
+    * At scale the serving shape is sketch-scan → Hamming shortlist →
+    * exact re-rank of the shortlist ([[annLsh]] discipline); this exact
+    * scan form is the oracle-checkable baseline, and
+    * [[hammingRecall]] measures what the shortlist keeps. Ranking ties
+    * break by `vec_id` ([[rangeSearch]] discipline). */
+  def hammingTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val emb = withSketch(graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("slo").as("qlo"),
+        col("shi").as("qhi"))
+    val scored = emb.select(col("vec_id"), col("slo"), col("shi"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(slo ^ qlo) + bit_count(shi ^ qhi) AS BIGINT)"))
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("rnk"))
+  }
+
+  /** DuckDB CTE producing the identical two-lane sketch relation
+    * `sk(vec_id, v, nrm, slo, shi)`; shared by [[hammingTopKSql]] and
+    * [[hammingRecallSql]]. */
+  private def sketchCte: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |           AS nrm
+      |  FROM embeddings
+      |), sk AS (
+      |  SELECT vec_id, v, nrm,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS slo,
+      |    CAST(list_sum(list_transform(range(32, 64), i ->
+      |      CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (i - 32))
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS shi
+      |  FROM n
+      |)""".stripMargin
+
+  /** Oracle for [[hammingTopK]] — `xor()` spelled as a function
+    * (DuckDB's `^` is exponentiation). */
+  def hammingTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""$sketchCte, s AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |         CAST(bit_count(xor(q.slo, c.slo)) AS BIGINT) +
+       |         CAST(bit_count(xor(q.shi, c.shi)) AS BIGINT) AS hamming
+       |  FROM sk q, sk c
+       |  WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id
+       |)
+       |SELECT q_id, vec_id, hamming, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY hamming ASC, vec_id) AS rnk
+       |  FROM s
+       |) WHERE rnk <= $k""".stripMargin
+
+  /** Recall@k of the sign-sketch Hamming shortlist against exact
+    * cosine top-k — the measured-recall twin every approximate tier
+    * ships ([[int8Recall]] discipline). The number answers "how much
+    * of the true neighborhood survives the 32×-compressed pre-filter";
+    * it is deliberately the weakest tier in the recall ladder
+    * (1 bit/dim vs int8's 8), which is exactly why it must be
+    * measured rather than assumed. Integer Hamming ranking with
+    * vec_id tiebreak on the sketch side; the exact side is
+    * [[cosineTopK]] verbatim. */
+  def hammingRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val sketchK = hammingTopK(spark, dir, nQueries, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    cosineTopK(spark, dir, nQueries, k)
+      .select("q_id", "vec_id")
+      .join(sketchK, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** Oracle for [[hammingRecall]]: identical sketch lanes, both top-ks,
+    * hit-joined. */
+  def hammingRecallSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""$sketchCte, hk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY CAST(bit_count(xor(q.slo, c.slo)) AS BIGINT) +
+       |                      CAST(bit_count(xor(q.shi, c.shi)) AS BIGINT) ASC,
+       |                      c.vec_id) AS rnk
+       |    FROM sk q, sk c
+       |    WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |), bf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM sk q, sk c
+       |    WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN hk h
+       |  ON bf.q_id = h.q_id AND bf.vec_id = h.vec_id""".stripMargin
+
   /** Oracle for [[rangeSearch]] — same unrounded threshold compare. */
   def rangeSearchSql(nQueries: Int = 5, minCos: Double = 0.2): String =
     s"""WITH e AS (

@@ -1347,6 +1347,62 @@ object TradeOps {
        |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
        |WHERE cnt = $n""".stripMargin
 
+  /** W (extension) — Aroon oscillator: `aroon_up = (n − bars_since_
+    * n-bar_high)·100/n`, `aroon_down` the same over the low — the
+    * trend-age indicator (100 = the extreme is THIS bar, 0 = it aged
+    * out of the window). Entirely integer arithmetic: the
+    * position-of-extreme comes from a PACKED `max` over the frame —
+    * `pc·10⁷ + rn` orders by price then by recency, so `max` returns
+    * the LATEST occurrence of the window high deterministically in
+    * both engines (no `arg_max`, whose tie-break is engine-defined);
+    * the low packs `(10⁹ − pc)·10⁷ + rn`. `rn` stays < 10⁷ through
+    * sf100 on this feed and cent prices stay < 10⁹, so the pack can't
+    * collide or overflow; the final `div` sees non-negative operands
+    * (floor = truncate). One symbol-keyed shuffle serves the row
+    * numbering and both packed windows (same key, same order — one
+    * exchange). */
+  def aroon(trades: DataFrame, n: Int = 25): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val frame = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("hiP", max(expr("pc * 10000000 + rn")).over(frame))
+      .withColumn("loP",
+        max(expr("(1000000000 - pc) * 10000000 + rn")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        expr(s"(($n - (rn - hiP % 10000000)) * 100) div $n").as("aroon_up"),
+        expr(s"(($n - (rn - loP % 10000000)) * 100) div $n").as("aroon_down"))
+  }
+
+  /** Oracle for [[aroon]] (body only — caller prepends the trades
+    * CTE). The packed maxes are cast back to BIGINT (DuckDB widens
+    * window sums, not maxes — the cast is belt-and-braces against the
+    * HUGEINT class anyway). */
+  def aroonSql(n: Int = 25): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       (($n - (rn - hiP % 10000000)) * 100) // $n AS aroon_up,
+       |       (($n - (rn - loP % 10000000)) * 100) // $n AS aroon_down
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp", rn,
+       |         CAST(max(pc * 10000000 + rn) OVER w AS BIGINT) AS hiP,
+       |         CAST(max((1000000000 - pc) * 10000000 + rn) OVER w AS BIGINT)
+       |           AS loP,
+       |         count(*) OVER w AS cnt
+       |  FROM (SELECT event_id, symbol, "timestamp",
+       |               CAST(round(price * 100) AS BIGINT) AS pc,
+       |               CAST(row_number() OVER (PARTITION BY symbol
+       |                 ORDER BY "timestamp", event_id) AS BIGINT) AS rn
+       |        FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n""".stripMargin
+
   /** Shared drawdown arithmetic: `(peak − p)·100` is an exact BIGINT
     * (micro-units), then one division — unrounded ([[bollingerExprs]]
     * tie-hazard note). A zero peak (the feed's floor price is 0.0) has

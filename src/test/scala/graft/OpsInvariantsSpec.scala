@@ -1824,4 +1824,74 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(excludedMax.forall(_ <= annealMin),
       "a higher-quality source was left out of the anneal set")
   }
+
+  test("hamming topk: distances in [0,64], k rows per query, sorted ties by id") {
+    val rows = Similarity.hammingTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 64L,
+        s"hamming out of range: ${r.getLong(2)}")
+    }
+    val perQ = rows.groupBy(_.getLong(0))
+    perQ.values.foreach { g =>
+      assert(g.length === 5)
+      // rank order must be non-decreasing in distance
+      val byRank = g.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("hamming recall: valid fraction over the exact top-k") {
+    val r = Similarity.hammingRecall(spark, sf).head
+    assert(r.getLong(0) === 50L)
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(0))
+    val frac = r.getDouble(2)
+    assert(frac >= 0.0 && frac <= 1.0)
+    // 1 bit/dim is deliberately the weakest tier (measured 0.16 at
+    // sf0.001 — the reason the twin exists); guard only against
+    // degeneracy: random 5-of-n recall at n~200 is ~0.026, demand 3x
+    assert(frac >= 0.08, s"sign-sketch recall degenerate: $frac")
+  }
+
+  test("aroon: both channels in [0,100]; window high this bar => up=100") {
+    val a = TradeOps.aroon(trades)
+    assert(a.count() > 0)
+    assert(a.filter(col("aroon_up") < 0 || col("aroon_up") > 100 ||
+      col("aroon_down") < 0 || col("aroon_down") > 100).count() === 0)
+    // the extreme bar itself scores (n-0)*100/n = 100: both 100s exist
+    assert(a.filter(col("aroon_up") === 100).count() > 0)
+    assert(a.filter(col("aroon_down") === 100).count() > 0)
+  }
+
+  test("burst detect: max_1h <= n_events, ppm consistent and <= 1e6") {
+    val rows = graft.ops.EventAnalytics
+      .burstDetect(Tables.events(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+      assert(r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("local clustering: lcc in [0,1e6] ppm, tri bounded by wedges, " +
+    "and triangle mass matches the global count x3") {
+    val docs = Tables.load(spark, sf, "documents")
+    val knn = graft.ops.Dedup.mutualKnn(
+      graft.ops.Dedup.weightedDupEdges(docs, graft.ops.Dedup.triangleThreshold))
+    val rows = graft.ops.Graph.localClustering(knn).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(deg >= 2L)
+      assert(tri <= deg * (deg - 1) / 2, "tri exceeds wedge capacity")
+      assert(ppm === 2L * tri * 1000000L / (deg * (deg - 1)))
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // per-vertex triangle incidences sum to 3x the global triangle count
+    // (deg-1 vertices cannot close a triangle, so the per-node table
+    // restricted to deg>=2 still carries every incidence)
+    val global = graft.ops.Graph.triangles(knn).head.getLong(2)
+    assert(rows.map(_.getLong(2)).sum === 3L * global)
+  }
 }
