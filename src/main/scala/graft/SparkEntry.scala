@@ -249,6 +249,10 @@ object SparkEntry {
     "v_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
     "v_int8_recall" -> ((s, dir) => Similarity.int8Recall(s, dir)),
     "v_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
+    "v_dim_profile" -> ((s, dir) => Similarity.dimProfile(s, dir)),
+    "w_ichimoku" -> ((s, dir) => TradeOps.ichimoku(trades(s, dir))),
+    "p_shard_plan" -> ((s, dir) =>
+      Pipeline.shardPlan(Tables.load(s, dir, "documents"))),
     "v_hamming_recall" -> ((s, dir) => Similarity.hammingRecall(s, dir)),
     "w_aroon" -> ((s, dir) => TradeOps.aroon(trades(s, dir))),
     "e_burst_detect" -> ((s, dir) =>
@@ -1331,6 +1335,11 @@ object SparkEntry {
     "v_mrl_recall" -> Similarity.mrlRecallSql(),
     "v_int8_recall" -> Similarity.int8RecallSql(),
     "v_hamming_topk" -> Similarity.hammingTopKSql(),
+    "v_dim_profile" -> Similarity.dimProfileSql(),
+    "w_ichimoku" ->
+      s"""$T
+         |${TradeOps.ichimokuSql()}""".stripMargin,
+    "p_shard_plan" -> Pipeline.shardPlanSql(),
     "v_hamming_recall" -> Similarity.hammingRecallSql(),
     "w_aroon" ->
       s"""$T

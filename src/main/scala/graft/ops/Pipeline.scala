@@ -532,4 +532,65 @@ object Pipeline {
        |UNION ALL
        |SELECT 3, 'near_dedup', count(*) FROM resolved
        |WHERE doc_id = canonical_doc""".stripMargin
+
+  /** Balanced training-shard plan — the write-side layout step after
+    * curation: assign every document to one of `nShards` output shards
+    * so shard TOKEN mass (what a data loader actually streams) is
+    * near-equal, not just doc counts. Longest-processing-time-style:
+    * docs sort by (n_tokens desc, doc_id) and deal round-robin by
+    * rank, which bounds the shard-sum spread by one max-doc and is a
+    * pure function of the corpus (a greedy least-loaded heap would be
+    * sequential and engine-divergent). The global rank is computed
+    * with the [[tokenBudgetSelect]] two-phase range-partition trick —
+    * per-partition row counts prefix-summed on the driver-side tiny
+    * table, so no single-reducer global window at 100 TB. Output is
+    * the nShards-row plan: docs, token mass, and each shard's exact
+    * ppm share of the corpus. */
+  def shardPlan(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("n_tokens").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("offset", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+      .select("pid", "offset")
+    val wIn = Window.partitionBy("pid")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val total = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("total_tok"))
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("offset") + row_number().over(wIn))
+      .withColumn("shard", expr(s"(rn - 1) % $nShards"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(tok_sum * 1000000) div total_tok"))
+      .select(col("shard"), col("n_docs"), col("tok_sum"), col("share_ppm"))
+  }
+
+  /** Oracle for [[shardPlan]]: the straight global-window form —
+    * equal to the two-phase plan because the range-partition key IS
+    * the sort key. */
+  def shardPlanSql(nShards: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT n_tokens,
+       |         CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+       |           AS BIGINT) AS rn
+       |  FROM t
+       |)
+       |SELECT (rn - 1) % $nShards AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+       |       (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+       |         // (SELECT CAST(sum(n_tokens) AS BIGINT) FROM t) AS share_ppm
+       |FROM r GROUP BY 1""".stripMargin
 }

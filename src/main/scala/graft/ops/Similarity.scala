@@ -1996,6 +1996,65 @@ object Similarity {
        |FROM bf LEFT JOIN hk h
        |  ON bf.q_id = h.q_id AND bf.vec_id = h.vec_id""".stripMargin
 
+  /** Per-dimension embedding health profile — the monitor an embedding
+    * pipeline runs on every ingest generation: for each of the 64
+    * dims, exact micro-quantized moment sums (the [[labelOutliers]]
+    * centroid discipline — BIGINT Σx and Σx², order-independent),
+    * range, a derived mean/variance, and a `dead` flag
+    * (min = max — the dim carries no information). Dead dims, variance
+    * collapse, and clipped ranges are the classic silent
+    * embedding-model regressions; they break ANN recall without any
+    * downstream error. The raw sums are the oracle-exact columns; the
+    * mean/variance derive from them through correctly-rounded IEEE
+    * casts/div/mul only (deterministic cross-engine even where Σx²
+    * exceeds 2⁵³ — CAST is itself correctly rounded, so both engines
+    * start from the identical double). One |corpus|·64 transpose
+    * through a partial-aggregated groupBy; output is 64 rows at any
+    * corpus size. */
+  def dimProfile(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    emb.select(posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("xm", expr("CAST(round(x * 1000000) AS BIGINT)"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("s1"),
+        sum(expr("xm * xm")).as("s2"),
+        min(col("xm")).as("min_micro"), max(col("xm")).as("max_micro"))
+      .select(col("d").as("dim"), col("n"), col("s1"), col("s2"),
+        col("min_micro"), col("max_micro"),
+        expr("CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)")
+          .as("mean"),
+        expr("""(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               | - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               |   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               | / 1000000000000.0""".stripMargin).as("variance"),
+        (col("min_micro") === col("max_micro")).as("dead"))
+  }
+
+  /** Oracle for [[dimProfile]] — identical quantization, sums, and
+    * derived-moment expression text. */
+  def dimProfileSql(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT embedding::DOUBLE[] AS v FROM embeddings
+       |), dims AS (
+       |  SELECT u.i - 1 AS dim,
+       |         CAST(round(v[u.i] * 1000000) AS BIGINT) AS xm
+       |  FROM e, (SELECT unnest(generate_series(1, $dim)) AS i) u
+       |), a AS (
+       |  SELECT dim, count(*) AS n, CAST(sum(xm) AS BIGINT) AS s1,
+       |         CAST(sum(xm * xm) AS BIGINT) AS s2,
+       |         min(xm) AS min_micro, max(xm) AS max_micro
+       |  FROM dims GROUP BY 1
+       |)
+       |SELECT dim, n, s1, s2, min_micro, max_micro,
+       |       CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean,
+       |       (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+       |        / 1000000000000.0 AS variance,
+       |       min_micro = max_micro AS dead
+       |FROM a""".stripMargin
+
   /** Oracle for [[rangeSearch]] — same unrounded threshold compare. */
   def rangeSearchSql(nQueries: Int = 5, minCos: Double = 0.2): String =
     s"""WITH e AS (

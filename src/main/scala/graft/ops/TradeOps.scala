@@ -1403,6 +1403,87 @@ object TradeOps {
        |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
        |WHERE cnt = $n""".stripMargin
 
+  /** W (extension) — Ichimoku cloud: the five-line system over three
+    * horizons (tenkan 9, kijun 26, senkou-B 52), with the two senkou
+    * lines DISPLACED 26 bars forward (their value at row t was
+    * computed at t−26) and chikou the close displaced 26 back
+    * (`lead`). Every line is a midpoint of window extremes, so the
+    * whole computation stays in exact cent BIGINTs as `(hi + lo)`
+    * ×2-units; the ONLY float step is the final display division
+    * (÷200 / ÷400), one correctly-rounded IEEE op ([[bollingerExprs]]
+    * discipline — and unrounded, for the same tie-hazard reason).
+    * Rows emit once every component is defined: the displaced bar has
+    * full 52-history (`c52l = 52`) and the chikou lead exists.
+    *
+    * Plan shape: all three frames, the row numbering, the lag and the
+    * lead share ONE symbol-keyed, (timestamp, event_id)-ordered
+    * exchange — Spark plans a single window operator chain over one
+    * shuffle, which is the point: five indicator lines for the price
+    * of one sort. */
+  def ichimoku(trades: DataFrame, p1: Int = 9, p2: Int = 26,
+      p3: Int = 52): DataFrame = {
+    def frame(n: Int) = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("t2", max(col("pc")).over(frame(p1)) +
+        min(col("pc")).over(frame(p1)))
+      .withColumn("k2", max(col("pc")).over(frame(p2)) +
+        min(col("pc")).over(frame(p2)))
+      .withColumn("b2", max(col("pc")).over(frame(p3)) +
+        min(col("pc")).over(frame(p3)))
+      .withColumn("c52", count(lit(1)).over(frame(p3)))
+      .withColumn("sa4", lag(col("t2") + col("k2"), p2).over(ord))
+      .withColumn("sb2", lag(col("b2"), p2).over(ord))
+      .withColumn("c52l", lag(col("c52"), p2).over(ord))
+      .withColumn("ck", lead(col("pc"), p2).over(ord))
+      .filter(col("c52l") === p3 && col("ck").isNotNull)
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        (col("t2").cast("double") / lit(200.0)).as("tenkan"),
+        (col("k2").cast("double") / lit(200.0)).as("kijun"),
+        (col("sa4").cast("double") / lit(400.0)).as("senkou_a"),
+        (col("sb2").cast("double") / lit(200.0)).as("senkou_b"),
+        (col("ck").cast("double") / lit(100.0)).as("chikou"))
+  }
+
+  /** Oracle for [[ichimoku]] (body only — caller prepends the trades
+    * CTE). Window extremes stay BIGINT in DuckDB (max doesn't widen),
+    * but the belt-and-braces casts mirror [[aroonSql]]. */
+  def ichimokuSql(p1: Int = 9, p2: Int = 26, p3: Int = 52): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       CAST(t2 AS DOUBLE) / 200.0 AS tenkan,
+       |       CAST(k2 AS DOUBLE) / 200.0 AS kijun,
+       |       CAST(sa4 AS DOUBLE) / 400.0 AS senkou_a,
+       |       CAST(sb2 AS DOUBLE) / 200.0 AS senkou_b,
+       |       CAST(ck AS DOUBLE) / 100.0 AS chikou
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp",
+       |         t2, k2, c52,
+       |         lag(t2 + k2, $p2) OVER o AS sa4,
+       |         lag(b2, $p2) OVER o AS sb2,
+       |         lag(c52, $p2) OVER o AS c52l,
+       |         lead(pc, $p2) OVER o AS ck
+       |  FROM (
+       |    SELECT event_id, symbol, "timestamp", pc,
+       |           CAST(max(pc) OVER w9 + min(pc) OVER w9 AS BIGINT) AS t2,
+       |           CAST(max(pc) OVER w26 + min(pc) OVER w26 AS BIGINT) AS k2,
+       |           CAST(max(pc) OVER w52 + min(pc) OVER w52 AS BIGINT) AS b2,
+       |           count(*) OVER w52 AS c52
+       |    FROM (SELECT event_id, symbol, "timestamp",
+       |                 CAST(round(price * 100) AS BIGINT) AS pc FROM trades)
+       |    WINDOW
+       |      w9 AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |             ROWS BETWEEN ${p1 - 1} PRECEDING AND CURRENT ROW),
+       |      w26 AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |             ROWS BETWEEN ${p2 - 1} PRECEDING AND CURRENT ROW),
+       |      w52 AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |             ROWS BETWEEN ${p3 - 1} PRECEDING AND CURRENT ROW))
+       |  WINDOW o AS (PARTITION BY symbol ORDER BY "timestamp", event_id))
+       |WHERE c52l = $p3 AND ck IS NOT NULL""".stripMargin
+
   /** Shared drawdown arithmetic: `(peak − p)·100` is an exact BIGINT
     * (micro-units), then one division — unrounded ([[bollingerExprs]]
     * tie-hazard note). A zero peak (the feed's floor price is 0.0) has

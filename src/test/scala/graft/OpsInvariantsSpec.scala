@@ -1825,6 +1825,62 @@ class OpsInvariantsSpec extends SparkSuite {
       "a higher-quality source was left out of the anneal set")
   }
 
+  test("ichimoku: emits exactly count-103 rows/symbol, lines inside price range") {
+    val rows = TradeOps.ichimoku(trades)
+    val perSym = trades.groupBy("symbol").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val emitted = rows.groupBy("symbol").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c52l = 52 needs rank >= 78; the chikou lead needs rank <= n-26
+    perSym.foreach { case (s, n) =>
+      assert(emitted.getOrElse(s, 0L) === math.max(0L, n - 103L))
+    }
+    val bounds = trades.groupBy("symbol")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.collect().foreach { r =>
+      val (lo, hi) = bounds(r.getString(1))
+      Seq(3, 4, 5, 6, 7).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= lo - 0.01 && v <= hi + 0.01,
+          s"ichimoku line $i=$v outside [$lo,$hi]")
+      }
+    }
+  }
+
+  test("shard plan: partitions the corpus, doc counts within 1, " +
+    "token spread bounded by one max doc") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Pipeline.shardPlan(docs).collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1L)
+    val toks = rows.map(_.getLong(2))
+    val maxDoc = docs
+      .agg(max(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(toks.max - toks.min <= maxDoc,
+      "round-robin-by-rank spread must be bounded by one document")
+    val total = toks.sum
+    rows.foreach(r => assert(r.getLong(3) === r.getLong(2) * 1000000L / total))
+  }
+
+  test("dim profile: 64 rows, full counts, moments consistent with range") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val rows = graft.ops.Similarity.dimProfile(spark, sf).collect()
+    assert(rows.length === 64)
+    val n = emb.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === n)
+      val (mn, mx) = (r.getLong(4), r.getLong(5))
+      assert(mn <= mx)
+      val mean = r.getDouble(6)
+      assert(mean * 1e6 >= mn - 1 && mean * 1e6 <= mx + 1)
+      assert(r.getDouble(7) >= -1e-9, "variance must be non-negative")
+      assert(r.getBoolean(8) === (mn == mx))
+    }
+  }
+
   test("hamming topk: distances in [0,64], k rows per query, sorted ties by id") {
     val rows = Similarity.hammingTopK(spark, sf).collect()
     assert(rows.nonEmpty)
