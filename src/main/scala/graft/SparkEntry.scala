@@ -250,6 +250,8 @@ object SparkEntry {
     "v_int8_recall" -> ((s, dir) => Similarity.int8Recall(s, dir)),
     "v_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
     "v_dim_profile" -> ((s, dir) => Similarity.dimProfile(s, dir)),
+    "v_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+    "v_knn_graph_recall" -> ((s, dir) => Similarity.knnGraphRecall(s, dir)),
     "w_ichimoku" -> ((s, dir) => TradeOps.ichimoku(trades(s, dir))),
     "p_shard_plan" -> ((s, dir) =>
       Pipeline.shardPlan(Tables.load(s, dir, "documents"))),
@@ -1336,6 +1338,8 @@ object SparkEntry {
     "v_int8_recall" -> Similarity.int8RecallSql(),
     "v_hamming_topk" -> Similarity.hammingTopKSql(),
     "v_dim_profile" -> Similarity.dimProfileSql(),
+    "v_knn_graph" -> Similarity.knnGraphSql(),
+    "v_knn_graph_recall" -> Similarity.knnGraphRecallSql(),
     "w_ichimoku" ->
       s"""$T
          |${TradeOps.ichimokuSql()}""".stripMargin,

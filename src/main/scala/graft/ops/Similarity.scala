@@ -1996,6 +1996,157 @@ object Similarity {
        |FROM bf LEFT JOIN hk h
        |  ON bf.q_id = h.q_id AND bf.vec_id = h.vec_id""".stripMargin
 
+  /** All-vectors kNN graph via hyperplane-LSH buckets — the
+    * embedding-side analogue of the MinHash mutual-kNN document graph
+    * ([[graft.ops.Dedup.mutualKnn]]), and the substrate for
+    * embedding-space clustering, diversity sampling, and
+    * graph-propagated labels. Unlike [[annLsh]] (10 broadcast query
+    * vectors), EVERY vector is a query here, so the bucket join is a
+    * full shuffle join keyed on the bucket id — each bucket's
+    * candidates co-locate, the pair scan is Σ|bucket|² instead of n²,
+    * and the per-query top-k is one windowed rank over the
+    * already-partitioned pairs. Vectors in sparse buckets may emit
+    * fewer than k edges (or none) — that coverage loss is exactly what
+    * [[knnGraphRecall]] measures.
+    *
+    * The bucket key is a fixed 12-plane hyperplane code FOLDED to
+    * `ceil(n / occ)` groups by modulus (clamped to [1, 4096]) — the
+    * budget-derived deterministic-sample discipline applied to bucket
+    * geometry. Folding preserves code-equality (same group whenever
+    * all 12 planes agree — the strongest locality signal) while
+    * holding expected group occupancy at `occ` INDEPENDENT of corpus
+    * size, so the pair scan stays ~`occ·n` and the shuffle-key
+    * cardinality grows with n instead of being a fixed hot-key set —
+    * a fixed bit count either over-partitions a small corpus (near-
+    * empty graph; measured recall 0.013 at n=500 with 8 raw bits) or
+    * melts into O(n²) hot buckets at 100 TB. Pure integer arithmetic
+    * from the corpus count; no cross-engine-fragile log2. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+      occ: Long = 128L): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val mod = math.min(math.max((emb.count() + occ - 1) / occ, 1L), 4096L)
+    val b = emb.withColumn("bucket", expr(s"lsh_bits(v, 12) % $mod"))
+    val l = b.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("norm").as("qn"), col("bucket"))
+    val r = b.select(col("vec_id"), col("v").as("cv"),
+      col("norm").as("cn"), col("bucket"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+
+  /** The bucketed relation shared by [[knnGraphSql]] and
+    * [[knnGraphRecallSql]] — identical planes to [[annLshCtes]]. */
+  private def knnGraphCtes(occ: Long, dim: Int, k: Int): String = {
+    val bits = (0 until 12).map { j =>
+      val sign = graft.functions.VectorOps.hyperplaneSignSql("(i - 1)", j)
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $dim),
+         |  i -> v[i] * $sign)) > 0.0::DOUBLE
+         |  THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n      ")
+    s"""n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), bm AS (
+       |  SELECT least(greatest((count(*) + ${occ - 1}) // $occ, 1), 4096) AS m
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v, nrm,
+       |      ($bits) % (SELECT m FROM bm) AS bucket
+       |  FROM n
+       |), g AS (
+       |  SELECT q_id, vec_id, cos, rnk FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM b q JOIN b c ON q.bucket = c.bucket
+       |    WHERE c.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |)""".stripMargin
+  }
+
+  /** Oracle for [[knnGraph]]. */
+  def knnGraphSql(k: Int = 3, occ: Long = 128L, dim: Int = 64): String =
+    s"""WITH ${knnGraphCtes(occ, dim, k)}
+       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM g""".stripMargin
+
+  /** Recall of the [[knnGraph]] edge set against exact brute-force
+    * top-k, measured over a DETERMINISTIC node sample (`vec_id %
+    * sample_mod = 0`, the modulus derived from the corpus count so the
+    * sample stays ~`budget` nodes at every scale — the
+    * [[graft.ops.Dedup]] budget-derived-sample discipline, with
+    * `sample_mod` emitted as an output column so readers see the
+    * regime). This is the graph-build quality dial: per-query recall
+    * ([[lshAnnRecall]]) doesn't see sparse-bucket coverage holes,
+    * because its 10 fixed queries are never the isolated nodes. */
+  def knnGraphRecall(spark: SparkSession, dir: String, k: Int = 3,
+      occ: Long = 128L, budget: Long = 50L): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val mod = math.max((emb.count() + budget - 1) / budget, 1L)
+    val q = emb.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = emb.select(col("vec_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = knnGraph(spark, dir, k, occ)
+      .filter(col("q_id") % mod === 0)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"),
+        lit(mod).as("sample_mod"))
+  }
+
+  /** Oracle for [[knnGraphRecall]] — the modulus re-derived in SQL
+    * from the same count. */
+  def knnGraphRecallSql(k: Int = 3, occ: Long = 128L, dim: Int = 64,
+      budget: Long = 50L): String =
+    s"""WITH ${knnGraphCtes(occ, dim, k)}, sm AS (
+       |  SELECT greatest((count(*) + ${budget - 1}) // $budget, 1) AS m
+       |  FROM embeddings
+       |), bf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM n q, n c
+       |    WHERE q.vec_id % (SELECT m FROM sm) = 0
+       |      AND c.vec_id != q.vec_id
+       |  ) WHERE rnk <= $k
+       |), ap AS (
+       |  SELECT q_id, vec_id FROM g
+       |  WHERE q_id % (SELECT m FROM sm) = 0
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hits,
+       |       round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
+       |       CAST((SELECT m FROM sm) AS BIGINT) AS sample_mod
+       |FROM bf LEFT JOIN ap
+       |  ON bf.q_id = ap.q_id AND bf.vec_id = ap.vec_id""".stripMargin
+
   /** Per-dimension embedding health profile — the monitor an embedding
     * pipeline runs on every ingest generation: for each of the 64
     * dims, exact micro-quantized moment sums (the [[labelOutliers]]

@@ -1881,6 +1881,34 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("knn graph: <=k ranked edges per node, cos in [-1,1], wide coverage") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.000001 && r.getDouble(2) <= 1.000001)
+    }
+    val n = Tables.load(spark, sf, "embeddings").count()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val rks = g.map(_.getInt(3)).sorted
+      assert(rks.length <= 3)
+      assert(rks === (1 to rks.length).toArray, "ranks must be 1..m")
+    }
+    // 8-bit buckets over this corpus leave few singleton buckets:
+    // the graph must cover most nodes
+    val covered = rows.map(_.getLong(0)).distinct.length
+    assert(covered >= (n * 8) / 10, s"only $covered/$n nodes have edges")
+  }
+
+  test("knn graph recall: valid fraction, budget-derived modulus") {
+    val r = Similarity.knnGraphRecall(spark, sf).head
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(r.getLong(3) === math.max((n + 49) / 50, 1L))
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(0))
+    val frac = r.getDouble(2)
+    assert(frac >= 0.0 && frac <= 1.0)
+    assert(frac >= 0.2, s"knn graph recall degenerate: $frac")
+  }
+
   test("hamming topk: distances in [0,64], k rows per query, sorted ties by id") {
     val rows = Similarity.hammingTopK(spark, sf).collect()
     assert(rows.nonEmpty)
