@@ -251,6 +251,10 @@ object SparkEntry {
     "v_hamming_topk" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
     "v_dim_profile" -> ((s, dir) => Similarity.dimProfile(s, dir)),
     "v_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+    "v_diversity_sample" -> ((s, dir) => Similarity.diversitySample(s, dir)),
+    "p_dedup_cascade" -> ((s, dir) =>
+      Pipeline.dedupCascade(Tables.load(s, dir, "documents"))),
+    "w_vwma" -> ((s, dir) => TradeOps.vwma(trades(s, dir))),
     "v_knn_graph_recall" -> ((s, dir) => Similarity.knnGraphRecall(s, dir)),
     "w_ichimoku" -> ((s, dir) => TradeOps.ichimoku(trades(s, dir))),
     "p_shard_plan" -> ((s, dir) =>
@@ -1339,6 +1343,11 @@ object SparkEntry {
     "v_hamming_topk" -> Similarity.hammingTopKSql(),
     "v_dim_profile" -> Similarity.dimProfileSql(),
     "v_knn_graph" -> Similarity.knnGraphSql(),
+    "v_diversity_sample" -> Similarity.diversitySampleSql(),
+    "p_dedup_cascade" -> Pipeline.dedupCascadeSql,
+    "w_vwma" ->
+      s"""$T
+         |${TradeOps.vwmaSql()}""".stripMargin,
     "v_knn_graph_recall" -> Similarity.knnGraphRecallSql(),
     "w_ichimoku" ->
       s"""$T

@@ -533,6 +533,92 @@ object Pipeline {
        |SELECT 3, 'near_dedup', count(*) FROM resolved
        |WHERE doc_id = canonical_doc""".stripMargin
 
+  /** Sequential dedup-cascade attribution — which tier of the
+    * production dedup stack catches how much of the corpus: every doc
+    * is classified by the STRICTEST relation that links it to a
+    * lower-id keeper — byte-exact (`md5(text)`), shingle-exact (all 16
+    * MinHash slots equal: whitespace/punctuation variants byte-md5
+    * misses — an equivalence relation, so a window-min suffices, no
+    * CC), then near-dup (the ≥0.5 banded-LSH connected components),
+    * else survivor. The tiers are NESTED (exact text ⇒ identical
+    * shingles ⇒ est 1.0 ≥ 0.5-cluster), so this single-pass
+    * classification equals running the cascade sequentially: a removed
+    * doc's signature twin survives into the next tier in its place,
+    * the same contraction argument [[Dedup.resolveBySignature]] is
+    * built on. Output is the 4-row decision table (docs + exact token
+    * mass + ppm per tier) that prices each tier's marginal savings —
+    * the number that decides whether the expensive tier runs at
+    * 100 TB. Reuses the session-cached signature and resolution
+    * stages; nothing new touches pair space. */
+  def dedupCascade(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpW = Window.partitionBy("fp")
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("fp"))
+      .withColumn("minfp", min(col("doc_id")).over(fpW))
+      .select("doc_id", "n_tokens", "minfp")
+    val slots = (0 until 16).map(j => col(s"m$j"))
+    val sigW = Window.partitionBy(slots: _*)
+    val sigRep = Dedup.minhashSignatures(docs)
+      .withColumn("sigrep", min(col("doc_id")).over(sigW))
+      .select("doc_id", "sigrep")
+    val res = Dedup.resolveDuplicates(docs)
+      .select(col("doc_id"), col("canonical_doc"))
+    val total = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("total_tok"))
+    base.join(sigRep, "doc_id").join(res, "doc_id")
+      .withColumn("tier_idx", expr(
+        """CASE WHEN doc_id > minfp THEN 0
+          |     WHEN doc_id > sigrep THEN 1
+          |     WHEN doc_id != canonical_doc THEN 2
+          |     ELSE 3 END""".stripMargin))
+      .withColumn("tier", expr(
+        """CASE tier_idx WHEN 0 THEN 'exact' WHEN 1 THEN 'shingle_exact'
+          |     WHEN 2 THEN 'near_dup' ELSE 'survivor' END""".stripMargin))
+      .groupBy("tier_idx", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
+      .crossJoin(broadcast(total))
+      .withColumn("tok_ppm", expr("(tok_sum * 1000000) div total_tok"))
+      .select(col("tier_idx"), col("tier"), col("n_docs"), col("tok_sum"),
+        col("tok_ppm"))
+  }
+
+  /** Oracle for [[dedupCascade]]: the [[Dedup.resolveCtesFrom]] chain
+    * (which already defines `sig` and `resolved`) plus the two
+    * window-min tiers. */
+  def dedupCascadeSql: String = {
+    val sigCols = (0 until 16).map(j => s"m$j").mkString(", ")
+    s"""WITH ${Dedup.resolveCtesFrom("documents")},
+       |fpw AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         min(doc_id) OVER (PARTITION BY md5(text)) AS minfp
+       |  FROM documents
+       |), sgw AS (
+       |  SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY $sigCols) AS sigrep
+       |  FROM sig
+       |), cls AS (
+       |  SELECT f.doc_id, f.n_tokens,
+       |         CASE WHEN f.doc_id > f.minfp THEN 0
+       |              WHEN f.doc_id > g.sigrep THEN 1
+       |              WHEN f.doc_id != r.canonical_doc THEN 2
+       |              ELSE 3 END AS tier_idx
+       |  FROM fpw f JOIN sgw g USING (doc_id)
+       |       JOIN resolved r USING (doc_id)
+       |)
+       |SELECT tier_idx,
+       |       CASE tier_idx WHEN 0 THEN 'exact' WHEN 1 THEN 'shingle_exact'
+       |            WHEN 2 THEN 'near_dup' ELSE 'survivor' END AS tier,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+       |       (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+       |         // (SELECT CAST(sum(CAST(len(string_split(text, ' '))
+       |                AS BIGINT)) AS BIGINT) FROM documents) AS tok_ppm
+       |FROM cls GROUP BY 1""".stripMargin
+  }
+
   /** Balanced training-shard plan — the write-side layout step after
     * curation: assign every document to one of `nShards` output shards
     * so shard TOKEN mass (what a data loader actually streams) is

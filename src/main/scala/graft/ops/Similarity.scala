@@ -2147,6 +2147,64 @@ object Similarity {
        |FROM bf LEFT JOIN ap
        |  ON bf.q_id = ap.q_id AND bf.vec_id = ap.vec_id""".stripMargin
 
+  /** Cluster-stratified diversity sample — the deterministic
+    * counterpart of "sample `budget` embeddings but keep every mode of
+    * the distribution represented": assign the corpus to the trained
+    * k-means cells (the session-cached quantizer —
+    * [[trainKmeansCached]], zero extra training), give each cell a
+    * PROPORTIONAL quota `(budget·n_c) div n_total` (floor allocation —
+    * the emitted sample can undershoot `budget` by < k rows, never
+    * overshoot), and pick each cell's members by salted-md5 order (the
+    * [[graft.ops.Dedup]] hash-sampling discipline: deterministic,
+    * engine-identical, and uncorrelated with vec_id ingest order). A
+    * uniform random sample would silently drop small modes — exactly
+    * the examples a finetuning mixture is short of; stratifying by the
+    * learned cells is the standard fix, and everything here is one
+    * broadcast-assignment scan plus a cell-keyed rank. */
+  def diversitySample(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, budget: Long = 64L): DataFrame = {
+    VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val cents = trainKmeansCached(spark, dir, emb, k, iters, 64)
+    val assigned = assignCells(emb, cents).select(col("vec_id"), col("cell"))
+    val cellN = assigned.groupBy("cell").agg(count(lit(1)).as("n_c"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    val byCell = Window.partitionBy("cell").orderBy(col("hv"), col("vec_id"))
+    assigned
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT)"))
+      .withColumn("rnk", row_number().over(byCell))
+      .join(broadcast(cellN), "cell")
+      .crossJoin(broadcast(total))
+      .filter(col("rnk") <= expr(s"($budget * n_c) div n_total"))
+      .select(col("cell"), col("vec_id"), col("rnk"), col("n_c"))
+  }
+
+  /** Oracle for [[diversitySample]] — the unrolled kmeans chain, the
+    * same hex-parsed md5 order, the same floor quota. */
+  def diversitySampleSql(k: Int = 8, iters: Int = 2,
+      budget: Long = 64L): String =
+    s"""WITH ${kmeansChain(k, iters, 64)},
+       |${kmAssignCte(s"cb$iters", "F")},
+       |asg AS (
+       |  SELECT vec_id, cell FROM aF WHERE rc = 1
+       |), cn AS (
+       |  SELECT cell, count(*) AS n_c FROM asg GROUP BY 1
+       |), tt AS (
+       |  SELECT count(*) AS n_total FROM asg
+       |), rk AS (
+       |  SELECT cell, vec_id,
+       |         row_number() OVER (PARTITION BY cell ORDER BY
+       |           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+       |           vec_id) AS rnk
+       |  FROM asg
+       |)
+       |SELECT r.cell, r.vec_id, r.rnk, c.n_c
+       |FROM rk r JOIN cn c USING (cell), tt
+       |WHERE r.rnk <= ($budget * c.n_c) // tt.n_total""".stripMargin
+
   /** Per-dimension embedding health profile — the monitor an embedding
     * pipeline runs on every ingest generation: for each of the 64
     * dims, exact micro-quantized moment sums (the [[labelOutliers]]

@@ -1403,6 +1403,48 @@ object TradeOps {
        |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
        |WHERE cnt = $n""".stripMargin
 
+  /** W (extension) — volume-weighted moving average: `Σ(p·v)/Σv` over
+    * the trailing n rows per symbol — [[twap]]'s volume-aware sibling
+    * and the denominator discipline of [[vwap]] applied to a rolling
+    * frame. Both sums are exact BIGINTs (price in cents × volume in
+    * deci-units — `volume` is `(event_id % 97 + 1)·0.1` by
+    * construction, so `vol10` is an exact integer), sharing one
+    * symbol-keyed window shuffle; the single float step is the final
+    * display division ([[bollingerExprs]] discipline, unrounded). */
+  def vwma(trades: DataFrame, n: Int = 20): DataFrame = {
+    val frame = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("vol10", expr("CAST(event_id % 97 + 1 AS BIGINT)"))
+      .withColumn("spv", sum(col("pc") * col("vol10")).over(frame))
+      .withColumn("sv", sum(col("vol10")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        expr("CAST(spv AS DOUBLE) / (CAST(sv AS DOUBLE) * 100.0)")
+          .as("vwma"))
+  }
+
+  /** Oracle for [[vwma]] (body only — caller prepends the trades CTE);
+    * window sums cast back from DuckDB's HUGEINT widening. */
+  def vwmaSql(n: Int = 20): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       CAST(spv AS DOUBLE) / (CAST(sv AS DOUBLE) * 100.0) AS vwma
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp",
+       |         CAST(sum(pc * vol10) OVER w AS BIGINT) AS spv,
+       |         CAST(sum(vol10) OVER w AS BIGINT) AS sv,
+       |         count(*) OVER w AS cnt
+       |  FROM (SELECT event_id, symbol, "timestamp",
+       |               CAST(round(price * 100) AS BIGINT) AS pc,
+       |               CAST(event_id % 97 + 1 AS BIGINT) AS vol10
+       |        FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n""".stripMargin
+
   /** W (extension) — Ichimoku cloud: the five-line system over three
     * horizons (tenkan 9, kijun 26, senkou-B 52), with the two senkou
     * lines DISPLACED 26 bars forward (their value at row t was

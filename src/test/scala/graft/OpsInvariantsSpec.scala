@@ -1881,6 +1881,52 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("dedup cascade: tiers partition the corpus, nested removals, " +
+    "survivors match the resolver's canonicals") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Pipeline.dedupCascade(docs).collect()
+    assert(rows.map(_.getLong(2)).sum === docs.count())
+    val total = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 3)
+      assert(r.getLong(4) === r.getLong(3) * 1000000L / total)
+    }
+    // survivor count equals the 0.5-resolution's canonical count: the
+    // nested-tier classification must not invent or lose keepers
+    val survivors = rows.find(_.getInt(0) == 3).map(_.getLong(2)).getOrElse(0L)
+    val canon = graft.ops.Dedup.resolveDuplicates(docs)
+      .filter(col("doc_id") === col("canonical_doc")).count()
+    assert(survivors === canon)
+  }
+
+  test("diversity sample: quotas proportional, within budget, ranks valid") {
+    val rows = graft.ops.Similarity.diversitySample(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    rows.groupBy(_.getInt(0)).foreach { case (_, g) =>
+      val nc = g.head.getLong(3)
+      val quota = 64L * nc / n
+      assert(g.length.toLong === quota,
+        s"cell emits exactly its floor quota ($quota)")
+      assert(g.map(_.getInt(2)).max <= quota)
+    }
+    // selection is a set: no duplicate vec_ids across cells
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("vwma: bounded by window price extremes, full-window emission") {
+    val a = TradeOps.vwma(trades)
+    assert(a.count() > 0)
+    val bounds = trades.groupBy("symbol")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    a.collect().foreach { r =>
+      val (lo, hi) = bounds(r.getString(1))
+      assert(r.getDouble(3) >= lo - 0.01 && r.getDouble(3) <= hi + 0.01)
+    }
+  }
+
   test("knn graph: <=k ranked edges per node, cos in [-1,1], wide coverage") {
     val rows = Similarity.knnGraph(spark, sf).collect()
     assert(rows.nonEmpty)
