@@ -255,6 +255,9 @@ object SparkEntry {
     "p_dedup_cascade" -> ((s, dir) =>
       Pipeline.dedupCascade(Tables.load(s, dir, "documents"))),
     "w_vwma" -> ((s, dir) => TradeOps.vwma(trades(s, dir))),
+    "a_gini" -> ((s, dir) => TradeOps.giniActivity(trades(s, dir))),
+    "d_minhash_est_error" -> ((s, dir) =>
+      Dedup.minhashEstError(Tables.load(s, dir, "documents"))),
     "v_knn_graph_recall" -> ((s, dir) => Similarity.knnGraphRecall(s, dir)),
     "w_ichimoku" -> ((s, dir) => TradeOps.ichimoku(trades(s, dir))),
     "p_shard_plan" -> ((s, dir) =>
@@ -1348,6 +1351,10 @@ object SparkEntry {
     "w_vwma" ->
       s"""$T
          |${TradeOps.vwmaSql()}""".stripMargin,
+    "a_gini" ->
+      s"""$T
+         |${TradeOps.giniActivitySql}""".stripMargin,
+    "d_minhash_est_error" -> Dedup.minhashEstErrorSql(),
     "v_knn_graph_recall" -> Similarity.knnGraphRecallSql(),
     "w_ichimoku" ->
       s"""$T

@@ -768,6 +768,73 @@ object Dedup {
        |FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
        |WHERE $bandEqSql""".stripMargin
 
+  /** MinHash estimator calibration — measured |est − true| error of
+    * the 16-slot signature estimate against the TRUE word-set Jaccard,
+    * over a deterministic salted-md5 sample of the banded candidate
+    * pairs (the population the pipeline actually acts on). Every
+    * threshold decision ([[thresholdCurve]], [[resolveDuplicates]])
+    * trusts `matches/16`; this is the row that says how far that
+    * estimate strays — the measure-don't-guess discipline
+    * ([[lshRecall]]) applied to the estimator itself rather than the
+    * bucketing. Exact integer ppm on both sides: est_ppm reconstructs
+    * the slot count from the double (`round(est·16)·62500` — 10⁶/16
+    * is exact) and true_ppm is floor-divided set arithmetic over the
+    * distinct-word arrays (the same sets the signature hashes).
+    * Output: 100k-ppm error-band histogram (≤ 11 rows). Rides the
+    * session-cached candidate table; the word arrays ship only for
+    * the ~1/`sampleMod` sampled pairs. */
+  def minhashEstError(docs: DataFrame, sampleMod: Int = 20): DataFrame = {
+    val sampled = minhashPairs(docs)
+      .filter(pmod(expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_a AS STRING), '_', " +
+          "CAST(doc_b AS STRING))), 1, 8), 16, 10) AS BIGINT)"),
+        lit(sampleMod.toLong)) === 0)
+    val words = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    sampled
+      .join(words.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("n_union",
+        size(col("wa")).cast("long") + size(col("wb")).cast("long")
+          - col("n_inter"))
+      .withColumn("true_ppm", expr("(n_inter * 1000000) div n_union"))
+      .withColumn("est_ppm",
+        expr("CAST(round(est_jaccard * 16) AS BIGINT) * 62500"))
+      .withColumn("err_band", expr("abs(est_ppm - true_ppm) div 100000"))
+      .groupBy("err_band")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Oracle for [[minhashEstError]]: the candidate-pair CTE, the same
+    * hex-parsed sample, list-set arithmetic for the true Jaccard. */
+  def minhashEstErrorSql(sampleMod: Int = 20): String =
+    s"""$sigCte, cand AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |         CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE $bandEqSql
+       |), samp AS (
+       |  SELECT * FROM cand
+       |  WHERE ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '_' ||
+       |          CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT % $sampleMod = 0
+       |), dw AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), scored AS (
+       |  SELECT CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS n_inter,
+       |         CAST(len(a.w) AS BIGINT) + CAST(len(b.w) AS BIGINT)
+       |           - CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS n_union,
+       |         CAST(round(s.est_jaccard * 16) AS BIGINT) * 62500 AS est_ppm
+       |  FROM samp s JOIN dw a ON a.doc_id = s.doc_a
+       |       JOIN dw b ON b.doc_id = s.doc_b
+       |)
+       |SELECT abs(est_ppm - (n_inter * 1000000) // n_union) // 100000
+       |         AS err_band,
+       |       count(*) AS n_pairs
+       |FROM scored GROUP BY 1""".stripMargin
+
   /** Dedup threshold-sweep curve — the tuning table a curation run
     * reads before COMMITTING to a similarity cutoff: for each candidate
     * threshold, how many near-dup pairs fire and how many documents

@@ -1403,6 +1403,50 @@ object TradeOps {
        |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
        |WHERE cnt = $n""".stripMargin
 
+  /** A (extension) — Gini coefficient of per-user traded USD volume:
+    * the inequality summary behind every "whales dominate the feed"
+    * dashboard claim, complementing the top-share concentration table
+    * (a25) with the full-distribution index. Computed by the exact
+    * rank formula `G = (2·Σr·x − (n+1)·Σx) / (n·Σx)` over per-user
+    * micro-USD BIGINT totals: ranks come from ONE ascending sort of
+    * the (already 1000×-smaller) user aggregate, every product and sum
+    * stays in BIGINT (bounded by rank·total ≈ 10⁵·10¹⁵ at sf1 — range
+    * checked, with HUGEINT-free headroom to ~10⁴ users × corpus
+    * micro-total 10¹⁴), and the one float step is the final division.
+    * The global rank window runs over the AGGREGATED user table — at
+    * 100 TB that table is still ~millions of rows; if it ever isn't,
+    * the [[graft.ops.Pipeline.shardPlan]] two-phase range-partition
+    * rank drops in unchanged. */
+  def giniActivity(trades: DataFrame): DataFrame = {
+    val per = trades
+      .withColumn("um", expr("CAST(round(usd_volume * 1000000) AS BIGINT)"))
+      .groupBy("user_id").agg(sum(col("um")).as("xc"))
+    val w = Window.orderBy(col("xc"), col("user_id"))
+    per.withColumn("rn", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_users"), sum(col("xc")).as("total_micro"),
+        sum(col("rn") * col("xc")).as("srx"))
+      .select(col("n_users"), col("total_micro"),
+        expr("""CAST(2 * srx - (n_users + 1) * total_micro AS DOUBLE)
+               | / CAST(n_users * total_micro AS DOUBLE)""".stripMargin)
+          .as("gini"))
+  }
+
+  /** Oracle for [[giniActivity]] (body only — caller prepends the
+    * trades CTE). */
+  val giniActivitySql: String =
+    """SELECT count(*) AS n_users,
+      |       CAST(sum(xc) AS BIGINT) AS total_micro,
+      |       CAST(2 * CAST(sum(rn * xc) AS BIGINT)
+      |            - (count(*) + 1) * CAST(sum(xc) AS BIGINT) AS DOUBLE)
+      |         / CAST(count(*) * CAST(sum(xc) AS BIGINT) AS DOUBLE) AS gini
+      |FROM (
+      |  SELECT xc, CAST(row_number() OVER (ORDER BY xc, user_id) AS BIGINT)
+      |           AS rn
+      |  FROM (SELECT user_id,
+      |               CAST(sum(CAST(round(usd_volume * 1000000) AS BIGINT))
+      |                 AS BIGINT) AS xc
+      |        FROM trades GROUP BY 1))""".stripMargin
+
   /** W (extension) — volume-weighted moving average: `Σ(p·v)/Σv` over
     * the trailing n rows per symbol — [[twap]]'s volume-aware sibling
     * and the denominator discipline of [[vwap]] applied to a rolling

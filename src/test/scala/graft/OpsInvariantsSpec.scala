@@ -1881,6 +1881,30 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("gini: in [0,1), zero for a constant distribution") {
+    val r = TradeOps.giniActivity(trades).head
+    val g = r.getDouble(2)
+    assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    // a synthetic equal-volume frame must score exactly 0
+    val flat = trades.limit(40)
+      .withColumn("usd_volume", lit(7.5))
+      .withColumn("user_id", col("event_id") % 10)
+    assert(TradeOps.giniActivity(flat).head.getDouble(2) === 0.0)
+  }
+
+  test("minhash est error: histogram covers the sample, bands valid, " +
+    "mass concentrated at low error") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Dedup.minhashEstError(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 10L))
+    val total = rows.map(_.getLong(1)).sum
+    // a 16-slot signature on near-dup candidates should put most mass
+    // within 200k ppm of truth; a broken estimator flattens this
+    val low = rows.filter(_.getLong(0) <= 2L).map(_.getLong(1)).sum
+    assert(low * 2 >= total, s"error mass not concentrated: $low/$total")
+  }
+
   test("dedup cascade: tiers partition the corpus, nested removals, " +
     "survivors match the resolver's canonicals") {
     val docs = Tables.load(spark, sf, "documents")
