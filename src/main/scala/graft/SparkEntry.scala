@@ -256,6 +256,9 @@ object SparkEntry {
       Pipeline.dedupCascade(Tables.load(s, dir, "documents"))),
     "w_vwma" -> ((s, dir) => TradeOps.vwma(trades(s, dir))),
     "a_gini" -> ((s, dir) => TradeOps.giniActivity(trades(s, dir))),
+    "v_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
+    "t_length_outliers" -> ((s, dir) =>
+      TextOps.lengthOutliers(Tables.load(s, dir, "documents"))),
     "d_minhash_est_error" -> ((s, dir) =>
       Dedup.minhashEstError(Tables.load(s, dir, "documents"))),
     "v_knn_graph_recall" -> ((s, dir) => Similarity.knnGraphRecall(s, dir)),
@@ -1355,6 +1358,8 @@ object SparkEntry {
       s"""$T
          |${TradeOps.giniActivitySql}""".stripMargin,
     "d_minhash_est_error" -> Dedup.minhashEstErrorSql(),
+    "v_pca_power" -> Similarity.pcaPowerSql(),
+    "t_length_outliers" -> TextOps.lengthOutliersSql,
     "v_knn_graph_recall" -> Similarity.knnGraphRecallSql(),
     "w_ichimoku" ->
       s"""$T

@@ -2147,6 +2147,83 @@ object Similarity {
        |FROM bf LEFT JOIN ap
        |  ON bf.q_id = ap.q_id AND bf.vec_id = ap.vec_id""".stripMargin
 
+  /** Top principal component by POWER ITERATION, made fully
+    * deterministic — the embedding-health "dominant direction" monitor
+    * ([[dimProfile]]'s multivariate sibling): a corpus whose top PC
+    * rotates between ingest generations has an embedding-model
+    * regression no per-dim variance can see. Each of the `iters`
+    * rounds computes `w = Σᵢ xᵢ(xᵢ·v)` with the [[trainKmeans]]
+    * integer discipline — the per-row, per-dim contribution is
+    * nano-quantized with the shared `floor(c·10⁹ + 0.5)` expression
+    * and summed as exact BIGINTs (order-independent), so the only
+    * float steps are the per-row dot (the sequential-fold
+    * `dot_product`/`list_dot_product` pair, hash-proven identical) and
+    * one normalize per round (÷, sqrt — both correctly rounded).
+    * The seed is the exact literal `1/8` per dim (1/√64). Each round
+    * is one |corpus|·64 transpose aggregate; 64 longs reach the
+    * driver per round. Output: 64 loading rows plus the Rayleigh
+    * eigenvalue estimate `‖w‖/n`. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 3)
+      : DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val n = emb.count()
+    var vcur: IndexedSeq[Double] = IndexedSeq.fill(64)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to iters) {
+      val vlit = array(vcur.map(lit): _*)
+      val sums = emb
+        .withColumn("s", call_function("dot_product", col("v"), vlit))
+        .select(col("s"), posexplode(col("v")).as(Seq("d", "x")))
+        .withColumn("c",
+          floor(col("x") * col("s") * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy("d").agg(sum(col("c")).as("sc"))
+        .orderBy("d").collect()
+      val t = sums.map(_.getLong(1).toDouble * 1e-9)
+      nrm = math.sqrt(t.foldLeft(0.0)((a, x) => a + x * x))
+      vcur = t.map(_ / nrm).toIndexedSeq
+    }
+    import spark.implicits._
+    val lambda = nrm / n.toDouble
+    vcur.zipWithIndex.map { case (x, d) => (d, x) }
+      .toDF("dim", "raw")
+      .select(col("dim"), round(col("raw"), 6).as("loading"),
+        round(lit(lambda), 6).as("lambda"))
+  }
+
+  /** Oracle for [[pcaPower]]: the iteration unrolled as CTE rounds,
+    * each reproducing the identical nano-quantized transpose sums and
+    * normalize. */
+  def pcaPowerSql(iters: Int = 3, dim: Int = 64): String = {
+    val seed = "[" + Seq.fill(dim)("0.125::DOUBLE").mkString(", ") + "]"
+    val rounds = (1 to iters).map { k =>
+      val vprev = if (k == 1) seed else s"(SELECT vv FROM w${k - 1})"
+      s"""p$k AS (
+         |  SELECT u.i AS d,
+         |         CAST(sum(CAST(floor(e.v[u.i] *
+         |             list_dot_product(e.v, $vprev) * 1e9 + 0.5::DOUBLE)
+         |           AS BIGINT)) AS BIGINT) AS sc
+         |  FROM e, (SELECT unnest(generate_series(1, $dim)) AS i) u
+         |  GROUP BY 1
+         |), t$k AS (
+         |  SELECT list(CAST(sc AS DOUBLE) * 1e-9 ORDER BY d) AS tv FROM p$k
+         |), w$k AS (
+         |  SELECT list_transform(tv, x ->
+         |           x / sqrt(list_dot_product(tv, tv))) AS vv,
+         |         sqrt(list_dot_product(tv, tv)) AS nrm
+         |  FROM t$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |),
+       |$rounds
+       |SELECT u.i - 1 AS dim, round(vv[u.i], 6) AS loading,
+       |       round(nrm / (SELECT count(*) FROM e), 6) AS lambda
+       |FROM w$iters, (SELECT unnest(generate_series(1, $dim)) AS i) u"""
+      .stripMargin
+  }
+
   /** Cluster-stratified diversity sample — the deterministic
     * counterpart of "sample `budget` embeddings but keep every mode of
     * the distribution represented": assign the corpus to the trained

@@ -1710,4 +1710,51 @@ object TextOps {
        |       count(*) AS tf
        |FROM words
        |GROUP BY 1, 2""".stripMargin
+
+  /** Per-source token-length 3σ outlier profile — the corpus-anomaly
+    * gate that flags truncated shards and concatenation bugs (a source
+    * whose length distribution suddenly grows a tail is an ingest
+    * regression, not content). ENTIRELY integer: the z-test
+    * `|x − μ| > 3σ` is algebraically `(n·x − Σx)² > 9·(n·Σx² − (Σx)²)`
+    * — both sides exact BIGINTs (range-checked: n·x ≤ 5·10⁸ at sf1
+    * squares to 2.5·10¹⁷; 9·n·Σx² ≈ 2·10¹⁸ — inside BIGINT), so there
+    * is no sqrt, no division, and no float anywhere to round
+    * differently across engines. One groupBy for the moments
+    * (≤|sources| rows, broadcast back), one codegen'd flag scan. */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("x"))
+    val mom = base.groupBy("source").agg(count(lit(1)).as("n"),
+      sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+    base.join(broadcast(mom), "source")
+      .withColumn("is_out", expr(
+        "CASE WHEN (n * x - s1) * (n * x - s1) > 9 * (n * s2 - s1 * s1) " +
+          "THEN 1L ELSE 0L END"))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"), sum(col("is_out")).as("n_outliers"),
+        max(col("x")).as("max_tokens"))
+      .withColumn("outlier_ppm", expr("(n_outliers * 1000000) div n_docs"))
+  }
+
+  /** Oracle for [[lengthOutliers]]. */
+  val lengthOutliersSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      |  FROM documents
+      |), m AS (
+      |  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+      |         CAST(sum(x * x) AS BIGINT) AS s2
+      |  FROM t GROUP BY 1
+      |)
+      |SELECT t.source, max(m.n) AS n_docs,
+      |       CAST(sum(CASE WHEN (m.n * t.x - m.s1) * (m.n * t.x - m.s1)
+      |              > 9 * (m.n * m.s2 - m.s1 * m.s1) THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_outliers,
+      |       max(t.x) AS max_tokens,
+      |       (CAST(sum(CASE WHEN (m.n * t.x - m.s1) * (m.n * t.x - m.s1)
+      |              > 9 * (m.n * m.s2 - m.s1 * m.s1) THEN 1 ELSE 0 END)
+      |         AS BIGINT) * 1000000) // max(m.n) AS outlier_ppm
+      |FROM t JOIN m USING (source)
+      |GROUP BY 1""".stripMargin
 }

@@ -1881,6 +1881,34 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("pca power: unit-norm loadings, positive eigenvalue, " +
+    "dominant over per-dim variance") {
+    val rows = Similarity.pcaPower(spark, sf).collect()
+    assert(rows.length === 64)
+    val norm2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"loadings not unit norm: $norm2")
+    val lambda = rows.head.getDouble(2)
+    assert(lambda > 0.0)
+    // Rayleigh quotient of the dominant direction must be at least the
+    // largest single-dim second moment (PC1 beats any axis)
+    val maxDimVar = Similarity.dimProfile(spark, sf).collect()
+      .map(r => r.getLong(3).toDouble / r.getLong(1) / 1e12).max
+    assert(lambda >= maxDimVar * 0.9,
+      s"PC1 eigenvalue $lambda below axis moment $maxDimVar")
+  }
+
+  test("length outliers: counts bounded by Chebyshev, ppm consistent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.TextOps.lengthOutliers(docs).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    rows.foreach { r =>
+      // Chebyshev: at most 1/9 of any distribution sits beyond 3 sigma
+      assert(r.getLong(2) * 9 <= r.getLong(1),
+        s"source ${r.getString(0)}: ${r.getLong(2)} outliers of ${r.getLong(1)}")
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("gini: in [0,1), zero for a constant distribution") {
     val r = TradeOps.giniActivity(trades).head
     val g = r.getDouble(2)
