@@ -257,6 +257,9 @@ object SparkEntry {
     "w_vwma" -> ((s, dir) => TradeOps.vwma(trades(s, dir))),
     "a_gini" -> ((s, dir) => TradeOps.giniActivity(trades(s, dir))),
     "v_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
+    "v_ood_topk" -> ((s, dir) => Similarity.oodTopK(s, dir)),
+    "k16_partition_evolution" -> ((s, dir) =>
+      TradeOps.partitionEvolution(s, trades(s, dir))),
     "t_length_outliers" -> ((s, dir) =>
       TextOps.lengthOutliers(Tables.load(s, dir, "documents"))),
     "d_minhash_est_error" -> ((s, dir) =>
@@ -1359,6 +1362,10 @@ object SparkEntry {
          |${TradeOps.giniActivitySql}""".stripMargin,
     "d_minhash_est_error" -> Dedup.minhashEstErrorSql(),
     "v_pca_power" -> Similarity.pcaPowerSql(),
+    "v_ood_topk" -> Similarity.oodTopKSql(),
+    "k16_partition_evolution" ->
+      s"""$T
+         |${TradeOps.partitionEvolutionSql}""".stripMargin,
     "t_length_outliers" -> TextOps.lengthOutliersSql,
     "v_knn_graph_recall" -> Similarity.knnGraphRecallSql(),
     "w_ichimoku" ->

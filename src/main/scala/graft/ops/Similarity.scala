@@ -2224,6 +2224,60 @@ object Similarity {
       .stripMargin
   }
 
+  /** Out-of-distribution top-k — the label-free novelty sweep
+    * ([[labelOutliers]] without labels): every vector scored by L2
+    * distance to its NEAREST trained k-means centroid, the `k` farthest
+    * surfaced. Far-from-every-mode vectors are the junk embeddings,
+    * encoder failures, and genuinely novel inputs a curation pass wants
+    * eyeballed before they poison a mixture. Reuses the session-cached
+    * quantizer ([[trainKmeansCached]], same (k=8, iters=2) key as
+    * [[diversitySample]] — zero extra training); scoring is the same
+    * literal-centroid codegen projection as [[annIvf]], the global
+    * top-k is a distributed TakeOrdered (no global sort, no single
+    * reducer), and only `k` rows see the final rank window. */
+  def oodTopK(spark: SparkSession, dir: String, k: Int = 16,
+      kc: Int = 8, iters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val cents = trainKmeansCached(spark, dir, emb, kc, iters, 64)
+    val scores = array(cents.map { case (_, c) =>
+      val cl = array(c.map(lit): _*)
+      call_function("dot_product", cl, cl) -
+        lit(2.0) * call_function("dot_product", col("v"), cl)
+    }: _*)
+    val top = emb.withColumn("scores", scores)
+      .withColumn("md", array_min(col("scores")) + expr("dot_product(v, v)"))
+      .select(col("vec_id"), col("md"))
+      .orderBy(col("md").desc, col("vec_id"))
+      .limit(k)
+    val w = Window.orderBy(col("md").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("vec_id"),
+        round(sqrt(greatest(col("md"), lit(0.0))), 6).as("ood_dist"),
+        col("rnk"))
+  }
+
+  /** Oracle for [[oodTopK]] — the trained codebook CTE chain, the same
+    * min-over-cells score, the same clamp-sqrt display. */
+  def oodTopKSql(k: Int = 16, kc: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansChain(kc, iters, 64)},
+       |sc AS (
+       |  SELECT e.vec_id,
+       |         min(list_dot_product(c.cv, c.cv)
+       |             - 2.0::DOUBLE * list_dot_product(e.v, c.cv)) AS m2
+       |  FROM e CROSS JOIN cb$iters c
+       |  GROUP BY e.vec_id
+       |), scv AS (
+       |  SELECT e.vec_id, s.m2 + list_dot_product(e.v, e.v) AS md
+       |  FROM e JOIN sc s USING (vec_id)
+       |)
+       |SELECT vec_id, round(sqrt(greatest(md, 0.0::DOUBLE)), 6) AS ood_dist,
+       |       rnk
+       |FROM (SELECT vec_id, md,
+       |             row_number() OVER (ORDER BY md DESC, vec_id) AS rnk
+       |      FROM scv)
+       |WHERE rnk <= $k""".stripMargin
+
   /** Cluster-stratified diversity sample — the deterministic
     * counterpart of "sample `budget` embeddings but keep every mode of
     * the distribution represented": assign the corpus to the trained

@@ -490,6 +490,52 @@ object TradeOps {
       .select("event_id", "symbol", "timestamp", "price", "volume")
   }
 
+  /** K16 (extension) — partition-spec EVOLUTION: the lakehouse table
+    * whose early generations are partitioned daily and whose newer
+    * data (past `cutDay`) moved to (day, hour) as volume grew — the
+    * migration every long-lived event table goes through, because
+    * rewriting history to the new spec is exactly the 100-TB cost
+    * evolution exists to avoid. The unified read proves the contract:
+    * one view over both generations, a day-range predicate that
+    * partition-prunes BOTH specs, and an hour predicate that prunes at
+    * the FILE level on the new spec while degrading gracefully to a
+    * row-level filter on the old one (`hr` is a partition column in
+    * gen-2, derived from the timestamp in gen-1 — same value by
+    * construction, which is what makes the spec swap invisible to
+    * readers). Writes cluster by their partition key first
+    * ([[dynamicPartitionOverwrite]]'s file-explosion discipline). */
+  def partitionEvolution(spark: SparkSession, trades: DataFrame,
+      cutDay: String = "2024-01-16"): DataFrame = {
+    val out = scratchDir(spark, "part_evolution")
+    val base = trades
+      .withColumn("day", to_date(col("timestamp")))
+      .withColumn("hr", hour(col("timestamp")))
+      .select("event_id", "symbol", "timestamp", "price", "day", "hr")
+    val cut = lit(cutDay).cast("date")
+    base.filter(col("day") < cut).drop("hr")
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$out/g1")
+    base.filter(col("day") >= cut)
+      .repartition(col("day"), col("hr"))
+      .write.mode("overwrite").partitionBy("day", "hr").parquet(s"$out/g2")
+    val g1 = spark.read.parquet(s"$out/g1")
+      .withColumn("hr", hour(col("timestamp")))
+    val g2 = spark.read.parquet(s"$out/g2")
+    g1.unionByName(g2)
+      .filter(col("day") >= lit("2024-01-14").cast("date") &&
+        col("day") <= lit("2024-01-17").cast("date") && col("hr") < 12)
+      .select("event_id", "symbol", "timestamp", "price")
+  }
+
+  /** Oracle for [[partitionEvolution]] (body only — caller prepends
+    * the trades CTE): the round-trip must equal the straight filter. */
+  val partitionEvolutionSql: String =
+    """SELECT event_id, symbol, "timestamp", price
+      |FROM trades
+      |WHERE CAST("timestamp" AS DATE) >= DATE '2024-01-14'
+      |  AND CAST("timestamp" AS DATE) <= DATE '2024-01-17'
+      |  AND hour("timestamp") < 12""".stripMargin
+
   /** K13 (extension) — dynamic partition overwrite, the warehouse
     * backfill primitive: rewrite ONLY the date partitions present in
     * the incoming batch, leave every other partition byte-identical

@@ -1881,6 +1881,28 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("ood topk: k ranked rows, distances non-negative non-increasing, " +
+    "and every flagged vector is farther than an unflagged probe") {
+    val rows = Similarity.oodTopK(spark, sf).collect()
+    assert(rows.length === 16)
+    val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(1))
+    assert(byRank.forall(_ >= 0.0))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      "ood distance must be non-increasing in rank")
+  }
+
+  test("partition evolution: unified read equals the straight filter") {
+    val got = TradeOps.partitionEvolution(spark, trades)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    val want = trades
+      .filter(to_date(col("timestamp")).between("2024-01-14", "2024-01-17") &&
+        hour(col("timestamp")) < 12)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    assert(got.getLong(0) > 0L)
+  }
+
   test("pca power: unit-norm loadings, positive eigenvalue, " +
     "dominant over per-dim variance") {
     val rows = Similarity.pcaPower(spark, sf).collect()
