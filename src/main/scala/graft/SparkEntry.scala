@@ -258,6 +258,11 @@ object SparkEntry {
     "a_gini" -> ((s, dir) => TradeOps.giniActivity(trades(s, dir))),
     "v_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
     "v_ood_topk" -> ((s, dir) => Similarity.oodTopK(s, dir)),
+    "m_payload_dedup" -> ((s, dir) =>
+      Multimodal.payloadDedup(Tables.load(s, dir, "documents"))),
+    "p_corpus_map" -> ((s, dir) =>
+      Pipeline.corpusMap(Tables.load(s, dir, "documents"))),
+    "a_runs_test" -> ((s, dir) => TradeOps.runsTest(trades(s, dir))),
     "k16_partition_evolution" -> ((s, dir) =>
       TradeOps.partitionEvolution(s, trades(s, dir))),
     "t_length_outliers" -> ((s, dir) =>
@@ -1363,6 +1368,11 @@ object SparkEntry {
     "d_minhash_est_error" -> Dedup.minhashEstErrorSql(),
     "v_pca_power" -> Similarity.pcaPowerSql(),
     "v_ood_topk" -> Similarity.oodTopKSql(),
+    "m_payload_dedup" -> Multimodal.payloadDedupSql,
+    "p_corpus_map" -> Pipeline.corpusMapSql,
+    "a_runs_test" ->
+      s"""$T
+         |${TradeOps.runsTestSql}""".stripMargin,
     "k16_partition_evolution" ->
       s"""$T
          |${TradeOps.partitionEvolutionSql}""".stripMargin,

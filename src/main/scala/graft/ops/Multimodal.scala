@@ -195,4 +195,54 @@ object Multimodal {
        |SELECT modality, CAST((cum - b) // $budgetBytes AS BIGINT) AS shard,
        |       count(*) AS n_docs, CAST(sum(b) AS BIGINT) AS shard_bytes
        |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** Exact media dedup by content digest, per modality — the FIRST
+    * pass every multimodal ingest runs (identical images arrive via
+    * thousands of URLs; hashing the payload is cheap, decoding it is
+    * not, so dedup precedes decode). Digest-group once on sha256, then
+    * roll up per modality: payload count, distinct count, and the two
+    * numbers that price the decode stage — redundant payloads and
+    * redundant BYTES `Σ(copies−1)·len` (exact BIGINTs; identical sha ⇒
+    * identical length, so per-group arithmetic is well-defined). The
+    * shuffle is digest-keyed (uniform by construction — a content hash
+    * can't skew), the rollup is |modalities|-sized. */
+  def payloadDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("b", length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("modality",
+        when(col("b") % 3 === 0, lit("image"))
+          .when(col("b") % 3 === 1, lit("audio"))
+          .otherwise(lit("video")))
+      .withColumn("sha", sha2(encode(col("text"), "UTF-8"), 256))
+      .groupBy("modality", "sha")
+      .agg(count(lit(1)).as("copies"), max(col("b")).as("len"))
+      .groupBy("modality")
+      .agg(sum(col("copies")).as("n_payloads"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_redundant"),
+        sum((col("copies") - 1) * col("len")).as("bytes_redundant"))
+      .withColumn("dup_ppm",
+        expr("(n_redundant * 1000000) div n_payloads"))
+
+  /** Oracle for [[payloadDedup]]. */
+  val payloadDedupSql: String =
+    """WITH p AS (
+      |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS b,
+      |         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+      |              WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS modality,
+      |         sha256(text) AS sha
+      |  FROM documents
+      |), g AS (
+      |  SELECT modality, sha, count(*) AS copies, max(b) AS len
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT modality,
+      |       CAST(sum(copies) AS BIGINT) AS n_payloads,
+      |       count(*) AS n_distinct,
+      |       CAST(sum(copies - 1) AS BIGINT) AS n_redundant,
+      |       CAST(sum((copies - 1) * len) AS BIGINT) AS bytes_redundant,
+      |       (CAST(sum(copies - 1) AS BIGINT) * 1000000)
+      |         // CAST(sum(copies) AS BIGINT) AS dup_ppm
+      |FROM g GROUP BY 1""".stripMargin
 }

@@ -619,6 +619,41 @@ object Pipeline {
        |FROM cls GROUP BY 1""".stripMargin
   }
 
+  /** Quality × length corpus map — the 2-D census behind every
+    * curation dashboard heatmap: docs and token mass per (quality
+    * decile, length band) cell, the table that shows WHERE the corpus
+    * lives before any threshold is chosen (is the low-quality mass
+    * short spam or long boilerplate? — different filters). Quality
+    * decile is `floor(q·10)` clamped to 9 (the
+    * [[dupQualityProfile]] banding, IEEE-identical cross-engine);
+    * length bands are fixed power-of-two token thresholds as a CASE
+    * chain — pure integer compares, no log2. One aggregate over the
+    * shared quality scan; ≤ 80 cells at any corpus size. */
+  def corpusMap(docs: DataFrame): DataFrame =
+    TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("x"),
+        col("quality"))
+      .withColumn("qband", expr("least(CAST(floor(quality * 10) AS BIGINT), 9)"))
+      .withColumn("lband", expr(
+        """CASE WHEN x < 16 THEN 0 WHEN x < 32 THEN 1 WHEN x < 64 THEN 2
+          |     WHEN x < 128 THEN 3 WHEN x < 256 THEN 4 WHEN x < 512 THEN 5
+          |     WHEN x < 1024 THEN 6 ELSE 7 END""".stripMargin))
+      .groupBy("qband", "lband")
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("tok_sum"))
+
+  /** Oracle for [[corpusMap]] — the shared quality CTE, identical
+    * banding. */
+  val corpusMapSql: String =
+    s"""WITH ${TextOps.qualityCte}
+       |SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS qband,
+       |       CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 1
+       |            WHEN n_tokens < 64 THEN 2 WHEN n_tokens < 128 THEN 3
+       |            WHEN n_tokens < 256 THEN 4 WHEN n_tokens < 512 THEN 5
+       |            WHEN n_tokens < 1024 THEN 6 ELSE 7 END AS lband,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+       |FROM q GROUP BY 1, 2""".stripMargin
+
   /** Balanced training-shard plan — the write-side layout step after
     * curation: assign every document to one of `nShards` output shards
     * so shard TOKEN mass (what a data loader actually streams) is

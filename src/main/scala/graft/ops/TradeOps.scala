@@ -1449,6 +1449,70 @@ object TradeOps {
        |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
        |WHERE cnt = $n""".stripMargin
 
+  /** A (extension) — Wald–Wolfowitz runs test inputs per symbol: the
+    * price-direction randomness QC (a feed whose up/down moves cluster
+    * into too few runs is trending or stale-quoted; too many is
+    * bid-ask bounce). Fully integer: tick directions from exact
+    * micro-unit diffs (zeros dropped, the standard treatment), runs
+    * counted as direction CHANGES + 1 via one lag, and the null-model
+    * expectation `2n₁n₂/(n₁+n₂) + 1` emitted in exact micro-units by
+    * floor division (range-checked: 2·n₁·n₂·10⁶ ≈ 10¹⁸ at sf1 — still
+    * BIGINT). No variance/z-score: that needs a non-integer sqrt of a
+    * ratio, so the consumer gets the exact ingredients instead. Two
+    * stacked lags ride the one symbol-keyed ordered exchange. */
+  def runsTest(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val dirs = trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pm") - lag(col("pm"), 1).over(ord))
+      .filter(col("d").isNotNull && col("d") =!= 0)
+      .withColumn("s", expr("CASE WHEN d > 0 THEN 1L ELSE -1L END"))
+      .withColumn("chg", expr(
+        "CASE WHEN lag(s, 1) OVER (PARTITION BY symbol " +
+          "ORDER BY timestamp, event_id) IS NULL THEN 0L " +
+          "WHEN s != lag(s, 1) OVER (PARTITION BY symbol " +
+          "ORDER BY timestamp, event_id) THEN 1L ELSE 0L END"))
+    dirs.groupBy("symbol")
+      .agg(sum(expr("CASE WHEN s = 1 THEN 1L ELSE 0L END")).as("n_up"),
+        sum(expr("CASE WHEN s = -1 THEN 1L ELSE 0L END")).as("n_down"),
+        (sum(col("chg")) + 1L).as("n_runs"))
+      .withColumn("exp_runs_micro", expr(
+        "(2 * n_up * n_down * 1000000) div (n_up + n_down) + 1000000"))
+  }
+
+  /** Oracle for [[runsTest]] (body only — caller prepends the trades
+    * CTE). */
+  val runsTestSql: String =
+    """SELECT symbol,
+      |       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |       CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_down,
+      |       CAST(sum(chg) + 1 AS BIGINT) AS n_runs,
+      |       (2 * CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          * CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          * 1000000)
+      |         // (CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |            + CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT))
+      |         + 1000000 AS exp_runs_micro
+      |FROM (
+      |  SELECT symbol, s,
+      |         CASE WHEN lag(s, 1) OVER w2 IS NULL THEN 0
+      |              WHEN s != lag(s, 1) OVER w2 THEN 1 ELSE 0 END AS chg
+      |  FROM (
+      |    SELECT symbol, "timestamp", event_id,
+      |           CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+      |    FROM (
+      |      SELECT symbol, "timestamp", event_id,
+      |             pm - lag(pm, 1) OVER (PARTITION BY symbol
+      |               ORDER BY "timestamp", event_id) AS d
+      |      FROM (SELECT symbol, "timestamp", event_id,
+      |                   CAST(round(price * 1000000) AS BIGINT) AS pm
+      |            FROM trades))
+      |    WHERE d IS NOT NULL AND d != 0)
+      |  WINDOW w2 AS (PARTITION BY symbol ORDER BY "timestamp", event_id))
+      |GROUP BY 1""".stripMargin
+
   /** A (extension) — Gini coefficient of per-user traded USD volume:
     * the inequality summary behind every "whales dominate the feed"
     * dashboard claim, complementing the top-share concentration table

@@ -1881,6 +1881,41 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("payload dedup: counts consistent, redundancy bounded") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Multimodal.payloadDedup(docs).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "distinct <= payloads")
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+      assert(r.getLong(5) === r.getLong(3) * 1000000L / r.getLong(1))
+    }
+  }
+
+  test("corpus map: cells partition the corpus, bands in range") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Pipeline.corpusMap(docs).collect()
+    assert(rows.map(_.getLong(2)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 7)
+      assert(r.getLong(3) >= r.getLong(2), "every doc has >= 1 token")
+    }
+  }
+
+  test("runs test: runs bounded by ticks, expectation formula exact") {
+    val rows = TradeOps.runsTest(trades).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (up, down, runs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(runs >= 1L && runs <= up + down)
+      // a run alternation cannot exceed 2*min+1
+      assert(runs <= 2L * math.min(up, down) + 1L)
+      assert(r.getLong(4) ===
+        2L * up * down * 1000000L / (up + down) + 1000000L)
+    }
+  }
+
   test("ood topk: k ranked rows, distances non-negative non-increasing, " +
     "and every flagged vector is farther than an unflagged probe") {
     val rows = Similarity.oodTopK(spark, sf).collect()
