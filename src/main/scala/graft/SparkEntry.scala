@@ -263,6 +263,9 @@ object SparkEntry {
     "p_corpus_map" -> ((s, dir) =>
       Pipeline.corpusMap(Tables.load(s, dir, "documents"))),
     "a_runs_test" -> ((s, dir) => TradeOps.runsTest(trades(s, dir))),
+    "d_edit_distance" -> ((s, dir) =>
+      Dedup.editDistance(Tables.load(s, dir, "documents"))),
+    "v_cluster_radius" -> ((s, dir) => Similarity.clusterRadius(s, dir)),
     "k16_partition_evolution" -> ((s, dir) =>
       TradeOps.partitionEvolution(s, trades(s, dir))),
     "t_length_outliers" -> ((s, dir) =>
@@ -1373,6 +1376,8 @@ object SparkEntry {
     "a_runs_test" ->
       s"""$T
          |${TradeOps.runsTestSql}""".stripMargin,
+    "d_edit_distance" -> Dedup.editDistanceSql(),
+    "v_cluster_radius" -> Similarity.clusterRadiusSql(),
     "k16_partition_evolution" ->
       s"""$T
          |${TradeOps.partitionEvolutionSql}""".stripMargin,

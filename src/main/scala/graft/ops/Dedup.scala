@@ -835,6 +835,64 @@ object Dedup {
        |       count(*) AS n_pairs
        |FROM scored GROUP BY 1""".stripMargin
 
+  /** Edit-distance verification tier — exact Levenshtein over a
+    * deterministic sample of the banded candidate pairs, the
+    * character-level arbiter the set-based tiers can't provide:
+    * Jaccard is blind to ORDER (a shuffled bag of the same words
+    * scores 1.0), so a pipeline promoting near-dups to hard deletes
+    * wants the character check on the pairs it's about to act on.
+    * Distance runs on the first `prefixLen` chars (the DP is O(m·n)
+    * per pair — unbounded docs would make one pair a straggler; a
+    * fixed prefix bounds every cell at prefixLen² and is the standard
+    * production guard), and both engines' `levenshtein` is the classic
+    * unit-cost DP, so the integer distances agree exactly.
+    * `lev_ppm` normalizes by the longer prefix. Sampling is the
+    * [[minhashEstError]] salted-md5 pair hash at 1/`sampleMod`; the
+    * dials are set by the DP's measured cost — 5% × 200² ran 47.8 s at
+    * sf0.1 (30× the set-intersection calibration: ~40k DP cells/pair
+    * vs ~200 array ops), 0.5% × 128² runs ~2 s at the same fidelity
+    * per sampled pair. */
+  def editDistance(docs: DataFrame, sampleMod: Int = 200,
+      prefixLen: Int = 128): DataFrame = {
+    val sampled = minhashPairs(docs)
+      .filter(pmod(expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_a AS STRING), '_', " +
+          "CAST(doc_b AS STRING))), 1, 8), 16, 10) AS BIGINT)"),
+        lit(sampleMod.toLong)) === 0)
+    val pref = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    sampled
+      .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+      .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+      .withColumn("lev_ppm", expr(
+        "(lev * 1000000) div greatest(length(pa), length(pb))"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        col("lev"), col("lev_ppm"))
+  }
+
+  /** Oracle for [[editDistance]]: identical sample, prefixes, and DP. */
+  def editDistanceSql(sampleMod: Int = 200, prefixLen: Int = 128): String =
+    s"""$sigCte, cand AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+       |         CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+       |  WHERE $bandEqSql
+       |), samp AS (
+       |  SELECT * FROM cand
+       |  WHERE ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '_' ||
+       |          CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT % $sampleMod = 0
+       |), pref AS (
+       |  SELECT doc_id, substr(text, 1, $prefixLen) AS p FROM documents
+       |)
+       |SELECT s.doc_a, s.doc_b, round(s.est_jaccard, 6) AS est_jaccard,
+       |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+       |       (CAST(levenshtein(a.p, b.p) AS BIGINT) * 1000000)
+       |         // greatest(length(a.p), length(b.p)) AS lev_ppm
+       |FROM samp s JOIN pref a ON a.doc_id = s.doc_a
+       |     JOIN pref b ON b.doc_id = s.doc_b""".stripMargin
+
   /** Dedup threshold-sweep curve — the tuning table a curation run
     * reads before COMMITTING to a similarity cutoff: for each candidate
     * threshold, how many near-dup pairs fire and how many documents

@@ -2278,6 +2278,63 @@ object Similarity {
        |      FROM scv)
        |WHERE rnk <= $k""".stripMargin
 
+  /** Per-cluster radius profile — the compactness QC for the trained
+    * quantizer ([[kmeansPurity]]'s geometric sibling): per cell, the
+    * member count and the mean/max distance to the owning centroid.
+    * A ballooning mean radius is a stale codebook (retrain); one cell
+    * with a huge max is an OOD magnet ([[oodTopK]] finds who). Per-row
+    * distances micro-quantize through the shared `floor(d·10⁶ + 0.5)`
+    * expression into exact BIGINT sums (order-independent), the means
+    * divide once at the end; assignment is the cached-quantizer
+    * literal projection — one codegen'd scan, |cells| output rows. */
+  def clusterRadius(spark: SparkSession, dir: String, kc: Int = 8,
+      iters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val cents = trainKmeansCached(spark, dir, emb, kc, iters, 64)
+    val scores = array(cents.map { case (_, c) =>
+      val cl = array(c.map(lit): _*)
+      call_function("dot_product", cl, cl) -
+        lit(2.0) * call_function("dot_product", col("v"), cl)
+    }: _*)
+    assignCells(emb, cents)
+      .withColumn("md", array_min(scores))
+      .withColumn("dm", floor(
+        sqrt(greatest(col("md") + expr("dot_product(v, v)"), lit(0.0)))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), sum(col("dm")).as("dist_sum_micro"),
+        max(col("dm")).as("max_dist_micro"))
+      .withColumn("mean_dist", expr(
+        "CAST(dist_sum_micro AS DOUBLE) / (CAST(n_points AS DOUBLE) * 1000000.0)"))
+  }
+
+  /** Oracle for [[clusterRadius]] — trained codebook chain, identical
+    * min-score + quantized distance. */
+  def clusterRadiusSql(kc: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansChain(kc, iters, 64)},
+       |${kmAssignCte(s"cb$iters", "F")},
+       |sc AS (
+       |  SELECT e.vec_id,
+       |         min(list_dot_product(c.cv, c.cv)
+       |             - 2.0::DOUBLE * list_dot_product(e.v, c.cv)) AS m2
+       |  FROM e CROSS JOIN cb$iters c
+       |  GROUP BY e.vec_id
+       |), own AS (
+       |  SELECT vec_id, cell FROM aF WHERE rc = 1
+       |), dm AS (
+       |  SELECT o.cell,
+       |         CAST(floor(sqrt(greatest(s.m2 + list_dot_product(e.v, e.v),
+       |             0.0::DOUBLE)) * 1e6 + 0.5::DOUBLE) AS BIGINT) AS d
+       |  FROM e JOIN sc s USING (vec_id) JOIN own o USING (vec_id)
+       |)
+       |SELECT cell, count(*) AS n_points,
+       |       CAST(sum(d) AS BIGINT) AS dist_sum_micro,
+       |       max(d) AS max_dist_micro,
+       |       CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+       |         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_dist
+       |FROM dm GROUP BY 1""".stripMargin
+
   /** Cluster-stratified diversity sample — the deterministic
     * counterpart of "sample `budget` embeddings but keep every mode of
     * the distribution represented": assign the corpus to the trained

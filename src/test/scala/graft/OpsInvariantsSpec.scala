@@ -1881,6 +1881,34 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("edit distance: bounded by prefix, identical pair scores zero, " +
+    "ppm consistent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Dedup.editDistance(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 128L)
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= 0.0)
+    }
+    // est 1.0 pairs share the full signature; their prefixes are NOT
+    // guaranteed identical, but a zero distance must imply ppm zero
+    rows.filter(_.getLong(3) == 0L).foreach(r => assert(r.getLong(4) === 0L))
+  }
+
+  test("cluster radius: mean <= max, consistent with sums, all cells") {
+    val rows = Similarity.clusterRadius(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach { r =>
+      val mean = r.getDouble(4)
+      assert(mean >= 0.0)
+      assert(mean * 1e6 <= r.getLong(3) + 1, "mean cannot exceed max")
+      assert(math.abs(mean - r.getLong(2).toDouble / r.getLong(1) / 1e6)
+        < 1e-9)
+    }
+  }
+
   test("payload dedup: counts consistent, redundancy bounded") {
     val docs = Tables.load(spark, sf, "documents")
     val rows = graft.ops.Multimodal.payloadDedup(docs).collect()
