@@ -266,6 +266,17 @@ object SparkEntry {
     "d_edit_distance" -> ((s, dir) =>
       Dedup.editDistance(Tables.load(s, dir, "documents"))),
     "v_cluster_radius" -> ((s, dir) => Similarity.clusterRadius(s, dir)),
+    "v_norm_hist" -> ((s, dir) => Similarity.normHist(s, dir)),
+    "d_prefix_dup" -> ((s, dir) =>
+      Dedup.prefixDup(Tables.load(s, dir, "documents"))),
+    "t_charclass_profile" -> ((s, dir) =>
+      TextOps.charClassProfile(Tables.load(s, dir, "documents"))),
+    "g_assortativity" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // fifth consumer of the cached mutual-kNN similarity graph
+      Graph.assortativity(Dedup.mutualKnn(
+        Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
+    }),
     "k16_partition_evolution" -> ((s, dir) =>
       TradeOps.partitionEvolution(s, trades(s, dir))),
     "t_length_outliers" -> ((s, dir) =>
@@ -1378,6 +1389,10 @@ object SparkEntry {
          |${TradeOps.runsTestSql}""".stripMargin,
     "d_edit_distance" -> Dedup.editDistanceSql(),
     "v_cluster_radius" -> Similarity.clusterRadiusSql(),
+    "v_norm_hist" -> Similarity.normHistSql,
+    "d_prefix_dup" -> Dedup.prefixDupSql(),
+    "t_charclass_profile" -> TextOps.charClassProfileSql,
+    "g_assortativity" -> Dedup.similarityAssortativitySql(),
     "k16_partition_evolution" ->
       s"""$T
          |${TradeOps.partitionEvolutionSql}""".stripMargin,

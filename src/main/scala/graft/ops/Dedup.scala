@@ -835,6 +835,42 @@ object Dedup {
        |       count(*) AS n_pairs
        |FROM scored GROUP BY 1""".stripMargin
 
+  /** Prefix-duplicate census — docs sharing their first `prefixLen`
+    * characters, the cheap tier that catches what full-content hashing
+    * misses in the OTHER direction: truncation artifacts (one crawl
+    * cut short mid-page) and template headers (same boilerplate
+    * opening, different tails) group together here while their full
+    * digests differ. One window-min over the prefix key (an
+    * equivalence relation — the [[graft.ops.Pipeline.dedupCascade]]
+    * shingle-tier argument, no CC needed); output is the per-source
+    * rollup with exact ppm, the "which ingest is truncating" table. */
+  def prefixDup(docs: DataFrame, prefixLen: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pfx")
+    docs.select(col("doc_id"), col("source"),
+        substring(col("text"), 1, prefixLen).as("pfx"))
+      .withColumn("minp", min(col("doc_id")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN doc_id > minp THEN 1L ELSE 0L END"))
+          .as("n_prefix_dups"))
+      .withColumn("dup_ppm", expr("(n_prefix_dups * 1000000) div n_docs"))
+  }
+
+  /** Oracle for [[prefixDup]]. */
+  def prefixDupSql(prefixLen: Int = 64): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |         min(doc_id) OVER (PARTITION BY substr(text, 1, $prefixLen))
+       |           AS minp
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id > minp THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_prefix_dups,
+       |       (CAST(sum(CASE WHEN doc_id > minp THEN 1 ELSE 0 END) AS BIGINT)
+       |          * 1000000) // count(*) AS dup_ppm
+       |FROM p GROUP BY 1""".stripMargin
+
   /** Edit-distance verification tier — exact Levenshtein over a
     * deterministic sample of the banded candidate pairs, the
     * character-level arbiter the set-based tiers can't provide:
@@ -1411,6 +1447,12 @@ object Dedup {
   def similarityLocalClusteringSql(k: Int = 10): String =
     s"""${mutualKnnCtes(k)}
        |${Graph.localClusteringSql}""".stripMargin
+
+  /** Oracle for [[Graph.assortativity]] over the same mutual-kNN
+    * similarity graph as [[similarityTrianglesSql]]. */
+  def similarityAssortativitySql(k: Int = 10): String =
+    s"""${mutualKnnCtes(k)}
+       |${Graph.assortativitySql}""".stripMargin
 
   /** CC labels by UNROLLED min-label propagation + pointer jumping —
     * NOT a recursive transitive closure. The closure (`reach` as

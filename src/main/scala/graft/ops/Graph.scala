@@ -719,6 +719,63 @@ object Graph {
       |) t ON t.id = d.id
       |WHERE d.deg >= 2""".stripMargin
 
+  /** Degree assortativity — Pearson correlation of endpoint degrees
+    * over the directed edge list (each undirected edge counted both
+    * ways, the standard Newman form): positive = hubs prefer hubs
+    * (core-periphery dup structure), negative = hubs link leaves
+    * (star-shaped boilerplate spray). By symmetry Σx = Σy and
+    * Σx² = Σy², so `r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)` — every
+    * sum an exact BIGINT (degrees are k-bounded on the mutual-kNN
+    * input; range-checked to sf100), ONE float division at the end,
+    * NULL on a degree-regular graph (denominator 0 — r is undefined
+    * there, not 0). Two broadcast-joined degree lookups and a single
+    * aggregate; nothing quadratic. */
+  def assortativity(edges0: DataFrame): DataFrame = {
+    val Array(ac, bc) = edges0.columns.take(2)
+    val e = edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val directed = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    directed
+      .join(deg.select(col("id").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dy")), "dst")
+      .agg(count(lit(1)).as("m2"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"))
+      .select((col("m2") / 2).cast("long").as("n_edges"),
+        expr("""CASE WHEN m2 * sxx - sx * sx = 0 THEN NULL
+               |ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+               |     / CAST(m2 * sxx - sx * sx AS DOUBLE) END""".stripMargin)
+          .as("assortativity"))
+  }
+
+  /** Oracle for [[assortativity]]; chains on a CTE named `pairs`
+    * ([[trianglesSql]] convention). */
+  val assortativitySql: String =
+    """SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+      |       CASE WHEN m2 * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+      |            / CAST(m2 * sxx - sx * sx AS DOUBLE) END AS assortativity
+      |FROM (
+      |  SELECT count(*) AS m2,
+      |         CAST(sum(dg1.d * dg2.d) AS BIGINT) AS sxy,
+      |         CAST(sum(dg1.d) AS BIGINT) AS sx,
+      |         CAST(sum(dg1.d * dg1.d) AS BIGINT) AS sxx
+      |  FROM (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs) dir
+      |  JOIN (SELECT id, count(*) AS d FROM (
+      |          SELECT doc_a AS id FROM pairs
+      |          UNION ALL SELECT doc_b FROM pairs) GROUP BY 1) dg1
+      |    ON dg1.id = dir.src
+      |  JOIN (SELECT id, count(*) AS d FROM (
+      |          SELECT doc_a AS id FROM pairs
+      |          UNION ALL SELECT doc_b FROM pairs) GROUP BY 1) dg2
+      |    ON dg2.id = dir.dst)""".stripMargin
+
   /** K-core decomposition (extension) — iterative peeling to the
     * maximal subgraph where every vertex keeps degree ≥ k: the standard
     * "dense cluster vs stragglers" cut before expensive per-cluster

@@ -2393,6 +2393,30 @@ object Similarity {
        |FROM rk r JOIN cn c USING (cell), tt
        |WHERE r.rnk <= ($budget * c.n_c) // tt.n_total""".stripMargin
 
+  /** Norm-distribution histogram — the third leg of the embedding
+    * health triad ([[dimProfile]]: per-dim moments; [[pcaPower]]:
+    * dominant direction; this: the norm marginal). Un-normalized
+    * encoders drift in norm before they drift in direction, and norm
+    * outliers break MIPS/IVF calibration silently. Bucket =
+    * `floor(‖v‖·10)` clamped to 30 — sqrt is correctly rounded and the
+    * scale/floor are shared expressions, so bucketing is
+    * engine-identical. One codegen'd scan, ≤ 31 rows out. */
+  def normHist(spark: SparkSession, dir: String): DataFrame = {
+    VectorOps.register(spark)
+    withVec(graft.Tables.load(spark, dir, "embeddings"))
+      .withColumn("bkt",
+        expr("least(CAST(floor(norm * 10) AS BIGINT), 30)"))
+      .groupBy("bkt").agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** Oracle for [[normHist]]. */
+  val normHistSql: String =
+    """SELECT least(CAST(floor(sqrt(list_dot_product(
+      |         embedding::DOUBLE[], embedding::DOUBLE[])) * 10) AS BIGINT),
+      |       30) AS bkt,
+      |       count(*) AS n_vecs
+      |FROM embeddings GROUP BY 1""".stripMargin
+
   /** Per-dimension embedding health profile — the monitor an embedding
     * pipeline runs on every ingest generation: for each of the 64
     * dims, exact micro-quantized moment sums (the [[labelOutliers]]

@@ -1711,6 +1711,60 @@ object TextOps {
        |FROM words
        |GROUP BY 1, 2""".stripMargin
 
+  /** Per-source character-class census — alpha/digit/space/other
+    * composition in exact ppm, the fingerprint that separates prose
+    * from tables, code, and OCR noise at a glance (a source whose
+    * digit share doubles between snapshots changed its content type,
+    * whatever its quality score says). Class counts come from
+    * `length(regexp_replace(text, '[^…]', ''))` — the same character
+    * classes in both engines' regex dialects (DuckDB needs the 'g'
+    * flag for global replace; Spark is global by default) — summed as
+    * exact BIGINTs, with `other` derived by subtraction so the four
+    * shares partition every character. */
+  def charClassProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("tot"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+          .as("al"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("dg"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+          .as("sp"))
+      .groupBy("source")
+      .agg(sum(col("tot")).as("total_chars"), sum(col("al")).as("s_al"),
+        sum(col("dg")).as("s_dg"), sum(col("sp")).as("s_sp"))
+      .select(col("source"), col("total_chars"),
+        expr("(s_al * 1000000) div total_chars").as("alpha_ppm"),
+        expr("(s_dg * 1000000) div total_chars").as("digit_ppm"),
+        expr("(s_sp * 1000000) div total_chars").as("space_ppm"),
+        expr("((total_chars - s_al - s_dg - s_sp) * 1000000) div total_chars")
+          .as("other_ppm"))
+
+  /** Oracle for [[charClassProfile]]. */
+  val charClassProfileSql: String =
+    """WITH c AS (
+      |  SELECT source,
+      |         CAST(length(text) AS BIGINT) AS tot,
+      |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |           AS BIGINT) AS al,
+      |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+      |           AS BIGINT) AS dg,
+      |         CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+      |           AS BIGINT) AS sp
+      |  FROM documents
+      |)
+      |SELECT source, CAST(sum(tot) AS BIGINT) AS total_chars,
+      |       (CAST(sum(al) AS BIGINT) * 1000000)
+      |         // CAST(sum(tot) AS BIGINT) AS alpha_ppm,
+      |       (CAST(sum(dg) AS BIGINT) * 1000000)
+      |         // CAST(sum(tot) AS BIGINT) AS digit_ppm,
+      |       (CAST(sum(sp) AS BIGINT) * 1000000)
+      |         // CAST(sum(tot) AS BIGINT) AS space_ppm,
+      |       ((CAST(sum(tot) AS BIGINT) - CAST(sum(al) AS BIGINT)
+      |          - CAST(sum(dg) AS BIGINT) - CAST(sum(sp) AS BIGINT))
+      |          * 1000000) // CAST(sum(tot) AS BIGINT) AS other_ppm
+      |FROM c GROUP BY 1""".stripMargin
+
   /** Per-source token-length 3σ outlier profile — the corpus-anomaly
     * gate that flags truncated shards and concatenation bugs (a source
     * whose length distribution suddenly grows a tail is an ingest

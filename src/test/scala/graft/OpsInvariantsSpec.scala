@@ -2161,4 +2161,68 @@ class OpsInvariantsSpec extends SparkSuite {
     val global = graft.ops.Graph.triangles(knn).head.getLong(2)
     assert(rows.map(_.getLong(2)).sum === 3L * global)
   }
+
+  test("prefix dup: covers corpus, global dups = docs - distinct prefixes, " +
+    "ppm consistent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Dedup.prefixDup(docs).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // window-min marks exactly one keeper per prefix class, so the
+    // global dup count is forced to n - |distinct prefixes|
+    val distinctPfx = docs
+      .select(substring(col("text"), 1, 64)).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === docs.count() - distinctPfx)
+  }
+
+  test("charclass profile: shares partition every character (floor-tight), " +
+    "totals match the raw scan") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.TextOps.charClassProfile(docs).collect()
+    assert(rows.nonEmpty)
+    val total = docs.agg(sum(length(col("text")).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      val ppms = Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      ppms.foreach(p => assert(p >= 0L && p <= 1000000L))
+      // four floor divisions each lose < 1 ppm
+      val s = ppms.sum
+      assert(s <= 1000000L && s > 1000000L - 4L,
+        s"class shares must partition the text: $s")
+    }
+  }
+
+  test("norm hist: buckets clamped to [0,30], counts cover all vectors") {
+    val rows = Similarity.normHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) <= 30L))
+    // bucket ids must be unique (it's a histogram, not a multiset)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("assortativity: r in [-1,1] when defined, edge count matches input") {
+    val docs = Tables.load(spark, sf, "documents")
+    val knn = graft.ops.Dedup.mutualKnn(
+      graft.ops.Dedup.weightedDupEdges(docs, graft.ops.Dedup.triangleThreshold))
+    val r = graft.ops.Graph.assortativity(knn).head
+    assert(r.getLong(0) === knn.count())
+    if (!r.isNullAt(1)) {
+      val a = r.getDouble(1)
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a")
+    }
+    // a pure star is maximally disassortative: r = -1
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val sr = graft.ops.Graph.assortativity(star).head
+    assert(math.abs(sr.getDouble(1) + 1.0) < 1e-9, "star graph must score -1")
+    // a degree-regular graph (triangle) has undefined r -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(graft.ops.Graph.assortativity(tri).head.isNullAt(1))
+  }
 }
