@@ -38,27 +38,51 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_docs"))
 
-  /** Generic per-(session, input-plan[, extra]) result cache — the
-    * shared-stage mechanism for the signature and thresholded-edge
-    * tables. `extra` carries any parameter beyond the input plan that
-    * changes the result (e.g. a similarity threshold's bits); callers
-    * with no such parameter leave it 0. Entries belonging to a STOPPED
-    * session are evicted on every access: their checkpoint blocks died
-    * with the context, and `identityHashCode` keys could be reused by a
-    * later session — pruning here bounds every cache to live sessions
-    * without a listener. */
+  /** Cache key: (session identity, canonicalized plan hash, extra,
+    * extra2). Two distinct extra slots — NOT a folded hash — so a pair
+    * of parameters (e.g. modularity's (threshold, edgeBudget)) can
+    * never collide into one key (ADVICE r11). */
+  private type CacheKey = (Int, Int, Long, Long)
+
+  /** Lazily-materialized cache cell: `computeIfAbsent` only allocates
+    * this holder (cheap, inside the map's bin lock); the multi-second
+    * `localCheckpoint` materialization runs on first `.value` access,
+    * synchronized on THIS cell — so a concurrent caller whose
+    * different key hashes to the same bin never blocks behind another
+    * corpus's band join (ADVICE r11). */
+  private final class Memo(val session: org.apache.spark.sql.SparkSession,
+      thunk: () => DataFrame) {
+    lazy val value: DataFrame = thunk()
+  }
+
+  /** Generic per-(session, input-plan[, extra, extra2]) result cache —
+    * the shared-stage mechanism for the signature and thresholded-edge
+    * tables. The extras carry any parameters beyond the input plan that
+    * change the result (e.g. a similarity threshold's bits); callers
+    * with no such parameters leave them 0. Entries belonging to a
+    * STOPPED session are evicted on every access: their checkpoint
+    * blocks died with the context, and `identityHashCode` keys could be
+    * reused by a later session — pruning here bounds every cache to
+    * live sessions without a listener. A hard entry cap (64) guards the
+    * pathological many-distinct-corpora session: at the cap the cache
+    * clears rather than pinning unbounded checkpoint blocks (the next
+    * consumer of an evicted stage simply recomputes). */
+  private val cacheCap = 64
   private def cached(
-      cache: java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame],
-      df: DataFrame, extra: Long = 0L)(f: DataFrame => DataFrame): DataFrame = {
+      cache: java.util.concurrent.ConcurrentHashMap[CacheKey, Memo],
+      df: DataFrame, extra: Long = 0L, extra2: Long = 0L)(
+      f: DataFrame => DataFrame): DataFrame = {
     cache.entrySet().removeIf(
-      e => e.getValue.sparkSession.sparkContext.isStopped)
+      e => e.getValue.session.sparkContext.isStopped)
+    if (cache.size >= cacheCap) cache.clear()
     val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.canonicalized.semanticHash(), extra)
-    cache.computeIfAbsent(key, _ => f(df).localCheckpoint())
+      df.queryExecution.analyzed.canonicalized.semanticHash(), extra, extra2)
+    cache.computeIfAbsent(key,
+      _ => new Memo(df.sparkSession, () => f(df).localCheckpoint())).value
   }
 
   private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   /** MinHash signatures: explode distinct words, hash, take 16 mins via
     * partial+final aggregation (map-side combine keeps the shuffle tiny:
@@ -112,10 +136,10 @@ object Dedup {
       pairsFromSignatures(minhashSignatures(d)))
 
   private val candPairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   /** Thresholded duplicate-graph edge list (doc_a < doc_b, no
     * self-loops, one row per pair) — the shared input of the graph
@@ -137,7 +161,7 @@ object Dedup {
     }
 
   private val wEdgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   private val edgeCountCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -159,7 +183,7 @@ object Dedup {
   }
 
   private val ccLabelCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   /** Connected-component labels of the strict-threshold dup graph,
     * cached per (session, corpus, threshold): the iterative CC build
@@ -176,7 +200,7 @@ object Dedup {
     }
 
   private val labeledEdgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   /** [[dupEdges]] with the similarity weight kept — for consumers that
     * rank by similarity ([[mutualKnn]] → triangles). Cached separately
@@ -491,7 +515,7 @@ object Dedup {
     embeddingPairs(spark, dir).filter(col("cos_sim") >= threshold)
 
   private val embPairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   /** The hyperplane-LSH bucketed candidate pair table (vec_a, vec_b,
     * cos_sim — rounded display cosine) shared by [[embeddingDup]] and
@@ -882,6 +906,13 @@ object Dedup {
     * fixed prefix bounds every cell at prefixLen² and is the standard
     * production guard), and both engines' `levenshtein` is the classic
     * unit-cost DP, so the integer distances agree exactly.
+    * CHARSET CONTRACT (ADVICE r11): cross-engine parity is guaranteed
+    * for ASCII text only — Spark counts UTF-16 code units while
+    * DuckDB's levenshtein has historically been byte-oriented, so
+    * multibyte characters can count differently per edit. The
+    * documents corpus is ASCII by construction; a unicode corpus must
+    * be normalized (e.g. stripped to ASCII) in BOTH engines before
+    * the distance, or the oracle comparison is not meaningful.
     * `lev_ppm` normalizes by the longer prefix. Sampling is the
     * [[minhashEstError]] salted-md5 pair hash at 1/`sampleMod`; the
     * dials are set by the DP's measured cost — 5% × 200² ran 47.8 s at
@@ -1030,8 +1061,7 @@ object Dedup {
     // intra, deg) and is budget-bounded (≤ ~edgeBudget rows × 4 longs)
     // — session-cache it like the edge list so the joins run once
     val labeled = cached(labeledEdgeCache, docs,
-        java.lang.Double.doubleToLongBits(strictThreshold) * 31L
-          + edgeBudget) { d =>
+        java.lang.Double.doubleToLongBits(strictThreshold), edgeBudget) { d =>
       val allEdges = dupEdges(d)
       val edges =
         if (sampleMod == 1L) allEdges
@@ -1232,7 +1262,7 @@ object Dedup {
     Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
 
   private val tuningPairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
 
   /** Oracle for [[bandTuning]]: all-pairs over the same sample (cheap
     * there), identical fired/truth bit expressions, configs stacked by

@@ -2441,6 +2441,23 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("xm")).as("s1"),
         sum(expr("xm * xm")).as("s2"),
         min(col("xm")).as("min_micro"), max(col("xm")).as("max_micro"))
+      // Overflow guard (ADVICE r11): Spark's non-ANSI BIGINT sum wraps
+      // silently past 2^63 while DuckDB widens to HUGEINT — a silent
+      // cross-engine divergence. Σxm² ≤ n·mx², so asserting
+      // n·mx² ≤ Long.MaxValue (on the 64-row aggregate, from the
+      // wrap-proof n/min/max) proves s2 could not have wrapped; past
+      // the bound (~9.2M unit-range rows per dim) the op FAILS LOUDLY
+      // instead of diverging. mx ≤ 3037000499 = floor(√Long.Max) keeps
+      // the guard's own mx·mx exact.
+      .withColumn("mxa", greatest(abs(col("min_micro")),
+        abs(col("max_micro")), lit(1L)))
+      .filter(expr(
+        "assert_true(mxa <= 3037000499 AND " +
+          "n <= 9223372036854775807 div (mxa * mxa), " +
+          "'dim_profile: corpus too large for exact BIGINT moment sums " +
+          "(s2 would overflow 2^63) — shard the corpus or widen to " +
+          "DECIMAL(38,0)') IS NULL"))
+      .drop("mxa")
       .select(col("d").as("dim"), col("n"), col("s1"), col("s2"),
         col("min_micro"), col("max_micro"),
         expr("CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)")

@@ -1779,7 +1779,22 @@ object TextOps {
     val base = docs.select(col("source"),
       size(split(col("text"), " ")).cast("long").as("x"))
     val mom = base.groupBy("source").agg(count(lit(1)).as("n"),
-      sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+        max(col("x")).as("mxx"))
+      // Overflow guard (ADVICE r11): the flag algebra squares n·x−s1
+      // and scales n·s2 by 9; past the documented range (n·max(x) ≤
+      // floor(√Long.Max), 9·n·s2 ≤ Long.Max) Spark's non-ANSI BIGINT
+      // wraps silently while DuckDB widens — so assert the bounds on
+      // the ≤|sources|-row moment table (from wrap-proof n/max) and
+      // FAIL LOUDLY instead of diverging. s1 ≤ n·max(x) is covered by
+      // the same bound.
+      .filter(expr(
+        "assert_true(n <= 3037000499 div greatest(mxx, 1) AND " +
+          "n <= (9223372036854775807 div 9) div greatest(s2, 1), " +
+          "'length_outliers: source too large for exact BIGINT z-test " +
+          "algebra — shard the source or widen to DECIMAL(38,0)') " +
+          "IS NULL"))
+      .drop("mxx")
     base.join(broadcast(mom), "source")
       .withColumn("is_out", expr(
         "CASE WHEN (n * x - s1) * (n * x - s1) > 9 * (n * s2 - s1 * s1) " +

@@ -1477,6 +1477,17 @@ object TradeOps {
       .agg(sum(expr("CASE WHEN s = 1 THEN 1L ELSE 0L END")).as("n_up"),
         sum(expr("CASE WHEN s = -1 THEN 1L ELSE 0L END")).as("n_down"),
         (sum(col("chg")) + 1L).as("n_runs"))
+      // Overflow guard (ADVICE r11): 2·n₁·n₂·10⁶ wraps past 2^63 in
+      // Spark's non-ANSI BIGINT while DuckDB widens to HUGEINT — a
+      // silent divergence at ~4.6·10¹² tick pairs per symbol. Assert
+      // the bound on the per-symbol aggregate (counts are wrap-proof)
+      // so the op fails loudly instead. n₁ ≤ ⌊(2^63−1)/2·10⁶/n₂⌋ ⇒
+      // the product is exact.
+      .filter(expr(
+        "assert_true(n_up <= (9223372036854775807 div 2000000) " +
+          "div greatest(n_down, 1), " +
+          "'runs_test: symbol too large for exact BIGINT expected-runs " +
+          "numerator — reduce quantization or widen to DECIMAL') IS NULL"))
       .withColumn("exp_runs_micro", expr(
         "(2 * n_up * n_down * 1000000) div (n_up + n_down) + 1000000"))
   }
@@ -1535,6 +1546,19 @@ object TradeOps {
     per.withColumn("rn", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n_users"), sum(col("xc")).as("total_micro"),
         sum(col("rn") * col("xc")).as("srx"))
+      // Overflow guard (ADVICE r11): Σ rn·xc ≤ n_users·total_micro, so
+      // asserting n_users·total_micro ≤ (2^63−1)/2 — from the
+      // wrap-proof count and the corpus micro-total — proves srx,
+      // 2·srx, and (n+1)·total all stayed exact where DuckDB would
+      // have widened to HUGEINT; past it (≈ $4.6·10¹² total × users)
+      // the op fails loudly instead of silently diverging.
+      // total_micro ≥ 0 rejects the wrapped-negative Σxc case.
+      .filter(expr(
+        "assert_true(total_micro >= 0 AND " +
+          "n_users <= (9223372036854775807 div 2) " +
+          "div greatest(total_micro, 1), " +
+          "'gini_activity: corpus too large for exact BIGINT rank-sum " +
+          "algebra — widen to DECIMAL(38,0)') IS NULL"))
       .select(col("n_users"), col("total_micro"),
         expr("""CAST(2 * srx - (n_users + 1) * total_micro AS DOUBLE)
                | / CAST(n_users * total_micro AS DOUBLE)""".stripMargin)

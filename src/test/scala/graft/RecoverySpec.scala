@@ -305,4 +305,74 @@ class RecoverySpec extends SparkSuite {
     assert(rows === Seq((1L, 99.0, new java.sql.Timestamp(t0 + 30000L))),
       "exactly one cross-restart join row, from recovered state")
   }
+
+  test("evolving file sink: restart across the partition-spec cut, unified read exact, replay no-ops") {
+    import graft.streaming.EvolvingSink
+    import spark.implicits._
+    val in = tmpDir("graft-evo-in")
+    val out = tmpDir("graft-evo-out")
+    val ckpt = tmpDir("graft-evo-ckpt")
+    val cutDay = "2024-01-16"
+
+    def tradeLine(id: Long, sym: String, ts: String, price: Double) =
+      s"$id,$sym,$ts,$price"
+    def parsed = spark.readStream.text(in)
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+        col("f").getItem(1).as("symbol"),
+        col("f").getItem(2).cast("timestamp").as("timestamp"),
+        col("f").getItem(3).cast("double").as("price"))
+    def start() = EvolvingSink.run(parsed, out, ckpt, cutDay)
+
+    // phase 1: pre-cut days only — gen-1 (daily) layout, then hard stop
+    writeBatch(in, "b1.csv", Seq(
+      tradeLine(1, "BTC", "2024-01-14 09:15:00", 10.0),
+      tradeLine(2, "ETH", "2024-01-15 13:30:00", 11.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(EvolvingSink.readUnified(spark, out).count() === 2)
+    assert(!Files.exists(Paths.get(out, "g2")),
+      "no gen-2 directory before the spec cut")
+
+    // phase 2: restart; data now straddles the cut — one batch writes
+    // BOTH layouts; offsets recovered, nothing lost, nothing doubled
+    writeBatch(in, "b2.csv", Seq(
+      tradeLine(3, "BTC", "2024-01-15 18:00:00", 12.0), // gen-1
+      tradeLine(4, "BTC", "2024-01-16 08:00:00", 13.0), // gen-2
+      tradeLine(5, "ETH", "2024-01-17 14:45:00", 14.0))) // gen-2
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val all = EvolvingSink.readUnified(spark, out)
+    assert(all.count() === 5, "exactly-once across the restart")
+    assert(all.select("event_id").distinct().count() === 5)
+    // gen-2 carries hr as a PARTITION column (directory layout), gen-1
+    // derives it row-side — the unified morning filter agrees with the
+    // straight filter on the source rows
+    val morning = all.filter(col("hr") < 12)
+    assert(morning.select("event_id").as[Long].collect().toSet
+      === Set(1L, 4L), "hr predicate correct across both specs")
+    val g2Days = spark.read.parquet(s"$out/g2")
+      .select("day").distinct().as[java.sql.Date].collect().map(_.toString)
+    assert(g2Days.toSet === Set("2024-01-16", "2024-01-17"),
+      "post-cut days live in the gen-2 layout only")
+
+    // phase 3: direct double-replay of the last batch id — dynamic
+    // overwrite of the bid partitions makes the rewrite a no-op
+    val replay = parsed.sparkSession.read.text(s"$in/b2.csv")
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+        col("f").getItem(1).as("symbol"),
+        col("f").getItem(2).cast("timestamp").as("timestamp"),
+        col("f").getItem(3).cast("double").as("price"))
+    EvolvingSink.applyBatch(replay, 1L, out, cutDay)
+    EvolvingSink.applyBatch(replay, 1L, out, cutDay)
+    assert(EvolvingSink.readUnified(spark, out).count() === 5,
+      "replayed batch overwrote its own bid partitions — no dupes")
+
+    // phase 4: restart with nothing new — no re-emission
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(EvolvingSink.readUnified(spark, out).count() === 5)
+  }
 }
