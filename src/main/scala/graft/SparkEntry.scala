@@ -450,6 +450,15 @@ object SparkEntry {
     "w19_realized_vol" -> ((s, dir) => TradeOps.realizedVol(trades(s, dir))),
     "q25_copurchase" -> ((s, dir) => Relational.copurchase(s, dir)),
     "v_kmeans_purity" -> ((s, dir) => Similarity.kmeansPurity(s, dir)),
+    "a_var_es" -> ((s, dir) => TradeOps.varEs(trades(s, dir))),
+    "a_moment_profile" -> ((s, dir) =>
+      TradeOps.momentProfile(trades(s, dir))),
+    "w_mfi" -> ((s, dir) => TradeOps.mfi(trades(s, dir))),
+    "e_interarrival" -> ((s, dir) =>
+      EventAnalytics.interarrival(Tables.events(s, dir))),
+    "t_readability" -> ((s, dir) =>
+      TextOps.readability(Tables.load(s, dir, "documents"))),
+    "v_mmr_select" -> ((s, dir) => Similarity.mmrSelect(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1682,5 +1691,11 @@ object SparkEntry {
     "w19_realized_vol" -> s"$T,\n${TradeOps.realizedVolSql.stripPrefix("WITH ")}",
     "q25_copurchase" -> Relational.copurchaseSql(),
     "v_kmeans_purity" -> Similarity.kmeansPuritySql(),
+    "a_var_es" -> s"$T\n${TradeOps.varEsSql()}",
+    "a_moment_profile" -> s"$T\n${TradeOps.momentProfileSql}",
+    "w_mfi" -> s"$T\n${TradeOps.mfiSql()}",
+    "e_interarrival" -> EventAnalytics.interarrivalSql,
+    "t_readability" -> TextOps.readabilitySql,
+    "v_mmr_select" -> Similarity.mmrSelectSql(),
   )
 }

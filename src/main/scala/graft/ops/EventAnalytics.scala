@@ -480,4 +480,51 @@ object EventAnalytics {
       |       (CAST(max(in_hour) AS BIGINT) * 1000000) // count(*)
       |         AS burst_ppm
       |FROM h GROUP BY 1""".stripMargin
+
+  /** E (extension) — inter-arrival time decade histogram per event
+    * type: the traffic-shape QC that separates steady feeds from bursty
+    * ones (a type whose gap distribution grows a short-gap decade is a
+    * retry storm; a new long-gap decade is an outage). The decade is
+    * `⌊log₁₀(gap_µs)⌋` computed WITHOUT floating log — as
+    * `length(CAST(gap AS STRING)) − 1`, exact and engine-identical for
+    * positive integers (log10 the library function is not correctly
+    * rounded and can straddle a bucket edge differently per engine).
+    * Zero-µs gaps (same-microsecond events) clamp to decade 0. One
+    * type-keyed ordered exchange for the lag, one map-side-combined
+    * groupBy; ≤ types × 14 rows out at any scale. Σgap telescopes to
+    * the type's time span, so the sums cannot overflow BIGINT. */
+  def interarrival(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("event_type")
+      .orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(ord))
+      .filter(col("gap").isNotNull)
+      .withColumn("decade", expr(
+        "CAST(length(CAST(greatest(gap, 1) AS STRING)) - 1 AS BIGINT)"))
+      .groupBy("event_type", "decade")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        sum(col("gap")).as("sum_gap_us"))
+  }
+
+  /** Oracle for [[interarrival]]. */
+  val interarrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         us - lag(us, 1) OVER (PARTITION BY event_type
+      |           ORDER BY us, event_id) AS gap
+      |  FROM (SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS us
+      |        FROM events)
+      |)
+      |SELECT event_type,
+      |       CAST(length(CAST(greatest(gap, 1) AS VARCHAR)) - 1 AS BIGINT)
+      |         AS decade,
+      |       count(*) AS n_gaps,
+      |       min(gap) AS min_gap_us,
+      |       max(gap) AS max_gap_us,
+      |       CAST(sum(gap) AS BIGINT) AS sum_gap_us
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -2510,4 +2510,105 @@ object Similarity {
        |WHERE n.vec_id != q.q_id
        |  AND list_dot_product(q.qv, n.v) / (q.qn * n.nrm)
        |        >= ${minCos}::DOUBLE""".stripMargin
+
+  /** V (extension) — Maximal Marginal Relevance selection: the
+    * diversity re-ranker every RAG retriever and dataset-curation
+    * sampler runs after top-k (plain nearest neighbors are redundant;
+    * MMR greedily picks `argmax λ·sim(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s)` so each pick is relevant AND far from what's already
+    * chosen). Two-tier, the 100 TB shape: the DISTRIBUTED stage is the
+    * top-`poolN` candidate search (TakeOrdered over the full corpus —
+    * swaps for the ANN tier at scale); the greedy rounds then run on
+    * the bounded pool (≤ poolN² pairwise cosines, broadcast-sized) as
+    * `k` unrolled argmax stages — no driver-side collect, the rounds
+    * are chained plans over the pinned pool. Round 1's diversity term
+    * is vacuous (empty selected set → score = λ·sim(q,d)). Cosines
+    * compare as raw doubles (sequential dot products are bit-identical
+    * cross-engine — the [[rangeSearch]] discipline); ties break on
+    * vec_id; `round(·,6)` is display-only. */
+  def mmrSelect(spark: SparkSession, dir: String, poolN: Int = 50,
+      k: Int = 5, lam: Double = 0.7): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    val pool = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosq",
+        expr("dot_product(qv, v)") / (col("qn") * col("norm")))
+      .select(col("vec_id"), col("v"), col("norm"), col("cosq"))
+      .orderBy(col("cosq").desc, col("vec_id")).limit(poolN)
+      .localCheckpoint()
+    val pairs = pool
+      .select(col("vec_id").as("ia"), col("v").as("va"),
+        col("norm").as("na"))
+      .crossJoin(pool.select(col("vec_id").as("ib"), col("v").as("vb"),
+        col("norm").as("nb")))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("c", expr("dot_product(va, vb)") / (col("na") * col("nb")))
+      .select("ia", "ib", "c")
+    var sel = pool.orderBy(col("cosq").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1L).as("rank"),
+        (lit(lam) * col("cosq")).as("score"))
+    for (r <- 2 to k) {
+      val selIds = sel.select(col("vec_id").as("ib"))
+      val next = pool
+        .join(selIds.withColumnRenamed("ib", "vec_id"), Seq("vec_id"),
+          "left_anti")
+        .join(pairs.join(selIds, Seq("ib")), col("vec_id") === col("ia"))
+        .groupBy(col("vec_id"), col("cosq"))
+        .agg(max(col("c")).as("maxc"))
+        .withColumn("score",
+          lit(lam) * col("cosq") - lit(1.0 - lam) * col("maxc"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(r.toLong).as("rank"), col("score"))
+      sel = sel.unionByName(next)
+    }
+    sel.select(col("rank"), col("vec_id"),
+      round(col("score"), 6).as("mmr_score"))
+  }
+
+  /** Oracle for [[mmrSelect]] — the greedy rounds unrolled as chained
+    * CTEs, each `AS MATERIALIZED` (DuckDB inlines multiply-referenced
+    * CTEs into exponential plans otherwise). */
+  def mmrSelectSql(poolN: Int = 50, k: Int = 5, lam: Double = 0.7): String = {
+    val lamS = s"${lam}::DOUBLE"
+    val dlamS = s"${1.0 - lam}::DOUBLE"
+    def selUnion(r: Int): String =
+      (1 to r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    val rounds = (2 to k).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT p.vec_id, $r AS rank,
+         |         $lamS * p.cosq - $dlamS * max(pr.c) AS score
+         |  FROM pool p JOIN pairs pr ON pr.ia = p.vec_id
+         |  WHERE pr.ib IN (${selUnion(r - 1)})
+         |    AND p.vec_id NOT IN (${selUnion(r - 1)})
+         |  GROUP BY p.vec_id, p.cosq
+         |  ORDER BY score DESC, p.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+       |), pool AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, e.nrm,
+       |         list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cosq
+       |  FROM e, q WHERE e.vec_id != 0
+       |  ORDER BY cosq DESC, e.vec_id LIMIT $poolN
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+       |  FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+       |), s1 AS MATERIALIZED (
+       |  SELECT vec_id, 1 AS rank, $lamS * cosq AS score
+       |  FROM pool ORDER BY cosq DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       |       round(score, 6) AS mmr_score
+       |FROM (${(1 to k).map(i => s"SELECT * FROM s$i")
+            .mkString(" UNION ALL ")})""".stripMargin
+  }
 }

@@ -1826,4 +1826,64 @@ object TextOps {
       |         AS BIGINT) * 1000000) // max(m.n) AS outlier_ppm
       |FROM t JOIN m USING (source)
       |GROUP BY 1""".stripMargin
+
+  /** T (extension) — integer Flesch-style readability per source: the
+    * corpus-quality dial every pretraining mix tunes (too-easy text is
+    * boilerplate, too-hard is OCR noise). ENTIRELY integer and
+    * engine-exact: words by the corpus split convention, sentences as
+    * `max(1, #[.!?])` via `translate`-and-length (no regex needed),
+    * syllables proxied by VOWEL GROUPS — each maximal `[aeiou]+` run
+    * collapsed to one char by global regexp_replace, counted as a
+    * length difference (the linguistics-standard approximation; exact
+    * run count, no float). The Flesch formula's constants are scaled
+    * to micro and applied by floor division:
+    * `206.835 − 1.015·w/s − 84.6·v/w` becomes
+    * `206835000 − 1015·wps_ppm÷1000 − 84600·spw_ppm÷1000`. Corpus-sum
+    * ratios per source (not per-doc means — the standard corpus-level
+    * form); one map-side-combined groupBy, ≤|sources| rows out. */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", size(split(col("text"), " ")).cast("long"))
+      .withColumn("s", expr(
+        "greatest(CAST(length(text) - length(translate(text, '.!?', '')) " +
+          "AS BIGINT), 1L)"))
+      .withColumn("lo", lower(col("text")))
+      .withColumn("vg", expr(
+        "CAST(length(regexp_replace(lo, '[aeiou]+', '#')) " +
+          "- length(regexp_replace(lo, '[aeiou]+', '')) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_words"),
+        sum(col("s")).as("sum_sents"), sum(col("vg")).as("sum_vgroups"))
+      .withColumn("wps_ppm", expr("(sum_words * 1000000) div sum_sents"))
+      .withColumn("spw_ppm", expr("(sum_vgroups * 1000000) div sum_words"))
+      .withColumn("flesch_micro", expr(
+        "206835000 - (1015 * wps_ppm) div 1000 - (84600 * spw_ppm) div 1000"))
+
+  /** Oracle for [[readability]] — identical counting and micro
+    * algebra; DuckDB's regexp_replace needs the explicit 'g' flag to
+    * match Spark's replace-all default. */
+  val readabilitySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |         greatest(CAST(length(text)
+      |           - length(translate(text, '.!?', '')) AS BIGINT), 1) AS s,
+      |         CAST(length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+      |           - length(regexp_replace(lower(text), '[aeiou]+', '', 'g'))
+      |           AS BIGINT) AS vg
+      |  FROM documents
+      |), a AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(w) AS BIGINT) AS sum_words,
+      |         CAST(sum(s) AS BIGINT) AS sum_sents,
+      |         CAST(sum(vg) AS BIGINT) AS sum_vgroups
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT source, n_docs, sum_words, sum_sents, sum_vgroups,
+      |       (sum_words * 1000000) // sum_sents AS wps_ppm,
+      |       (sum_vgroups * 1000000) // sum_words AS spw_ppm,
+      |       206835000 - (1015 * ((sum_words * 1000000) // sum_sents)) // 1000
+      |         - (84600 * ((sum_vgroups * 1000000) // sum_words)) // 1000
+      |         AS flesch_micro
+      |FROM a""".stripMargin
 }

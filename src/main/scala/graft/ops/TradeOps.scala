@@ -3345,4 +3345,215 @@ object TradeOps {
       |       round(CAST(n AS DOUBLE)
       |             / CAST((SELECT sum(n) FROM c) AS DOUBLE), 6) AS share
       |FROM c""".stripMargin
+
+  /** A (extension) — historical Value-at-Risk + Expected Shortfall per
+    * symbol: the tail-risk pair every market-risk report leads with.
+    * Tick returns in exact ppm (micro-price diff ×10⁶ floor-divided by
+    * the previous micro-price; zero/invalid previous prices dropped),
+    * VaR(5%) as the SELECTED ELEMENT at rank k = ⌈0.05·n⌉ of the
+    * ascending return order (selected-element quantiles are the
+    * engine-deterministic discipline — no interpolation), and ES as
+    * the exact integer mean of the k worst returns BY RANK (rank-based
+    * tail, so ties at the VaR boundary cannot make the two engines
+    * average different row sets). The tail sum is negative: floor vs
+    * truncate division differ on negatives, so the mean divides the
+    * non-negative magnitude and re-applies the sign ([[graft.ops
+    * .Resample]] discipline). One symbol-keyed sort powers the lag,
+    * the rank, and the aggregate. */
+  def varEs(trades: DataFrame, pct: Int = 20): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val rets = trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("prev", lag(col("pm"), 1).over(ord))
+      .filter(col("prev").isNotNull && col("prev") > 0L)
+      .withColumn("ret_ppm", expr(
+        "CASE WHEN pm >= prev THEN ((pm - prev) * 1000000) div prev " +
+          "ELSE -(((prev - pm) * 1000000) div prev) END"))
+    val byRet = Window.partitionBy("symbol")
+      .orderBy(col("ret_ppm"), col("event_id"))
+    rets
+      .withColumn("rn", row_number().over(byRet).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("k", expr(s"(cnt + ${pct - 1}) div $pct"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_rets"),
+        max(when(col("rn") === col("k"), col("ret_ppm"))).as("var_ppm"),
+        sum(when(col("rn") <= col("k"), col("ret_ppm"))).as("tail_sum"),
+        max(col("k")).as("k_tail"))
+      .withColumn("es_ppm", expr(
+        "CASE WHEN tail_sum >= 0 THEN tail_sum div k_tail " +
+          "ELSE -((-tail_sum) div k_tail) END"))
+  }
+
+  /** Oracle for [[varEs]] (body only — caller prepends the trades
+    * CTE). */
+  def varEsSql(pct: Int = 20): String =
+    s"""SELECT symbol, count(*) AS n_rets,
+       |       max(CASE WHEN rn = (cnt + ${pct - 1}) // $pct
+       |           THEN ret_ppm END) AS var_ppm,
+       |       CAST(sum(CASE WHEN rn <= (cnt + ${pct - 1}) // $pct
+       |           THEN ret_ppm END) AS BIGINT) AS tail_sum,
+       |       max((cnt + ${pct - 1}) // $pct) AS k_tail,
+       |       CASE WHEN CAST(sum(CASE WHEN rn <= (cnt + ${pct - 1})
+       |                // $pct THEN ret_ppm END) AS BIGINT) >= 0
+       |            THEN CAST(sum(CASE WHEN rn <= (cnt + ${pct - 1})
+       |                // $pct THEN ret_ppm END) AS BIGINT)
+       |              // max((cnt + ${pct - 1}) // $pct)
+       |            ELSE -((-CAST(sum(CASE WHEN rn <= (cnt + ${pct - 1})
+       |                // $pct THEN ret_ppm END) AS BIGINT))
+       |              // max((cnt + ${pct - 1}) // $pct)) END AS es_ppm
+       |FROM (
+       |  SELECT symbol, ret_ppm, event_id,
+       |         CAST(row_number() OVER (PARTITION BY symbol
+       |           ORDER BY ret_ppm, event_id) AS BIGINT) AS rn,
+       |         count(*) OVER (PARTITION BY symbol) AS cnt
+       |  FROM (
+       |    SELECT symbol, event_id,
+       |           CASE WHEN pm >= prev THEN ((pm - prev) * 1000000) // prev
+       |                ELSE -(((prev - pm) * 1000000) // prev) END AS ret_ppm
+       |    FROM (
+       |      SELECT symbol, event_id,
+       |             CAST(round(price * 1000000) AS BIGINT) AS pm,
+       |             lag(CAST(round(price * 1000000) AS BIGINT), 1)
+       |               OVER (PARTITION BY symbol
+       |                     ORDER BY "timestamp", event_id) AS prev
+       |      FROM trades)
+       |    WHERE prev IS NOT NULL AND prev > 0))
+       |GROUP BY 1""".stripMargin
+
+  /** A (extension) — exact higher-moment profile per symbol: raw power
+    * sums S₁..S₄ of the UNIT-quantized price (round(price) — the
+    * coarse grain is what keeps S₄ inside BIGINT; this is a
+    * distribution-shape QC, not a pricing op) plus derived skewness
+    * and excess kurtosis. The sums are the oracle-exact columns; the
+    * derived moments go through correctly-rounded IEEE double
+    * ops only (casts, +,−,×,÷, sqrt — the [[graft.ops.Similarity
+    * .dimProfile]] discipline), with the IDENTICAL expression tree on
+    * both engines. Overflow guard ([[graft.ops.Similarity.dimProfile]]
+    * class): n·mx⁴ ≤ 2⁶³−1, checked from the wrap-proof n/max with
+    * mx ≤ ⌊(2⁶³−1)^¼⌋ = 55108 keeping the guard's own product exact —
+    * past the bound the op fails loudly instead of silently diverging
+    * from DuckDB's HUGEINT widening. Map-side-combining groupBy; 5
+    * rows out at any scale. */
+  def momentProfile(trades: DataFrame): DataFrame =
+    trades
+      .withColumn("xu", expr("CAST(round(price) AS BIGINT)"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("xu")).as("s1"),
+        sum(expr("xu * xu")).as("s2"),
+        sum(expr("xu * xu * xu")).as("s3"),
+        sum(expr("xu * xu * xu * xu")).as("s4"),
+        max(abs(col("xu"))).as("mxu"))
+      .filter(expr(
+        "assert_true(mxu <= 55108 AND " +
+          "n <= 9223372036854775807 div greatest(mxu * mxu * mxu * mxu, 1), " +
+          "'moment_profile: symbol too large for exact BIGINT power sums " +
+          "— coarsen quantization or widen to DECIMAL(38,0)') IS NULL"))
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("m2", expr(
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean"))
+      .withColumn("m3", expr(
+        "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) " +
+          "- 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "+ 2.0 * mean * mean * mean"))
+      .withColumn("m4", expr(
+        "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) " +
+          "- 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "+ 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "- 3.0 * mean * mean * mean * mean"))
+      .select(col("symbol"), col("n"), col("s1"), col("s2"), col("s3"),
+        col("s4"),
+        round(expr("m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))"), 6)
+          .as("skewness"),
+        round(expr("m4 / (m2 * m2) - 3.0"), 6).as("excess_kurtosis"))
+
+  /** Oracle for [[momentProfile]] (body only — caller prepends the
+    * trades CTE): identical quantization, sums, and derived-moment
+    * expression tree. */
+  val momentProfileSql: String =
+    """SELECT symbol, n, s1, s2, s3, s4,
+      |       round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+      |       round(m4 / (m2 * m2) - 3.0::DOUBLE, 6) AS excess_kurtosis
+      |FROM (
+      |  SELECT symbol, n, s1, s2, s3, s4, mean,
+      |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS m2,
+      |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |           - 3.0::DOUBLE * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |           + 2.0::DOUBLE * mean * mean * mean AS m3,
+      |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      |           - 4.0::DOUBLE * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |           + 6.0::DOUBLE * mean * mean
+      |             * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |           - 3.0::DOUBLE * mean * mean * mean * mean AS m4
+      |  FROM (
+      |    SELECT symbol, n, s1, s2, s3, s4,
+      |           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+      |    FROM (
+      |      SELECT symbol, count(*) AS n,
+      |             CAST(sum(xu) AS BIGINT) AS s1,
+      |             CAST(sum(xu * xu) AS BIGINT) AS s2,
+      |             CAST(sum(xu * xu * xu) AS BIGINT) AS s3,
+      |             CAST(sum(xu * xu * xu * xu) AS BIGINT) AS s4
+      |      FROM (SELECT symbol, CAST(round(price) AS BIGINT) AS xu
+      |            FROM trades)
+      |      GROUP BY 1)))""".stripMargin
+
+  /** W (extension) — Money Flow Index over the trailing `n` ticks per
+    * symbol: the volume-weighted RSI sibling ([[rsi]] on money flow
+    * instead of price change). Flow = price·volume in exact integer
+    * units (cents × deci-volume, the [[vwma]] construction), classed
+    * positive/negative by the tick direction (flat ticks contribute
+    * neither — the standard treatment); the index is emitted in exact
+    * ppm by floor division of non-negative sums. Both conditional
+    * window sums ride ONE symbol-keyed ordered exchange with the lag
+    * that directions them. */
+  def mfi(trades: DataFrame, n: Int = 14): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val frame = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("vol10", expr("CAST(event_id % 97 + 1 AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(ord))
+      .withColumn("flow", col("pc") * col("vol10"))
+      .withColumn("pos", sum(when(col("d") > 0, col("flow"))
+        .otherwise(lit(0L))).over(frame))
+      .withColumn("neg", sum(when(col("d") < 0, col("flow"))
+        .otherwise(lit(0L))).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n && (col("pos") + col("neg")) > 0L)
+      .select(col("event_id"), col("symbol"), col("timestamp"),
+        col("pos").as("pos_flow"), col("neg").as("neg_flow"),
+        expr("(pos * 1000000) div (pos + neg)").as("mfi_ppm"))
+  }
+
+  /** Oracle for [[mfi]] (body only — caller prepends the trades CTE);
+    * window sums cast back from DuckDB's HUGEINT widening. */
+  def mfiSql(n: Int = 14): String =
+    s"""SELECT event_id, symbol, "timestamp",
+       |       CAST(pos AS BIGINT) AS pos_flow,
+       |       CAST(neg AS BIGINT) AS neg_flow,
+       |       (CAST(pos AS BIGINT) * 1000000)
+       |         // (CAST(pos AS BIGINT) + CAST(neg AS BIGINT)) AS mfi_ppm
+       |FROM (
+       |  SELECT event_id, symbol, "timestamp",
+       |         sum(CASE WHEN d > 0 THEN flow ELSE 0 END) OVER w AS pos,
+       |         sum(CASE WHEN d < 0 THEN flow ELSE 0 END) OVER w AS neg,
+       |         count(*) OVER w AS cnt
+       |  FROM (
+       |    SELECT event_id, symbol, "timestamp",
+       |           pc - lag(pc, 1) OVER (PARTITION BY symbol
+       |             ORDER BY "timestamp", event_id) AS d,
+       |           pc * vol10 AS flow
+       |    FROM (SELECT event_id, symbol, "timestamp",
+       |                 CAST(round(price * 100) AS BIGINT) AS pc,
+       |                 CAST(event_id % 97 + 1 AS BIGINT) AS vol10
+       |          FROM trades))
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |WHERE cnt = $n AND (CAST(pos AS BIGINT) + CAST(neg AS BIGINT)) > 0""".stripMargin
 }

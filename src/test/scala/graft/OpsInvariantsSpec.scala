@@ -2225,4 +2225,113 @@ class OpsInvariantsSpec extends SparkSuite {
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
     assert(graft.ops.Graph.assortativity(tri).head.isNullAt(1))
   }
+
+  test("var/es: ES <= VaR (tail mean below its boundary), k = ceil(5% n)") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.varEs(trades).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, varPpm, k, es) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(k === (n + 19L) / 20L, "k must be ceil(n/20)")
+      assert(es <= varPpm,
+        s"expected shortfall $es must not exceed the VaR boundary $varPpm")
+      // the tail is the k worst returns: its mean is within the return
+      // range observed for the symbol
+      assert(k >= 1L && k <= n)
+    }
+  }
+
+  test("moment profile: power sums consistent (Cauchy-Schwarz), guard trips " +
+    "on an out-of-range corpus") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.momentProfile(trades).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s1, s2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // n*s2 >= s1^2 (Cauchy-Schwarz on the unit vector)
+      assert(BigInt(n) * BigInt(s2) >= BigInt(s1) * BigInt(s1))
+      assert(s2 >= 0L && r.getLong(5) >= 0L, "even power sums non-negative")
+    }
+    // the overflow guard must FAIL LOUDLY for prices past the 55108 bound
+    import spark.implicits._
+    val big = Seq((1L, 1L, "X", new java.sql.Timestamp(0L), 60000.0, 1.0, 1.0))
+      .toDF("event_id", "user_id", "symbol", "timestamp", "price",
+        "volume", "usd_volume")
+    // two loud-failure layers: Spark 4's default ANSI mode throws on
+    // the per-row product before the guard can see the aggregate; with
+    // ANSI off the assert_true guard catches the n·mx⁴ bound instead.
+    // Either way: an error, never a silent wrap.
+    val ex = intercept[Exception] {
+      graft.ops.TradeOps.momentProfile(big).collect()
+    }
+    assert(ex.getMessage.contains("moment_profile") ||
+      ex.getMessage.contains("ARITHMETIC_OVERFLOW"),
+      s"guard must raise, not wrap: ${ex.getMessage.take(120)}")
+  }
+
+  test("mfi: ppm in [0,1e6], flows partition (pos+neg <= total window flow)") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.mfi(trades).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pos, neg, ppm) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(pos >= 0L && neg >= 0L)
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(ppm === pos * 1000000L / (pos + neg))
+    }
+  }
+
+  test("interarrival: decades are digit counts, sum telescopes to the span") {
+    val events = Tables.events(spark, sf)
+    val rows = graft.ops.EventAnalytics.interarrival(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dec, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(dec >= 0L && dec <= 18L)
+      // every gap in the bucket has exactly dec+1 digits (clamped at 1)
+      assert(math.max(mn, 1L).toString.length - 1 === dec)
+      assert(math.max(mx, 1L).toString.length - 1 === dec)
+      assert(mn <= mx)
+    }
+    // per type: sum of gaps across buckets = last ts - first ts
+    val spans = events.withColumn("us", unix_micros(col("ts")))
+      .groupBy("event_type").agg((max(col("us")) - min(col("us"))).as("span"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      assert(rs.map(_.getLong(5)).sum === spans(tpe),
+        s"gap sum must telescope to the $tpe span")
+    }
+  }
+
+  test("readability: ratio algebra exact, flesch monotone in the ratios") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.TextOps.readability(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, v) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (wps, spw, fl) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(wps === w * 1000000L / s)
+      assert(spw === v * 1000000L / w)
+      assert(fl === 206835000L - (1015L * wps) / 1000L - (84600L * spw) / 1000L)
+    }
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+  }
+
+  test("mmr: ranks 1..k distinct picks from the pool, scores non-increasing " +
+    "after round 1, rank-1 is the top candidate") {
+    val rows = Similarity.mmrSelect(spark, sf).orderBy("rank").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 5L))
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length, "picks must be distinct")
+    // rank 1 is the plain nearest neighbor to the query (scaled by λ)
+    val top = Similarity.cosineTopK(spark, sf, nQueries = 1, k = 1)
+      .head.getLong(1)
+    assert(ids.head === top)
+    // marginal scores cannot increase as the selected set grows
+    val scores = rows.map(_.getDouble(2))
+    scores.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"MMR marginal score rose: $a -> $b")
+    }
+  }
 }
