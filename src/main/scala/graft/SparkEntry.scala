@@ -459,6 +459,13 @@ object SparkEntry {
     "t_readability" -> ((s, dir) =>
       TextOps.readability(Tables.load(s, dir, "documents"))),
     "v_mmr_select" -> ((s, dir) => Similarity.mmrSelect(s, dir)),
+    "e_markov_stationary" -> ((s, dir) =>
+      EventAnalytics.markovStationary(Tables.events(s, dir))),
+    "e_simpson_diversity" -> ((s, dir) =>
+      EventAnalytics.simpsonDiversity(Tables.events(s, dir))),
+    "s20_partition_diff" -> ((s, dir) =>
+      TradeOps.partitionDiff(trades(s, dir))),
+    "v_prf_expand" -> ((s, dir) => Similarity.prfExpand(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1697,5 +1704,9 @@ object SparkEntry {
     "e_interarrival" -> EventAnalytics.interarrivalSql,
     "t_readability" -> TextOps.readabilitySql,
     "v_mmr_select" -> Similarity.mmrSelectSql(),
+    "e_markov_stationary" -> EventAnalytics.markovStationarySql(),
+    "e_simpson_diversity" -> EventAnalytics.simpsonDiversitySql,
+    "s20_partition_diff" -> s"$T\n${TradeOps.partitionDiffSql()}",
+    "v_prf_expand" -> Similarity.prfExpandSql(),
   )
 }

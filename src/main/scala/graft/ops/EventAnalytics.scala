@@ -527,4 +527,121 @@ object EventAnalytics {
       |       CAST(sum(gap) AS BIGINT) AS sum_gap_us
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
+
+  /** E (extension) — stationary distribution of the event-type Markov
+    * chain: where the user population settles if the observed
+    * [[transitionMatrix]] dynamics run forever — the long-run
+    * attention share behind "which surface ultimately owns the
+    * traffic". ENTIRELY integer so the power iteration is
+    * engine-exact: transition probabilities in ppm by floor division
+    * of the pair counts, the distribution vector in micro units
+    * (Σ ≈ 10⁶), and each of the `rounds` unrolled steps computes
+    * `x'_j = Σᵢ (xᵢ·p_ij) div 10⁶` — BIGINT products (≤ 10⁶·10⁶),
+    * exact sums, identical floor rounding on both engines (float
+    * matrix-vector products would be partition-order-sensitive).
+    * Fixed round count = determinism over convergence (the
+    * [[graft.ops.Graph]] labelprop call); with ppm resolution 8
+    * rounds is past the mixing time of any |types|-sized chain. The
+    * iteration state is |types| rows joined to a |types|² matrix —
+    * driver-free chained plans, broadcast-sized at any corpus
+    * scale. */
+  def markovStationary(events: DataFrame, rounds: Int = 8): DataFrame = {
+    val pairs = transitionMatrix(events)
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val p = pairs.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("(n * 1000000) div tot").as("p_ppm"))
+    val states = p.select(col("from_type").as("state")).distinct()
+    val nStates = states // broadcast-sized; count via cross-join-free agg
+      .agg(count(lit(1)).as("k"))
+    var x = states.crossJoin(broadcast(nStates))
+      .select(col("state"), expr("1000000 div k").as("x_micro"))
+    for (_ <- 1 to rounds) {
+      x = x.join(p, col("state") === col("from_type"))
+        .groupBy(col("to_type").as("state2"))
+        .agg(sum(expr("(x_micro * p_ppm) div 1000000")).as("x_micro"))
+        .withColumnRenamed("state2", "state")
+    }
+    x.select(col("state"), col("x_micro"))
+  }
+
+  /** Oracle for [[markovStationary]] — the rounds unrolled as chained
+    * MATERIALIZED CTEs (DuckDB would inline the multiply-referenced
+    * matrix into an exponential plan otherwise). */
+  def markovStationarySql(rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = if (r == 1) "x0" else s"x${r - 1}"
+      s"""x$r AS MATERIALIZED (
+         |  SELECT p.to_type AS state,
+         |         CAST(sum((x.x_micro * p.p_ppm) // 1000000) AS BIGINT)
+         |           AS x_micro
+         |  FROM $prev x JOIN p ON x.state = p.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT from_type, to_type, count(*) AS n FROM (
+       |    SELECT event_type AS from_type,
+       |           lead(event_type, 1) OVER (PARTITION BY user_id
+       |             ORDER BY ts::TIMESTAMP, event_id) AS to_type
+       |    FROM events)
+       |  WHERE to_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |), p AS MATERIALIZED (
+       |  SELECT from_type, to_type,
+       |         (n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+       |           AS p_ppm
+       |  FROM pairs
+       |), x0 AS MATERIALIZED (
+       |  SELECT from_type AS state,
+       |         1000000 // (SELECT count(DISTINCT from_type) FROM p)
+       |           AS x_micro
+       |  FROM (SELECT DISTINCT from_type FROM p)
+       |),
+       |$steps
+       |SELECT state, x_micro FROM x$rounds""".stripMargin
+  }
+
+  /** E (extension) — Gini–Simpson diversity of user participation per
+    * event type: `1 − Σ(n_u/N)²`, the concentration complement every
+    * abuse dashboard reads as "is this event type organic or one bot"
+    * (the entropy-free diversity index — Shannon needs `ln`, which is
+    * not correctly rounded cross-engine; Simpson is pure rational
+    * algebra). Exact BIGINT `Σn_u²` with the [[graft.ops.Similarity
+    * .dimProfile]] overflow-guard discipline (n_users·max(n_u)² ≤
+    * 2⁶³−1, checked on wrap-proof counts — past ~3·10⁹ events per
+    * user the op fails loudly instead of diverging); the index itself
+    * derives through identical IEEE double expressions. Two map-side
+    * combined aggregations, |types| rows out. */
+  def simpsonDiversity(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("nu"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("nu")).as("n_events"),
+        sum(expr("nu * nu")).as("sum_sq"), max(col("nu")).as("mxu"))
+      .filter(expr(
+        "assert_true(n_users <= (9223372036854775807 " +
+          "div greatest(mxu, 1)) div greatest(mxu, 1), " +
+          "'simpson_diversity: per-user counts too large for exact " +
+          "BIGINT sum of squares — widen to DECIMAL(38,0)') IS NULL"))
+      .drop("mxu")
+      .withColumn("simpson", expr(
+        """1.0 - CAST(sum_sq AS DOUBLE)
+          | / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))"""
+          .stripMargin))
+
+  /** Oracle for [[simpsonDiversity]] — identical sums and index
+    * expression. */
+  val simpsonDiversitySql: String =
+    """WITH u AS (
+      |  SELECT event_type, user_id, count(*) AS nu
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, count(*) AS n_users,
+      |       CAST(sum(nu) AS BIGINT) AS n_events,
+      |       CAST(sum(nu * nu) AS BIGINT) AS sum_sq,
+      |       1.0::DOUBLE - CAST(sum(nu * nu) AS BIGINT)::DOUBLE
+      |         / (CAST(sum(nu) AS BIGINT)::DOUBLE
+      |            * CAST(sum(nu) AS BIGINT)::DOUBLE) AS simpson
+      |FROM u GROUP BY 1""".stripMargin
 }

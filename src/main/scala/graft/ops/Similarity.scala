@@ -2447,13 +2447,13 @@ object Similarity {
       // n·mx² ≤ Long.MaxValue (on the 64-row aggregate, from the
       // wrap-proof n/min/max) proves s2 could not have wrapped; past
       // the bound (~9.2M unit-range rows per dim) the op FAILS LOUDLY
-      // instead of diverging. mx ≤ 3037000499 = floor(√Long.Max) keeps
-      // the guard's own mx·mx exact.
+      // instead of diverging. The bound is checked in pure DIV form
+      // (nested floor divisions), so the guard itself cannot overflow.
       .withColumn("mxa", greatest(abs(col("min_micro")),
         abs(col("max_micro")), lit(1L)))
       .filter(expr(
-        "assert_true(mxa <= 3037000499 AND " +
-          "n <= 9223372036854775807 div (mxa * mxa), " +
+        "assert_true(" +
+          "n <= (9223372036854775807 div mxa) div mxa, " +
           "'dim_profile: corpus too large for exact BIGINT moment sums " +
           "(s2 would overflow 2^63) — shard the corpus or widen to " +
           "DECIMAL(38,0)') IS NULL"))
@@ -2611,4 +2611,89 @@ object Similarity {
        |FROM (${(1 to k).map(i => s"SELECT * FROM s$i")
             .mkString(" UNION ALL ")})""".stripMargin
   }
+
+  /** V (extension) — pseudo-relevance-feedback query expansion
+    * (Rocchio): search once, average the top-`nFb` hits into an
+    * expanded query centroid, search again — the classic recall lift
+    * when the original query vector under-specifies the intent. The
+    * centroid must be ENGINE-EXACT despite being a float average:
+    * elements are micro-quantized to BIGINT before the per-dimension
+    * sum (integer sums are order-free; a raw double sum would be
+    * partition-order-sensitive), and the centroid element is the one
+    * exact double `Σmicro / (nFb·10⁶)` — both engines reconstitute
+    * the SAME array (dimension-sorted aggregation) and run the same
+    * sequential dot product over it. Output: the expanded top-`k`
+    * with each hit flagged `was_seed` (already in the feedback set) —
+    * the delta rows are what expansion bought. Two distributed scans
+    * (original + expanded search); the centroid build is
+    * feedback-sized. */
+  def prfExpand(spark: SparkSession, dir: String, nFb: Int = 5,
+      k: Int = 10): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    val seeds = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosq",
+        expr("dot_product(qv, v)") / (col("qn") * col("norm")))
+      .select(col("vec_id"), col("v"))
+      .orderBy(col("cosq").desc, col("vec_id")).limit(nFb)
+    val centroid = seeds
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("xm", expr("CAST(round(x * 1000000) AS BIGINT)"))
+      .groupBy("d").agg(sum(col("xm")).as("sm"))
+      .select(col("d"),
+        expr(s"CAST(sm AS DOUBLE) / (${nFb}.0 * 1000000.0)").as("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), " +
+        "s -> s.c)").as("cv"))
+      .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
+    val seedIds = seeds.select(col("vec_id").as("seed_id"))
+    val expanded = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(centroid))
+      .withColumn("cos_exp",
+        expr("dot_product(cv, v)") / (col("cn") * col("norm")))
+      .orderBy(col("cos_exp").desc, col("vec_id")).limit(k)
+    expanded
+      .join(seedIds, col("vec_id") === col("seed_id"), "left_outer")
+      .select(col("vec_id"), round(col("cos_exp"), 6).as("cos_expanded"),
+        col("seed_id").isNotNull.as("was_seed"))
+  }
+
+  /** Oracle for [[prfExpand]] — identical micro-quantized centroid,
+    * dimension-ordered list rebuild, and sequential dot products. */
+  def prfExpandSql(nFb: Int = 5, k: Int = 10, dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+       |), seeds AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |         list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cosq
+       |  FROM e, q WHERE e.vec_id != 0
+       |  ORDER BY cosq DESC, e.vec_id LIMIT $nFb
+       |), cent AS MATERIALIZED (
+       |  SELECT list(c ORDER BY d) AS cv
+       |  FROM (
+       |    SELECT d, CAST(sm AS DOUBLE) / (${nFb}.0 * 1000000.0) AS c
+       |    FROM (
+       |      SELECT u.i AS d,
+       |             CAST(sum(CAST(round(v[u.i] * 1000000) AS BIGINT))
+       |               AS BIGINT) AS sm
+       |      FROM seeds, (SELECT unnest(generate_series(1, $dim)) AS i) u
+       |      GROUP BY 1))
+       |), cn AS (
+       |  SELECT cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent
+       |)
+       |SELECT x.vec_id, round(x.cos_exp, 6) AS cos_expanded,
+       |       x.vec_id IN (SELECT vec_id FROM seeds) AS was_seed
+       |FROM (
+       |  SELECT e.vec_id,
+       |         list_dot_product(cn.cv, e.v) / (cn.cn * e.nrm) AS cos_exp
+       |  FROM e, cn WHERE e.vec_id != 0
+       |  ORDER BY cos_exp DESC, e.vec_id LIMIT $k
+       |) x""".stripMargin
 }

@@ -3432,11 +3432,13 @@ object TradeOps {
     * ops only (casts, +,−,×,÷, sqrt — the [[graft.ops.Similarity
     * .dimProfile]] discipline), with the IDENTICAL expression tree on
     * both engines. Overflow guard ([[graft.ops.Similarity.dimProfile]]
-    * class): n·mx⁴ ≤ 2⁶³−1, checked from the wrap-proof n/max with
-    * mx ≤ ⌊(2⁶³−1)^¼⌋ = 55108 keeping the guard's own product exact —
-    * past the bound the op fails loudly instead of silently diverging
-    * from DuckDB's HUGEINT widening. Map-side-combining groupBy; 5
-    * rows out at any scale. */
+    * class): n·mx⁴ ≤ 2⁶³−1 checked from the wrap-proof n/max in pure
+    * DIV form (nested floor divisions — the guard itself cannot
+    * overflow for any input) — past the bound the op fails loudly
+    * instead of silently diverging from DuckDB's HUGEINT widening
+    * (under Spark's default ANSI mode the per-row x⁴ product is a
+    * second loud-failure layer). Map-side-combining groupBy; 5 rows
+    * out at any scale. */
   def momentProfile(trades: DataFrame): DataFrame =
     trades
       .withColumn("xu", expr("CAST(round(price) AS BIGINT)"))
@@ -3447,8 +3449,9 @@ object TradeOps {
         sum(expr("xu * xu * xu * xu")).as("s4"),
         max(abs(col("xu"))).as("mxu"))
       .filter(expr(
-        "assert_true(mxu <= 55108 AND " +
-          "n <= 9223372036854775807 div greatest(mxu * mxu * mxu * mxu, 1), " +
+        "assert_true(" +
+          "n <= (((9223372036854775807 div greatest(mxu, 1)) " +
+          "div greatest(mxu, 1)) div greatest(mxu, 1)) div greatest(mxu, 1), " +
           "'moment_profile: symbol too large for exact BIGINT power sums " +
           "— coarsen quantization or widen to DECIMAL(38,0)') IS NULL"))
       .withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
@@ -3556,4 +3559,74 @@ object TradeOps {
        |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
        |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
        |WHERE cnt = $n AND (CAST(pos AS BIGINT) + CAST(neg AS BIGINT)) > 0""".stripMargin
+
+  /** S (extension) — changed-partition detection between two table
+    * snapshots: the incremental-sync planner's first question ("which
+    * day partitions do I actually need to re-copy/re-process?").
+    * Per-day content fingerprints of the base table and a revised
+    * snapshot (here: a deterministic +1.00 price correction on
+    * `reviseDay` — the [[dynamicPartitionOverwrite]] revision), each
+    * fingerprint the [[tableFingerprint]] discipline: per-row md5
+    * prefix → BIGINT folded by `bit_xor` — ORDER-INDEPENDENT, so the
+    * two engines (and any partitioning) agree bit-for-bit without a
+    * sort. A full-outer join over the ≤|days| fingerprint rows names
+    * exactly the partitions whose bytes moved; at 100 TB the two
+    * side's fingerprints each cost one scan and the diff is
+    * metadata-sized. */
+  def partitionDiff(trades: DataFrame,
+      reviseDay: String = "2024-01-15"): DataFrame = {
+    def fp(df: DataFrame): DataFrame = df
+      .withColumn("day", to_date(col("timestamp")))
+      .withColumn("_h", expr(
+        """CAST(conv(substring(md5(concat_ws('|',
+          |  CAST(event_id AS STRING), symbol,
+          |  CAST(unix_micros(timestamp) AS STRING),
+          |  CAST(CAST(round(price * 100) AS BIGINT) AS STRING))),
+          |  1, 15), 16, 10) AS BIGINT)""".stripMargin))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("fp"))
+    val base = fp(trades)
+    val revised = fp(trades.withColumn("price",
+      when(to_date(col("timestamp")) === lit(reviseDay).cast("date"),
+        col("price") + 1.0d).otherwise(col("price"))))
+    base.select(col("day"), col("n_rows").as("n_base"),
+        col("fp").as("fp_base"))
+      .join(revised.select(col("day"), col("n_rows").as("n_revised"),
+        col("fp").as("fp_revised")), Seq("day"), "full_outer")
+      .withColumn("changed",
+        coalesce(col("fp_base") =!= col("fp_revised"), lit(true)))
+      // Spark-side DATE fails the cross-engine type gate; TIMESTAMP
+      // pairs with DuckDB's DATE (the e_retention convention)
+      .withColumn("day", col("day").cast("timestamp"))
+  }
+
+  /** Oracle for [[partitionDiff]] (body only — caller prepends the
+    * trades CTE). */
+  def partitionDiffSql(reviseDay: String = "2024-01-15"): String =
+    s"""SELECT COALESCE(b.day, r.day) AS day,
+       |       b.n_rows AS n_base, b.fp AS fp_base,
+       |       r.n_rows AS n_revised, r.fp AS fp_revised,
+       |       COALESCE(b.fp != r.fp, TRUE) AS changed
+       |FROM (
+       |  SELECT CAST("timestamp" AS DATE) AS day, count(*) AS n_rows,
+       |         bit_xor(('0x' || substr(md5(concat_ws('|',
+       |            CAST(event_id AS VARCHAR), symbol,
+       |            CAST(epoch_us("timestamp") AS VARCHAR),
+       |            CAST(CAST(round(price * 100) AS BIGINT) AS VARCHAR))),
+       |            1, 15))::BIGINT) AS fp
+       |  FROM trades GROUP BY 1
+       |) b FULL OUTER JOIN (
+       |  SELECT CAST("timestamp" AS DATE) AS day, count(*) AS n_rows,
+       |         bit_xor(('0x' || substr(md5(concat_ws('|',
+       |            CAST(event_id AS VARCHAR), symbol,
+       |            CAST(epoch_us("timestamp") AS VARCHAR),
+       |            CAST(CAST(round(p2 * 100) AS BIGINT) AS VARCHAR))),
+       |            1, 15))::BIGINT) AS fp
+       |  FROM (SELECT event_id, symbol, "timestamp",
+       |               CASE WHEN CAST("timestamp" AS DATE)
+       |                      = DATE '$reviseDay'
+       |                    THEN price + 1.0::DOUBLE ELSE price END AS p2
+       |        FROM trades)
+       |  GROUP BY 1
+       |) r ON b.day = r.day""".stripMargin
 }

@@ -2318,6 +2318,78 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum === docs.count())
   }
 
+  test("markov stationary: mass conserved within floor-loss, fixed point " +
+    "of a deterministic chain") {
+    val events = Tables.events(spark, sf)
+    val rows = graft.ops.EventAnalytics.markovStationary(events).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getLong(1)).sum
+    // each of the 8 rounds loses < |types| micro to floor division of
+    // the ppm matrix rows plus < |types| micro to the x-product floors
+    assert(mass <= 1000000L && mass > 1000000L - 8L * 2L * rows.length * 200L,
+      s"stationary mass drifted: $mass")
+    rows.foreach(r => assert(r.getLong(1) >= 0L))
+    // a deterministic 2-state chain: A->B always, B->A always has
+    // stationary (1/2, 1/2); even rounds land back on the start
+    import spark.implicits._
+    val ab = (0 until 10).flatMap(i => Seq(
+      (i * 2L, 1L, "A", new java.sql.Timestamp(i * 2000L), 0.0, ""),
+      (i * 2L + 1L, 1L, "B", new java.sql.Timestamp(i * 2000L + 1000L),
+        0.0, "")))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val st = graft.ops.EventAnalytics.markovStationary(ab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("A") === 500000L && st("B") === 500000L)
+  }
+
+  test("simpson diversity: index in [0,1), exact complement of " +
+    "concentration, single-user type scores 0") {
+    val events = Tables.events(spark, sf)
+    val rows = graft.ops.EventAnalytics.simpsonDiversity(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nu, ne, ss, idx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(idx >= 0.0 && idx < 1.0)
+      assert(math.abs(idx - (1.0 - ss.toDouble / (ne.toDouble * ne.toDouble)))
+        < 1e-12)
+      assert(ss >= ne, "sum of squares >= sum (nu >= 1)")
+      assert(nu <= ne)
+    }
+    import spark.implicits._
+    val solo = Seq((1L, 7L, "only", new java.sql.Timestamp(0L), 0.0, ""),
+      (2L, 7L, "only", new java.sql.Timestamp(1L), 0.0, ""))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = graft.ops.EventAnalytics.simpsonDiversity(solo).head
+    assert(r.getDouble(4) === 0.0, "one user owning a type must score 0")
+  }
+
+  test("partition diff: exactly the revised day flagged, base " +
+    "fingerprints stable") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.partitionDiff(trades).collect()
+    assert(rows.nonEmpty)
+    val changed = rows.filter(_.getBoolean(5))
+    assert(changed.length === 1, "exactly one day revised")
+    assert(changed.head.getTimestamp(0).toString.startsWith("2024-01-15"))
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3),
+        "a pure price revision preserves row counts")
+      if (!r.getBoolean(5)) assert(r.getLong(2) === r.getLong(4),
+        "unchanged day must keep its fingerprint")
+    }
+  }
+
+  test("prf expand: k rows, seeds flagged, expanded scores ordered") {
+    val rows = Similarity.prfExpand(spark, sf)
+      .orderBy(col("cos_expanded").desc, col("vec_id")).collect()
+    assert(rows.length === 10)
+    assert(rows.count(_.getBoolean(2)) >= 1,
+      "the centroid search should re-find at least one seed")
+    val scores = rows.map(_.getDouble(1))
+    scores.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+
   test("mmr: ranks 1..k distinct picks from the pool, scores non-increasing " +
     "after round 1, rank-1 is the top candidate") {
     val rows = Similarity.mmrSelect(spark, sf).orderBy("rank").collect()
