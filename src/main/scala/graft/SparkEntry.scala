@@ -466,6 +466,8 @@ object SparkEntry {
     "s20_partition_diff" -> ((s, dir) =>
       TradeOps.partitionDiff(trades(s, dir))),
     "v_prf_expand" -> ((s, dir) => Similarity.prfExpand(s, dir)),
+    "w_vol_regime" -> ((s, dir) => TradeOps.volRegime(trades(s, dir))),
+    "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1708,5 +1710,7 @@ object SparkEntry {
     "e_simpson_diversity" -> EventAnalytics.simpsonDiversitySql,
     "s20_partition_diff" -> s"$T\n${TradeOps.partitionDiffSql()}",
     "v_prf_expand" -> Similarity.prfExpandSql(),
+    "w_vol_regime" -> s"$T\n${TradeOps.volRegimeSql()}",
+    "v_pca_deflate" -> Similarity.pcaDeflateSql(),
   )
 }

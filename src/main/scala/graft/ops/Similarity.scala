@@ -2696,4 +2696,140 @@ object Similarity {
        |  FROM e, cn WHERE e.vec_id != 0
        |  ORDER BY cos_exp DESC, e.vec_id LIMIT $k
        |) x""".stripMargin
+
+  /** V (extension) — SECOND principal component via Hotelling
+    * deflation: power-iterate for the top PC ([[pcaPower]] exactly),
+    * project it out of every vector (`v' = v − (v·u₁)u₁`), iterate
+    * again on the deflated corpus. The variance split across the top
+    * two axes is the "is this embedding space really D-dimensional or
+    * secretly a plane" QC that one component can't answer. Exactness
+    * discipline is [[pcaPower]]'s: each matrix–vector product is a
+    * per-dimension nano-quantized BIGINT transpose sum
+    * (order-independent), and every scalar the driver folds
+    * (normalizations, the u₁·w deflation constants) is a SEQUENTIAL
+    * 0..63 double fold — the identical operation order DuckDB's
+    * list_dot_product uses, so both engines walk bit-equal floats.
+    * The deflated product needs NO materialized v′: (v′·w) =
+    * (v·w) − s₁·(u₁·w) with s₁ = v·u₁ — two codegen'd dot products
+    * per row instead of an array rebuild. Output: per-dim loadings of
+    * PC2, λ₂, and the u₁·u₂ orthogonality witness (display-rounded).
+    * Each iteration is one corpus scan; 64 rows collect per round
+    * (bounded, the [[pcaPower]] seam). */
+  def pcaDeflate(spark: SparkSession, dir: String, iters: Int = 3)
+      : DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val n = emb.count()
+    def powerRounds(deflateBy: Option[IndexedSeq[Double]])
+        : (IndexedSeq[Double], Double) = {
+      var vcur: IndexedSeq[Double] = IndexedSeq.fill(64)(0.125)
+      var nrm = 0.0
+      for (_ <- 1 to iters) {
+        val wlit = array(vcur.map(lit): _*)
+        val sExpr = deflateBy match {
+          case None => call_function("dot_product", col("v"), wlit)
+          case Some(u1) =>
+            val u1lit = array(u1.map(lit): _*)
+            // (v'·w) = (v·w) − (v·u₁)(u₁·w); u₁·w folded driver-side
+            // in the same 0..63 sequential order as list_dot_product
+            val uw = u1.zip(vcur).foldLeft(0.0) { case (a, (x, y)) =>
+              a + x * y
+            }
+            call_function("dot_product", col("v"), wlit) -
+              call_function("dot_product", col("v"), u1lit) * lit(uw)
+        }
+        val xExpr = deflateBy match {
+          case None => col("x")
+          case Some(u1) =>
+            val u1lit = array(u1.map(lit): _*)
+            col("x") - call_function("dot_product", col("v"), u1lit) *
+              element_at(u1lit, col("d") + 1)
+        }
+        val sums = emb
+          .withColumn("s", sExpr)
+          .select(col("s"), col("v"), posexplode(col("v")).as(Seq("d", "x")))
+          .withColumn("c",
+            floor(xExpr * col("s") * lit(1e9) + lit(0.5)).cast("long"))
+          .groupBy("d").agg(sum(col("c")).as("sc"))
+          .orderBy("d").collect()
+        val t = sums.map(_.getLong(1).toDouble * 1e-9)
+        nrm = math.sqrt(t.foldLeft(0.0)((a, x) => a + x * x))
+        vcur = t.map(_ / nrm).toIndexedSeq
+      }
+      (vcur, nrm)
+    }
+    val (u1, _) = powerRounds(None)
+    val (u2, nrm2) = powerRounds(Some(u1))
+    val ortho = u1.zip(u2).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+    import spark.implicits._
+    val lambda2 = nrm2 / n.toDouble
+    u2.zipWithIndex.map { case (x, d) => (d, x) }
+      .toDF("dim", "raw")
+      .select(col("dim"), round(col("raw"), 6).as("loading2"),
+        round(lit(lambda2), 6).as("lambda2"),
+        round(lit(ortho), 6).as("ortho"))
+  }
+
+  /** Oracle for [[pcaDeflate]]: [[pcaPowerSql]]'s unrolled rounds for
+    * u₁ (CTEs p/t/w), then the deflated rounds — each dimension sum
+    * reproduces `(v[d] − s₁·u₁[d]) · ((v·w) − s₁·(u₁·w))` with the
+    * identical nano-quantization; scalar constants come from scalar
+    * subqueries over the round CTEs (sequential list_dot_product =
+    * the driver's sequential fold). */
+  def pcaDeflateSql(iters: Int = 3, dim: Int = 64): String = {
+    val seed = "[" + Seq.fill(dim)("0.125::DOUBLE").mkString(", ") + "]"
+    val u1rounds = (1 to iters).map { k =>
+      val vprev = if (k == 1) seed else s"(SELECT vv FROM w${k - 1})"
+      s"""p$k AS (
+         |  SELECT u.i AS d,
+         |         CAST(sum(CAST(floor(e.v[u.i] *
+         |             list_dot_product(e.v, $vprev) * 1e9 + 0.5::DOUBLE)
+         |           AS BIGINT)) AS BIGINT) AS sc
+         |  FROM e, (SELECT unnest(generate_series(1, $dim)) AS i) u
+         |  GROUP BY 1
+         |), t$k AS (
+         |  SELECT list(CAST(sc AS DOUBLE) * 1e-9 ORDER BY d) AS tv FROM p$k
+         |), w$k AS (
+         |  SELECT list_transform(tv, x ->
+         |           x / sqrt(list_dot_product(tv, tv))) AS vv,
+         |         sqrt(list_dot_product(tv, tv)) AS nrm
+         |  FROM t$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val u2rounds = (1 to iters).map { k =>
+      val wprev = if (k == 1) s"(SELECT $seed)" else s"(SELECT vv FROM dw${k - 1})"
+      s"""dp$k AS (
+         |  SELECT u.i AS d,
+         |         CAST(sum(CAST(floor(
+         |             (e.v[u.i] - list_dot_product(e.v, u1.vv) * u1.vv[u.i])
+         |             * (list_dot_product(e.v, wp.wv)
+         |                - list_dot_product(e.v, u1.vv)
+         |                  * list_dot_product(u1.vv, wp.wv))
+         |             * 1e9 + 0.5::DOUBLE)
+         |           AS BIGINT)) AS BIGINT) AS sc
+         |  FROM e, (SELECT unnest(generate_series(1, $dim)) AS i) u,
+         |       (SELECT vv FROM w$iters) u1,
+         |       (SELECT $wprev AS wv) wp
+         |  GROUP BY 1
+         |), dt$k AS (
+         |  SELECT list(CAST(sc AS DOUBLE) * 1e-9 ORDER BY d) AS tv FROM dp$k
+         |), dw$k AS (
+         |  SELECT list_transform(tv, x ->
+         |           x / sqrt(list_dot_product(tv, tv))) AS vv,
+         |         sqrt(list_dot_product(tv, tv)) AS nrm
+         |  FROM dt$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |),
+       |$u1rounds,
+       |$u2rounds
+       |SELECT u.i - 1 AS dim, round(dw.vv[u.i], 6) AS loading2,
+       |       round(dw.nrm / (SELECT count(*) FROM e), 6) AS lambda2,
+       |       round(list_dot_product(w$iters.vv, dw.vv), 6) AS ortho
+       |FROM dw$iters dw, w$iters,
+       |     (SELECT unnest(generate_series(1, $dim)) AS i) u"""
+      .stripMargin
+  }
 }

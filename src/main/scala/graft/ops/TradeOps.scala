@@ -3629,4 +3629,73 @@ object TradeOps {
        |        FROM trades)
        |  GROUP BY 1
        |) r ON b.day = r.day""".stripMargin
+
+  /** W (extension) — volatility-regime classification + regime
+    * transition matrix per symbol: the market-state segmentation
+    * behind regime-conditional strategies ("how often does calm turn
+    * violent without passing through normal?"). Rolling `n`-tick
+    * realized variance in exact cent² units (cent diffs squared —
+    * BIGINT-safe where micro diffs would overflow the window sum),
+    * terciled into {1,2,3} by `ntile(3)` ordered (rv, event_id) —
+    * deterministic tie-break, identical binning both engines — then
+    * consecutive regimes paired by one lag in TIME order and counted.
+    * Three sorts but ONE symbol-keyed exchange: every window keys on
+    * symbol, so the re-sorts are partition-local. |symbols|·9 rows out
+    * at any scale. */
+  def volRegime(trades: DataFrame, n: Int = 20): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val frame = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val byRv = Window.partitionBy("symbol")
+      .orderBy(col("rv"), col("event_id"))
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(ord))
+      .withColumn("d2", expr("CASE WHEN d IS NULL THEN NULL ELSE d * d END"))
+      .withColumn("rv", sum(col("d2")).over(frame))
+      .withColumn("cnt", count(col("d2")).over(frame))
+      .filter(col("cnt") === n)
+      .withColumn("regime", ntile(3).over(byRv).cast("long"))
+      .withColumn("next_regime", lead(col("regime"), 1).over(ord))
+      .filter(col("next_regime").isNotNull)
+      .groupBy(col("symbol"), col("regime").as("from_regime"),
+        col("next_regime").as("to_regime"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Oracle for [[volRegime]] (body only — caller prepends the trades
+    * CTE). */
+  def volRegimeSql(n: Int = 20): String =
+    s"""SELECT symbol, regime AS from_regime, next_regime AS to_regime,
+       |       count(*) AS n_transitions
+       |FROM (
+       |  SELECT symbol, regime,
+       |         lead(regime, 1) OVER (PARTITION BY symbol
+       |           ORDER BY "timestamp", event_id) AS next_regime
+       |  FROM (
+       |    SELECT symbol, "timestamp", event_id,
+       |           CAST(ntile(3) OVER (PARTITION BY symbol
+       |             ORDER BY rv, event_id) AS BIGINT) AS regime
+       |    FROM (
+       |      SELECT symbol, "timestamp", event_id,
+       |             CAST(sum(d2) OVER w AS BIGINT) AS rv,
+       |             count(d2) OVER w AS cnt
+       |      FROM (
+       |        SELECT symbol, "timestamp", event_id,
+       |               CASE WHEN d IS NULL THEN NULL ELSE d * d END AS d2
+       |        FROM (
+       |          SELECT symbol, "timestamp", event_id,
+       |                 pc - lag(pc, 1) OVER (PARTITION BY symbol
+       |                   ORDER BY "timestamp", event_id) AS d
+       |          FROM (SELECT symbol, "timestamp", event_id,
+       |                       CAST(round(price * 100) AS BIGINT) AS pc
+       |                FROM trades)))
+       |      WINDOW w AS (PARTITION BY symbol
+       |                   ORDER BY "timestamp", event_id
+       |                   ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW))
+       |    WHERE cnt = $n))
+       |WHERE next_regime IS NOT NULL
+       |GROUP BY 1, 2, 3""".stripMargin
 }

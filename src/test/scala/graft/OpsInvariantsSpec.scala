@@ -2390,6 +2390,40 @@ class OpsInvariantsSpec extends SparkSuite {
     scores.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
   }
 
+  test("vol regime: transition counts conserve ticks, regimes in 1..3, " +
+    "terciles balanced within 1") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.volRegime(trades).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 3L)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 3L)
+      assert(r.getLong(3) >= 1L)
+    }
+    // per symbol: sum of transitions = classified ticks - 1, and the
+    // from-regime marginals are ntile-balanced (within 1 of each other,
+    // up to the one tick that has no successor)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byFrom = rs.groupBy(_.getLong(1)).map(_._2.map(_.getLong(3)).sum)
+      assert(byFrom.max - byFrom.min <= 2L,
+        s"tercile marginals must balance: $byFrom")
+    }
+  }
+
+  test("pca deflate: PC2 unit-norm, orthogonal to PC1, lambda2 <= lambda1") {
+    val r2 = Similarity.pcaDeflate(spark, sf).collect()
+    assert(r2.length === 64)
+    val load2 = r2.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val norm2 = math.sqrt(load2.map(x => x * x).sum)
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"PC2 norm $norm2")
+    val ortho = r2.head.getDouble(3)
+    assert(math.abs(ortho) < 1e-3, s"PC1·PC2 = $ortho must vanish")
+    val l2 = r2.head.getDouble(2)
+    val l1 = Similarity.pcaPower(spark, sf).head.getDouble(2)
+    assert(l2 <= l1 + 1e-9, s"deflated eigenvalue $l2 must not exceed $l1")
+    assert(l2 > 0.0)
+  }
+
   test("mmr: ranks 1..k distinct picks from the pool, scores non-increasing " +
     "after round 1, rank-1 is the top candidate") {
     val rows = Similarity.mmrSelect(spark, sf).orderBy("rank").collect()
