@@ -468,6 +468,17 @@ object SparkEntry {
     "v_prf_expand" -> ((s, dir) => Similarity.prfExpand(s, dir)),
     "w_vol_regime" -> ((s, dir) => TradeOps.volRegime(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
+    "g_rich_club" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // fifth consumer of the cached mutual-kNN similarity graph
+      Graph.richClub(Dedup.mutualKnn(
+        Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
+    }),
+    "d_bucket_skew" -> ((s, dir) =>
+      Dedup.bucketSkew(Tables.load(s, dir, "documents"))),
+    "q26_revenue_deciles" -> ((s, dir) => Relational.revenueDeciles(s, dir)),
+    "e_seasonal_profile" -> ((s, dir) =>
+      EventAnalytics.seasonalProfile(Tables.events(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1712,5 +1723,9 @@ object SparkEntry {
     "v_prf_expand" -> Similarity.prfExpandSql(),
     "w_vol_regime" -> s"$T\n${TradeOps.volRegimeSql()}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
+    "g_rich_club" -> Dedup.similarityRichClubSql(),
+    "d_bucket_skew" -> Dedup.bucketSkewSql,
+    "q26_revenue_deciles" -> Relational.revenueDecilesSql,
+    "e_seasonal_profile" -> EventAnalytics.seasonalProfileSql,
   )
 }

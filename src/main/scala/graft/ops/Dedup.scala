@@ -1478,6 +1478,12 @@ object Dedup {
     s"""${mutualKnnCtes(k)}
        |${Graph.localClusteringSql}""".stripMargin
 
+  /** Oracle for [[Graph.richClub]] over the same mutual-kNN
+    * similarity graph as [[similarityTrianglesSql]]. */
+  def similarityRichClubSql(k: Int = 10): String =
+    s"""${mutualKnnCtes(k)}
+       |${Graph.richClubSql()}""".stripMargin
+
   /** Oracle for [[Graph.assortativity]] over the same mutual-kNN
     * similarity graph as [[similarityTrianglesSql]]. */
   def similarityAssortativitySql(k: Int = 10): String =
@@ -1846,4 +1852,56 @@ object Dedup {
        |       count(*) AS n_docs
        |FROM documents LEFT JOIN deg ON documents.doc_id = deg.id
        |GROUP BY 1""".stripMargin
+
+  /** D (extension) — LSH band-bucket occupancy skew profile: the
+    * scale-risk QC for the banded pair join itself. The band join's
+    * cost is Σ occupancy² per bucket, so ONE hot bucket (a boilerplate
+    * signature shared by millions of docs) quadratically dominates the
+    * whole stage at 100 TB — this op is the dashboard that catches it
+    * before the join runs. Buckets are the RAW 4-slot band quadruples
+    * (not their xxhash64 join key — the raw group is the same
+    * partition, engine-portable, and collision-free by construction);
+    * occupancy histogram in decades via the digit-count trick
+    * ([[graft.ops.EventAnalytics.interarrival]] — no floating log).
+    * Rides the session-cached signature table; one |docs|·4 shuffle,
+    * ≤ 4·19 rows out at any scale. */
+  def bucketSkew(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val b = sig.select(col("doc_id"), explode(array((0 until 4).map { bb =>
+      struct(lit(bb.toLong).as("band"),
+        col(s"m${bb * 4}").as("k0"), col(s"m${bb * 4 + 1}").as("k1"),
+        col(s"m${bb * 4 + 2}").as("k2"), col(s"m${bb * 4 + 3}").as("k3"))
+    }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.k0").as("k0"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"), col("bk.k3").as("k3"))
+    b.groupBy("band", "k0", "k1", "k2", "k3")
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("occ_decade",
+        expr("CAST(length(CAST(occ AS STRING)) - 1 AS BIGINT)"))
+      .groupBy("band", "occ_decade")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("occ")).as("n_docs"),
+        max(col("occ")).as("max_occ"))
+  }
+
+  /** Oracle for [[bucketSkew]]. */
+  val bucketSkewSql: String = {
+    val bandSelects = (0 until 4).map { bb =>
+      s"""SELECT CAST($bb AS BIGINT) AS band, m${bb * 4} AS k0,
+         |       m${bb * 4 + 1} AS k1, m${bb * 4 + 2} AS k2,
+         |       m${bb * 4 + 3} AS k3 FROM sig""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$sigCte, b AS (
+       |  $bandSelects
+       |), occ AS (
+       |  SELECT band, k0, k1, k2, k3, count(*) AS occ
+       |  FROM b GROUP BY 1, 2, 3, 4, 5
+       |)
+       |SELECT band,
+       |       CAST(length(CAST(occ AS VARCHAR)) - 1 AS BIGINT)
+       |         AS occ_decade,
+       |       count(*) AS n_buckets,
+       |       CAST(sum(occ) AS BIGINT) AS n_docs,
+       |       CAST(max(occ) AS BIGINT) AS max_occ
+       |FROM occ GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -644,4 +644,42 @@ object EventAnalytics {
       |         / (CAST(sum(nu) AS BIGINT)::DOUBLE
       |            * CAST(sum(nu) AS BIGINT)::DOUBLE) AS simpson
       |FROM u GROUP BY 1""".stripMargin
+
+  /** E (extension) — seasonal activity heat grid: events by
+    * (day-of-week × hour-of-day) per event type, with the share of the
+    * type's traffic in exact ppm — the capacity-planning and
+    * anomaly-baseline grid ("is Tuesday 3am traffic normal for
+    * clicks?"). Weekday numbering pinned to ISO (1=Mon..7=Sun) via
+    * explicit formula on both engines (Spark's `dayofweek` is
+    * 1=Sunday while DuckDB's `isodow` is ISO — deriving from the
+    * epoch-day modulo sidesteps the convention mismatch entirely:
+    * 1970-01-01 was a Thursday, so `(epoch_days + 3) % 7 + 1` is
+    * ISO). One map-side-combined groupBy; ≤ types·168 rows out. */
+  def seasonalProfile(events: DataFrame): DataFrame =
+    events
+      .withColumn("dow", expr(
+        "CAST((datediff(CAST(ts AS DATE), DATE '1970-01-01') + 3) " +
+          "% 7 + 1 AS BIGINT)"))
+      .withColumn("hr", hour(col("ts")).cast("long"))
+      .groupBy("event_type", "dow", "hr")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share_ppm", expr(
+        "(n_events * 1000000) div sum(n_events) OVER " +
+          "(PARTITION BY event_type)"))
+
+  /** Oracle for [[seasonalProfile]]. */
+  val seasonalProfileSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) + 3)
+      |              % 7 + 1 AS BIGINT) AS dow,
+      |         CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hr,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, dow, hr, n_events,
+      |       CAST((n_events * 1000000)
+      |         // sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+      |         AS share_ppm
+      |FROM g""".stripMargin
 }

@@ -897,4 +897,89 @@ object Graph {
       .groupBy(coalesce(col("d"), lit(0L)).as("degree"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Rich-club coefficient sweep — do the high-degree nodes wire to
+    * EACH OTHER more densely than chance (the hub-oligarchy question;
+    * in a dedup graph a rich club is a boilerplate nucleus, in a kNN
+    * graph a hubness pathology)? For each degree threshold `k`:
+    * `φ(k) = 2·E_k / (N_k·(N_k−1))` over the subgraph of nodes with
+    * degree > k, emitted in exact ppm by floor division. One degree
+    * aggregate + two broadcast joins back to the edge list; the
+    * threshold sweep rides a 3-row broadcast cross join, so the edge
+    * list is scanned ONCE for all thresholds. Overflow-guarded in div
+    * form (N_k·(N_k−1) and 2·E_k·10⁶ must stay in BIGINT — fails
+    * loudly past ~3·10⁹ club nodes). */
+  def richClub(edges0: DataFrame, ks: Seq[Long] = Seq(2L, 3L, 4L))
+      : DataFrame = {
+    val Array(ac, bc) = edges0.columns.take(2)
+    val e = edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("doc_a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
+    val deg = e.select(col("doc_a").as("id"))
+      .union(e.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val thr = e.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    val nodesK = deg.crossJoin(broadcast(thr))
+      .filter(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_club_nodes"))
+    val edgesK = e
+      .join(deg.select(col("id").as("doc_a"), col("d").as("da")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("d").as("db")), "doc_b")
+      .crossJoin(broadcast(thr))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_club_edges"))
+    thr.join(nodesK, Seq("k"), "left")
+      .join(edgesK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_club_nodes"), lit(0L)).as("n_club_nodes"),
+        coalesce(col("n_club_edges"), lit(0L)).as("n_club_edges"))
+      .filter(expr(
+        "assert_true(n_club_nodes <= 3037000499 AND " +
+          "n_club_edges <= (9223372036854775807 div 2) div 1000000, " +
+          "'rich_club: club too large for exact BIGINT phi — widen to " +
+          "DECIMAL(38,0)') IS NULL"))
+      .withColumn("phi_ppm", expr(
+        "CASE WHEN n_club_nodes >= 2 THEN (2 * n_club_edges * 1000000) " +
+          "div (n_club_nodes * (n_club_nodes - 1)) ELSE NULL END"))
+  }
+
+  /** Oracle body for [[richClub]] — continues a WITH chain whose last
+    * CTE is `pairs(doc_a, doc_b)`. */
+  def richClubSql(ks: Seq[Long] = Seq(2L, 3L, 4L)): String = {
+    val thrList = ks.mkString(", ")
+    s"""SELECT t.k,
+       |       CAST(coalesce(n.n_club_nodes, 0) AS BIGINT) AS n_club_nodes,
+       |       CAST(coalesce(g.n_club_edges, 0) AS BIGINT) AS n_club_edges,
+       |       CASE WHEN coalesce(n.n_club_nodes, 0) >= 2
+       |            THEN (2 * CAST(coalesce(g.n_club_edges, 0) AS BIGINT)
+       |                    * 1000000)
+       |              // (CAST(coalesce(n.n_club_nodes, 0) AS BIGINT)
+       |                  * (CAST(coalesce(n.n_club_nodes, 0) AS BIGINT) - 1))
+       |            ELSE NULL END AS phi_ppm
+       |FROM (SELECT unnest([${thrList}]) AS k) t
+       |LEFT JOIN (
+       |  SELECT t2.k, count(*) AS n_club_nodes
+       |  FROM (SELECT id, count(*) AS d FROM (
+       |          SELECT doc_a AS id FROM pairs
+       |          UNION ALL SELECT doc_b FROM pairs) GROUP BY 1) deg,
+       |       (SELECT unnest([${thrList}]) AS k) t2
+       |  WHERE deg.d > t2.k GROUP BY 1
+       |) n ON n.k = t.k
+       |LEFT JOIN (
+       |  SELECT t3.k, count(*) AS n_club_edges
+       |  FROM pairs p
+       |  JOIN (SELECT id, count(*) AS d FROM (
+       |          SELECT doc_a AS id FROM pairs
+       |          UNION ALL SELECT doc_b FROM pairs) GROUP BY 1) da
+       |    ON da.id = p.doc_a
+       |  JOIN (SELECT id, count(*) AS d FROM (
+       |          SELECT doc_a AS id FROM pairs
+       |          UNION ALL SELECT doc_b FROM pairs) GROUP BY 1) db
+       |    ON db.id = p.doc_b,
+       |       (SELECT unnest([${thrList}]) AS k) t3
+       |  WHERE da.d > t3.k AND db.d > t3.k GROUP BY 1
+       |) g ON g.k = t.k""".stripMargin
+  }
 }

@@ -1089,4 +1089,55 @@ object Relational {
        |FROM pr JOIN pc ca ON ca.l_partkey = pr.part_a
        |        JOIN pc cb ON cb.l_partkey = pr.part_b
        |        CROSS JOIN n""".stripMargin
+
+  /** Q26 (extension) — customer revenue decile report: the
+    * concentration table every revenue review opens with ("the top
+    * decile is X% of revenue"). Per-customer order totals in exact
+    * DECIMAL(18,2) cents (`o_totalprice` is 2-decimal by TPC-H
+    * construction — the money-sum discipline), ntile(10) over
+    * (total, custkey) — deterministic tie-break — then per-decile
+    * count/sum/min/max and the revenue share in exact ppm. The global
+    * ntile window runs over the AGGREGATED customer table (1000×
+    * smaller than orders; at 100 TB swap in the two-phase
+    * range-partition rank — [[graft.ops.Pipeline.shardPlan]]). */
+  def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+    val w = Window.orderBy(col("rev"), col("o_custkey"))
+    val dec = per.withColumn("decile", ntile(10).over(w).cast("long"))
+    val tot = dec.agg(sum(expr("CAST(rev * 100 AS BIGINT)")).as("t"))
+    dec
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(rev * 100 AS BIGINT)")).as("rev_cents"),
+        min(expr("CAST(rev * 100 AS BIGINT)")).as("min_cents"),
+        max(expr("CAST(rev * 100 AS BIGINT)")).as("max_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(rev_cents * 1000000) div t"))
+      .drop("t")
+  }
+
+  /** Oracle for [[revenueDeciles]]. */
+  val revenueDecilesSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |           AS DECIMAL(18,2)) AS rev
+      |  FROM orders GROUP BY 1
+      |), dec AS (
+      |  SELECT o_custkey, rev,
+      |         CAST(ntile(10) OVER (ORDER BY rev, o_custkey) AS BIGINT)
+      |           AS decile
+      |  FROM per
+      |), t AS (
+      |  SELECT CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) AS t FROM dec
+      |)
+      |SELECT decile, count(*) AS n_customers,
+      |       CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+      |       min(CAST(rev * 100 AS BIGINT)) AS min_cents,
+      |       max(CAST(rev * 100 AS BIGINT)) AS max_cents,
+      |       (CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) * 1000000)
+      |         // (SELECT t FROM t) AS share_ppm
+      |FROM dec GROUP BY 1""".stripMargin
 }

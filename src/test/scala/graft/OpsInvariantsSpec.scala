@@ -2390,6 +2390,89 @@ class OpsInvariantsSpec extends SparkSuite {
     scores.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
   }
 
+  test("bucket skew: per-band doc totals cover the corpus x1 each band") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Dedup.bucketSkew(docs).collect()
+    assert(rows.nonEmpty)
+    val n = docs.count()
+    rows.groupBy(_.getLong(0)).foreach { case (band, rs) =>
+      assert(rs.map(_.getLong(3)).sum === n,
+        s"band $band bucket occupancies must partition the corpus")
+      rs.foreach { r =>
+        // max occupancy in a decade bucket has exactly decade+1 digits
+        assert(r.getLong(4).toString.length - 1 === r.getLong(1))
+        assert(r.getLong(2) >= 1L && r.getLong(4) >= 1L)
+      }
+    }
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("rich club: phi in [0,1e6], monotone club shrinkage with k") {
+    val docs = Tables.load(spark, sf, "documents")
+    val knn = graft.ops.Dedup.mutualKnn(
+      graft.ops.Dedup.weightedDupEdges(docs, graft.ops.Dedup.triangleThreshold))
+    val rows = graft.ops.Graph.richClub(knn).collect().sortBy(_.getLong(0))
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      // edges need both endpoints in the club
+      assert(r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2
+        || r.getLong(1) < 2)
+    }
+    // raising the threshold can only shrink the club
+    assert(rows.map(_.getLong(1)).sliding(2).forall {
+      case Array(a, b) => b <= a
+    })
+    // a clique of 4 nodes deg 3 each: club at k=2 is everything, phi=1e6
+    import spark.implicits._
+    val clique = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+      .toDF("a", "b")
+    val cr = graft.ops.Graph.richClub(clique).collect()
+      .sortBy(_.getLong(0))
+    assert(cr.head.getLong(1) === 4L && cr.head.getLong(3) === 1000000L)
+  }
+
+  test("revenue deciles: partition customers evenly, shares sum to ~1e6, " +
+    "deciles ordered by revenue") {
+    val rows = graft.ops.Relational.revenueDeciles(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1L, "ntile balance")
+    val shares = rows.map(_.getLong(5)).sum
+    assert(shares <= 1000000L && shares > 1000000L - 10L)
+    // decile boundaries are monotone: decile d's max <= decile d+1's min
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(3),
+        "deciles must be revenue-ordered")
+    }
+  }
+
+  test("seasonal profile: shares partition each type, dow/hr in range, " +
+    "grid totals match the feed") {
+    val events = Tables.events(spark, sf)
+    val rows = graft.ops.EventAnalytics.seasonalProfile(events).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum === events.count())
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 7L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 23L)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val s = rs.map(_.getLong(4)).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length,
+        s"$tpe shares must partition within floor loss")
+    }
+    // ISO pin: 2024-01-01 was a Monday -> dow 1
+    import spark.implicits._
+    val monday = Seq((1L, 1L, "x",
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 0.0, ""))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    assert(graft.ops.EventAnalytics.seasonalProfile(monday)
+      .head.getLong(1) === 1L)
+  }
+
   test("vol regime: transition counts conserve ticks, regimes in 1..3, " +
     "terciles balanced within 1") {
     val trades = Tables.trades(spark, sf)
