@@ -96,7 +96,15 @@ object Bench {
     // 0.0625 load-per-core — exactly the historical 2.0 on the 32-way
     // reference host, so artifacts stay comparable — overridable via
     // SPARK_GRAFT_LOAD_THR for CI runners with known background load.
-    val loadThr = sys.env.get("SPARK_GRAFT_LOAD_THR").map(_.toDouble)
+    // Malformed override must not abort the whole bench (ADVICE r12):
+    // warn and fall back to the host-scaled default.
+    val loadThr = sys.env.get("SPARK_GRAFT_LOAD_THR")
+      .flatMap { s =>
+        val p = scala.util.Try(s.toDouble).toOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] WARNING: ignoring malformed SPARK_GRAFT_LOAD_THR='$s'")
+        p
+      }
       .getOrElse(0.0625 * Runtime.getRuntime.availableProcessors())
     val contended = loadBefore > loadThr
     val line =

@@ -74,9 +74,13 @@ object Dedup {
       f: DataFrame => DataFrame): DataFrame = {
     cache.entrySet().removeIf(
       e => e.getValue.session.sparkContext.isStopped)
-    if (cache.size >= cacheCap) cache.clear()
     val key = (System.identityHashCode(df.sparkSession),
       df.queryExecution.analyzed.canonicalized.semanticHash(), extra, extra2)
+    // Only clear at the cap when this lookup would MISS: clearing on a
+    // hit would evict every cached stage (and its multi-second
+    // localCheckpoint) on each call once the cap is reached — silent
+    // recompute thrash (ADVICE r12).
+    if (cache.size >= cacheCap && !cache.containsKey(key)) cache.clear()
     cache.computeIfAbsent(key,
       _ => new Memo(df.sparkSession, () => f(df).localCheckpoint())).value
   }

@@ -2698,137 +2698,171 @@ object Similarity {
        |) x""".stripMargin
 
   /** V (extension) — SECOND principal component via Hotelling
-    * deflation: power-iterate for the top PC ([[pcaPower]] exactly),
-    * project it out of every vector (`v' = v − (v·u₁)u₁`), iterate
-    * again on the deflated corpus. The variance split across the top
-    * two axes is the "is this embedding space really D-dimensional or
-    * secretly a plane" QC that one component can't answer. Exactness
-    * discipline is [[pcaPower]]'s: each matrix–vector product is a
-    * per-dimension nano-quantized BIGINT transpose sum
-    * (order-independent), and every scalar the driver folds
-    * (normalizations, the u₁·w deflation constants) is a SEQUENTIAL
-    * 0..63 double fold — the identical operation order DuckDB's
-    * list_dot_product uses, so both engines walk bit-equal floats.
-    * The deflated product needs NO materialized v′: (v′·w) =
-    * (v·w) − s₁·(u₁·w) with s₁ = v·u₁ — two codegen'd dot products
-    * per row instead of an array rebuild. Output: per-dim loadings of
-    * PC2, λ₂, and the u₁·u₂ orthogonality witness (display-rounded).
-    * Each iteration is one corpus scan; 64 rows collect per round
-    * (bounded, the [[pcaPower]] seam). */
+    * deflation: power-iterate for the top PC, project it out of every
+    * vector (`v' = v − (v·u₁)u₁`), iterate again on the deflated
+    * corpus. The variance split across the top two axes is the "is
+    * this embedding space really D-dimensional or secretly a plane"
+    * QC that one component can't answer.
+    *
+    * EXACT-INTEGER fixed-point iteration (the r12 float-chained form
+    * flaked its cross-engine hash; this is the
+    * [[graft.ops.EventAnalytics.markovStationary]] discipline applied
+    * to a dense matvec): vectors are micro-quantized to BIGINT ONCE
+    * (`vq = floor(v·10⁶ + ½)` — identical single float ops on
+    * bit-identical parquet doubles), the iterate lives as a ppm
+    * BIGINT vector, and every product/sum/`div` downstream is integer
+    * arithmetic — order-free and bit-equal by construction on both
+    * engines (Spark `div` and DuckDB `//` both truncate toward zero;
+    * verified). The deflated product needs no materialized v′:
+    * `(v′·w) = (v·w) − s₁·(u₁·w)` with every factor an integer dot at
+    * a documented scale, `div`-reduced before each multiply so no
+    * intermediate exceeds ~10¹⁶ (unit-norm input ⇒ dots ≤ ~1.2·10¹²
+    * at the 10¹² scale; sums over rows ≤ n·4·10⁹ — BIGINT-safe past
+    * 10⁹ rows). Per round the only non-integer ops are one
+    * BIGINT→DOUBLE cast, one `sqrt`, one divide, one `floor(·+½)` —
+    * each a single correctly-rounded IEEE op on bit-equal inputs, so
+    * cross-engine determinism holds without any float-fold order
+    * argument. Driver-free: the iteration state is a ONE-ROW
+    * (warr, nrm7) DataFrame, localCheckpoint'ed per round so the
+    * 2·iters corpus scans stay flat (no nested re-evaluation);
+    * broadcast into each scan. Output: per-dim PC2 loadings (ppm →
+    * exact double), λ₂, and the u₁·u₂ orthogonality witness (exact
+    * 10¹²-scale integer dot). */
   def pcaDeflate(spark: SparkSession, dir: String, iters: Int = 3)
       : DataFrame = {
-    VectorOps.register(spark)
-    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
-    val n = emb.count()
-    def powerRounds(deflateBy: Option[IndexedSeq[Double]])
-        : (IndexedSeq[Double], Double) = {
-      var vcur: IndexedSeq[Double] = IndexedSeq.fill(64)(0.125)
-      var nrm = 0.0
-      for (_ <- 1 to iters) {
-        val wlit = array(vcur.map(lit): _*)
-        val sExpr = deflateBy match {
-          case None => call_function("dot_product", col("v"), wlit)
-          case Some(u1) =>
-            val u1lit = array(u1.map(lit): _*)
-            // (v'·w) = (v·w) − (v·u₁)(u₁·w); u₁·w folded driver-side
-            // in the same 0..63 sequential order as list_dot_product
-            val uw = u1.zip(vcur).foldLeft(0.0) { case (a, (x, y)) =>
-              a + x * y
-            }
-            call_function("dot_product", col("v"), wlit) -
-              call_function("dot_product", col("v"), u1lit) * lit(uw)
-        }
-        val xExpr = deflateBy match {
-          case None => col("x")
-          case Some(u1) =>
-            val u1lit = array(u1.map(lit): _*)
-            col("x") - call_function("dot_product", col("v"), u1lit) *
-              element_at(u1lit, col("d") + 1)
-        }
-        val sums = emb
-          .withColumn("s", sExpr)
-          .select(col("s"), col("v"), posexplode(col("v")).as(Seq("d", "x")))
-          .withColumn("c",
-            floor(xExpr * col("s") * lit(1e9) + lit(0.5)).cast("long"))
-          .groupBy("d").agg(sum(col("c")).as("sc"))
-          .orderBy("d").collect()
-        val t = sums.map(_.getLong(1).toDouble * 1e-9)
-        nrm = math.sqrt(t.foldLeft(0.0)((a, x) => a + x * x))
-        vcur = t.map(_ / nrm).toIndexedSeq
-      }
-      (vcur, nrm)
+    val embq = graft.Tables.load(spark, dir, "embeddings")
+      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))").as("vq"))
+    // Re-normalize a 64-row (d, t, n) reduction into the 1-row ppm
+    // state: ta7 = (t div n) div 100 (scale 1e7), nrm7 = √Σta7²
+    // (Σta7² ≤ 64·(4e7)² ≈ 10¹⁷ — BIGINT-exact), next ppm iterate =
+    // floor(ta7·10⁶/nrm7 + ½).
+    def renorm(red: DataFrame): DataFrame = red
+      .withColumn("ta7", expr("(t div n) div 100"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, ta7))), " +
+        "s -> s.ta7)").as("ta"))
+      .withColumn("nrm7", sqrt(expr(
+        "CAST(aggregate(transform(ta, x -> x * x), 0L, " +
+          "(acc, x) -> acc + x) AS DOUBLE)")))
+      .select(expr("transform(ta, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+        "1000000.0D / nrm7 + 0.5D) AS BIGINT))").as("warr"), col("nrm7"))
+      .localCheckpoint()
+    val idot = "aggregate(zip_with(%s, %s, (a, b) -> a * b), 0L, " +
+      "(acc, x) -> acc + x)"
+    val seed = spark.range(1).select(
+      expr("transform(sequence(1, 64), i -> CAST(125000 AS BIGINT))")
+        .as("warr"), lit(0.0).as("nrm7"))
+    // Phase 1 — plain power rounds for u₁: s6 = (vq·warr) div 1e6
+    // (scale 1e6), per-dim contribution (vq[d]·s6) div 1e3 (scale 1e9).
+    var u1 = seed
+    for (_ <- 1 to iters) {
+      u1 = renorm(embq.crossJoin(broadcast(u1))
+        .withColumn("s6", expr(s"${idot.format("vq", "warr")} div 1000000"))
+        .select(col("s6"), posexplode(col("vq")).as(Seq("d", "x")))
+        .withColumn("c9", expr("(x * s6) div 1000"))
+        .groupBy("d").agg(sum(col("c9")).as("t"), count(lit(1)).as("n")))
     }
-    val (u1, _) = powerRounds(None)
-    val (u2, nrm2) = powerRounds(Some(u1))
-    val ortho = u1.zip(u2).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
-    import spark.implicits._
-    val lambda2 = nrm2 / n.toDouble
-    u2.zipWithIndex.map { case (x, d) => (d, x) }
-      .toDF("dim", "raw")
-      .select(col("dim"), round(col("raw"), 6).as("loading2"),
-        round(lit(lambda2), 6).as("lambda2"),
-        round(lit(ortho), 6).as("ortho"))
+    val u1st = u1.select(col("warr").as("u1arr"))
+    // Phase 2 — deflated rounds: s₁ at scale 1e9, u₁·w at scale 1e6
+    // (both div-reduced from the 1e12 integer dots), deflated scalar
+    // s6 = (vq·w − (s₁·uw) reduced) div 1e6, deflated component
+    // xq = vq[d] − (s₁·u1q[d]) div 1e9 (scale 1e6).
+    var u2 = seed
+    for (_ <- 1 to iters) {
+      val st = u2.crossJoin(u1st)
+        .withColumn("uw6", expr(s"${idot.format("u1arr", "warr")} div 1000000"))
+      u2 = renorm(embq.crossJoin(broadcast(st))
+        .withColumn("s19", expr(s"${idot.format("vq", "u1arr")} div 1000"))
+        .withColumn("s6", expr(s"(${idot.format("vq", "warr")} - " +
+          "(s19 * uw6) div 1000) div 1000000"))
+        .select(col("s19"), col("s6"), col("u1arr"),
+          posexplode(col("vq")).as(Seq("d", "x")))
+        .withColumn("xq",
+          expr("x - (s19 * element_at(u1arr, d + 1)) div 1000000000"))
+        .withColumn("c9", expr("(xq * s6) div 1000"))
+        .groupBy("d").agg(sum(col("c9")).as("t"), count(lit(1)).as("n")))
+    }
+    u2.crossJoin(u1st)
+      .withColumn("oq", expr(s"${idot.format("u1arr", "warr")}"))
+      .select(col("nrm7"), col("oq"),
+        posexplode(col("warr")).as(Seq("dim", "u2q")))
+      .select(col("dim"),
+        expr("CAST(u2q AS DOUBLE) / 1000000.0D").as("loading2"),
+        round(col("nrm7") / lit(1e7), 6).as("lambda2"),
+        round(expr("CAST(oq AS DOUBLE) / 1000000000000.0D"), 6).as("ortho"))
   }
 
-  /** Oracle for [[pcaDeflate]]: [[pcaPowerSql]]'s unrolled rounds for
-    * u₁ (CTEs p/t/w), then the deflated rounds — each dimension sum
-    * reproduces `(v[d] − s₁·u₁[d]) · ((v·w) − s₁·(u₁·w))` with the
-    * identical nano-quantization; scalar constants come from scalar
-    * subqueries over the round CTEs (sequential list_dot_product =
-    * the driver's sequential fold). */
+  /** Oracle for [[pcaDeflate]] — the identical exact-integer
+    * fixed-point rounds unrolled as chained MATERIALIZED CTEs. Every
+    * distributed quantity is a BIGINT product/sum/`//` (DuckDB `//`
+    * truncates toward zero exactly like Spark `div`); the only float
+    * ops per round are the same single cast/sqrt/divide/floor the
+    * Spark side performs on bit-equal integer inputs. */
   def pcaDeflateSql(iters: Int = 3, dim: Int = 64): String = {
-    val seed = "[" + Seq.fill(dim)("0.125::DOUBLE").mkString(", ") + "]"
-    val u1rounds = (1 to iters).map { k =>
-      val vprev = if (k == 1) seed else s"(SELECT vv FROM w${k - 1})"
-      s"""p$k AS (
-         |  SELECT u.i AS d,
-         |         CAST(sum(CAST(floor(e.v[u.i] *
-         |             list_dot_product(e.v, $vprev) * 1e9 + 0.5::DOUBLE)
-         |           AS BIGINT)) AS BIGINT) AS sc
-         |  FROM e, (SELECT unnest(generate_series(1, $dim)) AS i) u
-         |  GROUP BY 1
-         |), t$k AS (
-         |  SELECT list(CAST(sc AS DOUBLE) * 1e-9 ORDER BY d) AS tv FROM p$k
-         |), w$k AS (
-         |  SELECT list_transform(tv, x ->
-         |           x / sqrt(list_dot_product(tv, tv))) AS vv,
-         |         sqrt(list_dot_product(tv, tv)) AS nrm
-         |  FROM t$k
+    def idot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $dim), " +
+        s"i -> $a[i] * $b[i])) AS BIGINT)"
+    def renorm(name: String, red: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT list_transform(ta, x -> CAST(floor(CAST(x AS DOUBLE) *
+         |           1000000.0 / nrm7 + 0.5) AS BIGINT)) AS warr, nrm7
+         |  FROM (
+         |    SELECT ta, sqrt(CAST(list_sum(list_transform(ta,
+         |             x -> x * x)) AS DOUBLE)) AS nrm7
+         |    FROM (SELECT list((t // n) // 100 ORDER BY d) AS ta
+         |          FROM $red))
          |)""".stripMargin
+    val u1rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""p${k}s AS MATERIALIZED (
+         |  SELECT e.vq, ${idot("e.vq", "w.warr")} // 1000000 AS s6
+         |  FROM e, $prev w
+         |), p${k}t AS MATERIALIZED (
+         |  SELECT u.i AS d, CAST(sum((s.vq[u.i] * s.s6) // 1000) AS BIGINT)
+         |           AS t, count(*) AS n
+         |  FROM p${k}s s, (SELECT unnest(generate_series(1, $dim)) AS i) u
+         |  GROUP BY 1
+         |),
+         |${renorm(s"w$k", s"p${k}t")}""".stripMargin
     }.mkString(",\n")
     val u2rounds = (1 to iters).map { k =>
-      val wprev = if (k == 1) s"(SELECT $seed)" else s"(SELECT vv FROM dw${k - 1})"
-      s"""dp$k AS (
+      val prev = if (k == 1) "w0" else s"dw${k - 1}"
+      s"""d${k}s AS MATERIALIZED (
+         |  SELECT e.vq,
+         |         ${idot("e.vq", "uu.u1arr")} // 1000 AS s19,
+         |         (${idot("e.vq", "w.warr")} -
+         |           (s19 * ((${idot("uu.u1arr", "w.warr")}) // 1000000))
+         |             // 1000) // 1000000 AS s6
+         |  FROM e, $prev w, u1 uu
+         |), d${k}t AS MATERIALIZED (
          |  SELECT u.i AS d,
-         |         CAST(sum(CAST(floor(
-         |             (e.v[u.i] - list_dot_product(e.v, u1.vv) * u1.vv[u.i])
-         |             * (list_dot_product(e.v, wp.wv)
-         |                - list_dot_product(e.v, u1.vv)
-         |                  * list_dot_product(u1.vv, wp.wv))
-         |             * 1e9 + 0.5::DOUBLE)
-         |           AS BIGINT)) AS BIGINT) AS sc
-         |  FROM e, (SELECT unnest(generate_series(1, $dim)) AS i) u,
-         |       (SELECT vv FROM w$iters) u1,
-         |       (SELECT $wprev AS wv) wp
+         |         CAST(sum(((s.vq[u.i] -
+         |             (s.s19 * uu.u1arr[u.i]) // 1000000000) * s.s6)
+         |           // 1000) AS BIGINT) AS t,
+         |         count(*) AS n
+         |  FROM d${k}s s, u1 uu,
+         |       (SELECT unnest(generate_series(1, $dim)) AS i) u
          |  GROUP BY 1
-         |), dt$k AS (
-         |  SELECT list(CAST(sc AS DOUBLE) * 1e-9 ORDER BY d) AS tv FROM dp$k
-         |), dw$k AS (
-         |  SELECT list_transform(tv, x ->
-         |           x / sqrt(list_dot_product(tv, tv))) AS vv,
-         |         sqrt(list_dot_product(tv, tv)) AS nrm
-         |  FROM dt$k
-         |)""".stripMargin
+         |),
+         |${renorm(s"dw$k", s"d${k}t")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS vq
+       |  FROM embeddings
+       |), w0 AS (
+       |  SELECT list_transform(generate_series(1, $dim),
+       |           i -> 125000::BIGINT) AS warr
        |),
        |$u1rounds,
+       |u1 AS MATERIALIZED (SELECT warr AS u1arr FROM w$iters),
        |$u2rounds
-       |SELECT u.i - 1 AS dim, round(dw.vv[u.i], 6) AS loading2,
-       |       round(dw.nrm / (SELECT count(*) FROM e), 6) AS lambda2,
-       |       round(list_dot_product(w$iters.vv, dw.vv), 6) AS ortho
-       |FROM dw$iters dw, w$iters,
+       |SELECT u.i - 1 AS dim,
+       |       CAST(dw.warr[u.i] AS DOUBLE) / 1000000.0 AS loading2,
+       |       round(dw.nrm7 / 10000000.0, 6) AS lambda2,
+       |       round(CAST(${idot("uu.u1arr", "dw.warr")} AS DOUBLE)
+       |             / 1000000000000.0, 6) AS ortho
+       |FROM dw$iters dw, u1 uu,
        |     (SELECT unnest(generate_series(1, $dim)) AS i) u"""
       .stripMargin
   }

@@ -3457,6 +3457,16 @@ object TradeOps {
       .withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
       .withColumn("m2", expr(
         "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean"))
+      // Catastrophic cancellation on a near-constant symbol with a
+      // large mean can round m2 to a tiny NEGATIVE: Spark's sqrt(-eps)
+      // yields NaN silently while DuckDB raises — the silent-vs-loud
+      // divergence class the guards exist to kill (ADVICE r12). Fail
+      // loudly on both engines instead (DuckDB's sqrt raise is its
+      // loud form).
+      .filter(expr(
+        "assert_true(m2 >= 0.0D, 'moment_profile: negative variance " +
+          "from catastrophic cancellation — coarsen quantization') " +
+          "IS NULL"))
       .withColumn("m3", expr(
         "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) " +
           "- 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) " +

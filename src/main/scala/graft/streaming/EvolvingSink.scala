@@ -44,7 +44,13 @@ object EvolvingSink {
       .withColumn("hr", hour(col("timestamp")))
       .withColumn("bid", lit(batchId))
     val cut = lit(cutDay).cast("date")
-    val g1 = base.filter(col("day") < cut).drop("hr")
+    // hr stays a DATA column in the gen-1 layout (not a partition col):
+    // freezing it at write time keeps both generations reporting the
+    // same hour for the same instant even if the reading session runs
+    // in a different timezone than the writer (ADVICE r12) — a
+    // read-time hour(timestamp) would prune hr predicates
+    // inconsistently across the spec cut.
+    val g1 = base.filter(col("day") < cut)
     if (!g1.isEmpty) {
       g1.repartition(col("day"))
         .write.option("partitionOverwriteMode", "dynamic")
@@ -72,23 +78,21 @@ object EvolvingSink {
       }
       .queryName("evolving_features_store").start()
 
-  /** Unified read across both partition-spec generations: gen-1 rows
-    * get `hr` derived row-side (their layout predates it), gen-2 reads
-    * it from the directory structure; a `day`/`hr` predicate on the
-    * result partition-prunes gen-2 on both and gen-1 on day. The
+  /** Unified read across both partition-spec generations: gen-1 reads
+    * `hr` as a write-time data column (its layout predates the hr
+    * directory level), gen-2 reads it from the directory structure —
+    * both report the writer's hour regardless of the reading session's
+    * timezone (ADVICE r12); a `day`/`hr` predicate on the result
+    * partition-prunes gen-2 on both and gen-1 on day. The
     * replay-idempotency column `bid` is dropped — it is layout, not
     * data. A generation with no files yet contributes nothing. */
   def readUnified(spark: SparkSession, outRoot: String): DataFrame = {
-    def gen(sub: String, addHr: Boolean): Option[DataFrame] = {
+    def gen(sub: String): Option[DataFrame] = {
       val p = new Path(s"$outRoot/$sub")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else {
-        val df = spark.read.parquet(p.toString)
-        Some(if (addHr) df.withColumn("hr", hour(col("timestamp"))) else df)
-      }
+      if (!fs.exists(p)) None else Some(spark.read.parquet(p.toString))
     }
-    val parts = gen("g1", addHr = true).toSeq ++ gen("g2", addHr = false)
+    val parts = gen("g1").toSeq ++ gen("g2")
     require(parts.nonEmpty, s"no generation written under $outRoot yet")
     parts.reduce(_.unionByName(_))
       .select("event_id", "symbol", "timestamp", "price", "day", "hr")

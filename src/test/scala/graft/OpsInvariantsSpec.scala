@@ -2493,6 +2493,14 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  // Integer-exactness argument (r12 red-row fix): every distributed
+  // quantity in pcaDeflate is a BIGINT product/sum/`div` on the
+  // once-quantized ppm vectors — order-free, and bit-equal across
+  // engines because Spark `div` and DuckDB `//` both truncate toward
+  // zero. The only float ops are one cast/sqrt/divide/floor per
+  // normalization, each a single correctly-rounded IEEE op on
+  // bit-equal integer inputs — no chained float products remain, so
+  // the r12 floor-boundary flake class is structurally gone.
   test("pca deflate: PC2 unit-norm, orthogonal to PC1, lambda2 <= lambda1") {
     val r2 = Similarity.pcaDeflate(spark, sf).collect()
     assert(r2.length === 64)
