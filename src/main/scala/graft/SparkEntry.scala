@@ -467,6 +467,8 @@ object SparkEntry {
       TradeOps.partitionDiff(trades(s, dir))),
     "v_prf_expand" -> ((s, dir) => Similarity.prfExpand(s, dir)),
     "w_vol_regime" -> ((s, dir) => TradeOps.volRegime(trades(s, dir))),
+    "w_vol_regime_banded" -> ((s, dir) =>
+      TradeOps.volRegimeBanded(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
     "g_rich_club" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1722,6 +1724,9 @@ object SparkEntry {
     "s20_partition_diff" -> s"$T\n${TradeOps.partitionDiffSql()}",
     "v_prf_expand" -> Similarity.prfExpandSql(),
     "w_vol_regime" -> s"$T\n${TradeOps.volRegimeSql()}",
+    // banded two-pass rank is a physical rewrite: the exact-ntile SQL
+    // doubles as its equivalence proof
+    "w_vol_regime_banded" -> s"$T\n${TradeOps.volRegimeSql()}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),
     "d_bucket_skew" -> Dedup.bucketSkewSql,

@@ -3675,6 +3675,71 @@ object TradeOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** W (extension) — [[volRegime]] with the per-symbol `ntile` sort
+    * replaced by a HOT-KEY-SAFE two-pass banded ranking (r12 verdict
+    * directive #6): the reference shape is ONE symbol, so
+    * `ntile(3) OVER (PARTITION BY symbol ORDER BY rv)` funnels the
+    * whole corpus through a single reducer's sort — correct today, a
+    * skew cliff at 100×. Here each row is banded by a MONOTONE
+    * value-prefix key of its rv (decade via string length × two-digit
+    * prefix — pure integer/string ops, no sampling, no float log);
+    * pass 1 counts rows per (symbol, band) and prefix-sums the counts
+    * over the ≤ ~1.3k-band metadata table (broadcast-sized); pass 2
+    * ranks WITHIN each (symbol, band) — many small partition-local
+    * sorts instead of one giant one — and adds the band offset for the
+    * exact global (rv, event_id) rank. The tercile is then the closed-
+    * form SQL ntile formula on (rank, N). Banding is a PHYSICAL
+    * rewrite, invisible in the algebra: equal rv always lands in one
+    * band, so rank and regime are bit-identical to [[volRegime]] — the
+    * oracle is the plain exact-ntile SQL, making the driver's hash
+    * check itself the equivalence proof (plus the direct spec). */
+  def volRegimeBanded(trades: DataFrame, n: Int = 20): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val frame = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val scored = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(ord))
+      .withColumn("d2", expr("CASE WHEN d IS NULL THEN NULL ELSE d * d END"))
+      .withColumn("rv", sum(col("d2")).over(frame))
+      .withColumn("cnt", count(col("d2")).over(frame))
+      .filter(col("cnt") === n)
+      // monotone band key: (digit count, leading two digits) — rv >= 0
+      .withColumn("band", expr(
+        "length(CAST(rv AS STRING)) * 100 + " +
+          "CAST(substr(CAST(rv AS STRING), 1, 2) AS BIGINT)"))
+    // pass 1: per-band counts; offsets + per-symbol totals over the
+    // broadcast-sized band table
+    val byBand = Window.partitionBy("symbol").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bySym = Window.partitionBy("symbol")
+    val bandMeta = scored.groupBy("symbol", "band")
+      .agg(count(lit(1)).as("cnt_b"))
+      .withColumn("offset", coalesce(sum(col("cnt_b")).over(byBand), lit(0L)))
+      .withColumn("nsym", sum(col("cnt_b")).over(bySym))
+      .drop("cnt_b")
+    // pass 2: partition-local sort per (symbol, band), exact global
+    // rank, closed-form ntile(3)
+    val inBand = Window.partitionBy("symbol", "band")
+      .orderBy(col("rv"), col("event_id"))
+    val ranked = scored
+      .join(broadcast(bandMeta), Seq("symbol", "band"))
+      .withColumn("rnk", col("offset") + row_number().over(inBand))
+      .withColumn("q", expr("nsym div 3"))
+      .withColumn("rem", expr("nsym % 3"))
+      .withColumn("regime", expr(
+        "CASE WHEN rnk <= rem * (q + 1) THEN (rnk - 1) div (q + 1) + 1 " +
+          "ELSE rem + (rnk - rem * (q + 1) - 1) div q + 1 END"))
+    ranked
+      .withColumn("next_regime", lead(col("regime"), 1).over(ord))
+      .filter(col("next_regime").isNotNull)
+      .groupBy(col("symbol"), col("regime").as("from_regime"),
+        col("next_regime").as("to_regime"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Oracle for [[volRegime]] (body only — caller prepends the trades
     * CTE). */
   def volRegimeSql(n: Int = 20): String =

@@ -2493,6 +2493,20 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("vol regime banded: bit-identical to the exact ntile form " +
+    "(banding is a physical rewrite)") {
+    val trades = Tables.trades(spark, sf)
+    val exact = graft.ops.TradeOps.volRegime(trades).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val banded = graft.ops.TradeOps.volRegimeBanded(trades).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(banded === exact,
+      s"banded two-pass rank diverged: only-exact=${exact -- banded} " +
+        s"only-banded=${banded -- exact}")
+  }
+
   // Integer-exactness argument (r12 red-row fix): every distributed
   // quantity in pcaDeflate is a BIGINT product/sum/`div` on the
   // once-quantized ppm vectors — order-free, and bit-equal across

@@ -375,4 +375,56 @@ class RecoverySpec extends SparkSuite {
     try q3.processAllAvailable() finally q3.stop()
     assert(EvolvingSink.readUnified(spark, out).count() === 5)
   }
+
+  test("streaming gaps: last-seen state survives the restart (cross-kill " +
+    "gap emitted once), upsert sink makes replays no-ops") {
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val in = tmpDir("graft-gap-in")
+    val out = tmpDir("graft-gap-out")
+    val ckpt = tmpDir("graft-gap-ckpt")
+
+    def line(id: Long, et: String, offMs: Long) = s"$id,$et,${t0 + offMs}"
+    def parsed = spark.readStream.text(in)
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+        lit(1L).as("user_id"), col("f").getItem(1).as("event_type"),
+        timestamp_millis(col("f").getItem(2).cast("long")).as("ts"))
+      .as[EventStream.UserEvent]
+    def start() = EventStream.gapStream(spark, parsed).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Upsert.merge(df, id, out, Seq("event_type", "event_id"))
+      }.start()
+
+    // phase 1: a click burst and one view, then hard stop
+    writeBatch(in, "b1.csv", Seq(
+      line(1, "click", 0), line(2, "click", 200), line(3, "view", 0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Upsert.read(spark, out).get.count() === 1) // only click 1→2
+
+    // phase 2: restart; the first post-restart event must pair with the
+    // last PRE-kill event through the recovered state store
+    writeBatch(in, "b2.csv", Seq(
+      line(4, "click", 60200), line(5, "view", 30000)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = Upsert.read(spark, out).get
+    assert(rows.count() === 3, "exactly one gap row per successor event")
+    val byId = rows.select("event_id", "gap_us").as[(Long, Long)]
+      .collect().toMap
+    // click 2→4: 60 s across the kill; view 3→5: 30 s across the kill
+    assert(byId === Map(2L -> 200000L, 4L -> 60000000L, 5L -> 30000000L),
+      s"cross-restart gaps must pair with pre-kill state: $byId")
+
+    // phase 3: direct double-replay of the last emission through the
+    // sink — keyed upsert makes it a no-op
+    val replay = rows.filter(col("event_id") >= 4L)
+    Upsert.merge(replay.toDF(), 99L, out, Seq("event_type", "event_id"))
+    Upsert.merge(replay.toDF(), 99L, out, Seq("event_type", "event_id"))
+    assert(Upsert.read(spark, out).get.count() === 3,
+      "replayed batch upserted its own keys — no dupes")
+  }
 }

@@ -990,4 +990,47 @@ class StreamingSpec extends SparkSuite {
       assert(out === Map("BTC" -> Some("crypto"), "XAU" -> None))
     } finally q.stop()
   }
+
+  test("streaming gaps: aggregated stream equals batch interarrival " +
+    "histogram, state carries across batches, burst flags online") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    val input = MemoryStream[EventStream.UserEvent](spark)
+    val q = EventStream.gapStream(spark, input.toDS()).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gaps_test").start()
+    try {
+      def ev(id: Long, et: String, offMs: Long) =
+        EventStream.UserEvent(id, 1L, et, new java.sql.Timestamp(t0 + offMs))
+      // clicks: sub-second burst (decade-5 gaps) then a 2-minute lull
+      // (decade 8); views steady at 10 s (decade 7); the lull SPLITS
+      // across micro-batches so the cross-batch state pairing is
+      // what's tested
+      val all = Seq(
+        ev(1, "click", 0), ev(2, "click", 100), ev(3, "click", 450),
+        ev(4, "view", 0), ev(5, "view", 10000),
+        ev(6, "click", 120450), ev(7, "view", 20000), ev(8, "view", 30000))
+      val (b1, b2) = all.splitAt(5)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("gaps_test")
+      assert(streamed.count() === all.size - 2) // one headless row per type
+      // sub-second gaps flag burst online; the lull and the 10 s cadence
+      // do not
+      val bursts = streamed.filter(col("burst"))
+        .select("event_id").as[Long].collect().toSet
+      assert(bursts === Set(2L, 3L))
+      // aggregating the stream reproduces the batch histogram bit-for-bit
+      val agg = streamed.groupBy("event_type", "decade")
+        .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"), sum("gap_us").as("sum_gap_us"))
+      val batchIn = all.toDF()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), lit(0.0).as("value"), lit("").as("props"))
+      val batch = graft.ops.EventAnalytics.interarrival(batchIn)
+      assert(agg.except(batch).isEmpty && batch.except(agg).isEmpty,
+        "stream aggregation must equal the batch interarrival histogram")
+    } finally q.stop()
+  }
 }
