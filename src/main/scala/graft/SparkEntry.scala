@@ -469,6 +469,13 @@ object SparkEntry {
     "w_vol_regime" -> ((s, dir) => TradeOps.volRegime(trades(s, dir))),
     "w_vol_regime_banded" -> ((s, dir) =>
       TradeOps.volRegimeBanded(trades(s, dir))),
+    "w_donchian" -> ((s, dir) => TradeOps.donchian(trades(s, dir))),
+    "t_heaps_law" -> ((s, dir) =>
+      TextOps.heapsLaw(Tables.load(s, dir, "documents"))),
+    "e_rate_change" -> ((s, dir) =>
+      EventAnalytics.rateChange(Tables.events(s, dir))),
+    "d_len_dup_bias" -> ((s, dir) =>
+      Dedup.lenDupBias(Tables.load(s, dir, "documents"))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
     "g_rich_club" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1727,6 +1734,10 @@ object SparkEntry {
     // banded two-pass rank is a physical rewrite: the exact-ntile SQL
     // doubles as its equivalence proof
     "w_vol_regime_banded" -> s"$T\n${TradeOps.volRegimeSql()}",
+    "w_donchian" -> s"$T\n${TradeOps.donchianSql()}",
+    "t_heaps_law" -> TextOps.heapsLawSql(),
+    "e_rate_change" -> EventAnalytics.rateChangeSql,
+    "d_len_dup_bias" -> Dedup.lenDupBiasSql,
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),
     "d_bucket_skew" -> Dedup.bucketSkewSql,

@@ -1908,4 +1908,42 @@ object Dedup {
        |       CAST(max(occ) AS BIGINT) AS max_occ
        |FROM occ GROUP BY 1, 2""".stripMargin
   }
+
+  /** D (extension) — duplicate-rate by document-length decade: the
+    * dedup-bias QC that answers "does removal skew the length
+    * distribution?" (boilerplate dups concentrate in short docs;
+    * mirrored dumps in long ones — pruning either reshapes the token
+    * mix a pretraining budget was planned against). A doc is `dup` if
+    * its exact text hash has >1 member ([[exactDedup]]'s fingerprint);
+    * the length decade is the DIGIT COUNT of the table's own `n_chars`
+    * column (engine-identical by construction — no string-length
+    * semantics to reconcile). One fingerprint-keyed window count +
+    * one map-side-combined aggregate; ≤ ~10 rows out at any scale. */
+  def lenDupBias(docs: DataFrame): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withColumn("grp", count(lit(1)).over(byFp))
+      .withColumn("len_digits", expr(
+        "CAST(length(CAST(greatest(n_chars, 1) AS STRING)) AS BIGINT)"))
+      .groupBy("len_digits")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("(n_dup_docs * 1000000) div n_docs"))
+  }
+
+  /** Oracle for [[lenDupBias]]. */
+  val lenDupBiasSql: String =
+    """WITH d AS (
+      |  SELECT n_chars, count(*) OVER (PARTITION BY md5(text)) AS grp
+      |  FROM documents
+      |)
+      |SELECT CAST(length(CAST(greatest(n_chars, 1) AS VARCHAR)) AS BIGINT)
+      |         AS len_digits,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_docs,
+      |       (CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000) // count(*) AS dup_ppm
+      |FROM d GROUP BY 1""".stripMargin
 }

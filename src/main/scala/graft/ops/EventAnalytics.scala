@@ -682,4 +682,77 @@ object EventAnalytics {
       |         // sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
       |         AS share_ppm
       |FROM g""".stripMargin
+
+  /** E (extension) — single change-point detection on the daily event
+    * rate per type (binary-segmentation step 1): the day that best
+    * splits the series into two regimes by maximal
+    * |mean_before − mean_after| — the "when did this feed change
+    * behavior" triage behind every retry-storm/launch/outage
+    * postmortem. ENTIRELY integer: daily counts are exact; the split
+    * score cross-multiplies the two means onto one denominator —
+    * `|cum·(n−i) − (total−cum)·i| · 10⁶ div (i·(n−i))` — so the argmax
+    * compares exact ppm integers (float means would order differently
+    * per engine near ties); ties break to the EARLIEST day via a
+    * deterministic (score desc, day asc) rank. The heavy stage is one
+    * map-side-combined (type, day) count; the scored series is
+    * types × days rows — broadcast-sized at any corpus scale (overflow
+    * needs total·days > 9·10¹² ppm-scaled, i.e. ~10¹² event-days). */
+  def rateChange(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("score_ppm").desc, col("day").asc)
+    events
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("idx", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n_days", count(lit(1)).over(tot))
+      .withColumn("total", sum(col("c")).over(tot))
+      .filter(col("idx") < col("n_days")) // a split needs both sides
+      .withColumn("score_ppm", expr(
+        "abs(cum * (n_days - idx) - (total - cum) * idx) * 1000000 " +
+          "div (idx * (n_days - idx))"))
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("score_ppm"),
+        expr("(cum * 1000000) div idx").as("mean_before_ppm"),
+        expr("((total - cum) * 1000000) div (n_days - idx)")
+          .as("mean_after_ppm"))
+  }
+
+  /** Oracle for [[rateChange]] — identical integer split scores and
+    * (score desc, day asc) pick. */
+  val rateChangeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT event_type, day,
+      |         CAST(row_number() OVER w AS BIGINT) AS idx,
+      |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |           AS n_days,
+      |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+      |           AS total
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), sc AS (
+      |  SELECT event_type, day, cum, idx, n_days, total,
+      |         abs(cum * (n_days - idx) - (total - cum) * idx) * 1000000
+      |           // (idx * (n_days - idx)) AS score_ppm
+      |  FROM scored WHERE idx < n_days
+      |)
+      |SELECT event_type, day AS change_day, score_ppm,
+      |       (cum * 1000000) // idx AS mean_before_ppm,
+      |       ((total - cum) * 1000000) // (n_days - idx) AS mean_after_ppm
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |            ORDER BY score_ppm DESC, day ASC) AS rk
+      |  FROM sc)
+      |WHERE rk = 1""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline tier
@@ -1886,4 +1887,66 @@ object TextOps {
       |         - (84600 * ((sum_vgroups * 1000000) // sum_words)) // 1000
       |         AS flesch_micro
       |FROM a""".stripMargin
+
+  /** T (extension) — Heaps'-law vocabulary growth curve: cumulative
+    * distinct-word count at `buckets` corpus checkpoints — the
+    * tokenizer-budget planning curve ("how fast does vocab grow as we
+    * add data, and is it flattening?") every BPE training run reads
+    * before picking a vocab size. ENTIRELY integer: each word's FIRST
+    * document (`min(doc_id)` over the exploded distinct words — one
+    * word-keyed map-side-combined shuffle, the
+    * [[graft.ops.Dedup.minhashSig]] explode shape), bucketed by the
+    * sequential doc_id contract (`(first_doc · buckets) div n_docs` —
+    * count-derived, no global sort, no ntile reducer), then two
+    * `buckets`-row cumulative sums. The heavy stage is ONE shuffle of
+    * (word, doc_id) pairs; everything after is broadcast-sized at any
+    * corpus scale. The ordering-free window runs on `buckets` rows
+    * only. */
+  def heapsLaw(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val firsts = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy("word").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(first_doc * $buckets) div n_docs"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+    val perBucket = docs.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(doc_id * $buckets) div n_docs"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs_b"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firsts, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("new_words"))
+      .withColumn("docs_so_far", sum(col("n_docs_b")).over(cum))
+      .withColumn("vocab_so_far", sum(col("new_words")).over(cum))
+      .select(col("bucket"), col("n_docs_b"), col("docs_so_far"),
+        col("new_words"), col("vocab_so_far"))
+  }
+
+  /** Oracle for [[heapsLaw]] — identical bucket arithmetic and
+    * cumulative frames. */
+  def heapsLawSql(buckets: Int = 10): String =
+    s"""WITH tot AS (SELECT count(*) AS n_docs FROM documents),
+       |f AS (
+       |  -- one row per WORD: the bucket of its first document
+       |  SELECT (min(doc_id) * $buckets) // n_docs AS bucket
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct(string_split(text, ' '))) AS word
+       |        FROM documents), tot
+       |  GROUP BY word, n_docs
+       |), fb AS (
+       |  SELECT bucket, count(*) AS new_words FROM f GROUP BY 1
+       |), db AS (
+       |  SELECT (doc_id * $buckets) // n_docs AS bucket,
+       |         count(*) AS n_docs_b
+       |  FROM documents, tot GROUP BY 1
+       |)
+       |SELECT db.bucket, db.n_docs_b,
+       |       CAST(sum(db.n_docs_b) OVER (ORDER BY db.bucket) AS BIGINT)
+       |         AS docs_so_far,
+       |       COALESCE(fb.new_words, 0) AS new_words,
+       |       CAST(sum(COALESCE(fb.new_words, 0)) OVER (ORDER BY db.bucket)
+       |         AS BIGINT) AS vocab_so_far
+       |FROM db LEFT JOIN fb ON db.bucket = fb.bucket""".stripMargin
 }

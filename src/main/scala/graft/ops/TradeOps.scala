@@ -3675,6 +3675,58 @@ object TradeOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** W (extension) — Donchian channel breakout profile per symbol:
+    * rolling `n`-tick prior high/low channel (the classic turtle
+    * breakout band) and how often price escapes it, plus the channel-
+    * width extremes — the regime-vs-chop summary behind breakout
+    * strategy triage. ENTIRELY integer: prices in exact cents, the
+    * channel is a ROWS [−n, −1] frame (prior ticks only, so the
+    * breakout comparison is strict and self-exclusive), breaks counted
+    * as integer conditionals, widths as cent differences. One
+    * symbol-keyed ordered window scan + one map-side-combined
+    * aggregate; |symbols| rows out at any scale. */
+  def donchian(trades: DataFrame, n: Int = 20): DataFrame = {
+    val prior = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(-n, -1)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("ch", max(col("pc")).over(prior))
+      .withColumn("cl", min(col("pc")).over(prior))
+      .withColumn("nw", count(col("pc")).over(prior))
+      .filter(col("nw") === n) // warm channel only
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(when(col("pc") > col("ch"), 1L).otherwise(0L))
+          .as("n_upper_breaks"),
+        sum(when(col("pc") < col("cl"), 1L).otherwise(0L))
+          .as("n_lower_breaks"),
+        max(col("ch") - col("cl")).as("max_width_cents"),
+        min(col("ch") - col("cl")).as("min_width_cents"))
+  }
+
+  /** Oracle for [[donchian]] (body only — caller prepends the trades
+    * CTE). */
+  def donchianSql(n: Int = 20): String =
+    s"""SELECT symbol, count(*) AS n_ticks,
+       |       CAST(sum(CASE WHEN pc > ch THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_upper_breaks,
+       |       CAST(sum(CASE WHEN pc < cl THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_lower_breaks,
+       |       max(ch - cl) AS max_width_cents,
+       |       min(ch - cl) AS min_width_cents
+       |FROM (
+       |  SELECT symbol, pc,
+       |         max(pc) OVER w AS ch, min(pc) OVER w AS cl,
+       |         count(pc) OVER w AS nw
+       |  FROM (SELECT symbol, "timestamp", event_id,
+       |               CAST(round(price * 100) AS BIGINT) AS pc
+       |        FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS BETWEEN $n PRECEDING AND 1 PRECEDING))
+       |WHERE nw = $n
+       |GROUP BY 1""".stripMargin
+
   /** W (extension) — [[volRegime]] with the per-symbol `ntile` sort
     * replaced by a HOT-KEY-SAFE two-pass banded ranking (r12 verdict
     * directive #6): the reference shape is ONE symbol, so

@@ -2493,6 +2493,72 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("heaps law: curve telescopes to corpus totals, vocab monotone") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.TextOps.heapsLaw(docs)
+      .orderBy("bucket").collect()
+    assert(rows.length === 10)
+    val nDocs = docs.count()
+    assert(rows.last.getLong(2) === nDocs, "docs_so_far telescopes")
+    val vocabTotal = docs.selectExpr(
+      "explode(array_distinct(split(text, ' '))) AS w")
+      .select("w").distinct().count()
+    assert(rows.last.getLong(4) === vocabTotal, "vocab_so_far telescopes")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(4) >= a.getLong(4), "vocab growth is monotone")
+      assert(b.getLong(2) > a.getLong(2), "doc count strictly grows")
+    }
+    assert(rows.map(_.getLong(3)).sum === vocabTotal)
+  }
+
+  test("rate change: one split per type, exact ppm means, day in range") {
+    val events = Tables.events(spark, sf)
+    val rows = graft.ops.EventAnalytics.rateChange(events).collect()
+    val types = events.select("event_type").distinct().count()
+    assert(rows.length === types, "exactly one change-point per type")
+    val (minDay, maxDay) = {
+      val r = events.selectExpr(
+        "min(unix_micros(ts) div 86400000000)",
+        "max(unix_micros(ts) div 86400000000)").head
+      (r.getLong(0), r.getLong(1))
+    }
+    rows.foreach { r =>
+      val day = r.getLong(1)
+      assert(day >= minDay && day < maxDay,
+        "split day must leave a non-empty after-side")
+      assert(r.getLong(2) >= 0L)
+      assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L)
+      // the chosen split's score is within one div-rounding unit of
+      // the emitted mean gap (same algebra on one denominator)
+      assert(math.abs(math.abs(r.getLong(3) - r.getLong(4)) -
+        r.getLong(2)) <= 2L)
+    }
+  }
+
+  test("donchian: breaks bounded by ticks, widths ordered and non-negative") {
+    val rows = graft.ops.TradeOps.donchian(Tables.trades(spark, sf))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ticks = r.getLong(1)
+      assert(r.getLong(2) + r.getLong(3) <= ticks,
+        "a tick breaks at most one side")
+      assert(r.getLong(4) >= r.getLong(5) && r.getLong(5) >= 0L,
+        "channel widths ordered, non-negative")
+    }
+  }
+
+  test("len dup bias: partitions the corpus, ppm within [0, 1e6]") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Dedup.lenDupBias(docs).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count(),
+      "length decades partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
   test("vol regime banded: bit-identical to the exact ntile form " +
     "(banding is a physical rewrite)") {
     val trades = Tables.trades(spark, sf)
