@@ -476,6 +476,10 @@ object SparkEntry {
       EventAnalytics.rateChange(Tables.events(s, dir))),
     "d_len_dup_bias" -> ((s, dir) =>
       Dedup.lenDupBias(Tables.load(s, dir, "documents"))),
+    "e_audience_overlap" -> ((s, dir) =>
+      EventAnalytics.audienceOverlap(Tables.events(s, dir))),
+    "a_subsample_stability" -> ((s, dir) =>
+      TradeOps.subsampleStability(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
     "g_rich_club" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1738,6 +1742,8 @@ object SparkEntry {
     "t_heaps_law" -> TextOps.heapsLawSql(),
     "e_rate_change" -> EventAnalytics.rateChangeSql,
     "d_len_dup_bias" -> Dedup.lenDupBiasSql,
+    "e_audience_overlap" -> EventAnalytics.audienceOverlapSql,
+    "a_subsample_stability" -> s"$T\n${TradeOps.subsampleStabilitySql()}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),
     "d_bucket_skew" -> Dedup.bucketSkewSql,

@@ -723,6 +723,53 @@ object EventAnalytics {
           .as("mean_after_ppm"))
   }
 
+  /** E (extension) — audience-overlap matrix: exact Jaccard (in ppm)
+    * of the DISTINCT user sets behind every event-type pair — the
+    * "are these two surfaces the same people or disjoint populations"
+    * read that decides whether engagement metrics can be summed or
+    * double-count. Exact, not sketched ([[graft.ops.TradeOps]] ships
+    * the HLL-intersection estimate tier; this is its truth
+    * counterpart): one distinct projection shuffled by user, a
+    * user-keyed self-join whose fan-out is bounded by |types|² PER
+    * USER (types is a tiny fixed set — the join never quadratically
+    * touches the corpus), then broadcast-sized per-type totals.
+    * Zero-overlap pairs are absent by inner-join construction.
+    * Integer ppm division only. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    a.join(b, "user_id").filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), Seq("type_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+  }
+
+  /** Oracle for [[audienceOverlap]]. */
+  val audienceOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |s AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
+      |i AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS n_common
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+      |       i.n_common,
+      |       (i.n_common * 1000000)
+      |         // (sa.n_users + sb.n_users - i.n_common) AS jaccard_ppm
+      |FROM i JOIN s sa ON sa.event_type = i.type_a
+      |       JOIN s sb ON sb.event_type = i.type_b""".stripMargin
+
   /** Oracle for [[rateChange]] — identical integer split scores and
     * (score desc, day asc) pick. */
   val rateChangeSql: String =

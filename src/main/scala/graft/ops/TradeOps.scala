@@ -3675,6 +3675,74 @@ object TradeOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** A (extension) — deterministic subsample-stability interval for
+    * the per-symbol mean price: `reps` half-samples selected by a
+    * salted md5 bit (the repo's deterministic-sample guard — NO RNG,
+    * identical membership in both engines), each yielding an EXACT
+    * integer cent-ppm mean via the overflow-free split division
+    * `(s div n)·10⁶ + ((s mod n)·10⁶) div n` (the naive `s·10⁶`
+    * wraps past ~9·10¹² cent-rows; the split form is exact for
+    * non-negative s at any corpus size). The (lo, hi, spread) of the
+    * rep means is the poor-man's sampling CI every metrics dashboard
+    * needs before trusting a mean shift — and it costs one exploded
+    * map-side pass + two map-side-combined aggregations, no sort, no
+    * window. |symbols| rows out at any scale. */
+  def subsampleStability(trades: DataFrame, reps: Int = 16): DataFrame = {
+    val meanPpm = "(s div n) * 1000000 + ((s % n) * 1000000) div n"
+    val cents = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+    val overall = cents.groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"))
+      .withColumn("mean_cents_ppm", expr(meanPpm))
+      .select(col("symbol"), col("n").as("n_trades"), col("mean_cents_ppm"))
+    val sub = cents
+      .withColumn("r", explode(array((0 until reps).map(lit): _*)))
+      .filter(expr(
+        "CAST(conv(substring(md5(concat_ws('_', CAST(event_id AS STRING), " +
+          "CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"))
+      .groupBy("symbol", "r")
+      .agg(sum(col("pc")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(meanPpm))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_reps"), min(col("m")).as("lo_mean_ppm"),
+        max(col("m")).as("hi_mean_ppm"))
+    overall.join(sub, Seq("symbol"))
+      .withColumn("spread_ppm", col("hi_mean_ppm") - col("lo_mean_ppm"))
+  }
+
+  /** Oracle for [[subsampleStability]] (body only — caller prepends
+    * the trades CTE): identical salted membership and split-division
+    * means. */
+  def subsampleStabilitySql(reps: Int = 16): String =
+    s"""SELECT o.symbol, o.n_trades, o.mean_cents_ppm, u.n_reps,
+       |       u.lo_mean_ppm, u.hi_mean_ppm,
+       |       u.hi_mean_ppm - u.lo_mean_ppm AS spread_ppm
+       |FROM (
+       |  SELECT symbol, count(*) AS n_trades,
+       |         (CAST(sum(pc) AS BIGINT) // count(*)) * 1000000
+       |           + ((CAST(sum(pc) AS BIGINT) % count(*)) * 1000000)
+       |             // count(*) AS mean_cents_ppm
+       |  FROM (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS pc
+       |        FROM trades)
+       |  GROUP BY 1
+       |) o JOIN (
+       |  SELECT symbol, count(*) AS n_reps,
+       |         min(m) AS lo_mean_ppm, max(m) AS hi_mean_ppm
+       |  FROM (
+       |    SELECT symbol,
+       |           (CAST(sum(pc) AS BIGINT) // count(*)) * 1000000
+       |             + ((CAST(sum(pc) AS BIGINT) % count(*)) * 1000000)
+       |               // count(*) AS m
+       |    FROM (SELECT t.symbol, CAST(round(t.price * 100) AS BIGINT) AS pc,
+       |                 r.r
+       |          FROM trades t,
+       |               (SELECT unnest(generate_series(0, ${reps - 1})) AS r) r
+       |          WHERE ('0x' || substr(md5(CAST(t.event_id AS VARCHAR) || '_'
+       |                  || CAST(r.r AS VARCHAR)), 1, 8))::BIGINT % 2 = 0)
+       |    GROUP BY symbol, r)
+       |  GROUP BY 1
+       |) u ON o.symbol = u.symbol""".stripMargin
+
   /** W (extension) — Donchian channel breakout profile per symbol:
     * rolling `n`-tick prior high/low channel (the classic turtle
     * breakout band) and how often price escapes it, plus the channel-

@@ -2493,6 +2493,42 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("audience overlap: jaccard bounded, intersection within set sizes") {
+    val events = Tables.events(spark, sf)
+    val rows = graft.ops.EventAnalytics.audienceOverlap(events).collect()
+    assert(rows.nonEmpty)
+    val types = events.select("event_type").distinct().count()
+    assert(rows.length <= types * (types - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "ordered pair type_a < type_b")
+      val (na, nb, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(common >= 1L && common <= math.min(na, nb))
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+  }
+
+  test("subsample stability: interval ordered, exact split-division mean") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.subsampleStability(trades).collect()
+    assert(rows.nonEmpty)
+    // direct exact recomputation of the overall mean via BigInt — the
+    // split division must floor identically
+    val direct = trades
+      .selectExpr("symbol", "CAST(round(price * 100) AS BIGINT) AS pc")
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        val sum = rs.map(r => BigInt(r.getLong(1))).sum
+        s -> (sum * 1000000 / rs.length).toLong
+      }
+    rows.foreach { r =>
+      assert(r.getLong(2) === direct(r.getString(0)),
+        "split-division mean must equal the exact BigInt mean")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 16L)
+      assert(r.getLong(4) <= r.getLong(5), "lo <= hi")
+      assert(r.getLong(6) === r.getLong(5) - r.getLong(4))
+    }
+  }
+
   test("heaps law: curve telescopes to corpus totals, vocab monotone") {
     val docs = Tables.load(spark, sf, "documents")
     val rows = graft.ops.TextOps.heapsLaw(docs)
