@@ -480,6 +480,8 @@ object SparkEntry {
       EventAnalytics.audienceOverlap(Tables.events(s, dir))),
     "a_subsample_stability" -> ((s, dir) =>
       TradeOps.subsampleStability(trades(s, dir))),
+    "q28_ship_latency" -> ((s, dir) => Relational.shipLatency(s, dir)),
+    "q29_order_gap_hist" -> ((s, dir) => Relational.orderGapHist(s, dir)),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
     "g_rich_club" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1744,6 +1746,8 @@ object SparkEntry {
     "d_len_dup_bias" -> Dedup.lenDupBiasSql,
     "e_audience_overlap" -> EventAnalytics.audienceOverlapSql,
     "a_subsample_stability" -> s"$T\n${TradeOps.subsampleStabilitySql()}",
+    "q28_ship_latency" -> Relational.shipLatencySql,
+    "q29_order_gap_hist" -> Relational.orderGapHistSql,
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),
     "d_bucket_skew" -> Dedup.bucketSkewSql,

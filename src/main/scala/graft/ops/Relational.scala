@@ -1140,4 +1140,83 @@ object Relational {
       |       (CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) * 1000000)
       |         // (SELECT t FROM t) AS share_ppm
       |FROM dec GROUP BY 1""".stripMargin
+
+  /** Q28 (extension) — ship-latency profile: the order-to-ship delay
+    * distribution per order priority, bucketed by week — the SLA
+    * question ("do urgent orders actually ship faster, and where is
+    * the tail?") behind every fulfillment review. ENTIRELY integer:
+    * latency in exact epoch-µs-derived days (`div 86400000000` —
+    * Spark `div` ≡ DuckDB `//` truncation), weeks by `div 7`. The
+    * orderkey join is the one heavy stage — two large sides,
+    * sort-merge co-partitionable (bucket both by orderkey at the
+    * lakehouse layer and it is shuffle-free); the histogram then
+    * map-side combines to priorities × weeks rows. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days", expr(
+        "(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000"))
+      .withColumn("lat_wk", expr("lat_days div 7"))
+      .groupBy("o_orderpriority", "lat_wk")
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("lat_days")).as("min_days"),
+        max(col("lat_days")).as("max_days"))
+  }
+
+  /** Oracle for [[shipLatency]]. */
+  val shipLatencySql: String =
+    """SELECT o_orderpriority, lat_days // 7 AS lat_wk, count(*) AS n_lines,
+      |       min(lat_days) AS min_days, max(lat_days) AS max_days
+      |FROM (
+      |  SELECT o.o_orderpriority,
+      |         (epoch_us(l.l_shipdate::TIMESTAMP)
+      |          - epoch_us(o.o_orderdate::TIMESTAMP)) // 86400000000
+      |           AS lat_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q29 (extension) — re-order cadence histogram: days between a
+    * customer's consecutive orders, week-bucketed corpus-wide — the
+    * purchase-frequency shape behind retention/LTV models
+    * (complementing the per-user [[graft.ops.EventAnalytics.rfm]]
+    * tier with the order-table truth). One customer-keyed ordered
+    * window (high-cardinality key — no hot reducer), then a map-side-
+    * combined global histogram; Σgap telescopes per customer to
+    * first-to-last span, so sums stay BIGINT-exact. */
+  def orderGapHist(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("us", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+      .withColumn("prev", lag(col("us"), 1).over(byCust))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_days", expr("(us - prev) div 86400000000"))
+      .withColumn("gap_wk", expr("gap_days div 7"))
+      .groupBy("gap_wk")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_days"),
+        max(col("gap_days")).as("max_days"),
+        sum(col("gap_days")).as("sum_days"))
+  }
+
+  /** Oracle for [[orderGapHist]]. */
+  val orderGapHistSql: String =
+    """WITH g AS (
+      |  SELECT (us - lag(us, 1) OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate, o_orderkey)) // 86400000000
+      |           AS gap_days
+      |  FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+      |               epoch_us(o_orderdate::TIMESTAMP) AS us
+      |        FROM orders)
+      |)
+      |SELECT gap_days // 7 AS gap_wk, count(*) AS n_gaps,
+      |       min(gap_days) AS min_days, max(gap_days) AS max_days,
+      |       CAST(sum(gap_days) AS BIGINT) AS sum_days
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY 1""".stripMargin
 }

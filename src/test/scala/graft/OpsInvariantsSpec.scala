@@ -2493,6 +2493,33 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("ship latency: lines conserved, week buckets consistent") {
+    val rows = graft.ops.Relational.shipLatency(spark, sf).collect()
+    val nLines = Tables.load(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(2)).sum === nLines,
+      "every lineitem lands in exactly one (priority, week) cell")
+    rows.foreach { r =>
+      val (wk, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mn <= mx)
+      assert(mn / 7 == wk || mx / 7 == wk || (mn / 7 <= wk && wk <= mx / 7),
+        s"week bucket $wk must cover its day range [$mn, $mx]")
+    }
+  }
+
+  test("order gap hist: gaps conserved, sums within min/max envelope") {
+    val orders = Tables.load(spark, sf, "orders")
+    val rows = graft.ops.Relational.orderGapHist(spark, sf).collect()
+    val expected = orders.count() -
+      orders.select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === expected,
+      "one gap per consecutive order pair per customer")
+    rows.foreach { r =>
+      val (n, mn, mx, s) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(mn <= mx && s >= mn * n && s <= mx * n)
+    }
+  }
+
   test("audience overlap: jaccard bounded, intersection within set sizes") {
     val events = Tables.events(spark, sf)
     val rows = graft.ops.EventAnalytics.audienceOverlap(events).collect()
