@@ -482,6 +482,7 @@ object SparkEntry {
       TradeOps.subsampleStability(trades(s, dir))),
     "q28_ship_latency" -> ((s, dir) => Relational.shipLatency(s, dir)),
     "q29_order_gap_hist" -> ((s, dir) => Relational.orderGapHist(s, dir)),
+    "v_pq_occupancy" -> ((s, dir) => Similarity.pqOccupancy(s, dir)),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
     "g_rich_club" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1748,6 +1749,7 @@ object SparkEntry {
     "a_subsample_stability" -> s"$T\n${TradeOps.subsampleStabilitySql()}",
     "q28_ship_latency" -> Relational.shipLatencySql,
     "q29_order_gap_hist" -> Relational.orderGapHistSql,
+    "v_pq_occupancy" -> Similarity.pqOccupancySql(),
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),
     "d_bucket_skew" -> Dedup.bucketSkewSql,

@@ -877,6 +877,42 @@ object Similarity {
        |GROUP BY vec_id""".stripMargin
   }
 
+  /** V (extension) — PQ code-space occupancy decade histogram: the
+    * [[graft.ops.Dedup.bucketSkew]] self-surveillance applied to the
+    * PQ tier. A healthy codebook spreads vectors across many codes; a
+    * collapsed one funnels the corpus into few codes, and ADC scans
+    * ([[pqAdc]]) then rank ties by code — recall dies silently. The
+    * decade histogram of per-code occupancy (digit-count decade — no
+    * floating log) is the one-glance health read: mass in high decades
+    * = collapse. Rides [[pqCodes]]'s shuffle-free projection (same
+    * cached k-means); one groupBy on the packed code + a ≤ ~10-row
+    * re-aggregation. Integer throughout. */
+  def pqOccupancy(spark: SparkSession, dir: String, m: Int = 8,
+      k: Int = 16, trainIters: Int = 2): DataFrame =
+    pqCodes(spark, dir, m, k, trainIters)
+      .groupBy("pq_code").agg(count(lit(1)).as("occ"))
+      .groupBy(expr("CAST(length(CAST(occ AS STRING)) - 1 AS BIGINT)")
+        .as("occ_decade"))
+      .agg(count(lit(1)).as("n_codes"), sum(col("occ")).as("n_vecs"),
+        max(col("occ")).as("max_occ"))
+
+  /** Oracle for [[pqOccupancy]] — [[pqCodesSql]] as a derived table
+    * (DuckDB allows WITH inside a subquery), identical decade
+    * re-aggregation. */
+  def pqOccupancySql(m: Int = 8, k: Int = 16, dim: Int = 64,
+      trainIters: Int = 2): String =
+    s"""SELECT CAST(length(CAST(occ AS VARCHAR)) - 1 AS BIGINT)
+       |         AS occ_decade,
+       |       count(*) AS n_codes,
+       |       CAST(sum(occ) AS BIGINT) AS n_vecs,
+       |       CAST(max(occ) AS BIGINT) AS max_occ
+       |FROM (
+       |  SELECT pq_code, count(*) AS occ
+       |  FROM (${pqCodesSql(m, k, dim, trainIters)}) codes
+       |  GROUP BY 1
+       |) o
+       |GROUP BY 1""".stripMargin
+
   /** Distributed Lloyd's k-means over the embeddings — the training pass
     * that produces [[annIvf]]'s coarse quantizer and [[pqCodes]]'s
     * codebooks for real (both currently use first-k stand-ins).

@@ -2493,6 +2493,19 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("pq occupancy: decades partition the corpus, max_occ in decade") {
+    val rows = Similarity.pqOccupancy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(2)).sum === n,
+      "every vector's code lands in exactly one occupancy decade")
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "codes <= vectors per decade")
+      assert(r.getLong(3).toString.length - 1L === r.getLong(0),
+        "max occupancy must sit inside its decade")
+    }
+  }
+
   test("ship latency: lines conserved, week buckets consistent") {
     val rows = graft.ops.Relational.shipLatency(spark, sf).collect()
     val nLines = Tables.load(spark, sf, "lineitem").count()
