@@ -483,6 +483,10 @@ object SparkEntry {
     "q28_ship_latency" -> ((s, dir) => Relational.shipLatency(s, dir)),
     "q29_order_gap_hist" -> ((s, dir) => Relational.orderGapHist(s, dir)),
     "v_pq_occupancy" -> ((s, dir) => Similarity.pqOccupancy(s, dir)),
+    "d_cluster_size_hist" -> ((s, dir) =>
+      Dedup.clusterSizeHist(Tables.load(s, dir, "documents"))),
+    "w_volume_profile" -> ((s, dir) =>
+      TradeOps.volumeProfile(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
     "g_rich_club" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1750,6 +1754,8 @@ object SparkEntry {
     "q28_ship_latency" -> Relational.shipLatencySql,
     "q29_order_gap_hist" -> Relational.orderGapHistSql,
     "v_pq_occupancy" -> Similarity.pqOccupancySql(),
+    "d_cluster_size_hist" -> Dedup.clusterSizeHistSql,
+    "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),
     "d_bucket_skew" -> Dedup.bucketSkewSql,

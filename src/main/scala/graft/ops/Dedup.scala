@@ -1932,6 +1932,34 @@ object Dedup {
       .withColumn("dup_ppm", expr("(n_dup_docs * 1000000) div n_docs"))
   }
 
+  /** D (extension) — duplicate-cluster size decade histogram: the
+    * shape read on [[exactDedup]]'s output ("is duplication a long
+    * tail of pairs or a few mega-clusters?") that decides the dedup
+    * strategy — pair-tail corpora dedup cheaply by hash; mega-cluster
+    * corpora (boilerplate, mirrors) need the canonical-election path
+    * and dominate savings. Decade via digit count (no floating log).
+    * One text-hash groupBy + a ≤ ~10-row re-aggregation; integer
+    * throughout. */
+  def clusterSizeHist(docs: DataFrame): DataFrame =
+    exactDedup(docs)
+      .groupBy(expr("CAST(length(CAST(n_docs AS STRING)) - 1 AS BIGINT)")
+        .as("size_decade"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs"),
+        max(col("n_docs")).as("max_cluster"))
+
+  /** Oracle for [[clusterSizeHist]]. */
+  val clusterSizeHistSql: String =
+    """WITH g AS (
+      |  SELECT md5(text) AS fp, count(*) AS n_docs
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT CAST(length(CAST(n_docs AS VARCHAR)) - 1 AS BIGINT)
+      |         AS size_decade,
+      |       count(*) AS n_clusters,
+      |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |       max(n_docs) AS max_cluster
+      |FROM g GROUP BY 1""".stripMargin
+
   /** Oracle for [[lenDupBias]]. */
   val lenDupBiasSql: String =
     """WITH d AS (

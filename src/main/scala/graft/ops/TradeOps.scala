@@ -3675,6 +3675,41 @@ object TradeOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** W (extension) — market (volume) profile: traded volume and tick
+    * count per whole-dollar price band per symbol — the
+    * support/resistance heat ladder ("where did the volume actually
+    * trade?") behind every execution-quality review. Bands are exact
+    * integer cent-division (`pc div 100`); volume sums in
+    * DECIMAL(18,6) (the exact-money convention — double sums reorder
+    * beyond round(6)); the per-symbol share in integer ppm of the
+    * symbol's tick count. One map-side-combined groupBy;
+    * symbols × bands rows out. */
+  def volumeProfile(trades: DataFrame): DataFrame =
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("band", expr("pc div 100"))
+      .groupBy("symbol", "band")
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("volume").cast("decimal(18,6)")).cast("double")
+          .as("total_volume"))
+      .withColumn("tick_share_ppm", expr(
+        "(n_trades * 1000000) div sum(n_trades) OVER " +
+          "(PARTITION BY symbol)"))
+
+  /** Oracle for [[volumeProfile]] (body only — caller prepends the
+    * trades CTE). */
+  val volumeProfileSql: String =
+    """SELECT symbol, band, n_trades,
+      |       CAST(total_volume AS DOUBLE) AS total_volume,
+      |       CAST((n_trades * 1000000)
+      |         // sum(n_trades) OVER (PARTITION BY symbol) AS BIGINT)
+      |         AS tick_share_ppm
+      |FROM (
+      |  SELECT symbol, CAST(round(price * 100) AS BIGINT) // 100 AS band,
+      |         count(*) AS n_trades,
+      |         sum(CAST(volume AS DECIMAL(18,6))) AS total_volume
+      |  FROM trades GROUP BY 1, 2)""".stripMargin
+
   /** A (extension) — deterministic subsample-stability interval for
     * the per-symbol mean price: `reps` half-samples selected by a
     * salted md5 bit (the repo's deterministic-sample guard — NO RNG,

@@ -2493,6 +2493,29 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("cluster size hist: docs conserved, max cluster in decade") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Dedup.clusterSizeHist(docs).collect()
+    assert(rows.map(_.getLong(2)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(3).toString.length - 1L === r.getLong(0))
+    }
+  }
+
+  test("volume profile: shares partition each symbol, bands hold prices") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.volumeProfile(trades).collect()
+    assert(rows.map(_.getLong(2)).sum === trades.count())
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ppm = rs.map(_.getLong(4)).sum
+      // floor-division shares telescope to <= 1e6 within bands-1 ulps
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length,
+        s"per-symbol shares must telescope to ~1e6: $ppm")
+    }
+    rows.foreach(r => assert(r.getDouble(3) > 0.0))
+  }
+
   test("pq occupancy: decades partition the corpus, max_occ in decade") {
     val rows = Similarity.pqOccupancy(spark, sf).collect()
     assert(rows.nonEmpty)
