@@ -485,6 +485,8 @@ object SparkEntry {
     "v_pq_occupancy" -> ((s, dir) => Similarity.pqOccupancy(s, dir)),
     "d_cluster_size_hist" -> ((s, dir) =>
       Dedup.clusterSizeHist(Tables.load(s, dir, "documents"))),
+    "k17_rollback" -> ((s, dir) =>
+      TradeOps.rollbackRoundTrip(s, trades(s, dir))),
     "w_volume_profile" -> ((s, dir) =>
       TradeOps.volumeProfile(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
@@ -1755,6 +1757,7 @@ object SparkEntry {
     "q29_order_gap_hist" -> Relational.orderGapHistSql,
     "v_pq_occupancy" -> Similarity.pqOccupancySql(),
     "d_cluster_size_hist" -> Dedup.clusterSizeHistSql,
+    "k17_rollback" -> s"$T\n${TradeOps.rollbackRoundTripSql}",
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),

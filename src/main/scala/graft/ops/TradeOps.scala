@@ -568,6 +568,63 @@ object TradeOps {
         col("price"), col("day").cast("timestamp").as("day"))
   }
 
+  /** K17 (extension) — version ROLLBACK round-trip on the keyed upsert
+    * store ([[graft.sinks.Upsert.rollback]] — Delta/Iceberg RESTORE):
+    * commit a base snapshot (per-symbol last even-event price), commit
+    * a revision on top (odd-event prices), roll back, and emit BOTH
+    * the restored current state and the still-time-travel-readable
+    * pre-rollback version — proving a rollback is a forward METADATA
+    * commit (no data rewrite, O(1) at any table size) that neither
+    * loses the audit trail nor breaks the version chain. Batches are
+    * per-key pre-aggregated (`max_by` on the unique event_id) so
+    * last-writer-wins is deterministic. Output in exact cents. */
+  def rollbackRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val root = scratchDir(spark, "rollback_store")
+    def state(parity: Int) = trades
+      .filter(pmod(col("event_id"), lit(2)) === parity)
+      .groupBy("symbol")
+      .agg(expr("max_by(CAST(round(price * 100) AS BIGINT), event_id)")
+        .as("price_cents"))
+    graft.sinks.Upsert.merge(state(0), 0L, root, Seq("symbol"))
+    graft.sinks.Upsert.merge(state(1), 1L, root, Seq("symbol"))
+    val cur = graft.sinks.Upsert.currentVersion(root).get // = 1
+    graft.sinks.Upsert.rollback(root, cur - 1)
+    val restored = graft.sinks.Upsert.read(spark, root).get
+      .select(lit("restored").as("phase"), col("symbol"), col("price_cents"))
+    val preRb = graft.sinks.Upsert.readVersion(spark, root, cur).get
+      .select(lit("pre_rollback").as("phase"), col("symbol"),
+        col("price_cents"))
+    restored.unionByName(preRb)
+  }
+
+  /** Oracle for [[rollbackRoundTrip]] (body only — caller prepends the
+    * trades CTE): restored = even-parity last prices; pre_rollback =
+    * odd-parity last prices upserted OVER the even base (COALESCE). */
+  val rollbackRoundTripSql: String =
+    """SELECT phase, symbol, price_cents FROM (
+      |  SELECT 'restored' AS phase, symbol, price_cents
+      |  FROM (
+      |    SELECT symbol,
+      |           max_by(CAST(round(price * 100) AS BIGINT), event_id)
+      |             AS price_cents
+      |    FROM trades WHERE event_id % 2 = 0 GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 'pre_rollback' AS phase,
+      |         COALESCE(o.symbol, e.symbol) AS symbol,
+      |         COALESCE(o.price_cents, e.price_cents) AS price_cents
+      |  FROM (
+      |    SELECT symbol,
+      |           max_by(CAST(round(price * 100) AS BIGINT), event_id)
+      |             AS price_cents
+      |    FROM trades WHERE event_id % 2 = 0 GROUP BY 1) e
+      |  FULL OUTER JOIN (
+      |    SELECT symbol,
+      |           max_by(CAST(round(price * 100) AS BIGINT), event_id)
+      |             AS price_cents
+      |    FROM trades WHERE event_id % 2 = 1 GROUP BY 1) o
+      |  ON e.symbol = o.symbol
+      |)""".stripMargin
+
   /** Oracle for [[dynamicPartitionOverwrite]] (body only — caller
     * prepends the trades CTE): the revision as a CASE on the day. */
   def dynamicPartitionOverwriteSql(reviseDay: String = "2024-01-15"): String =

@@ -105,6 +105,35 @@ object Upsert {
   def lastAppliedBatch(root: String): Option[Long] =
     currentVersion(root).flatMap(v => readManifest(root, v).appliedBatch)
 
+  /** RESTORE-style rollback (K-tier extension; the Delta/Iceberg
+    * RESTORE semantics): commit the retained snapshot `version` as a
+    * NEW version whose manifest is a byte-copy of the target's. The
+    * pointer only ever moves forward and version numbers never reuse,
+    * so replay markers and the GC chain stay coherent: the next
+    * [[merge]]'s GC keeps exactly the generations the restored and
+    * following manifests reference. No data files move — a rollback is
+    * a metadata commit, O(1) regardless of table size. Retention is
+    * [[merge]]'s "last two": a manifest that still exists implies its
+    * generations were kept, so existence is the full safety check.
+    * Returns the new version. */
+  def rollback(root: String, version: Long): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no versioned table at $root"))
+    require(Files.exists(manifestPath(root, version)),
+      s"version $version is beyond retention (manifest GC'd)")
+    val next = cur + 1
+    writeManifest(root, next, readManifest(root, version))
+    // same atomic temp+move flip as merge: readers see old or new,
+    // never a torn pointer
+    val tmp = Paths.get(root, s"_CURRENT.tmp.$next")
+    Files.write(tmp, next.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
   /** Read the current state of the keyed table (None if nothing has
     * been written yet — or if the current manifest lists zero buckets,
     * which a tombstone-only [[merge]] legitimately writes when deletes

@@ -2493,6 +2493,35 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("rollback: forward metadata commit, audit version serveable, " +
+    "retention enforced after the next merge's GC") {
+    import spark.implicits._
+    import graft.sinks.Upsert
+    val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
+    def df(v: Long) = Seq(("A", v)).toDF("k", "v")
+    Upsert.merge(df(1L), 0L, root, Seq("k")) // v0: A->1
+    Upsert.merge(df(2L), 1L, root, Seq("k")) // v1: A->2
+    val nv = Upsert.rollback(root, 0L)
+    assert(nv === 2L, "rollback commits forward, never rewinds numbers")
+    assert(Upsert.currentVersion(root).contains(2L))
+    assert(Upsert.read(spark, root).get.select("v").head.getLong(0) === 1L,
+      "current state is the restored snapshot")
+    assert(Upsert.readVersion(spark, root, 1L).get
+      .select("v").head.getLong(0) === 2L,
+      "the rolled-back-from version stays time-travel-readable")
+    // a merge after the rollback continues the chain and its GC drops
+    // manifests beyond the last-two retention
+    Upsert.merge(df(3L), 2L, root, Seq("k")) // v3: A->3
+    assert(Upsert.read(spark, root).get.select("v").head.getLong(0) === 3L)
+    assert(Upsert.readVersion(spark, root, 2L).get
+      .select("v").head.getLong(0) === 1L)
+    assert(Upsert.readVersion(spark, root, 0L).isEmpty,
+      "beyond retention returns None")
+    intercept[IllegalArgumentException] {
+      Upsert.rollback(root, 0L) // GC'd target must fail loudly
+    }
+  }
+
   test("cluster size hist: docs conserved, max cluster in decade") {
     val docs = Tables.load(spark, sf, "documents")
     val rows = graft.ops.Dedup.clusterSizeHist(docs).collect()
