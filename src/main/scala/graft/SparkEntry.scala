@@ -487,6 +487,7 @@ object SparkEntry {
       Dedup.clusterSizeHist(Tables.load(s, dir, "documents"))),
     "k17_rollback" -> ((s, dir) =>
       TradeOps.rollbackRoundTrip(s, trades(s, dir))),
+    "v_ivf_occupancy" -> ((s, dir) => Similarity.ivfOccupancy(s, dir)),
     "w_volume_profile" -> ((s, dir) =>
       TradeOps.volumeProfile(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
@@ -1758,6 +1759,7 @@ object SparkEntry {
     "v_pq_occupancy" -> Similarity.pqOccupancySql(),
     "d_cluster_size_hist" -> Dedup.clusterSizeHistSql,
     "k17_rollback" -> s"$T\n${TradeOps.rollbackRoundTripSql}",
+    "v_ivf_occupancy" -> Similarity.ivfOccupancySql(),
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),

@@ -1158,6 +1158,46 @@ object Similarity {
        |             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS purity
        |FROM rk GROUP BY 1""".stripMargin
 
+  /** V (extension) — IVF cell-occupancy decade histogram, completing
+    * the occupancy-surveillance triad ([[graft.ops.Dedup.bucketSkew]]
+    * for LSH bands, [[pqOccupancy]] for the PQ code space, this for
+    * the coarse quantizer): IVF probe cost is Σ(occupancy of probed
+    * cells) — one mega-cell means every query that probes it scans a
+    * constant fraction of the corpus and the "inverted" index stops
+    * inverting. Rides the session-cached k-means and the same
+    * [[kmeansPurity]] assignment projection; one cell groupBy + a
+    * ≤ ~10-row re-aggregation, integer decades. */
+  def ivfOccupancy(spark: SparkSession, dir: String, nCells: Int = 16,
+      trainIters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val cents = trainKmeansCached(spark, dir, emb, nCells, trainIters, dim)
+    assignCells(emb, cents)
+      .groupBy("cell").agg(count(lit(1)).as("occ"))
+      .groupBy(expr("CAST(length(CAST(occ AS STRING)) - 1 AS BIGINT)")
+        .as("occ_decade"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("occ")).as("n_vecs"),
+        max(col("occ")).as("max_occ"))
+  }
+
+  /** Oracle for [[ivfOccupancy]] — the same unrolled k-means chain and
+    * assignment argmin, decade re-aggregation. */
+  def ivfOccupancySql(nCells: Int = 16, trainIters: Int = 2,
+      dim: Int = 64): String =
+    s"""WITH ${kmeansChain(nCells, trainIters, dim)},
+       |${kmAssignCte(s"cb$trainIters", "F")},
+       |occ AS (
+       |  SELECT cell, count(*) AS occ FROM aF WHERE rc = 1 GROUP BY 1
+       |)
+       |SELECT CAST(length(CAST(occ AS VARCHAR)) - 1 AS BIGINT)
+       |         AS occ_decade,
+       |       count(*) AS n_cells,
+       |       CAST(sum(occ) AS BIGINT) AS n_vecs,
+       |       CAST(max(occ) AS BIGINT) AS max_occ
+       |FROM occ GROUP BY 1""".stripMargin
+
   /** PQ asymmetric-distance (ADC) top-k search — the query path of an
     * IVF-PQ index over the [[pqCodes]] layout: each query builds an
     * m×k lookup table of per-subspace distances to every codebook entry

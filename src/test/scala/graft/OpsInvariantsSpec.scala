@@ -2545,6 +2545,17 @@ class OpsInvariantsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0.0))
   }
 
+  test("ivf occupancy: decades partition the corpus, max_occ in decade") {
+    val rows = Similarity.ivfOccupancy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(2)).sum === n)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(3).toString.length - 1L === r.getLong(0))
+    }
+  }
+
   test("pq occupancy: decades partition the corpus, max_occ in decade") {
     val rows = Similarity.pqOccupancy(spark, sf).collect()
     assert(rows.nonEmpty)
