@@ -910,13 +910,18 @@ object Dedup {
     * fixed prefix bounds every cell at prefixLen² and is the standard
     * production guard), and both engines' `levenshtein` is the classic
     * unit-cost DP, so the integer distances agree exactly.
-    * CHARSET CONTRACT (ADVICE r11): cross-engine parity is guaranteed
-    * for ASCII text only — Spark counts UTF-16 code units while
-    * DuckDB's levenshtein has historically been byte-oriented, so
-    * multibyte characters can count differently per edit. The
-    * documents corpus is ASCII by construction; a unicode corpus must
-    * be normalized (e.g. stripped to ASCII) in BOTH engines before
-    * the distance, or the oracle comparison is not meaningful.
+    * CHARSET CONTRACT (ADVICE r11; ENFORCED r13): Spark's levenshtein
+    * counts code points while DuckDB's is byte-oriented, so multibyte
+    * characters count differently per edit. Rather than documenting an
+    * ASCII-only contract (the r13 sf1 corpus promptly violated it —
+    * ScaleGen's ▲-marker made 77% of sampled distances diverge), the
+    * op now ENFORCES the projection it prescribed: every non-ASCII
+    * code point folds to '?' in BOTH engines (`[^\x00-\x7F]` is
+    * code-point-wise in Java regex and RE2 alike, so the folded
+    * strings are identical), after which byte = char and the DP
+    * agrees exactly. Distances are therefore exact on ASCII text and
+    * ASCII-projected elsewhere — the standard byte-fold a production
+    * near-dup verifier applies before unit-cost DP anyway.
     * `lev_ppm` normalizes by the longer prefix. Sampling is the
     * [[minhashEstError]] salted-md5 pair hash at 1/`sampleMod`; the
     * dials are set by the DP's measured cost — 5% × 200² ran 47.8 s at
@@ -931,7 +936,8 @@ object Dedup {
           "CAST(doc_b AS STRING))), 1, 8), 16, 10) AS BIGINT)"),
         lit(sampleMod.toLong)) === 0)
     val pref = docs.select(col("doc_id"),
-      substring(col("text"), 1, prefixLen).as("p"))
+      regexp_replace(substring(col("text"), 1, prefixLen),
+        "[^\\x00-\\x7F]", "?").as("p"))
     sampled
       .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
       .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
@@ -955,7 +961,9 @@ object Dedup {
        |  WHERE ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '_' ||
        |          CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT % $sampleMod = 0
        |), pref AS (
-       |  SELECT doc_id, substr(text, 1, $prefixLen) AS p FROM documents
+       |  SELECT doc_id, regexp_replace(substr(text, 1, $prefixLen),
+       |           '[^\\x00-\\x7F]', '?', 'g') AS p
+       |  FROM documents
        |)
        |SELECT s.doc_a, s.doc_b, round(s.est_jaccard, 6) AS est_jaccard,
        |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
@@ -1365,7 +1373,9 @@ object Dedup {
       maxDist: Int = 12): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
       expr("n_chars div 64").as("lenb"),
-      substring(col("text"), 1, prefixLen).as("head"))
+      // ASCII-fold before the DP — the editDistance charset contract
+      regexp_replace(substring(col("text"), 1, prefixLen),
+        "[^\\x00-\\x7F]", "?").as("head"))
     val a = keyed.select(col("lang"), col("source"), col("lenb"),
       col("doc_id").as("doc_a"), col("head").as("head_a"))
     val b = keyed.select(col("lang"), col("source"), col("lenb"),
@@ -1381,7 +1391,8 @@ object Dedup {
   def fuzzyPairsSql(prefixLen: Int = 40, maxDist: Int = 12): String =
     s"""WITH k AS (
        |  SELECT doc_id, lang, source, n_chars // 64 AS lenb,
-       |         substr(text, 1, $prefixLen) AS head
+       |         regexp_replace(substr(text, 1, $prefixLen),
+       |           '[^\\x00-\\x7F]', '?', 'g') AS head
        |  FROM documents
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -2493,6 +2493,21 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("fuzzy pairs: non-ASCII folds to '?' before the DP (charset " +
+    "contract enforced — multibyte runes cannot skew distances)") {
+    import spark.implicits._
+    // identical except markers: after the ASCII fold both markers
+    // become '?', so the distance must be 0, not a multibyte artifact
+    val docs = Seq(
+      (0L, "alpha▲ beta", "en", "s", 11L),
+      (1L, "alpha▼ beta", "en", "s", 11L),
+      (2L, "alpha gamma oh", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = graft.ops.Dedup.fuzzyPairs(docs, prefixLen = 40, maxDist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(d((0L, 1L)) === 0, "folded markers are identical")
+  }
+
   test("rollback: forward metadata commit, audit version serveable, " +
     "retention enforced after the next merge's GC") {
     import spark.implicits._
