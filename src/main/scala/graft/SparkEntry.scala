@@ -488,6 +488,7 @@ object SparkEntry {
     "k17_rollback" -> ((s, dir) =>
       TradeOps.rollbackRoundTrip(s, trades(s, dir))),
     "v_ivf_occupancy" -> ((s, dir) => Similarity.ivfOccupancy(s, dir)),
+    "w_vpin" -> ((s, dir) => TradeOps.vpin(trades(s, dir))),
     "w_volume_profile" -> ((s, dir) =>
       TradeOps.volumeProfile(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
@@ -1760,6 +1761,7 @@ object SparkEntry {
     "d_cluster_size_hist" -> Dedup.clusterSizeHistSql,
     "k17_rollback" -> s"$T\n${TradeOps.rollbackRoundTripSql}",
     "v_ivf_occupancy" -> Similarity.ivfOccupancySql(),
+    "w_vpin" -> s"$T\n${TradeOps.vpinSql()}",
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),

@@ -3835,6 +3835,81 @@ object TradeOps {
        |  GROUP BY 1
        |) u ON o.symbol = u.symbol""".stripMargin
 
+  /** W (extension) — VPIN-style volume-clock imbalance: partition each
+    * symbol's tape into ~`bars` equal-VOLUME buckets (the volume clock
+    * — activity-synchronized, unlike wall-clock bars) and measure
+    * per-bucket signed order-flow imbalance |Σ sign·vol| / Σvol by the
+    * tick rule (up-tick = buy, down-tick = sell, zero-tick carries the
+    * last sign) — the flow-toxicity meter market makers watch.
+    * ENTIRELY integer: micro-quantized volumes, a per-symbol running
+    * volume sum, bar id `(cumv − 1) div barSize` with the bar size
+    * count-derived per symbol (`total div bars + 1` — engine-exact, no
+    * sampling), tick signs carried with `last(..., ignoreNulls)` over
+    * the same ordered frame both engines evaluate, imbalance in exact
+    * ppm. Two passes over ONE symbol-keyed ordered exchange plus a
+    * broadcast of |symbols| bar sizes; symbols × ~bars rows out.
+    * (Σvol per symbol wraps BIGINT only past ~9·10¹² micro-volume —
+    * beyond any real tape.) */
+  def vpin(trades: DataFrame, bars: Int = 50): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ticked = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("vm", expr("CAST(round(volume * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(ord))
+      .withColumn("sgn0", expr(
+        "CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE NULL END"))
+      .withColumn("sgn",
+        coalesce(last(col("sgn0"), ignoreNulls = true).over(run), lit(0L)))
+      .withColumn("cumv", sum(col("vm")).over(run))
+    val sizes = ticked.groupBy(col("symbol").as("sym2"))
+      .agg(expr(s"sum(vm) div $bars + 1").as("bar_size"))
+    ticked
+      .join(broadcast(sizes), col("symbol") === col("sym2"))
+      .withColumn("bar", expr("(cumv - 1) div bar_size"))
+      .groupBy("symbol", "bar")
+      .agg(count(lit(1)).as("n_ticks"), sum(col("vm")).as("vol_micro"),
+        sum(expr("sgn * vm")).as("signed_micro"))
+      .withColumn("imb_ppm", expr(
+        "(abs(signed_micro) * 1000000) div greatest(vol_micro, 1)"))
+      .drop("signed_micro")
+  }
+
+  /** Oracle for [[vpin]] (body only — caller prepends the trades
+    * CTE). */
+  def vpinSql(bars: Int = 50): String =
+    s"""SELECT t.symbol, (t.cumv - 1) // s.bar_size AS bar,
+       |       count(*) AS n_ticks,
+       |       CAST(sum(t.vm) AS BIGINT) AS vol_micro,
+       |       (abs(CAST(sum(t.sgn * t.vm) AS BIGINT)) * 1000000)
+       |         // greatest(CAST(sum(t.vm) AS BIGINT), 1) AS imb_ppm
+       |FROM (
+       |  SELECT symbol, vm,
+       |         COALESCE(last_value(sgn0 IGNORE NULLS) OVER w, 0) AS sgn,
+       |         CAST(sum(vm) OVER w AS BIGINT) AS cumv
+       |  FROM (
+       |    SELECT symbol, "timestamp", event_id, vm,
+       |           CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1
+       |                ELSE NULL END AS sgn0
+       |    FROM (
+       |      SELECT symbol, "timestamp", event_id,
+       |             CAST(round(volume * 1000000) AS BIGINT) AS vm,
+       |             pc - lag(pc, 1) OVER (PARTITION BY symbol
+       |               ORDER BY "timestamp", event_id) AS d
+       |      FROM (SELECT symbol, "timestamp", event_id, volume,
+       |                   CAST(round(price * 100) AS BIGINT) AS pc
+       |            FROM trades)))
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS UNBOUNDED PRECEDING)
+       |) t JOIN (
+       |  SELECT symbol,
+       |         CAST(sum(CAST(round(volume * 1000000) AS BIGINT))
+       |           AS BIGINT) // $bars + 1 AS bar_size
+       |  FROM trades GROUP BY 1
+       |) s ON t.symbol = s.symbol
+       |GROUP BY 1, 2""".stripMargin
+
   /** W (extension) — Donchian channel breakout profile per symbol:
     * rolling `n`-tick prior high/low channel (the classic turtle
     * breakout band) and how often price escapes it, plus the channel-

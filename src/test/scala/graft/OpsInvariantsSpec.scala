@@ -2493,6 +2493,24 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("vpin: volume conserved on the volume clock, imbalance in [0, 1e6], " +
+    "bars contiguous") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.vpin(trades).collect()
+    val totalMicro = trades
+      .selectExpr("sum(CAST(round(volume * 1000000) AS BIGINT)) AS s")
+      .head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum === totalMicro,
+      "every micro-unit of volume lands in exactly one bar")
+    rows.foreach(r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L))
+    rows.groupBy(_.getString(0)).foreach { case (sym, rs) =>
+      val bars = rs.map(_.getLong(1)).sorted.toSeq
+      assert(bars === (0 until bars.length).map(_.toLong),
+        s"$sym bars must be contiguous from 0: $bars")
+    }
+  }
+
   test("fuzzy pairs: non-ASCII folds to '?' before the DP (charset " +
     "contract enforced — multibyte runes cannot skew distances)") {
     import spark.implicits._
