@@ -489,6 +489,10 @@ object SparkEntry {
       TradeOps.rollbackRoundTrip(s, trades(s, dir))),
     "v_ivf_occupancy" -> ((s, dir) => Similarity.ivfOccupancy(s, dir)),
     "w_vpin" -> ((s, dir) => TradeOps.vpin(trades(s, dir))),
+    "p_sqrt_temper" -> ((s, dir) =>
+      Pipeline.sqrtTemper(Tables.load(s, dir, "documents"))),
+    "e_bot_score" -> ((s, dir) =>
+      EventAnalytics.botScore(Tables.events(s, dir))),
     "w_volume_profile" -> ((s, dir) =>
       TradeOps.volumeProfile(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
@@ -1762,6 +1766,8 @@ object SparkEntry {
     "k17_rollback" -> s"$T\n${TradeOps.rollbackRoundTripSql}",
     "v_ivf_occupancy" -> Similarity.ivfOccupancySql(),
     "w_vpin" -> s"$T\n${TradeOps.vpinSql()}",
+    "p_sqrt_temper" -> Pipeline.sqrtTemperSql,
+    "e_bot_score" -> EventAnalytics.botScoreSql(),
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),

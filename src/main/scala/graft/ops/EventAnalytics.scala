@@ -723,6 +723,91 @@ object EventAnalytics {
           .as("mean_after_ppm"))
   }
 
+  /** E (extension) — composite bot-likelihood triage: the productized
+    * join of this tier's signals into ONE ranked list — per user,
+    * burstiness ([[burstDetect]]'s max-trailing-hour share), type
+    * NARROWNESS (few distinct event types = scripted), and night-hour
+    * share (00–06 UTC), folded as an integer-weighted ppm score
+    * (50% burst + 30% night + 20% narrowness — weights are exact
+    * integer thousandths, every term already ppm, so the fold is pure
+    * BIGINT algebra). Emits the top-`topN` by (score desc, user_id) —
+    * a deterministic bounded output over the CARDINALITY-REDUCED
+    * per-user table (the [[graft.ops.Relational.revenueDeciles]]
+    * precedent: aggregate first, rank |users| rows, never rank raw
+    * events). One user-keyed range window + two map-side-combined
+    * aggregations. */
+  def botScore(events: DataFrame, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-(3600L * 1000000 - 1), Window.currentRow)
+    val perUser = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("in_hour", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("in_hour")).as("max_1h"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(when(hour(col("ts")) < 6, 1L).otherwise(0L)).as("n_night"))
+    val nTypes = events.agg(
+      countDistinct(col("event_type")).as("total_types"))
+    val scored = perUser.crossJoin(broadcast(nTypes))
+      .withColumn("burst_ppm", expr("(max_1h * 1000000) div n_events"))
+      .withColumn("night_ppm", expr("(n_night * 1000000) div n_events"))
+      .withColumn("narrow_ppm", expr(
+        "1000000 - (n_types * 1000000) div total_types"))
+      .withColumn("bot_score_ppm", expr(
+        "(burst_ppm * 500 + night_ppm * 300 + narrow_ppm * 200) div 1000"))
+    val rank = Window.orderBy(col("bot_score_ppm").desc, col("user_id"))
+    scored
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("user_id"), col("n_events"),
+        col("burst_ppm"), col("night_ppm"), col("narrow_ppm"),
+        col("bot_score_ppm"))
+  }
+
+  /** Oracle for [[botScore]]. */
+  def botScoreSql(topN: Int = 20): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ts::TIMESTAMP AS ts,
+       |         epoch_us(ts::TIMESTAMP) AS us
+       |  FROM events
+       |), h AS (
+       |  SELECT user_id, event_type, ts,
+       |         count(*) OVER (PARTITION BY user_id ORDER BY us
+       |           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+       |           AS in_hour
+       |  FROM e
+       |), u AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |         CAST(max(in_hour) AS BIGINT) AS max_1h,
+       |         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       |         CAST(sum(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_night
+       |  FROM h GROUP BY 1
+       |), tt AS (
+       |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS total_types
+       |  FROM events
+       |), s AS (
+       |  SELECT u.user_id, u.n_events,
+       |         (u.max_1h * 1000000) // u.n_events AS burst_ppm,
+       |         (u.n_night * 1000000) // u.n_events AS night_ppm,
+       |         1000000 - (u.n_types * 1000000) // tt.total_types
+       |           AS narrow_ppm
+       |  FROM u, tt
+       |)
+       |SELECT rank, user_id, n_events, burst_ppm, night_ppm, narrow_ppm,
+       |       bot_score_ppm
+       |FROM (
+       |  SELECT CAST(row_number() OVER (
+       |           ORDER BY (burst_ppm * 500 + night_ppm * 300
+       |                     + narrow_ppm * 200) // 1000 DESC, user_id)
+       |           AS BIGINT) AS rank,
+       |         user_id, n_events, burst_ppm, night_ppm, narrow_ppm,
+       |         (burst_ppm * 500 + night_ppm * 300 + narrow_ppm * 200)
+       |           // 1000 AS bot_score_ppm
+       |  FROM s)
+       |WHERE rank <= $topN""".stripMargin
+
   /** E (extension) — audience-overlap matrix: exact Jaccard (in ppm)
     * of the DISTINCT user sets behind every event-type pair — the
     * "are these two surfaces the same people or disjoint populations"

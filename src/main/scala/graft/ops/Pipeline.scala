@@ -714,4 +714,64 @@ object Pipeline {
        |       (CAST(sum(n_tokens) AS BIGINT) * 1000000)
        |         // (SELECT CAST(sum(n_tokens) AS BIGINT) FROM t) AS share_ppm
        |FROM r GROUP BY 1""".stripMargin
+
+  /** P (extension) — square-root temperature sampling weights per
+    * source: the standard down-weighting of dominant corpora when a
+    * pretraining mix resamples sources (`w_i ∝ n_i^α`; α = ½ is the
+    * one temperature whose power function is EXACT cross-engine —
+    * `sqrt` is correctly rounded, `pow` is not, so ½ is chosen over
+    * the fashionable 0.7 deliberately). Each source's √n
+    * micro-quantizes through one floor (bit-equal inputs → bit-equal
+    * integer), shares derive by integer division, and the ppm deficit
+    * from flooring is repaid by LARGEST-REMAINDER seats with a
+    * (remainder desc, source asc) tie-break — so the emitted weights
+    * sum to EXACTLY 10⁶, the property a downstream sampler actually
+    * relies on. One groupBy to |sources| rows; everything after is a
+    * broadcast-sized window. */
+  def sqrtTemper(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("r6", expr(
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0D + 0.5D) " +
+          "AS BIGINT)"))
+    val tot = base.agg(sum(col("r6")).as("rt"),
+      count(lit(1)).as("k"))
+    val seats = Window.orderBy(expr("(r6 * 1000000) % rt").desc,
+      col("source").asc)
+    base.crossJoin(broadcast(tot))
+      .withColumn("floor_ppm", expr("(r6 * 1000000) div rt"))
+      .withColumn("rk", row_number().over(seats).cast("long"))
+      .crossJoin(broadcast(base.crossJoin(tot)
+        .agg(expr("1000000 - CAST(sum((r6 * 1000000) div rt) AS BIGINT)")
+          .as("deficit"))))
+      .withColumn("weight_ppm", expr(
+        "floor_ppm + CASE WHEN rk <= deficit THEN 1 ELSE 0 END"))
+      .select(col("source"), col("n_docs"), col("weight_ppm"))
+  }
+
+  /** Oracle for [[sqrtTemper]] — identical quantization, floor
+    * shares, and largest-remainder seat assignment. */
+  val sqrtTemperSql: String =
+    """WITH b AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0
+      |           + 0.5) AS BIGINT) AS r6
+      |  FROM documents GROUP BY 1
+      |), rt AS (
+      |  SELECT CAST(sum(r6) AS BIGINT) AS rt FROM b
+      |), t AS (
+      |  SELECT rt.rt,
+      |         1000000 - CAST(sum((b.r6 * 1000000) // rt.rt) AS BIGINT)
+      |           AS deficit
+      |  FROM b, rt GROUP BY rt.rt
+      |)
+      |SELECT source, n_docs,
+      |       (r6 * 1000000) // rt
+      |         + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS weight_ppm
+      |FROM (
+      |  SELECT b.source, b.n_docs, b.r6, t.rt, t.deficit,
+      |         CAST(row_number() OVER (
+      |           ORDER BY (b.r6 * 1000000) % t.rt DESC, b.source ASC)
+      |           AS BIGINT) AS rk
+      |  FROM b, t)""".stripMargin
 }

@@ -2493,6 +2493,34 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("sqrt temper: weights sum to exactly 1e6, near-monotone in size") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Pipeline.sqrtTemper(docs).collect()
+    assert(rows.map(_.getLong(2)).sum === 1000000L,
+      "largest-remainder seats must repay the flooring deficit exactly")
+    val bySize = rows.sortBy(_.getLong(1))
+    bySize.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(2) - 1,
+        "weights track sqrt(size) up to one remainder seat")
+    }
+  }
+
+  test("bot score: ranked, bounded, exact integer fold of the parts") {
+    val rows = graft.ops.EventAnalytics.botScore(Tables.events(spark, sf))
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length))
+    rows.foreach { r =>
+      val (b, n, w, s) = (r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))
+      assert(s === (b * 500 + n * 300 + w * 200) / 1000)
+      assert(s >= 0L && s <= 1000000L)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(6) <= a.getLong(6), "scores non-increasing by rank")
+    }
+  }
+
   test("vpin: volume conserved on the volume clock, imbalance in [0, 1e6], " +
     "bars contiguous") {
     val trades = Tables.trades(spark, sf)
