@@ -493,6 +493,8 @@ object SparkEntry {
       Pipeline.sqrtTemper(Tables.load(s, dir, "documents"))),
     "e_bot_score" -> ((s, dir) =>
       EventAnalytics.botScore(Tables.events(s, dir))),
+    "v_centroid_auc" -> ((s, dir) => Similarity.centroidAuc(s, dir)),
+    "w_amihud" -> ((s, dir) => TradeOps.amihud(trades(s, dir))),
     "w_volume_profile" -> ((s, dir) =>
       TradeOps.volumeProfile(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
@@ -1768,6 +1770,8 @@ object SparkEntry {
     "w_vpin" -> s"$T\n${TradeOps.vpinSql()}",
     "p_sqrt_temper" -> Pipeline.sqrtTemperSql,
     "e_bot_score" -> EventAnalytics.botScoreSql(),
+    "v_centroid_auc" -> Similarity.centroidAucSql(),
+    "w_amihud" -> s"$T\n${TradeOps.amihudSql}",
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),

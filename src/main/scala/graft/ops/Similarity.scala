@@ -2773,6 +2773,93 @@ object Similarity {
        |  ORDER BY cos_exp DESC, e.vec_id LIMIT $k
        |) x""".stripMargin
 
+  /** V (extension) — exact integer ROC-AUC of a centroid-similarity
+    * classifier: how well does "cosine to the label-0 centroid"
+    * separate label 0 from the rest? The embedding-quality metric
+    * behind "are these labels even linearly separable in this space" —
+    * reported as the Mann-Whitney rank-sum AUC, computed ENTIRELY in
+    * integers: the centroid is the [[prfExpand]] micro-quantized
+    * order-free mean, per-vector scores micro-quantize through one
+    * floor, ranks are `row_number` over the deterministic
+    * (score, vec_id) order (ties broken by id — documented, exact,
+    * engine-identical; no fractional average-ranks), and
+    * `AUC = (ΣR₊ − n₊(n₊+1)/2) / (n₊·n₋)` emits in exact ppm. The
+    * rank is one global sort over the CARDINALITY of the embedding
+    * table (vectors, not tokens — the q26 aggregate-first precedent);
+    * everything else is map-side. */
+  def centroidAuc(spark: SparkSession, dir: String,
+      posLabel: Int = 0): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val centroid = emb.filter(col("label") === posLabel)
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("xm", expr("CAST(round(x * 1000000) AS BIGINT)"))
+      .groupBy("d").agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, " +
+        "CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0D) AS c))), " +
+        "s -> s.c)").as("cv"))
+      .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
+    val scored = emb.crossJoin(broadcast(centroid))
+      .withColumn("s6", expr(
+        "CAST(floor(dot_product(cv, v) / (cn * norm) * 1000000.0D + 0.5D) " +
+          "AS BIGINT)"))
+      .withColumn("pos", (col("label") === posLabel).cast("long"))
+    val byScore = Window.orderBy(col("s6"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(col("pos") * col("rnk")).as("rank_sum"))
+      .withColumn("auc_ppm", expr(
+        "((rank_sum - (n_pos * (n_pos + 1)) div 2) * 1000000) " +
+          "div (n_pos * n_neg)"))
+  }
+
+  /** Oracle for [[centroidAuc]] — identical micro-quantized centroid,
+    * floored scores, (score, vec_id) ranks, and rank-sum algebra. */
+  def centroidAucSql(posLabel: Int = 0, dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT list(c ORDER BY d) AS cv
+       |  FROM (
+       |    SELECT d, CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |             AS c
+       |    FROM (
+       |      SELECT u.i AS d,
+       |             CAST(sum(CAST(round(v[u.i] * 1000000) AS BIGINT))
+       |               AS BIGINT) AS sm,
+       |             count(*) AS n
+       |      FROM e, (SELECT unnest(generate_series(1, $dim)) AS i) u
+       |      WHERE e.label = $posLabel
+       |      GROUP BY 1))
+       |), cn AS (
+       |  SELECT cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent
+       |), sc AS (
+       |  SELECT e.vec_id,
+       |         CAST(floor(list_dot_product(cn.cv, e.v) / (cn.cn * e.nrm)
+       |           * 1000000.0 + 0.5) AS BIGINT) AS s6,
+       |         CASE WHEN e.label = $posLabel THEN 1 ELSE 0 END AS pos
+       |  FROM e, cn
+       |), rk AS (
+       |  SELECT pos,
+       |         CAST(row_number() OVER (ORDER BY s6, vec_id) AS BIGINT)
+       |           AS rnk
+       |  FROM sc
+       |)
+       |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |       CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+       |       CAST(sum(pos * rnk) AS BIGINT) AS rank_sum,
+       |       ((CAST(sum(pos * rnk) AS BIGINT)
+       |         - (CAST(sum(pos) AS BIGINT)
+       |            * (CAST(sum(pos) AS BIGINT) + 1)) // 2) * 1000000)
+       |         // (CAST(sum(pos) AS BIGINT) * CAST(sum(1 - pos) AS BIGINT))
+       |         AS auc_ppm
+       |FROM rk""".stripMargin
+
   /** V (extension) — SECOND principal component via Hotelling
     * deflation: power-iterate for the top PC, project it out of every
     * vector (`v' = v − (v·u₁)u₁`), iterate again on the deflated

@@ -3835,6 +3835,57 @@ object TradeOps {
        |  GROUP BY 1
        |) u ON o.symbol = u.symbol""".stripMargin
 
+  /** W (extension) — Amihud-style daily illiquidity: per (symbol, day),
+    * total absolute price movement per unit of traded volume — the
+    * classic price-impact proxy ("how many cents does a unit of flow
+    * move this name?"). ENTIRELY integer: cent moves |Δpc| summed per
+    * day (the lag crosses days within a symbol deliberately — the
+    * overnight gap is real movement), micro-quantized volume, the
+    * ratio in parts-per-billion by integer division (ppb because
+    * illiquidity ratios are small; ppm would floor most names to 0).
+    * One symbol-keyed ordered exchange + one map-side-combined
+    * groupBy; symbols × days rows out. */
+  def amihud(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("vm", expr("CAST(round(volume * 1000000) AS BIGINT)"))
+      .withColumn("ad", expr("abs(pc - lag(pc, 1) OVER (PARTITION BY " +
+        "symbol ORDER BY timestamp, event_id))"))
+      .withColumn("day", to_date(col("timestamp")))
+      .filter(col("ad").isNotNull)
+      .groupBy("symbol", "day")
+      .agg(count(lit(1)).as("n_ticks"), sum(col("ad")).as("move_cents"),
+        sum(col("vm")).as("vol_micro"))
+      .withColumn("illiq_ppb", expr(
+        "(move_cents * 1000000000) div greatest(vol_micro, 1)"))
+      // Spark-side DATE fails the cross-engine type gate; TIMESTAMP
+      // pairs with DuckDB's DATE (the e_retention convention)
+      .withColumn("day", col("day").cast("timestamp"))
+  }
+
+  /** Oracle for [[amihud]] (body only — caller prepends the trades
+    * CTE). */
+  val amihudSql: String =
+    """SELECT symbol, CAST("timestamp" AS DATE) AS day,
+      |       count(*) AS n_ticks,
+      |       CAST(sum(ad) AS BIGINT) AS move_cents,
+      |       CAST(sum(vm) AS BIGINT) AS vol_micro,
+      |       (CAST(sum(ad) AS BIGINT) * 1000000000)
+      |         // greatest(CAST(sum(vm) AS BIGINT), 1) AS illiq_ppb
+      |FROM (
+      |  SELECT symbol, "timestamp",
+      |         CAST(round(volume * 1000000) AS BIGINT) AS vm,
+      |         abs(pc - lag(pc, 1) OVER (PARTITION BY symbol
+      |           ORDER BY "timestamp", event_id)) AS ad
+      |  FROM (SELECT symbol, "timestamp", event_id, volume,
+      |               CAST(round(price * 100) AS BIGINT) AS pc
+      |        FROM trades)
+      |)
+      |WHERE ad IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   /** W (extension) — VPIN-style volume-clock imbalance: partition each
     * symbol's tape into ~`bars` equal-VOLUME buckets (the volume clock
     * — activity-synchronized, unlike wall-clock bars) and measure

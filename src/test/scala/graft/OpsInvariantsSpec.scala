@@ -2493,6 +2493,31 @@ class OpsInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("centroid auc: counts partition the corpus, exact rank-sum algebra, " +
+    "auc in [0, 1e6]") {
+    val r = Similarity.centroidAuc(spark, sf).head
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val (np, nn, rs, auc) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(np + nn === n)
+    assert(auc === ((rs - np * (np + 1) / 2) * 1000000L) / (np * nn))
+    assert(auc >= 0L && auc <= 1000000L)
+    // rank-sum bounds: positives at the bottom / top of the order
+    assert(rs >= np * (np + 1) / 2 && rs <= np * (2 * n - np + 1) / 2)
+  }
+
+  test("amihud: tick conservation (one gap per tick after the first), " +
+    "ppb non-negative") {
+    val trades = Tables.trades(spark, sf)
+    val rows = graft.ops.TradeOps.amihud(trades).collect()
+    val expected = trades.count() -
+      trades.select("symbol").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(5) >= 0L)
+    }
+  }
+
   test("sqrt temper: weights sum to exactly 1e6, near-monotone in size") {
     val docs = Tables.load(spark, sf, "documents")
     val rows = graft.ops.Pipeline.sqrtTemper(docs).collect()
