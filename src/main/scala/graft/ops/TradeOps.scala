@@ -2688,26 +2688,37 @@ object TradeOps {
 
   /** W19 (extension) — daily realized volatility: the sum of squared
     * tick-to-tick moves per (symbol, day), the microstructure
-    * volatility estimator. Squared micro-unit diffs are exact BIGINTs
-    * (move² ≤ 10¹², summed ≪ 2⁶³); `sqrt` is IEEE-CORRECTLY-ROUNDED in
-    * both engines (unlike libm's log — which is why this uses absolute
-    * moves, not log returns), so the final vol is engine-identical.
-    * Day boundaries don't leak: the lag window partitions by (symbol,
-    * day), so each day's first tick has no predecessor. One window +
-    * one aggregate on the same key — one exchange. */
+    * volatility estimator. Squared CENT diffs (the [[volRegime]]
+    * quantization — r13's 100× rehearsal overflowed the original
+    * micro-unit squares when interleaved corpus copies widened
+    * tick-to-tick jumps: cent² buys 10⁸ more sum headroom at
+    * sub-display-precision cost), with the loud div-form guard so a
+    * tape whose jump·√ticks exceeds BIGINT fails instead of wrapping.
+    * `sqrt` is IEEE-correctly-rounded in both engines (unlike libm's
+    * log — which is why this uses absolute moves, not log returns), so
+    * the final vol is engine-identical. Day boundaries don't leak: the
+    * lag window partitions by (symbol, day). One window + one
+    * aggregate on the same key — one exchange. */
   def realizedVol(trades: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol"), col("day"))
       .orderBy(col("timestamp"), col("event_id"))
     trades
       .withColumn("day", to_date(col("timestamp")))
-      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
-      .withColumn("d", col("pm") - lag(col("pm"), 1).over(w))
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(w))
       .groupBy(col("symbol"), col("day"))
       .agg(count(lit(1)).as("n_ticks"),
-        sum(col("d") * col("d")).as("rv_micro2"))
+        sum(col("d") * col("d")).as("rv_cent2"),
+        max(abs(col("d"))).as("mxd"))
+      .filter(expr(
+        "assert_true(n_ticks <= ((9223372036854775807 " +
+          "div greatest(mxd, 1)) div greatest(mxd, 1)), " +
+          "'realized_vol: tick jumps too large for exact BIGINT " +
+          "squared-move sum — coarsen quantization') IS NULL"))
+      .drop("mxd")
       .select(col("symbol"), col("day").cast("timestamp").as("day"),
-        col("n_ticks"), col("rv_micro2"),
-        round(sqrt(col("rv_micro2").cast("double")) / lit(1000000d), 6)
+        col("n_ticks"), col("rv_cent2"),
+        round(sqrt(col("rv_cent2").cast("double")) / lit(100d), 6)
           .as("realized_vol"))
   }
 
@@ -2716,17 +2727,17 @@ object TradeOps {
   val realizedVolSql: String =
     """WITH d AS (
       |  SELECT symbol, CAST("timestamp" AS DATE) AS day,
-      |         CAST(round(price * 1000000) AS BIGINT)
-      |           - lag(CAST(round(price * 1000000) AS BIGINT), 1)
+      |         CAST(round(price * 100) AS BIGINT)
+      |           - lag(CAST(round(price * 100) AS BIGINT), 1)
       |             OVER (PARTITION BY symbol, CAST("timestamp" AS DATE)
       |                   ORDER BY "timestamp", event_id) AS dd
       |  FROM trades
       |)
       |SELECT symbol, CAST(day AS TIMESTAMP) AS day,
       |       count(*) AS n_ticks,
-      |       CAST(sum(dd * dd) AS BIGINT) AS rv_micro2,
+      |       CAST(sum(dd * dd) AS BIGINT) AS rv_cent2,
       |       round(sqrt(CAST(CAST(sum(dd * dd) AS BIGINT) AS DOUBLE))
-      |             / 1000000.0::DOUBLE, 6) AS realized_vol
+      |             / 100.0::DOUBLE, 6) AS realized_vol
       |FROM d GROUP BY 1, 2""".stripMargin
 
   /** K15 (extension) — merge-on-read table: row-level upserts land as

@@ -572,7 +572,7 @@ class EdgeCasesSpec extends SparkSuite {
       (i, "F", new java.sql.Timestamp(1700000000000L + i * 1000), 5.0))
       .toDF("event_id", "symbol", "timestamp", "price")
     val fv = TradeOps.realizedVol(flat).head()
-    assert(fv.getAs[Long]("rv_micro2") === 0L &&
+    assert(fv.getAs[Long]("rv_cent2") === 0L &&
       fv.getAs[Double]("realized_vol") === 0.0)
     assert(TradeOps.realizedVol(emptyTrades).count() === 0)
   }
