@@ -26,21 +26,33 @@ object Relational {
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
 
   /** TPC-H Q1-style pricing summary over lineitem. */
+  /** Deterministic DECIMAL→DOUBLE for corpus-scale money aggregates:
+    * route through the exact micro-unit BIGINT so both engines perform
+    * the SAME single IEEE long→double rounding. A direct decimal cast
+    * is correctly rounded in Spark (BigDecimal) but double-rounded
+    * through int128 halves in DuckDB — divergent by 1 ulp once the sum
+    * exceeds 2⁵³ micro-units (≈9·10⁹ money units; caught by the r13
+    * sf1 sweep on q1's sum_charge). Money inputs carry ≤6 decimals, so
+    * the micro value is an EXACT integer — no precision is lost.
+    * Ceiling: sums past ~9.2·10¹² units would overflow the BIGINT. */
+  private def decD(c: org.apache.spark.sql.Column) =
+    (c * lit(1000000)).cast("long").cast("double") / lit(1000000d)
+
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
-          .cast("double").as("sum_charge"),
+        decD(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("sum_disc_price"),
+        decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))))
+          .as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6)
+        round(decD(sum(dec(col("l_extendedprice")))) / count(lit(1)), 6)
           .as("avg_price"),
-        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6)
+        round(decD(sum(dec(col("l_discount")))) / count(lit(1)), 6)
           .as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
