@@ -519,9 +519,9 @@ object SparkEntry {
        |       make_timestamp(epoch_ms("timestamp") * 1000) AS "timestamp",
        |       price, volume,
        |       price * volume AS usd_volume,
-       |       CAST(sum(CAST(volume AS DECIMAL(18,6))) OVER (PARTITION BY symbol
+       |       CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) OVER (PARTITION BY symbol
        |         ORDER BY "timestamp", event_id
-       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
        |         AS cumulative_volume
        |FROM trades""".stripMargin
 
@@ -658,13 +658,13 @@ object SparkEntry {
          |       min("timestamp") AS session_start,
          |       max("timestamp") + INTERVAL 5 MINUTE AS session_end,
          |       count(*) AS n_events,
-         |       CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS session_usd
+         |       CAST(CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS session_usd
          |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "skew_salted_agg" ->
       s"""$T
          |SELECT symbol,
-         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+         |       CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_volume,
          |       count(*) AS n_trades,
          |       min(price) AS min_price,
          |       max(price) AS max_price
@@ -675,7 +675,7 @@ object SparkEntry {
     "b_bucketed_join" ->
       """SELECT c.c_custkey, c.c_name,
         |       count(*) AS n_orders,
-        |       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+        |       round(CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0, 4) AS revenue
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1, 2""".stripMargin,
 
@@ -683,8 +683,8 @@ object SparkEntry {
       s"""$T
          |SELECT symbol,
          |       date_trunc('minute', "timestamp") AS "timestamp",
-         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
-         |       CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS total_usd_volume,
+         |       CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_volume,
+         |       CAST(CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_usd_volume,
          |       count(*) AS n_trades
          |FROM trades GROUP BY 1, 2""".stripMargin,
 
@@ -693,8 +693,8 @@ object SparkEntry {
          |SELECT symbol,
          |       make_timestamp((CAST(floor(epoch("timestamp") / 10) AS BIGINT) * 10 - k) * 1000000)
          |         AS "timestamp",
-         |       CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS total_usd_volume,
-         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+         |       CAST(CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_usd_volume,
+         |       CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_volume,
          |       arg_max(price, event_id) AS close,
          |       max(price) AS high,
          |       min(price) AS low,
@@ -705,9 +705,9 @@ object SparkEntry {
     "w1_cumulative_volume" ->
       s"""$T
          |SELECT event_id, symbol, "timestamp", volume,
-         |       CAST(sum(CAST(volume AS DECIMAL(18,6))) OVER (PARTITION BY symbol
+         |       CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) OVER (PARTITION BY symbol
          |         ORDER BY "timestamp", event_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
          |         AS cumulative_volume
          |FROM trades""".stripMargin,
 
@@ -715,7 +715,7 @@ object SparkEntry {
       s"""$T
          |SELECT event_id, symbol, "timestamp", lookback_avg, n_rows FROM (
          |  SELECT event_id, symbol, "timestamp",
-         |         round(CAST(sum(CAST(price AS DECIMAL(18,6))) OVER w AS DOUBLE) / 100, 6) AS lookback_avg,
+         |         round(CAST(CAST(sum(CAST(price AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / 100, 6) AS lookback_avg,
          |         count(*) OVER w AS n_rows
          |  FROM trades
          |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
@@ -774,7 +774,7 @@ object SparkEntry {
       s"""$T
          |SELECT year("timestamp") AS year, month("timestamp") AS month,
          |       day("timestamp") AS day, hour("timestamp") AS hour,
-         |       count(*) AS n, CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+         |       count(*) AS n, CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_volume
          |FROM trades GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "f2_json_kv" ->
@@ -987,7 +987,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -998,7 +998,7 @@ object SparkEntry {
 
     "q5_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1009,7 +1009,7 @@ object SparkEntry {
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1026,14 +1026,14 @@ object SparkEntry {
         |         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
         |  FROM lineitem
         |)
-        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+        |SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_price,
         |       count(*) AS n_items
         |FROM w WHERE l_quantity < 0.2::DOUBLE * avg_qty""".stripMargin,
 
     "q7_volume_shipping" ->
       """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1051,10 +1051,10 @@ object SparkEntry {
     "q8_market_share" ->
       """WITH a AS (
         |  SELECT year(o_orderdate) AS o_year,
-        |    CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+        |    CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_revenue,
-        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS nation_revenue,
+        |    CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_revenue
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -1072,8 +1072,8 @@ object SparkEntry {
 
     "q9_product_profit" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) -
-        |                CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(18,6))) AS DOUBLE) AS profit,
+        |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) -
+        |                CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS profit,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -1128,7 +1128,7 @@ object SparkEntry {
         |    WHERE n_name = 'NATION_7')
         |  GROUP BY 1
         |)
-        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |SELECT l_partkey, CAST(CAST(value_dec * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS part_value
         |FROM vals
         |WHERE value_dec > (SELECT sum(value_dec) FROM vals) * 0.001""".stripMargin,
 
@@ -1172,10 +1172,10 @@ object SparkEntry {
     "q14_promo_share" ->
       """WITH a AS (
         |  SELECT
-        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
-        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS promo_revenue,
+        |    CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
@@ -1193,7 +1193,7 @@ object SparkEntry {
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY 1
         |)
-        |SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+        |SELECT s_suppkey, s_name, CAST(CAST(total_revenue_dec * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue_dec = (SELECT max(total_revenue_dec) FROM rev)""".stripMargin,
 
@@ -1210,7 +1210,7 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "q19_branded_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -1242,7 +1242,7 @@ object SparkEntry {
 
     "q22_idle_balance" ->
       """SELECT c_nationkey AS cntry, count(*) AS numcust,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS totacctbal
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -1312,7 +1312,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -1572,8 +1572,8 @@ object SparkEntry {
     "a_unpivot_totals" ->
       s"""$T, agg AS (
          |  SELECT symbol,
-         |    CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
-         |    CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS total_usd_volume
+         |    CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_volume,
+         |    CAST(CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_usd_volume
          |  FROM trades GROUP BY symbol
          |)
          |SELECT symbol, 'total_volume' AS metric, total_volume AS value FROM agg

@@ -27,8 +27,8 @@ object Decode {
       .orderBy(col("timestamp"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     trades
-      .withColumn("cv", sum(col("volume").cast("decimal(18,6)")).over(cumW)
-        .cast("double"))
+      .withColumn("cv", graft.Num.decD(
+        sum(col("volume").cast("decimal(18,6)")).over(cumW)))
       .select(
         col("symbol"),
         date_trunc("hour", col("timestamp")).as("envelope_hour"),
@@ -118,8 +118,8 @@ object Decode {
       .orderBy(col("timestamp"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val envelopes = trades
-      .withColumn("cv", sum(col("volume").cast("decimal(18,6)")).over(cumW)
-        .cast("double"))
+      .withColumn("cv", graft.Num.decD(
+        sum(col("volume").cast("decimal(18,6)")).over(cumW)))
       .select(
         col("symbol"),
         date_trunc("hour", col("timestamp")).as("envelope_hour"),

@@ -75,7 +75,8 @@ object Predict {
     val bars = TradeOps.slidingFeatures(trades)
     val w = Window.partitionBy("symbol").orderBy("timestamp")
       .rowsBetween(-(n - 1), Window.currentRow)
-    def decSum(c: Column) = sum(c.cast("decimal(18,6)")).over(w).cast("double")
+    def decSum(c: Column) =
+      graft.Num.decD(sum(c.cast("decimal(18,6)")).over(w))
     bars.select(col("symbol"), col("timestamp"),
         collect_list(struct(
           col("close"), col("high"), col("low"),
@@ -264,8 +265,8 @@ object Predict {
       |  SELECT symbol,
       |         make_timestamp((CAST(floor(epoch("timestamp") / 10) AS BIGINT) * 10 - k) * 1000000)
       |           AS "timestamp",
-      |         CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) AS DOUBLE) AS usd,
-      |         CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS vol,
+      |         CAST(CAST(sum(CAST(usd_volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS usd,
+      |         CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS vol,
       |         arg_max(price, event_id) AS close,
       |         max(price) AS high,
       |         min(price) AS low,
@@ -280,9 +281,9 @@ object Predict {
        |         CAST(count(*) OVER w AS INTEGER) AS n_rows,
        |         first_value(close) OVER w AS first_close,
        |         close AS last_close,
-       |         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_close,
-       |         CAST(sum(CAST(usd AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_usd,
-       |         CAST(sum(CAST(nt AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trades
+       |         CAST(CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_close,
+       |         CAST(CAST(sum(CAST(usd AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_usd,
+       |         CAST(CAST(sum(CAST(nt AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_trades
        |  FROM bars
        |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp"
        |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)

@@ -35,8 +35,7 @@ object Relational {
     * sf1 sweep on q1's sum_charge). Money inputs carry ≤6 decimals, so
     * the micro value is an EXACT integer — no precision is lost.
     * Ceiling: sums past ~9.2·10¹² units would overflow the BIGINT. */
-  private def decD(c: org.apache.spark.sql.Column) =
-    (c * lit(1000000)).cast("long").cast("double") / lit(1000000d)
+  private def decD(c: org.apache.spark.sql.Column) = graft.Num.decD(c)
 
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -68,8 +67,8 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -88,8 +87,8 @@ object Relational {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("revenue"),
+        decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -350,8 +349,8 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .cast("double").as("revenue"),
+      .agg(decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+        .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -368,7 +367,7 @@ object Relational {
     li.withColumn("avg_qty", avg(col("l_quantity")).over(byPart))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(
-        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
+        decD(sum(dec(col("l_extendedprice")))).as("total_price"),
         count(lit(1)).as("n_items"))
   }
 
@@ -382,8 +381,8 @@ object Relational {
         col("l_discount").between(0.02, 0.09) &&
         col("l_quantity") < 24)
       .agg(
-        sum(dec(col("l_extendedprice") * col("l_discount")))
-          .cast("double").as("revenue"),
+        decD(sum(dec(col("l_extendedprice") * col("l_discount"))))
+          .as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** TPC-H Q4-style: orders with at least one returned lineitem,
@@ -435,11 +434,11 @@ object Relational {
     val part = Tables.load(spark, dir, "part")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO",
+        decD(sum(when(col("p_type") === "PROMO",
           dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .otherwise(dec(lit(0)))).cast("double").as("promo_revenue"),
-        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("total_revenue"))
+          .otherwise(dec(lit(0))))).as("promo_revenue"),
+        decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("total_revenue"))
       .select(
         round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
           .as("promo_pct"),
@@ -486,8 +485,8 @@ object Relational {
         clause("Brand#23", 10, 20, 10) ||
         clause("Brand#34", 20, 30, 15))
       .agg(
-        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("revenue"),
+        decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -520,8 +519,8 @@ object Relational {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .cast("double").as("revenue"),
+      .agg(decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+        .as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -551,11 +550,11 @@ object Relational {
       .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        sum(when(col("supp_nation") === "NATION_3",
+        decD(sum(when(col("supp_nation") === "NATION_3",
           dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .otherwise(dec(lit(0)))).cast("double").as("nation_revenue"),
-        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("total_revenue"))
+          .otherwise(dec(lit(0))))).as("nation_revenue"),
+        decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("total_revenue"))
       .select(col("o_year"),
         round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"),
         col("nation_revenue"), col("total_revenue"))
@@ -579,10 +578,10 @@ object Relational {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(sum(
+      .agg(decD(sum(
         dec(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
-          dec(col("p_retailprice") * col("l_quantity") * lit(0.5)))
-        .cast("double").as("profit"),
+          dec(col("p_retailprice") * col("l_quantity") * lit(0.5))))
+        .as("profit"),
         count(lit(1)).as("n_items"))
   }
 
@@ -623,7 +622,7 @@ object Relational {
       .filter(col("rnk") === 1)
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
-        col("total_revenue_dec").cast("double").as("total_revenue"))
+        decD(col("total_revenue_dec")).as("total_revenue"))
   }
 
   /** TPC-H Q21-style: suppliers who were the SOLE returning supplier in
@@ -673,7 +672,7 @@ object Relational {
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("cntry"))
       .agg(count(lit(1)).as("numcust"),
-        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        decD(sum(dec(col("c_acctbal")))).as("totacctbal"))
   }
 
   /** The part-supplier catalog the synthetic schema lacks (no partsupp
@@ -750,7 +749,7 @@ object Relational {
     vals.join(broadcast(total))
       .filter(col("value_dec") > col("total_dec") * lit(0.001))
       .select(col("l_partkey"),
-        col("value_dec").cast("double").as("part_value"))
+        decD(col("value_dec")).as("part_value"))
   }
 
   /** TPC-H Q16-style: distinct-supplier counts per (brand, type, size)
@@ -870,16 +869,16 @@ object Relational {
     li.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("revenue"))
+        decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("revenue"))
   }
 
   /** Oracle for [[bloomSemiJoinRevenue]] — the Bloom probe is a pure
     * pre-filter, so the oracle is the plain semi-join. */
   val bloomSemiJoinRevenueSql: String =
     """SELECT l_returnflag, count(*) AS n_lines,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-      |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue
       |FROM lineitem
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
       |                     WHERE o_orderpriority = '1-URGENT')
@@ -985,7 +984,7 @@ object Relational {
     val m = quartileDesc(f, floor(col("_monetary") / 1000L),
       col("_monetary"), "m_q")
     m.select(col("custkey"), col("recency"), col("frequency"),
-      col("_monetary").cast("double").as("monetary"),
+      decD(col("_monetary")).as("monetary"),
       col("r_q"), col("f_q"), col("m_q"),
       (col("r_q") * 100L + col("f_q") * 10L + col("m_q")).as("rfm_segment"))
   }
@@ -999,7 +998,7 @@ object Relational {
       |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
       |  FROM orders GROUP BY 1
       |)
-      |SELECT custkey, recency, frequency, CAST(monetary AS DOUBLE) AS monetary,
+      |SELECT custkey, recency, frequency, CAST(CAST(monetary * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS monetary,
       |       CAST(ntile(4) OVER (ORDER BY recency DESC, custkey DESC)
       |            AS BIGINT) AS r_q,
       |       CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey DESC)
@@ -1027,10 +1026,10 @@ object Relational {
       col("rev").as("prev_rev"))
     monthly.join(broadcast(prev), Seq("y", "m"), "left")
       .select(col("y"), col("m"),
-        col("rev").cast("double").as("revenue"),
-        col("prev_rev").cast("double").as("prev_revenue"),
-        round((col("rev").cast("double") - col("prev_rev").cast("double"))
-          / col("prev_rev").cast("double") * 100d, 4).as("yoy_pct"))
+        decD(col("rev")).as("revenue"),
+        decD(col("prev_rev")).as("prev_revenue"),
+        round((decD(col("rev")) - decD(col("prev_rev")))
+          / decD(col("prev_rev")) * 100d, 4).as("yoy_pct"))
   }
 
   /** Oracle for [[yoyRevenue]] — same join form, same cast points. */
@@ -1041,10 +1040,10 @@ object Relational {
       |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
       |  FROM orders GROUP BY 1, 2
       |)
-      |SELECT c.y, c.m, CAST(c.rev AS DOUBLE) AS revenue,
-      |       CAST(p.rev AS DOUBLE) AS prev_revenue,
-      |       round((CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE))
-      |             / CAST(p.rev AS DOUBLE) * 100, 4) AS yoy_pct
+      |SELECT c.y, c.m, CAST(CAST(c.rev * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
+      |       CAST(CAST(p.rev * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS prev_revenue,
+      |       round((CAST(CAST(c.rev * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 - CAST(CAST(p.rev * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)
+      |             / (CAST(CAST(p.rev * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) * 100, 4) AS yoy_pct
       |FROM monthly c LEFT JOIN monthly p ON p.y = c.y - 1 AND p.m = c.m""".stripMargin
 
   /** Q25 analog (extension) — market-basket co-purchase affinity: for

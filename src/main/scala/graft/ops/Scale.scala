@@ -66,7 +66,7 @@ object Scale {
       .agg(sum(col("volume").cast("decimal(18,6)")).as("v"), count(lit(1)).as("n"),
         min(col("price")).as("mn"), max(col("price")).as("mx"))
       .groupBy("symbol")
-      .agg(sum(col("v")).cast("double").as("total_volume"),
+      .agg(graft.Num.decD(sum(col("v"))).as("total_volume"),
         sum(col("n")).as("n_trades"),
         min(col("mn")).as("min_price"),
         max(col("mx")).as("max_price"))
@@ -112,8 +112,8 @@ object Scale {
       |  SELECT symbol, min(price) AS floor_price FROM trades GROUP BY 1
       |)
       |SELECT t.symbol, count(*) AS n_trades,
-      |       CAST(sum(CAST(t.price - d.floor_price AS DECIMAL(18,6)))
-      |            AS DOUBLE) AS sum_over_floor
+      |       CAST(CAST(sum(CAST(t.price - d.floor_price AS DECIMAL(18,6)))
+      |            * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_over_floor
       |FROM trades t JOIN dim d ON t.symbol = d.symbol
       |GROUP BY t.symbol""".stripMargin
 
@@ -231,7 +231,6 @@ object Scale {
     c.hint("merge").join(o, col("c_custkey") === col("o_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4)
-          .as("revenue"))
+        round(TradeOps.exactSum(col("o_totalprice")), 4).as("revenue"))
   }
 }

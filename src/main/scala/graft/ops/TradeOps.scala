@@ -22,9 +22,13 @@ object TradeOps {
     * engines — same input double, and exact decimal halves are not
     * representable in binary, so no tie-break divergence) and summed
     * exactly. Partial-aggregation order can then never flip a round(6)
-    * boundary — the flake class found on `avg(price)` at sf0.1. */
+    * boundary — the flake class found on `avg(price)` at sf0.1. The
+    * output cast routes through [[graft.Num.decD]] so the final
+    * DECIMAL→DOUBLE is the same single IEEE int64 rounding in both
+    * engines (divergent past 2⁵³ micro-units otherwise — the r13 q1
+    * class). */
   private[ops] def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast("decimal(18,6)")).cast("double")
+    graft.Num.decD(sum(c.cast("decimal(18,6)")))
 
   /** A1/A3 (reference `ProcessStockStream.py:112-123`): 1-minute tumbling
     * windows per symbol, total volume + usd volume. */
@@ -68,9 +72,10 @@ object TradeOps {
       col("event_id"), col("symbol"), col("timestamp"), col("volume"),
       // decimal window sum: DuckDB's segment-tree accumulation reorders
       // double addition vs Spark's linear frames — exact decimals make
-      // the running total order-independent on both sides
-      sum(col("volume").cast("decimal(18,6)")).over(w)
-        .cast("double").as("cumulative_volume"))
+      // the running total order-independent on both sides; decD pins
+      // the output cast (a running corpus total crosses 2^53 micro)
+      graft.Num.decD(sum(col("volume").cast("decimal(18,6)")).over(w))
+        .as("cumulative_volume"))
   }
 
   /** W2/T14 (reference `BtcPrediction/kafka.py:42-57`): fixed 100-row
@@ -84,8 +89,10 @@ object TradeOps {
       .select(
         col("event_id"), col("symbol"), col("timestamp"),
         // exact decimal sum, then ONE double division — engine-identical
-        round(sum(col("price").cast("decimal(18,6)")).over(w)
-          .cast("double") / lit(n), 6).as("lookback_avg"),
+        // (frame-bounded at n rows, so the sum can't reach the decD
+        // ceiling; routed through decD anyway for cast uniformity)
+        round(graft.Num.decD(sum(col("price").cast("decimal(18,6)")).over(w))
+          / lit(n), 6).as("lookback_avg"),
         count(lit(1)).over(w).as("n_rows"))
       .filter(col("n_rows") === n)
   }
@@ -846,8 +853,10 @@ object TradeOps {
       .agg(sum(x).as("s"), count(lit(1)).as("n"))
     trades.join(broadcast(stats), "symbol")
       .select(col("event_id"), col("symbol"),
+        // decD on the group sum (corpus-scale); the single-row x is a
+        // lone ≤6-dp value whose decimal cast is exact at any scale
         when(col("n") > 1L,
-          round((col("s").cast("double") - x.cast("double"))
+          round((graft.Num.decD(col("s")) - x.cast("double"))
             / (col("n") - 1L).cast("double"), 6))
           .as("symbol_loo_mean"))
   }
@@ -863,7 +872,7 @@ object TradeOps {
       |)
       |SELECT t.event_id, t.symbol,
       |       CASE WHEN s.n > 1 THEN
-      |         round((CAST(s.sm AS DOUBLE)
+      |         round((CAST(CAST(s.sm * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
       |                - CAST(CAST(t.usd_volume AS DECIMAL(18,6)) AS DOUBLE))
       |               / CAST(s.n - 1 AS DOUBLE), 6)
       |       END AS symbol_loo_mean
@@ -1036,8 +1045,8 @@ object TradeOps {
     * long (symbol, metric, value) rows. */
   def unpivotTotals(trades: DataFrame): DataFrame =
     trades.groupBy("symbol").agg(
-        sum(col("volume").cast("decimal(18,6)")).cast("double").as("total_volume"),
-        sum(col("usd_volume").cast("decimal(18,6)")).cast("double").as("total_usd_volume"))
+        exactSum(col("volume")).as("total_volume"),
+        exactSum(col("usd_volume")).as("total_usd_volume"))
       .unpivot(Array(col("symbol")),
         Array(col("total_volume"), col("total_usd_volume")),
         "metric", "value")
@@ -1928,6 +1937,18 @@ object TradeOps {
         when(col("d") > 0, col("vm"))
           .when(col("d") < 0, -col("vm"))
           .otherwise(lit(0L)))
+      // Overflow guard (w19/gini pattern): Σsv is a BIGINT running sum
+      // that Spark would WRAP silently past 2^63 while DuckDB widens to
+      // HUGEINT and raises at its BIGINT cast — the silent-vs-loud
+      // divergence class. n_sym·max|vm| bounds every prefix sum, so the
+      // div-form assert (which itself cannot wrap) proves exactness or
+      // fails loudly on both engines; rides the same symbol exchange.
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("_mx", max(abs(col("vm"))).over(Window.partitionBy("symbol")))
+      .filter(expr(
+        "assert_true(_n <= 9223372036854775807 div greatest(_mx, 1), " +
+          "'obv: symbol too large for exact BIGINT running volume — " +
+          "coarsen the volume quantum') IS NULL"))
       .select(col("event_id"), col("symbol"), col("timestamp"),
         (sum(col("sv")).over(cum).cast("double") / lit(1000000.0)).as("obv"))
   }
@@ -2626,7 +2647,7 @@ object TradeOps {
        |                    THEN 'train' ELSE 'test' END AS role,
        |       count(*) AS n_rows,
        |       count(DISTINCT t.user_id) AS n_users,
-       |       CAST(sum(CAST(t.volume AS DECIMAL(18,6))) AS DOUBLE)
+       |       CAST(CAST(sum(CAST(t.volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
        |         AS sum_volume
        |FROM (
        |  SELECT user_id, volume,
@@ -3124,7 +3145,7 @@ object TradeOps {
     s"""SELECT ((event_id * 2654435761) % 4294967296) % $k AS fold,
        |       count(*) AS n_rows,
        |       count(DISTINCT user_id) AS n_users,
-       |       CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE)
+       |       CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
        |         AS sum_volume
        |FROM trades
        |GROUP BY 1""".stripMargin
@@ -3268,6 +3289,12 @@ object TradeOps {
       .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
       .agg(sum(col("price").cast("decimal(18,6)") * col("dur")).as("wp"),
         sum(col("dur")).as("total_us"))
+      // wp is DELIBERATELY a direct decimal cast, not Num.decD: Σdur
+      // telescopes to ≤ 8.64e10 µs per (symbol, day) — DAY-bounded, so
+      // wp ≤ max_price·8.64e10 units never grows with the corpus, but
+      // its µs scale already exceeds decD's micro-BIGINT ceiling. The
+      // residual 1-ulp cast divergence is absorbed by round(·, 6)
+      // except on exact half-µmidpoint ties of the quotient.
       .select(col("symbol"), col("day").cast("timestamp").as("day"),
         round(col("wp").cast("double") / col("total_us").cast("double"), 6)
           .as("twap"),
@@ -3758,8 +3785,7 @@ object TradeOps {
       .withColumn("band", expr("pc div 100"))
       .groupBy("symbol", "band")
       .agg(count(lit(1)).as("n_trades"),
-        sum(col("volume").cast("decimal(18,6)")).cast("double")
-          .as("total_volume"))
+        exactSum(col("volume")).as("total_volume"))
       .withColumn("tick_share_ppm", expr(
         "(n_trades * 1000000) div sum(n_trades) OVER " +
           "(PARTITION BY symbol)"))
@@ -3768,7 +3794,7 @@ object TradeOps {
     * trades CTE). */
   val volumeProfileSql: String =
     """SELECT symbol, band, n_trades,
-      |       CAST(total_volume AS DOUBLE) AS total_volume,
+      |       CAST(CAST(total_volume * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS total_volume,
       |       CAST((n_trades * 1000000)
       |         // sum(n_trades) OVER (PARTITION BY symbol) AS BIGINT)
       |         AS tick_share_ppm

@@ -2836,4 +2836,34 @@ class OpsInvariantsSpec extends SparkSuite {
       assert(b <= a + 1e-9, s"MMR marginal score rose: $a -> $b")
     }
   }
+
+  test("Num.decD: value-parity below 2^53 micro, null-safe, loud past " +
+      "the micro-BIGINT ceiling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1. Below 2^53 micro-units the micro-BIGINT route is bit-identical
+    //    to the direct decimal cast (the r13 sweep's value-neutrality
+    //    claim at gate SFs).
+    val vals = Seq("0.000001", "123456.789012", "-9876543.210987",
+      "9007199254.740992", "-9007199254.740991")
+    val df = vals.toDF("s").select(col("s").cast("decimal(18,6)").as("d"))
+    val both = df.select(graft.Num.decD(col("d")).as("a"),
+      col("d").cast("double").as("b")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"decD diverged below 2^53: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // 2. Null aggregate -> null output, no guard trip.
+    val n = Seq.empty[java.lang.Double].toDF("x")
+      .agg(graft.Num.decD(sum(col("x").cast("decimal(18,6)")))).collect()
+    assert(n.head.isNullAt(0))
+    // 3. Past the ceiling the guard fails LOUDLY (DuckDB's mirrored
+    //    CAST AS BIGINT raises natively there) — never a silent null.
+    val boom = intercept[Exception] {
+      Seq("9300000000000.0").toDF("s")
+        .select(graft.Num.decD(col("s").cast("decimal(18,6)"))).collect()
+    }
+    assert(boom.getMessage != null)
+  }
 }
