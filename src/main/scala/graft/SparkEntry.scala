@@ -495,6 +495,10 @@ object SparkEntry {
       EventAnalytics.botScore(Tables.events(s, dir))),
     "v_centroid_auc" -> ((s, dir) => Similarity.centroidAuc(s, dir)),
     "w_amihud" -> ((s, dir) => TradeOps.amihud(trades(s, dir))),
+    "w_roll_spread" -> ((s, dir) => TradeOps.rollSpread(trades(s, dir))),
+    "q30_supplier_hhi" -> ((s, dir) => Relational.supplierHhi(s, dir)),
+    "e_rolling_wau" -> ((s, dir) =>
+      EventAnalytics.rollingWau(Tables.events(s, dir))),
     "w_volume_profile" -> ((s, dir) =>
       TradeOps.volumeProfile(trades(s, dir))),
     "v_pca_deflate" -> ((s, dir) => Similarity.pcaDeflate(s, dir)),
@@ -1775,6 +1779,9 @@ object SparkEntry {
     "e_bot_score" -> EventAnalytics.botScoreSql(),
     "v_centroid_auc" -> Similarity.centroidAucSql(),
     "w_amihud" -> s"$T\n${TradeOps.amihudSql}",
+    "w_roll_spread" -> s"$T\n${TradeOps.rollSpreadSql}",
+    "q30_supplier_hhi" -> Relational.supplierHhiSql,
+    "e_rolling_wau" -> EventAnalytics.rollingWauSql,
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),
     "g_rich_club" -> Dedup.similarityRichClubSql(),

@@ -887,4 +887,57 @@ object EventAnalytics {
       |            ORDER BY score_ppm DESC, day ASC) AS rk
       |  FROM sc)
       |WHERE rk = 1""".stripMargin
+
+  /** Rolling 7-day active users (WAU) per day — the growth-dashboard
+    * staple next to [[stickiness]]'s calendar-month DAU/MAU: for every
+    * day in the corpus span, the EXACT count of distinct users active
+    * in the trailing 7-day window, the day's DAU, and their ppm ratio.
+    *
+    * Exact distinct over a sliding window cannot ride a window
+    * aggregate (distinct doesn't decompose); the scale shape is the
+    * bounded fan-out join: dedup to (user, day) first (one shuffle —
+    * the row count drops to active-user-days), explode each row to the
+    * 7 window-ends it serves (×7, constant), then one distinct-count
+    * aggregate keyed by window_end. DAU rides the SAME aggregate as a
+    * conditional distinct (offset 0), so the whole op is two shuffles
+    * at any corpus size. Window-ends past the last active day are
+    * clipped by a 1-row broadcast of max(day). Ratio is exact integer
+    * ppm (`div`). Ref: capability breadth beyond the reference's
+    * per-minute aggregation tier (`ProcessStockStream.py:112-123`).
+    */
+  def rollingWau(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val mx = ud.agg(max(col("day")).as("max_day"))
+    val offs = (0 until 7).map(lit(_))
+    ud.withColumn("o", explode(array(offs: _*)))
+      .withColumn("window_end", date_add(col("day"), col("o")))
+      .crossJoin(broadcast(mx))
+      .filter(col("window_end") <= col("max_day"))
+      .groupBy("window_end")
+      .agg(
+        countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("o") === 0, col("user_id"))).as("dau"))
+      .select(col("window_end").cast("timestamp").as("window_end"),
+        col("wau"), col("dau"),
+        expr("(dau * 1000000) div wau").as("dau_wau_ppm"))
+  }
+
+  /** Oracle for [[rollingWau]]. */
+  val rollingWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), mx AS (SELECT max(day) AS max_day FROM ud)
+      |SELECT CAST(window_end AS TIMESTAMP) AS window_end,
+      |       count(DISTINCT user_id) AS wau,
+      |       count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+      |       (count(DISTINCT CASE WHEN o = 0 THEN user_id END) * 1000000)
+      |         // count(DISTINCT user_id) AS dau_wau_ppm
+      |FROM (
+      |  SELECT ud.user_id, r.range AS o,
+      |         ud.day + CAST(r.range AS INTEGER) AS window_end
+      |  FROM ud CROSS JOIN range(0, 7) r
+      |) CROSS JOIN mx
+      |WHERE window_end <= max_day
+      |GROUP BY 1""".stripMargin
 }

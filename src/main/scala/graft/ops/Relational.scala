@@ -1230,4 +1230,77 @@ object Relational {
       |       CAST(sum(gap_days) AS BIGINT) AS sum_days
       |FROM g WHERE gap_days IS NOT NULL
       |GROUP BY 1""".stripMargin
+
+  /** Q30 (extension) — supplier revenue concentration per nation: the
+    * Herfindahl–Hirschman index every procurement/antitrust review
+    * opens with ("is this nation's supply one mega-supplier or a
+    * healthy long tail?"). ENTIRELY integer after the decimal revenue
+    * sums: per-(nation, supplier) revenue in exact micro BIGINT (loud
+    * past the [[graft.Num.decD]] ceiling via the same div-form
+    * assert), shares in exact floored ppm of the nation total
+    * (`rev_micro div (nation_micro div 1e6)` — the division order
+    * keeps every intermediate in int64; the ≤1-ppm-per-supplier floor
+    * loss is part of the statistic's definition here, identically in
+    * both engines), HHI = Σ share² div 1e6 ∈ [0, 1e6] ppm.
+    *
+    * Scale shape: ONE lineitem-scale aggregate (nation×supplier keys),
+    * then all remaining algebra on the supplier-cardinality table —
+    * the nation total is a window over it, never a fact re-scan. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val suppNat = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val perSupp = li
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_dec"))
+      .filter(expr(
+        "assert_true(abs(rev_dec) <= 9223372036854775807 div 1000000, " +
+          "'supplier_hhi: per-supplier revenue exceeds the exact " +
+          "micro-BIGINT range') IS NULL"))
+      .withColumn("rev_micro", (col("rev_dec") * lit(1000000)).cast("long"))
+    val byNation = Window.partitionBy("n_name")
+    perSupp
+      .withColumn("nation_micro", sum(col("rev_micro")).over(byNation))
+      .withColumn("share_ppm", expr(
+        "rev_micro div greatest(nation_micro div 1000000, 1)"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        // nation_micro IS the exact micro value — one IEEE long→double
+        // cast + exact power-of-ten divide (the decD route, inlined)
+        (max(col("nation_micro")).cast("double") / lit(1000000d))
+          .as("nation_revenue"),
+        max(col("share_ppm")).as("top_share_ppm"),
+        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+  }
+
+  /** Oracle for [[supplierHhi]]. */
+  val supplierHhiSql: String =
+    """WITH ps AS (
+      |  SELECT n_name, l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                       AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |           AS rev_micro
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT n_name, rev_micro,
+      |         sum(rev_micro) OVER (PARTITION BY n_name) AS nation_micro,
+      |         CAST(rev_micro // greatest(
+      |           (sum(rev_micro) OVER (PARTITION BY n_name)) // 1000000,
+      |           1) AS BIGINT) AS share_ppm
+      |  FROM ps
+      |)
+      |SELECT n_name, count(*) AS n_suppliers,
+      |       CAST(max(nation_micro) AS DOUBLE) / 1000000.0
+      |         AS nation_revenue,
+      |       max(share_ppm) AS top_share_ppm,
+      |       CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000
+      |         AS hhi_ppm
+      |FROM sh GROUP BY 1""".stripMargin
 }

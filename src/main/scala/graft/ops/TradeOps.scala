@@ -4148,4 +4148,85 @@ object TradeOps {
        |    WHERE cnt = $n))
        |WHERE next_regime IS NOT NULL
        |GROUP BY 1, 2, 3""".stripMargin
+
+  /** W (extension) — Roll (1984) effective-spread estimator: under the
+    * bid-ask bounce model, consecutive trade-price changes are
+    * negatively serially correlated and the effective spread is
+    * `2·√(−cov(Δp_t, Δp_{t−1}))`. Determinism: the three sums (Σd,
+    * Σd₋₁, Σd·d₋₁) are exact BIGINTs each provably ≤ 2⁵³ by the
+    * div-form guard (n·max|d|² ≤ 2⁵³ — loud past it; the synthetic
+    * corpus' 490-dollar jumps put md ≈ 4.9e4, bounding n per symbol
+    * at ~3.7e6 here; real cent-scale ticks bound it at ~10¹¹ rows),
+    * so each converts to double EXACTLY and the covariance numerator
+    * `n·Σdd₋₁ − Σd·Σd₋₁` — formed in double because the int64 products
+    * genuinely overflow at this n·md (first formulation failed loudly
+    * at sf1, as designed) — is two correctly-rounded products and one
+    * subtraction of identical doubles in both engines. sqrt is the one
+    * correctly-rounded non-integer function (the repo determinism
+    * rule), so `2·√(−cov)/n` matches bit-for-bit. Positive serial
+    * covariance → NULL (the estimator's standard undefined case —
+    * emitted, not dropped, so the row count stays |symbols|). One
+    * symbol-keyed ordered exchange, |symbols| rows out. */
+  def rollSpread(trades: DataFrame): DataFrame = {
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("d", expr("pc - lag(pc, 1) OVER (PARTITION BY " +
+        "symbol ORDER BY timestamp, event_id)"))
+      .withColumn("d1", expr("lag(d, 1) OVER (PARTITION BY " +
+        "symbol ORDER BY timestamp, event_id)"))
+      .filter(col("d1").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d")).as("sx"), sum(col("d1")).as("sy"),
+        sum(col("d") * col("d1")).as("sxy"),
+        max(greatest(abs(col("d")), abs(col("d1")))).as("md"))
+      .filter(expr(
+        "assert_true(n_pairs <= (9007199254740992 div greatest(md, 1)) " +
+          "div greatest(md, 1), " +
+          "'roll_spread: symbol too large for 2^53-exact serial-" +
+          "covariance sums — coarsen the cent quantum') IS NULL"))
+      .withColumn("cov_x4", expr(
+        "CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .select(col("symbol"), col("n_pairs"),
+        round(col("cov_x4") / col("n_pairs").cast("double")
+          / col("n_pairs").cast("double"), 6).as("serial_cov"),
+        when(col("cov_x4") < 0d,
+          round(lit(2d) * sqrt(-col("cov_x4"))
+            / col("n_pairs").cast("double"), 6))
+          .as("spread_cents"))
+  }
+
+  /** Oracle for [[rollSpread]] (body only — caller prepends the trades
+    * CTE). */
+  val rollSpreadSql: String =
+    """SELECT symbol, n_pairs,
+      |       round(cov_num / CAST(n_pairs AS DOUBLE)
+      |             / CAST(n_pairs AS DOUBLE), 6) AS serial_cov,
+      |       CASE WHEN cov_num < 0 THEN
+      |         round(2.0 * sqrt(-cov_num)
+      |               / CAST(n_pairs AS DOUBLE), 6)
+      |       END AS spread_cents
+      |FROM (
+      |  SELECT symbol, n_pairs,
+      |         CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_num
+      |  FROM (
+      |    SELECT symbol, count(*) AS n_pairs,
+      |           CAST(sum(d) AS BIGINT) AS sx,
+      |           CAST(sum(d1) AS BIGINT) AS sy,
+      |           CAST(sum(d * d1) AS BIGINT) AS sxy
+      |    FROM (
+      |      SELECT symbol, d,
+      |             lag(d, 1) OVER (PARTITION BY symbol
+      |               ORDER BY "timestamp", event_id) AS d1
+      |      FROM (
+      |        SELECT symbol, "timestamp", event_id,
+      |               pc - lag(pc, 1) OVER (PARTITION BY symbol
+      |                 ORDER BY "timestamp", event_id) AS d
+      |        FROM (SELECT symbol, "timestamp", event_id,
+      |                     CAST(round(price * 100) AS BIGINT) AS pc
+      |              FROM trades)))
+      |    WHERE d1 IS NOT NULL
+      |    GROUP BY 1))""".stripMargin
 }

@@ -2866,4 +2866,77 @@ class OpsInvariantsSpec extends SparkSuite {
     }
     assert(boom.getMessage != null)
   }
+
+  test("roll spread: cov_num matches a BigInt driver recompute, spread " +
+      "defined iff negative serial covariance, n_pairs = n - 2") {
+    import org.apache.spark.sql.functions._
+    val trades = graft.Tables.trades(spark, sf)
+    val out = graft.ops.TradeOps.rollSpread(trades).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val perSym = trades.select("symbol", "timestamp", "event_id", "price")
+      .collect().groupBy(_.getString(0))
+    perSym.foreach { case (sym, rows) =>
+      val pc = rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(r => math.round(r.getDouble(3) * 100))
+      val d = pc.sliding(2).map(a => BigInt(a(1) - a(0))).toArray
+      val pairs = d.sliding(2).map(a => (a(1), a(0))).toArray
+      val n = pairs.length.toLong
+      // the engine's exact double form: each sum is < 2^53 (guard), so
+      // this driver-side recompute is the identical IEEE arithmetic
+      val sxy = pairs.map(p => (p._1 * p._2).toLong).sum
+      val sx = pairs.map(_._1.toLong).sum
+      val sy = pairs.map(_._2.toLong).sum
+      val covNum = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val r = out(sym)
+      assert(r.getLong(1) == pc.length - 2, s"$sym n_pairs")
+      assert(math.abs(r.getDouble(2) - covNum / n.toDouble / n.toDouble)
+        < 5e-7, s"$sym serial_cov")
+      assert(r.isNullAt(3) == (covNum >= 0), s"$sym spread-definedness")
+      if (covNum < 0)
+        assert(math.abs(r.getDouble(3) -
+          2.0 * math.sqrt(-covNum) / n.toDouble) < 5e-7)
+    }
+  }
+
+  test("supplier hhi: shares telescope to <= 1e6 with < 1 ppm floor loss " +
+      "per supplier, hhi within [top_share^2/1e6, 1e6]") {
+    val df = graft.ops.Relational.supplierHhi(spark, sf)
+    import org.apache.spark.sql.functions._
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val top = r.getLong(3); val hhi = r.getLong(4)
+      assert(top <= 1000000L && hhi <= 1000000L)
+      assert(hhi >= top * top / 1000000L,
+        s"hhi below its top-share lower bound: $hhi vs $top")
+      assert(hhi >= 1000000L / n - n, "hhi below the equal-share floor")
+    }
+  }
+
+  test("rolling wau: wau >= dau, window_end clipped to the last active " +
+      "day, one window recomputed exactly") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+    val out = graft.ops.EventAnalytics.rollingWau(ev).collect()
+      .map(r => r.getTimestamp(0) -> r).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "wau < dau")
+      assert(r.getLong(3) <= 1000000L)
+    }
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getDate(1)))
+    val maxDay = ud.map(_._2.toLocalDate).max(Ordering.by((d:
+      java.time.LocalDate) => d.toEpochDay))
+    assert(!out.keys.exists(_.toLocalDateTime.toLocalDate.isAfter(maxDay)))
+    val probe = maxDay
+    val wau = ud.filter { case (_, d) =>
+      val delta = probe.toEpochDay - d.toLocalDate.toEpochDay
+      delta >= 0 && delta < 7
+    }.map(_._1).distinct.length
+    val dau = ud.filter(_._2.toLocalDate == probe).map(_._1).distinct.length
+    val r = out(java.sql.Timestamp.valueOf(probe.atStartOfDay))
+    assert(r.getLong(1) == wau && r.getLong(2) == dau,
+      s"recompute mismatch: ${r.getLong(1)}/$wau ${r.getLong(2)}/$dau")
+  }
 }
