@@ -496,6 +496,8 @@ object SparkEntry {
     "v_centroid_auc" -> ((s, dir) => Similarity.centroidAuc(s, dir)),
     "w_amihud" -> ((s, dir) => TradeOps.amihud(trades(s, dir))),
     "w_roll_spread" -> ((s, dir) => TradeOps.rollSpread(trades(s, dir))),
+    "a_bootstrap_ci" -> ((s, dir) => TradeOps.bootstrapCi(trades(s, dir))),
+    "w_parkinson" -> ((s, dir) => TradeOps.parkinsonRange(trades(s, dir))),
     "q30_supplier_hhi" -> ((s, dir) => Relational.supplierHhi(s, dir)),
     "e_rolling_wau" -> ((s, dir) =>
       EventAnalytics.rollingWau(Tables.events(s, dir))),
@@ -1780,6 +1782,8 @@ object SparkEntry {
     "v_centroid_auc" -> Similarity.centroidAucSql(),
     "w_amihud" -> s"$T\n${TradeOps.amihudSql}",
     "w_roll_spread" -> s"$T\n${TradeOps.rollSpreadSql}",
+    "a_bootstrap_ci" -> s"$T\n${TradeOps.bootstrapCiSql()}",
+    "w_parkinson" -> s"$T\n${TradeOps.parkinsonRangeSql}",
     "q30_supplier_hhi" -> Relational.supplierHhiSql,
     "e_rolling_wau" -> EventAnalytics.rollingWauSql,
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",

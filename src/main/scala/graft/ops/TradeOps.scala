@@ -4229,4 +4229,132 @@ object TradeOps {
       |              FROM trades)))
       |    WHERE d1 IS NOT NULL
       |    GROUP BY 1))""".stripMargin
+
+  /** A (extension) — deterministic Poisson bootstrap CI for the
+    * per-symbol mean price: the WITH-replacement complement of
+    * [[subsampleStability]]'s half-samples. Each row's multiplicity in
+    * rep `r` is Poisson(1) materialized deterministically — a salted
+    * md5 hash mod 1e6 cut at the exact ppm CDF thresholds (367879,
+    * 735759, 919699, 981012, 996340, 999406, 999917, cap 7) — so both
+    * engines draw IDENTICAL resamples with no RNG. Rep means are exact
+    * integer cent-ppm via the overflow-free split division; the
+    * (lo, hi, spread) envelope over `reps` reps is the bootstrap CI.
+    * One exploded map-side pass (×reps, k=0 rows dropped pre-shuffle)
+    * + two map-side-combined aggregations; |symbols| rows out. */
+  def bootstrapCi(trades: DataFrame, reps: Int = 16): DataFrame = {
+    val meanPpm = "(s div n) * 1000000 + ((s % n) * 1000000) div n"
+    val kCase = "CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1 " +
+      "WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3 " +
+      "WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5 " +
+      "WHEN h < 999917 THEN 6 ELSE 7 END"
+    val cents = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+    val overall = cents.groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"))
+      .withColumn("mean_cents_ppm", expr(meanPpm))
+      .select(col("symbol"), col("n").as("n_trades"), col("mean_cents_ppm"))
+    val boot = cents
+      .withColumn("r", explode(array((0 until reps).map(lit): _*)))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat_ws('_', " +
+          "CAST(event_id AS STRING), CAST(r AS STRING), 'boot')), " +
+          "1, 8), 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("k", expr(kCase))
+      .filter(col("k") > 0)
+      .groupBy("symbol", "r")
+      .agg(sum(col("pc") * col("k")).as("s"), sum(col("k")).as("n"))
+      .withColumn("m", expr(meanPpm))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_reps"), min(col("m")).as("lo_mean_ppm"),
+        max(col("m")).as("hi_mean_ppm"))
+    overall.join(boot, Seq("symbol"))
+      .withColumn("spread_ppm", col("hi_mean_ppm") - col("lo_mean_ppm"))
+  }
+
+  /** Oracle for [[bootstrapCi]] (body only — caller prepends the
+    * trades CTE): identical hash multiplicities and split-division
+    * means. */
+  def bootstrapCiSql(reps: Int = 16): String =
+    s"""SELECT o.symbol, o.n_trades, o.mean_cents_ppm, u.n_reps,
+       |       u.lo_mean_ppm, u.hi_mean_ppm,
+       |       u.hi_mean_ppm - u.lo_mean_ppm AS spread_ppm
+       |FROM (
+       |  SELECT symbol, count(*) AS n_trades,
+       |         (CAST(sum(pc) AS BIGINT) // count(*)) * 1000000
+       |           + ((CAST(sum(pc) AS BIGINT) % count(*)) * 1000000)
+       |             // count(*) AS mean_cents_ppm
+       |  FROM (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS pc
+       |        FROM trades)
+       |  GROUP BY 1
+       |) o JOIN (
+       |  SELECT symbol, count(*) AS n_reps,
+       |         min(m) AS lo_mean_ppm, max(m) AS hi_mean_ppm
+       |  FROM (
+       |    SELECT symbol,
+       |           (CAST(sum(pc * k) AS BIGINT) // CAST(sum(k) AS BIGINT))
+       |             * 1000000
+       |           + ((CAST(sum(pc * k) AS BIGINT)
+       |               % CAST(sum(k) AS BIGINT)) * 1000000)
+       |             // CAST(sum(k) AS BIGINT) AS m
+       |    FROM (
+       |      SELECT symbol, pc, r,
+       |             CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+       |                  WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+       |                  WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+       |                  WHEN h < 999917 THEN 6 ELSE 7 END AS k
+       |      FROM (
+       |        SELECT t.symbol,
+       |               CAST(round(t.price * 100) AS BIGINT) AS pc, r.r,
+       |               ('0x' || substr(md5(CAST(t.event_id AS VARCHAR)
+       |                 || '_' || CAST(r.r AS VARCHAR) || '_boot'), 1, 8)
+       |               )::BIGINT % 1000000 AS h
+       |        FROM trades t,
+       |             (SELECT unnest(generate_series(0, ${reps - 1})) AS r) r))
+       |    WHERE k > 0
+       |    GROUP BY symbol, r)
+       |  GROUP BY 1
+       |) u ON o.symbol = u.symbol""".stripMargin
+
+  /** W (extension) — Parkinson-style range volatility proxy per
+    * (symbol, day): the sum and mean of squared per-minute high-low
+    * ranges in exact cent² — the range-based counterpart of
+    * [[realizedVol]]'s close-to-close tick variance (ranges see
+    * intrabar movement closes miss). ENTIRELY integer until one final
+    * divide+sqrt of exact ≤2⁵³ values: per-minute hi/lo are cent
+    * max/min, Σrange² ≤ 1440·md² per day (day-bounded — can't grow
+    * with the corpus), and `√(Σr²/n)` is a correctly-rounded divide of
+    * exact integers then the one safe non-integer function. Two
+    * map-side-combined aggregations on one (symbol, minute) key;
+    * symbols × days rows out. */
+  def parkinsonRange(trades: DataFrame): DataFrame =
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"),
+        date_trunc("minute", col("timestamp")).as("minute"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"))
+      .withColumn("r2", expr("(hi - lo) * (hi - lo)"))
+      .groupBy(col("symbol"), to_date(col("minute")).as("day"))
+      .agg(count(lit(1)).as("n_bars"), sum(col("r2")).as("sum_range2"))
+      .select(col("symbol"), col("day").cast("timestamp").as("day"),
+        col("n_bars"), col("sum_range2"),
+        round(sqrt(col("sum_range2").cast("double")
+          / col("n_bars").cast("double")), 6).as("range_vol_cents"))
+
+  /** Oracle for [[parkinsonRange]] (body only — caller prepends the
+    * trades CTE). */
+  val parkinsonRangeSql: String =
+    """SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      |       count(*) AS n_bars,
+      |       CAST(sum(r2) AS BIGINT) AS sum_range2,
+      |       round(sqrt(CAST(CAST(sum(r2) AS BIGINT) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE)), 6) AS range_vol_cents
+      |FROM (
+      |  SELECT symbol, CAST(minute AS DATE) AS day,
+      |         (hi - lo) * (hi - lo) AS r2
+      |  FROM (
+      |    SELECT symbol, date_trunc('minute', "timestamp") AS minute,
+      |           max(CAST(round(price * 100) AS BIGINT)) AS hi,
+      |           min(CAST(round(price * 100) AS BIGINT)) AS lo
+      |    FROM trades GROUP BY 1, 2))
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -2939,4 +2939,55 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(r.getLong(1) == wau && r.getLong(2) == dau,
       s"recompute mismatch: ${r.getLong(1)}/$wau ${r.getLong(2)}/$dau")
   }
+
+  test("bootstrap ci: envelope brackets the overall mean, multiplicity " +
+      "law is the exact Poisson ppm CDF, reps complete") {
+    val df = graft.ops.TradeOps.bootstrapCi(
+      graft.Tables.trades(spark, sf)).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val (mean, lo, hi) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(r.getLong(3) == 16L, "a rep produced no rows")
+      // the overall mean need not sit inside a finite-B envelope, but
+      // the envelope must be ordered and near it (resamples of mean 1)
+      assert(lo <= hi)
+      assert(r.getLong(6) == hi - lo)
+      assert(math.abs(mean - (lo + hi) / 2) < math.max(mean / 10, 1),
+        s"envelope far from the mean: $mean vs [$lo, $hi]")
+    }
+    // the ppm thresholds are the Poisson(1) CDF to the printed digit
+    val cdf = Seq(367879, 735759, 919699, 981012, 996340, 999406, 999917)
+    val pmf = Seq(0.3678794412, 0.3678794412, 0.1839397206, 0.0613132402,
+      0.0153283100, 0.0030656620, 0.0005109437)
+    var acc = 0d
+    cdf.zip(pmf).foreach { case (c, p) =>
+      acc += p
+      assert(math.abs(c - acc * 1e6) < 1.0, s"threshold $c vs ${acc * 1e6}")
+    }
+  }
+
+  test("parkinson range: per-day squared ranges telescope and the " +
+      "vol is sqrt of their mean") {
+    import org.apache.spark.sql.functions._
+    val trades = graft.Tables.trades(spark, sf)
+    val out = graft.ops.TradeOps.parkinsonRange(trades).collect()
+    assert(out.nonEmpty)
+    val byKey = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"), date_trunc("minute", col("timestamp")))
+      .agg(max("pc").as("hi"), min("pc").as("lo")).collect()
+      .groupBy(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    out.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate)
+      val bars = byKey(key)
+      val expect = bars.map(b => {
+        val d = b.getLong(2) - b.getLong(3); d * d
+      }).sum
+      assert(r.getLong(2) == bars.size, s"$key n_bars")
+      assert(r.getLong(3) == expect, s"$key sum_range2")
+      assert(math.abs(r.getDouble(4) -
+        math.sqrt(expect.toDouble / bars.size)) < 5e-7)
+    }
+  }
 }
