@@ -499,6 +499,9 @@ object SparkEntry {
     "a_bootstrap_ci" -> ((s, dir) => TradeOps.bootstrapCi(trades(s, dir))),
     "w_parkinson" -> ((s, dir) => TradeOps.parkinsonRange(trades(s, dir))),
     "q30_supplier_hhi" -> ((s, dir) => Relational.supplierHhi(s, dir)),
+    "q31_decile_migration" -> ((s, dir) => Relational.decileMigration(s, dir)),
+    "e_rate_anomaly" -> ((s, dir) =>
+      EventAnalytics.rateAnomaly(Tables.events(s, dir))),
     "e_rolling_wau" -> ((s, dir) =>
       EventAnalytics.rollingWau(Tables.events(s, dir))),
     "w_volume_profile" -> ((s, dir) =>
@@ -1785,6 +1788,8 @@ object SparkEntry {
     "a_bootstrap_ci" -> s"$T\n${TradeOps.bootstrapCiSql()}",
     "w_parkinson" -> s"$T\n${TradeOps.parkinsonRangeSql}",
     "q30_supplier_hhi" -> Relational.supplierHhiSql,
+    "q31_decile_migration" -> Relational.decileMigrationSql,
+    "e_rate_anomaly" -> EventAnalytics.rateAnomalySql,
     "e_rolling_wau" -> EventAnalytics.rollingWauSql,
     "w_volume_profile" -> s"$T\n${TradeOps.volumeProfileSql}",
     "v_pca_deflate" -> Similarity.pcaDeflateSql(),

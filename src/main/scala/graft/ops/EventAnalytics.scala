@@ -940,4 +940,76 @@ object EventAnalytics {
       |) CROSS JOIN mx
       |WHERE window_end <= max_day
       |GROUP BY 1""".stripMargin
+
+  /** Robust daily-rate anomaly flags per event type — the median/MAD
+    * outlier rule ("which days spiked beyond 3 robust sigmas?") that
+    * survives the heavy-tailed days a mean/stddev z-score would let
+    * poison its own baseline ([[graft.ops.TradeOps]] a15 is the
+    * z-score form; this is its robust twin). ENTIRELY integer:
+    * daily counts, LOWER selected-element medians (`row_number` =
+    * `(n+1) div 2` over a deterministic (value, day) order — the repo
+    * median rule, no cross-engine interpolation), MAD as the same
+    * selected element of |cnt − med|, and the 3σ-equivalent cut
+    * `(cnt − med)·10000 > 44478·mad` (3·1.4826 in exact integer
+    * ten-thousandths). All medians run on the types × days table —
+    * broadcast-small at any corpus size after the one fact-scale
+    * (type, day) aggregate. */
+  def rateAnomaly(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+      to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type")
+    val ordCnt = Window.partitionBy("event_type")
+      .orderBy(col("cnt"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(ordCnt))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("med", max(when(col("rn") === expr("(n + 1) div 2"),
+        col("cnt"))).over(byType))
+      .withColumn("ad", abs(col("cnt") - col("med")))
+    val ordAd = Window.partitionBy("event_type")
+      .orderBy(col("ad"), col("day"))
+    med
+      .withColumn("rn2", row_number().over(ordAd))
+      .withColumn("mad", max(when(col("rn2") === expr("(n + 1) div 2"),
+        col("ad"))).over(byType))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("cnt"), col("med"), col("mad"),
+        (((col("cnt") - col("med")) * lit(10000L)) >
+          lit(44478L) * col("mad")).as("is_anomaly"))
+  }
+
+  /** Oracle for [[rateAnomaly]]. */
+  val rateAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, day, cnt,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY cnt, day) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily
+      |), m2 AS (
+      |  SELECT event_type, day, cnt, n,
+      |         max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+      |           OVER (PARTITION BY event_type) AS med
+      |  FROM m
+      |), a AS (
+      |  SELECT event_type, day, cnt, n, med,
+      |         abs(cnt - med) AS ad
+      |  FROM m2
+      |), a2 AS (
+      |  SELECT event_type, day, cnt, med, ad, n,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY ad, day) AS rn2
+      |  FROM a
+      |)
+      |SELECT event_type, CAST(day AS TIMESTAMP) AS day, cnt, med,
+      |       max(CASE WHEN rn2 = (n + 1) // 2 THEN ad END)
+      |         OVER (PARTITION BY event_type) AS mad,
+      |       (cnt - med) * 10000 >
+      |         44478 * (max(CASE WHEN rn2 = (n + 1) // 2 THEN ad END)
+      |                  OVER (PARTITION BY event_type)) AS is_anomaly
+      |FROM a2""".stripMargin
 }

@@ -1303,4 +1303,53 @@ object Relational {
       |       CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000
       |         AS hhi_ppm
       |FROM sh GROUP BY 1""".stripMargin
+
+  /** Q31 (extension) — customer revenue-decile migration: the
+    * year-over-year mobility matrix behind every retention review
+    * ("do top-decile customers stay on top?"). Per-(customer, year)
+    * revenue in exact DECIMAL(18,2) cents, decile = ntile(10) over
+    * (rev, custkey) WITHIN each year (deterministic tie-break; the
+    * global window runs over the aggregated customer×year table —
+    * orders-of-magnitude smaller than the fact table, the q26
+    * convention), then a LEFT self-join to the next year: customers
+    * absent next year land in `to_decile = 0` (the churn row), so
+    * every (year, from_decile) fan-in telescopes to that decile's
+    * population. Output is years × 10 × 11 rows — bounded at any
+    * corpus size. */
+  def decileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+    val w = Window.partitionBy("y").orderBy(col("rev"), col("custkey"))
+    val dec = per.select(col("custkey"), col("y"),
+      ntile(10).over(w).cast("long").as("d"))
+    val nxt = dec.select(col("custkey"), (col("y") - 1L).as("y"),
+      col("d").as("to_decile"))
+    dec.join(nxt, Seq("custkey", "y"), "left")
+      .groupBy(col("y").as("from_year"),
+        col("d").as("from_decile"),
+        coalesce(col("to_decile"), lit(0L)).as("to_decile"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Oracle for [[decileMigration]]. */
+  val decileMigrationSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(year(o_orderdate) AS BIGINT) AS y,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1, 2
+      |), dec AS (
+      |  SELECT custkey, y,
+      |         CAST(ntile(10) OVER (PARTITION BY y
+      |           ORDER BY rev, custkey) AS BIGINT) AS d
+      |  FROM per
+      |)
+      |SELECT c.y AS from_year, c.d AS from_decile,
+      |       COALESCE(n.d, 0) AS to_decile,
+      |       count(*) AS n_customers
+      |FROM dec c LEFT JOIN dec n
+      |  ON n.custkey = c.custkey AND n.y = c.y + 1
+      |GROUP BY 1, 2, 3""".stripMargin
 }

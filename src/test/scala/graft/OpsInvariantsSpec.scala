@@ -2990,4 +2990,52 @@ class OpsInvariantsSpec extends SparkSuite {
         math.sqrt(expect.toDouble / bars.size)) < 5e-7)
     }
   }
+
+  test("decile migration: per (year, from_decile) fan-in telescopes to " +
+      "the decile population, churn row counted, deciles in 0..10") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Relational.decileMigration(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10)
+    }
+    // fan-in: sum of n_customers over to_decile = that year-decile's
+    // population from a direct recompute
+    val per = graft.Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("y").agg(count(lit(1)).as("pop")).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    out.groupBy(r => r.getLong(0)).foreach { case (year, rows) =>
+      assert(rows.map(_.getLong(3)).sum == per(year),
+        s"year $year fan-in != population")
+    }
+  }
+
+  test("rate anomaly: med and mad are true lower medians of a driver " +
+      "recompute and the flag is the exact integer cut") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf)
+    val out = graft.ops.EventAnalytics.rateAnomaly(ev).collect()
+    assert(out.nonEmpty)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getString(0))
+    def lowerMedian(xs: Seq[(Long, java.sql.Date)]): Long = {
+      val sorted = xs.sortBy(x => (x._1, x._2.toString))
+      sorted(((sorted.size + 1) / 2) - 1)._1
+    }
+    daily.foreach { case (tpe, rows) =>
+      val med = lowerMedian(rows.map(r => (r.getLong(2), r.getDate(1))).toSeq)
+      val mad = lowerMedian(rows.map(r =>
+        (math.abs(r.getLong(2) - med), r.getDate(1))).toSeq)
+      out.filter(_.getString(0) == tpe).foreach { r =>
+        assert(r.getLong(3) == med, s"$tpe med")
+        assert(r.getLong(4) == mad, s"$tpe mad")
+        assert(r.getBoolean(5) ==
+          ((r.getLong(2) - med) * 10000L > 44478L * mad))
+      }
+    }
+  }
 }
