@@ -901,23 +901,30 @@ object EventAnalytics {
     * aggregate keyed by window_end. DAU rides the SAME aggregate as a
     * conditional distinct (offset 0), so the whole op is two shuffles
     * at any corpus size. Window-ends past the last active day are
-    * clipped by a 1-row broadcast of max(day). Ratio is exact integer
-    * ppm (`div`). Ref: capability breadth beyond the reference's
-    * per-minute aggregation tier (`ProcessStockStream.py:112-123`).
+    * clipped AFTER the aggregate: a day is active iff its dau > 0, so
+    * `max(window_end) FILTER (dau > 0)` over the aggregated
+    * days-cardinality table is the last active day — no second fact
+    * scan (the broadcast-max formulation re-read events; caught in the
+    * plan audit). Ratio is exact integer ppm (`div`). Ref: capability
+    * breadth beyond the reference's per-minute aggregation tier
+    * (`ProcessStockStream.py:112-123`).
     */
   def rollingWau(events: DataFrame): DataFrame = {
     val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val mx = ud.agg(max(col("day")).as("max_day"))
     val offs = (0 until 7).map(lit(_))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ud.withColumn("o", explode(array(offs: _*)))
       .withColumn("window_end", date_add(col("day"), col("o")))
-      .crossJoin(broadcast(mx))
-      .filter(col("window_end") <= col("max_day"))
       .groupBy("window_end")
       .agg(
         countDistinct(col("user_id")).as("wau"),
         countDistinct(when(col("o") === 0, col("user_id"))).as("dau"))
+      // the global window runs over |days|+6 rows — broadcast-small
+      .withColumn("mx",
+        max(when(col("dau") > 0, col("window_end"))).over(all))
+      .filter(col("window_end") <= col("mx"))
       .select(col("window_end").cast("timestamp").as("window_end"),
         col("wau"), col("dau"),
         expr("(dau * 1000000) div wau").as("dau_wau_ppm"))
@@ -927,19 +934,25 @@ object EventAnalytics {
   val rollingWauSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-      |), mx AS (SELECT max(day) AS max_day FROM ud)
-      |SELECT CAST(window_end AS TIMESTAMP) AS window_end,
-      |       count(DISTINCT user_id) AS wau,
-      |       count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
-      |       (count(DISTINCT CASE WHEN o = 0 THEN user_id END) * 1000000)
-      |         // count(DISTINCT user_id) AS dau_wau_ppm
+      |), agg AS (
+      |  SELECT window_end,
+      |         count(DISTINCT user_id) AS wau,
+      |         count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau
+      |  FROM (
+      |    SELECT ud.user_id, r.range AS o,
+      |           ud.day + CAST(r.range AS INTEGER) AS window_end
+      |    FROM ud CROSS JOIN range(0, 7) r
+      |  )
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(window_end AS TIMESTAMP) AS window_end, wau, dau,
+      |       (dau * 1000000) // wau AS dau_wau_ppm
       |FROM (
-      |  SELECT ud.user_id, r.range AS o,
-      |         ud.day + CAST(r.range AS INTEGER) AS window_end
-      |  FROM ud CROSS JOIN range(0, 7) r
-      |) CROSS JOIN mx
-      |WHERE window_end <= max_day
-      |GROUP BY 1""".stripMargin
+      |  SELECT window_end, wau, dau,
+      |         max(CASE WHEN dau > 0 THEN window_end END) OVER () AS mx
+      |  FROM agg
+      |)
+      |WHERE window_end <= mx""".stripMargin
 
   /** Robust daily-rate anomaly flags per event type — the median/MAD
     * outlier rule ("which days spiked beyond 3 robust sigmas?") that
