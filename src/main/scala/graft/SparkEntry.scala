@@ -498,6 +498,7 @@ object SparkEntry {
     "w_roll_spread" -> ((s, dir) => TradeOps.rollSpread(trades(s, dir))),
     "a_bootstrap_ci" -> ((s, dir) => TradeOps.bootstrapCi(trades(s, dir))),
     "w_parkinson" -> ((s, dir) => TradeOps.parkinsonRange(trades(s, dir))),
+    "w_beta_rolling" -> ((s, dir) => TradeOps.rollingBeta(trades(s, dir))),
     "q30_supplier_hhi" -> ((s, dir) => Relational.supplierHhi(s, dir)),
     "q31_decile_migration" -> ((s, dir) => Relational.decileMigration(s, dir)),
     "e_rate_anomaly" -> ((s, dir) =>
@@ -1787,6 +1788,9 @@ object SparkEntry {
     "w_roll_spread" -> s"$T\n${TradeOps.rollSpreadSql}",
     "a_bootstrap_ci" -> s"$T\n${TradeOps.bootstrapCiSql()}",
     "w_parkinson" -> s"$T\n${TradeOps.parkinsonRangeSql}",
+    "w_beta_rolling" ->
+      s"""$T, ${TradeOps.dbarsCte}
+         |${TradeOps.rollingBetaSql()}""".stripMargin,
     "q30_supplier_hhi" -> Relational.supplierHhiSql,
     "q31_decile_migration" -> Relational.decileMigrationSql,
     "e_rate_anomaly" -> EventAnalytics.rateAnomalySql,

@@ -4357,4 +4357,59 @@ object TradeOps {
       |           min(CAST(round(price * 100) AS BIGINT)) AS lo
       |    FROM trades GROUP BY 1, 2))
       |GROUP BY 1, 2""".stripMargin
+
+  /** W (extension) — rolling market beta: [[marketBeta]]'s OLS slope
+    * re-fit over a trailing `frame`-day window per symbol — the
+    * time-VARYING exposure ("when did this name decouple from the
+    * tape?") the static fit averages away. Same exactness spine as
+    * a17: dollar-quantized daily closes, the equal-weight index as an
+    * exact integer SUM over full-coverage days only (composition never
+    * shifts), every frame statistic an exact BIGINT window sum, and
+    * the slope assembled from them in one integer-exact expression
+    * cast to double. Emitted only for full frames (n = frame) — the
+    * partial-window betas at a symbol's head are fit on fewer points
+    * and would read as regime changes. One symbol-keyed window over
+    * the days-cardinality bar table; the fact table is scanned once
+    * for the bars. */
+  def rollingBeta(trades: DataFrame, frame: Int = 10): DataFrame = {
+    val bars = trades
+      .withColumn("pd", expr("CAST(round(price) AS BIGINT)"))
+      .groupBy(date_trunc("day", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max_by(col("pd"), col("event_id")).as("x"))
+    val nSym = bars.agg(countDistinct(col("symbol")).as("ns"))
+    val idx = bars.groupBy("hr")
+      .agg(sum(col("x")).as("m"), count(lit(1)).as("cnt"))
+      .join(broadcast(nSym), col("cnt") === col("ns"))
+      .select("hr", "m")
+    val w = Window.partitionBy("symbol").orderBy("hr")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    bars.join(idx, "hr")
+      .select(col("symbol"), col("hr").as("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("m")).over(w).as("sm"),
+        sum(col("x") * col("m")).over(w).as("sxm"),
+        sum(col("m") * col("m")).over(w).as("smm"))
+      .filter(col("n") === frame)
+      .select(col("symbol"), col("day"), col("n"), expr(betaExpr))
+  }
+
+  /** Oracle for [[rollingBeta]] (chain after the trades CTE +
+    * [[dbarsCte]]). */
+  def rollingBetaSql(frame: Int = 10): String =
+    s"""SELECT symbol, day, n, $betaExpr
+       |FROM (
+       |  SELECT b.symbol, b.hr AS day,
+       |         CAST(count(*) OVER w AS BIGINT) AS n,
+       |         CAST(sum(b.x) OVER w AS BIGINT) AS sx,
+       |         CAST(sum(i.m) OVER w AS BIGINT) AS sm,
+       |         CAST(sum(b.x * i.m) OVER w AS BIGINT) AS sxm,
+       |         CAST(sum(i.m * i.m) OVER w AS BIGINT) AS smm
+       |  FROM dbars b JOIN (
+       |    SELECT hr, CAST(sum(x) AS BIGINT) AS m, count(*) AS cnt
+       |    FROM dbars GROUP BY 1) i ON b.hr = i.hr
+       |  WHERE i.cnt = (SELECT count(DISTINCT symbol) FROM dbars)
+       |  WINDOW w AS (PARTITION BY b.symbol ORDER BY b.hr
+       |               ROWS BETWEEN ${frame - 1} PRECEDING AND CURRENT ROW))
+       |WHERE n = $frame""".stripMargin
 }

@@ -3038,4 +3038,45 @@ class OpsInvariantsSpec extends SparkSuite {
       }
     }
   }
+
+  test("rolling beta: full frames only, and the last frame's slope " +
+      "matches a BigInt driver recompute") {
+    import org.apache.spark.sql.functions._
+    val trades = graft.Tables.trades(spark, sf)
+    val out = graft.ops.TradeOps.rollingBeta(trades).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) == 10L), "a partial frame leaked")
+    // recompute per symbol over the full-coverage daily bars
+    val bars = trades
+      .withColumn("pd", expr("CAST(round(price) AS BIGINT)"))
+      .groupBy(date_trunc("day", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max_by(col("pd"), col("event_id")).as("x")).collect()
+    val bySym = bars.groupBy(_.getString(1))
+    val nSym = bySym.size
+    val idx = bars.groupBy(_.getTimestamp(0)).collect {
+      case (hr, rs) if rs.size == nSym => hr -> rs.map(_.getLong(2)).sum
+    }.toMap
+    bySym.foreach { case (sym, rs) =>
+      val series = rs.filter(r => idx.contains(r.getTimestamp(0)))
+        .sortBy(_.getTimestamp(0).getTime)
+        .map(r => (BigInt(r.getLong(2)), BigInt(idx(r.getTimestamp(0)))))
+      if (series.size >= 10) {
+        val f = series.takeRight(10)
+        val n = BigInt(10)
+        val (sx, sm) = (f.map(_._1).sum, f.map(_._2).sum)
+        val sxm = f.map(p => p._1 * p._2).sum
+        val smm = f.map(p => p._2 * p._2).sum
+        val den = n * smm - sm * sm
+        val expect = if (den == 0) None
+          else Some((n * sxm - sx * sm).toDouble / den.toDouble)
+        val last = out.filter(_.getString(0) == sym)
+          .maxBy(_.getTimestamp(1).getTime)
+        expect match {
+          case Some(b) => assert(math.abs(last.getDouble(3) - b) < 1e-12,
+            s"$sym beta ${last.getDouble(3)} vs $b")
+          case None => assert(last.isNullAt(3))
+        }
+      }
+    }
+  }
 }
