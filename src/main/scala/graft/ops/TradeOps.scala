@@ -120,9 +120,15 @@ object TradeOps {
     withPm
       .withColumn("num", terms.map(_._1).reduce(_ + _))
       .withColumn("den", terms.map(_._2).reduce(_ + _))
+      // UNROUNDED ([[bollingerExprs]] convention): num/den/1e6 is two
+      // correctly-rounded divisions of exact integers — bit-identical
+      // cross-engine — while a round(·, 6) on top can land exactly on
+      // a half-µ and split between Spark's decimal-repr HALF_UP and
+      // DuckDB's binary rounding (materialized at 2 rows / 5M in the
+      // r13 dense money-stress sweep; delta exactly 1e-6).
       .select(col("event_id"), col("symbol"), col("timestamp"),
-        round(col("num").cast("double") / col("den").cast("double") /
-          lit(1e6), 6).as("ewma"))
+        (col("num").cast("double") / col("den").cast("double") /
+          lit(1e6)).as("ewma"))
   }
 
   /** W7 (extension) — feed-gap detection, the data-quality monitor every
@@ -273,8 +279,8 @@ object TradeOps {
       term(j, (1L << (lags - 1 - j)).toString)
     }.mkString("\n         + ")
     s"""SELECT event_id, symbol, "timestamp",
-       |       round(CAST($num AS DOUBLE)
-       |             / CAST($den AS DOUBLE) / 1e6, 6) AS ewma
+       |       CAST($num AS DOUBLE)
+       |         / CAST($den AS DOUBLE) / 1e6 AS ewma
        |FROM (SELECT event_id, symbol, "timestamp",
        |             CAST(round(price * 1000000) AS BIGINT) AS pm
        |      FROM trades)""".stripMargin

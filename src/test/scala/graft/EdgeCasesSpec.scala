@@ -751,4 +751,45 @@ class EdgeCasesSpec extends SparkSuite {
     assert(TradeOps.targetEncode(emptyTrades).count() === 0)
     assert(TradeOps.ksDrift(emptyTrades).count() === 0)
   }
+
+  test("r13 newcomers survive an empty table") {
+    assert(TradeOps.rollSpread(emptyTrades).count() === 0)
+    assert(TradeOps.bootstrapCi(emptyTrades).count() === 0)
+    assert(TradeOps.parkinsonRange(emptyTrades).count() === 0)
+    assert(TradeOps.rollingBeta(emptyTrades).count() === 0)
+  }
+
+  test("roll spread degenerate shapes: constant prices give zero " +
+      "covariance and a NULL spread; a 2-tick symbol has no pairs") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(id: Long, sym: String, p: Double) =
+      (id, sym, 1L, new java.sql.Timestamp(ts.getTime + id * 1000),
+        p, 1.0, p)
+    val flatAndShort = Seq(
+      t(1, "FLAT", 42.0), t(2, "FLAT", 42.0), t(3, "FLAT", 42.0),
+      t(4, "FLAT", 42.0),
+      t(5, "TWO", 10.0), t(6, "TWO", 11.0))
+      .toDF("event_id", "symbol", "user_id", "timestamp", "price",
+        "volume", "usd_volume")
+    val out = graft.ops.TradeOps.rollSpread(flatAndShort).collect()
+    assert(out.map(_.getString(0)).toSet == Set("FLAT"),
+      "2-tick symbol must drop (no (d, d-1) pairs); constant symbol stays")
+    val flat = out.head
+    assert(flat.getLong(1) == 2L)
+    assert(flat.getDouble(2) == 0.0, "constant prices: zero covariance")
+    assert(flat.isNullAt(3), "zero covariance: spread undefined")
+  }
+
+  test("supplier hhi degenerate shape: a single-supplier nation is " +
+      "full concentration (share = hhi = 1e6)") {
+    val out = graft.ops.Relational.supplierHhi(spark, sf).collect()
+    out.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L)
+    }
+    // and every multi-supplier nation is strictly less concentrated
+    out.filter(_.getLong(1) > 1L).foreach { r =>
+      assert(r.getLong(4) < 1000000L)
+    }
+  }
 }
