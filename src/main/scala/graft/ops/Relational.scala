@@ -1264,9 +1264,25 @@ object Relational {
       .withColumn("rev_micro", (col("rev_dec") * lit(1000000)).cast("long"))
     val byNation = Window.partitionBy("n_name")
     perSupp
-      .withColumn("nation_micro", sum(col("rev_micro")).over(byNation))
+      // the NATION total gets its own loud ceiling: summed as exact
+      // DECIMAL (Spark widens the window sum's precision — cannot
+      // wrap), asserted into the micro-BIGINT range, THEN cast. A
+      // sum(rev_micro-as-long) window would wrap silently past
+      // ~9.2e12 total units while DuckDB's HUGEINT widening sails on —
+      // the silent-divergence class this repo guards (ADVICE r13).
+      .withColumn("nation_dec", sum(col("rev_dec")).over(byNation))
+      .filter(expr(
+        "assert_true(abs(nation_dec) <= 9223372036854775807 div 1000000, " +
+          "'supplier_hhi: nation revenue total exceeds the exact " +
+          "micro-BIGINT range') IS NULL"))
+      .withColumn("nation_micro", (col("nation_dec") * lit(1000000)).cast("long"))
+      // tiny-nation clamp: with total revenue under 2 units the floored
+      // ppm denominator (greatest(total div 1e6, 1)) understates the
+      // total and a share could exceed 1e6 ppm — clamp share and HHI to
+      // the documented [0, 1e6] range, identically in the oracle.
       .withColumn("share_ppm", expr(
-        "rev_micro div greatest(nation_micro div 1000000, 1)"))
+        "least(rev_micro div greatest(nation_micro div 1000000, 1), " +
+          "1000000)"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_suppliers"),
         // nation_micro IS the exact micro value — one IEEE long→double
@@ -1274,7 +1290,8 @@ object Relational {
         (max(col("nation_micro")).cast("double") / lit(1000000d))
           .as("nation_revenue"),
         max(col("share_ppm")).as("top_share_ppm"),
-        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+        expr("least(sum(share_ppm * share_ppm) div 1000000, 1000000)")
+          .as("hhi_ppm"))
   }
 
   /** Oracle for [[supplierHhi]]. */
@@ -1290,18 +1307,19 @@ object Relational {
       |  GROUP BY 1, 2
       |), sh AS (
       |  SELECT n_name, rev_micro,
-      |         sum(rev_micro) OVER (PARTITION BY n_name) AS nation_micro,
-      |         CAST(rev_micro // greatest(
+      |         CAST(sum(rev_micro) OVER (PARTITION BY n_name) AS BIGINT)
+      |           AS nation_micro,
+      |         least(CAST(rev_micro // greatest(
       |           (sum(rev_micro) OVER (PARTITION BY n_name)) // 1000000,
-      |           1) AS BIGINT) AS share_ppm
+      |           1) AS BIGINT), 1000000) AS share_ppm
       |  FROM ps
       |)
       |SELECT n_name, count(*) AS n_suppliers,
       |       CAST(max(nation_micro) AS DOUBLE) / 1000000.0
       |         AS nation_revenue,
       |       max(share_ppm) AS top_share_ppm,
-      |       CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000
-      |         AS hhi_ppm
+      |       least(CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000,
+      |             1000000) AS hhi_ppm
       |FROM sh GROUP BY 1""".stripMargin
 
   /** Q31 (extension) — customer revenue-decile migration: the
@@ -1315,7 +1333,16 @@ object Relational {
     * absent next year land in `to_decile = 0` (the churn row), so
     * every (year, from_decile) fan-in telescopes to that decile's
     * population. Output is years × 10 × 11 rows — bounded at any
-    * corpus size. */
+    * corpus size.
+    *
+    * SCALE CLIFF (noted per ADVICE r13): `ntile(10) OVER (PARTITION BY
+    * year)` sorts one year's whole customer population on a single
+    * reducer. Mitigated here by ranking the post-aggregation
+    * customer×year table (|customers|, not |orders|), but if customer
+    * cardinality grows with the corpus this op switches to the
+    * [[graft.ops.TradeOps.volRegimeBanded]] two-pass banded rank — the
+    * bucket-offset form that assembles the same exact ntile without a
+    * single-partition sort. */
   def decileMigration(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.load(spark, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"),

@@ -2810,6 +2810,14 @@ object Similarity {
       .agg(sum(col("pos")).as("n_pos"),
         sum(lit(1L) - col("pos")).as("n_neg"),
         sum(col("pos") * col("rnk")).as("rank_sum"))
+      // degenerate label split (empty positive or negative class) is a
+      // div-by-zero below AND an empty/NaN centroid above — fail LOUDLY
+      // and identically in both engines (ADVICE r13), never a silent
+      // NULL-vs-raise divergence
+      .filter(expr(
+        "assert_true(n_pos > 0 AND n_neg > 0, " +
+          "'centroid_auc: degenerate label split — both classes must " +
+          "be non-empty') IS NULL"))
       .withColumn("auc_ppm", expr(
         "((rank_sum - (n_pos * (n_pos + 1)) div 2) * 1000000) " +
           "div (n_pos * n_neg)"))
@@ -2850,15 +2858,19 @@ object Similarity {
        |           AS rnk
        |  FROM sc
        |)
-       |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-       |       CAST(sum(1 - pos) AS BIGINT) AS n_neg,
-       |       CAST(sum(pos * rnk) AS BIGINT) AS rank_sum,
-       |       ((CAST(sum(pos * rnk) AS BIGINT)
-       |         - (CAST(sum(pos) AS BIGINT)
-       |            * (CAST(sum(pos) AS BIGINT) + 1)) // 2) * 1000000)
-       |         // (CAST(sum(pos) AS BIGINT) * CAST(sum(1 - pos) AS BIGINT))
-       |         AS auc_ppm
-       |FROM rk""".stripMargin
+       |, agg AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |         CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+       |         CAST(sum(pos * rnk) AS BIGINT) AS rank_sum
+       |  FROM rk
+       |)
+       |SELECT n_pos, n_neg, rank_sum,
+       |       CASE WHEN n_pos = 0 OR n_neg = 0
+       |            THEN CAST(error('centroid_auc: degenerate label split'
+       |                 ) AS BIGINT)
+       |            ELSE ((rank_sum - (n_pos * (n_pos + 1)) // 2) * 1000000)
+       |                 // (n_pos * n_neg) END AS auc_ppm
+       |FROM agg""".stripMargin
 
   /** V (extension) — SECOND principal component via Hotelling
     * deflation: power-iterate for the top PC, project it out of every

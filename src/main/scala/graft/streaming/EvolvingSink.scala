@@ -94,7 +94,17 @@ object EvolvingSink {
     }
     val parts = gen("g1").toSeq ++ gen("g2")
     require(parts.nonEmpty, s"no generation written under $outRoot yet")
-    parts.reduce(_.unionByName(_))
-      .select("event_id", "symbol", "timestamp", "price", "day", "hr")
+    // allowMissingColumns + hour(timestamp) fallback: gen-1 data written
+    // before `hr` became a write-time data column has no hr column at
+    // all — a plain unionByName would refuse to read an existing store
+    // across that layout change (ADVICE r13). Legacy rows fall back to
+    // the read-session hour; rows written since carry the writer's.
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val withHr =
+      if (!unioned.columns.contains("hr"))
+        unioned.withColumn("hr", hour(col("timestamp")))
+      else unioned.withColumn("hr",
+        coalesce(col("hr"), hour(col("timestamp"))))
+    withHr.select("event_id", "symbol", "timestamp", "price", "day", "hr")
   }
 }

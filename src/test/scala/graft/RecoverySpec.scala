@@ -376,6 +376,36 @@ class RecoverySpec extends SparkSuite {
     assert(EvolvingSink.readUnified(spark, out).count() === 5)
   }
 
+  test("evolving file sink: legacy gen-1 store without the hr data " +
+    "column still reads (hour(timestamp) fallback)") {
+    import graft.streaming.EvolvingSink
+    import spark.implicits._
+    val out = tmpDir("graft-evo-legacy")
+    // a gen-1 layout written by the pre-r13 sink: (bid, day) partition
+    // dirs, NO hr column anywhere in the files
+    Seq((1L, "BTC", java.sql.Timestamp.valueOf("2024-01-14 09:15:00"), 10.0),
+        (2L, "ETH", java.sql.Timestamp.valueOf("2024-01-15 13:30:00"), 11.0))
+      .toDF("event_id", "symbol", "timestamp", "price")
+      .withColumn("day", to_date(col("timestamp")))
+      .withColumn("bid", lit(0L))
+      .write.mode("overwrite").partitionBy("bid", "day")
+      .parquet(s"$out/g1")
+    val legacy = EvolvingSink.readUnified(spark, out)
+    assert(legacy.count() === 2, "legacy store readable without hr")
+    assert(legacy.filter(col("hr") < 12).select("event_id").as[Long]
+      .collect().toSet === Set(1L), "hr falls back to hour(timestamp)")
+    // a mixed store — legacy gen-1 plus current gen-2 (hr present) —
+    // unions across the missing column and keeps the written hr
+    EvolvingSink.applyBatch(
+      Seq((3L, "BTC", java.sql.Timestamp.valueOf("2024-01-16 08:00:00"),
+        13.0)).toDF("event_id", "symbol", "timestamp", "price"),
+      1L, out, "2024-01-16")
+    val mixed = EvolvingSink.readUnified(spark, out)
+    assert(mixed.count() === 3)
+    assert(mixed.filter(col("hr") === 8).select("event_id").as[Long]
+      .collect().toSet === Set(3L))
+  }
+
   test("streaming gaps: last-seen state survives the restart (cross-kill " +
     "gap emitted once), upsert sink makes replays no-ops") {
     import graft.streaming.EventStream
