@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 
 /** Shared exact-money numeric discipline (SURVEY.md §7.4).
@@ -48,4 +49,29 @@ object Num {
     when(guard.isNull, (c * lit(1000000)).cast("long")).cast("double") /
       lit(1000000d)
   }
+
+  /** Exact micro-unit LONG for a single ≤6-dp money value — the
+    * quantization [[decD]] applies to an aggregate, moved to the INPUT
+    * row so frames can sum cheap longs (see [[decDWin]]). A single row
+    * is within the micro-BIGINT range by the §7.4 input-fidelity bound
+    * (|v| ≲ 5e8); past it the ANSI decimal→long cast raises. */
+  def micros(c: Column): Column =
+    (c.cast("decimal(18,6)") * lit(1000000)).cast("long")
+
+  /** Deterministic WINDOWED money sum — the [[decD]] contract at
+    * long-add cost. Quantize each input row once (exact), sum LONGs
+    * over the frame, one IEEE long→double cast + exact power-of-ten
+    * divide at emit: Σ micros(xᵢ) = 10⁶·Σ xᵢ exactly, so the value is
+    * bit-identical to `decD(sum(dec(c)).over(w))` and to the mirrored
+    * `CAST(CAST(sum(DECIMAL) OVER w × 10⁶ AS BIGINT) AS DOUBLE)/10⁶`
+    * oracle — no oracle change when swapping forms. What changes is
+    * per-output-row cost: the decimal form paid O(frame) BigDecimal
+    * adds plus a guard + two casts + divide PER ROW (the r13 floor
+    * measured the lookback family 1.6–1.7× slower for it); this form
+    * pays O(frame) long adds and one cast. The ceiling stays LOUD on
+    * both sides — Spark's ANSI long-sum overflow raises past 2⁶³
+    * micro-units (EdgeCasesSpec pins it), DuckDB's BIGINT cast of the
+    * widened decimal raises identically. */
+  def decDWin(c: Column, w: WindowSpec): Column =
+    sum(micros(c)).over(w).cast("double") / lit(1000000d)
 }

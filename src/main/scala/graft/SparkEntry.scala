@@ -725,7 +725,7 @@ object SparkEntry {
       s"""$T
          |SELECT event_id, symbol, "timestamp", lookback_avg, n_rows FROM (
          |  SELECT event_id, symbol, "timestamp",
-         |         round(CAST(CAST(sum(CAST(price AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / 100, 6) AS lookback_avg,
+         |         CAST(CAST(sum(CAST(price AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / 100 AS lookback_avg,
          |         count(*) OVER w AS n_rows
          |  FROM trades
          |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id

@@ -75,8 +75,12 @@ object Predict {
     val bars = TradeOps.slidingFeatures(trades)
     val w = Window.partitionBy("symbol").orderBy("timestamp")
       .rowsBetween(-(n - 1), Window.currentRow)
-    def decSum(c: Column) =
-      graft.Num.decD(sum(c.cast("decimal(18,6)")).over(w))
+    // micro-LONG frame sums (Num.decDWin): value-identical to the
+    // decimal-sum decD route the oracle mirrors, but the per-row frame
+    // work is long adds + one cast instead of BigDecimal adds + a
+    // guard + two casts + divide — the r13 floor paid 1.7× for the
+    // latter on this op (ADVICE r13 hoist directive)
+    def decSum(c: Column) = graft.Num.decDWin(c, w)
     bars.select(col("symbol"), col("timestamp"),
         collect_list(struct(
           col("close"), col("high"), col("low"),

@@ -70,12 +70,11 @@ object TradeOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     trades.select(
       col("event_id"), col("symbol"), col("timestamp"), col("volume"),
-      // decimal window sum: DuckDB's segment-tree accumulation reorders
-      // double addition vs Spark's linear frames — exact decimals make
-      // the running total order-independent on both sides; decD pins
-      // the output cast (a running corpus total crosses 2^53 micro)
-      graft.Num.decD(sum(col("volume").cast("decimal(18,6)")).over(w))
-        .as("cumulative_volume"))
+      // exact micro-LONG window sum: order-independent on both sides
+      // (integer addition), decD's output-cast contract at long-add
+      // cost (a running corpus total crosses 2^53 micro; Num.decDWin
+      // keeps the single int64→double cast and stays loud at 2^63)
+      graft.Num.decDWin(col("volume"), w).as("cumulative_volume"))
   }
 
   /** W2/T14 (reference `BtcPrediction/kafka.py:42-57`): fixed 100-row
@@ -88,11 +87,11 @@ object TradeOps {
     trades
       .select(
         col("event_id"), col("symbol"), col("timestamp"),
-        // exact decimal sum, then ONE double division — engine-identical
-        // (frame-bounded at n rows, so the sum can't reach the decD
-        // ceiling; routed through decD anyway for cast uniformity)
-        round(graft.Num.decD(sum(col("price").cast("decimal(18,6)")).over(w))
-          / lit(n), 6).as("lookback_avg"),
+        // exact micro-LONG frame sum, then TWO correctly-rounded double
+        // divisions (÷10⁶, ÷n) — deterministic by construction, so the
+        // value emits UNROUNDED (the w5_ewma precedent: a round(·, 6)
+        // on an exact-quotient chain only adds the half-µ tie surface)
+        (graft.Num.decDWin(col("price"), w) / lit(n)).as("lookback_avg"),
         count(lit(1)).over(w).as("n_rows"))
       .filter(col("n_rows") === n)
   }

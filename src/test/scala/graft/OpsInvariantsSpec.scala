@@ -2867,6 +2867,40 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(boom.getMessage != null)
   }
 
+  test("Num.decDWin: value-identical to the decimal-sum decD route, " +
+      "loud past the micro-BIGINT ceiling (ANSI long-sum overflow)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy("g").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 1. Bit-identity with the decimal-window-sum + decD form the
+    //    oracles mirror — the swap is value-free by construction.
+    val df = Seq((1, 1, "0.000001"), (1, 2, "123456.789012"),
+      (1, 3, "-987.654321"), (2, 1, "42.5"), (2, 2, "0.1"))
+      .toDF("g", "i", "s").select(col("g"), col("i"),
+        col("s").cast("double").as("x"))
+    val both = df.select(
+      graft.Num.decDWin(col("x"), w).as("a"),
+      graft.Num.decD(sum(col("x").cast("decimal(18,6)")).over(w)).as("b"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"decDWin diverged from decD: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // 2. A frame whose micro sum crosses 2^63 fails LOUDLY (the ANSI
+    //    long-sum overflow; DuckDB's mirrored CAST(sum * 1e6 AS BIGINT)
+    //    raises there too) — never a silent wrap. Rows stay inside the
+    //    per-row DECIMAL(18,6) range (< 1e12); eleven 9e11-unit rows
+    //    push the frame total past 9.22e12 units.
+    val boom = intercept[Exception] {
+      (1 to 11).map(i => (1, i, 9.0e11)).toDF("g", "i", "x")
+        .select(graft.Num.decDWin(col("x"), w)).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("roll spread: cov_num matches a BigInt driver recompute, spread " +
       "defined iff negative serial covariance, n_pairs = n - 2") {
     import org.apache.spark.sql.functions._
