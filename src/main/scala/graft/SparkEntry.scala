@@ -685,7 +685,7 @@ object SparkEntry {
     "b_bucketed_join" ->
       """SELECT c.c_custkey, c.c_name,
         |       count(*) AS n_orders,
-        |       round(CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0, 4) AS revenue
+        |       (CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS revenue
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1, 2""".stripMargin,
 
@@ -762,22 +762,22 @@ object SparkEntry {
          |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
          |)
          |SELECT symbol, bucket,
-         |  round(CASE WHEN p IS NOT NULL THEN p
+         |  (CASE WHEN p IS NOT NULL THEN p
          |             WHEN pv IS NULL THEN NULL
          |             WHEN nv IS NULL THEN pv
          |             ELSE pv + (nv - pv) *
          |               (CAST(epoch(bucket)::BIGINT - epoch(pt)::BIGINT AS DOUBLE) /
          |                CAST(epoch(nt)::BIGINT - epoch(pt)::BIGINT AS DOUBLE))
-         |        END, 6) AS price_filled,
+         |        END) AS price_filled,
          |  n_ff AS n_trades_ff
          |FROM n8""".stripMargin,
 
     "f9_minmax_scale" ->
       s"""$T
          |SELECT event_id, symbol, price,
-         |       round((price - min(price) OVER (PARTITION BY symbol)) /
+         |       ((price - min(price) OVER (PARTITION BY symbol)) /
          |             (max(price) OVER (PARTITION BY symbol) -
-         |              min(price) OVER (PARTITION BY symbol)), 6) AS scaled
+         |              min(price) OVER (PARTITION BY symbol))) AS scaled
          |FROM trades""".stripMargin,
 
     "f3_dateparts" ->
@@ -876,8 +876,8 @@ object SparkEntry {
       s"""$T
          |SELECT symbol, event_id,
          |       ntile(4) OVER w AS quartile,
-         |       round(percent_rank() OVER w, 6) AS pct_rank,
-         |       round(cume_dist() OVER w, 6) AS cum_dist,
+         |       (percent_rank() OVER w) AS pct_rank,
+         |       (cume_dist() OVER w) AS cum_dist,
          |       first_value(price) OVER w AS first_price,
          |       nth_value(price, 100) OVER w AS price_100th
          |FROM trades
@@ -987,9 +987,9 @@ object SparkEntry {
         |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_base_price,
         |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_disc_price,
         |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
-        |       round(avg(l_quantity), 6) AS avg_qty,
-        |       round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_price,
-        |       round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_disc,
+        |       (avg(l_quantity)) AS avg_qty,
+        |       (CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)) AS avg_price,
+        |       (CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1076,7 +1076,7 @@ object SparkEntry {
         |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
         |  GROUP BY 1
         |)
-        |SELECT o_year, round(nation_revenue / total_revenue, 6) AS mkt_share,
+        |SELECT o_year, (nation_revenue / total_revenue) AS mkt_share,
         |       nation_revenue, total_revenue
         |FROM a""".stripMargin,
 
@@ -1190,7 +1190,7 @@ object SparkEntry {
         |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
         |)
-        |SELECT round(100.0::DOUBLE * promo_revenue / total_revenue, 6) AS promo_pct,
+        |SELECT (100.0::DOUBLE * promo_revenue / total_revenue) AS promo_pct,
         |       promo_revenue, total_revenue
         |FROM a""".stripMargin,
 
@@ -1299,8 +1299,8 @@ object SparkEntry {
         |  len(words) AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subtokens,
         |  len(list_distinct(words)) AS n_distinct,
-        |  round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS ttr,
-        |  round(CAST(length(text) - (len(words) - 1) AS DOUBLE) / CAST(len(words) AS DOUBLE), 6) AS avg_token_len
+        |  (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)) AS ttr,
+        |  (CAST(length(text) - (len(words) - 1) AS DOUBLE) / CAST(len(words) AS DOUBLE)) AS avg_token_len
         |FROM w""".stripMargin,
 
     "t_lang_id" -> TextOps.langIdSql,
@@ -1506,7 +1506,7 @@ object SparkEntry {
         |    ON s1.lang = s2.lang AND s1.source = s2.source AND s1.doc_id < s2.doc_id
         |)
         |SELECT doc_a, doc_b,
-        |       round(CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard
+        |       (CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)) AS jaccard
         |FROM p
         |WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.1::DOUBLE""".stripMargin,
 
@@ -1522,7 +1522,7 @@ object SparkEntry {
         |  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
         |  FROM n, q WHERE vec_id != q_id
         |)
-        |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
+        |SELECT q_id, vec_id, (cos) AS cos_sim, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
         |  FROM s
         |) WHERE rnk <= 5""".stripMargin,
@@ -1562,9 +1562,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-        |       ELSE round((length(text) -
+        |       ELSE ((length(text) -
         |              length(regexp_replace(lower(text), '[aeiou]', '', 'g')))::DOUBLE
-        |            / length(text)::DOUBLE, 6)
+        |            / length(text)::DOUBLE)
         |  END AS vowel_ratio,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,

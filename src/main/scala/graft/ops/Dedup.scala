@@ -489,7 +489,7 @@ object Dedup {
         col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), (col("jaccard")).as("jaccard"))
   }
 
   /** Bands × bits-per-band layout of the embedding near-dup blocking:
@@ -564,7 +564,7 @@ object Dedup {
         .filter(col("vec_a") < col("vec_b"))
         .filter(col("band") === firstMatch)
         .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+        .select(col("vec_a"), col("vec_b"), (col("cos")).as("cos_sim"))
     }
   }
 
@@ -710,7 +710,7 @@ object Dedup {
        |  FROM b a JOIN b b2
        |    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
        |), epairs AS MATERIALIZED (
-       |  SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+       |  SELECT vec_a, vec_b, (cos) AS cos_sim
        |  FROM p
        |  WHERE band = ($firstMatch)
        |)""".stripMargin
@@ -945,7 +945,7 @@ object Dedup {
       .withColumn("lev_ppm", expr(
         "(lev * 1000000) div greatest(length(pa), length(pb))"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("est_jaccard"), 6).as("est_jaccard"),
+        (col("est_jaccard")).as("est_jaccard"),
         col("lev"), col("lev_ppm"))
   }
 
@@ -965,7 +965,7 @@ object Dedup {
        |           '[^\\x00-\\x7F]', '?', 'g') AS p
        |  FROM documents
        |)
-       |SELECT s.doc_a, s.doc_b, round(s.est_jaccard, 6) AS est_jaccard,
+       |SELECT s.doc_a, s.doc_b, (s.est_jaccard) AS est_jaccard,
        |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
        |       (CAST(levenshtein(a.p, b.p) AS BIGINT) * 1000000)
        |         // greatest(length(a.p), length(b.p)) AS lev_ppm
@@ -1104,8 +1104,8 @@ object Dedup {
         // m == 0 (empty loose graph) would divide by zero → NULL; an
         // edgeless graph has nothing to cut, so Q is defined as 0.
         (if (m == 0L) lit(0.0)
-         else round(col("num").cast("double")
-           / (lit(4.0) * lit(m).cast("double") * lit(m).cast("double")), 6))
+         else (col("num").cast("double")
+           / (lit(4.0) * lit(m).cast("double") * lit(m).cast("double"))))
           .as("modularity"))
   }
 
@@ -1155,8 +1155,8 @@ object Dedup {
        |)
        |SELECT m.m AS n_edges, smod.s AS sample_mod,
        |       CASE WHEN m.m > 0
-       |            THEN round(CAST(num.num AS DOUBLE)
-       |               / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6)
+       |            THEN (CAST(num.num AS DOUBLE)
+       |               / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)))
        |            ELSE 0.0 END AS modularity
        |FROM num, m, smod""".stripMargin
 
@@ -1695,7 +1695,7 @@ object Dedup {
        |),
        |$iterCtes
        |SELECT id AS doc_id, r AS rank_pico,
-       |       round(CAST(r AS DOUBLE) / 1e12, 8) AS rank
+       |       (CAST(r AS DOUBLE) / 1e12) AS rank
        |FROM r$iters""".stripMargin
   }
 
@@ -1728,8 +1728,8 @@ object Dedup {
       .withColumn("c_ba", col("n_inter").cast("double") / col("sz_b").cast("double"))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(col("c_ab"), 6).as("containment_ab"),
-        round(col("c_ba"), 6).as("containment_ba"))
+        (col("c_ab")).as("containment_ab"),
+        (col("c_ba")).as("containment_ba"))
   }
 
   /** Oracle for [[containment]] — list-intersect form over the same
@@ -1748,8 +1748,8 @@ object Dedup {
        |    ON s1.lang = s2.lang AND s1.source = s2.source AND s1.doc_id < s2.doc_id
        |)
        |SELECT doc_a, doc_b,
-       |       round(CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment_ab,
-       |       round(CAST(n_inter AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment_ba
+       |       (CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE)) AS containment_ab,
+       |       (CAST(n_inter AS DOUBLE) / CAST(nb AS DOUBLE)) AS containment_ba
        |FROM p
        |WHERE n_inter > 0
        |  AND greatest(CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE),
@@ -1787,12 +1787,12 @@ object Dedup {
         sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
         sum(when(col("is_true") && col("is_cand"), 1L).otherwise(0L)).as("n_hits"))
       .select(col("n_true"), col("n_candidates"), col("n_hits"),
-        round(col("n_hits").cast("double") /
+        (col("n_hits").cast("double") /
           when(col("n_true") === 0L, lit(null)).otherwise(col("n_true"))
-            .cast("double"), 6).as("recall"),
-        round(col("n_hits").cast("double") /
+            .cast("double")).as("recall"),
+        (col("n_hits").cast("double") /
           when(col("n_candidates") === 0L, lit(null)).otherwise(col("n_candidates"))
-            .cast("double"), 6).as("precision"))
+            .cast("double")).as("precision"))
   }
 
   /** Oracle for [[lshRecall]] — same sampled all-pairs scan in SQL. */
@@ -1810,8 +1810,8 @@ object Dedup {
        |  FROM scored
        |)
        |SELECT n_true, n_candidates, n_hits,
-       |       round(CAST(n_hits AS DOUBLE) / CAST(nullif(n_true, 0) AS DOUBLE), 6) AS recall,
-       |       round(CAST(n_hits AS DOUBLE) / CAST(nullif(n_candidates, 0) AS DOUBLE), 6) AS "precision"
+       |       (CAST(n_hits AS DOUBLE) / CAST(nullif(n_true, 0) AS DOUBLE)) AS recall,
+       |       (CAST(n_hits AS DOUBLE) / CAST(nullif(n_candidates, 0) AS DOUBLE)) AS "precision"
        |FROM agg""".stripMargin
 
   /** Oracle for [[Graph.kCore]] over the minhash similarity graph: the

@@ -274,10 +274,10 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("mau"))
     dau.join(mau, "month")
       .select(col("month"), col("mau"), col("n_days"),
-        round(col("dau_total").cast("double") / col("n_days").cast("double"), 6)
+        (col("dau_total").cast("double") / col("n_days").cast("double"))
           .as("avg_dau"),
-        round(col("dau_total").cast("double") / col("n_days").cast("double")
-          / col("mau").cast("double"), 6).as("stickiness"))
+        (col("dau_total").cast("double") / col("n_days").cast("double")
+          / col("mau").cast("double")).as("stickiness"))
   }
 
   /** Oracle for [[stickiness]]. */
@@ -297,10 +297,10 @@ object EventAnalytics {
       |  FROM events GROUP BY 1
       |)
       |SELECT dm.month, m.mau, dm.n_days,
-      |       round(CAST(dau_total AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+      |       (CAST(dau_total AS DOUBLE) / CAST(n_days AS DOUBLE))
       |         AS avg_dau,
-      |       round(CAST(dau_total AS DOUBLE) / CAST(n_days AS DOUBLE)
-      |             / CAST(m.mau AS DOUBLE), 6) AS stickiness
+      |       (CAST(dau_total AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |             / CAST(m.mau AS DOUBLE)) AS stickiness
       |FROM dm JOIN m USING (month)""".stripMargin
 
   /** P3 (extension) — schema-on-read shredding of the raw `props` JSON

@@ -322,7 +322,7 @@ object Graph {
     }
     val out = ranks.select(col("id").as("doc_id"),
       col("r").as("rank_pico"),
-      round(col("r").cast("double") / lit(1e12), 8).as("rank"))
+      (col("r").cast("double") / lit(1e12)).as("rank"))
     val keep = backingRdds(ranks).map(_.id).toSet
     allocated.filterNot(r => keep.contains(r.id)).distinct
       .foreach(_.unpersist(blocking = false))

@@ -109,10 +109,14 @@ object Multimodal {
                 vowels += 1
               i += 1
             }
+            // UNROUNDED quotient of exact ints: one correctly-rounded
+            // IEEE division, bit-identical to DuckDB's — the former
+            // setScale(6, HALF_UP) carried the round-tie hazard class
+            // (exact-expansion HALF_UP vs DuckDB's binary rounding
+            // split w5_ewma on half-µ ties; r14 audit)
             val ratio =
               if (text.isEmpty) 0.0
-              else BigDecimal(vowels.toDouble / text.length)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              else vowels.toDouble / text.length
             val md = java.security.MessageDigest.getInstance("MD5")
             val hash = md.digest(text.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString

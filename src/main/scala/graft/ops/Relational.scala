@@ -48,10 +48,10 @@ object Relational {
           .as("sum_disc_price"),
         decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))))
           .as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(decD(sum(dec(col("l_extendedprice")))) / count(lit(1)), 6)
+        (avg(col("l_quantity"))).as("avg_qty"),
+        (decD(sum(dec(col("l_extendedprice")))) / count(lit(1)))
           .as("avg_price"),
-        round(decD(sum(dec(col("l_discount")))) / count(lit(1)), 6)
+        (decD(sum(dec(col("l_discount")))) / count(lit(1)))
           .as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
@@ -440,7 +440,7 @@ object Relational {
         decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
           .as("total_revenue"))
       .select(
-        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
           .as("promo_pct"),
         col("promo_revenue"), col("total_revenue"))
   }
@@ -556,7 +556,7 @@ object Relational {
         decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
           .as("total_revenue"))
       .select(col("o_year"),
-        round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"),
+        (col("nation_revenue") / col("total_revenue")).as("mkt_share"),
         col("nation_revenue"), col("total_revenue"))
   }
 
@@ -1075,8 +1075,8 @@ object Relational {
         .withColumnRenamed("cp", "cb")), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_both"),
-        round((col("n_both") * col("n_orders")).cast("double")
-          / (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+        ((col("n_both") * col("n_orders")).cast("double")
+          / (col("ca") * col("cb")).cast("double")).as("lift"))
   }
 
   /** Oracle for [[copurchase]]. */
@@ -1095,8 +1095,8 @@ object Relational {
        |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
        |)
        |SELECT pr.part_a, pr.part_b, pr.n_both,
-       |       round(CAST(pr.n_both * n.n_orders AS DOUBLE)
-       |             / CAST(ca.cp * cb.cp AS DOUBLE), 6) AS lift
+       |       (CAST(pr.n_both * n.n_orders AS DOUBLE)
+       |             / CAST(ca.cp * cb.cp AS DOUBLE)) AS lift
        |FROM pr JOIN pc ca ON ca.l_partkey = pr.part_a
        |        JOIN pc cb ON cb.l_partkey = pr.part_b
        |        CROSS JOIN n""".stripMargin

@@ -74,7 +74,7 @@ object Resample {
 
     withNeighbors
       .select(col("symbol"), col("bucket"),
-        round(blended, 6).as("price_filled"),
+        (blended).as("price_filled"),
         col("n_ff").as("n_trades_ff"))
   }
 }

@@ -231,6 +231,6 @@ object Scale {
     c.hint("merge").join(o, col("c_custkey") === col("o_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(count(lit(1)).as("n_orders"),
-        round(TradeOps.exactSum(col("o_totalprice")), 4).as("revenue"))
+        (TradeOps.exactSum(col("o_totalprice"))).as("revenue"))
   }
 }

@@ -37,7 +37,7 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+      .select(col("q_id"), col("vec_id"), (col("cos")).as("cos_sim"),
         col("rnk"))
   }
 
@@ -69,7 +69,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("q_label"), col("vec_id"),
-        col("label").as("neg_label"), round(col("cos"), 6).as("cos_sim"),
+        col("label").as("neg_label"), (col("cos")).as("cos_sim"),
         col("rnk"))
   }
 
@@ -89,7 +89,7 @@ object Similarity {
        |  FROM n, q WHERE label != q_label
        |)
        |SELECT q_id, q_label, vec_id, neg_label,
-       |       round(cos, 6) AS cos_sim, rnk FROM (
+       |       (cos) AS cos_sim, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |            ORDER BY cos DESC, vec_id) AS rnk
        |  FROM s
@@ -120,7 +120,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"),
-        round(col("ip"), 6).as("inner_product"), col("rnk"))
+        (col("ip")).as("inner_product"), col("rnk"))
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion — the modern RAG /
@@ -172,7 +172,7 @@ object Similarity {
       .orderBy(col("rrf").desc, col("doc_id"))
     fused.withColumn("rnk", row_number().over(byRrf))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+      .select(col("q_id"), col("doc_id"), (col("rrf")).as("rrf"),
         col("rnk"))
   }
 
@@ -218,7 +218,7 @@ object Similarity {
        |  FROM lex FULL OUTER JOIN vec
        |    ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id
        |)
-       |SELECT q_id, doc_id, round(rrf, 6) AS rrf, rnk FROM (
+       |SELECT q_id, doc_id, (rrf) AS rrf, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY rrf DESC, doc_id) AS rnk
        |  FROM fused) WHERE rnk <= $k""".stripMargin
@@ -233,7 +233,7 @@ object Similarity {
        |  SELECT q_id, vec_id, list_dot_product(qv, v) AS ip
        |  FROM e, q WHERE vec_id != q_id
        |)
-       |SELECT q_id, vec_id, round(ip, 6) AS inner_product, rnk FROM (
+       |SELECT q_id, vec_id, (ip) AS inner_product, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY ip DESC, vec_id) AS rnk
        |  FROM s
@@ -309,7 +309,7 @@ object Similarity {
       .withColumn("cos", expr("dot_product(qv, v)") / (col("qn") * col("norm")))
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+      .select(col("q_id"), col("vec_id"), (col("cos")).as("cos_sim"),
         col("rnk"))
   }
 
@@ -359,7 +359,7 @@ object Similarity {
   def annIvfSql(nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
       nProbe: Int = 4, trainIters: Int = 2, dim: Int = 64): String =
     s"""WITH ${annIvfCtes(nQueries, nCells, nProbe, trainIters, dim)}
-       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk
+       |SELECT q_id, vec_id, (cos) AS cos_sim, rnk
        |FROM ivf WHERE rnk <= $k""".stripMargin
 
   /** Recall@k of the IVF index against exact brute-force cosine top-k —
@@ -382,7 +382,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
 
@@ -405,8 +405,8 @@ object Similarity {
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_hits,
-       |       round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |       (CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS recall
        |FROM brute b LEFT JOIN ivfk i
        |  ON b.q_id = i.q_id AND b.vec_id = i.vec_id""".stripMargin
 
@@ -435,7 +435,7 @@ object Similarity {
         sum(when(col("ra").isNotNull && col("ra") <= col("k"), 1L)
           .otherwise(0L)).as("n_hits"))
       .select(col("k"), col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
 
@@ -464,9 +464,9 @@ object Similarity {
        |       CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(sum(CASE WHEN i.ra IS NOT NULL AND i.ra <= t.k
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       |       round(CAST(sum(CASE WHEN i.ra IS NOT NULL AND i.ra <= t.k
+       |       (CAST(sum(CASE WHEN i.ra IS NOT NULL AND i.ra <= t.k
        |                          THEN 1 ELSE 0 END) AS DOUBLE)
-       |             / CAST(count(*) AS DOUBLE), 6) AS recall
+       |             / CAST(count(*) AS DOUBLE)) AS recall
        |FROM bfc b
        |JOIN t ON b.re <= t.k
        |LEFT JOIN ik i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
@@ -507,7 +507,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"),
         lit(subDim).as("sub_dim"))
   }
@@ -545,8 +545,8 @@ object Similarity {
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(sum(CASE WHEN bs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_hits,
-       |       round(CAST(sum(CASE WHEN bs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
+       |       (CAST(sum(CASE WHEN bs.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS recall,
        |       $subDim AS sub_dim
        |FROM bf LEFT JOIN bs ON bf.q_id = bs.q_id AND bf.vec_id = bs.vec_id""".stripMargin
 
@@ -616,7 +616,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
 
@@ -661,8 +661,8 @@ object Similarity {
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_hits,
-       |       round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |       (CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS recall
        |FROM bf LEFT JOIN i8 i
        |  ON bf.q_id = i.q_id AND bf.vec_id = i.vec_id""".stripMargin
 
@@ -725,7 +725,7 @@ object Similarity {
   def annLshSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
       dim: Int = 64): String =
     s"""WITH ${annLshCtes(nQueries, nBits, dim)}
-       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
+       |SELECT q_id, vec_id, (cos) AS cos_sim, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, vec_id) AS rnk
        |  FROM s
@@ -753,7 +753,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"),
         lit(nBits).as("n_bits"))
   }
@@ -781,8 +781,8 @@ object Similarity {
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_hits,
-       |       round(CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
+       |       (CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS recall,
        |       $nBits AS n_bits
        |FROM brute b LEFT JOIN lshk l
        |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id""".stripMargin
@@ -1129,8 +1129,8 @@ object Similarity {
         max(when(col("rk") === 1, col("label"))).as("majority_label"),
         max(when(col("rk") === 1, col("c"))).as("n_majority"))
       .withColumn("purity",
-        round(col("n_majority").cast("double")
-          / col("n_points").cast("double"), 6))
+        (col("n_majority").cast("double")
+          / col("n_points").cast("double")))
   }
 
   /** Oracle for [[kmeansPurity]] — the unrolled k-means chain plus the
@@ -1154,8 +1154,8 @@ object Similarity {
        |       max(CASE WHEN rk = 1 THEN label END) AS majority_label,
        |       CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT)
        |         AS n_majority,
-       |       round(CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
-       |             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS purity
+       |       (CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+       |             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)) AS purity
        |FROM rk GROUP BY 1""".stripMargin
 
   /** V (extension) — IVF cell-occupancy decade histogram, completing
@@ -1475,7 +1475,7 @@ object Similarity {
       .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+      .select(col("q_id"), col("vec_id"), (col("cos")).as("cos_sim"),
         col("rnk"))
   }
 
@@ -1514,7 +1514,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(byLabel))
       .filter(col("rnk") <= k)
       .select(col("label"), col("vec_id"),
-        round(col("cos"), 6).as("cos_centroid"), col("rnk"))
+        (col("cos")).as("cos_centroid"), col("rnk"))
   }
 
   /** Oracle for [[labelOutliers]] — identical micro-quantized integer
@@ -1544,7 +1544,7 @@ object Similarity {
        |           / (n.nrm * sqrt(list_dot_product(cent.c, cent.c))) AS cos
        |  FROM n JOIN cent USING (label)
        |)
-       |SELECT label, vec_id, round(cos, 6) AS cos_centroid, rnk FROM (
+       |SELECT label, vec_id, (cos) AS cos_centroid, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY label
        |    ORDER BY cos ASC, vec_id) AS rnk
        |  FROM s
@@ -1583,9 +1583,9 @@ object Similarity {
       .select(col("label"), col("n_vecs").as("n_odd"), col("c").as("cb"))
     a.join(b, "label")
       .select(col("label"), col("n_even"), col("n_odd"),
-        round(expr("dot_product(ca, cb)")
+        (expr("dot_product(ca, cb)")
           / (sqrt(expr("dot_product(ca, ca)"))
-            * sqrt(expr("dot_product(cb, cb)"))), 6).as("centroid_cos"))
+            * sqrt(expr("dot_product(cb, cb)")))).as("centroid_cos"))
   }
 
   /** Oracle for [[centroidShift]]. */
@@ -1609,9 +1609,9 @@ object Similarity {
        |  FROM csum GROUP BY 1, 2
        |)
        |SELECT a.label, a.n_vecs AS n_even, b.n_vecs AS n_odd,
-       |       round(list_dot_product(a.c, b.c)
+       |       (list_dot_product(a.c, b.c)
        |             / (sqrt(list_dot_product(a.c, a.c))
-       |                * sqrt(list_dot_product(b.c, b.c))), 6)
+       |                * sqrt(list_dot_product(b.c, b.c))))
        |         AS centroid_cos
        |FROM cent a JOIN cent b
        |  ON a.label = b.label AND a.half = 0 AND b.half = 1""".stripMargin
@@ -1645,7 +1645,7 @@ object Similarity {
       .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+      .select(col("q_id"), col("vec_id"), (col("cos")).as("cos_sim"),
         col("rnk"))
   }
 
@@ -1698,7 +1698,7 @@ object Similarity {
   def annLshMultiprobeSql(nQueries: Int = 10, k: Int = 3, nBits: Int = 8,
       dim: Int = 64): String =
     s"""WITH ${multiprobeCtes(nQueries, nBits, dim)}
-       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM (
+       |SELECT q_id, vec_id, (cos) AS cos_sim, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, vec_id) AS rnk
        |  FROM s
@@ -1827,7 +1827,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
       .filter(col("cos") >= minCos)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("q_id"), col("vec_id"), (col("cos")).as("cos_sim"))
   }
 
   /** Greedy k-center diversity seeds (farthest-point traversal,
@@ -1874,7 +1874,7 @@ object Similarity {
         .filter(!col("vec_id").isin(seeds.map(_._2): _*))
         .withColumn("mind", mind)
         .select(col("vec_id"), col("mind"),
-          round(col("mind"), 6).as("mind6"), col("v"), col("norm"))
+          (col("mind")).as("mind6"), col("v"), col("norm"))
         .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
       if (picked.isEmpty) exhausted = true
       else {
@@ -1921,7 +1921,7 @@ object Similarity {
     }
     sb ++= s"""
       |SELECT CAST(seed_rank AS INTEGER) AS seed_rank, vec_id,
-      |       round(mind, 6) AS min_dist
+      |       (mind) AS min_dist
       |FROM s$k ORDER BY seed_rank""".stripMargin
     sb.toString
   }
@@ -2037,7 +2037,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
 
@@ -2067,8 +2067,8 @@ object Similarity {
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_hits,
-       |       round(CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |       (CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS recall
        |FROM bf LEFT JOIN hk h
        |  ON bf.q_id = h.q_id AND bf.vec_id = h.vec_id""".stripMargin
 
@@ -2113,7 +2113,7 @@ object Similarity {
       .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"),
+      .select(col("q_id"), col("vec_id"), (col("cos")).as("cos_sim"),
         col("rnk"))
   }
 
@@ -2153,7 +2153,7 @@ object Similarity {
   /** Oracle for [[knnGraph]]. */
   def knnGraphSql(k: Int = 3, occ: Long = 128L, dim: Int = 64): String =
     s"""WITH ${knnGraphCtes(occ, dim, k)}
-       |SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rnk FROM g""".stripMargin
+       |SELECT q_id, vec_id, (cos) AS cos_sim, rnk FROM g""".stripMargin
 
   /** Recall of the [[knnGraph]] edge set against exact brute-force
     * top-k, measured over a DETERMINISTIC node sample (`vec_id %
@@ -2188,7 +2188,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("n_exact"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"),
         lit(mod).as("sample_mod"))
   }
@@ -2217,8 +2217,8 @@ object Similarity {
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_hits,
-       |       round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |           AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
+       |       (CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS recall,
        |       CAST((SELECT m FROM sm) AS BIGINT) AS sample_mod
        |FROM bf LEFT JOIN ap
        |  ON bf.q_id = ap.q_id AND bf.vec_id = ap.vec_id""".stripMargin
@@ -2263,8 +2263,8 @@ object Similarity {
     val lambda = nrm / n.toDouble
     vcur.zipWithIndex.map { case (x, d) => (d, x) }
       .toDF("dim", "raw")
-      .select(col("dim"), round(col("raw"), 6).as("loading"),
-        round(lit(lambda), 6).as("lambda"))
+      .select(col("dim"), (col("raw")).as("loading"),
+        (lit(lambda)).as("lambda"))
   }
 
   /** Oracle for [[pcaPower]]: the iteration unrolled as CTE rounds,
@@ -2294,8 +2294,8 @@ object Similarity {
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |),
        |$rounds
-       |SELECT u.i - 1 AS dim, round(vv[u.i], 6) AS loading,
-       |       round(nrm / (SELECT count(*) FROM e), 6) AS lambda
+       |SELECT u.i - 1 AS dim, (vv[u.i]) AS loading,
+       |       (nrm / (SELECT count(*) FROM e)) AS lambda
        |FROM w$iters, (SELECT unnest(generate_series(1, $dim)) AS i) u"""
       .stripMargin
   }
@@ -2329,7 +2329,7 @@ object Similarity {
     val w = Window.orderBy(col("md").desc, col("vec_id"))
     top.withColumn("rnk", row_number().over(w))
       .select(col("vec_id"),
-        round(sqrt(greatest(col("md"), lit(0.0))), 6).as("ood_dist"),
+        (sqrt(greatest(col("md"), lit(0.0)))).as("ood_dist"),
         col("rnk"))
   }
 
@@ -2347,7 +2347,7 @@ object Similarity {
        |  SELECT e.vec_id, s.m2 + list_dot_product(e.v, e.v) AS md
        |  FROM e JOIN sc s USING (vec_id)
        |)
-       |SELECT vec_id, round(sqrt(greatest(md, 0.0::DOUBLE)), 6) AS ood_dist,
+       |SELECT vec_id, (sqrt(greatest(md, 0.0::DOUBLE))) AS ood_dist,
        |       rnk
        |FROM (SELECT vec_id, md,
        |             row_number() OVER (ORDER BY md DESC, vec_id) AS rnk
@@ -2580,7 +2580,7 @@ object Similarity {
        |  WHERE vec_id < $nQueries
        |)
        |SELECT q.q_id, n.vec_id,
-       |       round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6)
+       |       (list_dot_product(q.qv, n.v) / (q.qn * n.nrm))
        |         AS cos_sim
        |FROM q, n
        |WHERE n.vec_id != q.q_id
@@ -2641,7 +2641,7 @@ object Similarity {
       sel = sel.unionByName(next)
     }
     sel.select(col("rank"), col("vec_id"),
-      round(col("score"), 6).as("mmr_score"))
+      (col("score")).as("mmr_score"))
   }
 
   /** Oracle for [[mmrSelect]] — the greedy rounds unrolled as chained
@@ -2683,7 +2683,7 @@ object Similarity {
        |  FROM pool ORDER BY cosq DESC, vec_id LIMIT 1),
        |$rounds
        |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
-       |       round(score, 6) AS mmr_score
+       |       (score) AS mmr_score
        |FROM (${(1 to k).map(i => s"SELECT * FROM s$i")
             .mkString(" UNION ALL ")})""".stripMargin
   }
@@ -2732,7 +2732,7 @@ object Similarity {
       .orderBy(col("cos_exp").desc, col("vec_id")).limit(k)
     expanded
       .join(seedIds, col("vec_id") === col("seed_id"), "left_outer")
-      .select(col("vec_id"), round(col("cos_exp"), 6).as("cos_expanded"),
+      .select(col("vec_id"), (col("cos_exp")).as("cos_expanded"),
         col("seed_id").isNotNull.as("was_seed"))
   }
 
@@ -2764,7 +2764,7 @@ object Similarity {
        |), cn AS (
        |  SELECT cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent
        |)
-       |SELECT x.vec_id, round(x.cos_exp, 6) AS cos_expanded,
+       |SELECT x.vec_id, (x.cos_exp) AS cos_expanded,
        |       x.vec_id IN (SELECT vec_id FROM seeds) AS was_seed
        |FROM (
        |  SELECT e.vec_id,
@@ -2963,8 +2963,8 @@ object Similarity {
         posexplode(col("warr")).as(Seq("dim", "u2q")))
       .select(col("dim"),
         expr("CAST(u2q AS DOUBLE) / 1000000.0D").as("loading2"),
-        round(col("nrm7") / lit(1e7), 6).as("lambda2"),
-        round(expr("CAST(oq AS DOUBLE) / 1000000000000.0D"), 6).as("ortho"))
+        (col("nrm7") / lit(1e7)).as("lambda2"),
+        (expr("CAST(oq AS DOUBLE) / 1000000000000.0D")).as("ortho"))
   }
 
   /** Oracle for [[pcaDeflate]] — the identical exact-integer
@@ -3034,9 +3034,9 @@ object Similarity {
        |$u2rounds
        |SELECT u.i - 1 AS dim,
        |       CAST(dw.warr[u.i] AS DOUBLE) / 1000000.0 AS loading2,
-       |       round(dw.nrm7 / 10000000.0, 6) AS lambda2,
-       |       round(CAST(${idot("uu.u1arr", "dw.warr")} AS DOUBLE)
-       |             / 1000000000000.0, 6) AS ortho
+       |       (dw.nrm7 / 10000000.0) AS lambda2,
+       |       (CAST(${idot("uu.u1arr", "dw.warr")} AS DOUBLE)
+       |             / 1000000000000.0) AS ortho
        |FROM dw$iters dw, u1 uu,
        |     (SELECT unnest(generate_series(1, $dim)) AS i) u"""
       .stripMargin

@@ -42,10 +42,10 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(subtokenRegex), lit(0)))
         .as("n_subtokens"),
       size(array_distinct(col("words"))).as("n_distinct"),
-      round(size(array_distinct(col("words"))).cast("double") /
-        size(col("words")).cast("double"), 6).as("ttr"),
-      round((length(col("text")) - (size(col("words")) - lit(1))).cast("double") /
-        size(col("words")).cast("double"), 6).as("avg_token_len"))
+      (size(array_distinct(col("words"))).cast("double") /
+        size(col("words")).cast("double")).as("ttr"),
+      ((length(col("text")) - (size(col("words")) - lit(1))).cast("double") /
+        size(col("words")).cast("double")).as("avg_token_len"))
 
   private def langScore(ws: Seq[String]): String =
     s"size(filter(words, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
@@ -209,17 +209,17 @@ object TextOps {
         col("doc_id"),
         col("n_chars"),
         col("n_tokens"),
-        round(size(array_distinct(col("words"))).cast("double") /
-          col("n_tokens").cast("double"), 6).as("uniq_ratio"),
-        round(col("stop_hits").cast("double") /
-          col("n_tokens").cast("double"), 6).as("stop_ratio"),
-        round(
+        (size(array_distinct(col("words"))).cast("double") /
+          col("n_tokens").cast("double")).as("uniq_ratio"),
+        (col("stop_hits").cast("double") /
+          col("n_tokens").cast("double")).as("stop_ratio"),
+        (
           lit(0.4) * (size(array_distinct(col("words"))).cast("double") /
             col("n_tokens").cast("double")) +
           lit(0.3) * (col("stop_hits").cast("double") /
             col("n_tokens").cast("double")) +
           lit(0.3) * least(col("n_tokens").cast("double") /
-            lit(200).cast("double"), lit(1).cast("double")), 6).as("quality"))
+            lit(200).cast("double"), lit(1).cast("double"))).as("quality"))
   }
 
   /** Document fingerprinting: exact-content hash, order-insensitive
@@ -286,11 +286,11 @@ object TextOps {
           "i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) END"))
       .select(
         col("doc_id"), col("n_tokens"), col("top_count"),
-        round(col("top_count").cast("double") / col("n_tokens").cast("double"), 6)
+        (col("top_count").cast("double") / col("n_tokens").cast("double"))
           .as("top_word_ratio"),
         when(col("tri_total") > 0,
-          round(lit(1).cast("double") -
-            col("tri_distinct").cast("double") / col("tri_total").cast("double"), 6))
+          (lit(1).cast("double") -
+            col("tri_distinct").cast("double") / col("tri_total").cast("double")))
           .otherwise(lit(0.0)).as("dup_trigram_ratio"))
 
   val repetitionSql: String =
@@ -307,9 +307,9 @@ object TextOps {
       |  FROM w
       |)
       |SELECT doc_id, n_tokens, top_count,
-      |  round(CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_word_ratio,
+      |  (CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS top_word_ratio,
       |  CASE WHEN tri_total > 0
-      |       THEN round(CAST(1 AS DOUBLE) - CAST(tri_distinct AS DOUBLE) / CAST(tri_total AS DOUBLE), 6)
+      |       THEN (CAST(1 AS DOUBLE) - CAST(tri_distinct AS DOUBLE) / CAST(tri_total AS DOUBLE))
       |       ELSE 0.0::DOUBLE END AS dup_trigram_ratio
       |FROM r""".stripMargin
 
@@ -708,11 +708,11 @@ object TextOps {
        |  FROM qw
        |), q AS (
        |  SELECT doc_id, n_chars, n_tokens,
-       |    round(CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS uniq_ratio,
-       |    round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-       |    round(0.4::DOUBLE * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |    (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS uniq_ratio,
+       |    (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS stop_ratio,
+       |    (0.4::DOUBLE * (CAST(len(list_distinct(words)) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
        |        + 0.3::DOUBLE * (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-       |        + 0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE)), 6) AS quality
+       |        + 0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1 AS DOUBLE))) AS quality
        |  FROM qs
        |)""".stripMargin
   }
@@ -828,9 +828,9 @@ object TextOps {
         .as("present"),
         sum(col("cg")).as("cg_present"))
       .select(col("source"), col("ns").as("n_tokens"),
-        round((col("present")
+        ((col("present")
           + col("ns") * (col("ng") - col("cg_present"))).cast("double")
-          / (lit(2L) * col("ns") * col("ng")).cast("double"), 6)
+          / (lit(2L) * col("ns") * col("ng")).cast("double"))
           .as("tv_drift"))
   }
 
@@ -856,8 +856,8 @@ object TextOps {
       |  GROUP BY 1, 2, 3
       |)
       |SELECT source, ns AS n_tokens,
-      |       round(CAST(present + ns * (ng - cg_present) AS DOUBLE)
-      |             / CAST(2 * ns * ng AS DOUBLE), 6) AS tv_drift
+      |       (CAST(present + ns * (ng - cg_present) AS DOUBLE)
+      |             / CAST(2 * ns * ng AS DOUBLE)) AS tv_drift
       |FROM agg""".stripMargin
 
   /** Oracle for [[sourceMixSample]]: identical integer cross-multiplied
@@ -1182,7 +1182,7 @@ object TextOps {
         sum(col("df")).as("sum_df"),
         sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("mean_df",
-        round(col("sum_df").cast("double") / col("n_tokens"), 6))
+        (col("sum_df").cast("double") / col("n_tokens")))
   }
 
   /** Oracle for [[dfRarity]] — integer sums cast to BIGINT (DuckDB sum
@@ -1202,7 +1202,7 @@ object TextOps {
        |       CAST(sum(d.df) AS BIGINT) AS sum_df,
        |       CAST(sum(CASE WHEN d.df <= $rareDf THEN 1 ELSE 0 END)
        |            AS BIGINT) AS n_rare,
-       |       round(CAST(sum(d.df) AS DOUBLE) / count(*), 6) AS mean_df
+       |       (CAST(sum(d.df) AS DOUBLE) / count(*)) AS mean_df
        |FROM tok JOIN d USING (token)
        |GROUP BY 1""".stripMargin
 
@@ -1577,7 +1577,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
-        expr("round(CAST(n_hits AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)" +
+        expr("(CAST(n_hits AS DOUBLE) / CAST(n_bigrams AS DOUBLE))" +
           " AS coverage"))
   }
 
@@ -1601,8 +1601,8 @@ object TextOps {
        |SELECT b.doc_id,
        |       count(*) AS n_bigrams,
        |       CAST(sum(coalesce(v.hit, 0)) AS BIGINT) AS n_hits,
-       |       round(CAST(CAST(sum(coalesce(v.hit, 0)) AS BIGINT) AS DOUBLE)
-       |             / CAST(count(*) AS DOUBLE), 6) AS coverage
+       |       (CAST(CAST(sum(coalesce(v.hit, 0)) AS BIGINT) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE)) AS coverage
        |FROM b LEFT JOIN v USING (bigram)
        |GROUP BY 1""".stripMargin
 
@@ -1656,8 +1656,8 @@ object TextOps {
       .withColumn("term", col("tf").cast("double") * col("r"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
-        expr("""round(aggregate(sort_array(collect_list(struct(bucket, term))),
-                CAST(0 AS DOUBLE), (acc, x) -> acc + x.term), 6)""")
+        expr("""(aggregate(sort_array(collect_list(struct(bucket, term))),
+                CAST(0 AS DOUBLE), (acc, x) -> acc + x.term))""")
           .as("weight"))
   }
 
@@ -1688,8 +1688,8 @@ object TextOps {
        |  FROM tf JOIN r ON tf.bucket = r.bucket
        |)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-       |       round(list_reduce(list(term ORDER BY bucket),
-       |             (acc, x) -> acc + x), 6) AS weight
+       |       (list_reduce(list(term ORDER BY bucket),
+       |             (acc, x) -> acc + x)) AS weight
        |FROM terms
        |GROUP BY 1""".stripMargin
 

@@ -245,16 +245,16 @@ object TradeOps {
       .withColumn("buf", collect_list(col("pm")).over(w))
       .filter(size(col("buf")) === n)
       .select(col("event_id"), col("symbol"), col("timestamp"),
-        round(element_at(array_sort(col("buf")), (n + 1) / 2)
-          .cast("double") / lit(1e6), 6).as("rolling_median"))
+        (element_at(array_sort(col("buf")), (n + 1) / 2)
+          .cast("double") / lit(1e6)).as("rolling_median"))
   }
 
   /** Oracle for [[rollingMedian]] (body only — caller prepends the
     * trades CTE): same frame, same sort-and-pick selection. */
   def rollingMedianSql(n: Int = 25): String =
     s"""SELECT event_id, symbol, "timestamp",
-       |       round(CAST(list_sort(buf)[${(n + 1) / 2}] AS DOUBLE)
-       |             / 1e6, 6) AS rolling_median
+       |       (CAST(list_sort(buf)[${(n + 1) / 2}] AS DOUBLE)
+       |             / 1e6) AS rolling_median
        |FROM (
        |  SELECT event_id, symbol, "timestamp",
        |         list(CAST(round(price * 1000000) AS BIGINT))
@@ -297,7 +297,7 @@ object TradeOps {
         // try_divide: a constant-price group has mx = mn and must yield
         // NULL ("no scale information"), not throw under ANSI mode
         // (Spark 4 default) — caught by PropertiesSpec.
-        round(try_divide(col("price") - col("mn"), col("mx") - col("mn")), 6)
+        (try_divide(col("price") - col("mn"), col("mx") - col("mn")))
           .as("scaled"))
   }
 
@@ -677,7 +677,7 @@ object TradeOps {
           - col("mu") * col("sx").cast("double") * 2d
           + col("n").cast("double") * col("mu") * col("mu"))
       .select(col("symbol"), col("n"),
-        when(d === 0d, lit(null)).otherwise(round(col("num") / d, 6))
+        when(d === 0d, lit(null)).otherwise((col("num") / d))
           .as("autocorr_lag1"))
   }
 
@@ -707,10 +707,10 @@ object TradeOps {
       |SELECT symbol, n,
       |       CASE WHEN (dxx - mu * dx * 2 + CAST(n AS DOUBLE) * mu * mu) = 0
       |            THEN NULL
-      |            ELSE round((dxy - mu * dsl
+      |            ELSE ((dxy - mu * dsl
       |                        + CAST(n - 1 AS DOUBLE) * mu * mu)
       |                       / (dxx - mu * dx * 2
-      |                          + CAST(n AS DOUBLE) * mu * mu), 6)
+      |                          + CAST(n AS DOUBLE) * mu * mu))
       |       END AS autocorr_lag1
       |FROM m""".stripMargin
 
@@ -744,7 +744,7 @@ object TradeOps {
           - col("cc").cast("double") / col("tc").cast("double")))
       .groupBy("symbol")
       .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
-        round(max(col("diff")), 6).as("ks_stat"))
+        (max(col("diff"))).as("ks_stat"))
   }
 
   /** Oracle for [[ksDrift]] (body only — caller prepends the trades
@@ -772,8 +772,8 @@ object TradeOps {
        |  WHERE t.tr > 0 AND t.tc > 0
        |)
        |SELECT symbol, max(tr) AS n_ref, max(tc) AS n_cur,
-       |       round(max(abs(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
-       |                     - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))), 6)
+       |       (max(abs(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
+       |                     - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))))
        |         AS ks_stat
        |FROM c GROUP BY 1""".stripMargin
 
@@ -809,11 +809,11 @@ object TradeOps {
         sum(col("r") * col("v")).as("srv"))
       .filter(col("sv") > 0)
       .select(col("symbol"), col("n_users"),
-        round(col("svv").cast("double") /
-          (col("sv").cast("double") * col("sv").cast("double")), 6).as("hhi"),
-        round((lit(2d) * col("srv").cast("double")
+        (col("svv").cast("double") /
+          (col("sv").cast("double") * col("sv").cast("double"))).as("hhi"),
+        ((lit(2d) * col("srv").cast("double")
           - (col("n_users") + 1L).cast("double") * col("sv").cast("double"))
-          / (col("n_users").cast("double") * col("sv").cast("double")), 6)
+          / (col("n_users").cast("double") * col("sv").cast("double")))
           .as("gini"))
   }
 
@@ -837,11 +837,11 @@ object TradeOps {
       |  FROM r GROUP BY 1 HAVING CAST(sum(v) AS BIGINT) > 0
       |)
       |SELECT symbol, n_users,
-      |       round(CAST(svv AS DOUBLE)
-      |             / (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)), 6) AS hhi,
-      |       round((2 * CAST(srv AS DOUBLE)
+      |       (CAST(svv AS DOUBLE)
+      |             / (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) AS hhi,
+      |       ((2 * CAST(srv AS DOUBLE)
       |              - CAST(n_users + 1 AS DOUBLE) * CAST(sv AS DOUBLE))
-      |             / (CAST(n_users AS DOUBLE) * CAST(sv AS DOUBLE)), 6)
+      |             / (CAST(n_users AS DOUBLE) * CAST(sv AS DOUBLE)))
       |         AS gini
       |FROM s""".stripMargin
 
@@ -861,8 +861,8 @@ object TradeOps {
         // decD on the group sum (corpus-scale); the single-row x is a
         // lone ≤6-dp value whose decimal cast is exact at any scale
         when(col("n") > 1L,
-          round((graft.Num.decD(col("s")) - x.cast("double"))
-            / (col("n") - 1L).cast("double"), 6))
+          ((graft.Num.decD(col("s")) - x.cast("double"))
+            / (col("n") - 1L).cast("double")))
           .as("symbol_loo_mean"))
   }
 
@@ -877,9 +877,9 @@ object TradeOps {
       |)
       |SELECT t.event_id, t.symbol,
       |       CASE WHEN s.n > 1 THEN
-      |         round((CAST(CAST(s.sm * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+      |         ((CAST(CAST(s.sm * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
       |                - CAST(CAST(t.usd_volume AS DECIMAL(18,6)) AS DOUBLE))
-      |               / CAST(s.n - 1 AS DOUBLE), 6)
+      |               / CAST(s.n - 1 AS DOUBLE))
       |       END AS symbol_loo_mean
       |FROM trades t JOIN s USING (symbol)""".stripMargin
 
@@ -911,8 +911,8 @@ object TradeOps {
       .withColumn("r", col("_prior") + row_number().over(inBkt))
       .select(col("event_id"), col("symbol"),
         when(col("_total") > 1L,
-          round((col("r") - 1L).cast("double")
-            / (col("_total") - 1L).cast("double"), 6))
+          ((col("r") - 1L).cast("double")
+            / (col("_total") - 1L).cast("double")))
           .otherwise(lit(0d)).as("pct_rank"))
   }
 
@@ -926,7 +926,7 @@ object TradeOps {
       |           AS pr
       |  FROM trades
       |)
-      |SELECT event_id, symbol, round(CAST(pr AS DOUBLE), 6) AS pct_rank
+      |SELECT event_id, symbol, (CAST(pr AS DOUBLE)) AS pct_rank
       |FROM q""".stripMargin
 
   /** A26 (extension) — chi-square homogeneity of each symbol's
@@ -961,7 +961,7 @@ object TradeOps {
         expr("""aggregate(sort_array(collect_list(struct(h, term))),
                 CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("chi2raw"))
       .select(col("symbol"), (col("n_hours") - 1L).as("dof"),
-        round(col("chi2raw"), 6).as("chi2"))
+        (col("chi2raw")).as("chi2"))
   }
 
   /** Oracle for [[chisqHourly]] (body only — caller prepends the
@@ -989,8 +989,8 @@ object TradeOps {
       |       LEFT JOIN cell ON cell.symbol = rt.symbol AND cell.h = ct.h
       |)
       |SELECT symbol, CAST(count(*) - 1 AS BIGINT) AS dof,
-      |       round(list_reduce(list(term ORDER BY h),
-      |             (a, b) -> a + b) + 0.0::DOUBLE, 6) AS chi2
+      |       (list_reduce(list(term ORDER BY h),
+      |             (a, b) -> a + b) + 0.0::DOUBLE) AS chi2
       |FROM terms GROUP BY 1""".stripMargin
 
   /** S16 (extension) — order-independent table fingerprint: per
@@ -1198,8 +1198,8 @@ object TradeOps {
     trades.select(
       col("symbol"), col("event_id"),
       ntile(4).over(w).as("quartile"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      round(cume_dist().over(w), 6).as("cum_dist"),
+      (percent_rank().over(w)).as("pct_rank"),
+      (cume_dist().over(w)).as("cum_dist"),
       first(col("price")).over(w).as("first_price"),
       nth_value(col("price"), 100).over(w).as("price_100th"))
   }
@@ -2744,7 +2744,7 @@ object TradeOps {
       .drop("mxd")
       .select(col("symbol"), col("day").cast("timestamp").as("day"),
         col("n_ticks"), col("rv_cent2"),
-        round(sqrt(col("rv_cent2").cast("double")) / lit(100d), 6)
+        (sqrt(col("rv_cent2").cast("double")) / lit(100d))
           .as("realized_vol"))
   }
 
@@ -2762,8 +2762,8 @@ object TradeOps {
       |SELECT symbol, CAST(day AS TIMESTAMP) AS day,
       |       count(*) AS n_ticks,
       |       CAST(sum(dd * dd) AS BIGINT) AS rv_cent2,
-      |       round(sqrt(CAST(CAST(sum(dd * dd) AS BIGINT) AS DOUBLE))
-      |             / 100.0::DOUBLE, 6) AS realized_vol
+      |       (sqrt(CAST(CAST(sum(dd * dd) AS BIGINT) AS DOUBLE))
+      |             / 100.0::DOUBLE) AS realized_vol
       |FROM d GROUP BY 1, 2""".stripMargin
 
   /** K15 (extension) — merge-on-read table: row-level upserts land as
@@ -2951,7 +2951,7 @@ object TradeOps {
     trades.join(broadcast(fit), Seq("symbol"))
       .select(col("event_id"), col("symbol"),
         when(col("q3") > col("q1"),
-          round((col("price") - col("med")) / (col("q3") - col("q1")), 6))
+          ((col("price") - col("med")) / (col("q3") - col("q1"))))
           .as("robust_scaled"))
   }
 
@@ -2973,7 +2973,7 @@ object TradeOps {
       |)
       |SELECT t.event_id, t.symbol,
       |       CASE WHEN f.q3 > f.q1 THEN
-      |         round((t.price - f.med) / (f.q3 - f.q1), 6)
+      |         ((t.price - f.med) / (f.q3 - f.q1))
       |       END AS robust_scaled
       |FROM trades t JOIN fit f USING (symbol)""".stripMargin
 
@@ -3178,16 +3178,16 @@ object TradeOps {
           .as("sigma_c"))
     trades.join(broadcast(fit), "symbol")
       .select(col("event_id"), col("symbol"), col("price"),
-        round((expr("CAST(round(price * 100) AS BIGINT)").cast("double") -
-          col("mu_c")) / nullif(col("sigma_c"), lit(0.0d)), 6).as("z"))
+        ((expr("CAST(round(price * 100) AS BIGINT)").cast("double") -
+          col("mu_c")) / nullif(col("sigma_c"), lit(0.0d))).as("z"))
   }
 
   /** Oracle for [[zscoreScale]] (body only — caller prepends the trades
     * CTE). */
   val zscoreScaleSql: String =
     """SELECT t.event_id, t.symbol, t.price,
-      |       round((CAST(CAST(round(t.price * 100) AS BIGINT) AS DOUBLE)
-      |              - f.mu_c) / nullif(f.sigma_c, 0.0), 6) AS z
+      |       ((CAST(CAST(round(t.price * 100) AS BIGINT) AS DOUBLE)
+      |              - f.mu_c) / nullif(f.sigma_c, 0.0)) AS z
       |FROM trades t JOIN (
       |  SELECT symbol,
       |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu_c,
@@ -3248,11 +3248,11 @@ object TradeOps {
         max_by(col("price"), seq).as("close"))
       .select(col("symbol"), col("day").cast("timestamp").as("day"),
         col("open"), col("high"), col("low"), col("close"),
-        round(p, 6).as("pivot"),
-        round(p * 2d - col("low"), 6).as("r1"),
-        round(p * 2d - col("high"), 6).as("s1"),
-        round(p + (col("high") - col("low")), 6).as("r2"),
-        round(p - (col("high") - col("low")), 6).as("s2"))
+        (p).as("pivot"),
+        (p * 2d - col("low")).as("r1"),
+        (p * 2d - col("high")).as("s1"),
+        (p + (col("high") - col("low"))).as("r2"),
+        (p - (col("high") - col("low"))).as("s2"))
   }
 
   /** Oracle for [[pivotPoints]] (body only — caller prepends the trades
@@ -3260,11 +3260,11 @@ object TradeOps {
     * order. */
   val pivotPointsSql: String =
     """SELECT symbol, day, open, high, low, close,
-      |       round((high + low + close) / 3, 6) AS pivot,
-      |       round((high + low + close) / 3 * 2 - low, 6) AS r1,
-      |       round((high + low + close) / 3 * 2 - high, 6) AS s1,
-      |       round((high + low + close) / 3 + (high - low), 6) AS r2,
-      |       round((high + low + close) / 3 - (high - low), 6) AS s2
+      |       ((high + low + close) / 3) AS pivot,
+      |       ((high + low + close) / 3 * 2 - low) AS r1,
+      |       ((high + low + close) / 3 * 2 - high) AS s1,
+      |       ((high + low + close) / 3 + (high - low)) AS r2,
+      |       ((high + low + close) / 3 - (high - low)) AS s2
       |FROM (
       |  SELECT DISTINCT symbol, CAST(CAST("timestamp" AS DATE) AS TIMESTAMP) AS day,
       |         first_value(price) OVER w AS open,
@@ -3426,7 +3426,7 @@ object TradeOps {
     val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("digit"), col("n"),
-        round(col("n").cast("double") / col("total").cast("double"), 6)
+        (col("n").cast("double") / col("total").cast("double"))
           .as("share"))
   }
 
@@ -3442,8 +3442,8 @@ object TradeOps {
       |  GROUP BY 1
       |)
       |SELECT digit, n,
-      |       round(CAST(n AS DOUBLE)
-      |             / CAST((SELECT sum(n) FROM c) AS DOUBLE), 6) AS share
+      |       (CAST(n AS DOUBLE)
+      |             / CAST((SELECT sum(n) FROM c) AS DOUBLE)) AS share
       |FROM c""".stripMargin
 
   /** A (extension) — historical Value-at-Risk + Expected Shortfall per
@@ -3578,17 +3578,17 @@ object TradeOps {
           "- 3.0 * mean * mean * mean * mean"))
       .select(col("symbol"), col("n"), col("s1"), col("s2"), col("s3"),
         col("s4"),
-        round(expr("m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))"), 6)
+        (expr("m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))"))
           .as("skewness"),
-        round(expr("m4 / (m2 * m2) - 3.0"), 6).as("excess_kurtosis"))
+        (expr("m4 / (m2 * m2) - 3.0")).as("excess_kurtosis"))
 
   /** Oracle for [[momentProfile]] (body only — caller prepends the
     * trades CTE): identical quantization, sums, and derived-moment
     * expression tree. */
   val momentProfileSql: String =
     """SELECT symbol, n, s1, s2, s3, s4,
-      |       round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
-      |       round(m4 / (m2 * m2) - 3.0::DOUBLE, 6) AS excess_kurtosis
+      |       (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) AS skewness,
+      |       (m4 / (m2 * m2) - 3.0::DOUBLE) AS excess_kurtosis
       |FROM (
       |  SELECT symbol, n, s1, s2, s3, s4, mean,
       |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS m2,
@@ -4194,11 +4194,11 @@ object TradeOps {
         "CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) " +
           "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
       .select(col("symbol"), col("n_pairs"),
-        round(col("cov_x4") / col("n_pairs").cast("double")
-          / col("n_pairs").cast("double"), 6).as("serial_cov"),
+        (col("cov_x4") / col("n_pairs").cast("double")
+          / col("n_pairs").cast("double")).as("serial_cov"),
         when(col("cov_x4") < 0d,
-          round(lit(2d) * sqrt(-col("cov_x4"))
-            / col("n_pairs").cast("double"), 6))
+          (lit(2d) * sqrt(-col("cov_x4"))
+            / col("n_pairs").cast("double")))
           .as("spread_cents"))
   }
 
@@ -4206,11 +4206,11 @@ object TradeOps {
     * CTE). */
   val rollSpreadSql: String =
     """SELECT symbol, n_pairs,
-      |       round(cov_num / CAST(n_pairs AS DOUBLE)
-      |             / CAST(n_pairs AS DOUBLE), 6) AS serial_cov,
+      |       (cov_num / CAST(n_pairs AS DOUBLE)
+      |             / CAST(n_pairs AS DOUBLE)) AS serial_cov,
       |       CASE WHEN cov_num < 0 THEN
-      |         round(2.0 * sqrt(-cov_num)
-      |               / CAST(n_pairs AS DOUBLE), 6)
+      |         (2.0 * sqrt(-cov_num)
+      |               / CAST(n_pairs AS DOUBLE))
       |       END AS spread_cents
       |FROM (
       |  SELECT symbol, n_pairs,
@@ -4342,8 +4342,8 @@ object TradeOps {
       .agg(count(lit(1)).as("n_bars"), sum(col("r2")).as("sum_range2"))
       .select(col("symbol"), col("day").cast("timestamp").as("day"),
         col("n_bars"), col("sum_range2"),
-        round(sqrt(col("sum_range2").cast("double")
-          / col("n_bars").cast("double")), 6).as("range_vol_cents"))
+        (sqrt(col("sum_range2").cast("double")
+          / col("n_bars").cast("double"))).as("range_vol_cents"))
 
   /** Oracle for [[parkinsonRange]] (body only — caller prepends the
     * trades CTE). */
@@ -4351,8 +4351,8 @@ object TradeOps {
     """SELECT symbol, CAST(day AS TIMESTAMP) AS day,
       |       count(*) AS n_bars,
       |       CAST(sum(r2) AS BIGINT) AS sum_range2,
-      |       round(sqrt(CAST(CAST(sum(r2) AS BIGINT) AS DOUBLE)
-      |             / CAST(count(*) AS DOUBLE)), 6) AS range_vol_cents
+      |       (sqrt(CAST(CAST(sum(r2) AS BIGINT) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE))) AS range_vol_cents
       |FROM (
       |  SELECT symbol, CAST(minute AS DATE) AS day,
       |         (hi - lo) * (hi - lo) AS r2

@@ -690,7 +690,7 @@ class EdgeCasesSpec extends SparkSuite {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
       .orderBy(expr("CAST(round(price * 100) AS BIGINT)"), col("event_id"))
     val ref = trades.select(col("event_id"),
-      round(percent_rank().over(w), 6).as("ref_pr"))
+      percent_rank().over(w).as("ref_pr"))
     assert(qr.join(ref, "event_id")
       .filter(col("pct_rank") =!= col("ref_pr")).count() === 0)
     // chi-square: non-negative on real data; exactly zero when every
