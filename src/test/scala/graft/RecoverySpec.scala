@@ -457,4 +457,69 @@ class RecoverySpec extends SparkSuite {
     assert(Upsert.read(spark, out).get.count() === 3,
       "replayed batch upserted its own keys — no dupes")
   }
+
+  test("vpin stream: volume clock and tick-rule sign survive the " +
+    "restart (bar continues, not restarts), upsert replays no-op") {
+    import graft.streaming.VpinStream
+    import spark.implicits._
+    val in = tmpDir("graft-vpin-in")
+    val out = tmpDir("graft-vpin-out")
+    val ckpt = tmpDir("graft-vpin-ckpt")
+
+    def line(id: Long, offMs: Long, p: Double, v: Double) =
+      s"$id,BTC,${t0 + offMs},$p,$v"
+    def parsed = spark.readStream.text(in)
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+        col("f").getItem(1).as("symbol"),
+        timestamp_millis(col("f").getItem(2).cast("long")).as("ts"),
+        col("f").getItem(3).cast("double").as("price"),
+        col("f").getItem(4).cast("double").as("volume"))
+      .as[VpinStream.Trade]
+    // clock = 5.0 volume units per bar (5e6 micros)
+    def start() = VpinStream.barStream(spark, parsed,
+        Map("BTC" -> 5000000L)).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Upsert.merge(df, id, out, Seq("symbol", "bar"))
+      }.start()
+
+    // phase 1: 4 units traded — bar 0 is PARTIAL (uptick then downtick:
+    // signed = +1.0 - 2.0 = -1.0 over 4.0 after the cold 1.0) — hard stop
+    writeBatch(in, "b1.csv", Seq(
+      line(1, 0, 10.00, 1.0), line(2, 1000, 10.05, 1.0),
+      line(3, 2000, 9.95, 2.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val p1 = Upsert.read(spark, out).get
+      .select("bar", "n_ticks", "vol_micro", "imb_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(p1 === Set((0L, 3L, 4000000L, 250000L)),
+      s"partial bar 0 snapshot before the kill: $p1")
+
+    // phase 2: restart; 2 more units must CONTINUE bar 0 through the
+    // recovered volume clock (4+2 = 6 > 5 → the 2.0 lands in bar 1),
+    // and the tick rule must carry the pre-kill downtick sign across
+    // the restart for the flat print
+    writeBatch(in, "b2.csv", Seq(
+      line(4, 3000, 9.95, 2.0))) // flat vs pre-kill last price → carries -1
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val p2 = Upsert.read(spark, out).get
+      .select("bar", "n_ticks", "vol_micro", "imb_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // bar 0 unchanged (trade 4's cumv = 6.0 → bar 1); bar 1 = the
+    // carried -1 sign on 2.0 volume → |−2.0|/2.0 = full imbalance
+    assert(p2 === Set((0L, 3L, 4000000L, 250000L),
+      (1L, 1L, 2000000L, 1000000L)),
+      s"cross-restart bar continuation + carried tick sign: $p2")
+
+    // phase 3: replaying the converged rows through the sink is a no-op
+    val replay = Upsert.read(spark, out).get
+    Upsert.merge(replay, 99L, out, Seq("symbol", "bar"))
+    Upsert.merge(replay, 99L, out, Seq("symbol", "bar"))
+    assert(Upsert.read(spark, out).get.count() === 2,
+      "replayed bars upserted their own keys — no dupes")
+  }
 }

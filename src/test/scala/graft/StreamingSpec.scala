@@ -1033,4 +1033,58 @@ class StreamingSpec extends SparkSuite {
         "stream aggregation must equal the batch interarrival histogram")
     } finally q.stop()
   }
+
+  test("vpin stream: volume-clock bars equal the batch op bit-exactly " +
+    "on the ppm outputs, cumulative emissions converge last-writer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.VpinStream
+    def tr(id: Long, sym: String, offMs: Long, p: Double, v: Double) =
+      VpinStream.Trade(id, sym, new java.sql.Timestamp(t0 + offMs), p, v)
+    // up/down/flat moves (tick rule exercises +1/-1/carry) and uneven
+    // volumes so bars cut mid-tape, differently per symbol
+    val tape = Seq(
+      tr(1, "BTC", 0, 10.00, 1.5), tr(2, "BTC", 1000, 10.05, 2.0),
+      tr(3, "BTC", 2000, 10.05, 0.7), tr(4, "BTC", 3000, 9.95, 3.1),
+      tr(5, "BTC", 4000, 10.10, 1.1), tr(6, "BTC", 5000, 10.10, 2.2),
+      tr(7, "BTC", 6000, 10.20, 0.4), tr(8, "BTC", 7000, 10.15, 1.9),
+      tr(9, "ETH", 500, 5.00, 4.0), tr(10, "ETH", 1500, 5.10, 0.6),
+      tr(11, "ETH", 2500, 5.05, 2.5), tr(12, "ETH", 3500, 5.05, 1.0),
+      tr(13, "ETH", 4500, 5.20, 3.3), tr(14, "ETH", 5500, 5.15, 0.9))
+    val bars = 3
+    val batchIn = tape.toDF().withColumnRenamed("ts", "timestamp")
+    val batch = graft.ops.TradeOps.vpin(batchIn, bars)
+      .select("symbol", "bar", "n_ticks", "vol_micro", "imb_ppm")
+    // the batch-derived per-symbol volume clocks, fed to the twin the
+    // way production feeds yesterday's tape sizing
+    val sizes = batchIn
+      .withColumn("vm", expr("CAST(round(volume * 1000000) AS BIGINT)"))
+      .groupBy("symbol").agg(expr(s"sum(vm) div $bars + 1").as("bs"))
+      .as[(String, Long)].collect().toMap
+    val input = MemoryStream[VpinStream.Trade](spark)
+    val q = VpinStream.barStream(spark, input.toDS(), sizes).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("vpin_test").start()
+    try {
+      // three micro-batches so bars straddle batch boundaries and the
+      // in-progress snapshots get overwritten by later fills
+      val (b1, rest) = tape.splitAt(5)
+      val (b2, b3) = rest.splitAt(5)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      // last-writer per (symbol, bar): n_ticks only grows for a key,
+      // so max-n_ticks IS the latest snapshot
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol", "bar").orderBy(col("n_ticks").desc)
+      val streamed = spark.table("vpin_test")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "converged volume bars must equal the batch vpin table")
+      // every ppm is bit-exact against the batch integer algebra
+      assert(streamed.join(batch, Seq("symbol", "bar"))
+        .count() === batch.count())
+    } finally q.stop()
+  }
 }
