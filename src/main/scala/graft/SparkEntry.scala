@@ -499,6 +499,10 @@ object SparkEntry {
     "a_bootstrap_ci" -> ((s, dir) => TradeOps.bootstrapCi(trades(s, dir))),
     "w_parkinson" -> ((s, dir) => TradeOps.parkinsonRange(trades(s, dir))),
     "w_beta_rolling" -> ((s, dir) => TradeOps.rollingBeta(trades(s, dir))),
+    "w_variance_ratio" -> ((s, dir) => TradeOps.varianceRatio(trades(s, dir))),
+    "w_kyle_lambda" -> ((s, dir) => TradeOps.kyleLambda(trades(s, dir))),
+    "v_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
+    "v_davies_bouldin" -> ((s, dir) => Similarity.daviesBouldin(s, dir)),
     "q30_supplier_hhi" -> ((s, dir) => Relational.supplierHhi(s, dir)),
     "q31_decile_migration" -> ((s, dir) => Relational.decileMigration(s, dir)),
     "e_rate_anomaly" -> ((s, dir) =>
@@ -1791,6 +1795,10 @@ object SparkEntry {
     "w_beta_rolling" ->
       s"""$T, ${TradeOps.dbarsCte}
          |${TradeOps.rollingBetaSql()}""".stripMargin,
+    "w_variance_ratio" -> s"$T,\n${TradeOps.varianceRatioSql()}",
+    "w_kyle_lambda" -> s"$T,\n${TradeOps.kyleLambdaSql}",
+    "v_silhouette" -> Similarity.silhouetteSql(),
+    "v_davies_bouldin" -> Similarity.daviesBouldinSql(),
     "q30_supplier_hhi" -> Relational.supplierHhiSql,
     "q31_decile_migration" -> Relational.decileMigrationSql,
     "e_rate_anomaly" -> EventAnalytics.rateAnomalySql,

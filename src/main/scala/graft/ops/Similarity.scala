@@ -2411,6 +2411,179 @@ object Similarity {
        |         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_dist
        |FROM dm GROUP BY 1""".stripMargin
 
+  /** V (extension) — centroid-based (simplified) silhouette per trained
+    * cell: for every vector, `a` = distance to its OWN (nearest)
+    * centroid, `b` = distance to the second-nearest, score
+    * `s = (b−a)/max(a,b) ∈ [0,1]` — the separation-vs-cohesion QC that
+    * tells a curation pass whether the k-means cells the IVF/diversity
+    * tiers ride are real modes or arbitrary cuts (low mean silhouette =
+    * the quantizer is slicing one blob). The full-pairwise silhouette
+    * is O(n²) and needless here — against CENTROIDS it is one
+    * map-side projection over the cached quantizer, the
+    * [[clusterRadius]] shape.
+    *
+    * Exactness: per-row distances are deterministic dot-product chains
+    * (sqrt correctly rounded); the per-CELL mean quantizes each score
+    * to ppm BIGINT first (`floor(s·10⁶ + ½)` — the [[trainKmeans]]
+    * order-free discipline) so the aggregate is exact-integer, then
+    * one double division at emit. Unrounded by the r14 audit contract.
+    * One corpus scan, |cells| rows out. */
+  def silhouette(spark: SparkSession, dir: String, kc: Int = 8,
+      iters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = withVec(graft.Tables.load(spark, dir, "embeddings"))
+    val cents = trainKmeansCached(spark, dir, emb, kc, iters, 64)
+    require(cents.length >= 2, "silhouette needs at least 2 live cells")
+    val scores = array(cents.map { case (_, c) =>
+      val cl = array(c.map(lit): _*)
+      call_function("dot_product", cl, cl) -
+        lit(2.0) * call_function("dot_product", col("v"), cl)
+    }: _*)
+    assignCells(emb, cents)
+      .withColumn("srt", array_sort(scores))
+      .withColumn("vv", expr("dot_product(v, v)"))
+      .withColumn("a",
+        sqrt(greatest(expr("element_at(srt, 1)") + col("vv"), lit(0.0))))
+      .withColumn("b",
+        sqrt(greatest(expr("element_at(srt, 2)") + col("vv"), lit(0.0))))
+      .withColumn("sq", expr(
+        "CASE WHEN greatest(a, b) = 0.0D THEN 0L ELSE " +
+          "CAST(floor((b - a) / greatest(a, b) * 1000000.0D + 0.5D) " +
+          "AS BIGINT) END"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), sum(col("sq")).as("sil_sum_ppm"))
+      .withColumn("mean_silhouette", expr(
+        "CAST(sil_sum_ppm AS DOUBLE) / (CAST(n_points AS DOUBLE) * 1000000.0)"))
+  }
+
+  /** Oracle for [[silhouette]] — identical unrolled training, nearest/
+    * second-nearest by the same squared-offset ordering, identical ppm
+    * quantization. */
+  def silhouetteSql(kc: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansChain(kc, iters, 64)},
+       |${kmAssignCte(s"cb$iters", "F")},
+       |ds AS (
+       |  SELECT e.vec_id,
+       |         list_dot_product(c.cv, c.cv)
+       |           - 2.0::DOUBLE * list_dot_product(e.v, c.cv) AS m2,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_dot_product(c.cv, c.cv)
+       |             - 2.0::DOUBLE * list_dot_product(e.v, c.cv),
+       |           c.cell) AS rn
+       |  FROM e CROSS JOIN cb$iters c
+       |), ab AS (
+       |  SELECT d1.vec_id,
+       |         sqrt(greatest(d1.m2 + list_dot_product(e.v, e.v),
+       |           0.0::DOUBLE)) AS a,
+       |         sqrt(greatest(d2.m2 + list_dot_product(e.v, e.v),
+       |           0.0::DOUBLE)) AS b
+       |  FROM (SELECT vec_id, m2 FROM ds WHERE rn = 1) d1
+       |  JOIN (SELECT vec_id, m2 FROM ds WHERE rn = 2) d2 USING (vec_id)
+       |  JOIN e USING (vec_id)
+       |), own AS (SELECT vec_id, cell FROM aF WHERE rc = 1),
+       |sq AS (
+       |  SELECT o.cell,
+       |         CASE WHEN greatest(a, b) = 0.0::DOUBLE THEN 0
+       |              ELSE CAST(floor((b - a) / greatest(a, b)
+       |                * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+       |         END AS sq
+       |  FROM ab JOIN own o USING (vec_id)
+       |)
+       |SELECT cell, count(*) AS n_points,
+       |       CAST(sum(sq) AS BIGINT) AS sil_sum_ppm,
+       |       CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE)
+       |         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_silhouette
+       |FROM sq GROUP BY 1""".stripMargin
+
+  /** V (extension) — Davies–Bouldin per-cluster worst-overlap ratio:
+    * `DB_i = max_{j≠i} (S_i + S_j) / d(c_i, c_j)` with S the mean
+    * point-to-own-centroid distance and d the centroid separation — the
+    * "which two cells should merge" counterpart of [[silhouette]]'s
+    * "are cells coherent". Scatters reuse [[clusterRadius]]'s exact
+    * micro-quantized sums (one corpus scan, session-shared quantizer);
+    * everything after is |cells|²-sized. Centroid separations are
+    * computed driver-side with the list_dot_product sequential fold on
+    * the exact picounit centroids — bit-identical to the oracle's —
+    * and shipped as a broadcast literal table. Degenerate duplicate
+    * centroids (d = 0) fail LOUDLY and identically in both engines
+    * rather than emitting ±inf. */
+  def daviesBouldin(spark: SparkSession, dir: String, kc: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val cents = trainKmeansCached(spark, dir,
+      withVec(graft.Tables.load(spark, dir, "embeddings")), kc, iters, 64)
+    val scatter = clusterRadius(spark, dir, kc, iters)
+      .select(col("cell"), col("n_points"), col("dist_sum_micro"))
+    def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val pairs = for {
+      (ci, vi) <- cents; (cj, vj) <- cents if ci != cj
+    } yield (ci, cj,
+      math.sqrt(math.max(
+        dot(vi, vi) - 2.0 * dot(vi, vj) + dot(vj, vj), 0.0)))
+    import spark.implicits._
+    val pdf = pairs.toDF("cell", "cell_j", "d_ij")
+    scatter.join(broadcast(pdf), "cell")
+      .join(broadcast(scatter.select(col("cell").as("cell_j"),
+        col("n_points").as("nj"), col("dist_sum_micro").as("dsj"))),
+        "cell_j")
+      .filter(expr(
+        "assert_true(d_ij > 0.0D, 'davies_bouldin: duplicate trained " +
+          "centroids — cell separation is zero') IS NULL"))
+      .withColumn("r", expr(
+        "(CAST(dist_sum_micro AS DOUBLE) " +
+          "/ (CAST(n_points AS DOUBLE) * 1000000.0) " +
+          "+ CAST(dsj AS DOUBLE) / (CAST(nj AS DOUBLE) * 1000000.0)) " +
+          "/ d_ij"))
+      .groupBy("cell")
+      .agg(max(col("n_points")).as("n_points"), max(col("r")).as("db_ratio"))
+  }
+
+  /** Oracle for [[daviesBouldin]] — the [[clusterRadiusSql]] scatter
+    * CTEs + |cells|² separations, loud on zero separation. */
+  def daviesBouldinSql(kc: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansChain(kc, iters, 64)},
+       |${kmAssignCte(s"cb$iters", "F")},
+       |sc AS (
+       |  SELECT e.vec_id,
+       |         min(list_dot_product(c.cv, c.cv)
+       |             - 2.0::DOUBLE * list_dot_product(e.v, c.cv)) AS m2
+       |  FROM e CROSS JOIN cb$iters c
+       |  GROUP BY e.vec_id
+       |), own AS (
+       |  SELECT vec_id, cell FROM aF WHERE rc = 1
+       |), dm AS (
+       |  SELECT o.cell,
+       |         CAST(floor(sqrt(greatest(s.m2 + list_dot_product(e.v, e.v),
+       |             0.0::DOUBLE)) * 1e6 + 0.5::DOUBLE) AS BIGINT) AS d
+       |  FROM e JOIN sc s USING (vec_id) JOIN own o USING (vec_id)
+       |), sca AS (
+       |  SELECT cell, count(*) AS n_points,
+       |         CAST(sum(d) AS BIGINT) AS ds
+       |  FROM dm GROUP BY 1
+       |), pd AS (
+       |  SELECT a.cell AS cell, b.cell AS cell_j,
+       |         sqrt(greatest(list_dot_product(a.cv, a.cv)
+       |           - 2.0::DOUBLE * list_dot_product(a.cv, b.cv)
+       |           + list_dot_product(b.cv, b.cv), 0.0::DOUBLE)) AS dij
+       |  FROM cb$iters a JOIN cb$iters b ON a.cell <> b.cell
+       |)
+       |SELECT s1.cell, s1.n_points,
+       |       max(CASE WHEN pd.dij = 0.0::DOUBLE
+       |                THEN CAST(error('davies_bouldin: duplicate trained '
+       |                     || 'centroids') AS DOUBLE)
+       |                ELSE (CAST(s1.ds AS DOUBLE)
+       |                      / (CAST(s1.n_points AS DOUBLE) * 1000000.0)
+       |                      + CAST(s2.ds AS DOUBLE)
+       |                        / (CAST(s2.n_points AS DOUBLE) * 1000000.0))
+       |                     / pd.dij END) AS db_ratio
+       |FROM sca s1
+       |JOIN pd ON pd.cell = s1.cell
+       |JOIN sca s2 ON s2.cell = pd.cell_j
+       |GROUP BY 1, 2""".stripMargin
+
   /** Cluster-stratified diversity sample — the deterministic
     * counterpart of "sample `budget` embeddings but keep every mode of
     * the distribution represented": assign the corpus to the trained

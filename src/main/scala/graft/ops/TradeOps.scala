@@ -4417,4 +4417,174 @@ object TradeOps {
        |  WINDOW w AS (PARTITION BY b.symbol ORDER BY b.hr
        |               ROWS BETWEEN ${frame - 1} PRECEDING AND CURRENT ROW))
        |WHERE n = $frame""".stripMargin
+
+  /** W (extension) — Lo–MacKinlay variance ratio VR(k) per symbol: the
+    * random-walk test every execution desk runs before trusting a
+    * momentum signal (VR≈1 random walk, >1 trending, <1 mean-reverting).
+    * 1-tick and OVERLAPPING k-tick cent returns from one lag window
+    * pass; population variances assembled from exact cent-BIGINT sums
+    * (Σr, Σr², Σᵏr, Σᵏr² — ANSI-loud at 2⁶³) with the
+    * [[rollSpread]] 2⁵³-exactness guard, then ONE fixed IEEE expression
+    * `VR = (nₖΣR²−(ΣR)²)·n₁² / (k·nₖ²·(n₁Σr²−(Σr)²))` mirrored
+    * token-for-token in the oracle — engine-identical unrounded (the
+    * r14 audit contract). One symbol-keyed window + one aggregate on
+    * the same key — one exchange; |symbols| rows out at any scale. */
+  def varianceRatio(trades: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("d1", col("pc") - lag(col("pc"), 1).over(w))
+      .withColumn("dk", col("pc") - lag(col("pc"), k).over(w))
+      .groupBy("symbol")
+      .agg(count(col("d1")).as("n1"),
+        sum(col("d1")).as("s1"), sum(col("d1") * col("d1")).as("s11"),
+        count(col("dk")).as("nk"),
+        sum(col("dk")).as("sk"), sum(col("dk") * col("dk")).as("skk"),
+        max(greatest(abs(col("d1")), abs(col("dk")))).as("mxd"))
+      .filter(col("n1") >= k + 1)
+      .filter(expr(
+        "assert_true(n1 <= (9007199254740992 div greatest(mxd, 1)) " +
+          "div greatest(mxd, 1), " +
+          "'variance_ratio: tick jumps too large for 2^53-exact " +
+          "variance sums — coarsen the cent quantum') IS NULL"))
+      .withColumn("var1_x", expr(
+        "CAST(n1 AS DOUBLE) * CAST(s11 AS DOUBLE) " +
+          "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"))
+      .withColumn("vark_x", expr(
+        "CAST(nk AS DOUBLE) * CAST(skk AS DOUBLE) " +
+          "- CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)"))
+      .select(col("symbol"), col("n1").as("n_rets"), col("nk").as("n_krets"),
+        expr(
+          s"CASE WHEN var1_x = 0.0D OR nk = 0 THEN NULL ELSE " +
+            s"(vark_x * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) / " +
+            s"(CAST($k AS DOUBLE) * CAST(nk AS DOUBLE) * " +
+            s"CAST(nk AS DOUBLE) * var1_x) END").as("variance_ratio"))
+  }
+
+  /** Oracle for [[varianceRatio]] (chain after the trades CTE with
+    * `, `). */
+  def varianceRatioSql(k: Int = 5): String =
+    s"""pcd AS (
+       |  SELECT symbol,
+       |         pc - lag(pc, 1) OVER w AS d1,
+       |         pc - lag(pc, $k) OVER w AS dk
+       |  FROM (SELECT symbol, "timestamp", event_id,
+       |               CAST(round(price * 100) AS BIGINT) AS pc
+       |        FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id)
+       |), vragg AS (
+       |  SELECT symbol,
+       |         count(d1) AS n1, CAST(sum(d1) AS BIGINT) AS s1,
+       |         CAST(sum(d1 * d1) AS BIGINT) AS s11,
+       |         count(dk) AS nk, CAST(sum(dk) AS BIGINT) AS sk,
+       |         CAST(sum(dk * dk) AS BIGINT) AS skk
+       |  FROM pcd GROUP BY 1
+       |  HAVING count(d1) >= $k + 1
+       |)
+       |SELECT symbol, n1 AS n_rets, nk AS n_krets,
+       |       CASE WHEN CAST(n1 AS DOUBLE) * CAST(s11 AS DOUBLE)
+       |                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) = 0.0::DOUBLE
+       |                 OR nk = 0 THEN NULL
+       |            ELSE ((CAST(nk AS DOUBLE) * CAST(skk AS DOUBLE)
+       |                   - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+       |                  * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+       |                 / ($k.0::DOUBLE * CAST(nk AS DOUBLE)
+       |                    * CAST(nk AS DOUBLE)
+       |                    * (CAST(n1 AS DOUBLE) * CAST(s11 AS DOUBLE)
+       |                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+       |       END AS variance_ratio
+       |FROM vragg""".stripMargin
+
+  /** W (extension) — Kyle's lambda per symbol: the price-impact slope
+    * (cents moved per unit of signed volume) from the tick-rule signed
+    * flow — [[amihud]]'s regression-form sibling and the third leg of
+    * the microstructure toxicity tier next to [[vpin]]. Sign is the
+    * carried tick rule (the vpin state machine); volume quantizes to
+    * exact CENTI-units (not micro — x² sums must stay int64 at 100-TB
+    * tick counts: 970² ≈ 9.4e5 per row vs 9.4e13 for micro²), Δp to
+    * exact cents. OLS slope from five exact BIGINT sums with the
+    * 2⁵³-exactness guard, one fixed IEEE expression, ×100 rescale to
+    * per-UNIT impact at the end (exact two-digit power). One
+    * symbol-keyed window pass + one aggregate on the same key;
+    * |symbols| rows out. */
+  def kyleLambda(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("vc", expr("CAST(round(volume * 100) AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(w))
+      .withColumn("sgn0", expr(
+        "CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE NULL END"))
+      .withColumn("sgn",
+        coalesce(last(col("sgn0"), ignoreNulls = true).over(run), lit(0L)))
+      .withColumn("x", col("sgn") * col("vc"))
+      .filter(col("d").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("d")).as("sy"), sum(col("x") * col("d")).as("sxy"),
+        max(abs(col("x"))).as("mx"), max(abs(col("d"))).as("my"))
+      .filter(expr(
+        "assert_true(n <= (9007199254740992 div greatest(mx, 1)) " +
+          "div greatest(mx, 1) AND " +
+          "n <= (9007199254740992 div greatest(mx, 1)) " +
+          "div greatest(my, 1), " +
+          "'kyle_lambda: signed-flow magnitudes too large for " +
+          "2^53-exact OLS sums — coarsen the volume quantum') IS NULL"))
+      .withColumn("den_x", expr(
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .select(col("symbol"), col("n").as("n_ticks"),
+        expr(
+          "CASE WHEN den_x = 0.0D THEN NULL ELSE " +
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den_x " +
+            "* 100.0D END").as("lambda_cents_per_unit"))
+  }
+
+  /** Oracle for [[kyleLambda]] (chain after the trades CTE with `, `). */
+  val kyleLambdaSql: String =
+    """kl AS (
+      |  SELECT symbol, x, d FROM (
+      |    SELECT symbol,
+      |           COALESCE(last_value(sgn0 IGNORE NULLS) OVER w, 0) * vc
+      |             AS x,
+      |           d
+      |    FROM (
+      |      SELECT symbol, "timestamp", event_id, vc, d,
+      |             CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1
+      |                  ELSE NULL END AS sgn0
+      |      FROM (
+      |        SELECT symbol, "timestamp", event_id,
+      |               CAST(round(volume * 100) AS BIGINT) AS vc,
+      |               pc - lag(pc, 1) OVER (PARTITION BY symbol
+      |                 ORDER BY "timestamp", event_id) AS d
+      |        FROM (SELECT symbol, "timestamp", event_id, volume,
+      |                     CAST(round(price * 100) AS BIGINT) AS pc
+      |              FROM trades)))
+      |    WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+      |                 ROWS UNBOUNDED PRECEDING)
+      |  ) WHERE d IS NOT NULL
+      |), klagg AS (
+      |  SELECT symbol, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(d) AS BIGINT) AS sy,
+      |         CAST(sum(x * d) AS BIGINT) AS sxy
+      |  FROM kl GROUP BY 1
+      |)
+      |SELECT symbol, n AS n_ticks,
+      |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |                 = 0.0::DOUBLE THEN NULL
+      |            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                 * 100.0::DOUBLE
+      |       END AS lambda_cents_per_unit
+      |FROM klagg""".stripMargin
 }

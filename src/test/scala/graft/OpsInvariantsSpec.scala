@@ -3113,4 +3113,92 @@ class OpsInvariantsSpec extends SparkSuite {
       }
     }
   }
+
+  test("variance ratio: BigInt driver recompute per symbol, trend tape " +
+      "degenerates to NULL") {
+    import spark.implicits._
+    val k = 5
+    val vr = TradeOps.varianceRatio(trades, k)
+      .select("symbol", "n_rets", "n_krets", "variance_ratio")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(vr.nonEmpty)
+    // driver recompute from the ordered cent series, exact integers
+    val bySym = trades
+      .select(col("symbol"), col("timestamp"), col("event_id"),
+        expr("CAST(round(price * 100) AS BIGINT)").as("pc"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().groupBy(_._1)
+    bySym.foreach { case (sym, rows) =>
+      val pcs = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      if (pcs.length >= k + 2) {
+        val d1 = pcs.sliding(2).map(p => BigInt(p(1) - p(0))).toSeq
+        val dk = pcs.sliding(k + 1).map(p => BigInt(p(k) - p(0))).toSeq
+        val (n1, nk) = (BigInt(d1.length), BigInt(dk.length))
+        val v1x = n1 * d1.map(x => x * x).sum - d1.sum * d1.sum
+        val vkx = nk * dk.map(x => x * x).sum - dk.sum * dk.sum
+        val (g1, g2, g3) = vr(sym)
+        assert(g1 === d1.length.toLong && g2 === dk.length.toLong)
+        if (v1x == 0) assert(g3.isEmpty, s"$sym: flat tape must be NULL")
+        else {
+          val expect = (vkx.toDouble * n1.toDouble * n1.toDouble) /
+            (k.toDouble * nk.toDouble * nk.toDouble * v1x.toDouble)
+          assert(math.abs(g3.get - expect) < 1e-9 * math.abs(expect).max(1.0),
+            s"$sym vr ${g3.get} vs $expect")
+        }
+      }
+    }
+    // a pure trend (constant increment) has zero 1-tick variance → NULL
+    val trend = (1 to 30).map(i =>
+      (i.toLong, "T", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        10.0 + i * 0.01, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val t = TradeOps.varianceRatio(trend, k).collect()
+    assert(t.length === 1 && t(0).isNullAt(3),
+      "constant-increment tape must yield NULL variance ratio")
+  }
+
+  test("kyle lambda: perfect linear impact recovers the slope exactly, " +
+      "flat flow is NULL") {
+    import spark.implicits._
+    // price steps by exactly vc cents per tick with positive flow:
+    // y = x in centi-units → OLS slope 1 → ×100 = 100 cents per unit
+    var pc = 100000L
+    val rows = (1 to 25).map { i =>
+      val vol = (i % 5 + 1) * 1.0 // 1..5 units → vc = 100..500
+      pc += (vol * 100).toLong // uptick by vc cents → sgn = +1, x = vc
+      (i.toLong, "K", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        pc / 100.0, vol)
+    }
+    val df = rows.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val out = TradeOps.kyleLambda(df).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 24L) // first tick has no delta
+    assert(math.abs(out(0).getDouble(2) - 100.0) < 1e-9,
+      s"perfect impact slope: ${out(0).getDouble(2)}")
+    // constant price → every d = 0, sgn stays 0, denominator 0 → NULL
+    val flat = (1 to 10).map(i =>
+      (i.toLong, "F", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        10.0, 2.0)).toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val f = TradeOps.kyleLambda(flat).collect()
+    assert(f.length === 1 && f(0).isNullAt(2))
+  }
+
+  test("silhouette: scores in [0,1], partition covers the corpus, " +
+      "davies-bouldin positive on the same cells") {
+    val sil = Similarity.silhouette(spark, sf).cache()
+    val emb = Tables.load(spark, sf, "embeddings")
+    assert(sil.agg(sum(col("n_points"))).head.getLong(0) === emb.count())
+    assert(sil.filter(col("mean_silhouette") < 0.0 ||
+      col("mean_silhouette") > 1.0).count() === 0)
+    assert(sil.filter(col("sil_sum_ppm") > col("n_points") * 1000000L)
+      .count() === 0)
+    val db = Similarity.daviesBouldin(spark, sf).cache()
+    // same live cells as the silhouette partition, every ratio positive
+    assert(db.select("cell").collect().map(_.getInt(0)).sorted
+      === sil.select("cell").collect().map(_.getInt(0)).sorted)
+    assert(db.filter(col("db_ratio") <= 0.0).count() === 0)
+    sil.unpersist(); db.unpersist()
+  }
 }
