@@ -503,6 +503,9 @@ object SparkEntry {
     "w_kyle_lambda" -> ((s, dir) => TradeOps.kyleLambda(trades(s, dir))),
     "v_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
     "v_davies_bouldin" -> ((s, dir) => Similarity.daviesBouldin(s, dir)),
+    "v_pq_distortion" -> ((s, dir) => Similarity.pqDistortion(s, dir)),
+    "e_lifespan_hist" -> ((s, dir) =>
+      EventAnalytics.lifespanHist(Tables.events(s, dir))),
     "q30_supplier_hhi" -> ((s, dir) => Relational.supplierHhi(s, dir)),
     "q31_decile_migration" -> ((s, dir) => Relational.decileMigration(s, dir)),
     "e_rate_anomaly" -> ((s, dir) =>
@@ -1799,6 +1802,8 @@ object SparkEntry {
     "w_kyle_lambda" -> s"$T,\n${TradeOps.kyleLambdaSql}",
     "v_silhouette" -> Similarity.silhouetteSql(),
     "v_davies_bouldin" -> Similarity.daviesBouldinSql(),
+    "v_pq_distortion" -> Similarity.pqDistortionSql(),
+    "e_lifespan_hist" -> EventAnalytics.lifespanHistSql,
     "q30_supplier_hhi" -> Relational.supplierHhiSql,
     "q31_decile_migration" -> Relational.decileMigrationSql,
     "e_rate_anomaly" -> EventAnalytics.rateAnomalySql,

@@ -1025,4 +1025,40 @@ object EventAnalytics {
       |         44478 * (max(CASE WHEN rn2 = (n + 1) // 2 THEN ad END)
       |                  OVER (PARTITION BY event_type)) AS is_anomaly
       |FROM a2""".stripMargin
+
+  /** E (extension) — user lifespan histogram: per user the whole-day
+    * span between first and last event, users bucketed by whole WEEKS
+    * of lifespan — the "is this audience tourists or residents" shape
+    * every retention review reads next to [[retention]]'s cohort decay
+    * (lifespan is the integral the cohort curve only samples).
+    * ENTIRELY integer (µs epoch min/max, floor-div days, floor-div
+    * weeks); one user-keyed aggregate (map-side combined) + one
+    * histogram aggregate on the |users| table; ≤ a few dozen rows out
+    * at any corpus size. */
+  def lifespanHist(events: DataFrame): DataFrame =
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("span_days", expr("(mx - mn) div 86400000000"))
+      .groupBy(expr("span_days div 7").as("span_wk"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("span_days")).as("min_days"),
+        max(col("span_days")).as("max_days"),
+        sum(col("n_ev")).as("n_events"))
+
+  /** Oracle for [[lifespanHist]]. */
+  val lifespanHistSql: String =
+    """WITH u AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx,
+      |         count(*) AS n_ev
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT ((mx - mn) // 86400000000) // 7 AS span_wk,
+      |       count(*) AS n_users,
+      |       min((mx - mn) // 86400000000) AS min_days,
+      |       max((mx - mn) // 86400000000) AS max_days,
+      |       CAST(sum(n_ev) AS BIGINT) AS n_events
+      |FROM u GROUP BY 1""".stripMargin
 }

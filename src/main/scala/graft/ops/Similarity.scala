@@ -2411,6 +2411,93 @@ object Similarity {
        |         / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_dist
        |FROM dm GROUP BY 1""".stripMargin
 
+  /** V (extension) — PQ reconstruction distortion per SUBSPACE: the
+    * mean squared error `‖v_s − c*(v_s)‖²` of each vector's assigned
+    * sub-codeword — the quantization-quality meter that completes the
+    * PQ self-surveillance set ([[pqCodes]] assigns, [[pqOccupancy]]
+    * watches code balance, [[pqAdc]] measures end-to-end recall; this
+    * measures WHERE the approximation error lives). A subspace whose
+    * distortion dwarfs the others is under-clustered (raise its k) or
+    * carries junk dimensions — the per-axis diagnosis ADC recall alone
+    * can't give.
+    *
+    * Exactness: per-row per-subspace error is the deterministic
+    * `min(score) + ⟨v_s, v_s⟩` dot-product chain, nano-quantized per
+    * row ([[trainKmeans]] discipline) so the corpus mean is an exact
+    * integer sum ÷ one double divide. Rides the session-cached
+    * quantizer; one corpus scan (m per-row array expressions, no
+    * shuffle before the m-row aggregate). */
+  def pqDistortion(spark: SparkSession, dir: String, m: Int = 8,
+      k: Int = 16, trainIters: Int = 2): DataFrame = {
+    VectorOps.register(spark)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val sub = dim / m
+    val cb: IndexedSeq[IndexedSeq[Double]] =
+      trainKmeansCached(spark, dir, emb, k, trainIters, dim).map(_._2)
+    def centLit(ci: Int, s: Int) =
+      array(cb(ci).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    def scoreCol(s: Int) = array(cb.indices.map { ci =>
+      call_function("dot_product", centLit(ci, s), centLit(ci, s)) -
+        lit(2.0) * call_function("dot_product",
+          slice(col("v"), s * sub + 1, sub), centLit(ci, s))
+    }: _*)
+    val errCols = (0 until m).map { s =>
+      val vs = slice(col("v"), s * sub + 1, sub)
+      floor(greatest(array_min(scoreCol(s)) +
+        call_function("dot_product", vs, vs), lit(0.0)) * lit(1e9)
+        + lit(0.5)).cast("long")
+    }
+    emb.select(posexplode(array(errCols: _*)).as(Seq("subspace", "e9")))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("e9")).as("err_sum_nano"),
+        max(col("e9")).as("max_err_nano"))
+      .withColumn("mean_sq_err", expr(
+        "CAST(err_sum_nano AS DOUBLE) " +
+          "/ (CAST(n_vecs AS DOUBLE) * 1000000000.0)"))
+  }
+
+  /** Oracle for [[pqDistortion]] — the [[pqCodesSql]] scored/best CTEs
+    * with the identical nano quantization. */
+  def pqDistortionSql(m: Int = 8, k: Int = 16, dim: Int = 64,
+      trainIters: Int = 2): String = {
+    val sub = dim / m
+    def sl(x: String) = s"$x[s.s * $sub + 1 : (s.s + 1) * $sub]"
+    s"""WITH ${kmeansChain(k, trainIters, dim)},
+       |cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS ci,
+       |         cv
+       |  FROM cb$trainIters
+       |), scored AS (
+       |  SELECT e.vec_id, s.s, cb.ci,
+       |    list_dot_product(${sl("cb.cv")}, ${sl("cb.cv")}) -
+       |    2.0::DOUBLE * list_dot_product(${sl("e.v")}, ${sl("cb.cv")})
+       |      AS score,
+       |    list_dot_product(${sl("e.v")}, ${sl("e.v")}) AS vv
+       |  FROM e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) s
+       |  CROSS JOIN cb
+       |), best AS (
+       |  SELECT vec_id, s, score, vv,
+       |         row_number() OVER (PARTITION BY vec_id, s
+       |           ORDER BY score, ci) AS rc
+       |  FROM scored
+       |), e9 AS (
+       |  SELECT s AS subspace,
+       |         CAST(floor(greatest(score + vv, 0.0::DOUBLE) * 1e9
+       |           + 0.5::DOUBLE) AS BIGINT) AS e9
+       |  FROM best WHERE rc = 1
+       |)
+       |SELECT subspace, count(*) AS n_vecs,
+       |       CAST(sum(e9) AS BIGINT) AS err_sum_nano,
+       |       max(e9) AS max_err_nano,
+       |       CAST(CAST(sum(e9) AS BIGINT) AS DOUBLE)
+       |         / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_sq_err
+       |FROM e9 GROUP BY 1""".stripMargin
+  }
+
   /** V (extension) — centroid-based (simplified) silhouette per trained
     * cell: for every vector, `a` = distance to its OWN (nearest)
     * centroid, `b` = distance to the second-nearest, score

@@ -3201,4 +3201,26 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(db.filter(col("db_ratio") <= 0.0).count() === 0)
     sil.unpersist(); db.unpersist()
   }
+
+  test("pq distortion: one row per subspace covering the corpus, " +
+      "lifespan histogram partitions the user base") {
+    val pq = Similarity.pqDistortion(spark, sf).cache()
+    val nEmb = Tables.load(spark, sf, "embeddings").count()
+    assert(pq.count() === 8) // m subspaces
+    assert(pq.filter(col("n_vecs") =!= nEmb).count() === 0,
+      "every subspace scores every vector")
+    assert(pq.filter(col("mean_sq_err") < 0.0).count() === 0)
+    assert(pq.filter(col("max_err_nano") < 0L).count() === 0)
+    pq.unpersist()
+    val events = Tables.events(spark, sf)
+    val ls = graft.ops.EventAnalytics.lifespanHist(events).cache()
+    assert(ls.agg(sum(col("n_users"))).head.getLong(0)
+      === events.select("user_id").distinct().count())
+    assert(ls.agg(sum(col("n_events"))).head.getLong(0) === events.count())
+    assert(ls.filter(col("min_days") > col("max_days")).count() === 0)
+    // week bucket brackets its members' day spans
+    assert(ls.filter(col("min_days") < col("span_wk") * 7L ||
+      col("max_days") >= (col("span_wk") + 1L) * 7L).count() === 0)
+    ls.unpersist()
+  }
 }
