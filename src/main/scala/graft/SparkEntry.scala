@@ -501,6 +501,8 @@ object SparkEntry {
     "w_beta_rolling" -> ((s, dir) => TradeOps.rollingBeta(trades(s, dir))),
     "w_variance_ratio" -> ((s, dir) => TradeOps.varianceRatio(trades(s, dir))),
     "w_kyle_lambda" -> ((s, dir) => TradeOps.kyleLambda(trades(s, dir))),
+    "w_keltner" -> ((s, dir) => TradeOps.keltner(trades(s, dir))),
+    "a_rank_drift" -> ((s, dir) => TradeOps.rankDrift(trades(s, dir))),
     "v_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
     "v_davies_bouldin" -> ((s, dir) => Similarity.daviesBouldin(s, dir)),
     "v_pq_distortion" -> ((s, dir) => Similarity.pqDistortion(s, dir)),
@@ -1800,6 +1802,8 @@ object SparkEntry {
          |${TradeOps.rollingBetaSql()}""".stripMargin,
     "w_variance_ratio" -> s"$T,\n${TradeOps.varianceRatioSql()}",
     "w_kyle_lambda" -> s"$T,\n${TradeOps.kyleLambdaSql}",
+    "w_keltner" -> s"$T\n${TradeOps.keltnerSql()}",
+    "a_rank_drift" -> s"$T\n${TradeOps.rankDriftSql}",
     "v_silhouette" -> Similarity.silhouetteSql(),
     "v_davies_bouldin" -> Similarity.daviesBouldinSql(),
     "v_pq_distortion" -> Similarity.pqDistortionSql(),

@@ -4496,6 +4496,150 @@ object TradeOps {
        |       END AS variance_ratio
        |FROM vragg""".stripMargin
 
+  /** W (extension) — Keltner channel over hourly OHLC bars: an n-bar
+    * rolling mean of the TYPICAL price (hi+lo+close)/3 banded at
+    * ±`mult`×ATR — the volatility envelope read next to
+    * [[bollingerExprs]]'s stddev bands (ATR bands breathe with RANGE,
+    * Bollinger with variance; divergence between the two is itself a
+    * regime signal). ENTIRELY integer until the final divides: typical
+    * price kept as the ×3 cent sum (hi+lo+cl — no division inside the
+    * rolling sum), true range the [[atr]] BIGINT chain, both frame
+    * sums exact; the mid/band emit as fixed IEEE expressions of the
+    * exact sums, mirrored token-for-token (unrounded — r14 audit
+    * contract). Same scan shape as [[atr]]: one bar aggregate + one
+    * symbol-keyed window. */
+  def keltner(trades: DataFrame, n: Int = 14, mult: Int = 2): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("hr"))
+    val frame = Window.partitionBy("symbol").orderBy(col("hr"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"),
+        max_by(col("pc"), col("event_id")).as("cl"))
+    val mid = s"CAST(stp AS DOUBLE) / ${3 * n}.0 / 100.0"
+    val half = s"$mult.0 * (CAST(str AS DOUBLE) / $n.0 / 100.0)"
+    bars
+      .withColumn("pcl", lag(col("cl"), 1).over(ord))
+      .withColumn("tr",
+        when(col("pcl").isNull, col("hi") - col("lo")).otherwise(
+          greatest(col("hi") - col("lo"), abs(col("hi") - col("pcl")),
+            abs(col("lo") - col("pcl")))))
+      .withColumn("stp", sum(col("hi") + col("lo") + col("cl")).over(frame))
+      .withColumn("str", sum(col("tr")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("hr"),
+        expr(mid).as("kc_mid"),
+        expr(s"$mid + $half").as("kc_upper"),
+        expr(s"$mid - $half").as("kc_lower"))
+  }
+
+  /** Oracle for [[keltner]] (body only — caller prepends the trades
+    * CTE). */
+  def keltnerSql(n: Int = 14, mult: Int = 2): String = {
+    val mid = s"CAST(stp AS DOUBLE) / ${3 * n}.0::DOUBLE / 100.0::DOUBLE"
+    val half =
+      s"$mult.0::DOUBLE * (CAST(str AS DOUBLE) / $n.0::DOUBLE / 100.0::DOUBLE)"
+    s"""SELECT symbol, hr,
+       |       $mid AS kc_mid,
+       |       $mid + $half AS kc_upper,
+       |       $mid - $half AS kc_lower
+       |FROM (
+       |  SELECT symbol, hr,
+       |         CAST(sum(hi + lo + cl) OVER w2 AS BIGINT) AS stp,
+       |         CAST(sum(tr) OVER w2 AS BIGINT) AS str,
+       |         count(*) OVER w2 AS cnt
+       |  FROM (
+       |    SELECT symbol, hr, hi, lo, cl,
+       |           CASE WHEN pcl IS NULL THEN hi - lo
+       |                ELSE greatest(hi - lo, abs(hi - pcl), abs(lo - pcl))
+       |           END AS tr
+       |    FROM (
+       |      SELECT symbol, hr, hi, lo, cl,
+       |             lag(cl, 1) OVER (PARTITION BY symbol ORDER BY hr)
+       |               AS pcl
+       |      FROM (
+       |        SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+       |               max(pc) AS hi, min(pc) AS lo,
+       |               arg_max(pc, event_id) AS cl
+       |        FROM (SELECT symbol, "timestamp", event_id,
+       |                     CAST(round(price * 100) AS BIGINT) AS pc
+       |              FROM trades)
+       |        GROUP BY 1, 2)))
+       |  WINDOW w2 AS (PARTITION BY symbol ORDER BY hr
+       |                ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |WHERE cnt = $n""".stripMargin
+  }
+
+  /** A (extension) — Mann–Whitney rank drift per symbol: the
+    * distribution-free "did prices shift between the first and second
+    * half of the tape" test next to [[ksDrift]]'s sup-gap form —
+    * U/(n₁n₂) IS the probability a random later tick prices above a
+    * random earlier one (the AUC reading), emitted in exact ppm.
+    * ENTIRELY integer: ranks are `row_number` over the deterministic
+    * (cent, event_id) order (ties broken by id — documented, exact,
+    * engine-identical; the [[graft.ops.Similarity.centroidAuc]]
+    * convention), halves split on the time order, and the rank-sum
+    * algebra is BIGINT with the loud ppm-ceiling assert mirrored by
+    * DuckDB's native BIGINT-overflow raise on the same product. Two
+    * symbol-keyed windows + one aggregate — one exchange. */
+  def rankDrift(trades: DataFrame): DataFrame = {
+    val bySym = Window.partitionBy("symbol")
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val byPc = Window.partitionBy("symbol")
+      .orderBy(col("pc"), col("event_id"))
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySym))
+      .withColumn("rk", row_number().over(byPc).cast("long"))
+      .groupBy("symbol")
+      .agg(
+        sum(when(col("rn") > expr("n div 2"), col("rk"))).as("r2"),
+        sum(when(col("rn") > expr("n div 2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("rn") <= expr("n div 2"), 1L).otherwise(0L)).as("n1"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .filter(expr(
+        "assert_true(r2 - (n2 * (n2 + 1)) div 2 " +
+          "<= 9223372036854775807 div 1000000, " +
+          "'rank_drift: U statistic exceeds the exact ppm range — " +
+          "sample the tape') IS NULL"))
+      .withColumn("auc_ppm", expr(
+        "((r2 - (n2 * (n2 + 1)) div 2) * 1000000) div (n1 * n2)"))
+      .select("symbol", "n1", "n2", "auc_ppm")
+  }
+
+  /** Oracle for [[rankDrift]] (body only — caller prepends the trades
+    * CTE). */
+  val rankDriftSql: String =
+    """SELECT symbol, n1, n2,
+      |       ((r2 - (n2 * (n2 + 1)) // 2) * 1000000) // (n1 * n2)
+      |         AS auc_ppm
+      |FROM (
+      |  SELECT symbol,
+      |         CAST(sum(CASE WHEN rn > n // 2 THEN rk END) AS BIGINT)
+      |           AS r2,
+      |         CAST(sum(CASE WHEN rn > n // 2 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n2,
+      |         CAST(sum(CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n1
+      |  FROM (
+      |    SELECT symbol,
+      |           CAST(row_number() OVER (PARTITION BY symbol
+      |             ORDER BY "timestamp", event_id) AS BIGINT) AS rn,
+      |           count(*) OVER (PARTITION BY symbol) AS n,
+      |           CAST(row_number() OVER (PARTITION BY symbol
+      |             ORDER BY pc, event_id) AS BIGINT) AS rk
+      |    FROM (SELECT symbol, "timestamp", event_id,
+      |                 CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades))
+      |  GROUP BY 1
+      |)
+      |WHERE n1 > 0 AND n2 > 0""".stripMargin
+
   /** W (extension) — Kyle's lambda per symbol: the price-impact slope
     * (cents moved per unit of signed volume) from the tick-rule signed
     * flow — [[amihud]]'s regression-form sibling and the third leg of

@@ -3202,6 +3202,35 @@ class OpsInvariantsSpec extends SparkSuite {
     sil.unpersist(); db.unpersist()
   }
 
+  test("keltner: bands bracket the mid symmetrically; rank drift is " +
+      "exact ppm with monotone tapes at the extremes") {
+    import spark.implicits._
+    val kc = TradeOps.keltner(trades)
+    assert(kc.count() > 0)
+    assert(kc.filter(col("kc_upper") < col("kc_mid") ||
+      col("kc_mid") < col("kc_lower")).count() === 0)
+    assert(kc.filter(
+      abs((col("kc_upper") + col("kc_lower")) / 2.0 - col("kc_mid"))
+        > 1e-9).count() === 0, "bands symmetric about the mid")
+    val rd = TradeOps.rankDrift(trades)
+    assert(rd.filter(col("auc_ppm") < 0L || col("auc_ppm") > 1000000L)
+      .count() === 0)
+    val tapeTotals = trades.groupBy("symbol").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rd.collect().foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === tapeTotals(r.getString(0)))
+    }
+    // strictly rising tape: every later tick outranks every earlier one
+    def tape(sym: String, step: Long) = (1 to 20).map(i =>
+      (i.toLong, sym, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        100.0 + i * step * 0.01, 1.0))
+    val mono = (tape("UP", 1L) ++ tape("DN", -1L))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val m = TradeOps.rankDrift(mono).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m === Map("UP" -> 1000000L, "DN" -> 0L), s"extremes: $m")
+  }
+
   test("pq distortion: one row per subspace covering the corpus, " +
       "lifespan histogram partitions the user base") {
     val pq = Similarity.pqDistortion(spark, sf).cache()
