@@ -503,6 +503,8 @@ object SparkEntry {
     "w_kyle_lambda" -> ((s, dir) => TradeOps.kyleLambda(trades(s, dir))),
     "w_keltner" -> ((s, dir) => TradeOps.keltner(trades(s, dir))),
     "a_rank_drift" -> ((s, dir) => TradeOps.rankDrift(trades(s, dir))),
+    "w_adx" -> ((s, dir) => TradeOps.adx(trades(s, dir))),
+    "a_acf_profile" -> ((s, dir) => TradeOps.acfProfile(trades(s, dir))),
     "v_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
     "v_davies_bouldin" -> ((s, dir) => Similarity.daviesBouldin(s, dir)),
     "v_pq_distortion" -> ((s, dir) => Similarity.pqDistortion(s, dir)),
@@ -1804,6 +1806,8 @@ object SparkEntry {
     "w_kyle_lambda" -> s"$T,\n${TradeOps.kyleLambdaSql}",
     "w_keltner" -> s"$T\n${TradeOps.keltnerSql()}",
     "a_rank_drift" -> s"$T\n${TradeOps.rankDriftSql}",
+    "w_adx" -> s"$T\n${TradeOps.adxSql()}",
+    "a_acf_profile" -> s"$T,\n${TradeOps.acfProfileSql()}",
     "v_silhouette" -> Similarity.silhouetteSql(),
     "v_davies_bouldin" -> Similarity.daviesBouldinSql(),
     "v_pq_distortion" -> Similarity.pqDistortionSql(),

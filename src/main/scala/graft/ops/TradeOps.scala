@@ -4573,6 +4573,189 @@ object TradeOps {
        |WHERE cnt = $n""".stripMargin
   }
 
+  /** W (extension) — average directional index profile over hourly
+    * bars (SMA variant of Wilder's ADX — the recursive smoothing is
+    * replaced by the same n-bar rolling sums [[atr]] uses, so the
+    * statistic stays a pure function of the frame; documented
+    * deviation, standard in vectorized implementations): directional
+    * movements `+DM/−DM` as BIGINT cent rules on consecutive bar
+    * extremes, true range the [[atr]] chain, and the three ppm ratios
+    * (`DI⁺`, `DI⁻`, `DX = |DI⁺−DI⁻|/(DI⁺+DI⁻)`) in exact floored ppm —
+    * trend-strength triage (DX high = directional, low = chop) with
+    * zero float surface. One bar aggregate + one symbol-keyed window;
+    * loud on int64 overflow in both engines (ANSI sum / HUGEINT cast). */
+  def adx(trades: DataFrame, n: Int = 14): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("hr"))
+    val frame = Window.partitionBy("symbol").orderBy(col("hr"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"),
+        max_by(col("pc"), col("event_id")).as("cl"))
+    bars
+      .withColumn("phi", lag(col("hi"), 1).over(ord))
+      .withColumn("plo", lag(col("lo"), 1).over(ord))
+      .withColumn("pcl", lag(col("cl"), 1).over(ord))
+      .filter(col("pcl").isNotNull)
+      .withColumn("up", col("hi") - col("phi"))
+      .withColumn("dn", col("plo") - col("lo"))
+      .withColumn("pdm", expr(
+        "CASE WHEN up > dn AND up > 0 THEN up ELSE 0 END"))
+      .withColumn("mdm", expr(
+        "CASE WHEN dn > up AND dn > 0 THEN dn ELSE 0 END"))
+      .withColumn("tr",
+        greatest(col("hi") - col("lo"), abs(col("hi") - col("pcl")),
+          abs(col("lo") - col("pcl"))))
+      .withColumn("spdm", sum(col("pdm")).over(frame))
+      .withColumn("smdm", sum(col("mdm")).over(frame))
+      .withColumn("str", sum(col("tr")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .withColumn("di_plus_ppm", expr(
+        "(spdm * 1000000) div greatest(str, 1)"))
+      .withColumn("di_minus_ppm", expr(
+        "(smdm * 1000000) div greatest(str, 1)"))
+      .select(col("symbol"), col("hr"),
+        col("di_plus_ppm"), col("di_minus_ppm"),
+        expr("(abs(di_plus_ppm - di_minus_ppm) * 1000000) " +
+          "div greatest(di_plus_ppm + di_minus_ppm, 1)").as("dx_ppm"))
+  }
+
+  /** Oracle for [[adx]] (body only — caller prepends the trades CTE). */
+  def adxSql(n: Int = 14): String =
+    s"""SELECT symbol, hr, di_plus_ppm, di_minus_ppm,
+       |       (abs(di_plus_ppm - di_minus_ppm) * 1000000)
+       |         // greatest(di_plus_ppm + di_minus_ppm, 1) AS dx_ppm
+       |FROM (
+       |  SELECT symbol, hr,
+       |         (CAST(sum(pdm) OVER w2 AS BIGINT) * 1000000)
+       |           // greatest(CAST(sum(tr) OVER w2 AS BIGINT), 1)
+       |           AS di_plus_ppm,
+       |         (CAST(sum(mdm) OVER w2 AS BIGINT) * 1000000)
+       |           // greatest(CAST(sum(tr) OVER w2 AS BIGINT), 1)
+       |           AS di_minus_ppm,
+       |         count(*) OVER w2 AS cnt
+       |  FROM (
+       |    SELECT symbol, hr,
+       |           CASE WHEN hi - phi > plo - lo AND hi - phi > 0
+       |                THEN hi - phi ELSE 0 END AS pdm,
+       |           CASE WHEN plo - lo > hi - phi AND plo - lo > 0
+       |                THEN plo - lo ELSE 0 END AS mdm,
+       |           greatest(hi - lo, abs(hi - pcl), abs(lo - pcl)) AS tr
+       |    FROM (
+       |      SELECT symbol, hr, hi, lo,
+       |             lag(hi, 1) OVER wb AS phi,
+       |             lag(lo, 1) OVER wb AS plo,
+       |             lag(cl, 1) OVER wb AS pcl
+       |      FROM (
+       |        SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+       |               max(pc) AS hi, min(pc) AS lo,
+       |               arg_max(pc, event_id) AS cl
+       |        FROM (SELECT symbol, "timestamp", event_id,
+       |                     CAST(round(price * 100) AS BIGINT) AS pc
+       |              FROM trades)
+       |        GROUP BY 1, 2)
+       |      WINDOW wb AS (PARTITION BY symbol ORDER BY hr))
+       |    WHERE pcl IS NOT NULL)
+       |  WINDOW w2 AS (PARTITION BY symbol ORDER BY hr
+       |                ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |WHERE cnt = $n""".stripMargin
+
+  /** A (extension) — multi-lag autocorrelation profile: [[autocorr]]'s
+    * exact-integer spine evaluated at lags {1,2,3,5,10} in ONE window
+    * pass (five lag columns share the symbol-keyed sort) — the decay
+    * shape distinguishes momentum (slow decay) from microstructure
+    * bounce (lag-1 negative, rest ≈0) where the single lag-1 number
+    * can't. All sums exact cent BIGINTs; μ enters only in the fixed
+    * IEEE expression tree per lag; `stack` unpivots to
+    * (symbol, lag, n_pairs, acf) rows. Loud on int64 overflow in both
+    * engines (the [[autocorr]] posture, stress-classified symmetric). */
+  def acfProfile(trades: DataFrame,
+      lagList: Seq[Int] = Seq(1, 2, 3, 5, 10)): DataFrame = {
+    val wOrd = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val withLags = lagList.foldLeft(
+      trades.withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))) {
+      (df, j) => df.withColumn(s"l$j", lag(col("pc"), j).over(wOrd))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"), sum(col("pc")).as("sx"),
+      sum(col("pc") * col("pc")).as("sxx")) ++
+      lagList.flatMap(j => Seq(
+        sum(col("pc") * col(s"l$j")).as(s"sxy$j"),
+        sum(col(s"l$j")).as(s"sl$j"),
+        sum(when(col(s"l$j").isNotNull, col("pc"))).as(s"sg$j"),
+        count(col(s"l$j")).as(s"nj$j")))
+    def acfCase(j: Int): String =
+      s"CASE WHEN den = 0.0D OR nj$j = 0 THEN NULL ELSE " +
+        s"(CAST(sxy$j AS DOUBLE) " +
+        s"- mu * (CAST(sl$j AS DOUBLE) + CAST(sg$j AS DOUBLE)) " +
+        s"+ CAST(nj$j AS DOUBLE) * mu * mu) / den END"
+    withLags
+      .groupBy("symbol")
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n") > lagList.max)
+      .withColumn("mu", expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("den", expr(
+        "CAST(sxx AS DOUBLE) - mu * CAST(sx AS DOUBLE) * 2.0D " +
+          "+ CAST(n AS DOUBLE) * mu * mu"))
+      .select(col("symbol"), expr(
+        s"stack(${lagList.length}, " +
+          lagList.map(j => s"${j}L, nj$j, ${acfCase(j)}").mkString(", ") +
+          ") AS (lag, n_pairs, acf)"))
+  }
+
+  /** Oracle for [[acfProfile]] (body only — caller prepends the trades
+    * CTE; UNION ALL unpivot of the shared aggregate). */
+  def acfProfileSql(lagList: Seq[Int] = Seq(1, 2, 3, 5, 10)): String = {
+    val lagCols = lagList.map(j =>
+      s"lag(pc, $j) OVER w AS l$j").mkString(",\n       |         ")
+    val aggCols = lagList.map(j =>
+      s"""CAST(sum(pc * l$j) AS BIGINT) AS sxy$j,
+         |         CAST(sum(l$j) AS BIGINT) AS sl$j,
+         |         CAST(sum(CASE WHEN l$j IS NOT NULL THEN pc END)
+         |           AS BIGINT) AS sg$j,
+         |         count(l$j) AS nj$j""".stripMargin)
+      .mkString(",\n         ")
+    val branches = lagList.map { j =>
+      s"""SELECT symbol, CAST($j AS BIGINT) AS lag,
+         |       CAST(nj$j AS BIGINT) AS n_pairs,
+         |       CASE WHEN den = 0.0::DOUBLE OR nj$j = 0 THEN NULL ELSE
+         |         (CAST(sxy$j AS DOUBLE)
+         |          - mu * (CAST(sl$j AS DOUBLE) + CAST(sg$j AS DOUBLE))
+         |          + CAST(nj$j AS DOUBLE) * mu * mu) / den END AS acf
+         |FROM md""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""lagged AS (
+       |  SELECT symbol, pc,
+       |         $lagCols
+       |  FROM (SELECT symbol, "timestamp", event_id,
+       |               CAST(round(price * 100) AS BIGINT) AS pc
+       |        FROM trades)
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id)
+       |), acfagg AS (
+       |  SELECT symbol, count(*) AS n,
+       |         CAST(sum(pc) AS BIGINT) AS sx,
+       |         CAST(sum(pc * pc) AS BIGINT) AS sxx,
+       |         $aggCols
+       |  FROM lagged GROUP BY 1
+       |  HAVING count(*) > ${lagList.max}
+       |), md AS (
+       |  SELECT *,
+       |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |         CAST(sxx AS DOUBLE)
+       |           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |             * CAST(sx AS DOUBLE) * 2.0::DOUBLE
+       |           + CAST(n AS DOUBLE)
+       |             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS den
+       |  FROM acfagg
+       |)
+       |$branches""".stripMargin
+  }
+
   /** A (extension) — Mann–Whitney rank drift per symbol: the
     * distribution-free "did prices shift between the first and second
     * half of the tape" test next to [[ksDrift]]'s sup-gap form —

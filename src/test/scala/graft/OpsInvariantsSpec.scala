@@ -3231,6 +3231,26 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(m === Map("UP" -> 1000000L, "DN" -> 0L), s"extremes: $m")
   }
 
+  test("adx: ppm ratios bounded by construction; acf profile lag-1 " +
+      "equals the single-lag autocorr bit-exactly") {
+    val adx = TradeOps.adx(trades)
+    assert(adx.count() > 0)
+    assert(adx.filter(col("di_plus_ppm") < 0L || col("di_plus_ppm") > 1000000L ||
+      col("di_minus_ppm") < 0L || col("di_minus_ppm") > 1000000L ||
+      col("dx_ppm") < 0L || col("dx_ppm") > 1000000L).count() === 0,
+      "DM <= TR per bar forces DI, DX into [0, 1e6] ppm")
+    val acf = TradeOps.acfProfile(trades).cache()
+    assert(acf.filter(abs(col("acf")) > 1.05).count() === 0)
+    assert(acf.select("lag").distinct().count() === 5)
+    // lag-1 row IS the a23 autocorr (same exact-integer spine)
+    val joined = acf.filter(col("lag") === 1L)
+      .join(TradeOps.autocorr(trades), "symbol")
+      .filter(col("acf").isNotNull)
+    assert(joined.filter(col("acf") =!= col("autocorr_lag1")).count() === 0,
+      "acf(1) must equal autocorr_lag1 bit-exactly")
+    acf.unpersist()
+  }
+
   test("pq distortion: one row per subspace covering the corpus, " +
       "lifespan histogram partitions the user base") {
     val pq = Similarity.pqDistortion(spark, sf).cache()
