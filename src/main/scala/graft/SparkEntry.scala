@@ -505,6 +505,9 @@ object SparkEntry {
     "a_rank_drift" -> ((s, dir) => TradeOps.rankDrift(trades(s, dir))),
     "w_adx" -> ((s, dir) => TradeOps.adx(trades(s, dir))),
     "a_acf_profile" -> ((s, dir) => TradeOps.acfProfile(trades(s, dir))),
+    "w_sharpe" -> ((s, dir) => TradeOps.sharpe(trades(s, dir))),
+    "t_vocab_overlap" -> ((s, dir) =>
+      TextOps.vocabOverlap(Tables.load(s, dir, "documents"))),
     "v_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
     "v_davies_bouldin" -> ((s, dir) => Similarity.daviesBouldin(s, dir)),
     "v_pq_distortion" -> ((s, dir) => Similarity.pqDistortion(s, dir)),
@@ -1808,6 +1811,8 @@ object SparkEntry {
     "a_rank_drift" -> s"$T\n${TradeOps.rankDriftSql}",
     "w_adx" -> s"$T\n${TradeOps.adxSql()}",
     "a_acf_profile" -> s"$T,\n${TradeOps.acfProfileSql()}",
+    "w_sharpe" -> s"$T\n${TradeOps.sharpeSql}",
+    "t_vocab_overlap" -> TextOps.vocabOverlapSql,
     "v_silhouette" -> Similarity.silhouetteSql(),
     "v_davies_bouldin" -> Similarity.daviesBouldinSql(),
     "v_pq_distortion" -> Similarity.pqDistortionSql(),

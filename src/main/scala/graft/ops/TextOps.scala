@@ -1949,4 +1949,58 @@ object TextOps {
        |       CAST(sum(COALESCE(fb.new_words, 0)) OVER (ORDER BY db.bucket)
        |         AS BIGINT) AS vocab_so_far
        |FROM db LEFT JOIN fb ON db.bucket = fb.bucket""".stripMargin
+  /** T (extension) — pairwise source vocabulary overlap: the exact
+    * Jaccard of DISTINCT word sets between every pair of corpus
+    * sources, in floored ppm — the cross-source contamination/drift
+    * screen next to [[tvDrift]]'s frequency distance (TV sees SHAPE
+    * shift; this sees exposure: how much of source B's vocabulary A
+    * already covers). ENTIRELY integer: one distinct (source, word)
+    * projection, a word-keyed self-join whose fan-out is bounded by
+    * |sources|² per word (sources are few; the join never touches doc
+    * cardinality), and the |A∩B| / (|A|+|B|−|A∩B|) algebra in exact
+    * ppm. Pairs with zero shared vocabulary do not emit (inner join;
+    * documented). */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+    val sizes = w.groupBy("source").agg(count(lit(1)).as("n"))
+    w.as("a").join(w.as("b"), Seq("word"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .withColumn("jaccard_ppm",
+        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
+      .select("source_a", "source_b", "n_a", "n_b", "n_inter",
+        "jaccard_ppm")
+  }
+
+  /** Oracle for [[vocabOverlap]]. */
+  val vocabOverlapSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT source, word
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE word <> ''
+      |), sz AS (
+      |  SELECT source, count(*) AS n FROM w GROUP BY 1
+      |), pr AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS n_inter
+      |  FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT pr.source_a, pr.source_b,
+      |       sa.n AS n_a, sb.n AS n_b, pr.n_inter,
+      |       (pr.n_inter * 1000000) // (sa.n + sb.n - pr.n_inter)
+      |         AS jaccard_ppm
+      |FROM pr
+      |JOIN sz sa ON sa.source = pr.source_a
+      |JOIN sz sb ON sb.source = pr.source_b""".stripMargin
 }

@@ -4663,6 +4663,75 @@ object TradeOps {
        |)
        |WHERE cnt = $n""".stripMargin
 
+  /** W (extension) — daily-return Sharpe ratio per symbol (rf = 0):
+    * close-to-close cent returns over daily bars, population
+    * mean/stddev collapsed to the single exact form
+    * `S = Σd / √(n·Σd² − (Σd)²)` — numerator and radicand are exact
+    * cent BIGINTs (ANSI-loud, [[rollSpread]] 2⁵³ guard), √ is the one
+    * safe non-integer function, so daily and √252-annualized Sharpe
+    * are engine-identical unrounded. Flat tapes (zero variance) emit
+    * NULL via the CASE, not a div-by-zero. One bar aggregate + one
+    * symbol-keyed lag window + one aggregate; |symbols| rows out. */
+  def sharpe(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("day"))
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(max_by(col("pc"), col("event_id")).as("cl"))
+    bars
+      .withColumn("d", col("cl") - lag(col("cl"), 1).over(ord))
+      .filter(col("d").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s11"),
+        max(abs(col("d"))).as("mxd"))
+      .filter(expr(
+        "assert_true(n_rets <= (9007199254740992 div greatest(mxd, 1)) " +
+          "div greatest(mxd, 1), " +
+          "'sharpe: daily moves too large for 2^53-exact sums — " +
+          "coarsen the cent quantum') IS NULL"))
+      .withColumn("sharpe_daily", expr(
+        "CASE WHEN CAST(n_rets AS DOUBLE) * CAST(s11 AS DOUBLE) " +
+          "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) <= 0.0D THEN NULL " +
+          "ELSE CAST(s1 AS DOUBLE) " +
+          "/ sqrt(CAST(n_rets AS DOUBLE) * CAST(s11 AS DOUBLE) " +
+          "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) END"))
+      .select(col("symbol"), col("n_rets"), col("sharpe_daily"),
+        (col("sharpe_daily") * sqrt(lit(252.0d))).as("sharpe_annual"))
+  }
+
+  /** Oracle for [[sharpe]] (body only — caller prepends the trades
+    * CTE). */
+  val sharpeSql: String =
+    """SELECT symbol, n_rets, sharpe_daily,
+      |       sharpe_daily * sqrt(252.0::DOUBLE) AS sharpe_annual
+      |FROM (
+      |  SELECT symbol, count(*) AS n_rets,
+      |         CASE WHEN CAST(count(*) AS DOUBLE)
+      |                   * CAST(CAST(sum(d * d) AS BIGINT) AS DOUBLE)
+      |                   - CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+      |                     * CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+      |                   <= 0.0::DOUBLE THEN NULL
+      |              ELSE CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+      |                   / sqrt(CAST(count(*) AS DOUBLE)
+      |                     * CAST(CAST(sum(d * d) AS BIGINT) AS DOUBLE)
+      |                     - CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+      |                       * CAST(CAST(sum(d) AS BIGINT) AS DOUBLE))
+      |         END AS sharpe_daily
+      |  FROM (
+      |    SELECT symbol, cl - lag(cl, 1) OVER (PARTITION BY symbol
+      |             ORDER BY day) AS d
+      |    FROM (
+      |      SELECT symbol, CAST("timestamp" AS DATE) AS day,
+      |             arg_max(pc, event_id) AS cl
+      |      FROM (SELECT symbol, "timestamp", event_id,
+      |                   CAST(round(price * 100) AS BIGINT) AS pc
+      |            FROM trades)
+      |      GROUP BY 1, 2))
+      |  WHERE d IS NOT NULL
+      |  GROUP BY 1
+      |)""".stripMargin
+
   /** A (extension) — multi-lag autocorrelation profile: [[autocorr]]'s
     * exact-integer spine evaluated at lags {1,2,3,5,10} in ONE window
     * pass (five lag columns share the symbol-keyed sort) — the decay

@@ -3251,6 +3251,40 @@ class OpsInvariantsSpec extends SparkSuite {
     acf.unpersist()
   }
 
+  test("sharpe: BigInt recompute matches, flat tape is NULL; vocab " +
+      "overlap bounded by the smaller vocabulary") {
+    import spark.implicits._
+    // recompute each symbol's S = s1 / sqrt(n*s11 - s1^2) in BigInt
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(max_by(col("pc"), col("event_id")).as("cl"))
+      .collect().groupBy(_.getString(0))
+    val got = TradeOps.sharpe(trades).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    bars.foreach { case (sym, rows) =>
+      val cls = rows.sortBy(_.getDate(1).toString).map(_.getLong(2))
+      if (cls.length >= 2) {
+        val d = cls.sliding(2).map(p => BigInt(p(1) - p(0))).toSeq
+        val rad = BigInt(d.length) * d.map(x => x * x).sum - d.sum * d.sum
+        val (n, s) = got(sym)
+        assert(n === d.length.toLong)
+        if (rad <= 0) assert(s.isEmpty)
+        else assert(math.abs(s.get -
+          d.sum.toDouble / math.sqrt(rad.toDouble)) < 1e-12)
+      }
+    }
+    val vo = graft.ops.TextOps.vocabOverlap(
+      Tables.load(spark, sf, "documents"))
+    assert(vo.filter(col("jaccard_ppm") < 0L ||
+      col("jaccard_ppm") > 1000000L).count() === 0)
+    assert(vo.filter(col("n_inter") > least(col("n_a"), col("n_b")))
+      .count() === 0)
+    assert(vo.filter(col("source_a") >= col("source_b")).count() === 0,
+      "canonical pair order")
+  }
+
   test("pq distortion: one row per subspace covering the corpus, " +
       "lifespan histogram partitions the user base") {
     val pq = Similarity.pqDistortion(spark, sf).cache()
