@@ -508,6 +508,9 @@ object SparkEntry {
     "w_sharpe" -> ((s, dir) => TradeOps.sharpe(trades(s, dir))),
     "t_vocab_overlap" -> ((s, dir) =>
       TextOps.vocabOverlap(Tables.load(s, dir, "documents"))),
+    "a_adf_stat" -> ((s, dir) => TradeOps.adfStat(trades(s, dir))),
+    "e_new_returning" -> ((s, dir) =>
+      EventAnalytics.newReturning(Tables.events(s, dir))),
     "v_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
     "v_davies_bouldin" -> ((s, dir) => Similarity.daviesBouldin(s, dir)),
     "v_pq_distortion" -> ((s, dir) => Similarity.pqDistortion(s, dir)),
@@ -1813,6 +1816,8 @@ object SparkEntry {
     "a_acf_profile" -> s"$T,\n${TradeOps.acfProfileSql()}",
     "w_sharpe" -> s"$T\n${TradeOps.sharpeSql}",
     "t_vocab_overlap" -> TextOps.vocabOverlapSql,
+    "a_adf_stat" -> s"$T,\n${TradeOps.adfStatSql}",
+    "e_new_returning" -> EventAnalytics.newReturningSql,
     "v_silhouette" -> Similarity.silhouetteSql(),
     "v_davies_bouldin" -> Similarity.daviesBouldinSql(),
     "v_pq_distortion" -> Similarity.pqDistortionSql(),

@@ -1048,6 +1048,46 @@ object EventAnalytics {
         max(col("span_days")).as("max_days"),
         sum(col("n_ev")).as("n_events"))
 
+  /** E (extension) — daily new-vs-returning split: per calendar day,
+    * how many active users are first-ever-seen that day vs returning —
+    * the growth-vs-engagement decomposition of plain DAU (a flat DAU
+    * can hide churn exactly replaced by acquisition; this splits it).
+    * ENTIRELY integer: first-seen day is a per-user min, the split is
+    * one distinct-(day, user) aggregate with a broadcastable |users|
+    * first-seen join at 100 TB (or a co-partitioned merge — user-keyed
+    * both sides, one exchange each). Days × 1 rows out. */
+  def newReturning(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .join(firstSeen, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day").cast("timestamp").as("day"), col("dau"),
+        col("n_new"), (col("dau") - col("n_new")).as("n_returning"))
+  }
+
+  /** Oracle for [[newReturning]]. */
+  val newReturningSql: String =
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      |  FROM events GROUP BY 1
+      |), du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |)
+      |SELECT CAST(day AS TIMESTAMP) AS day,
+      |       count(*) AS dau,
+      |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_new,
+      |       count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0
+      |         END) AS BIGINT) AS n_returning
+      |FROM du JOIN fs USING (user_id)
+      |GROUP BY 1""".stripMargin
+
   /** Oracle for [[lifespanHist]]. */
   val lifespanHistSql: String =
     """WITH u AS (

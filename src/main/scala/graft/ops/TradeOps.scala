@@ -4663,6 +4663,106 @@ object TradeOps {
        |)
        |WHERE cnt = $n""".stripMargin
 
+  /** A (extension) — Dickey–Fuller unit-root statistic per symbol (the
+    * simple DF form, no lag augmentation — documented): regress the
+    * cent move Δp on the lagged cent level with intercept and report
+    * `t = β̂ / se(β̂)` — the "is this series a random walk or
+    * mean-reverting" screen that [[varianceRatio]] reads as a ratio
+    * and this reads as a regression. The whole statistic is assembled
+    * from six exact cent-BIGINT sums (n, Σx, Σy, Σx², Σy², Σxy — x the
+    * lagged level, y the move; ANSI-loud at 2⁶³) through one fixed
+    * IEEE tree: centered `Sxx = nΣx²−(Σx)²`, `Sxy`, `Syy`,
+    * `β̂ = Sxy/Sxx`, `n·SSE = Syy − β̂·Sxy`,
+    * `t = β̂·√((n−2)·Sxx / (n·SSE))` — mirrored token-for-token, so
+    * the unrounded t is engine-identical. Degenerate fits (flat level
+    * or perfect fit) emit NULL. Level sums carry the price MAGNITUDE
+    * (not diffs), so the 2⁵³ guard uses max|level|. One symbol window
+    * + one aggregate. */
+  def adfStat(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("x", lag(col("pc"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .withColumn("y", col("pc") - col("x"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"),
+        max(abs(col("x"))).as("mx"))
+      .filter(col("n") >= 3)
+      .filter(expr(
+        "assert_true(n <= (9007199254740992 div greatest(mx, 1)) " +
+          "div greatest(mx, 1), " +
+          "'adf_stat: price levels too large for 2^53-exact " +
+          "regression sums — coarsen the cent quantum') IS NULL"))
+      .withColumn("sxx_c", expr(
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("sxy_c", expr(
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("syy_c", expr(
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+          "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("beta", expr(
+        "CASE WHEN sxx_c = 0.0D THEN NULL ELSE sxy_c / sxx_c END"))
+      .select(col("symbol"), col("n").as("n_obs"), col("beta"),
+        expr(
+          "CASE WHEN beta IS NULL " +
+            "OR syy_c - beta * sxy_c <= 0.0D THEN NULL " +
+            "ELSE beta * sqrt((CAST(n AS DOUBLE) - 2.0D) * sxx_c " +
+            "/ (CAST(n AS DOUBLE) * (syy_c - beta * sxy_c))) END")
+          .as("adf_t"))
+  }
+
+  /** Oracle for [[adfStat]] (body only — caller prepends the trades
+    * CTE, chain with `, `). */
+  val adfStatSql: String =
+    """adfagg AS (
+      |  SELECT symbol, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM (
+      |    SELECT symbol, x, pc - x AS y FROM (
+      |      SELECT symbol, pc,
+      |             lag(pc, 1) OVER (PARTITION BY symbol
+      |               ORDER BY "timestamp", event_id) AS x
+      |      FROM (SELECT symbol, "timestamp", event_id,
+      |                   CAST(round(price * 100) AS BIGINT) AS pc
+      |            FROM trades))
+      |    WHERE x IS NOT NULL)
+      |  GROUP BY 1
+      |  HAVING count(*) >= 3
+      |), adfm AS (
+      |  SELECT symbol, n,
+      |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS sxx_c,
+      |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sxy_c,
+      |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syy_c
+      |  FROM adfagg
+      |), adfb AS (
+      |  SELECT symbol, n, sxx_c, sxy_c, syy_c,
+      |         CASE WHEN sxx_c = 0.0::DOUBLE THEN NULL
+      |              ELSE sxy_c / sxx_c END AS beta
+      |  FROM adfm
+      |)
+      |SELECT symbol, n AS n_obs, beta,
+      |       CASE WHEN beta IS NULL
+      |                 OR syy_c - beta * sxy_c <= 0.0::DOUBLE THEN NULL
+      |            ELSE beta * sqrt((CAST(n AS DOUBLE) - 2.0::DOUBLE)
+      |                 * sxx_c
+      |                 / (CAST(n AS DOUBLE) * (syy_c - beta * sxy_c)))
+      |       END AS adf_t
+      |FROM adfb""".stripMargin
+
   /** W (extension) — daily-return Sharpe ratio per symbol (rf = 0):
     * close-to-close cent returns over daily bars, population
     * mean/stddev collapsed to the single exact form

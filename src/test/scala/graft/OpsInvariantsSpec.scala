@@ -3285,6 +3285,40 @@ class OpsInvariantsSpec extends SparkSuite {
       "canonical pair order")
   }
 
+  test("adf: random-walk synthetic yields beta near 0, mean-reverting " +
+      "strongly negative t; new/returning telescopes to DAU") {
+    import spark.implicits._
+    // strongly mean-reverting tape: price alternates around a level →
+    // Δp ≈ −2·(p − level) → beta ≈ −2, t large negative
+    val mr = (1 to 60).map(i =>
+      (i.toLong, "MR", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        // imperfect alternation (a perfectly linear Δp↔level relation
+        // has SSE = 0 and NULLs out via the degenerate-fit guard)
+        if (i % 2 == 0) 101.0 + (i % 7) * 0.1 else 99.0 - (i % 5) * 0.1,
+        1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val t = TradeOps.adfStat(mr).collect()(0)
+    assert(t.getDouble(2) < -1.5, s"beta ${t.getDouble(2)}")
+    assert(t.getDouble(3) < -3.0, s"adf_t ${t.getDouble(3)}")
+    // flat tape: zero-variance level → NULL everything
+    val flat = (1 to 10).map(i =>
+      (i.toLong, "F", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        10.0, 1.0)).toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val f = TradeOps.adfStat(flat).collect()(0)
+    assert(f.isNullAt(2) && f.isNullAt(3))
+    // real data: every symbol emits, |beta| sane
+    val real = TradeOps.adfStat(trades)
+    assert(real.count() === trades.select("symbol").distinct().count())
+    val ev = Tables.events(spark, sf)
+    val nr = graft.ops.EventAnalytics.newReturning(ev).cache()
+    assert(nr.filter(col("dau") =!= col("n_new") + col("n_returning"))
+      .count() === 0)
+    assert(nr.agg(sum(col("n_new"))).head.getLong(0)
+      === ev.select("user_id").distinct().count(),
+      "every user is new exactly once")
+    nr.unpersist()
+  }
+
   test("pq distortion: one row per subspace covering the corpus, " +
       "lifespan histogram partitions the user base") {
     val pq = Similarity.pqDistortion(spark, sf).cache()
