@@ -19,9 +19,15 @@ object Verify {
     }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle parallelism decouples from cores for SCALE runs: at the
+    // 100× rehearsal, cores-many partitions make multi-GiB cached
+    // blocks (the r14 sf10 run lost the shared kNN-graph checkpoint to
+    // exactly that — blocks too big to cache, spill-serialize cascade).
+    // Partition count must track DATA, not host width.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1961,24 +1961,42 @@ object TextOps {
     * ppm. Pairs with zero shared vocabulary do not emit (inner join;
     * documented). */
   def vocabOverlap(docs: DataFrame): DataFrame = {
-    val w = docs
+    // single corpus pass: per-word source SETS, then one explode emits
+    // both the ordered pairs (intersections) and a null-marked single
+    // per member (vocabulary sizes) — the corpus-scale subtree has ONE
+    // consumer; a self-join formulation would recompute it per side.
+    // The lambda work is per WORD over ≤|sources| elements, never per
+    // document.
+    val byWord = docs
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .distinct()
-    val sizes = w.groupBy("source").agg(count(lit(1)).as("n"))
-    w.as("a").join(w.as("b"), Seq("word"))
-      .filter(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"),
-        col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(broadcast(sizes.select(col("source").as("source_a"),
-        col("n").as("n_a"))), "source_a")
-      .join(broadcast(sizes.select(col("source").as("source_b"),
-        col("n").as("n_b"))), "source_b")
-      .withColumn("jaccard_ppm",
-        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
-      .select("source_a", "source_b", "n_a", "n_b", "n_inter",
-        "jaccard_ppm")
+      .groupBy("word").agg(collect_set(col("source")).as("ss"))
+    val counts = byWord
+      .select(explode(expr(
+        "flatten(transform(ss, a -> concat(" +
+          "transform(filter(ss, b -> a < b), " +
+          "b -> named_struct('sa', a, 'sb', b)), " +
+          "array(named_struct('sa', a, 'sb', CAST(NULL AS STRING))))))"))
+        .as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .agg(count(lit(1)).as("c"))
+      // ≤ |sources|² + |sources| rows — the bounded driver finish (the
+      // graph-tier pattern): one collect, then pure-integer assembly,
+      // so the corpus pipeline runs exactly ONCE (three lazy consumers
+      // would re-scan the corpus per branch)
+      .collect()
+    val sizes = counts.filter(_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val out = counts.filter(!_.isNullAt(1)).toSeq.map { r =>
+      val (a, b, i) = (r.getString(0), r.getString(1), r.getLong(2))
+      (a, b, sizes(a), sizes(b), i,
+        i * 1000000L / (sizes(a) + sizes(b) - i))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.toDF("source_a", "source_b", "n_a", "n_b", "n_inter",
+      "jaccard_ppm")
   }
 
   /** Oracle for [[vocabOverlap]]. */
