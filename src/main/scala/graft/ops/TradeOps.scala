@@ -4999,11 +4999,14 @@ object TradeOps {
     * carried tick rule (the vpin state machine); volume quantizes to
     * exact CENTI-units (not micro — x² sums must stay int64 at 100-TB
     * tick counts: 970² ≈ 9.4e5 per row vs 9.4e13 for micro²), Δp to
-    * exact cents. OLS slope from five exact BIGINT sums with the
-    * 2⁵³-exactness guard, one fixed IEEE expression, ×100 rescale to
-    * per-UNIT impact at the end (exact two-digit power). One
-    * symbol-keyed window pass + one aggregate on the same key;
-    * |symbols| rows out. */
+    * exact cents. OLS slope from five exact BIGINT sums (int64-loud at
+    * the SAME boundary in both engines — ANSI here, the oracle's
+    * CAST(sum AS BIGINT) there; int64→double is correctly rounded
+    * identically at any magnitude, so no earlier guard is needed or
+    * wanted), one fixed IEEE expression, ×100 rescale to per-UNIT
+    * impact at the end (exact two-digit power). One symbol-keyed
+    * window pass + one aggregate on the same key; |symbols| rows
+    * out. */
   def kyleLambda(trades: DataFrame): DataFrame = {
     val w = Window.partitionBy("symbol")
       .orderBy(col("timestamp"), col("event_id"))
@@ -5021,15 +5024,14 @@ object TradeOps {
       .groupBy("symbol")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("d")).as("sy"), sum(col("x") * col("d")).as("sxy"),
-        max(abs(col("x"))).as("mx"), max(abs(col("d"))).as("my"))
-      .filter(expr(
-        "assert_true(n <= (9007199254740992 div greatest(mx, 1)) " +
-          "div greatest(mx, 1) AND " +
-          "n <= (9007199254740992 div greatest(mx, 1)) " +
-          "div greatest(my, 1), " +
-          "'kyle_lambda: signed-flow magnitudes too large for " +
-          "2^53-exact OLS sums — coarsen the volume quantum') IS NULL"))
+        sum(col("d")).as("sy"), sum(col("x") * col("d")).as("sxy"))
+      // No 2^53 assert here (the r14 dense sweep caught the first
+      // draft's as the round's one ASYMMETRY — Spark raised where
+      // DuckDB served): every sum is forced through int64 on BOTH
+      // sides (ANSI long sums here, CAST(sum AS BIGINT) in the
+      // oracle), and int64→double conversion is correctly rounded
+      // identically at ANY magnitude — the values agree up to the
+      // int64 boundary, where both engines raise at the SAME point.
       .withColumn("den_x", expr(
         "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
           "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))

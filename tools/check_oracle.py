@@ -24,6 +24,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # big-sf runs: cap DuckDB so an iterative-oracle balloon can't take
+    # the host down (r14: an 86 GB resident shard got OOM-killed mid-run)
+    if os.environ.get("DUCKDB_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
         # Spark writes directory-style parquet (ScaleGen's 10x dirs);
