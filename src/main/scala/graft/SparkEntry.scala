@@ -596,7 +596,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
         |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-        |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
@@ -1000,11 +1000,11 @@ object SparkEntry {
     // DuckDB past 2^53 micro-units (r13 sf1 catch)
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_qty,
         |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_base_price,
         |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_disc_price,
         |       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
-        |       (avg(l_quantity)) AS avg_qty,
+        |       (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)) AS avg_qty,
         |       (CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)) AS avg_price,
         |       (CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)) AS avg_disc,
         |       count(*) AS count_order
@@ -1306,7 +1306,7 @@ object SparkEntry {
 
     "a_rollup_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
@@ -1363,7 +1363,7 @@ object SparkEntry {
 
     "a_cube_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "j_range_binned" ->

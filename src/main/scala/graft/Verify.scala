@@ -23,8 +23,23 @@ object Verify {
     // 100× rehearsal, cores-many partitions make multi-GiB cached
     // blocks (the r14 sf10 run lost the shared kNN-graph checkpoint to
     // exactly that — blocks too big to cache, spill-serialize cascade).
-    // Partition count must track DATA, not host width.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Partition count must track DATA, not host width — and since r15
+    // (verdict directive #1) the DEFAULT is derived from the input
+    // bytes themselves (~16 MB of compressed parquet per partition,
+    // floor = cores, cap 2048) instead of relying on an env var a
+    // scale run can forget: sf0.1 and below resolve to exactly the old
+    // cores default, sf10 resolves to ~96. SPARK_GRAFT_SHUFFLE still
+    // overrides for experiments.
+    val inputBytes: Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum)
+          .getOrElse(0L)
+        else f.length
+      walk(new java.io.File(sfDir))
+    }
+    val dataShuffle = math.min(2048L,
+      math.max(cpus.toLong, inputBytes / (16L << 20))).toString
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", dataShuffle)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -61,6 +76,23 @@ object Verify {
     if (failed.nonEmpty)
       System.err.println(
         s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+    // Measured per-partition cache footprint (r14 verdict directive #1:
+    // the 100-MB-per-executor cluster argument must be a MEASUREMENT,
+    // not an estimate). One JSON line per cached/checkpointed RDD.
+    if (sys.env.get("SPARK_GRAFT_STORAGE_TRACE").contains("1")) {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      infos.foreach { i =>
+        val pp = if (i.numCachedPartitions > 0)
+          (i.memSize + i.diskSize) / i.numCachedPartitions else 0L
+        println(s"""{"storage_rdd":${i.id},"name":${q(i.name)},""" +
+          s""""level":${q(i.storageLevel.description)},""" +
+          s""""parts":${i.numCachedPartitions},"mem":${i.memSize},""" +
+          s""""disk":${i.diskSize},"bytes_per_part":$pp}""")
+      }
+      val (tm, td) = (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+      println(s"""{"storage_total_mem":$tm,"storage_total_disk":$td,""" +
+        s""""storage_rdds":${infos.length}}""")
+    }
     spark.stop()
   }
 

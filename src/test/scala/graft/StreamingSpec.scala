@@ -1062,7 +1062,8 @@ class StreamingSpec extends SparkSuite {
       .groupBy("symbol").agg(expr(s"sum(vm) div $bars + 1").as("bs"))
       .as[(String, Long)].collect().toMap
     val input = MemoryStream[VpinStream.Trade](spark)
-    val q = VpinStream.barStream(spark, input.toDS(), sizes).toDF()
+    val q = VpinStream.barStream(spark, input.toDS(), sizes,
+      default = sizes.values.max).toDF()
       .writeStream.outputMode("update").format("memory")
       .queryName("vpin_test").start()
     try {
@@ -1085,6 +1086,61 @@ class StreamingSpec extends SparkSuite {
       // every ppm is bit-exact against the batch integer algebra
       assert(streamed.join(batch, Seq("symbol", "bar"))
         .count() === batch.count())
+    } finally q.stop()
+  }
+
+  test("kyle stream: running impact slope equals the batch op " +
+    "bit-exactly, cumulative emissions replay as no-ops") {
+    import spark.implicits._
+    import graft.streaming.KyleStream
+    def tr(id: Long, sym: String, offMs: Long, p: Double, v: Double) =
+      KyleStream.Trade(id, sym, new java.sql.Timestamp(t0 + offMs), p, v)
+    // up/down/flat moves (tick rule: +1/-1/carry; leading flat pair
+    // exercises the sgn=0 cold carry) and uneven volumes
+    val tape = Seq(
+      tr(1, "BTC", 0, 10.00, 1.5), tr(2, "BTC", 1000, 10.00, 2.0),
+      tr(3, "BTC", 2000, 10.05, 0.7), tr(4, "BTC", 3000, 9.95, 3.1),
+      tr(5, "BTC", 4000, 10.10, 1.1), tr(6, "BTC", 5000, 10.10, 2.2),
+      tr(7, "BTC", 6000, 10.20, 0.4), tr(8, "BTC", 7000, 10.15, 1.9),
+      tr(9, "ETH", 500, 5.00, 4.0), tr(10, "ETH", 1500, 5.10, 0.6),
+      tr(11, "ETH", 2500, 5.05, 2.5), tr(12, "ETH", 3500, 5.05, 1.0),
+      tr(13, "ETH", 4500, 5.20, 3.3), tr(14, "ETH", 5500, 5.15, 0.9),
+      // single-trade symbol: batch emits no regression row, nor must we
+      tr(15, "DOGE", 100, 0.10, 50.0))
+    val batchIn = tape.toDF().withColumnRenamed("ts", "timestamp")
+    val batch = graft.ops.TradeOps.kyleLambda(batchIn)
+      .select("symbol", "n_ticks", "lambda_cents_per_unit")
+    val input = MemoryStream[KyleStream.Trade](spark)
+    val q = KyleStream.lambdaStream(spark, input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kyle_test").start()
+    try {
+      // three micro-batches so the regression accumulates across
+      // batch boundaries and earlier snapshots get superseded
+      val (b1, rest) = tape.splitAt(5)
+      val (b2, b3) = rest.splitAt(5)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      // n_ticks only grows per symbol, so max-n_ticks IS the latest
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy(col("n_ticks").desc)
+      val streamed = spark.table("kyle_test")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "converged slope snapshots must equal the batch kyleLambda table")
+      // replay no-op: merging the same cumulative snapshot twice through
+      // the idempotent upsert store leaves the table unchanged
+      val store = tmpDir("kyle-upsert")
+      val dataCols = streamed.columns.map(col).toSeq
+      Upsert.merge(streamed, 0L, store, Seq("symbol"))
+      val once = Upsert.read(spark, store).get
+        .select(dataCols: _*).collect().toSet
+      Upsert.merge(streamed, 1L, store, Seq("symbol"))
+      val twice = Upsert.read(spark, store).get
+        .select(dataCols: _*).collect().toSet
+      assert(once === twice, "replaying a cumulative snapshot must be a no-op")
     } finally q.stop()
   }
 }
