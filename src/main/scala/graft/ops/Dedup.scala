@@ -1846,31 +1846,48 @@ object Dedup {
     * materialized the induced EDGE set once per round, and since the
     * dup graph's 2-core is essentially the whole graph, that held ~20
     * near-full edge copies at once — >88 GB resident at sf1, OOM-killed
-    * under any workable DUCKDB_MEM. Now only the VERTEX alive-set is
-    * materialized per round (v_i ≡ old v_i, proven by induction: the
-    * induced-degree filter over the single materialized e0 joined to
-    * two alive-set hash builds computes exactly the old
-    * degree-within-surviving-subgraph), so peak memory is
-    * |e0| + O(unroll·|V|) instead of O(unroll·|E|), trading ~2 extra
-    * e0 scans per round — the CPU-for-memory direction an
-    * iteration-bounded oracle wants. */
-  def kCoreSql(k: Int = 2, unroll: Int = 20,
+    * under any workable DUCKDB_MEM. This form replays the Spark side's
+    * own frontier/delta peel ([[graft.ops.Graph.kCore]]) literally: e0
+    * is materialized ONCE and every round materializes only the
+    * vertex-sized maintained-degree table `d_i` plus the (usually
+    * tiny) frontier `f_i`. Equivalence is the same induction the Spark
+    * scaladoc states: degree loss is charged through the immutable
+    * edge list from both endpoints, rows charged to removed vertices
+    * fall out of the survivor left join, and fixpoint rounds are
+    * no-ops (empty frontier), so over-unrolling stays safe.
+    *
+    * Unroll depth is 8, NOT the Spark side's maxIter=20, and the
+    * mismatch is covered by a LOUD convergence guard, not hope:
+    * measured at sf1, DuckDB retains ~4 GB per unrolled round
+    * regardless of frontier emptiness (empty fixpoint rounds cost the
+    * same — depth 4/5/6/7 peaked at 17/22/24/28 GB; 20 rounds is the
+    * >88 GB OOM), so unroll IS the memory knob. Peel depth is a
+    * property of the dup graph's cluster structure, which ScaleGen
+    * replicates rather than deepens (measured convergence: 4 rounds at
+    * every sf) — 8 is 2× margin, and if a future corpus ever peels
+    * deeper the final SELECT raises `error(...)` instead of returning
+    * a not-yet-converged superset: a visible gate FAIL, never a silent
+    * wrong PASS. */
+  def kCoreSql(k: Int = 2, unroll: Int = 8,
       threshold: Double = resolveThreshold): String = {
-    // MATERIALIZED on every alive-set: each is referenced 2-3 times;
-    // DuckDB's default inlining would expand the chain exponentially
-    // (observed as fd exhaustion re-opening the parquet).
-    val iters = (2 to unroll).map { i =>
-      val prev = s"a${i - 1}"
-      s"""a$i AS MATERIALIZED (
-         |  SELECT id FROM (
-         |    SELECT id, count(*) AS degree FROM (
-         |      SELECT e.a AS id FROM e0 e
-         |      JOIN $prev x ON e.a = x.id JOIN $prev y ON e.b = y.id
+    // MATERIALIZED on every per-round table: each is referenced 2-3
+    // times; DuckDB's default inlining would expand the chain
+    // exponentially (observed as fd exhaustion re-opening the parquet).
+    val iters = (1 to unroll).map { i =>
+      val prev = s"d${i - 1}"
+      s"""f$i AS MATERIALIZED (
+         |  SELECT id FROM $prev WHERE degree < $k
+         |), d$i AS MATERIALIZED (
+         |  SELECT d.id, d.degree - coalesce(l.loss, 0) AS degree
+         |  FROM $prev d
+         |  LEFT JOIN (
+         |    SELECT id, count(*) AS loss FROM (
+         |      SELECT e.b AS id FROM e0 e JOIN f$i f ON e.a = f.id
          |      UNION ALL
-         |      SELECT e.b AS id FROM e0 e
-         |      JOIN $prev x ON e.a = x.id JOIN $prev y ON e.b = y.id
+         |      SELECT e.a AS id FROM e0 e JOIN f$i f ON e.b = f.id
          |    ) GROUP BY 1
-         |  ) WHERE degree >= $k
+         |  ) l ON d.id = l.id
+         |  WHERE d.id NOT IN (SELECT id FROM f$i)
          |)""".stripMargin
     }.mkString(",\n")
     s"""$sigCte,
@@ -1880,23 +1897,20 @@ object Dedup {
        |  WHERE ($bandEqSql)
        |    AND CAST($matchesSql AS DOUBLE) / CAST(16 AS DOUBLE) >= $threshold
        |),
-       |a1 AS MATERIALIZED (
-       |  SELECT id FROM (
-       |    SELECT id, count(*) AS degree FROM (
-       |      SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0
-       |    ) GROUP BY 1
-       |  ) WHERE degree >= $k
+       |d0 AS MATERIALIZED (
+       |  SELECT id, count(*) AS degree FROM (
+       |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0
+       |  ) GROUP BY 1
        |),
        |$iters
-       |SELECT id, degree FROM (
-       |  SELECT id, count(*) AS degree FROM (
-       |    SELECT e.a AS id FROM e0 e
-       |    JOIN a$unroll x ON e.a = x.id JOIN a$unroll y ON e.b = y.id
-       |    UNION ALL
-       |    SELECT e.b AS id FROM e0 e
-       |    JOIN a$unroll x ON e.a = x.id JOIN a$unroll y ON e.b = y.id
-       |  ) GROUP BY 1
-       |) WHERE degree >= $k""".stripMargin
+       |SELECT id,
+       |       CASE WHEN (SELECT count(*) FROM d$unroll
+       |                  WHERE degree < $k) > 0
+       |            THEN CAST(error('kcore oracle: unroll $unroll ' ||
+       |                 'insufficient for this corpus - raise it')
+       |                 AS BIGINT)
+       |            ELSE degree END AS degree
+       |FROM d$unroll""".stripMargin
   }
 
   /** Oracle for the minhash-similarity-graph degree histogram

@@ -28,6 +28,13 @@ def main():
     # the host down (r14: an 86 GB resident shard got OOM-killed mid-run)
     if os.environ.get("DUCKDB_MEM"):
         con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+    # spill goes to an explicit PER-PROCESS dir, never cwd/.tmp — a
+    # capped oracle spilled 57 GB into the REPO dir before this (r15),
+    # and two processes sharing one spill dir corrupt each other's temp
+    # files. DUCKDB_TMP overrides the parent (roomiest volume).
+    con.sql("SET temp_directory='"
+            + os.environ.get("DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
+            + f"/pid{os.getpid()}'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
         # Spark writes directory-style parquet (ScaleGen's 10x dirs);
