@@ -509,6 +509,10 @@ object SparkEntry {
     "t_vocab_overlap" -> ((s, dir) =>
       TextOps.vocabOverlap(Tables.load(s, dir, "documents"))),
     "a_adf_stat" -> ((s, dir) => TradeOps.adfStat(trades(s, dir))),
+    "w_cci" -> ((s, dir) => TradeOps.cci(trades(s, dir))),
+    "w_hurst_rs" -> ((s, dir) => TradeOps.hurstRs(trades(s, dir))),
+    "t_hapax_profile" -> ((s, dir) =>
+      TextOps.hapaxProfile(Tables.load(s, dir, "documents"))),
     "e_new_returning" -> ((s, dir) =>
       EventAnalytics.newReturning(Tables.events(s, dir))),
     "v_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
@@ -1817,6 +1821,9 @@ object SparkEntry {
     "w_sharpe" -> s"$T\n${TradeOps.sharpeSql}",
     "t_vocab_overlap" -> TextOps.vocabOverlapSql,
     "a_adf_stat" -> s"$T,\n${TradeOps.adfStatSql}",
+    "w_cci" -> s"$T\n${TradeOps.cciSql()}",
+    "w_hurst_rs" -> s"$T\n${TradeOps.hurstRsSql()}",
+    "t_hapax_profile" -> TextOps.hapaxProfileSql,
     "e_new_returning" -> EventAnalytics.newReturningSql,
     "v_silhouette" -> Similarity.silhouetteSql(),
     "v_davies_bouldin" -> Similarity.daviesBouldinSql(),

@@ -2021,4 +2021,49 @@ object TextOps {
       |FROM pr
       |JOIN sz sa ON sa.source = pr.source_a
       |JOIN sz sb ON sb.source = pr.source_b""".stripMargin
+
+  /** T (extension, r15) — hapax-legomena profile per language: vocab
+    * size, corpus token count, hapax count (words occurring exactly
+    * once) and the hapax share of the vocabulary — the
+    * vocabulary-health twin of [[heapsLaw]] (Heaps shows how fast
+    * vocab GROWS; the hapax ratio shows how much of it is singleton
+    * tail — rising hapax share means noisier text, OCR junk, or
+    * under-normalization, and it directly sizes the BPE rare-tail).
+    * ENTIRELY integer until one final division of exact int64 counts
+    * (engine-identical IEEE): one (lang, word) token explode →
+    * map-side-combined frequency aggregate (the [[heapsLaw]] shuffle
+    * shape, keyed by (lang, word)) → one |langs|-row rollup. Scale:
+    * the only heavy stage is the token shuffle, partial-aggregated
+    * before the exchange; output is |langs| rows at any corpus
+    * size. */
+  def hapaxProfile(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_tokens"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_vocab"), col("n_tokens"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+          .as("hapax_ratio"))
+  }
+
+  /** Oracle for [[hapaxProfile]]. */
+  val hapaxProfileSql: String =
+    """SELECT lang, n_vocab, n_tokens, n_hapax,
+      |       CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE)
+      |         AS hapax_ratio
+      |FROM (
+      |  SELECT lang, count(*) AS n_vocab,
+      |         CAST(sum(freq) AS BIGINT) AS n_tokens,
+      |         CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_hapax
+      |  FROM (
+      |    SELECT lang, word, count(*) AS freq
+      |    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+      |          FROM documents)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1
+      |)""".stripMargin
 }

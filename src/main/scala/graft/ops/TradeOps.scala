@@ -5090,4 +5090,164 @@ object TradeOps {
       |                 * 100.0::DOUBLE
       |       END AS lambda_cents_per_unit
       |FROM klagg""".stripMargin
+
+  /** W (extension, r15) — Commodity Channel Index over hourly bars:
+    * `(tp − SMA(tp)) / (0.015·meandev(tp))`, the mean-deviation
+    * normalized oscillator read next to [[bollingerExprs]] (stddev
+    * bands) and [[keltner]] (range bands) — CCI's mean |deviation|
+    * denominator saturates less than σ on fat-tailed bars. Fractions
+    * cleared exactly: typical price rides as the ×3 cent sum
+    * `tp3 = hi+lo+cl` ([[keltner]]'s trick), per-bar deviation
+    * `a = n·tp3 − Σtp3` and the frame's mean-deviation numerator
+    * `md = Σ|a_j|` are exact BIGINTs (the frame list is aggregated
+    * with an ANSI long fold — the [[Predict]] w2b frame-list shape —
+    * so overflow is loud in both engines), and the classic constant
+    * folds in: CCI = (a/3n) / (0.015·md/3n²) = 1000·n·a / (15·md) —
+    * ONE division of exact int64s, engine-identical unrounded. Flat
+    * frames (md = 0) emit NULL. Same scan shape as [[atr]]: one bar
+    * aggregate + one symbol-keyed window, 2 exchanges. */
+  def cci(trades: DataFrame, n: Int = 20): DataFrame = {
+    val frame = Window.partitionBy("symbol").orderBy(col("hr"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"),
+        max_by(col("pc"), col("event_id")).as("cl"))
+      .withColumn("tp3", col("hi") + col("lo") + col("cl"))
+    bars
+      .withColumn("stp", sum(col("tp3")).over(frame))
+      .withColumn("l", collect_list(col("tp3")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .withColumn("a", lit(n.toLong) * col("tp3") - col("stp"))
+      .withColumn("md", expr(
+        s"aggregate(l, CAST(0 AS BIGINT), (acc, x) -> " +
+          s"acc + abs(CAST($n AS BIGINT) * x - stp))"))
+      .select(col("symbol"), col("hr"),
+        expr(s"CASE WHEN md = 0 THEN NULL ELSE " +
+          s"CAST(1000 * CAST($n AS BIGINT) * a AS DOUBLE) " +
+          s"/ CAST(15 * md AS DOUBLE) END").as("cci"))
+  }
+
+  /** Oracle for [[cci]] (body only — caller prepends the trades
+    * CTE). */
+  def cciSql(n: Int = 20): String =
+    s"""SELECT symbol, hr,
+       |       CASE WHEN md = 0 THEN NULL
+       |            ELSE CAST(1000 * $n * a AS DOUBLE)
+       |                 / CAST(15 * md AS DOUBLE)
+       |       END AS cci
+       |FROM (
+       |  SELECT symbol, hr, $n * tp3 - stp AS a,
+       |         CAST(list_sum(list_transform(l,
+       |              x -> abs($n * x - stp))) AS BIGINT) AS md
+       |  FROM (
+       |    SELECT symbol, hr, tp3,
+       |           CAST(sum(tp3) OVER w2 AS BIGINT) AS stp,
+       |           list(tp3) OVER w2 AS l,
+       |           count(*) OVER w2 AS cnt
+       |    FROM (
+       |      SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+       |             max(pc) + min(pc) + arg_max(pc, event_id) AS tp3
+       |      FROM (SELECT symbol, "timestamp", event_id,
+       |                   CAST(round(price * 100) AS BIGINT) AS pc
+       |            FROM trades)
+       |      GROUP BY 1, 2)
+       |    WINDOW w2 AS (PARTITION BY symbol ORDER BY hr
+       |                  ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |  ) WHERE cnt = $n
+       |)""".stripMargin
+
+  /** W (extension, r15) — rescaled-range (Hurst) statistic per
+    * fixed-size tick block: `R/S` of the cent-move series, the
+    * long-memory screen behind the Hurst exponent (R/S growing like
+    * n^H; H≈0.5 random walk, >0.5 persistent) — the regression over
+    * scales is left to the consumer because log is NOT in this repo's
+    * cross-engine-safe function set; the per-block R/S values
+    * themselves are. Fractions cleared exactly: within a block of n
+    * moves, the mean-centered cumulative deviation rides ×n as
+    * `dev_i = n·cum_i − i·ΣD` (exact BIGINT; the implicit zeroth
+    * deviation anchors the range via greatest/least against 0), the
+    * variance numerator `V = n·Σd² − (ΣD)²` is exact, and the classic
+    * normalizations cancel: R/S = (R'/n)/(√V/n) = R'/√V — one
+    * correctly-rounded sqrt of an exact int64 and one IEEE division,
+    * engine-identical unrounded. Partial tail blocks are dropped
+    * (fixed-n blocks are what make R/S comparable); flat blocks
+    * (V = 0) emit NULL. One symbol-keyed ordered window pass + one
+    * (symbol, block) aggregate; |ticks|/n rows out — windowed-output
+    * scale posture, loud on int64 overflow in both engines. */
+  def hurstRs(trades: DataFrame, blockN: Int = 128): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val moves = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("rn", row_number().over(w) - lit(1))
+      .withColumn("blk", expr(s"rn div $blockN"))
+      .withColumn("pos", expr(s"rn % $blockN + 1"))
+    val inBlk = Window.partitionBy("symbol", "blk")
+      .orderBy(col("timestamp"), col("event_id"))
+    val blkAll = Window.partitionBy("symbol", "blk")
+    moves
+      .withColumn("cum", sum(col("d")).over(
+        inBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sd", sum(col("d")).over(blkAll))
+      .withColumn("dev",
+        lit(blockN.toLong) * col("cum") - col("pos") * col("sd"))
+      .groupBy("symbol", "blk")
+      .agg(count(lit(1)).as("n_moves"),
+        (greatest(max(col("dev")), lit(0L))
+          - least(min(col("dev")), lit(0L))).as("rr"),
+        (lit(blockN.toLong) * sum(col("d") * col("d"))
+          - sum(col("d")) * sum(col("d"))).as("v"))
+      .filter(col("n_moves") === blockN)
+      .select(col("symbol"), col("blk"), col("n_moves"),
+        expr("CASE WHEN v <= 0 THEN NULL ELSE " +
+          "CAST(rr AS DOUBLE) / sqrt(CAST(v AS DOUBLE)) END")
+          .as("rs"))
+  }
+
+  /** Oracle for [[hurstRs]] (body only — caller prepends the trades
+    * CTE). */
+  def hurstRsSql(blockN: Int = 128): String =
+    s"""SELECT symbol, blk, n_moves,
+       |       CASE WHEN v <= 0 THEN NULL
+       |            ELSE CAST(rr AS DOUBLE) / sqrt(CAST(v AS DOUBLE))
+       |       END AS rs
+       |FROM (
+       |  SELECT symbol, blk, count(*) AS n_moves,
+       |         greatest(max(dev), 0) - least(min(dev), 0) AS rr,
+       |         $blockN * CAST(sum(d * d) AS BIGINT)
+       |           - CAST(sum(d) AS BIGINT) * CAST(sum(d) AS BIGINT) AS v
+       |  FROM (
+       |    SELECT symbol, blk, d,
+       |           $blockN * CAST(sum(d) OVER wc AS BIGINT)
+       |             - pos * CAST(sum(d) OVER wa AS BIGINT) AS dev
+       |    FROM (
+       |      SELECT symbol, "timestamp", event_id, d,
+       |             rn // $blockN AS blk,
+       |             rn % $blockN + 1 AS pos
+       |      FROM (
+       |        SELECT symbol, "timestamp", event_id, d,
+       |               CAST(row_number() OVER w AS BIGINT) - 1 AS rn
+       |        FROM (
+       |          SELECT symbol, "timestamp", event_id,
+       |                 pc - lag(pc, 1) OVER w AS d
+       |          FROM (SELECT symbol, "timestamp", event_id,
+       |                       CAST(round(price * 100) AS BIGINT) AS pc
+       |                FROM trades)
+       |          WINDOW w AS (PARTITION BY symbol
+       |                       ORDER BY "timestamp", event_id))
+       |        WHERE d IS NOT NULL
+       |        WINDOW w AS (PARTITION BY symbol
+       |                     ORDER BY "timestamp", event_id)))
+       |    WINDOW wc AS (PARTITION BY symbol, blk
+       |                  ORDER BY "timestamp", event_id
+       |                  ROWS UNBOUNDED PRECEDING),
+       |           wa AS (PARTITION BY symbol, blk)
+       |  ) GROUP BY 1, 2
+       |)
+       |WHERE n_moves = $blockN""".stripMargin
 }

@@ -3340,4 +3340,126 @@ class OpsInvariantsSpec extends SparkSuite {
       col("max_days") >= (col("span_wk") + 1L) * 7L).count() === 0)
     ls.unpersist()
   }
+
+  test("cci: BigInt recompute matches exactly; flat frames NULL; " +
+      "monotone ramp is positive at the frame head") {
+    import spark.implicits._
+    val n = 20
+    // recompute every emitted CCI from the raw hourly bars in BigInt
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg((max(col("pc")) + min(col("pc"))
+        + max_by(col("pc"), col("event_id"))).as("tp3"))
+      .collect().groupBy(_.getString(1))
+    val got = TradeOps.cci(trades).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    var checked = 0
+    bars.foreach { case (sym, rows) =>
+      val seq = rows.sortBy(_.getTimestamp(0).getTime)
+        .map(r => (r.getTimestamp(0), BigInt(r.getLong(2))))
+      seq.sliding(n).foreach { w =>
+        if (w.length == n) {
+          val stp = w.map(_._2).sum
+          val a = BigInt(n) * w.last._2 - stp
+          val md = w.map(x => (BigInt(n) * x._2 - stp).abs).sum
+          val expct =
+            if (md == 0) None
+            else Some((BigInt(1000) * n * a).toDouble / (BigInt(15) * md).toDouble)
+          val g = got((sym, w.last._1))
+          (expct, g) match {
+            case (None, None) =>
+            case (Some(e), Some(v)) => assert(e === v, s"$sym ${w.last._1}")
+            case _ => fail(s"null mismatch $sym ${w.last._1}")
+          }
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0, "no full frames checked")
+    // flat tape → md = 0 → NULL
+    val flat = (1 to 100).map(i =>
+      (i.toLong, "F", new java.sql.Timestamp(1700000000000L + i * 3600000L),
+        10.0, 1.0)).toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.cci(flat).filter(col("cci").isNotNull).count() === 0)
+    // strictly rising bars → latest bar sits above the frame mean → cci > 0
+    val ramp = (1 to 100).map(i =>
+      (i.toLong, "R", new java.sql.Timestamp(1700000000000L + i * 3600000L),
+        10.0 + i, 1.0)).toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.cci(ramp).filter(col("cci") <= 0.0d).count() === 0)
+  }
+
+  test("hurst rs: BigInt recompute matches exactly; alternating tape " +
+      "gives the anti-persistent R/S; blocks are full-size only") {
+    import spark.implicits._
+    val bn = 128
+    val rs = TradeOps.hurstRs(trades).cache()
+    assert(rs.filter(col("n_moves") =!= bn.toLong).count() === 0)
+    assert(rs.filter(col("rs") <= 0.0d).count() === 0,
+      "R/S is positive whenever variance is")
+    // exact BigInt recompute of every block from the raw tape
+    val raw = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .select("symbol", "timestamp", "event_id", "pc")
+      .collect()
+      .map(r => (r.getString(0), (r.getTimestamp(1).getTime, r.getLong(2)),
+        r.getLong(3)))
+      .groupBy(_._1)
+    val got = rs.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    var checked = 0
+    raw.foreach { case (sym, rows) =>
+      val pcs = rows.sortBy(_._2).map(_._3)
+      val ds = pcs.sliding(2).map(p => BigInt(p(1) - p(0))).toArray
+      ds.grouped(bn).zipWithIndex.foreach { case (blk, bi) =>
+        if (blk.length == bn) {
+          val sd = blk.sum
+          val cums = blk.scanLeft(BigInt(0))(_ + _).tail
+          val devs = cums.zipWithIndex.map { case (c, i) =>
+            BigInt(bn) * c - BigInt(i + 1) * sd }
+          val rr = devs.max.max(BigInt(0)) - devs.min.min(BigInt(0))
+          val v = BigInt(bn) * blk.map(x => x * x).sum - sd * sd
+          val expct = if (v <= 0) None
+            else Some(rr.toDouble / math.sqrt(v.toDouble))
+          assert(got((sym, bi.toLong)) === expct, s"$sym block $bi")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0)
+    rs.unpersist()
+    // alternating +1/−1 cent moves: maximally anti-persistent — R/S
+    // pins at exactly 1.0 (dev range 128, √V = 128), an order of
+    // magnitude below a random walk's E[R/S] ≈ √(πn/2) ≈ 14 at n=128
+    val alt = (0 to 256).map(i =>
+      (i.toLong, "A", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        if (i % 2 == 0) 10.00 else 10.01, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val a = TradeOps.hurstRs(alt).collect()
+    assert(a.nonEmpty && a.forall(r => r.getDouble(3) === 1.0d),
+      "alternating tape pins R/S at exactly 1.0")
+  }
+
+  test("hapax profile: exact frequency identity on a crafted corpus; " +
+      "counts nest on the real corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b a c"),   // en: a=3(w/ doc2), b=2, c=1
+      (2L, "en", "a b d"),     // d=1
+      (3L, "xx", "z z z")      // xx: z=3 → 0 hapax
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextOps.hapaxProfile(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("en") === ((4L, 7L, 2L, 0.5d)))  // vocab a,b,c,d; c+d hapax
+    assert(got("xx") === ((1L, 3L, 0L, 0.0d)))
+    // real corpus: nesting invariants
+    val real = graft.ops.TextOps.hapaxProfile(
+      Tables.load(spark, sf, "documents"))
+    assert(real.filter(col("n_hapax") > col("n_vocab")).count() === 0)
+    assert(real.filter(col("n_vocab") > col("n_tokens")).count() === 0)
+    assert(real.filter(col("hapax_ratio") < 0.0d ||
+      col("hapax_ratio") > 1.0d).count() === 0)
+  }
 }

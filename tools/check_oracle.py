@@ -32,9 +32,10 @@ def main():
     # capped oracle spilled 57 GB into the REPO dir before this (r15),
     # and two processes sharing one spill dir corrupt each other's temp
     # files. DUCKDB_TMP overrides the parent (roomiest volume).
-    con.sql("SET temp_directory='"
-            + os.environ.get("DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
-            + f"/pid{os.getpid()}'")
+    spill = (os.environ.get("DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
+             + f"/pid{os.getpid()}")
+    os.makedirs(spill, exist_ok=True)  # DuckDB won't create parents
+    con.sql(f"SET temp_directory='{spill}'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
         # Spark writes directory-style parquet (ScaleGen's 10x dirs);

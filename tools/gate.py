@@ -106,9 +106,10 @@ def classify_stress(tag, sf_dir, out_dir, spark_failed, oracle):
     con = duckdb.connect()
     if os.environ.get("DUCKDB_MEM"):
         con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
-    con.sql("SET temp_directory='"
-            + os.environ.get("DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
-            + f"/pid{os.getpid()}'")
+    spill = (os.environ.get("DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
+             + f"/pid{os.getpid()}")
+    os.makedirs(spill, exist_ok=True)  # DuckDB won't create parents
+    con.sql(f"SET temp_directory='{spill}'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         t = os.path.basename(p)[: -len(".parquet")]
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
