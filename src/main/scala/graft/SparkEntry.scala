@@ -511,6 +511,10 @@ object SparkEntry {
     "a_adf_stat" -> ((s, dir) => TradeOps.adfStat(trades(s, dir))),
     "w_cci" -> ((s, dir) => TradeOps.cci(trades(s, dir))),
     "w_hurst_rs" -> ((s, dir) => TradeOps.hurstRs(trades(s, dir))),
+    "w_max_drawdown" -> ((s, dir) => TradeOps.maxDrawdown(trades(s, dir))),
+    "v_hubness" -> ((s, dir) => Similarity.hubness(s, dir)),
+    "e_pareto_share" -> ((s, dir) =>
+      EventAnalytics.paretoShare(Tables.events(s, dir))),
     "t_hapax_profile" -> ((s, dir) =>
       TextOps.hapaxProfile(Tables.load(s, dir, "documents"))),
     "e_new_returning" -> ((s, dir) =>
@@ -1823,6 +1827,9 @@ object SparkEntry {
     "a_adf_stat" -> s"$T,\n${TradeOps.adfStatSql}",
     "w_cci" -> s"$T\n${TradeOps.cciSql()}",
     "w_hurst_rs" -> s"$T\n${TradeOps.hurstRsSql()}",
+    "w_max_drawdown" -> s"$T\n${TradeOps.maxDrawdownSql}",
+    "v_hubness" -> Similarity.hubnessSql(),
+    "e_pareto_share" -> EventAnalytics.paretoShareSql,
     "t_hapax_profile" -> TextOps.hapaxProfileSql,
     "e_new_returning" -> EventAnalytics.newReturningSql,
     "v_silhouette" -> Similarity.silhouetteSql(),

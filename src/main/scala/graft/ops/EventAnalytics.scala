@@ -1103,4 +1103,61 @@ object EventAnalytics {
       |       max((mx - mn) // 86400000000) AS max_days,
       |       CAST(sum(n_ev) AS BIGINT) AS n_events
       |FROM u GROUP BY 1""".stripMargin
+
+  /** E (extension, r15) — Pareto concentration curve of user activity:
+    * users ranked by event count and cut into ten EXACT-integer rank
+    * deciles (`bucket = ⌊10·(rank−1)/n_users⌋` — plain integer
+    * algebra, not `ntile`, whose remainder-distribution convention
+    * would be an engine-semantics dependency), each emitting its user
+    * and event counts plus the cumulative event share — the "top 10%
+    * of users produce X% of events" read that [[graft.ops.TradeOps
+    * .giniActivity]] compresses to a single index and this op keeps
+    * as the full curve. Everything is an exact BIGINT except the one
+    * final share division of exact int64s. The global rank window runs
+    * over the AGGREGATED user table — the [[graft.ops.TradeOps
+    * .giniActivity]] posture: at 100 TB that table is ~millions of
+    * rows, and the [[graft.ops.Pipeline.shardPlan]] two-phase
+    * range-partition rank drops in unchanged if it ever isn't. 10 rows
+    * out. */
+  def paretoShare(events: DataFrame): DataFrame = {
+    val byCnt = Window.orderBy(col("n_ev").desc, col("user_id"))
+    val all = Window.partitionBy()
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+      .withColumn("rn", row_number().over(byCnt).cast("long") - lit(1L))
+      .withColumn("nu", count(lit(1)).over(all))
+      .withColumn("decile", expr("(rn * 10) div nu + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+      .withColumn("cum_events", sum(col("n_events")).over(cum))
+      .withColumn("total", sum(col("n_events")).over(all))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        col("cum_events"),
+        (col("cum_events").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+  }
+
+  /** Oracle for [[paretoShare]]. */
+  val paretoShareSql: String =
+    """WITH per AS (
+      |  SELECT user_id, count(*) AS n_ev FROM events GROUP BY 1
+      |), rk AS (
+      |  SELECT n_ev,
+      |         CAST(row_number() OVER (ORDER BY n_ev DESC, user_id)
+      |           AS BIGINT) - 1 AS rn,
+      |         count(*) OVER () AS nu
+      |  FROM per
+      |), b AS (
+      |  SELECT (rn * 10) // nu + 1 AS decile, count(*) AS n_users,
+      |         CAST(sum(n_ev) AS BIGINT) AS n_events
+      |  FROM rk GROUP BY 1
+      |)
+      |SELECT decile, n_users, n_events,
+      |       CAST(sum(n_events) OVER wc AS BIGINT) AS cum_events,
+      |       CAST(CAST(sum(n_events) OVER wc AS BIGINT) AS DOUBLE)
+      |         / CAST(CAST(sum(n_events) OVER () AS BIGINT) AS DOUBLE)
+      |         AS cum_share
+      |FROM b
+      |WINDOW wc AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)""".stripMargin
 }

@@ -2223,6 +2223,45 @@ object Similarity {
        |FROM bf LEFT JOIN ap
        |  ON bf.q_id = ap.q_id AND bf.vec_id = ap.vec_id""".stripMargin
 
+  /** Hubness (k-occurrence) histogram of the [[knnGraph]] edge set —
+    * the high-dimensional pathology meter: in high intrinsic
+    * dimension a few "hub" vectors appear in a disproportionate share
+    * of other vectors' top-k lists while many vectors are never
+    * retrieved at all (in-degree 0), which silently skews every
+    * consumer of the graph (label propagation, diversity sampling,
+    * dedup clustering). The histogram of in-degrees is the one-glance
+    * read: a healthy corpus concentrates near k, a hubby one grows a
+    * long right tail plus a fat zero bucket. Pure integer arithmetic —
+    * in-degree is an exact count over the graph's edges, the zero
+    * bucket comes from a left join against the full vector set, and
+    * the histogram is a second exact count. Scale: rides the SAME
+    * bucket-folded graph build as [[knnGraph]] (pair scan ~occ·n, the
+    * budget-derived bucket discipline), then one vec_id-keyed shuffle
+    * for the in-degree and one tiny histogram aggregate; output is
+    * bounded by the distinct in-degree values (≤ max in-degree ≪ n). */
+  def hubness(spark: SparkSession, dir: String, k: Int = 3,
+      occ: Long = 128L): DataFrame = {
+    val ids = graft.Tables.load(spark, dir, "embeddings").select("vec_id")
+    val inDeg = knnGraph(spark, dir, k, occ)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("in_deg"))
+    ids.join(inDeg, Seq("vec_id"), "left")
+      .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      .groupBy("in_deg").agg(count(lit(1)).as("n_vectors"))
+  }
+
+  /** Oracle for [[hubness]]. */
+  def hubnessSql(k: Int = 3, occ: Long = 128L, dim: Int = 64): String =
+    s"""WITH ${knnGraphCtes(occ, dim, k)}
+       |SELECT in_deg, count(*) AS n_vectors
+       |FROM (
+       |  SELECT e.vec_id,
+       |         CAST(coalesce(d.in_deg, 0) AS BIGINT) AS in_deg
+       |  FROM embeddings e LEFT JOIN (
+       |    SELECT vec_id, CAST(count(*) AS BIGINT) AS in_deg
+       |    FROM g GROUP BY 1) d
+       |  ON e.vec_id = d.vec_id)
+       |GROUP BY 1""".stripMargin
+
   /** Top principal component by POWER ITERATION, made fully
     * deterministic — the embedding-health "dominant direction" monitor
     * ([[dimProfile]]'s multivariate sibling): a corpus whose top PC

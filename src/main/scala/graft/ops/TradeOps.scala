@@ -5250,4 +5250,56 @@ object TradeOps {
        |  ) GROUP BY 1, 2
        |)
        |WHERE n_moves = $blockN""".stripMargin
+
+  /** W (extension, r15) — per-symbol maximum drawdown: the deepest
+    * peak-to-trough fall of the cent-price tape, the risk summary that
+    * pairs with [[sharpe]] (return per unit σ) the way [[hurstRs]]
+    * pairs with [[varianceRatio]] — drawdown reads PATH risk that
+    * variance-based stats integrate away. Exact by construction: the
+    * running peak is a window `max` over exact cent prices, per-tick
+    * drawdown `dd = peak − pc` is an exact BIGINT, and `max_dd_cents`
+    * is a plain integer max. The relative form maximizes the per-tick
+    * ratio `dd/peak` — ONE correctly-rounded IEEE division of exact
+    * int64s per tick, then an order-free `max` of those doubles, so
+    * both engines agree bit-exactly (non-positive peaks are excluded
+    * from the ratio; all-flat symbols emit 0). One symbol-keyed window
+    * pass + one aggregate — 1 exchange, |symbols| rows out; at 100 TB
+    * the window is the same single shuffle every tape op pays and the
+    * output stays dimension-sized. */
+  def maxDrawdown(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("peak", max(col("pc")).over(w))
+      .withColumn("dd", col("peak") - col("pc"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("dd")).as("max_dd_cents"),
+        max(when(col("peak") > 0,
+          col("dd").cast("double") / col("peak").cast("double")))
+          .as("max_dd_frac"))
+  }
+
+  /** Oracle for [[maxDrawdown]] (body only — caller prepends the
+    * trades CTE). */
+  val maxDrawdownSql: String =
+    """SELECT symbol, count(*) AS n_ticks,
+      |       max(dd) AS max_dd_cents,
+      |       max(CASE WHEN peak > 0
+      |                THEN CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE)
+      |           END) AS max_dd_frac
+      |FROM (
+      |  SELECT symbol, peak, peak - pc AS dd
+      |  FROM (
+      |    SELECT symbol, pc,
+      |           CAST(max(pc) OVER (PARTITION BY symbol
+      |             ORDER BY "timestamp", event_id
+      |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      |    FROM (SELECT symbol, "timestamp", event_id,
+      |                 CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades)))
+      |GROUP BY 1""".stripMargin
+
 }

@@ -3462,4 +3462,67 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(real.filter(col("hapax_ratio") < 0.0d ||
       col("hapax_ratio") > 1.0d).count() === 0)
   }
+
+  test("max drawdown: exact path recompute per symbol; " +
+      "rising tape has zero drawdown") {
+    import spark.implicits._
+    val got = TradeOps.maxDrawdown(trades).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val raw = trades.select(col("symbol"), col("timestamp"), col("event_id"),
+        expr("CAST(round(price * 100) AS BIGINT)").as("pc")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3)))
+      .groupBy(_._1)
+    raw.foreach { case (sym, rows) =>
+      val seq = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      var peak = Long.MinValue
+      var maxDd = 0L
+      var maxFrac = Option.empty[Double]
+      seq.foreach { pc =>
+        peak = math.max(peak, pc)
+        val dd = peak - pc
+        maxDd = math.max(maxDd, dd)
+        if (peak > 0) {
+          val f = dd.toDouble / peak.toDouble
+          maxFrac = Some(maxFrac.fold(f)(math.max(_, f)))
+        }
+      }
+      val (n, mdc, mf) = got(sym)
+      assert(n === seq.length.toLong, sym)
+      assert(mdc === maxDd, sym)
+      assert(mf === maxFrac, sym)
+    }
+    val ramp = (1 to 50).map(i => (i.toLong, "R",
+      new java.sql.Timestamp(1700000000000L + i * 1000L), 10.0 + i, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val r = TradeOps.maxDrawdown(ramp).head()
+    assert(r.getLong(2) === 0L && r.getDouble(3) === 0.0d)
+  }
+
+  test("hubness histogram partitions the corpus and weights to the " +
+      "edge count; pareto curve is exact, contiguous, and monotone") {
+    val hub = Similarity.hubness(spark, sf).cache()
+    val nEmb = Tables.load(spark, sf, "embeddings").count()
+    val edges = Similarity.knnGraph(spark, sf).count()
+    assert(hub.agg(sum(col("n_vectors"))).head.getLong(0) === nEmb)
+    assert(hub.agg(sum(col("in_deg") * col("n_vectors"))).head.getLong(0)
+      === edges)
+    assert(hub.filter(col("in_deg") < 0L).count() === 0)
+    hub.unpersist()
+    val events = Tables.events(spark, sf)
+    val ps = graft.ops.EventAnalytics.paretoShare(events).cache()
+    val rows = ps.orderBy("decile").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq,
+      "deciles are contiguous from 1")
+    assert(ps.agg(sum(col("n_users"))).head.getLong(0)
+      === events.select("user_id").distinct().count())
+    assert(ps.agg(sum(col("n_events"))).head.getLong(0) === events.count())
+    assert(rows.last.getDouble(4) === 1.0d,
+      "cumulative share ends at exactly 1")
+    // rank-sorted deciles → per-user mean activity non-increasing
+    val means = rows.map(r => r.getLong(2).toDouble / r.getLong(1).toDouble)
+    assert(means.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    ps.unpersist()
+  }
 }
