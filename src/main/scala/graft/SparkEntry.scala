@@ -513,6 +513,7 @@ object SparkEntry {
     "w_hurst_rs" -> ((s, dir) => TradeOps.hurstRs(trades(s, dir))),
     "w_max_drawdown" -> ((s, dir) => TradeOps.maxDrawdown(trades(s, dir))),
     "v_hubness" -> ((s, dir) => Similarity.hubness(s, dir)),
+    "v_nn_margin" -> ((s, dir) => Similarity.nnMargin(s, dir)),
     "e_pareto_share" -> ((s, dir) =>
       EventAnalytics.paretoShare(Tables.events(s, dir))),
     "t_hapax_profile" -> ((s, dir) =>
@@ -1829,6 +1830,7 @@ object SparkEntry {
     "w_hurst_rs" -> s"$T\n${TradeOps.hurstRsSql()}",
     "w_max_drawdown" -> s"$T\n${TradeOps.maxDrawdownSql}",
     "v_hubness" -> Similarity.hubnessSql(),
+    "v_nn_margin" -> Similarity.nnMarginSql(),
     "e_pareto_share" -> EventAnalytics.paretoShareSql,
     "t_hapax_profile" -> TextOps.hapaxProfileSql,
     "e_new_returning" -> EventAnalytics.newReturningSql,

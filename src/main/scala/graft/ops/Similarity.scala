@@ -2262,6 +2262,56 @@ object Similarity {
        |  ON e.vec_id = d.vec_id)
        |GROUP BY 1""".stripMargin
 
+  /** Nearest-neighbor MARGIN histogram over the [[knnGraph]] edges —
+    * the retrieval-confidence meter: per query vector, the gap
+    * `cos(rank-1) − cos(rank-2)` between its best and second-best
+    * neighbor. A corpus whose margins pile up near zero answers every
+    * kNN query ambiguously (hubness's query-side dual: [[hubness]]
+    * reads who gets retrieved, this reads how decisively) — and it is
+    * the quantity that decides whether an approximate index can get
+    * away with lower recall: wide margins forgive candidate misses,
+    * thin ones don't. The margin is a difference of the SAME two IEEE
+    * cosines both engines already compute in the graph build
+    * (engine-identical bit-for-bit), quantized ppm by the house
+    * `round(x·10⁶) → BIGINT` rule, bucketed in 0.1-cosine decades by
+    * integer division; queries with fewer than 2 in-bucket neighbors
+    * carry no margin and are dropped (their count is [[hubness]]'s
+    * zero/one-degree business). Rides the same bucket-folded build
+    * (pair scan ~occ·n); one q_id-keyed pivot + one tiny histogram —
+    * output bounded by ~20 buckets at any scale. */
+  def nnMargin(spark: SparkSession, dir: String, occ: Long = 128L)
+      : DataFrame = {
+    val g = knnGraph(spark, dir, k = 2, occ = occ)
+    g.groupBy("q_id")
+      .agg(max(when(col("rnk") === 1, col("cos_sim"))).as("c1"),
+        max(when(col("rnk") === 2, col("cos_sim"))).as("c2"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+      .withColumn("margin_ppm",
+        expr("CAST(round((c1 - c2) * 1000000) AS BIGINT)"))
+      .groupBy(expr("margin_ppm div 100000").as("margin_decade"))
+      .agg(count(lit(1)).as("n_queries"),
+        min(col("margin_ppm")).as("min_ppm"),
+        max(col("margin_ppm")).as("max_ppm"))
+  }
+
+  /** Oracle for [[nnMargin]]. */
+  def nnMarginSql(occ: Long = 128L, dim: Int = 64): String =
+    s"""WITH ${knnGraphCtes(occ, dim, 2)}
+       |SELECT margin_ppm // 100000 AS margin_decade,
+       |       count(*) AS n_queries,
+       |       min(margin_ppm) AS min_ppm,
+       |       max(margin_ppm) AS max_ppm
+       |FROM (
+       |  SELECT q_id,
+       |         CAST(round((max(CASE WHEN rnk = 1 THEN cos END)
+       |                     - max(CASE WHEN rnk = 2 THEN cos END))
+       |              * 1000000) AS BIGINT) AS margin_ppm
+       |  FROM g GROUP BY 1
+       |  HAVING count(*) = 2
+       |)
+       |GROUP BY 1""".stripMargin
+
   /** Top principal component by POWER ITERATION, made fully
     * deterministic — the embedding-health "dominant direction" monitor
     * ([[dimProfile]]'s multivariate sibling): a corpus whose top PC

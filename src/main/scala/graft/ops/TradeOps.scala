@@ -5251,11 +5251,14 @@ object TradeOps {
        |)
        |WHERE n_moves = $blockN""".stripMargin
 
-  /** W (extension, r15) — per-symbol maximum drawdown: the deepest
-    * peak-to-trough fall of the cent-price tape, the risk summary that
-    * pairs with [[sharpe]] (return per unit σ) the way [[hurstRs]]
-    * pairs with [[varianceRatio]] — drawdown reads PATH risk that
-    * variance-based stats integrate away. Exact by construction: the
+  /** W (extension, r15) — per-symbol MAXIMUM drawdown: the aggregate
+    * path-risk summary of the per-row drawdown series [[drawdown]]
+    * (w10) emits — that op keeps the full tape-sized curve for
+    * charting, this one collapses it to the deepest peak-to-trough
+    * fall, absolute and relative, the risk number that pairs with
+    * [[sharpe]] (return per unit σ) the way [[hurstRs]] pairs with
+    * [[varianceRatio]]: drawdown reads PATH risk that variance-based
+    * stats integrate away. Exact by construction: the
     * running peak is a window `max` over exact cent prices, per-tick
     * drawdown `dd = peak − pc` is an exact BIGINT, and `max_dd_cents`
     * is a plain integer max. The relative form maximizes the per-tick

@@ -3525,4 +3525,40 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(means.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     ps.unpersist()
   }
+
+  test("nn margin: recompute from the k=2 graph matches exactly; " +
+      "margins are non-negative and bracketed by their decade") {
+    val m = Similarity.nnMargin(spark, sf).cache()
+    assert(m.filter(col("min_ppm") < 0L).count() === 0,
+      "rank-1 cosine is never below rank-2")
+    // every bucket's min/max ppm sit inside the decade they key
+    assert(m.filter(col("min_ppm") < col("margin_decade") * 100000L ||
+      col("max_ppm") >= (col("margin_decade") + 1L) * 100000L
+    ).count() === 0)
+    // total queries = full 2-NN coverage count from the graph itself
+    val g = Similarity.knnGraph(spark, sf, k = 2).cache()
+    val full = g.groupBy("q_id").count().filter(col("count") === 2L).count()
+    assert(m.agg(sum(col("n_queries"))).head.getLong(0) === full)
+    // driver recompute of the whole histogram from the raw edges
+    val margins = g.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(2)))
+      .groupBy(_._1).values
+      .filter(_.length == 2)
+      .map { es =>
+        val c1 = es.find(_._2 == 1).get._3
+        val c2 = es.find(_._2 == 2).get._3
+        // Spark's round() is HALF_UP on the exact decimal value of the
+        // double product — mirror it exactly, not via floor(x+0.5)
+        BigDecimal((c1 - c2) * 1000000.0)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      }.toSeq
+    val expect = margins.groupBy(_ / 100000L)
+      .map { case (d, v) => (d, v.length.toLong, v.min, v.max) }
+      .toSet
+    val got = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    g.unpersist(); m.unpersist()
+  }
 }
