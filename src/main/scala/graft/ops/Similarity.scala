@@ -1004,14 +1004,34 @@ object Similarity {
     * distributed partial+final aggregate; only k rows reach the driver
     * per iteration. Centroid components are exact floor-divided
     * picounits, so they are bit-identical cross-engine (see
-    * [[kmeansCentroids]]). */
+    * [[kmeansCentroids]]).
+    *
+    * Cell LABELS are the seeds' RAW `vec_id`s — exactly the oracle
+    * chain's `SELECT vec_id AS cell … WHERE vec_id < k` — NOT their
+    * 0..k−1 positions. On every contiguous-id corpus the two coincide,
+    * which is why a position `zipWithIndex` here survived 14 rounds of
+    * gates; the first id-SPARSE corpus (the r15 sf10 mod-10 subset,
+    * vec_ids 0,10,20,…) split them and every label-emitting consumer
+    * (d_semantic_dup, v_kmeans, v_kmeans_purity) hash-diverged with
+    * identical partitions — the silent class the reduced-oracle tier
+    * exists to catch. Position-indexed consumers (`.map(_._2)` into
+    * IVF/PQ codebooks) are unaffected: the raw-id ↔ position map is
+    * order-preserving, matching their oracles' `row_number() OVER
+    * (ORDER BY cell)` re-index. Note the seed RULE itself (`vec_id <
+    * k`) is engine-symmetric by construction on any corpus — on
+    * id-sparse input both engines under-seed identically (the subset
+    * trains 15 of 141 derived cells); seeds-by-rank would need
+    * `row_number` mirrored through every chain oracle and is a
+    * semantics choice, not a correctness one. */
   private[ops] def trainKmeans(emb: DataFrame, k: Int, iters: Int,
       dim: Int): IndexedSeq[(Int, IndexedSeq[Double])] = {
-    // (cellId, centroid) pairs, ascending cellId; init = first k vectors
+    // (cellId, centroid) pairs, ascending cellId; init = first k
+    // vectors, labeled by their raw vec_id (the oracle's cb0)
     var cents: IndexedSeq[(Int, IndexedSeq[Double])] =
-      emb.filter(col("vec_id") < k).orderBy("vec_id").select("v").collect()
-        .toIndexedSeq.map(_.getSeq[Double](0).toIndexedSeq).zipWithIndex
-        .map { case (v, i) => (i, v) }
+      emb.filter(col("vec_id") < k).orderBy("vec_id")
+        .select(col("vec_id"), col("v")).collect()
+        .toIndexedSeq.map(r =>
+          (r.getLong(0).toInt, r.getSeq[Double](1).toIndexedSeq))
     for (_ <- 1 to iters) {
       val dimSums = (0 until dim).map(i =>
         sum(floor(element_at(col("v"), i + 1) * lit(1e12) + lit(0.5))

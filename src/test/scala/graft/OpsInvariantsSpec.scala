@@ -3526,6 +3526,30 @@ class OpsInvariantsSpec extends SparkSuite {
     ps.unpersist()
   }
 
+  test("kmeans cell labels are the seeds' RAW vec_ids on an id-sparse " +
+      "corpus (the r15 sf10-subset regression), not their positions") {
+    import spark.implicits._
+    // embeddings with vec_id = 10*i — the shape that split the engines:
+    // seeds (vec_id < k) exist only at multiples of 10, so raw-id and
+    // positional labels diverge
+    val dir = java.nio.file.Files.createTempDirectory("sparse_emb").toString
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map { i =>
+      (i.toLong * 10,
+        Array.fill(64)((rnd.nextInt(2001) - 1000) / 1000.0f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val km = Similarity.kmeansCentroids(spark, dir, k = 30, iters = 2)
+      .collect()
+    val cells = km.map(_.getInt(0)).toSet
+    assert(cells.nonEmpty &&
+      cells.subsetOf((0 until 30 by 10).map(identity).toSet),
+      s"cells must be the raw seed vec_ids {0,10,20}, got $cells")
+    // the digest must also be internally consistent: every corpus
+    // vector lands in a surviving cell
+    assert(km.map(_.getLong(1)).sum === 200L)
+  }
+
   test("nn margin: recompute from the k=2 graph matches exactly; " +
       "margins are non-negative and bracketed by their decade") {
     val m = Similarity.nnMargin(spark, sf).cache()
