@@ -545,6 +545,21 @@ object SparkEntry {
     "q26_revenue_deciles" -> ((s, dir) => Relational.revenueDeciles(s, dir)),
     "e_seasonal_profile" -> ((s, dir) =>
       EventAnalytics.seasonalProfile(Tables.events(s, dir))),
+    "w_sortino" -> ((s, dir) => TradeOps.sortino(trades(s, dir))),
+    "w_calmar" -> ((s, dir) => TradeOps.calmar(trades(s, dir))),
+    "w_ulcer" -> ((s, dir) => TradeOps.ulcerIndex(trades(s, dir))),
+    "w_williams_r" -> ((s, dir) => TradeOps.williamsR(trades(s, dir))),
+    "w_obv_divergence" -> ((s, dir) => TradeOps.obvDivergence(trades(s, dir))),
+    "e_active_streaks" -> ((s, dir) =>
+      EventAnalytics.activeStreaks(Tables.events(s, dir))),
+    "g_two_hop_reach" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // rides the cached mutual-kNN graph (deg <= k): the raw dup
+      // graph's boilerplate near-cliques make the mid-vertex join
+      // cubic — measured live at sf0.1 (disk-filling shuffle spill)
+      Graph.twoHopReach(docs.select("doc_id"), Dedup.mutualKnn(
+        Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
+    }),
   )
 
   private val T = Tables.tradesCte
@@ -1848,5 +1863,12 @@ object SparkEntry {
     "d_bucket_skew" -> Dedup.bucketSkewSql,
     "q26_revenue_deciles" -> Relational.revenueDecilesSql,
     "e_seasonal_profile" -> EventAnalytics.seasonalProfileSql,
+    "w_sortino" -> s"$T\n${TradeOps.sortinoSql}",
+    "w_calmar" -> s"$T\n${TradeOps.calmarSql}",
+    "w_ulcer" -> s"$T\n${TradeOps.ulcerIndexSql}",
+    "w_williams_r" -> s"$T\n${TradeOps.williamsRSql}",
+    "w_obv_divergence" -> s"$T\n${TradeOps.obvDivergenceSql}",
+    "e_active_streaks" -> EventAnalytics.activeStreaksSql,
+    "g_two_hop_reach" -> Dedup.similarityTwoHopSql(),
   )
 }

@@ -1934,6 +1934,33 @@ object Dedup {
        |FROM documents LEFT JOIN deg ON documents.doc_id = deg.id
        |GROUP BY 1""".stripMargin
 
+  /** Oracle for the mutual-kNN two-hop reach histogram
+    * ([[Graph.twoHopReach]] over [[mutualKnn]] of
+    * [[weightedDupEdges]] at [[triangleThreshold]] — the triangles
+    * graph): the shared [[mutualKnnCtes]] chain (ends in
+    * `pairs(doc_a, doc_b)`, deg ≤ k so the mid-vertex join is
+    * ≤ n·k² rows) extended one hop — symmetric list, mid-vertex
+    * self-join, distinct reach set per src, isolated docs at 0. */
+  def similarityTwoHopSql(k: Int = 10): String =
+    s"""${mutualKnnCtes(k)}, sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), r AS (
+       |  SELECT src, count(*) AS n_reach FROM (
+       |    SELECT DISTINCT src, dst FROM (
+       |      SELECT src, dst FROM sym
+       |      UNION ALL
+       |      SELECT x.src AS src, y.dst AS dst
+       |      FROM sym x JOIN sym y ON x.dst = y.src
+       |      WHERE x.src <> y.dst)
+       |  ) GROUP BY 1
+       |)
+       |SELECT CAST(coalesce(r.n_reach, 0) AS BIGINT) AS reach2,
+       |       count(*) AS n_docs
+       |FROM documents LEFT JOIN r ON documents.doc_id = r.src
+       |GROUP BY 1""".stripMargin
+
   /** D (extension) — LSH band-bucket occupancy skew profile: the
     * scale-risk QC for the banded pair join itself. The band join's
     * cost is Σ occupancy² per bucket, so ONE hot bucket (a boilerplate

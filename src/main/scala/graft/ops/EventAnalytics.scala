@@ -1160,4 +1160,48 @@ object EventAnalytics {
       |         AS cum_share
       |FROM b
       |WINDOW wc AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)""".stripMargin
+
+  /** E (extension, r15) — ACTIVE-STREAK histogram: for every user, the
+    * longest run of CONSECUTIVE active days, rolled up to
+    * (max_streak, n_users) — the habit-strength meter that
+    * [[lifespanHist]] (first-to-last span) and [[rollingWau]]
+    * (calendar window) both miss: a 30-day lifespan can be one 30-day
+    * streak or thirty isolated Mondays. Classic gaps-and-islands on
+    * exact integers: distinct (user, day) → day-number minus per-user
+    * `row_number` is constant exactly within a consecutive run (days
+    * are distinct, so the ordering has no ties in either engine) →
+    * island length = count, per-user max, histogram. Plan: one
+    * distinct shuffle on (user, day), then the user-keyed window and
+    * BOTH downstream aggregates ride hash(user_id) clustering (subset
+    * grouping keys satisfy the distribution) — effectively 2 data
+    * exchanges + one histogram-sized one; output is bounded by the
+    * longest streak, not the corpus. */
+  def activeStreaks(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("dn"))
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("dn",
+        datediff(col("day"), to_date(lit("1970-01-01"))))
+      .withColumn("grp", col("dn") - row_number().over(byUser))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("max_streak"))
+      .groupBy("max_streak").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Oracle for [[activeStreaks]]. */
+  val activeStreaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), i AS (
+      |  SELECT user_id,
+      |         date_diff('day', DATE '1970-01-01', day)
+      |           - row_number() OVER (PARTITION BY user_id
+      |               ORDER BY day) AS grp
+      |  FROM d
+      |), s AS (
+      |  SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2
+      |), m AS (
+      |  SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT max_streak, count(*) AS n_users FROM m GROUP BY 1""".stripMargin
 }

@@ -898,6 +898,46 @@ object Graph {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** G (extension, r15) — TWO-HOP REACH histogram: for every vertex,
+    * the number of distinct vertices within ≤2 hops (excluding
+    * itself), rolled up to a (reach, n_docs) histogram — the
+    * neighborhood-growth meter between [[degreeHistogram]] (1 hop) and
+    * the global [[connectedComponents]] (∞ hops): how fast the
+    * similarity manifold expands around each doc. Exact counting
+    * throughout. Plan: canonical edges → symmetric directed list (2E
+    * rows) → one self-join on the mid vertex (Σdeg² pairs) → distinct
+    * + per-src count → left join back to the vertex set so isolated
+    * docs land in the 0 bucket. ⚠️ DEGREE-BOUNDED INPUT REQUIRED: the
+    * mid-vertex enumeration is Σdeg², and on a RAW dup-edge graph a
+    * boilerplate near-clique of size c contributes c³ pre-distinct
+    * rows — measured live at sf0.1, where the loose dup graph filled
+    * the host's disk with shuffle spill before distinct could collapse
+    * it. The registered form therefore consumes the mutual-kNN
+    * sparsified graph (deg ≤ k ⇒ ≤ n·k² rows, linear in the corpus),
+    * exactly like [[triangles]]/[[richClub]]; feed raw dup edges only
+    * through a sparsifier. Two data-sized shuffles; output is
+    * histogram-sized at any scale. */
+  def twoHopReach(vertices: DataFrame, edges0: DataFrame): DataFrame = {
+    val Array(vc) = vertices.columns.take(1)
+    val Array(ac, bc) = edges0.columns.take(2)
+    val e = edges0.select(
+      least(col(ac).cast("long"), col(bc).cast("long")).as("a"),
+      greatest(col(ac).cast("long"), col(bc).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val two = sym.as("x").join(sym.as("y"),
+        col("x.dst") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val reach = sym.union(two).distinct()
+      .groupBy("src").agg(count(lit(1)).as("n_reach"))
+    vertices.select(col(vc).cast("long").as("src"))
+      .join(reach, Seq("src"), "left")
+      .groupBy(coalesce(col("n_reach"), lit(0L)).as("reach2"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Rich-club coefficient sweep — do the high-degree nodes wire to
     * EACH OTHER more densely than chance (the hub-oligarchy question;
     * in a dedup graph a rich club is a boilerplate nucleus, in a kNN

@@ -5305,4 +5305,326 @@ object TradeOps {
       |          FROM trades)))
       |GROUP BY 1""".stripMargin
 
+  /** W (extension, r15) — daily-return SORTINO ratio per symbol
+    * (rf = target = 0): [[sharpe]] penalizes upside and downside
+    * symmetrically; Sortino divides the same mean daily cent return by
+    * the DOWNSIDE root-mean-square only — the risk number a
+    * long-biased strategy is actually graded on. Same exact-integer
+    * spine as sharpe: daily close cents via `max_by(pc, event_id)`,
+    * cent diffs `d`, and the collapse
+    * `S = Σd / √(n·Σ_{d<0} d²)` whose numerator and radicand are exact
+    * int64s (ANSI-loud here, `CAST(sum AS BIGINT)`-loud in the oracle —
+    * the shared int64 boundary, no premature 2⁵³ guard per the r14
+    * kyle-lambda lesson). √ and the two divisions are correctly-rounded
+    * IEEE on exact inputs, so daily and √252-annualized Sortino are
+    * engine-identical unrounded. Tapes with no down day (Σd² term zero)
+    * emit NULL, not a div-by-zero. Plan shape = sharpe's: one bar
+    * aggregate + one symbol-keyed lag window + one aggregate; 2
+    * exchanges, |symbols| rows out. */
+  def sortino(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("day"))
+    val bars = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(max_by(col("pc"), col("event_id")).as("cl"))
+    bars
+      .withColumn("d", col("cl") - lag(col("cl"), 1).over(ord))
+      .filter(col("d").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("d")).as("s1"),
+        sum(when(col("d") < 0, col("d") * col("d")).otherwise(lit(0L)))
+          .as("sd2"))
+      .withColumn("sortino_daily", expr(
+        "CASE WHEN sd2 = 0 THEN NULL " +
+          "ELSE CAST(s1 AS DOUBLE) " +
+          "/ sqrt(CAST(n_rets AS DOUBLE) * CAST(sd2 AS DOUBLE)) END"))
+      .select(col("symbol"), col("n_rets"), col("sortino_daily"),
+        (col("sortino_daily") * sqrt(lit(252.0d))).as("sortino_annual"))
+  }
+
+  /** Oracle for [[sortino]] (body only — caller prepends the trades
+    * CTE). */
+  val sortinoSql: String =
+    """SELECT symbol, n_rets, sortino_daily,
+      |       sortino_daily * sqrt(252.0::DOUBLE) AS sortino_annual
+      |FROM (
+      |  SELECT symbol, count(*) AS n_rets,
+      |         CASE WHEN CAST(sum(CASE WHEN d < 0 THEN d * d
+      |                                 ELSE 0 END) AS BIGINT) = 0
+      |              THEN NULL
+      |              ELSE CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+      |                   / sqrt(CAST(count(*) AS DOUBLE)
+      |                     * CAST(CAST(sum(CASE WHEN d < 0 THEN d * d
+      |                         ELSE 0 END) AS BIGINT) AS DOUBLE))
+      |         END AS sortino_daily
+      |  FROM (
+      |    SELECT symbol, cl - lag(cl, 1) OVER (PARTITION BY symbol
+      |             ORDER BY day) AS d
+      |    FROM (
+      |      SELECT symbol, CAST("timestamp" AS DATE) AS day,
+      |             arg_max(pc, event_id) AS cl
+      |      FROM (SELECT symbol, "timestamp", event_id,
+      |                   CAST(round(price * 100) AS BIGINT) AS pc
+      |            FROM trades)
+      |      GROUP BY 1, 2))
+      |  WHERE d IS NOT NULL
+      |  GROUP BY 1
+      |)""".stripMargin
+
+  /** W (extension, r15) — CALMAR ratio per symbol: whole-period return
+    * divided by [[maxDrawdown]]'s maximum drawdown fraction — return
+    * per unit of PATH risk, the recovery-speed complement to
+    * [[sharpe]]/[[sortino]]'s per-σ framing. Every ingredient is the
+    * exact-integer discipline already on the tape: first/last close
+    * cents via `min_by/max_by(pc, event_id)` (event_id is the unique
+    * arrival order), the running-peak drawdown fraction exactly as
+    * maxDrawdown computes it, and three correctly-rounded IEEE
+    * divisions of exact int64s — so the unrounded output is
+    * engine-identical. Zero-drawdown (monotone) tapes and non-positive
+    * first prices emit NULL. One symbol-keyed window pass + one
+    * aggregate — 1 exchange, |symbols| rows out. */
+  def calmar(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("peak", max(col("pc")).over(w))
+      .withColumn("ddf", when(col("peak") > 0,
+        (col("peak") - col("pc")).cast("double")
+          / col("peak").cast("double")))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+        min_by(col("pc"), col("event_id")).as("fc"),
+        max_by(col("pc"), col("event_id")).as("lc"),
+        max(col("ddf")).as("max_dd_frac"))
+      .select(col("symbol"), col("n_ticks"),
+        when(col("fc") > 0,
+          (col("lc") - col("fc")).cast("double")
+            / col("fc").cast("double")).as("ret_frac"),
+        col("max_dd_frac"),
+        when(col("fc") > 0 && col("max_dd_frac") > 0,
+          ((col("lc") - col("fc")).cast("double")
+            / col("fc").cast("double")) / col("max_dd_frac"))
+          .as("calmar"))
+  }
+
+  /** Oracle for [[calmar]] (body only — caller prepends the trades
+    * CTE). */
+  val calmarSql: String =
+    """SELECT symbol, n_ticks,
+      |       CASE WHEN fc > 0 THEN CAST(lc - fc AS DOUBLE)
+      |                             / CAST(fc AS DOUBLE) END AS ret_frac,
+      |       max_dd_frac,
+      |       CASE WHEN fc > 0 AND max_dd_frac > 0
+      |            THEN (CAST(lc - fc AS DOUBLE) / CAST(fc AS DOUBLE))
+      |                 / max_dd_frac END AS calmar
+      |FROM (
+      |  SELECT symbol, count(*) AS n_ticks,
+      |         arg_min(pc, event_id) AS fc,
+      |         arg_max(pc, event_id) AS lc,
+      |         max(CASE WHEN peak > 0
+      |                  THEN CAST(peak - pc AS DOUBLE)
+      |                       / CAST(peak AS DOUBLE) END) AS max_dd_frac
+      |  FROM (
+      |    SELECT symbol, event_id, pc,
+      |           CAST(max(pc) OVER (PARTITION BY symbol
+      |             ORDER BY "timestamp", event_id
+      |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      |    FROM (SELECT symbol, "timestamp", event_id,
+      |                 CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades))
+      |  GROUP BY 1)""".stripMargin
+
+  /** W (extension, r15) — ULCER INDEX per symbol: root-mean-square of
+    * the running drawdown fraction — where [[maxDrawdown]] reads the
+    * single deepest fall, Ulcer integrates how LONG and how DEEP the
+    * tape sat underwater (Martin & McCann's retracement stress
+    * measure). Exactness route: per tick the drawdown fraction is
+    * quantized to ppm by INTEGER division `r = (dd·10⁶) div peak`
+    * (both operands exact int64s; truncation — not rounding — so there
+    * is no half-tie surface, and DuckDB's `//` truncates identically
+    * for the non-negative operands here), Σr² accumulates as an exact
+    * int64 (ANSI-loud / `CAST(sum AS BIGINT)`-loud at the same shared
+    * boundary), and the emit `√(Σr²/n)/10⁴` is a fixed IEEE chain on
+    * exact inputs — engine-identical unrounded, in percent units.
+    * The deliberate ppm floor (≤10⁻⁴% per-tick quantization) is
+    * operator semantics, documented here, mirrored in the oracle. One
+    * symbol-keyed window pass + one aggregate — 1 exchange, |symbols|
+    * rows out. */
+  def ulcerIndex(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("peak", max(col("pc")).over(w))
+      .withColumn("r_ppm", when(col("peak") > 0,
+        expr("((peak - pc) * 1000000L) div peak")).otherwise(lit(0L)))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("r_ppm") * col("r_ppm")).as("s2"))
+      .select(col("symbol"), col("n_ticks"),
+        (sqrt(col("s2").cast("double") / col("n_ticks").cast("double"))
+          / lit(10000.0d)).as("ulcer_pct"))
+  }
+
+  /** Oracle for [[ulcerIndex]] (body only — caller prepends the trades
+    * CTE). */
+  val ulcerIndexSql: String =
+    """SELECT symbol, count(*) AS n_ticks,
+      |       sqrt(CAST(CAST(sum(r_ppm * r_ppm) AS BIGINT) AS DOUBLE)
+      |            / CAST(count(*) AS DOUBLE)) / 10000.0::DOUBLE
+      |         AS ulcer_pct
+      |FROM (
+      |  SELECT symbol,
+      |         CASE WHEN peak > 0 THEN ((peak - pc) * 1000000) // peak
+      |              ELSE 0 END AS r_ppm
+      |  FROM (
+      |    SELECT symbol, pc,
+      |           CAST(max(pc) OVER (PARTITION BY symbol
+      |             ORDER BY "timestamp", event_id
+      |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      |    FROM (SELECT symbol, "timestamp", event_id,
+      |                 CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades)))
+      |GROUP BY 1""".stripMargin
+
+  /** W (extension, r15) — OBV/price DIVERGENCE days: the day-level
+    * disagreement counter between [[obv]]'s signed-volume flow and the
+    * close-to-close price direction — the classic exhaustion signal
+    * (price keeps rising while balance volume drains, or vice versa).
+    * Daily OBV direction collapses EXACTLY to the sign of the day's
+    * signed-flow sum (the running OBV's day-over-day delta IS that
+    * day's flow), so no running sum is needed: per-trade micro-unit
+    * flow `sv` (the obv tick rule), summed per (symbol, day) as an
+    * exact ANSI-loud BIGINT; price direction is the exact cent…micro
+    * close delta via one day-level lag. A divergence day is strict
+    * sign opposition (`flow>0 ∧ Δclose<0` or `flow<0 ∧ Δclose>0`);
+    * ties (flat flow or flat close) are neutral. Counts are exact
+    * ints; `diverge_frac` is ONE IEEE division. Plan: one tape-keyed
+    * window (tick lag) + one (symbol, day) aggregate + one day-level
+    * lag + one symbol aggregate — the established 2-exchange bar
+    * shape; |symbols| rows out. */
+  def obvDivergence(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val dayOrd = Window.partitionBy("symbol").orderBy(col("day"))
+    trades
+      .withColumn("pm", expr("CAST(round(price * 1000000) AS BIGINT)"))
+      .withColumn("vm", expr("CAST(round(volume * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pm") - lag(col("pm"), 1).over(ord))
+      .withColumn("sv",
+        when(col("d") > 0, col("vm"))
+          .when(col("d") < 0, -col("vm"))
+          .otherwise(lit(0L)))
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(sum(col("sv")).as("flow"),
+        max_by(col("pm"), col("event_id")).as("cl"))
+      .withColumn("pd", col("cl") - lag(col("cl"), 1).over(dayOrd))
+      .filter(col("pd").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when((col("flow") > 0 && col("pd") < 0) ||
+          (col("flow") < 0 && col("pd") > 0), 1L).otherwise(0L))
+          .as("n_diverge"))
+      .withColumn("diverge_frac",
+        col("n_diverge").cast("double") / col("n_days").cast("double"))
+  }
+
+  /** Oracle for [[obvDivergence]] (body only — caller prepends the
+    * trades CTE). */
+  val obvDivergenceSql: String =
+    """SELECT symbol, n_days, n_diverge,
+      |       CAST(n_diverge AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |         AS diverge_frac
+      |FROM (
+      |  SELECT symbol, count(*) AS n_days,
+      |         CAST(sum(CASE WHEN (flow > 0 AND pd < 0)
+      |                         OR (flow < 0 AND pd > 0) THEN 1
+      |                       ELSE 0 END) AS BIGINT) AS n_diverge
+      |  FROM (
+      |    SELECT symbol, flow,
+      |           cl - lag(cl, 1) OVER (PARTITION BY symbol
+      |             ORDER BY day) AS pd
+      |    FROM (
+      |      SELECT symbol, CAST("timestamp" AS DATE) AS day,
+      |             CAST(sum(sv) AS BIGINT) AS flow,
+      |             arg_max(pm, event_id) AS cl
+      |      FROM (
+      |        SELECT symbol, "timestamp", event_id, pm,
+      |               CASE WHEN d > 0 THEN vm
+      |                    WHEN d < 0 THEN -vm
+      |                    ELSE 0 END AS sv
+      |        FROM (
+      |          SELECT symbol, "timestamp", event_id, pm, vm,
+      |                 pm - lag(pm, 1) OVER (PARTITION BY symbol
+      |                   ORDER BY "timestamp", event_id) AS d
+      |          FROM (SELECT symbol, "timestamp", event_id,
+      |                       CAST(round(price * 1000000) AS BIGINT) AS pm,
+      |                       CAST(round(volume * 1000000) AS BIGINT) AS vm
+      |                FROM trades)))
+      |      GROUP BY 1, 2))
+      |  WHERE pd IS NOT NULL
+      |  GROUP BY 1
+      |)""".stripMargin
+
+  /** W (extension, r15) — WILLIAMS %R over daily bars: position of the
+    * close inside the rolling `frameN`-bar high-low range,
+    * `%R = −100 · (HH − C) / (HH − LL)` — the bounded momentum
+    * oscillator that complements [[stochasticK]] (which reads the same
+    * range from the LOW side) and [[cci]] (mean-deviation framing).
+    * Bars carry exact cent extremes (`max/min(pc)`) and the
+    * deterministic `max_by(pc, event_id)` close; the rolling HH/LL are
+    * integer window maxes over `ROWS frameN−1 PRECEDING`, so the emit
+    * is ONE correctly-rounded IEEE division of exact int64s times an
+    * exact constant — engine-identical unrounded. Flat frames
+    * (HH = LL) emit NULL; warm-up bars are emitted with their short
+    * frame (`n_frame` says how short), matching the [[cci]] contract.
+    * Plan: one bar aggregate + one symbol-keyed window — 2 exchanges,
+    * |symbol-days| rows out; at 100 TB both stages key on symbol so
+    * the bar table never leaves its partitioning. */
+  def williamsR(trades: DataFrame, frameN: Int = 14): DataFrame = {
+    val frame = Window.partitionBy("symbol").orderBy(col("day"))
+      .rowsBetween(-(frameN - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"),
+        max_by(col("pc"), col("event_id")).as("cl"))
+      .select(col("symbol"), col("day").cast("timestamp").as("day"),
+        count(lit(1)).over(frame).as("n_frame"),
+        max(col("hi")).over(frame).as("hh"),
+        min(col("lo")).over(frame).as("ll"),
+        col("cl"))
+      .withColumn("williams_r", when(col("hh") > col("ll"),
+        lit(-100.0d) * (col("hh") - col("cl")).cast("double")
+          / (col("hh") - col("ll")).cast("double")))
+  }
+
+  /** Oracle for [[williamsR]] (body only — caller prepends the trades
+    * CTE; frameN = 14). */
+  val williamsRSql: String =
+    """SELECT symbol, day, n_frame, hh, ll, cl,
+      |       CASE WHEN hh > ll
+      |            THEN -100.0::DOUBLE * CAST(hh - cl AS DOUBLE)
+      |                 / CAST(hh - ll AS DOUBLE) END AS williams_r
+      |FROM (
+      |  SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      |         count(*) OVER w AS n_frame,
+      |         CAST(max(hi) OVER w AS BIGINT) AS hh,
+      |         CAST(min(lo) OVER w AS BIGINT) AS ll,
+      |         cl
+      |  FROM (
+      |    SELECT symbol, CAST("timestamp" AS DATE) AS day,
+      |           max(pc) AS hi, min(pc) AS lo,
+      |           arg_max(pc, event_id) AS cl
+      |    FROM (SELECT symbol, "timestamp", event_id,
+      |                 CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades)
+      |    GROUP BY 1, 2)
+      |  WINDOW w AS (PARTITION BY symbol ORDER BY day
+      |               ROWS 13 PRECEDING))""".stripMargin
+
 }

@@ -3585,4 +3585,241 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(got === expect)
     g.unpersist(); m.unpersist()
   }
+
+  test("sortino: exact recompute from daily closes; no-down-day tape " +
+      "emits NULL; sign agrees with sharpe when both defined") {
+    import spark.implicits._
+    val got = TradeOps.sortino(trades).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // driver recompute off the same daily-close contract
+    val bars = trades.select(col("symbol"),
+        to_date(col("timestamp")).as("day"), col("event_id"),
+        expr("CAST(round(price * 100) AS BIGINT)").as("pc")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getLong(3)))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((sym, day), rows) => (sym, day, rows.maxBy(_._3)._4) }
+      .toSeq.groupBy(_._1)
+    bars.foreach { case (sym, rows) =>
+      val closes = rows.sortBy(_._2.getTime).map(_._3)
+      val ds = closes.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+      val s1 = ds.map(BigInt(_)).sum
+      val sd2 = ds.filter(_ < 0).map(d => BigInt(d) * BigInt(d)).sum
+      val (n, sd) = got(sym)
+      assert(n === ds.length.toLong, sym)
+      if (sd2 == 0) assert(sd.isEmpty, sym)
+      else assert(sd.get ===
+        s1.toDouble / math.sqrt(ds.length.toDouble * sd2.toDouble), sym)
+    }
+    // monotone-up tape: returns exist but none negative -> NULL sortino
+    val up = (1 to 40).map(i => (i.toLong, "U",
+      new java.sql.Timestamp(1700000000000L + i * 86400000L),
+      10.0 + i, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.sortino(up).head().isNullAt(2))
+    // same numerator (sum of daily cent moves) => same sign as sharpe
+    val sh = TradeOps.sharpe(trades).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    got.foreach { case (sym, (_, sd)) =>
+      (sd, sh(sym)) match {
+        case (Some(so), Some(sa)) => assert(so.sign === sa.sign, sym)
+        case _ => ()
+      }
+    }
+  }
+
+  test("calmar: exact recompute per symbol; monotone tape NULL; " +
+      "ret/maxdd identity holds bit-exactly") {
+    import spark.implicits._
+    val got = TradeOps.calmar(trades).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val raw = trades.select(col("symbol"), col("timestamp"), col("event_id"),
+        expr("CAST(round(price * 100) AS BIGINT)").as("pc")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    raw.foreach { case (sym, rows) =>
+      val byPath = rows.sortBy(r => (r._2.getTime, r._3))
+      var peak = Long.MinValue
+      var maxFrac = Option.empty[Double]
+      byPath.foreach { r =>
+        peak = math.max(peak, r._4)
+        if (peak > 0) {
+          val f = (peak - r._4).toDouble / peak.toDouble
+          maxFrac = Some(maxFrac.fold(f)(math.max(_, f)))
+        }
+      }
+      val fc = rows.minBy(_._3)._4
+      val lc = rows.maxBy(_._3)._4
+      val (n, rf, mdf, cal) = got(sym)
+      assert(n === rows.size.toLong, sym)
+      assert(rf === (if (fc > 0) Some((lc - fc).toDouble / fc.toDouble)
+                     else None), sym)
+      assert(mdf === maxFrac, sym)
+      val expCal = for {
+        r <- rf; m <- mdf; if m > 0
+      } yield r / m
+      assert(cal === expCal, sym)
+    }
+    val up = (1 to 50).map(i => (i.toLong, "U",
+      new java.sql.Timestamp(1700000000000L + i * 1000L), 10.0 + i, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val u = TradeOps.calmar(up).head()
+    assert(u.getDouble(3) === 0.0d && u.isNullAt(4),
+      "monotone tape: zero drawdown, NULL calmar")
+  }
+
+  test("ulcer: exact ppm recompute per symbol; flat and rising tapes " +
+      "are zero; ulcer <= 100") {
+    import spark.implicits._
+    val got = TradeOps.ulcerIndex(trades).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val raw = trades.select(col("symbol"), col("timestamp"), col("event_id"),
+        expr("CAST(round(price * 100) AS BIGINT)").as("pc")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    raw.foreach { case (sym, rows) =>
+      val seq = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      var peak = Long.MinValue
+      var s2 = BigInt(0)
+      seq.foreach { pc =>
+        peak = math.max(peak, pc)
+        val r = if (peak > 0) ((peak - pc) * 1000000L) / peak else 0L
+        s2 += BigInt(r) * BigInt(r)
+      }
+      val (n, u) = got(sym)
+      assert(n === seq.length.toLong, sym)
+      assert(u === math.sqrt(s2.toDouble / seq.length.toDouble) / 10000.0d,
+        sym)
+      assert(u >= 0.0d && u <= 100.0d, sym)
+    }
+    val up = (1 to 50).map(i => (i.toLong, "U",
+      new java.sql.Timestamp(1700000000000L + i * 1000L), 10.0 + i, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.ulcerIndex(up).head().getDouble(2) === 0.0d)
+  }
+
+  test("williams %R: bounded in [-100, 0]; close at frame high -> 0, " +
+      "at frame low -> -100; frame counts never exceed 14") {
+    import spark.implicits._
+    val wr = TradeOps.williamsR(trades).cache()
+    assert(wr.filter(col("williams_r") > 0.0d ||
+      col("williams_r") < -100.0d).count() === 0)
+    assert(wr.filter(col("n_frame") < 1L || col("n_frame") > 14L)
+      .count() === 0)
+    assert(wr.filter(col("cl") > col("hh") || col("cl") < col("ll"))
+      .count() === 0)
+    // flat frames (hh = ll) are exactly the NULL rows
+    assert(wr.filter(col("hh") === col("ll") &&
+      col("williams_r").isNotNull).count() === 0)
+    wr.unpersist()
+    // crafted tape: close = daily high every day -> %R = 0 exactly;
+    // close = daily low -> -100 exactly
+    val hi = (1 to 20).flatMap(d => Seq(
+      (d * 10L, "H", new java.sql.Timestamp(1700000000000L + d * 86400000L),
+        5.0, 1.0),
+      (d * 10L + 1, "H",
+        new java.sql.Timestamp(1700000000000L + d * 86400000L + 1000L),
+        9.0, 1.0)))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.williamsR(hi).filter(col("williams_r") =!= 0.0d)
+      .count() === 0)
+    val lo = (1 to 20).flatMap(d => Seq(
+      (d * 10L, "L", new java.sql.Timestamp(1700000000000L + d * 86400000L),
+        9.0, 1.0),
+      (d * 10L + 1, "L",
+        new java.sql.Timestamp(1700000000000L + d * 86400000L + 1000L),
+        5.0, 1.0)))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.williamsR(lo).filter(col("williams_r") =!= -100.0d)
+      .count() === 0)
+  }
+
+  test("obv divergence: counts nest in day counts; crafted divergent " +
+      "and confirming tapes hit 1.0 and 0.0 exactly") {
+    import spark.implicits._
+    val od = TradeOps.obvDivergence(trades).cache()
+    assert(od.filter(col("n_diverge") > col("n_days") ||
+      col("n_diverge") < 0L).count() === 0)
+    assert(od.filter(col("diverge_frac") < 0.0d ||
+      col("diverge_frac") > 1.0d).count() === 0)
+    od.unpersist()
+    // Divergent tape: day d opens with a down-tick on volume 1 (from
+    // yesterday's higher close) then up-ticks on volume 2, so the
+    // day's flow = +1 volume unit > 0 — while the close (100.5 − d)
+    // sits below yesterday's (101.5 − d): every measurable day
+    // diverges.
+    val div = (1 to 10).flatMap { d =>
+      val base = 1700000000000L + d * 86400000L
+      Seq(
+        (d * 10L, "D", new java.sql.Timestamp(base), 100.0 - d, 1.0),
+        (d * 10L + 1, "D", new java.sql.Timestamp(base + 1000L),
+          100.5 - d, 2.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val dRow = TradeOps.obvDivergence(div).head()
+    assert(dRow.getLong(1) === 9L && dRow.getLong(2) === 9L &&
+      dRow.getDouble(3) === 1.0d)
+    // Confirming tape: monotone rise -> flow > 0 and pd > 0 every day
+    val conf = (1 to 10).flatMap { d =>
+      val base = 1700000000000L + d * 86400000L
+      Seq(
+        (d * 10L, "C", new java.sql.Timestamp(base), 10.0 + d, 1.0),
+        (d * 10L + 1, "C", new java.sql.Timestamp(base + 1000L),
+          10.5 + d, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val cRow = TradeOps.obvDivergence(conf).head()
+    assert(cRow.getLong(2) === 0L && cRow.getDouble(3) === 0.0d)
+  }
+
+  test("active streaks: histogram partitions the user base; crafted " +
+      "streaks measured exactly; bounded by lifespan") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val hist = graft.ops.EventAnalytics.activeStreaks(events).cache()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(hist.agg(sum(col("n_users"))).head.getLong(0) === nUsers)
+    assert(hist.filter(col("max_streak") < 1L).count() === 0)
+    hist.unpersist()
+    // crafted: user 1 has days {1,2,3, 7, 9,10} -> max streak 3;
+    // user 2 has one day -> 1; user 3 daily for 5 days -> 5
+    def ev(id: Long, u: Long, dayOff: Int) =
+      (id, u, s"t$id", new java.sql.Timestamp(
+        1700000000000L + dayOff * 86400000L), 1.0, """{}""")
+    val crafted = (Seq(1, 2, 3, 7, 9, 10).zipWithIndex.map { case (d, i) =>
+        ev(i.toLong, 1L, d) } ++
+      Seq(ev(100L, 2L, 4)) ++
+      (20 to 24).map(d => ev(200L + d, 3L, d)))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val got = graft.ops.EventAnalytics.activeStreaks(crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 1L, 1L -> 1L, 5L -> 1L))
+  }
+
+  test("two-hop reach: histogram partitions the corpus; reach >= " +
+      "degree pointwise; triangle corpus closes to full reach") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val edges = graft.ops.Dedup.mutualKnn(
+      graft.ops.Dedup.weightedDupEdges(docs, graft.ops.Dedup.triangleThreshold))
+    val hist = graft.ops.Graph.twoHopReach(docs.select("doc_id"), edges)
+      .cache()
+    assert(hist.agg(sum(col("n_docs"))).head.getLong(0) === docs.count())
+    assert(hist.filter(col("reach2") < 0L).count() === 0)
+    hist.unpersist()
+    // crafted: path a-b-c (reach: a->2, b->2, c->2) + isolate d;
+    // triangle e-f-g stays reach 2 each; star h-(i,j,k): h->3, i/j/k->3
+    val vs = (1L to 11L).toDF("doc_id")
+    val es = Seq((1L, 2L), (2L, 3L), // path
+      (5L, 6L), (6L, 7L), (5L, 7L), // triangle
+      (8L, 9L), (8L, 10L), (8L, 11L)) // star
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.Graph.twoHopReach(vs, es).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // isolates: 4 -> reach 0 (vertex 4 only; 1..11 minus path/tri/star
+    // members leaves exactly {4})
+    assert(got === Map(0L -> 1L, 2L -> 6L, 3L -> 4L))
+  }
 }

@@ -1143,4 +1143,55 @@ class StreamingSpec extends SparkSuite {
       assert(once === twice, "replaying a cumulative snapshot must be a no-op")
     } finally q.stop()
   }
+
+  test("drawdown stream: running peak-to-trough equals the batch op " +
+    "bit-exactly, cumulative emissions replay as no-ops") {
+    import spark.implicits._
+    import graft.streaming.DrawdownStream
+    def tr(id: Long, sym: String, offMs: Long, p: Double, v: Double) =
+      DrawdownStream.Trade(id, sym, new java.sql.Timestamp(t0 + offMs), p, v)
+    // BTC: new high then deep trough then partial recovery (the dd
+    // max lands mid-tape); ETH: monotone rise (zero drawdown, frac 0);
+    // DOGE: single trade (n=1, dd=0)
+    val tape = Seq(
+      tr(1, "BTC", 0, 10.00, 1.0), tr(2, "BTC", 1000, 10.50, 1.0),
+      tr(3, "BTC", 2000, 9.40, 1.0), tr(4, "BTC", 3000, 9.90, 1.0),
+      tr(5, "BTC", 4000, 10.40, 1.0), tr(6, "BTC", 5000, 10.10, 1.0),
+      tr(7, "ETH", 500, 5.00, 1.0), tr(8, "ETH", 1500, 5.10, 1.0),
+      tr(9, "ETH", 2500, 5.20, 1.0),
+      tr(10, "DOGE", 100, 0.10, 1.0))
+    val batchIn = tape.toDF().withColumnRenamed("ts", "timestamp")
+    val batch = graft.ops.TradeOps.maxDrawdown(batchIn)
+      .select("symbol", "n_ticks", "max_dd_cents", "max_dd_frac")
+    val input = MemoryStream[DrawdownStream.Trade](spark)
+    val q = DrawdownStream.drawdownStream(spark, input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dd_test").start()
+    try {
+      // three micro-batches so the peak carries across batch
+      // boundaries and earlier snapshots get superseded
+      val (b1, rest) = tape.splitAt(3)
+      val (b2, b3) = rest.splitAt(4)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy(col("n_ticks").desc)
+      val streamed = spark.table("dd_test")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "converged drawdown snapshots must equal the batch maxDrawdown table")
+      // replay no-op through the idempotent upsert store
+      val store = tmpDir("dd-upsert")
+      val dataCols = streamed.columns.map(col).toSeq
+      Upsert.merge(streamed, 0L, store, Seq("symbol"))
+      val once = Upsert.read(spark, store).get
+        .select(dataCols: _*).collect().toSet
+      Upsert.merge(streamed, 1L, store, Seq("symbol"))
+      val twice = Upsert.read(spark, store).get
+        .select(dataCols: _*).collect().toSet
+      assert(once === twice, "replaying a cumulative snapshot must be a no-op")
+    } finally q.stop()
+  }
 }
