@@ -560,6 +560,7 @@ object SparkEntry {
       Graph.twoHopReach(docs.select("doc_id"), Dedup.mutualKnn(
         Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
     }),
+    "v_int8_order_flips" -> ((s, dir) => Similarity.int8OrderFlips(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1870,5 +1871,6 @@ object SparkEntry {
     "w_obv_divergence" -> s"$T\n${TradeOps.obvDivergenceSql}",
     "e_active_streaks" -> EventAnalytics.activeStreaksSql,
     "g_two_hop_reach" -> Dedup.similarityTwoHopSql(),
+    "v_int8_order_flips" -> Similarity.int8OrderFlipsSql(),
   )
 }

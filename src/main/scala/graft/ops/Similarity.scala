@@ -2332,6 +2332,106 @@ object Similarity {
        |)
        |GROUP BY 1""".stripMargin
 
+  /** V (extension, r15) — INT8 ORDER-FLIP rate by margin decade: for
+    * every [[nnMargin]] query (k=2 coverage off the shared kNN graph),
+    * does int8 scalar quantization PRESERVE the best-vs-second
+    * neighbor order? [[int8Recall]] answers set overlap at top-k; this
+    * answers rank stability, conditioned on the exact margin — the
+    * direct empirical test of nnMargin's thesis that wide margins
+    * forgive quantization and thin ones don't (flip_rate should decay
+    * toward 0 up the decades; the spec asserts thick-margin sanity).
+    * Both int8 cosines go through [[int8Recall]]'s exact
+    * dequantization lambda (IEEE mul/div/add + half-up round,
+    * engine-identical); a flip is STRICT `cos₈(a) < cos₈(b)` (int8
+    * cosine ties preserve order by convention); the margin decade is
+    * nnMargin's own ppm quantization. Plan: the k=2 graph pivot (the
+    * nnMargin shape) + three vec_id equi-joins against the
+    * reconstructed table + one histogram aggregate — every join keys
+    * on vec_id so at 100 TB this is three co-partitioned hash joins;
+    * output ≤ ~20 rows at any scale. */
+  def int8OrderFlips(spark: SparkSession, dir: String, occ: Long = 128L)
+      : DataFrame = {
+    VectorOps.register(spark)
+    val g = knnGraph(spark, dir, k = 2, occ = occ)
+    val piv = g.groupBy("q_id")
+      .agg(max(when(col("rnk") === 1, col("cos_sim"))).as("c1"),
+        max(when(col("rnk") === 2, col("cos_sim"))).as("c2"),
+        max(when(col("rnk") === 1, col("vec_id"))).as("a_id"),
+        max(when(col("rnk") === 2, col("vec_id"))).as("b_id"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+    val rec = withVec(graft.Tables.load(spark, dir, "embeddings"))
+      .withColumn("vh", expr(
+        """CASE WHEN array_max(v) = array_min(v) THEN v
+          |  ELSE transform(v, x ->
+          |    round((x - array_min(v)) /
+          |      ((array_max(v) - array_min(v)) / 255.0D), 0) *
+          |      ((array_max(v) - array_min(v)) / 255.0D) + array_min(v))
+          |END""".stripMargin))
+      .withColumn("hn", sqrt(expr("dot_product(vh, vh)")))
+      .select(col("vec_id"), col("vh"), col("hn"))
+    piv
+      .join(rec.select(col("vec_id").as("q_id"), col("vh").as("qv"),
+        col("hn").as("qn")), "q_id")
+      .join(rec.select(col("vec_id").as("a_id"), col("vh").as("av"),
+        col("hn").as("an")), "a_id")
+      .join(rec.select(col("vec_id").as("b_id"), col("vh").as("bv"),
+        col("hn").as("bn")), "b_id")
+      .withColumn("c8a",
+        expr("dot_product(qv, av)") / (col("qn") * col("an")))
+      .withColumn("c8b",
+        expr("dot_product(qv, bv)") / (col("qn") * col("bn")))
+      .withColumn("margin_ppm",
+        expr("CAST(round((c1 - c2) * 1000000) AS BIGINT)"))
+      .withColumn("flip",
+        when(col("c8a") < col("c8b"), 1L).otherwise(0L))
+      .groupBy(expr("margin_ppm div 100000").as("margin_decade"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("flip")).as("n_flips"))
+      .withColumn("flip_rate",
+        col("n_flips").cast("double") / col("n_queries").cast("double"))
+  }
+
+  /** Oracle for [[int8OrderFlips]] — the [[nnMarginSql]] pivot joined
+    * against [[int8RecallSql]]'s dequantization chain. */
+  def int8OrderFlipsSql(occ: Long = 128L, dim: Int = 64): String =
+    s"""WITH ${knnGraphCtes(occ, dim, 2)}, piv AS (
+       |  SELECT q_id,
+       |         max(CASE WHEN rnk = 1 THEN cos END) AS c1,
+       |         max(CASE WHEN rnk = 2 THEN cos END) AS c2,
+       |         max(CASE WHEN rnk = 1 THEN vec_id END) AS a_id,
+       |         max(CASE WHEN rnk = 2 THEN vec_id END) AS b_id
+       |  FROM g GROUP BY 1
+       |  HAVING count(*) = 2
+       |), rh AS (
+       |  SELECT vec_id, vh, sqrt(list_dot_product(vh, vh)) AS hn
+       |  FROM (
+       |    SELECT vec_id,
+       |      CASE WHEN list_max(v) = list_min(v) THEN v
+       |        ELSE list_transform(v, x ->
+       |          round((x - list_min(v)) /
+       |            ((list_max(v) - list_min(v)) / 255.0::DOUBLE)) *
+       |            ((list_max(v) - list_min(v)) / 255.0::DOUBLE)
+       |            + list_min(v))
+       |      END AS vh
+       |    FROM n)
+       |), t AS (
+       |  SELECT CAST(round((piv.c1 - piv.c2) * 1000000) AS BIGINT)
+       |           AS margin_ppm,
+       |         CASE WHEN list_dot_product(q.vh, a.vh) / (q.hn * a.hn)
+       |                 < list_dot_product(q.vh, b.vh) / (q.hn * b.hn)
+       |              THEN 1 ELSE 0 END AS flip
+       |  FROM piv
+       |  JOIN rh q ON q.vec_id = piv.q_id
+       |  JOIN rh a ON a.vec_id = piv.a_id
+       |  JOIN rh b ON b.vec_id = piv.b_id
+       |)
+       |SELECT margin_ppm // 100000 AS margin_decade,
+       |       count(*) AS n_queries,
+       |       CAST(sum(flip) AS BIGINT) AS n_flips,
+       |       CAST(CAST(sum(flip) AS BIGINT) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS flip_rate
+       |FROM t GROUP BY 1""".stripMargin
+
   /** Top principal component by POWER ITERATION, made fully
     * deterministic — the embedding-health "dominant direction" monitor
     * ([[dimProfile]]'s multivariate sibling): a corpus whose top PC

@@ -3822,4 +3822,22 @@ class OpsInvariantsSpec extends SparkSuite {
     // members leaves exactly {4})
     assert(got === Map(0L -> 1L, 2L -> 6L, 3L -> 4L))
   }
+
+  test("int8 order flips: query counts match the nn-margin histogram " +
+      "decade for decade; flips nest in counts") {
+    val flips = Similarity.int8OrderFlips(spark, sf).cache()
+    assert(flips.filter(col("n_flips") > col("n_queries") ||
+      col("n_flips") < 0L).count() === 0)
+    assert(flips.filter(col("flip_rate") < 0.0d ||
+      col("flip_rate") > 1.0d).count() === 0)
+    // same k=2 full-coverage query population as nnMargin, same
+    // decade quantization -> per-decade query counts must agree
+    val margins = Similarity.nnMargin(spark, sf)
+      .select(col("margin_decade"), col("n_queries"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = flips.select(col("margin_decade"), col("n_queries"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === margins)
+    flips.unpersist()
+  }
 }
