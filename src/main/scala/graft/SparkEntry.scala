@@ -561,6 +561,10 @@ object SparkEntry {
         Dedup.weightedDupEdges(docs, Dedup.triangleThreshold)))
     }),
     "v_int8_order_flips" -> ((s, dir) => Similarity.int8OrderFlips(s, dir)),
+    "k18_snapshot_expire" -> ((s, dir) =>
+      TradeOps.snapshotExpire(s, trades(s, dir))),
+    "e_churn_rate" -> ((s, dir) =>
+      EventAnalytics.churnRate(Tables.events(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1872,5 +1876,7 @@ object SparkEntry {
     "e_active_streaks" -> EventAnalytics.activeStreaksSql,
     "g_two_hop_reach" -> Dedup.similarityTwoHopSql(),
     "v_int8_order_flips" -> Similarity.int8OrderFlipsSql(),
+    "k18_snapshot_expire" -> s"$T\n${TradeOps.snapshotExpireSql}",
+    "e_churn_rate" -> EventAnalytics.churnRateSql,
   )
 }

@@ -1187,6 +1187,62 @@ object EventAnalytics {
       .groupBy("max_streak").agg(count(lit(1)).as("n_users"))
   }
 
+  /** E (extension, r15) — week-over-week CHURN rate: of the users
+    * active in ISO week w, how many have NO activity in w+1 — the
+    * subscription-health complement to [[retention]] (which keys on
+    * cohort age, not calendar) and [[newReturning]] (which keys on
+    * first-ever day). Weekly because churn needs ≥2 complete periods
+    * and the corpus spans one calendar month; both engines truncate
+    * weeks to the same ISO Monday, and "next week" is the exact
+    * `+7 days` — no calendar arithmetic to diverge on. Exact counting:
+    * distinct (user, week) frame, one self left-join on
+    * (user, week+7d) — each row matches ≤1 row, so the join is
+    * data-sized and keys on user_id — null-next means churned; the
+    * final week is dropped (its "next week" hasn't happened, the
+    * standard convention). `churn_rate` is ONE IEEE division of exact
+    * counts. Plan: one distinct shuffle + one self-join + week-level
+    * aggregates (≤ |weeks| rows from the join onward); at 100 TB the
+    * join stays user-co-partitioned. */
+  def churnRate(events: DataFrame): DataFrame = {
+    val am = events.select(col("user_id"),
+      date_trunc("week", col("ts")).as("week")).distinct()
+    val nxt = am.select(col("user_id").as("uid2"),
+      col("week").as("nweek"))
+    val agg = am.join(nxt,
+        col("user_id") === col("uid2") &&
+          col("week") + expr("INTERVAL 7 DAYS") === col("nweek"),
+        "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("nweek").isNull, 1L).otherwise(0L)).as("n_churned"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("mx", max(col("week")).over(all))
+      .filter(col("week") < col("mx"))
+      .select(col("week"), col("n_active"), col("n_churned"),
+        (col("n_churned").cast("double") / col("n_active").cast("double"))
+          .as("churn_rate"))
+  }
+
+  /** Oracle for [[churnRate]]. */
+  val churnRateSql: String =
+    """WITH am AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP)
+      |    AS week FROM events
+      |), g AS (
+      |  SELECT a.week, count(*) AS n_active,
+      |         CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_churned
+      |  FROM am a LEFT JOIN am b
+      |    ON a.user_id = b.user_id
+      |   AND a.week + INTERVAL 7 DAY = b.week
+      |  GROUP BY 1
+      |)
+      |SELECT week, n_active, n_churned,
+      |       CAST(n_churned AS DOUBLE) / CAST(n_active AS DOUBLE)
+      |         AS churn_rate
+      |FROM g WHERE week < (SELECT max(week) FROM g)""".stripMargin
+
   /** Oracle for [[activeStreaks]]. */
   val activeStreaksSql: String =
     """WITH d AS (

@@ -637,6 +637,57 @@ object TradeOps {
       |  ON e.symbol = o.symbol
       |)""".stripMargin
 
+  /** K18 (extension, r15) — snapshot EXPIRY round-trip on the keyed
+    * upsert store ([[graft.sinks.Upsert.expire]] — Delta VACUUM /
+    * Iceberg expireSnapshots): commit a base snapshot and a revision
+    * (the [[rollbackRoundTrip]] parity states), expire everything but
+    * the current version, and emit the current table plus two probe
+    * columns — how many manifests were expired and whether the expired
+    * version is still time-travel-readable (it must NOT be). Proves
+    * the lifecycle verb reclaims history without touching the serving
+    * read: the data rows must still be exactly the odd-over-even
+    * upsert result. Exact cents; metadata-only disk work, no data
+    * rewrite. */
+  def snapshotExpire(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val root = scratchDir(spark, "expire_store")
+    def state(parity: Int) = trades
+      .filter(pmod(col("event_id"), lit(2)) === parity)
+      .groupBy("symbol")
+      .agg(expr("max_by(CAST(round(price * 100) AS BIGINT), event_id)")
+        .as("price_cents"))
+    graft.sinks.Upsert.merge(state(0), 0L, root, Seq("symbol"))
+    graft.sinks.Upsert.merge(state(1), 1L, root, Seq("symbol"))
+    val cur = graft.sinks.Upsert.currentVersion(root).get // = 1
+    val nExpired = graft.sinks.Upsert.expire(root, keepLast = 1)
+    val expiredReadable =
+      graft.sinks.Upsert.readVersion(spark, root, cur - 1).isDefined
+    graft.sinks.Upsert.read(spark, root).get
+      .select(col("symbol"), col("price_cents"))
+      .withColumn("n_expired", lit(nExpired.toLong))
+      .withColumn("expired_readable", lit(expiredReadable))
+  }
+
+  /** Oracle for [[snapshotExpire]] (body only — caller prepends the
+    * trades CTE): current = odd-parity last prices upserted OVER the
+    * even base; exactly one manifest (v0) expired; the expired version
+    * must not be readable. */
+  val snapshotExpireSql: String =
+    """SELECT COALESCE(o.symbol, e.symbol) AS symbol,
+      |       COALESCE(o.price_cents, e.price_cents) AS price_cents,
+      |       CAST(1 AS BIGINT) AS n_expired,
+      |       FALSE AS expired_readable
+      |FROM (
+      |  SELECT symbol,
+      |         max_by(CAST(round(price * 100) AS BIGINT), event_id)
+      |           AS price_cents
+      |  FROM trades WHERE event_id % 2 = 0 GROUP BY 1) e
+      |FULL OUTER JOIN (
+      |  SELECT symbol,
+      |         max_by(CAST(round(price * 100) AS BIGINT), event_id)
+      |           AS price_cents
+      |  FROM trades WHERE event_id % 2 = 1 GROUP BY 1) o
+      |ON e.symbol = o.symbol""".stripMargin
+
   /** Oracle for [[dynamicPartitionOverwrite]] (body only — caller
     * prepends the trades CTE): the revision as a CASE on the day. */
   def dynamicPartitionOverwriteSql(reviseDay: String = "2024-01-15"): String =

@@ -134,6 +134,56 @@ object Upsert {
     next
   }
 
+  /** Snapshot EXPIRY (K-tier extension; the Delta VACUUM / Iceberg
+    * expireSnapshots lifecycle verb): drop every manifest older than
+    * the newest `keepLast` and physically delete generation data no
+    * surviving manifest references — the storage-reclamation half of
+    * the version chain whose read half is [[readVersion]] and whose
+    * metadata half is [[rollback]]. Time travel to an expired version
+    * returns None afterwards (the same contract as any past-retention
+    * read); the current read is untouched. Ordering is pointer-safe:
+    * dead manifests go first, then only data referenced by NO
+    * surviving manifest — a reader that resolved the pointer before
+    * the call still scans its snapshot unless that snapshot is the one
+    * being expired (the retention trade every table format documents).
+    * O(versions + generations) metadata work, no data rewrite.
+    * Returns the number of manifests expired. */
+  def expire(root: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the current version")
+    import scala.jdk.CollectionConverters._
+    val cur = currentVersion(root).getOrElse(return 0)
+    val cutoff = cur - keepLast + 1
+    val versions = Files.list(Paths.get(root)).iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("manifest_v"))
+      .flatMap(_.stripPrefix("manifest_v").stripSuffix(".json").toLongOption)
+    val (dead, kept) = versions.partition(_ < cutoff)
+    val live: Set[(String, Int)] = kept
+      .flatMap(v => readManifest(root, v).buckets.toSeq
+        .map { case (b, g) => (g, b) }).toSet
+    val keepGens = live.map(_._1)
+    dead.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("gen") && Files.isDirectory(p)) {
+        if (!keepGens.contains(name)) rmTree(p)
+        else Files.list(p).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("_bucket="))
+          .foreach { bp =>
+            bp.getFileName.toString.stripPrefix("_bucket=").toIntOption
+              .foreach { b => if (!live.contains((name, b))) rmTree(bp) }
+          }
+      }
+    }
+    dead.size
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => Files.deleteIfExists(f))
+  }
+
   /** Read the current state of the keyed table (None if nothing has
     * been written yet — or if the current manifest lists zero buckets,
     * which a tombstone-only [[merge]] legitimately writes when deletes
@@ -332,9 +382,6 @@ object Upsert {
     // remove them too, or disk grows by one stale copy per rewrite for
     // as long as ANY bucket keeps the generation alive.
     import scala.jdk.CollectionConverters._
-    def rmTree(p: java.nio.file.Path): Unit =
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
     val live: Set[(String, Int)] =
       (nextManifest.buckets.toSeq ++ manifest.buckets.toSeq)
         .map { case (b, g) => (g, b) }.toSet

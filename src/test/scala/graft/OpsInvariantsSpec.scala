@@ -3840,4 +3840,65 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(got === margins)
     flips.unpersist()
   }
+
+  test("snapshot expire: expired version unreadable, current read " +
+      "identical to pre-expire, generation data physically reclaimed") {
+    import graft.sinks.Upsert
+    val root = java.nio.file.Files
+      .createTempDirectory("expire-spec").toString
+    def state(parity: Int) = trades
+      .filter(pmod(col("event_id"), lit(2)) === parity)
+      .groupBy("symbol")
+      .agg(expr("max_by(CAST(round(price * 100) AS BIGINT), event_id)")
+        .as("price_cents"))
+    Upsert.merge(state(0), 0L, root, Seq("symbol"))
+    Upsert.merge(state(1), 1L, root, Seq("symbol"))
+    val before = Upsert.read(spark, root).get.collect().toSet
+    assert(Upsert.readVersion(spark, root, 0L).isDefined)
+    def genDirs = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .iterator().asScala.count(_.getFileName.toString.startsWith("gen"))
+    }
+    val gensBefore = genDirs
+    assert(Upsert.expire(root, keepLast = 1) === 1)
+    assert(Upsert.readVersion(spark, root, 0L).isEmpty,
+      "expired version must not be time-travel readable")
+    assert(Upsert.read(spark, root).get.collect().toSet === before,
+      "current read untouched by expiry")
+    assert(genDirs <= gensBefore,
+      "expiry never grows the generation set")
+    // expire is idempotent: nothing left to expire
+    assert(Upsert.expire(root, keepLast = 1) === 0)
+  }
+
+  test("churn rate: exact recompute from distinct user-weeks; " +
+      "final week excluded; rates bounded; non-empty") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val got = graft.ops.EventAnalytics.churnRate(events).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.nonEmpty, "corpus spans several weeks — churn must emit")
+    // driver recompute
+    val um = events.select(col("user_id"),
+        date_trunc("week", col("ts")).as("w")).distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val byWeek = um.groupBy(_._2).map { case (w, rows) =>
+      w -> rows.map(_._1).toSet }
+    val weeks = byWeek.keys.toSeq.sortBy(_.getTime)
+    val expect = weeks.dropRight(1).map { w =>
+      val act = byWeek(w)
+      val nxt = byWeek.getOrElse(
+        new java.sql.Timestamp(w.getTime + 7L * 86400000L),
+        Set.empty[Long])
+      val churned = act.count(u => !nxt.contains(u)).toLong
+      w -> (act.size.toLong, churned,
+        churned.toDouble / act.size.toDouble)
+    }.toMap
+    assert(got === expect)
+    got.values.foreach { case (_, _, r) =>
+      assert(r >= 0.0d && r <= 1.0d)
+    }
+  }
 }
