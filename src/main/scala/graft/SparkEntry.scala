@@ -565,6 +565,7 @@ object SparkEntry {
       TradeOps.snapshotExpire(s, trades(s, dir))),
     "e_churn_rate" -> ((s, dir) =>
       EventAnalytics.churnRate(Tables.events(s, dir))),
+    "w_squeeze" -> ((s, dir) => TradeOps.squeeze(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1878,5 +1879,6 @@ object SparkEntry {
     "v_int8_order_flips" -> Similarity.int8OrderFlipsSql(),
     "k18_snapshot_expire" -> s"$T\n${TradeOps.snapshotExpireSql}",
     "e_churn_rate" -> EventAnalytics.churnRateSql,
+    "w_squeeze" -> s"$T\n${TradeOps.squeezeSql()}",
   )
 }

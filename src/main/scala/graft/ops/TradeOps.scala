@@ -5542,6 +5542,103 @@ object TradeOps {
       |          FROM trades)))
       |GROUP BY 1""".stripMargin
 
+  /** The squeeze predicate of [[squeeze]] as SQL text shared verbatim
+    * by the Spark plan and the DuckDB oracle (the [[bollingerExprs]]
+    * discipline): Bollinger band (mean ± k·σ of the n closes) strictly
+    * INSIDE the Keltner channel (typical-price mean ± mult·ATR) — all
+    * six band edges are fixed IEEE chains over the four exact BIGINT
+    * frame sums (s1=Σcl, s2=Σcl², stp=Σ(hi+lo+cl), str=ΣTR), so the
+    * strict comparisons are engine-identical bit-for-bit. */
+  private def squeezeExpr(n: Int, k: Int, mult: Int): String = {
+    val mean = s"(CAST(s1 AS DOUBLE) / $n.0)"
+    val std = s"(sqrt(CAST($n * s2 - s1 * s1 AS DOUBLE)) / $n.0)"
+    val mid = s"(CAST(stp AS DOUBLE) / ${3 * n}.0)"
+    val half = s"($mult.0 * (CAST(str AS DOUBLE) / $n.0))"
+    s"CASE WHEN $mean + $k.0 * $std < $mid + $half " +
+      s"AND $mean - $k.0 * $std > $mid - $half THEN 1 ELSE 0 END"
+  }
+
+  /** W (extension, r15) — TTM SQUEEZE fraction per symbol: on the
+    * shared hourly bars, how often does the Bollinger band sit strictly
+    * inside the Keltner channel — the volatility-compression regime
+    * flag (σ of closes collapsing faster than the true-range envelope:
+    * the coiled-spring setup every breakout system keys on), pairing
+    * [[bollinger]] and [[keltner]] on one frame the way
+    * [[volRegimeBanded]] pairs σ with its own history. Four exact
+    * BIGINT sums over ONE n-bar frame (Σcl, Σcl², Σ(hi+lo+cl), ΣTR —
+    * the keltner TR rule incl. the first-bar hi−lo fallback), the flag
+    * via [[squeezeExpr]] — one shared IEEE string, no rounding — and
+    * exact counts out; `squeeze_frac` is ONE IEEE division. Plan: one
+    * hourly bar aggregate + one symbol-keyed window (lag + 4 frame
+    * sums share it) + one symbol aggregate — the established
+    * 2-exchange bar shape; |symbols| rows out. */
+  def squeeze(trades: DataFrame, n: Int = 14, k: Int = 2,
+      mult: Int = 2): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("hr"))
+    val frame = Window.partitionBy("symbol").orderBy(col("hr"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"),
+        max_by(col("pc"), col("event_id")).as("cl"))
+      .withColumn("pcl", lag(col("cl"), 1).over(ord))
+      .withColumn("tr",
+        when(col("pcl").isNull, col("hi") - col("lo")).otherwise(
+          greatest(col("hi") - col("lo"), abs(col("hi") - col("pcl")),
+            abs(col("lo") - col("pcl")))))
+      .withColumn("s1", sum(col("cl")).over(frame))
+      .withColumn("s2", sum(col("cl") * col("cl")).over(frame))
+      .withColumn("stp", sum(col("hi") + col("lo") + col("cl")).over(frame))
+      .withColumn("str", sum(col("tr")).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .filter(col("cnt") === n)
+      .withColumn("sq", expr(squeezeExpr(n, k, mult)))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_bars"), sum(col("sq")).as("n_squeeze"))
+      .withColumn("squeeze_frac",
+        col("n_squeeze").cast("double") / col("n_bars").cast("double"))
+  }
+
+  /** Oracle for [[squeeze]] (body only — caller prepends the trades
+    * CTE). */
+  def squeezeSql(n: Int = 14, k: Int = 2, mult: Int = 2): String =
+    s"""SELECT symbol, count(*) AS n_bars,
+       |       CAST(sum(sq) AS BIGINT) AS n_squeeze,
+       |       CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS squeeze_frac
+       |FROM (
+       |  SELECT symbol, ${squeezeExpr(n, k, mult)} AS sq
+       |  FROM (
+       |    SELECT symbol,
+       |           CAST(sum(cl) OVER w2 AS BIGINT) AS s1,
+       |           CAST(sum(cl * cl) OVER w2 AS BIGINT) AS s2,
+       |           CAST(sum(hi + lo + cl) OVER w2 AS BIGINT) AS stp,
+       |           CAST(sum(tr) OVER w2 AS BIGINT) AS str,
+       |           count(*) OVER w2 AS cnt
+       |    FROM (
+       |      SELECT symbol, hr, hi, lo, cl,
+       |             CASE WHEN pcl IS NULL THEN hi - lo
+       |                  ELSE greatest(hi - lo, abs(hi - pcl),
+       |                                abs(lo - pcl))
+       |             END AS tr
+       |      FROM (
+       |        SELECT symbol, hr, hi, lo, cl,
+       |               lag(cl, 1) OVER (PARTITION BY symbol ORDER BY hr)
+       |                 AS pcl
+       |        FROM (
+       |          SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+       |                 max(pc) AS hi, min(pc) AS lo,
+       |                 arg_max(pc, event_id) AS cl
+       |          FROM (SELECT symbol, "timestamp", event_id,
+       |                       CAST(round(price * 100) AS BIGINT) AS pc
+       |                FROM trades)
+       |          GROUP BY 1, 2)))
+       |    WINDOW w2 AS (PARTITION BY symbol ORDER BY hr
+       |                  ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |  ) WHERE cnt = $n
+       |) GROUP BY 1""".stripMargin
+
   /** W (extension, r15) — OBV/price DIVERGENCE days: the day-level
     * disagreement counter between [[obv]]'s signed-volume flow and the
     * close-to-close price direction — the classic exhaustion signal

@@ -3901,4 +3901,32 @@ class OpsInvariantsSpec extends SparkSuite {
       assert(r >= 0.0d && r <= 1.0d)
     }
   }
+
+  test("squeeze: fraction bounded; flat tape squeezes everywhere " +
+      "once warm (sigma = 0 inside any envelope needs range > 0)") {
+    import spark.implicits._
+    val sq = TradeOps.squeeze(trades).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    sq.values.foreach { case (nb, ns, f) =>
+      assert(ns >= 0L && ns <= nb)
+      assert(f >= 0.0d && f <= 1.0d)
+    }
+    // alternating two-price tape: closes flip 900/1100 cents hourly, so
+    // close sigma is large while TR envelope is the same range -> the
+    // BB (k=2) pops OUTSIDE the KC (mult=2 on mean TR) never strictly
+    // inside with zero-width margins; a converging tape (close pinned,
+    // range wide) squeezes: close sigma = 0 strictly inside the wide
+    // TR envelope on every warm bar
+    val conv = (1 to 40).flatMap { h =>
+      val base = 1700000000000L + h * 3600000L
+      Seq(
+        (h * 10L, "S", new java.sql.Timestamp(base), 9.0, 1.0),
+        (h * 10L + 1, "S", new java.sql.Timestamp(base + 1000L), 11.0, 1.0),
+        (h * 10L + 2, "S", new java.sql.Timestamp(base + 2000L), 10.0, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val c = TradeOps.squeeze(conv).head()
+    assert(c.getLong(2) === c.getLong(1) && c.getDouble(3) === 1.0d,
+      "pinned close inside a wide TR envelope squeezes on every warm bar")
+  }
 }
