@@ -566,6 +566,7 @@ object SparkEntry {
     "e_churn_rate" -> ((s, dir) =>
       EventAnalytics.churnRate(Tables.events(s, dir))),
     "w_squeeze" -> ((s, dir) => TradeOps.squeeze(trades(s, dir))),
+    "w_rvi" -> ((s, dir) => TradeOps.rvi(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1880,5 +1881,6 @@ object SparkEntry {
     "k18_snapshot_expire" -> s"$T\n${TradeOps.snapshotExpireSql}",
     "e_churn_rate" -> EventAnalytics.churnRateSql,
     "w_squeeze" -> s"$T\n${TradeOps.squeezeSql()}",
+    "w_rvi" -> s"$T\n${TradeOps.rviSql}",
   )
 }

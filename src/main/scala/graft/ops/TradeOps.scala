@@ -5639,6 +5639,61 @@ object TradeOps {
        |  ) WHERE cnt = $n
        |) GROUP BY 1""".stripMargin
 
+  /** W (extension, r15) — RELATIVE VIGOR INDEX over hourly bars:
+    * `RVI = Σ(close−open) / Σ(high−low)` over the rolling n-bar frame —
+    * conviction per unit of range (a close pinned at the high on every
+    * bar vigors +1, at the low −1), the body-vs-wick complement to
+    * [[williamsR]]'s position reading. Textbook RVI smooths each term
+    * with a 4-bar symmetric filter before the ratio; this op keeps the
+    * unsmoothed frame-sum form so BOTH terms stay exact cent BIGINTs
+    * (open = `min_by(pc, event_id)`, the arrival-order first trade)
+    * and the emit is ONE correctly-rounded IEEE division —
+    * engine-identical unrounded. Zero-range frames (every bar flat)
+    * emit NULL. Plan: one bar aggregate + one symbol-keyed window —
+    * the 2-exchange bar shape; |symbol-hours| rows out. */
+  def rvi(trades: DataFrame, n: Int = 14): DataFrame = {
+    val frame = Window.partitionBy("symbol").orderBy(col("hr"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(date_trunc("hour", col("timestamp")).as("hr"), col("symbol"))
+      .agg(max(col("pc")).as("hi"), min(col("pc")).as("lo"),
+        min_by(col("pc"), col("event_id")).as("op"),
+        max_by(col("pc"), col("event_id")).as("cl"))
+      .select(col("symbol"), col("hr"),
+        count(lit(1)).over(frame).as("n_frame"),
+        sum(col("cl") - col("op")).over(frame).as("s_body"),
+        sum(col("hi") - col("lo")).over(frame).as("s_range"))
+      .filter(col("n_frame") === n)
+      .withColumn("rvi", when(col("s_range") > 0,
+        col("s_body").cast("double") / col("s_range").cast("double")))
+  }
+
+  /** Oracle for [[rvi]] (body only — caller prepends the trades CTE;
+    * n = 14). */
+  val rviSql: String =
+    """SELECT symbol, hr, n_frame, s_body, s_range,
+      |       CASE WHEN s_range > 0
+      |            THEN CAST(s_body AS DOUBLE) / CAST(s_range AS DOUBLE)
+      |       END AS rvi
+      |FROM (
+      |  SELECT symbol, hr,
+      |         count(*) OVER w AS n_frame,
+      |         CAST(sum(cl - op) OVER w AS BIGINT) AS s_body,
+      |         CAST(sum(hi - lo) OVER w AS BIGINT) AS s_range
+      |  FROM (
+      |    SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+      |           max(pc) AS hi, min(pc) AS lo,
+      |           arg_min(pc, event_id) AS op,
+      |           arg_max(pc, event_id) AS cl
+      |    FROM (SELECT symbol, "timestamp", event_id,
+      |                 CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades)
+      |    GROUP BY 1, 2)
+      |  WINDOW w AS (PARTITION BY symbol ORDER BY hr
+      |               ROWS 13 PRECEDING)
+      |) WHERE n_frame = 14""".stripMargin
+
   /** W (extension, r15) — OBV/price DIVERGENCE days: the day-level
     * disagreement counter between [[obv]]'s signed-volume flow and the
     * close-to-close price direction — the classic exhaustion signal

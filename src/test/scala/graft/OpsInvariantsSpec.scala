@@ -3929,4 +3929,28 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(c.getLong(2) === c.getLong(1) && c.getDouble(3) === 1.0d,
       "pinned close inside a wide TR envelope squeezes on every warm bar")
   }
+
+  test("rvi: bounded in [-1, 1]; close-at-high tape pins +1, " +
+      "close-at-low pins -1; flat frames NULL") {
+    import spark.implicits._
+    val r = TradeOps.rvi(trades).cache()
+    assert(r.filter(col("rvi") > 1.0d || col("rvi") < -1.0d).count() === 0)
+    assert(r.filter(col("s_range") === 0L &&
+      col("rvi").isNotNull).count() === 0)
+    assert(r.filter(col("n_frame") =!= 14L).count() === 0)
+    r.unpersist()
+    // open at the low, close at the high every hour -> body = range -> +1
+    val up = (1 to 40).flatMap { h =>
+      val base = 1700000000000L + h * 3600000L
+      Seq((h * 10L, "U", new java.sql.Timestamp(base), 5.0, 1.0),
+        (h * 10L + 1, "U", new java.sql.Timestamp(base + 1000L), 9.0, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.rvi(up).filter(col("rvi") =!= 1.0d).count() === 0)
+    val dn = (1 to 40).flatMap { h =>
+      val base = 1700000000000L + h * 3600000L
+      Seq((h * 10L, "D", new java.sql.Timestamp(base), 9.0, 1.0),
+        (h * 10L + 1, "D", new java.sql.Timestamp(base + 1000L), 5.0, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    assert(TradeOps.rvi(dn).filter(col("rvi") =!= -1.0d).count() === 0)
+  }
 }
