@@ -567,6 +567,9 @@ object SparkEntry {
       EventAnalytics.churnRate(Tables.events(s, dir))),
     "w_squeeze" -> ((s, dir) => TradeOps.squeeze(trades(s, dir))),
     "w_rvi" -> ((s, dir) => TradeOps.rvi(trades(s, dir))),
+    "a_round_price_bias" -> ((s, dir) =>
+      TradeOps.roundPriceBias(trades(s, dir))),
+    "w_gap_fill" -> ((s, dir) => TradeOps.gapFill(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1882,5 +1885,7 @@ object SparkEntry {
     "e_churn_rate" -> EventAnalytics.churnRateSql,
     "w_squeeze" -> s"$T\n${TradeOps.squeezeSql()}",
     "w_rvi" -> s"$T\n${TradeOps.rviSql}",
+    "a_round_price_bias" -> s"$T\n${TradeOps.roundPriceBiasSql}",
+    "w_gap_fill" -> s"$T\n${TradeOps.gapFillSql}",
   )
 }

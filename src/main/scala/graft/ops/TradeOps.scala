@@ -5639,6 +5639,116 @@ object TradeOps {
        |  ) WHERE cnt = $n
        |) GROUP BY 1""".stripMargin
 
+  /** A (extension, r15) — ROUND-NUMBER PRICE CLUSTERING: the share of
+    * trades printing at whole-dollar / half-dollar / dime cent levels
+    * per symbol — the classic microstructure bias (humans and limit
+    * books cluster at round ticks; its absence flags synthetic or
+    * mid-point-matched tape). Pure integer modulus counting on exact
+    * cent prices — nests by construction (dollar ⊆ half ⊆ dime), each
+    * share is ONE IEEE division of exact counts. One symbol-keyed
+    * aggregate — 1 exchange, |symbols| rows out, and the modulus
+    * predicates sit inside the partial aggregate so at 100 TB the map
+    * side reduces everything. */
+  def roundPriceBias(trades: DataFrame): DataFrame =
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_trades"),
+        sum(when(pmod(col("pc"), lit(100L)) === 0L, 1L).otherwise(0L))
+          .as("n_dollar"),
+        sum(when(pmod(col("pc"), lit(50L)) === 0L, 1L).otherwise(0L))
+          .as("n_half"),
+        sum(when(pmod(col("pc"), lit(10L)) === 0L, 1L).otherwise(0L))
+          .as("n_dime"))
+      .select(col("symbol"), col("n_trades"), col("n_dollar"),
+        col("n_half"), col("n_dime"),
+        (col("n_dollar").cast("double") / col("n_trades").cast("double"))
+          .as("dollar_share"),
+        (col("n_half").cast("double") / col("n_trades").cast("double"))
+          .as("half_share"),
+        (col("n_dime").cast("double") / col("n_trades").cast("double"))
+          .as("dime_share"))
+
+  /** Oracle for [[roundPriceBias]] (body only — caller prepends the
+    * trades CTE). */
+  val roundPriceBiasSql: String =
+    """SELECT symbol, n_trades, n_dollar, n_half, n_dime,
+      |       CAST(n_dollar AS DOUBLE) / CAST(n_trades AS DOUBLE)
+      |         AS dollar_share,
+      |       CAST(n_half AS DOUBLE) / CAST(n_trades AS DOUBLE)
+      |         AS half_share,
+      |       CAST(n_dime AS DOUBLE) / CAST(n_trades AS DOUBLE)
+      |         AS dime_share
+      |FROM (
+      |  SELECT symbol, count(*) AS n_trades,
+      |         CAST(sum(CASE WHEN pc % 100 = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_dollar,
+      |         CAST(sum(CASE WHEN pc % 50 = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_half,
+      |         CAST(sum(CASE WHEN pc % 10 = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_dime
+      |  FROM (SELECT symbol, CAST(round(price * 100) AS BIGINT) AS pc
+      |        FROM trades)
+      |  GROUP BY 1)""".stripMargin
+
+  /** W (extension, r15) — overnight GAP-FILL rate per symbol: of the
+    * days that OPEN away from the prior day's close (gap up or down),
+    * how many trade back through that close intraday (the "gap fill")
+    * — the mean-reversion folk statistic, made exact: daily bars carry
+    * `min_by/max_by(pc, event_id)` open/close and integer hi/lo, a gap
+    * day is `open ≠ prev_close`, and a fill is `lo ≤ prev_close ≤ hi`
+    * — all integer comparisons, with one IEEE division at the end.
+    * Plan: one bar aggregate + one day-level lag + one symbol
+    * aggregate — the 2-exchange bar shape; |symbols| rows out. */
+  def gapFill(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy(col("day"))
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg(min_by(col("pc"), col("event_id")).as("op"),
+        max_by(col("pc"), col("event_id")).as("cl"),
+        max(col("pc")).as("hi"), min(col("pc")).as("lo"))
+      .withColumn("pcl", lag(col("cl"), 1).over(ord))
+      .filter(col("pcl").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("op") =!= col("pcl"), 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("op") =!= col("pcl") &&
+          col("lo") <= col("pcl") && col("pcl") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_filled"))
+      .withColumn("fill_rate", when(col("n_gaps") > 0,
+        col("n_filled").cast("double") / col("n_gaps").cast("double")))
+  }
+
+  /** Oracle for [[gapFill]] (body only — caller prepends the trades
+    * CTE). */
+  val gapFillSql: String =
+    """SELECT symbol, n_days, n_gaps, n_filled,
+      |       CASE WHEN n_gaps > 0
+      |            THEN CAST(n_filled AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+      |       END AS fill_rate
+      |FROM (
+      |  SELECT symbol, count(*) AS n_days,
+      |         CAST(sum(CASE WHEN op != pcl THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_gaps,
+      |         CAST(sum(CASE WHEN op != pcl AND lo <= pcl AND pcl <= hi
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+      |  FROM (
+      |    SELECT symbol, op, hi, lo,
+      |           lag(cl, 1) OVER (PARTITION BY symbol ORDER BY day)
+      |             AS pcl
+      |    FROM (
+      |      SELECT symbol, CAST("timestamp" AS DATE) AS day,
+      |             arg_min(pc, event_id) AS op,
+      |             arg_max(pc, event_id) AS cl,
+      |             max(pc) AS hi, min(pc) AS lo
+      |      FROM (SELECT symbol, "timestamp", event_id,
+      |                   CAST(round(price * 100) AS BIGINT) AS pc
+      |            FROM trades)
+      |      GROUP BY 1, 2))
+      |  WHERE pcl IS NOT NULL
+      |  GROUP BY 1)""".stripMargin
+
   /** W (extension, r15) — RELATIVE VIGOR INDEX over hourly bars:
     * `RVI = Σ(close−open) / Σ(high−low)` over the rolling n-bar frame —
     * conviction per unit of range (a close pinned at the high on every

@@ -3953,4 +3953,63 @@ class OpsInvariantsSpec extends SparkSuite {
     }.toDF("event_id", "symbol", "timestamp", "price", "volume")
     assert(TradeOps.rvi(dn).filter(col("rvi") =!= -1.0d).count() === 0)
   }
+
+  test("round price bias: shares nest (dollar <= half <= dime <= 1); " +
+      "crafted all-round tape pins 1.0 everywhere") {
+    import spark.implicits._
+    val b = TradeOps.roundPriceBias(trades).cache()
+    assert(b.filter(col("n_dollar") > col("n_half") ||
+      col("n_half") > col("n_dime") ||
+      col("n_dime") > col("n_trades")).count() === 0)
+    assert(b.filter(col("dollar_share") > col("half_share") ||
+      col("half_share") > col("dime_share") ||
+      col("dime_share") > 1.0d).count() === 0)
+    b.unpersist()
+    val round = (1 to 20).map(i => (i.toLong, "R",
+      new java.sql.Timestamp(1700000000000L + i * 1000L), i.toDouble, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val r = TradeOps.roundPriceBias(round).head()
+    assert(r.getDouble(5) === 1.0d && r.getDouble(6) === 1.0d &&
+      r.getDouble(7) === 1.0d)
+  }
+
+  test("gap fill: filled nests in gaps; crafted gap-and-fill tape = 1.0, " +
+      "runaway gaps = 0.0, gapless tape NULL") {
+    import spark.implicits._
+    val g = TradeOps.gapFill(trades).cache()
+    assert(g.filter(col("n_filled") > col("n_gaps") ||
+      col("n_gaps") > col("n_days")).count() === 0)
+    assert(g.filter(col("fill_rate") < 0.0d ||
+      col("fill_rate") > 1.0d).count() === 0)
+    g.unpersist()
+    // day d opens above yesterday's close (gap up) then trades below
+    // it (fills). closes at 10 every day; opens at 12, dips to 9.
+    val fill = (1 to 10).flatMap { d =>
+      val base = 1700000000000L + d * 86400000L
+      Seq((d * 10L, "F", new java.sql.Timestamp(base), 12.0, 1.0),
+        (d * 10L + 1, "F", new java.sql.Timestamp(base + 1000L), 9.0, 1.0),
+        (d * 10L + 2, "F", new java.sql.Timestamp(base + 2000L), 10.0, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val f = TradeOps.gapFill(fill).head()
+    assert(f.getLong(2) === 9L && f.getLong(3) === 9L &&
+      f.getDouble(4) === 1.0d)
+    // runaway: each day opens and stays strictly above yesterday's
+    // whole range — gap never fills
+    val run = (1 to 10).flatMap { d =>
+      val base = 1700000000000L + d * 86400000L
+      Seq((d * 10L, "N", new java.sql.Timestamp(base), 10.0 + 2 * d, 1.0),
+        (d * 10L + 1, "N", new java.sql.Timestamp(base + 1000L),
+          11.0 + 2 * d, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val n = TradeOps.gapFill(run).head()
+    assert(n.getLong(2) === 9L && n.getLong(3) === 0L &&
+      n.getDouble(4) === 0.0d)
+    // gapless: one flat price forever -> zero gaps -> NULL rate
+    val flat = (1 to 10).flatMap { d =>
+      val base = 1700000000000L + d * 86400000L
+      Seq((d * 10L, "Z", new java.sql.Timestamp(base), 10.0, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val z = TradeOps.gapFill(flat).head()
+    assert(z.getLong(2) === 0L && z.isNullAt(4))
+  }
 }
