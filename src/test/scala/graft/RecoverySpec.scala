@@ -522,4 +522,53 @@ class RecoverySpec extends SparkSuite {
     assert(Upsert.read(spark, out).get.count() === 2,
       "replayed bars upserted their own keys — no dupes")
   }
+
+  test("drawdown stream: running peak survives the restart (drawdown " +
+    "continues from the recovered high, not from the restart price)") {
+    import graft.streaming.DrawdownStream
+    import spark.implicits._
+    val in = tmpDir("graft-dd-in")
+    val out = tmpDir("graft-dd-out")
+    val ckpt = tmpDir("graft-dd-ckpt")
+
+    def line(id: Long, offMs: Long, p: Double) =
+      s"$id,BTC,${t0 + offMs},$p,1.0"
+    def parsed = spark.readStream.text(in)
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+        col("f").getItem(1).as("symbol"),
+        timestamp_millis(col("f").getItem(2).cast("long")).as("ts"),
+        col("f").getItem(3).cast("double").as("price"),
+        col("f").getItem(4).cast("double").as("volume"))
+      .as[DrawdownStream.Trade]
+    def start() = DrawdownStream.drawdownStream(spark, parsed).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Upsert.merge(df, id, out, Seq("symbol"))
+      }.start()
+
+    // phase 1: high of 12.00, small dip to 11.00 — hard stop
+    writeBatch(in, "b1.csv", Seq(
+      line(1, 0, 10.00), line(2, 1000, 12.00), line(3, 2000, 11.00)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val p1 = Upsert.read(spark, out).get
+      .select("n_ticks", "max_dd_cents", "max_dd_frac")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p1 === Set((3L, 100L, 100.0 / 1200.0)),
+      s"pre-kill snapshot: $p1")
+
+    // phase 2: restart; a 9.00 print must measure against the
+    // RECOVERED 12.00 peak (dd = 300 cents), not the post-restart
+    // local high (which would give 200 from 11.00)
+    writeBatch(in, "b2.csv", Seq(line(4, 3000, 9.00)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val p2 = Upsert.read(spark, out).get
+      .select("n_ticks", "max_dd_cents", "max_dd_frac")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p2 === Set((4L, 300L, 300.0 / 1200.0)),
+      s"cross-restart peak continuation: $p2")
+  }
 }
