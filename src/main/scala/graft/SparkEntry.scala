@@ -570,6 +570,7 @@ object SparkEntry {
     "a_round_price_bias" -> ((s, dir) =>
       TradeOps.roundPriceBias(trades(s, dir))),
     "w_gap_fill" -> ((s, dir) => TradeOps.gapFill(trades(s, dir))),
+    "w_narrow_range" -> ((s, dir) => TradeOps.narrowRange(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1887,5 +1888,6 @@ object SparkEntry {
     "w_rvi" -> s"$T\n${TradeOps.rviSql}",
     "a_round_price_bias" -> s"$T\n${TradeOps.roundPriceBiasSql}",
     "w_gap_fill" -> s"$T\n${TradeOps.gapFillSql}",
+    "w_narrow_range" -> s"$T\n${TradeOps.narrowRangeSql}",
   )
 }

@@ -5749,6 +5749,62 @@ object TradeOps {
       |  WHERE pcl IS NOT NULL
       |  GROUP BY 1)""".stripMargin
 
+  /** W (extension, r15) — NARROW-RANGE-7 (NR7) profile per symbol: how
+    * often is a day's high-low range STRICTLY the narrowest of the
+    * trailing 7 — the volatility-cycle contraction marker (Crabel's
+    * setup day: compression precedes expansion; its rate distinguishes
+    * trending tape from chop), the daily-bar sibling of [[squeeze]]'s
+    * band form. Pure integer machinery: ranges are exact cent
+    * differences, the trailing-6 minimum is an integer window `min`,
+    * the NR7 flag is ONE strict integer comparison (ties are NOT NR7 —
+    * strictness is the documented convention), and the rate is ONE
+    * IEEE division of exact counts. Only days with a full 7-bar
+    * history qualify. Plan: one bar aggregate + one symbol window +
+    * one symbol aggregate — the 2-exchange bar shape; |symbols| rows
+    * out. */
+  def narrowRange(trades: DataFrame, n: Int = 7): DataFrame = {
+    val prior = Window.partitionBy("symbol").orderBy(col("day"))
+      .rowsBetween(-(n - 1), -1)
+    trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .groupBy(col("symbol"), to_date(col("timestamp")).as("day"))
+      .agg((max(col("pc")) - min(col("pc"))).as("rng"))
+      .withColumn("prior_min", min(col("rng")).over(prior))
+      .withColumn("n_prior", count(lit(1)).over(prior))
+      .filter(col("n_prior") === (n - 1))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("rng") < col("prior_min"), 1L).otherwise(0L))
+          .as("n_nr"))
+      .withColumn("nr_rate",
+        col("n_nr").cast("double") / col("n_days").cast("double"))
+  }
+
+  /** Oracle for [[narrowRange]] (body only — caller prepends the
+    * trades CTE; n = 7). */
+  val narrowRangeSql: String =
+    """SELECT symbol, count(*) AS n_days,
+      |       CAST(sum(CASE WHEN rng < prior_min THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_nr,
+      |       CAST(CAST(sum(CASE WHEN rng < prior_min THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         AS nr_rate
+      |FROM (
+      |  SELECT symbol, rng,
+      |         CAST(min(rng) OVER w AS BIGINT) AS prior_min,
+      |         count(*) OVER w AS n_prior
+      |  FROM (
+      |    SELECT symbol, CAST("timestamp" AS DATE) AS day,
+      |           max(pc) - min(pc) AS rng
+      |    FROM (SELECT symbol, "timestamp", event_id,
+      |                 CAST(round(price * 100) AS BIGINT) AS pc
+      |          FROM trades)
+      |    GROUP BY 1, 2)
+      |  WINDOW w AS (PARTITION BY symbol ORDER BY day
+      |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+      |) WHERE n_prior = 6
+      |GROUP BY 1""".stripMargin
+
   /** W (extension, r15) — RELATIVE VIGOR INDEX over hourly bars:
     * `RVI = Σ(close−open) / Σ(high−low)` over the rolling n-bar frame —
     * conviction per unit of range (a close pinned at the high on every

@@ -4012,4 +4012,33 @@ class OpsInvariantsSpec extends SparkSuite {
     val z = TradeOps.gapFill(flat).head()
     assert(z.getLong(2) === 0L && z.isNullAt(4))
   }
+
+  test("narrow range: rate bounded; monotone contracting tape is NR7 " +
+      "every qualifying day; constant-range tape never (strict)") {
+    import spark.implicits._
+    val nr = TradeOps.narrowRange(trades).cache()
+    assert(nr.filter(col("n_nr") > col("n_days")).count() === 0)
+    assert(nr.filter(col("nr_rate") < 0.0d ||
+      col("nr_rate") > 1.0d).count() === 0)
+    nr.unpersist()
+    // contracting: day d has range 100 - d cents -> strictly narrowest
+    // of any trailing window on every qualifying day
+    val contract = (1 to 20).flatMap { d =>
+      val base = 1700000000000L + d * 86400000L
+      Seq((d * 10L, "C", new java.sql.Timestamp(base), 50.0, 1.0),
+        (d * 10L + 1, "C", new java.sql.Timestamp(base + 1000L),
+          50.0 + (1.0 - d * 0.01), 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val c = TradeOps.narrowRange(contract).head()
+    assert(c.getLong(1) === 14L && c.getLong(2) === 14L &&
+      c.getDouble(3) === 1.0d)
+    // constant range: ties are never NR (strict comparison)
+    val const = (1 to 20).flatMap { d =>
+      val base = 1700000000000L + d * 86400000L
+      Seq((d * 10L, "K", new java.sql.Timestamp(base), 50.0, 1.0),
+        (d * 10L + 1, "K", new java.sql.Timestamp(base + 1000L), 51.0, 1.0))
+    }.toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val k = TradeOps.narrowRange(const).head()
+    assert(k.getLong(2) === 0L && k.getDouble(3) === 0.0d)
+  }
 }
