@@ -32,6 +32,34 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadAvg()
+    // Host-speed canary (r16): a fixed single-threaded integer loop
+    // timed before Spark starts. The r15→r16 adjudication showed the
+    // HOST can drift ~35% between rounds with zero code change (the
+    // same r14-era jar reproduced the "regression" — kernel/sandbox
+    // epoch, not plans). Recording a pure-CPU reference time in every
+    // artifact lets round-over-round ratios be normalized to host
+    // speed instead of mis-read as code regressions. xorshift64*, 2^28
+    // iterations, min of 3 (first run JITs); the final fold prevents
+    // dead-code elimination.
+    def canary(): Double = {
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        var x = 88172645463325252L
+        var acc = 0L
+        var i = 0
+        while (i < (1 << 28)) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          acc += x
+          i += 1
+        }
+        ((System.nanoTime() - t0) / 1e9, acc)
+      }
+      val rs = (1 to 3).map(_ => run())
+      if (rs.map(_._2).distinct.size != 1)
+        System.err.println("[bench] canary accumulator mismatch")
+      rs.map(_._1).min
+    }
+    val canarySec = canary()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -108,7 +136,7 @@ object Bench {
       .getOrElse(0.0625 * Runtime.getRuntime.availableProcessors())
     val contended = loadBefore > loadThr
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"canary_sec":$canarySec,"queries":$qs,"sf":"$sfDir"}"""
     if (contended)
       System.err.println(
         s"[bench] WARNING: started at loadavg $loadBefore (>$loadThr) — timings " +
@@ -121,10 +149,22 @@ object Bench {
     // Also persist the complete per-query JSON: the driver's captured
     // stdout tail has truncated mid-object before (BENCH_r05), hiding
     // per-query rows from round-over-round comparison.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
-    catch { case e: Throwable =>
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.writeString(out, line)
+      // Every run ALSO lands a timestamped copy under bench_runs/ next
+      // to the primary artifact: the driver's post-round rerun writes
+      // the default path and has now clobbered a committed floor's
+      // working-tree twin three rounds running (VERDICT r15 #3) — with
+      // the copy, no bench result is ever one `git checkout` from gone.
+      val dir = Option(out.toAbsolutePath.getParent).getOrElse(
+        java.nio.file.Paths.get("."))
+      val runs = dir.resolve("bench_runs")
+      java.nio.file.Files.createDirectories(runs)
+      java.nio.file.Files.writeString(
+        runs.resolve(s"bench_${System.currentTimeMillis()}.json"), line)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
     spark.stop()

@@ -571,6 +571,9 @@ object SparkEntry {
       TradeOps.roundPriceBias(trades(s, dir))),
     "w_gap_fill" -> ((s, dir) => TradeOps.gapFill(trades(s, dir))),
     "w_narrow_range" -> ((s, dir) => TradeOps.narrowRange(trades(s, dir))),
+    "k19_compact_generations" -> ((s, dir) =>
+      TradeOps.compactGenerations(s, trades(s, dir))),
+    "a_depth_ladder" -> ((s, dir) => TradeOps.depthLadder(trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1889,5 +1892,7 @@ object SparkEntry {
     "a_round_price_bias" -> s"$T\n${TradeOps.roundPriceBiasSql}",
     "w_gap_fill" -> s"$T\n${TradeOps.gapFillSql}",
     "w_narrow_range" -> s"$T\n${TradeOps.narrowRangeSql}",
+    "k19_compact_generations" -> s"$T\n${TradeOps.compactGenerationsSql}",
+    "a_depth_ladder" -> s"$T\n${TradeOps.depthLadderSql()}",
   )
 }

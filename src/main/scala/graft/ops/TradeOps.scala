@@ -490,6 +490,24 @@ object TradeOps {
   private[ops] def scratchDir(spark: SparkSession, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${spark.sparkContext.applicationId}"
 
+  /** [[scratchDir]] guaranteed EMPTY: ops whose contract is "start from
+    * a fresh store" (rollback/expire round-trips) must not inherit a
+    * prior invocation's version chain — the Bench driver runs every op
+    * several times per application (warmup + reps), and a reused store
+    * makes rep 2+ measure different work and emit different probe
+    * counts than rep 1 (ADVICE r15). Build-once ops (keyedPointRead,
+    * ttStore) keep the plain scratchDir + manifest guard. */
+  private[ops] def freshScratchDir(spark: SparkSession, name: String): String = {
+    val d = scratchDir(spark, name)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(d))
+    d
+  }
+
   def partitionedRoundTrip(spark: SparkSession, trades: DataFrame,
       yr: Int = 2024, mo: Int = 1): DataFrame = {
     val out = scratchDir(spark, "part_roundtrip")
@@ -591,7 +609,7 @@ object TradeOps {
     * per-key pre-aggregated (`max_by` on the unique event_id) so
     * last-writer-wins is deterministic. Output in exact cents. */
   def rollbackRoundTrip(spark: SparkSession, trades: DataFrame): DataFrame = {
-    val root = scratchDir(spark, "rollback_store")
+    val root = freshScratchDir(spark, "rollback_store")
     def state(parity: Int) = trades
       .filter(pmod(col("event_id"), lit(2)) === parity)
       .groupBy("symbol")
@@ -649,7 +667,7 @@ object TradeOps {
     * upsert result. Exact cents; metadata-only disk work, no data
     * rewrite. */
   def snapshotExpire(spark: SparkSession, trades: DataFrame): DataFrame = {
-    val root = scratchDir(spark, "expire_store")
+    val root = freshScratchDir(spark, "expire_store")
     def state(parity: Int) = trades
       .filter(pmod(col("event_id"), lit(2)) === parity)
       .groupBy("symbol")
@@ -687,6 +705,73 @@ object TradeOps {
       |           AS price_cents
       |  FROM trades WHERE event_id % 2 = 1 GROUP BY 1) o
       |ON e.symbol = o.symbol""".stripMargin
+
+  /** K19 (extension, r16) — generation COMPACTION round-trip on the
+    * keyed upsert store ([[graft.sinks.Upsert.compact]] — Delta
+    * OPTIMIZE / Iceberg rewriteDataFiles): build a deliberately
+    * fragmented table (three partial merges over disjoint hour-keyed
+    * slices, so the final manifest references several generations),
+    * compact, and serve the table back with two physical-layout probes
+    * — the live generation count (must be 1) and the max parquet file
+    * count per bucket (must be 1). The data oracle is the plain
+    * per-(symbol, hour) rollup of all trades: batches partition the
+    * keys disjointly (`hour % 3`), so compaction must be a pure
+    * physical rewrite with zero row-level effect. Store layout work is
+    * metadata + one distributed rewrite of live data; exact integers
+    * throughout. Fresh store per invocation (the ADVICE r15 lesson —
+    * bench reps must measure identical work). */
+  def compactGenerations(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val root = freshScratchDir(spark, "compact_gen_store")
+    val keyed = trades
+      .withColumn("hr", date_trunc("hour", col("timestamp")))
+      .groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+    // Fragmentation fixture: a full base load, then two SINGLE-SYMBOL
+    // revision merges (value-identical rows, so the overwrite is
+    // row-invisible). Each revision rewrites only the one bucket its
+    // symbol hashes to, leaving the base generation alive for every
+    // other bucket — ≥2 live generations whenever the corpus has ≥2
+    // symbols in distinct buckets. (Batching by hour residue does NOT
+    // fragment: every symbol trades in every residue, so the last
+    // merge re-touches and re-owns every bucket — learned from the
+    // first spec run.)
+    graft.sinks.Upsert.merge(keyed, 0L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    // Empty input ⇒ the merge no-ops ⇒ no table: emit the empty
+    // result instead of throwing (the stress corpora can empty any
+    // fixed selection — EMPTY-OK is the contract, a raised error is an
+    // asymmetry).
+    if (graft.sinks.Upsert.currentVersion(root).isEmpty)
+      return keyed
+        .withColumn("gens_after", lit(1L))
+        .withColumn("max_files_per_bucket", lit(1L))
+        .limit(0)
+    val syms = keyed.agg(min("symbol"), max("symbol")).head
+    Seq(syms.getString(0), syms.getString(1)).zipWithIndex.foreach {
+      case (s, i) =>
+        graft.sinks.Upsert.merge(keyed.filter(col("symbol") === s),
+          (i + 1).toLong, root,
+          keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    }
+    graft.sinks.Upsert.compact(spark, root)
+    val gensAfter = graft.sinks.Upsert.liveGenerations(root)
+    val maxFiles = graft.sinks.Upsert.maxFilesPerBucket(root)
+    graft.sinks.Upsert.read(spark, root).get
+      .select(col("symbol"), col("hr"), col("n_events"), col("max_event_id"))
+      .withColumn("gens_after", lit(gensAfter.toLong))
+      .withColumn("max_files_per_bucket", lit(maxFiles.toLong))
+  }
+
+  /** Oracle for [[compactGenerations]] (body only — caller prepends the
+    * trades CTE): compaction is row-invisible, so the table is the
+    * plain hour rollup; both layout probes are the compacted
+    * constants. */
+  val compactGenerationsSql: String =
+    """SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+      |       count(*) AS n_events, max(event_id) AS max_event_id,
+      |       CAST(1 AS BIGINT) AS gens_after,
+      |       CAST(1 AS BIGINT) AS max_files_per_bucket
+      |FROM trades GROUP BY 1, 2""".stripMargin
 
   /** Oracle for [[dynamicPartitionOverwrite]] (body only — caller
     * prepends the trades CTE): the revision as a CASE on the day. */
@@ -5995,5 +6080,92 @@ object TradeOps {
       |    GROUP BY 1, 2)
       |  WINDOW w AS (PARTITION BY symbol ORDER BY day
       |               ROWS 13 PRECEDING))""".stripMargin
+
+  /** A (extension, r16) — order-book-style DEPTH LADDER reconstructed
+    * from the trade tape (VERDICT r15 #7's suggested new class): per
+    * (symbol, cent price level) within ±`windowCents` of the symbol's
+    * LAST traded price, the tick-rule-signed volume resting at that
+    * level — `buy_vol_micro` (upticks: aggressive buys lifting the
+    * level), `sell_vol_micro` (downticks), `neutral_vol_micro` (ticks
+    * before the first price change, sign unresolved — emitted, not
+    * dropped, so the ladder's total volume reconciles with the tape),
+    * and the
+    * trade count. `rel_cents` positions the level against the last
+    * price, so the consumer reads it like book depth around the touch.
+    * Sign is the carried tick rule — the [[vpin]]/[[kyleLambda]] state
+    * machine verbatim, so the three microstructure ops can never
+    * disagree about a tick's side. All integers: cent levels, micro
+    * volume, BIGINT sums (int64-loud at the same boundary in both
+    * engines). Plan: one symbol-keyed ordered window pass (shared
+    * shape with vpin), one broadcast of |symbols| last-price rows, one
+    * hash aggregate on (symbol, pc) — distinct cent levels per symbol
+    * are bounded by the price range, not the row count, so the output
+    * stays ~|symbols|·2·windowCents at any data scale. */
+  def depthLadder(trades: DataFrame, windowCents: Int = 500): DataFrame = {
+    val ord = Window.partitionBy("symbol")
+      .orderBy(col("timestamp"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ticked = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("vm", expr("CAST(round(volume * 1000000) AS BIGINT)"))
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(ord))
+      .withColumn("sgn0", expr(
+        "CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE NULL END"))
+      .withColumn("sgn",
+        coalesce(last(col("sgn0"), ignoreNulls = true).over(run), lit(0L)))
+    val lastPx = ticked.groupBy(col("symbol").as("sym2"))
+      .agg(max_by(col("pc"), col("event_id")).as("last_pc"))
+    ticked
+      .join(broadcast(lastPx), col("symbol") === col("sym2"))
+      .filter(abs(col("pc") - col("last_pc")) <= windowCents)
+      .groupBy("symbol", "pc")
+      .agg(max(col("pc") - col("last_pc")).as("rel_cents"),
+        count(lit(1)).as("n_trades"),
+        sum(expr("CASE WHEN sgn = 1 THEN vm ELSE 0L END"))
+          .as("buy_vol_micro"),
+        sum(expr("CASE WHEN sgn = -1 THEN vm ELSE 0L END"))
+          .as("sell_vol_micro"),
+        sum(expr("CASE WHEN sgn = 0 THEN vm ELSE 0L END"))
+          .as("neutral_vol_micro"))
+  }
+
+  /** Oracle for [[depthLadder]] (body only — caller prepends the trades
+    * CTE; windowCents = 500). The signed-tick subquery is the [[vpin]]
+    * oracle's, verbatim. */
+  def depthLadderSql(windowCents: Int = 500): String =
+    s"""SELECT t.symbol, t.pc,
+       |       CAST(max(t.pc - lp.last_pc) AS BIGINT) AS rel_cents,
+       |       count(*) AS n_trades,
+       |       CAST(sum(CASE WHEN t.sgn = 1 THEN t.vm ELSE 0 END)
+       |         AS BIGINT) AS buy_vol_micro,
+       |       CAST(sum(CASE WHEN t.sgn = -1 THEN t.vm ELSE 0 END)
+       |         AS BIGINT) AS sell_vol_micro,
+       |       CAST(sum(CASE WHEN t.sgn = 0 THEN t.vm ELSE 0 END)
+       |         AS BIGINT) AS neutral_vol_micro
+       |FROM (
+       |  SELECT symbol, event_id, pc, vm,
+       |         COALESCE(last_value(sgn0 IGNORE NULLS) OVER w, 0) AS sgn
+       |  FROM (
+       |    SELECT symbol, "timestamp", event_id, pc, vm,
+       |           CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1
+       |                ELSE NULL END AS sgn0
+       |    FROM (
+       |      SELECT symbol, "timestamp", event_id, pc,
+       |             CAST(round(volume * 1000000) AS BIGINT) AS vm,
+       |             pc - lag(pc, 1) OVER (PARTITION BY symbol
+       |               ORDER BY "timestamp", event_id) AS d
+       |      FROM (SELECT symbol, "timestamp", event_id, volume,
+       |                   CAST(round(price * 100) AS BIGINT) AS pc
+       |            FROM trades)))
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY "timestamp", event_id
+       |               ROWS UNBOUNDED PRECEDING)
+       |) t
+       |JOIN (SELECT symbol, arg_max(pc, event_id) AS last_pc
+       |      FROM (SELECT symbol, event_id,
+       |                   CAST(round(price * 100) AS BIGINT) AS pc
+       |            FROM trades)
+       |      GROUP BY 1) lp ON lp.symbol = t.symbol
+       |WHERE abs(t.pc - lp.last_pc) <= $windowCents
+       |GROUP BY 1, 2""".stripMargin
 
 }

@@ -39,6 +39,16 @@ object Upsert {
   private def manifestPath(root: String, v: Long) =
     Paths.get(root, s"manifest_v$v.json")
 
+  /** Materialize a directory listing and CLOSE the underlying stream —
+    * `Files.list` holds an open file descriptor until closed, and a
+    * store with many versions/generations listed once per merge/expire
+    * would otherwise leak one fd per call (ADVICE r15). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def currentVersion(root: String): Option[Long] = {
     val p = pointerPath(root)
     val fromPointer =
@@ -48,9 +58,8 @@ object Upsert {
     // landed) must not make the table unreadable — recover the highest
     // manifest version present.
     fromPointer.orElse {
-      import scala.jdk.CollectionConverters._
       if (!Files.isDirectory(Paths.get(root))) None
-      else Files.list(Paths.get(root)).iterator().asScala
+      else listDir(Paths.get(root))
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("manifest_v") =>
           s.stripPrefix("manifest_v").stripSuffix(".json").toLongOption }
@@ -150,10 +159,9 @@ object Upsert {
     * Returns the number of manifests expired. */
   def expire(root: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the current version")
-    import scala.jdk.CollectionConverters._
     val cur = currentVersion(root).getOrElse(return 0)
     val cutoff = cur - keepLast + 1
-    val versions = Files.list(Paths.get(root)).iterator().asScala.toSeq
+    val versions = listDir(Paths.get(root))
       .map(_.getFileName.toString)
       .filter(_.startsWith("manifest_v"))
       .flatMap(_.stripPrefix("manifest_v").stripSuffix(".json").toLongOption)
@@ -163,11 +171,11 @@ object Upsert {
         .map { case (b, g) => (g, b) }).toSet
     val keepGens = live.map(_._1)
     dead.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
-    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+    listDir(Paths.get(root)).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("gen") && Files.isDirectory(p)) {
         if (!keepGens.contains(name)) rmTree(p)
-        else Files.list(p).iterator().asScala.toSeq
+        else listDir(p)
           .filter(_.getFileName.toString.startsWith("_bucket="))
           .foreach { bp =>
             bp.getFileName.toString.stripPrefix("_bucket=").toIntOption
@@ -178,10 +186,103 @@ object Upsert {
     dead.size
   }
 
+  /** K19 (extension; the Delta OPTIMIZE / Iceberg rewriteDataFiles
+    * lifecycle verb): rewrite every live bucket of the CURRENT version
+    * into ONE fresh generation with exactly one file per bucket,
+    * committed as a new version. [[merge]] keeps writes proportional to
+    * the touched data, which is what makes the table continuously
+    * writable — but it fragments: after enough partial merges the
+    * current manifest references many generations and each serving read
+    * opens that many directory scans. Compaction is the counterweight:
+    * a full rewrite of LIVE data only (cost ∝ current table, not
+    * history), after which every bucket is one file in one generation.
+    * The rewrite is distributed (repartition on `_bucket`, so each
+    * bucket's rows land in exactly one task → one output file) and the
+    * commit is the same atomic pointer flip as [[merge]]/[[rollback]] —
+    * readers see the old layout or the new one, never a mix. The replay
+    * marker ([[lastAppliedBatch]]) is carried forward unchanged.
+    * Version semantics are preserved: the pre-compaction version stays
+    * time-travel-readable (its generations survive GC by the usual
+    * keep-previous rule). Unconditional by design — compacting an
+    * already-compact table is a cheap idempotent rewrite, and the "is
+    * it worth it" policy belongs to the caller ([[liveGenerations]] is
+    * the probe). Returns the number of generations consolidated. */
+  def compact(spark: SparkSession, root: String): Int = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no versioned table at $root"))
+    val manifest = readManifest(root, cur)
+    if (manifest.buckets.isEmpty) return 0
+    val gensBefore = manifest.buckets.values.toSet.size
+    val next = cur + 1
+    val paths = manifest.buckets.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$root/$g/_bucket=$b" }
+    spark.read.parquet(paths: _*)
+      .withColumn("_bucket",
+        pmod(xxhash64(manifest.bucketBy.map(col): _*),
+          lit(manifest.nBuckets)).cast("int"))
+      .repartition(manifest.nBuckets, col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/gen$next")
+    writeManifest(root, next, Manifest(manifest.nBuckets, manifest.bucketBy,
+      manifest.buckets.keys.map(b => b -> s"gen$next").toMap,
+      manifest.appliedBatch))
+    val tmp = Paths.get(root, s"_CURRENT.tmp.$next")
+    Files.write(tmp, next.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC: same keep-previous rule as merge — generations referenced by
+    // the new or previous manifest survive; inside survivors, bucket
+    // dirs neither points at are stale copies.
+    val live: Set[(String, Int)] =
+      (Seq.tabulate(manifest.nBuckets)(b => (s"gen$next", b)) ++
+        manifest.buckets.toSeq.map { case (b, g) => (g, b) }).toSet
+    val keep = live.map(_._1)
+    listDir(Paths.get(root)).foreach { p =>
+      val name = p.getFileName.toString
+      val isGen = name.startsWith("gen") && Files.isDirectory(p)
+      val deadManifest = name.startsWith("manifest_v") &&
+        name.stripPrefix("manifest_v").stripSuffix(".json").toLongOption
+          .exists(_ < next - 1)
+      if (isGen && !keep.contains(name)) rmTree(p)
+      else if (isGen)
+        listDir(p)
+          .filter(_.getFileName.toString.startsWith("_bucket="))
+          .foreach { bp =>
+            bp.getFileName.toString.stripPrefix("_bucket=").toIntOption
+              .foreach { b => if (!live.contains((name, b))) rmTree(bp) }
+          }
+      else if (deadManifest) Files.deleteIfExists(p)
+    }
+    gensBefore
+  }
+
+  /** Number of distinct generations the CURRENT manifest references —
+    * the fragmentation probe [[compact]] exists to drive to 1. Zero if
+    * the table doesn't exist yet. */
+  def liveGenerations(root: String): Int =
+    currentVersion(root)
+      .map(v => readManifest(root, v).buckets.values.toSet.size)
+      .getOrElse(0)
+
+  /** Max parquet file count over the CURRENT version's bucket dirs —
+    * the small-file probe (1 after [[compact]]). */
+  def maxFilesPerBucket(root: String): Int =
+    currentVersion(root).map { v =>
+      val m = readManifest(root, v)
+      if (m.buckets.isEmpty) 0
+      else m.buckets.toSeq.map { case (b, g) =>
+        listDir(Paths.get(s"$root/$g/_bucket=$b"))
+          .count(_.getFileName.toString.endsWith(".parquet"))
+      }.max
+    }.getOrElse(0)
+
   private def rmTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => Files.deleteIfExists(f))
+    val s = Files.walk(p)
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all.reverse.foreach(f => Files.deleteIfExists(f))
   }
 
   /** Read the current state of the keyed table (None if nothing has
@@ -347,10 +448,9 @@ object Upsert {
     val writtenBuckets: Set[Int] =
       if (tombstoneCol.isEmpty) touched.toSet
       else {
-        import scala.jdk.CollectionConverters._
         val gd = Paths.get(s"$root/gen$next")
         if (!Files.isDirectory(gd)) Set.empty
-        else Files.list(gd).iterator().asScala
+        else listDir(gd)
           .map(_.getFileName.toString)
           .collect { case s if s.startsWith("_bucket=") =>
             s.stripPrefix("_bucket=").toIntOption }
@@ -381,12 +481,11 @@ object Upsert {
     // at are stale copies (the bucket was since rewritten elsewhere) —
     // remove them too, or disk grows by one stale copy per rewrite for
     // as long as ANY bucket keeps the generation alive.
-    import scala.jdk.CollectionConverters._
     val live: Set[(String, Int)] =
       (nextManifest.buckets.toSeq ++ manifest.buckets.toSeq)
         .map { case (b, g) => (g, b) }.toSet
     val keep = live.map(_._1)
-    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+    listDir(Paths.get(root)).foreach { p =>
       val name = p.getFileName.toString
       val isGen = name.startsWith("gen") && Files.isDirectory(p)
       val deadManifest = name.startsWith("manifest_v") &&
@@ -394,7 +493,7 @@ object Upsert {
           .exists(_ < next - 1)
       if (isGen && !keep.contains(name)) rmTree(p)
       else if (isGen)
-        Files.list(p).iterator().asScala.toSeq
+        listDir(p)
           .filter(_.getFileName.toString.startsWith("_bucket="))
           .foreach { bp =>
             bp.getFileName.toString.stripPrefix("_bucket=").toIntOption

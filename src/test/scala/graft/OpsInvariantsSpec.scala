@@ -3872,6 +3872,78 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(Upsert.expire(root, keepLast = 1) === 0)
   }
 
+  test("compact: fragmented store collapses to one generation and one " +
+      "file per bucket; rows identical; previous version still readable") {
+    import graft.sinks.Upsert
+    val root = java.nio.file.Files
+      .createTempDirectory("compact-spec").toString
+    val keyed = trades
+      .withColumn("hr", date_trunc("hour", col("timestamp")))
+      .groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+    // base load + two single-symbol revisions: each revision rewrites
+    // only its symbol's bucket, so the base generation stays live for
+    // the others — real fragmentation (hour-residue batches do NOT
+    // fragment: the last one re-owns every bucket)
+    Upsert.merge(keyed, 0L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    val syms = keyed.agg(min("symbol"), max("symbol")).head
+    Seq(syms.getString(0), syms.getString(1)).zipWithIndex.foreach {
+      case (s, i) =>
+        Upsert.merge(keyed.filter(col("symbol") === s), (i + 1).toLong,
+          root, keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    }
+    val before = Upsert.read(spark, root).get.collect().toSet
+    val curBefore = Upsert.currentVersion(root).get
+    val gensBefore = Upsert.liveGenerations(root)
+    assert(gensBefore >= 2,
+      s"fixture must actually fragment the store (got $gensBefore gens)")
+    val consolidated = Upsert.compact(spark, root)
+    assert(consolidated === gensBefore)
+    assert(Upsert.liveGenerations(root) === 1, "one live generation after")
+    assert(Upsert.maxFilesPerBucket(root) === 1, "one file per bucket after")
+    assert(Upsert.read(spark, root).get.collect().toSet === before,
+      "compaction is row-invisible")
+    assert(Upsert.currentVersion(root).get === curBefore + 1,
+      "compaction commits a NEW version, pointer only moves forward")
+    assert(Upsert.readVersion(spark, root, curBefore).get.collect().toSet
+      === before, "pre-compaction version stays time-travel readable")
+    // idempotent in effect: a second compact rewrites 1 generation
+    // into 1 generation with the same rows
+    assert(Upsert.compact(spark, root) === 1)
+    assert(Upsert.read(spark, root).get.collect().toSet === before)
+  }
+
+  test("depth ladder: levels bounded by the window; trade counts and " +
+      "volumes reconcile exactly with the tape around the last price") {
+    val ladder = TradeOps.depthLadder(trades, windowCents = 500).cache()
+    assert(ladder.count() > 0)
+    assert(ladder.filter(abs(col("rel_cents")) > 500).count() === 0)
+    // tape-side recompute: per symbol, trades whose cent level is
+    // within the window of the last price
+    val tape = trades
+      .withColumn("pc", expr("CAST(round(price * 100) AS BIGINT)"))
+      .withColumn("vm", expr("CAST(round(volume * 1000000) AS BIGINT)"))
+    val lastPx = tape.groupBy(col("symbol").as("sym2"))
+      .agg(max_by(col("pc"), col("event_id")).as("last_pc"))
+    val expected = tape.join(lastPx, col("symbol") === col("sym2"))
+      .filter(abs(col("pc") - col("last_pc")) <= 500)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = ladder.groupBy("symbol")
+      .agg(sum(col("n_trades")).as("n"),
+        sum(col("buy_vol_micro") + col("sell_vol_micro")
+          + col("neutral_vol_micro")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === expected,
+      "ladder totals must reconcile with the tape: no tick dropped, " +
+        "no volume double-counted")
+    ladder.unpersist()
+  }
+
   test("churn rate: exact recompute from distinct user-weeks; " +
       "final week excluded; rates bounded; non-empty") {
     import spark.implicits._

@@ -562,6 +562,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("query_05 predict vertical: streamed store serves exactly k7_predict_writeback") {
+    // Direct end-to-end closure (VERDICT r15 #5): the streamed
+    // lookback→score→Upsert pipeline's SERVED table must equal what the
+    // batch two-phase writeback (k7) serves — same n (the production
+    // lookbackN=100), same fitted scaler, same store read path. The
+    // n=10 spec above covers emission volume; this one pins the exact
+    // production contract.
+    import spark.implicits._
+    val n = graft.ops.Predict.lookbackN
+    val trades = Tables.trades(spark, sf)
+    val expected = graft.ops.Predict
+      .predictWriteback(spark, trades, "spec_k7_direct")
+      .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    assert(expected.nonEmpty, "k7 must emit at this sf for the spec to bite")
+
+    val bars = graft.ops.TradeOps.slidingFeatures(trades)
+    val stats = graft.ops.Predict.scalerStats(bars)
+    val feed = bars
+      .select(col("symbol"), col("timestamp"), col("close"), col("high"),
+        col("low"), col("total_usd_volume"),
+        col("total_volume").as("total_btc_volume"), col("num_trades"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._2.getTime)
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Double,
+      Double, Double, Double, Long)](spark)
+    val out = tmpDir("graft-predict-k7-out")
+    val ckpt = tmpDir("graft-predict-k7-ckpt")
+    val q = StreamingJob.runPredict(spark,
+      input.toDF().toDF("symbol", "timestamp", "close", "high", "low",
+        "total_usd_volume", "total_btc_volume", "num_trades"),
+      stats, StreamingJob.Config(out, ckpt), n)
+    try {
+      feed.grouped((feed.length / 2).max(1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = Upsert.read(spark, s"$out/predictions").get
+        .select("symbol", "timestamp", "predicted_close")
+        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+      assert(got === expected,
+        "streamed predictions store must serve exactly the k7 writeback table")
+    } finally q.stop()
+  }
+
   test("streaming cusum: bit-equal to the batch windows across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -25,10 +25,29 @@ Disposition is GREEN iff: zero sf0.01/sf0.1 hash failures, the type
 gate is clean, and neither stress phase has an ASYMMETRIC or
 VALUE-FAIL row. Anything else is RED with the offender named.
 
+  bench         (opt-in, --bench) quiet-host bench floor: runs
+                graft.Bench at --sf01 with REPS, REFUSES to bless the
+                artifact when the host was loaded before the run or
+                suspiciously loaded after it (r15 shipped a floor that
+                read 1.33x purely from contention), and computes the
+                shared-query ratio vs --bench-floor. PASS writes the
+                round-stamped --bench-out; RETRY leaves the artifact in
+                the workdir and names the reason.
+  plan_shape    (opt-in, --plan-shape FILE) deterministic plan-shape
+                regression detection: runs graft.PlanAudit (AQE off,
+                sf0.001) and diffs structural node counts per query
+                against the committed baseline FILE — a new shuffle or
+                a lost broadcast is a diff row even when timing noise
+                hides it. The fresh audit overwrites FILE on a clean
+                gate so the baseline tracks blessed HEADs.
+
 Usage:
   python3 tools/gate.py [--out gate.json] [--workdir DIR] [--jar JAR]
       [--sf001 DIR] [--sf01 DIR] [--stress-rel DIR] [--stress-dense DIR]
       [--skip sf0.1,stress_dense] [--cpus N]
+      [--bench] [--bench-out BENCH_LOCAL_rNN.json]
+      [--bench-floor BENCH_LOCAL_rMM.json] [--bench-reps 3]
+      [--plan-shape PLAN_SHAPE.json]
 
 Defaults regenerate the stress corpora from sf0.01 (deterministic) and
 snapshot target/scala-2.13/classes into a jar. Verify runs through
@@ -174,6 +193,111 @@ def classify_stress(tag, sf_dir, out_dir, spark_failed, oracle):
     return {**counts, "asymmetric": asym, "value_fail": vfail}
 
 
+def loadavg1():
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        return -1.0
+
+
+def run_bench(jar, sf_dir, workdir, reps, cpus, floor_path, out_path,
+              load_before_thr, load_after_thr):
+    """Quiet-floor bench phase: PASS blesses the artifact to out_path,
+    RETRY names why and leaves it in the workdir."""
+    lb = loadavg1()
+    if lb > load_before_thr:
+        return {"verdict": "RETRY",
+                "reason": f"host not quiet before run (load {lb} > "
+                          f"{load_before_thr}) — rerun when idle"}
+    art = os.path.join(workdir, "bench_gate.json")
+    sh([SPARK_SUBMIT, "--driver-memory", "48g", "--class", "graft.Bench",
+        jar],
+       env={"SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_REPS": str(reps),
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "SPARK_GRAFT_BENCH_OUT": art},
+       capture=True)
+    run = json.load(open(art))
+    ph = {"total": run["value"], "n_queries": len(run["queries"]),
+          "failed": run["failed"], "load_before": run["load_before"],
+          "load_after": run["load_after"]}
+    if run["failed"]:
+        bad = sorted(k for k, v in run["queries"].items() if v == "err")
+        ph.update(verdict="RETRY",
+                  reason=f"{run['failed']} queries errored: {bad[:8]}")
+        return ph
+    if run.get("contended"):
+        ph.update(verdict="RETRY",
+                  reason=f"bench self-reported contended "
+                         f"(load_before {run['load_before']})")
+        return ph
+    if run["load_after"] > load_after_thr:
+        ph.update(verdict="RETRY",
+                  reason=f"load_after {run['load_after']} > "
+                         f"{load_after_thr}: something else loaded the "
+                         f"host mid-run (the r15 failure mode) — rerun")
+        return ph
+    if floor_path and os.path.exists(floor_path):
+        floor = json.load(open(floor_path))
+        shared = sorted(k for k in run["queries"]
+                        if k in floor["queries"]
+                        and not isinstance(run["queries"][k], str)
+                        and not isinstance(floor["queries"][k], str))
+        tot_new = sum(run["queries"][k] for k in shared)
+        tot_old = sum(floor["queries"][k] for k in shared)
+        ratios = sorted(run["queries"][k] / floor["queries"][k]
+                        for k in shared if floor["queries"][k] > 0)
+        regressions = sorted(
+            (k for k in shared
+             if run["queries"][k] > 1.5 * floor["queries"][k]
+             and run["queries"][k] - floor["queries"][k] > 0.5),
+            key=lambda k: -(run["queries"][k] / floor["queries"][k]))
+        ph["vs_floor"] = {
+            "floor": floor_path, "shared": len(shared),
+            "total_new": round(tot_new, 2), "total_old": round(tot_old, 2),
+            "total_ratio": round(tot_new / tot_old, 4) if tot_old else None,
+            "median_ratio": round(ratios[len(ratios) // 2], 4)
+                            if ratios else None,
+            "regressions_gt1.5x_gt0.5s": [
+                {"query": k,
+                 "old": round(floor["queries"][k], 3),
+                 "new": round(run["queries"][k], 3)} for k in regressions]}
+    ph["verdict"] = "PASS"
+    if out_path:
+        shutil.copyfile(art, out_path)
+        ph["artifact"] = out_path
+    return ph
+
+
+def run_plan_shape(jar, workdir, cpus, baseline_path):
+    """PlanAudit diff vs the committed baseline; returns the phase dict
+    and the fresh audit path (for baseline refresh on a clean gate)."""
+    fresh_path = os.path.join(workdir, "plan_shape.json")
+    sh([SPARK_SUBMIT, "--driver-memory", "16g", "--class", "graft.PlanAudit",
+        jar, "/root/testdata/sf0.001", fresh_path],
+       env={"SPARK_GRAFT_CPUS": str(cpus)}, capture=True)
+    fresh = json.load(open(fresh_path))
+    ph = {"audited": len(fresh),
+          "errs": sorted(k for k, v in fresh.items() if v == "err")}
+    if baseline_path and os.path.exists(baseline_path):
+        base = json.load(open(baseline_path))
+        added = sorted(set(fresh) - set(base))
+        removed = sorted(set(base) - set(fresh))
+        changed = {}
+        for k in sorted(set(fresh) & set(base)):
+            if fresh[k] != base[k]:
+                fk = fresh[k] if isinstance(fresh[k], dict) else {}
+                bk = base[k] if isinstance(base[k], dict) else {}
+                changed[k] = {n: [bk.get(n, 0), fk.get(n, 0)]
+                              for n in sorted(set(fk) | set(bk))
+                              if fk.get(n, 0) != bk.get(n, 0)}
+        ph["diff"] = {"added": added, "removed": removed,
+                      "changed": changed}
+    else:
+        ph["diff"] = {"baseline_missing": True}
+    return ph, fresh_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/gate_result.json")
@@ -186,6 +310,13 @@ def main():
     ap.add_argument("--skip", default="")
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--shuffle", type=int, default=32)
+    ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--bench-out", default=None)
+    ap.add_argument("--bench-floor", default=None)
+    ap.add_argument("--bench-reps", type=int, default=3)
+    ap.add_argument("--load-before-thr", type=float, default=2.0)
+    ap.add_argument("--load-after-thr", type=float, default=7.0)
+    ap.add_argument("--plan-shape", default=None)
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 
@@ -264,8 +395,44 @@ def main():
               f"empty_ok={ph['empty_ok']} asym={len(ph['asymmetric'])} "
               f"vfail={len(ph['value_fail'])}", flush=True)
 
+    plan_fresh = None
+    if args.plan_shape:
+        print("=== plan_shape: PlanAudit sf0.001", flush=True)
+        ph, plan_fresh = run_plan_shape(jar, workdir, args.cpus,
+                                        args.plan_shape)
+        result["phases"]["plan_shape"] = ph
+        if ph["errs"]:
+            red.append(f"plan_shape: {len(ph['errs'])} queries errored "
+                       f"{ph['errs'][:8]}")
+        ch = ph["diff"].get("changed", {})
+        print(f"    {ph['audited']} audited, "
+              f"+{len(ph['diff'].get('added', []))} "
+              f"-{len(ph['diff'].get('removed', []))} "
+              f"~{len(ch)} changed", flush=True)
+        if ch:  # surfaced loudly but adjudicated by the builder, not RED:
+            # intentional optimizations legitimately change shapes
+            for k, d in list(ch.items())[:10]:
+                print(f"    CHANGED {k}: {d}", flush=True)
+
+    if args.bench:
+        print(f"=== bench: quiet floor at {args.sf01} "
+              f"(reps={args.bench_reps})", flush=True)
+        ph = run_bench(jar, args.sf01, workdir, args.bench_reps, args.cpus,
+                       args.bench_floor, args.bench_out,
+                       args.load_before_thr, args.load_after_thr)
+        result["phases"]["bench"] = ph
+        if ph["verdict"] == "RETRY":
+            red.append(f"bench RETRY: {ph['reason']}")
+        print(f"    {ph['verdict']}" +
+              (f" total={ph.get('total', 0):.1f}s" if "total" in ph else "") +
+              (f" vs_floor={ph['vs_floor']['total_ratio']}"
+               if "vs_floor" in ph else ""), flush=True)
+
     result["red"] = red
     result["disposition"] = "RED" if red else "GREEN"
+    # refresh the committed plan-shape baseline only on a blessed gate
+    if plan_fresh and not red and args.plan_shape:
+        shutil.copyfile(plan_fresh, args.plan_shape)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"\nGATE {result['disposition']} -> {args.out}")
