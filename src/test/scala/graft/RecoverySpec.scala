@@ -571,4 +571,51 @@ class RecoverySpec extends SparkSuite {
     assert(p2 === Set((4L, 300L, 300.0 / 1200.0)),
       s"cross-restart peak continuation: $p2")
   }
+
+  test("depth stream: level map and tick-rule sign survive the restart " +
+    "(post-restart flat print inherits the recovered carried sign)") {
+    import graft.streaming.DepthStream
+    import spark.implicits._
+    val in = tmpDir("graft-depth-in")
+    val out = tmpDir("graft-depth-out")
+    val ckpt = tmpDir("graft-depth-ckpt")
+
+    def line(id: Long, offMs: Long, p: Double, v: Double) =
+      s"$id,BTC,${t0 + offMs},$p,$v"
+    def parsed = spark.readStream.text(in)
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+        col("f").getItem(1).as("symbol"),
+        timestamp_millis(col("f").getItem(2).cast("long")).as("ts"),
+        col("f").getItem(3).cast("double").as("price"),
+        col("f").getItem(4).cast("double").as("volume"))
+      .as[DepthStream.Trade]
+    def start() = DepthStream.depthStream(spark, parsed).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Upsert.merge(df, id, out, Seq("symbol", "pc"))
+      }.start()
+
+    // phase 1: neutral first print at 10.00, uptick to 10.05 — stop
+    writeBatch(in, "b1.csv", Seq(
+      line(1, 0, 10.00, 1.0), line(2, 1000, 10.05, 2.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: restart; a FLAT print back at 10.05 must (a) inherit
+    // the recovered +1 carried sign (flat keeps the carry) and (b)
+    // accumulate onto the RECOVERED level row, not start a fresh one
+    writeBatch(in, "b2.csv", Seq(line(3, 2000, 10.05, 0.5)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = Upsert.read(spark, out).get
+      .select("pc", "n_trades", "buy_vol_micro", "sell_vol_micro",
+        "neutral_vol_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (1000L, 1L, 0L, 0L, 1000000L),
+      (1005L, 2L, 2500000L, 0L, 0L)),
+      s"cross-restart level continuation: $rows")
+  }
 }

@@ -1133,6 +1133,63 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("depth stream: converged level ladder equals the batch " +
+    "depthLadder bit-exactly once the batch anchor is applied") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DepthStream
+    def tr(id: Long, sym: String, offMs: Long, p: Double, v: Double) =
+      DepthStream.Trade(id, sym, new java.sql.Timestamp(t0 + offMs), p, v)
+    // revisited levels (10.05 twice on different signs, 5.05 twice),
+    // a first-tick neutral per symbol, and a level far outside the
+    // serving window (99.99) that the anchor must exclude
+    val tape = Seq(
+      tr(1, "BTC", 0, 10.00, 1.5), tr(2, "BTC", 1000, 10.05, 2.0),
+      tr(3, "BTC", 2000, 10.05, 0.7), tr(4, "BTC", 3000, 9.95, 3.1),
+      tr(5, "BTC", 4000, 99.99, 0.2), tr(6, "BTC", 5000, 10.10, 1.1),
+      tr(7, "BTC", 6000, 10.05, 0.4), tr(8, "BTC", 7000, 10.15, 1.9),
+      tr(9, "ETH", 500, 5.00, 4.0), tr(10, "ETH", 1500, 5.10, 0.6),
+      tr(11, "ETH", 2500, 5.05, 2.5), tr(12, "ETH", 3500, 5.05, 1.0),
+      tr(13, "ETH", 4500, 5.20, 3.3), tr(14, "ETH", 5500, 5.15, 0.9))
+    val batchIn = tape.toDF().withColumnRenamed("ts", "timestamp")
+    val batch = graft.ops.TradeOps.depthLadder(batchIn, windowCents = 500)
+    val input = MemoryStream[DepthStream.Trade](spark)
+    val q = DepthStream.depthStream(spark, input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("depth_test").start()
+    try {
+      // three micro-batches so levels are revisited ACROSS batches and
+      // earlier cumulative snapshots get overwritten by later ones
+      val (b1, rest) = tape.splitAt(5)
+      val (b2, b3) = rest.splitAt(5)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol", "pc").orderBy(col("n_trades").desc)
+      val converged = spark.table("depth_test")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      // serving-time anchor: the batch op's final last price ±500
+      val lastPx = batchIn
+        .withColumn("pcl", expr("CAST(round(price * 100) AS BIGINT)"))
+        .groupBy(col("symbol").as("sym2"))
+        .agg(max_by(col("pcl"), col("event_id")).as("last_pc"))
+      val anchored = converged
+        .join(lastPx, col("symbol") === col("sym2"))
+        .filter(abs(col("pc") - col("last_pc")) <= 500)
+        .select(col("symbol"), col("pc"),
+          (col("pc") - col("last_pc")).as("rel_cents"), col("n_trades"),
+          col("buy_vol_micro"), col("sell_vol_micro"),
+          col("neutral_vol_micro"))
+      assert(anchored.except(batch).isEmpty && batch.except(anchored).isEmpty,
+        "anchored converged ladder must equal the batch depthLadder table")
+      // the excluded far level must be in the store but not the view
+      assert(converged.filter(col("pc") === 9999L).count() === 1)
+      assert(batch.filter(col("pc") === 9999L).count() === 0)
+    } finally q.stop()
+  }
+
   test("kyle stream: running impact slope equals the batch op " +
     "bit-exactly, cumulative emissions replay as no-ops") {
     import spark.implicits._
