@@ -574,6 +574,10 @@ object SparkEntry {
     "k19_compact_generations" -> ((s, dir) =>
       TradeOps.compactGenerations(s, trades(s, dir))),
     "a_depth_ladder" -> ((s, dir) => TradeOps.depthLadder(trades(s, dir))),
+    "p_balanced_sample" -> ((s, dir) =>
+      Pipeline.balancedSample(Tables.load(s, dir, "documents"))),
+    "d_source_similarity" -> ((s, dir) =>
+      Dedup.sourceSimilarity(Tables.load(s, dir, "documents"))),
   )
 
   private val T = Tables.tradesCte
@@ -1894,5 +1898,7 @@ object SparkEntry {
     "w_narrow_range" -> s"$T\n${TradeOps.narrowRangeSql}",
     "k19_compact_generations" -> s"$T\n${TradeOps.compactGenerationsSql}",
     "a_depth_ladder" -> s"$T\n${TradeOps.depthLadderSql()}",
+    "p_balanced_sample" -> Pipeline.balancedSampleSql,
+    "d_source_similarity" -> Dedup.sourceSimilaritySql,
   )
 }

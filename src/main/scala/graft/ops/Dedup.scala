@@ -513,6 +513,78 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), (col("jaccard")).as("jaccard"))
   }
 
+  /** D (extension, r16) — corpus-level SOURCE similarity matrix (a new
+    * granularity next to the doc-pair tiers): exact Jaccard between
+    * every overlapping pair of SOURCES over their distinct word-3-gram
+    * shingle sets — the corpus-QC question ("which feeds are mirrors
+    * of each other?") that doc-level dedup answers only implicitly and
+    * expensively. Shingle definition is [[ngramJaccard]]'s verbatim
+    * (one shared tokenization for the whole dedup tier). Structure is
+    * the inverted index again, but keyed at source grain: distinct
+    * (source, shingle) postings, self-join on shingle so `count(*)`
+    * per source pair IS the intersection, sizes broadcast back
+    * (|sources| rows). Zero-overlap pairs never materialize — the
+    * [[ngramJaccard]] contract. Cost: postings join fan-out is
+    * Σ_shingle k², k = sources sharing the shingle — bounded by
+    * |sources|² per shingle, and |sources| is tens-to-hundreds at any
+    * corpus scale, so this stays linear in distinct shingles where the
+    * doc-level join would be quadratic in docs. Jaccard is ONE
+    * correctly-rounded IEEE division of exact int64 counts —
+    * engine-identical unrounded. */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("source"),
+        explode_outer(expr(
+          "array_distinct(transform(sequence(0, size(ws) - 3), " +
+            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val l = sh.select(col("shingle"), col("source").as("src_a"))
+    val r = sh.select(col("shingle"), col("source").as("src_b"))
+    l.join(r, Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Oracle for [[sourceSimilarity]] (documents table; shingle SQL is
+    * the d_ngram_jaccard oracle's verbatim). */
+  val sourceSimilaritySql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT source,
+      |           unnest(list_distinct(list_transform(
+      |             generate_series(1, len(string_split(text, ' ')) - 2),
+      |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+      |             AS shingle
+      |    FROM documents)
+      |), sz AS (
+      |  SELECT source, count(*) AS sz FROM sh GROUP BY 1
+      |), p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.src_a, p.src_b, CAST(za.sz AS BIGINT) AS sz_a,
+      |       CAST(zb.sz AS BIGINT) AS sz_b,
+      |       CAST(p.n_inter AS BIGINT) AS n_inter,
+      |       CAST(p.n_inter AS DOUBLE)
+      |         / CAST(za.sz + zb.sz - p.n_inter AS DOUBLE) AS jaccard
+      |FROM p
+      |JOIN sz za ON za.source = p.src_a
+      |JOIN sz zb ON zb.source = p.src_b""".stripMargin
+
   /** Bands × bits-per-band layout of the embedding near-dup blocking:
     * one [[graft.functions.HyperplaneLshBits]] pass yields
     * `embDupBands·embDupBandBits` sign bits; band b's key is its

@@ -728,6 +728,72 @@ object Pipeline {
     * sum to EXACTLY 10⁶, the property a downstream sampler actually
     * relies on. One groupBy to |sources| rows; everything after is a
     * broadcast-sized window. */
+  /** P (extension, r16) — deterministic source-BALANCING sampler (a
+    * new sampling class next to the quota/mix planners): downsample
+    * every source to ~the smallest source's size with a seeded,
+    * data-independent membership rule, and emit the per-source QC row
+    * (docs, rate, achieved sample count, and a sampled-id digest so
+    * two runs — or two ENGINES — can prove they picked the SAME
+    * documents, not just the same number). Membership is a Lehmer
+    * hash, `((doc_id · 48271) mod 2³¹−1) mod 10⁶ < rate_ppm`, chosen
+    * over xxhash64 because BOTH engines can evaluate it exactly —
+    * sampling that an oracle cannot replay is sampling that cannot be
+    * audited. The multiply is guarded loud (Spark's non-ANSI int64
+    * wraps silently where DuckDB raises; the kyle lesson inverted).
+    * rate_ppm = target·10⁶ div n_docs is exact integer floor division.
+    * Plan: one |sources| aggregate (broadcast both ways) + one
+    * map-side hash filter + one |sources| aggregate — the corpus is
+    * read once, nothing shuffles at row grain. 100 TB: the membership
+    * rule is a pure function of doc_id, so re-sampling after corpus
+    * growth keeps every previously-sampled doc whose source rate
+    * didn't drop — stable samples under append, the property
+    * reservoir sampling loses. */
+  def balancedSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("target"))))
+      .withColumn("rate_ppm", expr("target * 1000000 div n_docs"))
+      .select(col("source").as("src2"), col("n_docs"), col("rate_ppm"))
+    docs.select(col("doc_id"), col("source"))
+      // loud at the boundary where DuckDB raises: 48271·doc_id must
+      // stay in int64 or Spark would silently wrap while the oracle
+      // errors — assert first, so both engines fail at the same point
+      .filter(expr(
+        "assert_true(doc_id <= 9223372036854775807 div 48271, " +
+          "'balanced_sample: doc_id too large for the exact Lehmer " +
+          "hash — widen to DECIMAL') IS NULL"))
+      .withColumn("h", expr("((doc_id * 48271) % 2147483647) % 1000000"))
+      .join(broadcast(rates), col("source") === col("src2"))
+      .groupBy("source")
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("rate_ppm")).as("rate_ppm"),
+        sum(expr("CASE WHEN h < rate_ppm THEN 1L ELSE 0L END"))
+          .as("n_sampled"),
+        sum(expr("CASE WHEN h < rate_ppm THEN doc_id ELSE 0L END"))
+          .as("sampled_id_sum"))
+  }
+
+  /** Oracle for [[balancedSample]]. */
+  val balancedSampleSql: String =
+    """WITH n AS (
+      |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+      |), r AS (
+      |  SELECT source, n_docs,
+      |         (SELECT min(n_docs) FROM n) * 1000000 // n_docs AS rate_ppm
+      |  FROM n
+      |), h AS (
+      |  SELECT d.source, d.doc_id, r.n_docs, r.rate_ppm,
+      |         ((d.doc_id * 48271) % 2147483647) % 1000000 AS h
+      |  FROM documents d JOIN r USING (source)
+      |)
+      |SELECT source, CAST(min(n_docs) AS BIGINT) AS n_docs,
+      |       CAST(min(rate_ppm) AS BIGINT) AS rate_ppm,
+      |       CAST(sum(CASE WHEN h < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_sampled,
+      |       CAST(sum(CASE WHEN h < rate_ppm THEN doc_id ELSE 0 END)
+      |         AS BIGINT) AS sampled_id_sum
+      |FROM h GROUP BY 1""".stripMargin
+
   def sqrtTemper(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))

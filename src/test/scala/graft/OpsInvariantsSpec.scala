@@ -3944,6 +3944,50 @@ class OpsInvariantsSpec extends SparkSuite {
     ladder.unpersist()
   }
 
+  test("balanced sample: smallest source fully kept; rates and counts " +
+      "bounded; membership digest matches an independent recompute") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = graft.ops.Pipeline.balancedSample(docs).cache()
+    assert(got.count() === docs.select("source").distinct().count(),
+      "one QC row per source, zero-sample sources included")
+    assert(got.filter(col("rate_ppm") > 1000000L ||
+      col("n_sampled") > col("n_docs")).count() === 0)
+    // the smallest source defines the target: rate 1e6 ⇒ every doc kept
+    val minN = got.agg(min(col("n_docs"))).head.getLong(0)
+    assert(got.filter(col("n_docs") === minN)
+      .filter(col("rate_ppm") =!= 1000000L || col("n_sampled") =!= minN)
+      .count() === 0, "target source must be fully sampled")
+    // digest recompute: same Lehmer rule evaluated independently
+    val expected = docs
+      .withColumn("h", expr("((doc_id * 48271) % 2147483647) % 1000000"))
+      .join(got.select(col("source"), col("rate_ppm")), "source")
+      .filter(col("h") < col("rate_ppm"))
+      .groupBy("source").agg(sum(col("doc_id")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val digests = got.filter(col("n_sampled") > 0)
+      .select("source", "sampled_id_sum")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(digests === expected,
+      "sampled-id digest must identify the exact membership")
+    got.unpersist()
+  }
+
+  test("source similarity: jaccard in (0,1]; pairs canonical and " +
+      "bounded by C(|sources|, 2); sizes consistent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sim = graft.ops.Dedup.sourceSimilarity(docs).cache()
+    val nSrc = docs.select("source").distinct().count()
+    assert(sim.count() > 0 && sim.count() <= nSrc * (nSrc - 1) / 2)
+    assert(sim.filter(col("jaccard") <= 0.0 || col("jaccard") > 1.0)
+      .count() === 0)
+    assert(sim.filter(col("src_a") >= col("src_b")).count() === 0,
+      "pairs are canonical (src_a < src_b), no mirror rows")
+    assert(sim.filter(col("n_inter") > col("sz_a") ||
+      col("n_inter") > col("sz_b")).count() === 0,
+      "intersection can never exceed either set size")
+    sim.unpersist()
+  }
+
   test("churn rate: exact recompute from distinct user-weeks; " +
       "final week excluded; rates bounded; non-empty") {
     import spark.implicits._
