@@ -395,6 +395,33 @@ def main():
               f"empty_ok={ph['empty_ok']} asym={len(ph['asymmetric'])} "
               f"vfail={len(ph['value_fail'])}", flush=True)
 
+    # bench runs BEFORE plan_shape: the PlanAudit spark-submit itself
+    # lifts the 1-min load past the bench's quiet-host guard (measured
+    # 3.6 right after it), tripping a spurious RETRY. plan_shape is
+    # load-insensitive; bench is the phase that needs the idle host.
+    # When the correctness phases ran first, wait out their load tail
+    # instead of RETRYing on our own wake.
+    if args.bench:
+        print(f"=== bench: quiet floor at {args.sf01} "
+              f"(reps={args.bench_reps})", flush=True)
+        import time
+        for _ in range(20):  # up to ~10 min for the 1-min load to decay
+            if loadavg1() <= args.load_before_thr:
+                break
+            print(f"    waiting for load {loadavg1()} <= "
+                  f"{args.load_before_thr}", flush=True)
+            time.sleep(30)
+        ph = run_bench(jar, args.sf01, workdir, args.bench_reps, args.cpus,
+                       args.bench_floor, args.bench_out,
+                       args.load_before_thr, args.load_after_thr)
+        result["phases"]["bench"] = ph
+        if ph["verdict"] == "RETRY":
+            red.append(f"bench RETRY: {ph['reason']}")
+        print(f"    {ph['verdict']}" +
+              (f" total={ph.get('total', 0):.1f}s" if "total" in ph else "") +
+              (f" vs_floor={ph['vs_floor']['total_ratio']}"
+               if "vs_floor" in ph else ""), flush=True)
+
     plan_fresh = None
     if args.plan_shape:
         print("=== plan_shape: PlanAudit sf0.001", flush=True)
@@ -413,20 +440,6 @@ def main():
             # intentional optimizations legitimately change shapes
             for k, d in list(ch.items())[:10]:
                 print(f"    CHANGED {k}: {d}", flush=True)
-
-    if args.bench:
-        print(f"=== bench: quiet floor at {args.sf01} "
-              f"(reps={args.bench_reps})", flush=True)
-        ph = run_bench(jar, args.sf01, workdir, args.bench_reps, args.cpus,
-                       args.bench_floor, args.bench_out,
-                       args.load_before_thr, args.load_after_thr)
-        result["phases"]["bench"] = ph
-        if ph["verdict"] == "RETRY":
-            red.append(f"bench RETRY: {ph['reason']}")
-        print(f"    {ph['verdict']}" +
-              (f" total={ph.get('total', 0):.1f}s" if "total" in ph else "") +
-              (f" vs_floor={ph['vs_floor']['total_ratio']}"
-               if "vs_floor" in ph else ""), flush=True)
 
     result["red"] = red
     result["disposition"] = "RED" if red else "GREEN"
