@@ -728,8 +728,11 @@ object Pipeline {
     * sum to EXACTLY 10⁶, the property a downstream sampler actually
     * relies on. One groupBy to |sources| rows; everything after is a
     * broadcast-sized window. */
-  /** P (extension, r16) — deterministic source-BALANCING sampler (a
-    * new sampling class next to the quota/mix planners): downsample
+  /** P (extension, r16) — deterministic source-BALANCING sampler.
+    * Family relative: [[TextOps.stratifiedSample]] samples at FIXED
+    * configured per-stratum rates and emits the surviving rows; this
+    * op DERIVES the rates from the data (equalize every source to the
+    * smallest) and emits the per-source audit row instead: downsample
     * every source to ~the smallest source's size with a seeded,
     * data-independent membership rule, and emit the per-source QC row
     * (docs, rate, achieved sample count, and a sampled-id digest so

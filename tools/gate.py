@@ -262,6 +262,15 @@ def run_bench(jar, sf_dir, workdir, reps, cpus, floor_path, out_path,
                 {"query": k,
                  "old": round(floor["queries"][k], 3),
                  "new": round(run["queries"][k], 3)} for k in regressions]}
+        # host-epoch normalization (r16 lesson): when both artifacts
+        # carry the single-thread canary, report the ratio at constant
+        # host speed as well — a uniform drift shows up in the canary,
+        # a code regression doesn't
+        if "canary_sec" in run and "canary_sec" in floor and tot_old:
+            cr = run["canary_sec"] / floor["canary_sec"]
+            ph["vs_floor"]["canary_ratio"] = round(cr, 4)
+            ph["vs_floor"]["total_ratio_canary_norm"] = round(
+                (tot_new / tot_old) / cr, 4)
     ph["verdict"] = "PASS"
     if out_path:
         shutil.copyfile(art, out_path)
