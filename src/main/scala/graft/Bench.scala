@@ -136,7 +136,7 @@ object Bench {
       .getOrElse(0.0625 * Runtime.getRuntime.availableProcessors())
     val contended = loadBefore > loadThr
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"canary_sec":$canarySec,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"canary_sec":$canarySec,"cpus":${cpus.toInt},"shuffle_partitions":${shufflePartitions.toInt},"queries":$qs,"sf":"$sfDir"}"""
     if (contended)
       System.err.println(
         s"[bench] WARNING: started at loadavg $loadBefore (>$loadThr) — timings " +

@@ -473,6 +473,18 @@ object Dedup {
     * Requires threshold > 0 (zero-overlap pairs are absent by
     * construction). Set sizes ride along in the posting rows, so no
     * join-back is needed. */
+  /** Shared word-3-gram shingle SQL over a pre-split `ws` column,
+    * guarded for documents under 3 words: `sequence(0, size(ws)-3)`
+    * with a negative stop produces a DESCENDING range in Spark
+    * (e.g. [0,-1]), `ws[-1]` is null, and concat_ws SKIPS nulls — so
+    * a 1–2 word doc would emit a bogus short shingle where the DuckDB
+    * oracles' `generate_series(1, len-2)` is empty. Same guard shape
+    * as TextOps.repetitionStats. */
+  private val shingleExpr: String =
+    "CASE WHEN size(ws) < 3 THEN CAST(array() AS array<string>) ELSE " +
+      "array_distinct(transform(sequence(0, size(ws) - 3), " +
+      "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END"
+
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
     require(threshold > 0, "inverted-index Jaccard needs threshold > 0")
     // Split once per doc; the lambda body only indexes into the array.
@@ -481,8 +493,7 @@ object Dedup {
     val sh = docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("array_distinct(transform(sequence(0, size(ws) - 3), " +
-          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("shingles"))
+        expr(shingleExpr).as("shingles"))
     // explode_outer, not explode: InferFiltersFromGenerate otherwise
     // plants a `size(shingles) > 0` filter below the Generate whose
     // pushed-down form re-inlines the whole shingle transform (split
@@ -535,9 +546,7 @@ object Dedup {
     val sh = docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("source"),
-        explode_outer(expr(
-          "array_distinct(transform(sequence(0, size(ws) - 3), " +
-            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("shingle"))
+        explode_outer(expr(shingleExpr)).as("shingle"))
       .filter(col("shingle").isNotNull)
       .distinct()
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
@@ -1804,8 +1813,7 @@ object Dedup {
     val sh = docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("array_distinct(transform(sequence(0, size(ws) - 3), " +
-          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("shingles"))
+        expr(shingleExpr).as("shingles"))
     val posts = sh.select(col("lang"), col("source"), col("doc_id"),
       size(col("shingles")).as("sz"), explode_outer(col("shingles")).as("shingle"))
     val l = posts.select(col("lang"), col("source"), col("shingle"),

@@ -761,9 +761,14 @@ object Pipeline {
       // loud at the boundary where DuckDB raises: 48271·doc_id must
       // stay in int64 or Spark would silently wrap while the oracle
       // errors — assert first, so both engines fail at the same point
+      // bounded BOTH ways: a large-magnitude NEGATIVE doc_id would
+      // also wrap doc_id·48271 past int64 (Spark silent, DuckDB loud).
+      // Small negatives stay unguarded on purpose — both engines use
+      // dividend-signed %, so they agree exactly below the boundary.
       .filter(expr(
-        "assert_true(doc_id <= 9223372036854775807 div 48271, " +
-          "'balanced_sample: doc_id too large for the exact Lehmer " +
+        "assert_true(doc_id >= -(9223372036854775807 div 48271) AND " +
+          "doc_id <= 9223372036854775807 div 48271, " +
+          "'balanced_sample: |doc_id| too large for the exact Lehmer " +
           "hash — widen to DECIMAL') IS NULL"))
       .withColumn("h", expr("((doc_id * 48271) % 2147483647) % 1000000"))
       .join(broadcast(rates), col("source") === col("src2"))

@@ -781,6 +781,40 @@ class EdgeCasesSpec extends SparkSuite {
     assert(flat.isNullAt(3), "zero covariance: spread undefined")
   }
 
+  test("short-doc shingle guard: docs under 3 words emit ZERO shingles " +
+      "across the whole word-3-gram tier (ADVICE r16 — descending " +
+      "sequence() + concat_ws null-skip would fabricate a bogus shingle)") {
+    import spark.implicits._
+    // two docs sharing only the pathological short text: without the
+    // guard, both emit the 1-word "shingle" `hi` and pair up at
+    // jaccard 1.0; with it they have empty shingle sets and no pairs
+    val docs = Seq(
+      (1L, "hi", "en", "feedA", 2L),
+      (2L, "hi", "en", "feedA", 2L),
+      (3L, "one two", "en", "feedA", 7L),
+      (4L, "alpha beta gamma alpha beta gamma", "en", "feedA", 33L),
+      (5L, "alpha beta gamma alpha beta gamma", "en", "feedA", 33L),
+      (6L, "alpha beta gamma alpha beta gamma", "en", "feedB", 33L),
+      (7L, "yo", "en", "feedB", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val jac = graft.ops.Dedup.ngramJaccard(docs, 0.1).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((4L, 5L)), "only the real same-source 3+-word twins may pair " +
+        "(unguarded, docs 1/2 pair at jaccard 1.0 via the bogus 'hi')")
+    val cont = graft.ops.Dedup.containment(docs, 0.1).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((4L, 5L)))
+    // source grain: the repeated text has 3 distinct shingles; short
+    // docs must add nothing. Unguarded, "hi"/"yo"/"one two" each emit
+    // a bogus shingle AND a shared "" — inflating sizes to 6/5 and
+    // the intersection to 4.
+    val sim = graft.ops.Dedup.sourceSimilarity(docs).collect()
+    assert(sim.length === 1)
+    assert(sim.head.getLong(2) === 3L && sim.head.getLong(3) === 3L &&
+      sim.head.getLong(4) === 3L,
+      "short docs contribute no shingles to the source sets")
+  }
+
   test("supplier hhi degenerate shape: a single-supplier nation is " +
       "full concentration (share = hhi = 1e6)") {
     val out = graft.ops.Relational.supplierHhi(spark, sf).collect()

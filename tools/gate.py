@@ -239,6 +239,16 @@ def run_bench(jar, sf_dir, workdir, reps, cpus, floor_path, out_path,
         return ph
     if floor_path and os.path.exists(floor_path):
         floor = json.load(open(floor_path))
+        # r16 lesson: floors at different parallelism are not
+        # comparable (the canary normalizes host speed, not thread
+        # count) — refuse rather than emit a misleading ratio
+        if ("cpus" in run and "cpus" in floor
+                and run["cpus"] != floor["cpus"]):
+            ph.update(verdict="RETRY",
+                      reason=f"floor cpu mismatch: run at {run['cpus']} "
+                             f"cpus vs floor {floor_path} at "
+                             f"{floor['cpus']} — pick a same-cpu floor")
+            return ph
         shared = sorted(k for k in run["queries"]
                         if k in floor["queries"]
                         and not isinstance(run["queries"][k], str)
@@ -249,7 +259,8 @@ def run_bench(jar, sf_dir, workdir, reps, cpus, floor_path, out_path,
                         for k in shared if floor["queries"][k] > 0)
         regressions = sorted(
             (k for k in shared
-             if run["queries"][k] > 1.5 * floor["queries"][k]
+             if floor["queries"][k] > 0
+             and run["queries"][k] > 1.5 * floor["queries"][k]
              and run["queries"][k] - floor["queries"][k] > 0.5),
             key=lambda k: -(run["queries"][k] / floor["queries"][k]))
         ph["vs_floor"] = {
@@ -326,6 +337,9 @@ def main():
     ap.add_argument("--load-before-thr", type=float, default=2.0)
     ap.add_argument("--load-after-thr", type=float, default=7.0)
     ap.add_argument("--plan-shape", default=None)
+    ap.add_argument("--bless-plan-shape", action="store_true",
+                    help="allow the baseline refresh even when existing "
+                         "plan shapes CHANGED (builder-adjudicated)")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 
@@ -453,8 +467,17 @@ def main():
     result["red"] = red
     result["disposition"] = "RED" if red else "GREEN"
     # refresh the committed plan-shape baseline only on a blessed gate
+    # AND only when no existing shape changed (additions are fine) —
+    # a shape regression must be builder-adjudicated via
+    # --bless-plan-shape, not silently blessed on its second run
     if plan_fresh and not red and args.plan_shape:
-        shutil.copyfile(plan_fresh, args.plan_shape)
+        changed = result["phases"]["plan_shape"]["diff"].get("changed", {})
+        if changed and not args.bless_plan_shape:
+            print(f"    plan-shape baseline NOT refreshed: "
+                  f"{len(changed)} shapes changed — rerun with "
+                  f"--bless-plan-shape after adjudicating", flush=True)
+        else:
+            shutil.copyfile(plan_fresh, args.plan_shape)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"\nGATE {result['disposition']} -> {args.out}")
