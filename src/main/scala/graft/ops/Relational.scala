@@ -819,16 +819,29 @@ object Relational {
 
   /** Explicit GROUPING SETS (the general form rollup/cube sugar over),
     * with per-column `grouping()` flags so consumers can tell a real
-    * NULL group key from a subtotal row. */
+    * NULL group key from a subtotal row.
+    *
+    * Scale shape (r17): the naive single-level form pays Expand's
+    * N_sets× row fan-out INTO the partial aggregate — at 3 sets that
+    * is 3× the scan rows hashed, measured ~3× the plain groupBy cost
+    * at sf0.1 and linearly worse at 100 TB. Both measures here are
+    * re-aggregable (decimal sum is exact under re-addition; count
+    * re-aggregates as sum), so aggregate at the FINEST grain first —
+    * one ordinary map-side-combined pass, |rf|·|ls| ≈ 6 rows out —
+    * and run the GROUPING SETS Expand over that tiny intermediate.
+    * Identical output (the oracle is the single-level SQL form);
+    * Expand now fans out 6 rows instead of the corpus. */
   def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val (rf, ls) = (col("l_returnflag"), col("l_linestatus"))
-    li.groupingSets(
+    val fine = li.groupBy(rf, ls)
+      // decD quantity discipline (r14 ADVICE, see pricingSummary)
+      .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
+    fine.groupingSets(
         Seq(Seq(rf, ls), Seq(rf), Seq.empty[Column]), rf, ls)
       .agg(grouping(rf).as("g_rf"), grouping(ls).as("g_ls"),
-        // decD quantity discipline (r14 ADVICE, see pricingSummary)
-        decD(sum(dec(col("l_quantity")))).as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+        decD(sum(col("pq"))).as("sum_qty"),
+        sum(col("pn")).as("n_rows"))
   }
 
   /** Bloom-filter bits per bucket word. */

@@ -3914,6 +3914,61 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(Upsert.read(spark, root).get.collect().toSet === before)
   }
 
+  test("lifecycle chain: the serving path stays compact through " +
+      "merge -> expire -> compact -> rollback -> merge -> compact " +
+      "(maxFilesPerBucket == 1 after every compact; rows exact at " +
+      "every step)") {
+    import graft.sinks.Upsert
+    val root = java.nio.file.Files
+      .createTempDirectory("lifecycle-chain-spec").toString
+    val keyed = trades
+      .withColumn("hr", date_trunc("hour", col("timestamp")))
+      .groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+    val syms = keyed.agg(min("symbol"), max("symbol")).head
+    def oneSym(s: String) = keyed.filter(col("symbol") === s)
+    // merge phase: base + two single-symbol revisions = real
+    // fragmentation (the compact-spec fixture)
+    Upsert.merge(keyed, 0L, root, Seq("symbol", "hr"),
+      bucketBy = Seq("symbol"))
+    Upsert.merge(oneSym(syms.getString(0)), 1L, root, Seq("symbol", "hr"),
+      bucketBy = Seq("symbol"))
+    Upsert.merge(oneSym(syms.getString(1)), 2L, root, Seq("symbol", "hr"),
+      bucketBy = Seq("symbol"))
+    val dataCols = Seq("symbol", "hr", "n_events", "max_event_id")
+    def readData() = Upsert.read(spark, root).get
+      .select(dataCols.map(col): _*).collect().toSet
+    val truth = readData()
+    assert(Upsert.liveGenerations(root) >= 2, "fixture must fragment")
+    // expire everything but the current version, then compact
+    assert(Upsert.expire(root, keepLast = 1) >= 1)
+    assert(readData() === truth)
+    assert(Upsert.compact(spark, root) >= 2)
+    val compactedVersion = Upsert.currentVersion(root).get
+    assert(Upsert.maxFilesPerBucket(root) === 1,
+      "serving path must be one file per bucket after compact")
+    assert(Upsert.liveGenerations(root) === 1)
+    assert(readData() === truth)
+    // fragment again, then roll back to the compacted version: the
+    // serving path must come back compact, not just row-correct
+    Upsert.merge(oneSym(syms.getString(0))
+      .withColumn("n_events", col("n_events") + 1), 3L, root,
+      Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    assert(readData() !== truth)
+    Upsert.rollback(root, compactedVersion)
+    assert(readData() === truth,
+      "rollback restores the compacted rows")
+    assert(Upsert.maxFilesPerBucket(root) === 1,
+      "rollback to a compacted version restores a compact serving path")
+    // one more merge + compact closes the loop
+    Upsert.merge(oneSym(syms.getString(1)), 4L, root, Seq("symbol", "hr"),
+      bucketBy = Seq("symbol"))
+    Upsert.compact(spark, root)
+    assert(Upsert.maxFilesPerBucket(root) === 1)
+    assert(Upsert.liveGenerations(root) === 1)
+    assert(readData() === truth)
+  }
+
   test("depth ladder: levels bounded by the window; trade counts and " +
       "volumes reconcile exactly with the tape around the last price") {
     val ladder = TradeOps.depthLadder(trades, windowCents = 500).cache()

@@ -618,4 +618,59 @@ class RecoverySpec extends SparkSuite {
       (1005L, 2L, 2500000L, 0L, 0L)),
       s"cross-restart level continuation: $rows")
   }
+
+  test("resample stream: previous-observation anchor survives the restart " +
+    "(post-restart revision of an open bucket re-interpolates the gap " +
+    "recovered from state) and the store converges to the batch grid") {
+    import graft.streaming.ResampleStream
+    import spark.implicits._
+    val H = 3600000L
+    val in = tmpDir("graft-resample-in")
+    val out = tmpDir("graft-resample-out")
+    val ckpt = tmpDir("graft-resample-ckpt")
+
+    def line(id: Long, offMs: Long, p: Double) =
+      s"$id,BTC,${t0 + offMs},$p,1.0"
+    def parsed = spark.readStream.text(in)
+      .select(split(col("value"), ",").as("f"))
+      .select(col("f").getItem(0).cast("long").as("event_id"),
+        col("f").getItem(1).as("symbol"),
+        timestamp_millis(col("f").getItem(2).cast("long")).as("ts"),
+        col("f").getItem(3).cast("double").as("price"),
+        col("f").getItem(4).cast("double").as("volume"))
+      .as[ResampleStream.Trade]
+    def start() = ResampleStream.resampleStream(spark, parsed).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Upsert.merge(df, id, out, Seq("symbol", "bucket"))
+      }.start()
+
+    // phase 1: h0 observed, h2 opens at 12 — the h1 gap goes out
+    // provisionally interpolated toward 12 — then STOP
+    writeBatch(in, "b1.csv", Seq(line(1, 0, 10.0), line(2, 2 * H, 12.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: restart; a second h2 print at 14 must re-interpolate h1
+    // from the RECOVERED (h0, 10.0) anchor — lost state would leave h1
+    // at 11.0 and restart h2's count at 1 — then h4 closes the segment
+    writeBatch(in, "b2.csv", Seq(line(3, 2 * H + 60000, 14.0),
+      line(4, 4 * H, 20.0)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batchIn = Seq(
+      (1L, "BTC", new java.sql.Timestamp(t0), 10.0, 1.0),
+      (2L, "BTC", new java.sql.Timestamp(t0 + 2 * H), 12.0, 1.0),
+      (3L, "BTC", new java.sql.Timestamp(t0 + 2 * H + 60000), 14.0, 1.0),
+      (4L, "BTC", new java.sql.Timestamp(t0 + 4 * H), 20.0, 1.0))
+      .toDF("event_id", "symbol", "timestamp", "price", "volume")
+    val batch = graft.ops.Resample.interpolateHourly(batchIn)
+    val store = Upsert.read(spark, out).get
+      .select("symbol", "bucket", "price_filled", "n_trades_ff")
+    assert(store.except(batch).isEmpty && batch.except(store).isEmpty,
+      "cross-restart converged grid must equal the batch table; got " +
+        store.orderBy("bucket").collect().mkString(", "))
+  }
 }

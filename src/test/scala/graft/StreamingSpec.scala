@@ -1295,4 +1295,55 @@ class StreamingSpec extends SparkSuite {
       assert(once === twice, "replaying a cumulative snapshot must be a no-op")
     } finally q.stop()
   }
+
+  test("resample stream: converged dense grid equals the batch " +
+    "interpolateHourly bit-exactly, including cross-batch revisions of " +
+    "an open bucket's provisional gap values") {
+    import spark.implicits._
+    import graft.streaming.ResampleStream
+    val H = 3600000L
+    def tr(id: Long, sym: String, offMs: Long, p: Double) =
+      ResampleStream.Trade(id, sym, new java.sql.Timestamp(t0 + offMs), p, 1.0)
+    // BTC: h0 (two trades — last-by-event_id is the representative),
+    // then a 2-hour gap to h3 whose value CHANGES across micro-batches
+    // (13 → 16), then h5. ETH: adjacent h0/h1 (no gap) plus h3.
+    val tape = Seq(
+      tr(1, "BTC", 0, 10.0), tr(2, "BTC", 60000, 11.0),
+      tr(3, "ETH", 1000, 5.0), tr(4, "ETH", H + 1000, 6.0),
+      tr(5, "BTC", 3 * H, 13.0), tr(6, "BTC", 3 * H + 120000, 16.0),
+      tr(7, "ETH", 3 * H + 500, 9.0), tr(8, "BTC", 5 * H + 1000, 20.0))
+    val batchIn = tape.toDF().withColumnRenamed("ts", "timestamp")
+    val batch = graft.ops.Resample.interpolateHourly(batchIn)
+    val input = MemoryStream[ResampleStream.Trade](spark)
+    val q = ResampleStream.resampleStream(spark, input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("resample_test").start()
+    try {
+      // batch split puts trades 5 and 6 (same open bucket, different
+      // price) in DIFFERENT micro-batches: the h1/h2 gap rows are first
+      // emitted provisionally interpolated toward 13, then re-emitted
+      // toward 16 — the converged view must keep only the revision
+      val (b1, rest) = tape.splitAt(5)
+      val (b2, b3) = rest.splitAt(2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol", "bucket").orderBy(col("ver").desc)
+      val converged = spark.table("resample_test")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("symbol", "bucket", "price_filled", "n_trades_ff")
+      assert(converged.except(batch).isEmpty && batch.except(converged).isEmpty,
+        "converged streamed grid must equal the batch interpolateHourly " +
+          "table bit-exactly")
+      // the provisional h1 gap row (toward 13) must have been emitted
+      // before the revision (toward 16) — both generations in the store
+      val h1 = spark.table("resample_test")
+        .filter(col("symbol") === "BTC" &&
+          col("bucket") === new java.sql.Timestamp(Math.floorDiv(t0, H) * H + H))
+        .select("price_filled").as[Double].collect().toSet
+      assert(h1.size === 2, s"expected provisional + revised h1 values: $h1")
+    } finally q.stop()
+  }
 }
