@@ -578,6 +578,10 @@ object SparkEntry {
       Pipeline.balancedSample(Tables.load(s, dir, "documents"))),
     "d_source_similarity" -> ((s, dir) =>
       Dedup.sourceSimilarity(Tables.load(s, dir, "documents"))),
+    "k20_prediction_accuracy" -> ((s, dir) =>
+      Predict.predictionAccuracy(trades(s, dir))),
+    "k21_audited_lifecycle" -> ((s, dir) =>
+      graft.sinks.Wap.auditedLifecycle(s, trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1900,5 +1904,7 @@ object SparkEntry {
     "a_depth_ladder" -> s"$T\n${TradeOps.depthLadderSql()}",
     "p_balanced_sample" -> Pipeline.balancedSampleSql,
     "d_source_similarity" -> Dedup.sourceSimilaritySql,
+    "k20_prediction_accuracy" -> Predict.predictionAccuracySql(),
+    "k21_audited_lifecycle" -> s"$T\n${graft.sinks.Wap.auditedLifecycleSql}",
   )
 }

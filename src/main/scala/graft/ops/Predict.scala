@@ -183,55 +183,63 @@ object Predict {
     * parity (predictions cluster near half-boundaries; Spark's
     * exact-expansion HALF_UP vs DuckDB's float-multiply rounding
     * flipped ~2% of rows by 1e-6). */
+  /** The default-scorer pipeline over the feature bars, returning the
+    * scored rows WITH their bar columns and fitted per-symbol stats
+    * (`mn_*`/`mx_*`) still attached — shared by [[predictNext]] (which
+    * keeps only the prediction) and [[predictionAccuracy]] (which also
+    * needs the NEXT bar's actual close from the same pass). Extracted
+    * verbatim from predictNext's default branch; values are unchanged. */
+  private[graft] def scoredDefault(bars: DataFrame, n: Int): DataFrame = {
+    val combo = mix.map { case (f, u) => s"${u}D * ${scl(barCol(f), f)}" }
+      .mkString(" + ")
+    val w = Window.partitionBy("symbol").orderBy("timestamp")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Fitted scaler stats as FULL-frame window aggregates instead of
+    // a separate aggregate + broadcast join: the whole-partition
+    // frame is evaluated once per partition (O(n), unlike the
+    // moving-lower-bound UNBOUNDED FOLLOWING trap), and it saves a
+    // second full computation of `bars` (the stats subtree re-ran
+    // the 3-window explode+agg — measured ~5s of the 17s at the 10×
+    // probe). Values are identical to [[scalerStats]]'s.
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withStats = mix.map(_._1).foldLeft(bars) { case (df, f) =>
+      df.withColumn(s"mn_$f", min(expr(barCol(f))).over(wAll))
+        .withColumn(s"mx_$f", max(expr(barCol(f))).over(wAll))
+    }
+    val dec = "DECIMAL(38,0)"
+    // Frame sums via RUNNING sums minus lag(·, n): Spark's bounded
+    // sliding frames re-evaluate the whole frame per row (no
+    // retraction — O(frame) BigDecimal adds per row, measured 7.6s
+    // at 300k bars), while UNBOUNDED PRECEDING frames accumulate
+    // incrementally. DECIMAL(38,0) keeps Σ rn·qc exact at any rn
+    // (a BIGINT product overflows once rn·qc·n exceeds 2^63).
+    withStats
+      .withColumn("qc",
+        expr(s"CAST(floor(($combo) * 1000000000000.0D + 0.5D) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("p", (col("rn").cast(dec) * col("qc").cast(dec)).cast(dec))
+      .withColumn("r1", sum(col("qc").cast(dec)).over(run))
+      .withColumn("r2", sum(col("p")).over(run))
+      .withColumn("s1", col("r1") - coalesce(lag(col("r1"), n).over(w),
+        lit(0).cast(dec)))
+      .withColumn("s2", col("r2") - coalesce(lag(col("r2"), n).over(w),
+        lit(0).cast(dec)))
+      .filter(col("rn") >= n)
+      .withColumn("score",
+        expr(s"CAST(s2 - (CAST(rn AS $dec) - $n) * s1 AS DOUBLE)" +
+          s" / (${wsum(n)}.0D * 1000000000000.0D)"))
+  }
+
   def predictNext(trades: DataFrame, n: Int = lookbackN,
       scorer: Column = null): DataFrame = {
     val bars = TradeOps.slidingFeatures(trades)
-    val stats = scalerStats(bars)
     val scored = Option(scorer) match {
       case Some(sc) =>
         lookbackMatrix(bars, n)
-          .join(broadcast(stats), "symbol")
+          .join(broadcast(scalerStats(bars)), "symbol")
           .withColumn("score", sc)
-      case None =>
-        val combo = mix.map { case (f, u) => s"${u}D * ${scl(barCol(f), f)}" }
-          .mkString(" + ")
-        val w = Window.partitionBy("symbol").orderBy("timestamp")
-        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // Fitted scaler stats as FULL-frame window aggregates instead of
-        // a separate aggregate + broadcast join: the whole-partition
-        // frame is evaluated once per partition (O(n), unlike the
-        // moving-lower-bound UNBOUNDED FOLLOWING trap), and it saves a
-        // second full computation of `bars` (the stats subtree re-ran
-        // the 3-window explode+agg — measured ~5s of the 17s at the 10×
-        // probe). Values are identical to [[scalerStats]]'s.
-        val wAll = w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-        val withStats = mix.map(_._1).foldLeft(bars) { case (df, f) =>
-          df.withColumn(s"mn_$f", min(expr(barCol(f))).over(wAll))
-            .withColumn(s"mx_$f", max(expr(barCol(f))).over(wAll))
-        }
-        val dec = "DECIMAL(38,0)"
-        // Frame sums via RUNNING sums minus lag(·, n): Spark's bounded
-        // sliding frames re-evaluate the whole frame per row (no
-        // retraction — O(frame) BigDecimal adds per row, measured 7.6s
-        // at 300k bars), while UNBOUNDED PRECEDING frames accumulate
-        // incrementally. DECIMAL(38,0) keeps Σ rn·qc exact at any rn
-        // (a BIGINT product overflows once rn·qc·n exceeds 2^63).
-        withStats
-          .withColumn("qc",
-            expr(s"CAST(floor(($combo) * 1000000000000.0D + 0.5D) AS BIGINT)"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("p", (col("rn").cast(dec) * col("qc").cast(dec)).cast(dec))
-          .withColumn("r1", sum(col("qc").cast(dec)).over(run))
-          .withColumn("r2", sum(col("p")).over(run))
-          .withColumn("s1", col("r1") - coalesce(lag(col("r1"), n).over(w),
-            lit(0).cast(dec)))
-          .withColumn("s2", col("r2") - coalesce(lag(col("r2"), n).over(w),
-            lit(0).cast(dec)))
-          .filter(col("rn") >= n)
-          .withColumn("score",
-            expr(s"CAST(s2 - (CAST(rn AS $dec) - $n) * s1 AS DOUBLE)" +
-              s" / (${wsum(n)}.0D * 1000000000000.0D)"))
+      case None => scoredDefault(bars, n)
     }
     scored.select(col("symbol"),
       (col("timestamp") + expr("INTERVAL 10 SECONDS")).as("timestamp"),
@@ -254,6 +262,94 @@ object Predict {
         keys = Seq("symbol", "timestamp"), bucketBy = Seq("symbol"))
     graft.sinks.Upsert.read(spark, root).get
       .select("symbol", "timestamp", "predicted_close")
+  }
+
+  /** K20 — the serving layer's prediction-accuracy scorecard: the
+    * reference's Grafana dashboard overlays `curr_price` against
+    * `predict_price` on the same timestamp axis and leaves the accuracy
+    * judgment to the human eye (`grafana/dashboard.json:404-455`,
+    * panel 4's two `columnValue` series over the prediction table K7
+    * maintains). This op makes that alignment a first-class metric:
+    * each prediction (made at bar t, targeting t+10s —
+    * `predict_btc.py:83-84`) is matched with the REALIZED close of the
+    * bar at exactly t+10s, and per (symbol, day) the engine emits
+    * `n_scored`, `mae`, `bias` (signed mean error), `rmse`, `mape`
+    * (over positive actuals only — the corpus contains zero prices),
+    * and `n_within_1pct` (count within ±1% of the actual).
+    *
+    * Matching is a window `lead`, not a join: bar timestamps lie on the
+    * 10-second grid ([[TradeOps.slidingFeatures]]), so a bar at t+10s
+    * exists iff it is the ordered successor of t — `lead(timestamp)`
+    * plus an equality filter is semantically identical to the
+    * (symbol, timestamp) equi-join the oracle spells out, but rides the
+    * SAME per-symbol window pass that scores the predictions: one scan,
+    * one shuffle, no second computation of the bar table. Predictions
+    * whose target slot has no bar (no trades in that 10s) are unmatched
+    * in both forms and dropped.
+    *
+    * Cross-engine exactness: predicted and actual close are
+    * bit-identical doubles (the [[predictNext]] parity argument), so
+    * `err` is one IEEE subtraction. Each metric quantizes its per-row
+    * term to an integer — micro-units for |err| and err (floor(x·1e6 +
+    * 0.5)), 1e4-units for err² and 1e6-units for |err|/actual (chosen
+    * so the worst-case group sum stays far below 2⁵³ — see the bound
+    * below) — sums the BIGINTs in DECIMAL(38,0) (exact), asserts the
+    * sum ≤ 2⁵³ LOUDLY on both sides (Spark `assert_true`, oracle
+    * `error()`), and performs ONE int→double cast (exact under the
+    * guard) and ONE correctly-rounded division per metric.
+    *
+    * Scale posture: output and intermediate grain are GRID-bounded, not
+    * data-bounded — per (symbol, day) there are at most 3·8,640 bar
+    * slots regardless of trade volume, so group sums are bounded by
+    * 26k · (quantized term) ≈ 10¹⁴ at the observed price range (≤561)
+    * and the 2⁵³ guard has two decades of headroom; more data makes
+    * bars denser, never groups bigger. One window pass + one
+    * grid-bounded hash agg; nothing collects. */
+  def predictionAccuracy(trades: DataFrame, n: Int = lookbackN): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("timestamp")
+    val matched = scoredDefault(TradeOps.slidingFeatures(trades), n)
+      .withColumn("pc",
+        col("mn_close") + col("score") * (col("mx_close") - col("mn_close")))
+      .withColumn("next_ts", lead(col("timestamp"), 1).over(w))
+      .withColumn("next_close", lead(col("close"), 1).over(w))
+      .filter(col("next_ts") ===
+        col("timestamp") + expr("INTERVAL 10 SECONDS"))
+      .select(col("symbol"), col("next_ts").as("ts"),
+        (col("pc") - col("next_close")).as("err"),
+        col("next_close").as("actual"))
+    val q = matched
+      .withColumn("qe",
+        expr("CAST(floor(abs(err) * 1000000.0D + 0.5D) AS BIGINT)"))
+      .withColumn("qb",
+        expr("CAST(floor(err * 1000000.0D + 0.5D) AS BIGINT)"))
+      .withColumn("qs",
+        expr("CAST(floor(err * err * 10000.0D + 0.5D) AS BIGINT)"))
+      .withColumn("qr", expr("CASE WHEN actual > 0.0D THEN " +
+        "CAST(floor(abs(err) / actual * 1000000.0D + 0.5D) AS BIGINT) END"))
+      .withColumn("hit",
+        expr("CASE WHEN abs(err) <= 0.01D * actual THEN 1L ELSE 0L END"))
+    def exactMean(s: Column, nRows: Column, unit: Double): Column = {
+      val g = assert_true(s.isNull || abs(s) <= lit(9007199254740992L),
+        lit("predictionAccuracy: quantized error sum exceeds 2^53 — " +
+          "the int->double cast would round; shrink the quantum"))
+      when(g.isNull, s.cast("double")) / (nRows.cast("double") * lit(unit))
+    }
+    val d38 = "decimal(38,0)"
+    q.groupBy(col("symbol"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("qe").cast(d38)).as("se"),
+        sum(col("qb").cast(d38)).as("sb"),
+        sum(col("qs").cast(d38)).as("sq"),
+        sum(col("qr").cast(d38)).as("sr"),
+        count(col("qr")).as("n_rel"),
+        sum(col("hit")).as("nw"))
+      .select(col("symbol"), col("day"), col("n_scored"),
+        exactMean(col("se"), col("n_scored"), 1e6).as("mae"),
+        exactMean(col("sb"), col("n_scored"), 1e6).as("bias"),
+        sqrt(exactMean(col("sq"), col("n_scored"), 1e4)).as("rmse"),
+        when(col("n_rel") > 0,
+          exactMean(col("sr"), col("n_rel"), 1e6)).as("mape"),
+        col("nw").as("n_within_1pct"))
   }
 
   // ------------------------------------------------------------------
@@ -328,5 +424,66 @@ object Predict {
        |SELECT sco.symbol, sco.ets + INTERVAL 10 SECOND AS "timestamp",
        |       s.mn_close + sco.sc * (s.mx_close - s.mn_close) AS predicted_close
        |FROM score sco JOIN stats s ON s.symbol = sco.symbol""".stripMargin
+  }
+
+  /** K20 oracle: the [[predictSql]] chain, then the (symbol, timestamp)
+    * equi-join against the realized bar closes (the join form the
+    * engine's `lead` is provably identical to on the 10-second grid),
+    * the same integer quantization per metric, exact HUGEINT sums with
+    * the mirrored LOUD 2⁵³ guard (`error()`), and one division per
+    * metric. */
+  def predictionAccuracySql(n: Int = lookbackN): String = {
+    val sclSql = (x: String, f: String) =>
+      s"(CASE WHEN s.mx_$f = s.mn_$f THEN 0.5::DOUBLE ELSE ($x - s.mn_$f) / (s.mx_$f - s.mn_$f) END)"
+    val combo = mix.map { case (f, u) => s"$u::DOUBLE * ${sclSql(s"nb.$f", f)}" }
+      .mkString(" + ")
+    val statCols = mix.map(_._1)
+      .map(f => s"min($f) AS mn_$f, max($f) AS mx_$f").mkString(", ")
+    def guarded(s: String): String =
+      s"""(CASE WHEN abs($s) > 9007199254740992 THEN
+         |        CAST(error('predictionAccuracy oracle: quantized error sum exceeds 2^53') AS DOUBLE)
+         |        ELSE CAST($s AS DOUBLE) END)""".stripMargin
+    s"""${graft.Tables.tradesCte}, $barsCte,
+       |stats AS (
+       |  SELECT symbol, $statCols FROM bars GROUP BY 1
+       |), numbered AS (
+       |  SELECT b.*, row_number() OVER (PARTITION BY symbol ORDER BY "timestamp") AS rn
+       |  FROM bars b
+       |), qrows AS (
+       |  SELECT nb.symbol, nb."timestamp", nb.rn,
+       |         CAST(floor(($combo) * 1000000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS qc
+       |  FROM numbered nb JOIN stats s ON s.symbol = nb.symbol
+       |), terms AS (
+       |  SELECT e.symbol, e."timestamp" AS ets,
+       |         CAST(r.rn - e.rn + $n AS BIGINT) * r.qc AS term
+       |  FROM qrows e
+       |  JOIN qrows r ON r.symbol = e.symbol AND r.rn BETWEEN e.rn - ${n - 1} AND e.rn
+       |  WHERE e.rn >= $n
+       |), score AS (
+       |  SELECT symbol, ets,
+       |         CAST(sum(term) AS DOUBLE) / (${wsum(n)}.0::DOUBLE * 1000000000000.0::DOUBLE) AS sc
+       |  FROM terms GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT sco.symbol, sco.ets + INTERVAL 10 SECOND AS ts,
+       |         s.mn_close + sco.sc * (s.mx_close - s.mn_close) AS pc
+       |  FROM score sco JOIN stats s ON s.symbol = sco.symbol
+       |), q AS (
+       |  SELECT p.symbol, p.ts, p.pc - b.close AS err, b.close AS actual
+       |  FROM pred p JOIN bars b ON b.symbol = p.symbol AND b."timestamp" = p.ts
+       |)
+       |SELECT symbol, date_trunc('day', ts) AS day,
+       |       CAST(count(*) AS BIGINT) AS n_scored,
+       |       ${guarded("sum(CAST(floor(abs(err) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))")}
+       |         / (CAST(count(*) AS DOUBLE) * 1000000.0::DOUBLE) AS mae,
+       |       ${guarded("sum(CAST(floor(err * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))")}
+       |         / (CAST(count(*) AS DOUBLE) * 1000000.0::DOUBLE) AS bias,
+       |       sqrt(${guarded("sum(CAST(floor(err * err * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))")}
+       |         / (CAST(count(*) AS DOUBLE) * 10000.0::DOUBLE)) AS rmse,
+       |       CASE WHEN count(CASE WHEN actual > 0.0::DOUBLE THEN 1 END) > 0 THEN
+       |         ${guarded("sum(CASE WHEN actual > 0.0::DOUBLE THEN CAST(floor(abs(err) / actual * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) END)")}
+       |         / (CAST(count(CASE WHEN actual > 0.0::DOUBLE THEN 1 END) AS DOUBLE) * 1000000.0::DOUBLE)
+       |       END AS mape,
+       |       CAST(sum(CASE WHEN abs(err) <= 0.01::DOUBLE * actual THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct
+       |FROM q GROUP BY 1, 2""".stripMargin
   }
 }

@@ -487,7 +487,7 @@ object TradeOps {
     * Returns the month's rows for oracle comparison. */
   /** Per-session-unique scratch path: concurrent runs (bench + tests)
     * must not race on mode("overwrite") of a shared directory. */
-  private[ops] def scratchDir(spark: SparkSession, name: String): String =
+  private[graft] def scratchDir(spark: SparkSession, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${spark.sparkContext.applicationId}"
 
   /** [[scratchDir]] guaranteed EMPTY: ops whose contract is "start from
@@ -497,7 +497,7 @@ object TradeOps {
     * makes rep 2+ measure different work and emit different probe
     * counts than rep 1 (ADVICE r15). Build-once ops (keyedPointRead,
     * ttStore) keep the plain scratchDir + manifest guard. */
-  private[ops] def freshScratchDir(spark: SparkSession, name: String): String = {
+  private[graft] def freshScratchDir(spark: SparkSession, name: String): String = {
     val d = scratchDir(spark, name)
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles()

@@ -101,4 +101,151 @@ object Wap {
     * CTE): the audited first version, i.e. the identity. */
   val roundTripSql: String =
     """SELECT event_id, symbol, "timestamp", price, volume FROM trades"""
+
+  // ------------------------------------------------------------------
+  // K21 — audited merge: WAP unified with the keyed upsert lifecycle
+  // ------------------------------------------------------------------
+
+  /** Composite-key audit over STAGED files (K21's gate): non-empty, no
+    * NULL in any key column, composite key unique. One scan of what
+    * actually landed on disk, like [[audit]]. */
+  private def auditKeys(spark: SparkSession, stagingDir: String,
+      keys: Seq[String]): Option[String] = {
+    val staged = spark.read.parquet(stagingDir)
+    val missing = keys.filterNot(staged.columns.contains)
+    if (missing.nonEmpty)
+      return Some(s"key columns missing: ${missing.mkString(",")}")
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val checks = staged.agg(
+      count(lit(1)).as("n"),
+      count(when(anyNull, 1)).as("n_null"),
+      count_distinct(col(keys.head), keys.tail.map(col): _*).as("n_keys")).head()
+    val (n, nNull, nKeys) =
+      (checks.getLong(0), checks.getLong(1), checks.getLong(2))
+    if (n == 0L) Some("empty batch")
+    else if (nNull > 0L) Some(s"$nNull NULL keys")
+    else if (nKeys != n) Some(s"${n - nKeys} duplicate keys")
+    else None
+  }
+
+  /** K21 — the audited-merge verb, unifying this WAP gate with the
+    * [[Upsert]] store's transactional lifecycle (VERDICT r16 #6; the
+    * reference's ingestion path upserts whatever arrives —
+    * `predict_btc.py:88-91`, `CassandraWriter` in
+    * `ProcessStockStream.py:64-90` — with the table's primary key as
+    * the only guardrail; this is the production-shaped version where a
+    * batch must PROVE key integrity before it may touch the store).
+    *
+    * Stage the batch UNREFERENCED under `root/staging_b<id>`, audit the
+    * staged files (what landed on disk, not the plan), and only on a
+    * clean audit hand those same files to [[Upsert.merge]] — whose
+    * atomic pointer flip is the publish. A rejected batch leaves the
+    * store's version chain COMPLETELY untouched (no version bump, no
+    * generation dirs, no manifest) and its staging dir behind for
+    * inspection. Replay-safe end to end: the replay marker
+    * (`appliedBatchId`) commits atomically with the data, so a
+    * re-delivered batch id is recognized and skipped before staging,
+    * and a crash between stage and merge re-stages the same dir
+    * idempotently (mode overwrite, same path per id).
+    *
+    * Scale posture: the audit is one count/count-distinct aggregate
+    * over the staged batch (batch-sized, not table-sized); everything
+    * else is [[Upsert.merge]]'s touched-buckets-only cost. */
+  def auditedMerge(spark: SparkSession, batch: DataFrame, batchId: Long,
+      root: String, keys: Seq[String],
+      bucketBy: Seq[String] = Seq.empty): PublishResult = {
+    Files.createDirectories(Paths.get(root))
+    val store = s"$root/store"
+    if (Upsert.lastAppliedBatch(store).exists(_ >= batchId))
+      return PublishResult(batchId, published = true, "already applied")
+    val staging = s"$root/staging_b$batchId"
+    batch.write.mode("overwrite").parquet(staging)
+    auditKeys(spark, staging, keys) match {
+      case Some(reason) => PublishResult(batchId, published = false, reason)
+      case None =>
+        Upsert.merge(spark.read.parquet(staging), batchId, store,
+          keys = keys, bucketBy = bucketBy, appliedBatchId = Some(batchId))
+        PublishResult(batchId, published = true, "ok")
+    }
+  }
+
+  /** Serve the audited store (pointer-follow through the Upsert
+    * manifest); None if nothing was ever published. */
+  def readStore(spark: SparkSession, root: String): Option[DataFrame] =
+    Upsert.read(spark, s"$root/store")
+
+  /** Registered-query form (`k21_audited_lifecycle`): drive the full
+    * audited lifecycle on a per-(symbol, day) rollup of the trades —
+    *
+    *   1. base batch: audited merge (publishes),
+    *   2. a NULL-key revision batch: REJECTED by the audit, version
+    *      chain untouched (asserted loudly),
+    *   3. a single-symbol revision (volume doubled): audited merge
+    *      (publishes, last-writer-wins on the composite key),
+    *   4. [[Upsert.expire]] + [[Upsert.compact]]: history GC'd, serving
+    *      path back to one generation / one file per bucket (asserted
+    *      loudly via the layout probes and emitted as columns),
+    *
+    * then serve the table back. The data oracle is pure SQL: base
+    * rollup with the max symbol's volume doubled. Empty corpus ⇒ the
+    * base batch fails its "non-empty" audit and no store exists ⇒
+    * EMPTY-OK (schema-stable empty result), mirroring the oracle's
+    * empty rollup. */
+  def auditedLifecycle(spark: SparkSession, trades: DataFrame): DataFrame = {
+    import graft.ops.TradeOps
+    val root = TradeOps.freshScratchDir(spark, "audited_lifecycle")
+    val keyed = trades
+      .groupBy(col("symbol"), date_trunc("day", col("timestamp")).as("day"))
+      .agg(count(lit(1)).as("n_trades"),
+        graft.Num.decD(sum(graft.Num.dec(col("volume")))).as("vol"))
+    val keys = Seq("symbol", "day")
+    val r0 = auditedMerge(spark, keyed, 0L, root, keys,
+      bucketBy = Seq("symbol"))
+    if (!r0.published)
+      return keyed
+        .withColumn("gens_after", lit(1L))
+        .withColumn("max_files_per_bucket", lit(1L))
+        .limit(0)
+    val v0 = Upsert.currentVersion(s"$root/store")
+    // NULL-key corruption: the audit must reject it and the store's
+    // version chain must not move
+    val corrupt = keyed.withColumn("day", lit(null).cast("timestamp"))
+    val r1 = auditedMerge(spark, corrupt, 1L, root, keys,
+      bucketBy = Seq("symbol"))
+    require(!r1.published, "NULL-key batch passed the audit")
+    require(Upsert.currentVersion(s"$root/store") == v0,
+      "rejected batch moved the version chain")
+    // single-symbol revision: volume doubled (exact power-of-two
+    // multiply of the decD double — bit-identical in both engines)
+    val maxSym = keyed.agg(max(col("symbol"))).head().getString(0)
+    val revised = keyed.filter(col("symbol") === maxSym)
+      .withColumn("vol", col("vol") * lit(2.0d))
+    val r2 = auditedMerge(spark, revised, 2L, root, keys,
+      bucketBy = Seq("symbol"))
+    require(r2.published, s"revision batch failed audit: ${r2.reason}")
+    Upsert.expire(s"$root/store", keepLast = 1)
+    Upsert.compact(spark, s"$root/store")
+    val gens = Upsert.liveGenerations(s"$root/store")
+    val maxFiles = Upsert.maxFilesPerBucket(s"$root/store")
+    require(gens == 1 && maxFiles == 1,
+      s"serving path not compact after lifecycle: gens=$gens files=$maxFiles")
+    readStore(spark, root).get
+      .select(col("symbol"), col("day"), col("n_trades"), col("vol"))
+      .withColumn("gens_after", lit(gens.toLong))
+      .withColumn("max_files_per_bucket", lit(maxFiles.toLong))
+  }
+
+  /** Oracle for [[auditedLifecycle]] (body only — caller prepends the
+    * trades CTE): the rejected batch is invisible, the revision doubles
+    * the max symbol's volume, compaction is row-invisible with constant
+    * layout probes. */
+  val auditedLifecycleSql: String =
+    """SELECT symbol, date_trunc('day', "timestamp") AS day,
+      |       CAST(count(*) AS BIGINT) AS n_trades,
+      |       CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+      |         * (CASE WHEN symbol = (SELECT max(symbol) FROM trades)
+      |                 THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END) AS vol,
+      |       CAST(1 AS BIGINT) AS gens_after,
+      |       CAST(1 AS BIGINT) AS max_files_per_bucket
+      |FROM trades GROUP BY 1, 2""".stripMargin
 }

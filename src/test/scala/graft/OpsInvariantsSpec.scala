@@ -4212,4 +4212,70 @@ class OpsInvariantsSpec extends SparkSuite {
     val k = TradeOps.narrowRange(const).head()
     assert(k.getLong(2) === 0L && k.getDouble(3) === 0.0d)
   }
+
+  test("prediction accuracy: lead-matching == explicit (symbol, ts) join; metric sanity") {
+    import graft.ops.Predict
+    val acc = Predict.predictionAccuracy(trades).cache()
+    // independent join-based reference: predictNext's table matched to
+    // the realized bar closes on (symbol, timestamp) — the declared
+    // semantics the window `lead` claims to be identical to
+    val bars = TradeOps.slidingFeatures(trades)
+      .select(col("symbol"), col("timestamp"), col("close"))
+    val joined = Predict.predictNext(trades)
+      .join(bars, Seq("symbol", "timestamp"))
+    val perDay = joined
+      .groupBy(col("symbol"), date_trunc("day", col("timestamp")).as("day"))
+      .agg(count(lit(1)).as("n_join"),
+        sum(expr("CAST(floor(abs(predicted_close - close) * 1000000.0D + 0.5D) AS BIGINT)"))
+          .as("se_join"))
+    val cmp = acc.join(perDay, Seq("symbol", "day"), "full_outer")
+    assert(cmp.filter(col("n_scored").isNull || col("n_join").isNull ||
+      col("n_scored") =!= col("n_join")).count() === 0)
+    // micro-quantized MAE reconstructed from the join path matches exactly
+    assert(cmp.filter(
+      col("se_join").cast("double") / (col("n_join").cast("double") * lit(1e6))
+        =!= col("mae")).count() === 0)
+    // metric sanity: rmse >= mae >= |bias| (Jensen / triangle), counts bounded
+    assert(acc.filter(col("mae") < abs(col("bias")) - lit(1e-9)).count() === 0)
+    assert(acc.filter(col("rmse") < col("mae") - lit(1e-4)).count() === 0)
+    assert(acc.filter(col("n_within_1pct") > col("n_scored")).count() === 0)
+  }
+
+  test("audited merge: duplicate-key and NULL-key batches rejected without a version bump; replayed id skipped") {
+    import graft.sinks.{Upsert, Wap}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_k21_spec_" +
+      spark.sparkContext.applicationId
+    val store = s"$root/store"
+    val keyed = trades
+      .groupBy(col("symbol"), date_trunc("day", col("timestamp")).as("day"))
+      .agg(count(lit(1)).as("n_trades"))
+    val r0 = Wap.auditedMerge(spark, keyed, 0L, root,
+      keys = Seq("symbol", "day"), bucketBy = Seq("symbol"))
+    assert(r0.published)
+    val v0 = Upsert.currentVersion(store)
+    assert(v0.nonEmpty)
+    // duplicate composite keys must be rejected
+    val dup = keyed.unionByName(keyed.limit(1))
+    val rDup = Wap.auditedMerge(spark, dup, 5L, root,
+      keys = Seq("symbol", "day"), bucketBy = Seq("symbol"))
+    assert(!rDup.published && rDup.reason.contains("duplicate"))
+    assert(Upsert.currentVersion(store) === v0)
+    // NULL keys must be rejected
+    val nulls = keyed.withColumn("day", lit(null).cast("timestamp"))
+    val rNull = Wap.auditedMerge(spark, nulls, 6L, root,
+      keys = Seq("symbol", "day"), bucketBy = Seq("symbol"))
+    assert(!rNull.published && rNull.reason.contains("NULL"))
+    assert(Upsert.currentVersion(store) === v0)
+    // replayed batch id: skipped BEFORE staging or merging, version fixed
+    val rReplay = Wap.auditedMerge(spark,
+      keyed.withColumn("n_trades", col("n_trades") + 999), 0L, root,
+      keys = Seq("symbol", "day"), bucketBy = Seq("symbol"))
+    assert(rReplay.published && rReplay.reason === "already applied")
+    assert(Upsert.currentVersion(store) === v0)
+    // store still serves the audited base batch exactly
+    val served = Wap.readStore(spark, root).get
+    assert(served.count() === keyed.count())
+    assert(served.join(keyed, Seq("symbol", "day"))
+      .filter(served("n_trades") =!= keyed("n_trades")).count() === 0)
+  }
 }
