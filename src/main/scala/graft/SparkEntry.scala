@@ -582,6 +582,8 @@ object SparkEntry {
       Predict.predictionAccuracy(trades(s, dir))),
     "k21_audited_lifecycle" -> ((s, dir) =>
       graft.sinks.Wap.auditedLifecycle(s, trades(s, dir))),
+    "k22_schema_evolution" -> ((s, dir) =>
+      TradeOps.schemaEvolution(s, trades(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1906,5 +1908,6 @@ object SparkEntry {
     "d_source_similarity" -> Dedup.sourceSimilaritySql,
     "k20_prediction_accuracy" -> Predict.predictionAccuracySql(),
     "k21_audited_lifecycle" -> s"$T\n${graft.sinks.Wap.auditedLifecycleSql}",
+    "k22_schema_evolution" -> s"$T\n${TradeOps.schemaEvolutionSql}",
   )
 }

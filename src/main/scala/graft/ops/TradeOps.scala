@@ -762,6 +762,69 @@ object TradeOps {
       .withColumn("max_files_per_bucket", lit(maxFiles.toLong))
   }
 
+  /** K22 (extension, r17) — SCHEMA EVOLUTION on the keyed upsert store
+    * ([[graft.sinks.Upsert]] manifest schema ledger; the lakehouse
+    * ADD COLUMN / Avro schema-registry axis — the reference pins its
+    * wire schema in one place, `trades.avsc:1-55` + `Schemas.scala`,
+    * precisely because producers evolve): a base per-(symbol, hour)
+    * rollup is merged with three columns, then a second batch arrives
+    * CARRYING A NEW COLUMN (`vol`, the exact decimal hour volume) for
+    * the even hours only. The merge records the widened schema in the
+    * versioned manifest; generations written before the column existed
+    * are NEVER rewritten and NEVER footer-sniffed — the read resolves
+    * the recorded schema and old rows serve NULL. Loud in-op probes pin
+    * the versioning contract: the time-travel read of the
+    * pre-evolution version serves the ORIGINAL narrow schema (the
+    * schema rides the manifest, so it time-travels with the data).
+    *
+    * 100-TB posture: this is the op whose whole point is the cost it
+    * does NOT pay — adding a column to a 100 TB table is one manifest
+    * write (O(1) metadata) + the normal touched-bucket merge of the
+    * batch that introduces it; zero history rewrite, zero
+    * footer-listing per query. Exact integers / decD doubles
+    * throughout. Fresh store per invocation. */
+  def schemaEvolution(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val root = freshScratchDir(spark, "schema_evo_store")
+    val hourly = trades.withColumn("hr", date_trunc("hour", col("timestamp")))
+    val base = hourly.groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"))
+    graft.sinks.Upsert.merge(base, 0L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    if (graft.sinks.Upsert.currentVersion(root).isEmpty)
+      return base.withColumn("vol", lit(null).cast("double")).limit(0)
+    val evolved = hourly.filter(hour(col("hr")) % 2 === 0)
+      .groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Num.decD(sum(graft.Num.dec(col("volume")))).as("vol"))
+    graft.sinks.Upsert.merge(evolved, 1L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    val served = graft.sinks.Upsert.read(spark, root).get
+    if (!served.columns.contains("vol"))
+      // no even-hour rows anywhere ⇒ the widening batch was empty and
+      // the table legitimately never evolved; serve the ledger schema
+      // the evolution WOULD have recorded (all-NULL vol, matching the
+      // oracle's all-NULL CASE)
+      return served.withColumn("vol", lit(null).cast("double"))
+        .select("symbol", "hr", "n_events", "vol")
+    // versioning probe: the pre-evolution version still serves the
+    // NARROW schema — the ledger time-travels with the manifest
+    val v0 = graft.sinks.Upsert.readVersion(spark, root, 0L)
+    require(v0.forall(df => !df.columns.contains("vol")),
+      "pre-evolution version serves a column that did not exist yet")
+    served.select("symbol", "hr", "n_events", "vol")
+  }
+
+  /** Oracle for [[schemaEvolution]] (body only — caller prepends the
+    * trades CTE): the hour rollup; `vol` exists only where the widening
+    * batch (even hours) won the key, NULL elsewhere. */
+  val schemaEvolutionSql: String =
+    """SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CASE WHEN EXTRACT(hour FROM date_trunc('hour', "timestamp")) % 2 = 0
+      |            THEN CAST(CAST(sum(CAST(volume AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+      |       END AS vol
+      |FROM trades GROUP BY 1, 2""".stripMargin
+
   /** Oracle for [[compactGenerations]] (body only — caller prepends the
     * trades CTE): compaction is row-invisible, so the table is the
     * plain hour rollup; both layout probes are the compacted

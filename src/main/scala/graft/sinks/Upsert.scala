@@ -72,16 +72,35 @@ object Upsert {
     * (for sinks whose merge is NOT naturally idempotent — the additive
     * incremental-MV merge — so data commit and replay marker ride the
     * same atomic pointer flip; see [[lastAppliedBatch]]), as a single
-    * hand-rolled JSON object (no JSON lib in scope). */
+    * hand-rolled JSON object (no JSON lib in scope).
+    *
+    * `schema` (round 17) is the table's UNIFIED logical schema as a
+    * Spark DDL string — the schema-EVOLUTION ledger. Each merge unions
+    * the incoming batch's columns into it (new columns append,
+    * everything nullable), and every read resolves the version's
+    * recorded schema and hands it to the parquet reader EXPLICITLY:
+    * generations written before a column existed simply serve NULL for
+    * it, with zero footer sniffing (`mergeSchema` reads every file
+    * footer — metadata cost ∝ files, the thing a 100 TB table cannot
+    * pay per query) and zero history rewrite (the thing evolution
+    * exists to avoid). Because the schema rides the versioned manifest,
+    * it time-travels with the data: [[readVersion]] of a pre-evolution
+    * version serves the ORIGINAL columns. Absent on manifests written
+    * before round 17 → reads fall back to footer-resolved schemas
+    * unchanged. */
   private case class Manifest(nBuckets: Int, bucketBy: Seq[String],
-      buckets: Map[Int, String], appliedBatch: Option[Long] = None)
+      buckets: Map[Int, String], appliedBatch: Option[Long] = None,
+      schema: Option[String] = None)
 
   private def writeManifest(root: String, v: Long, m: Manifest): Unit = {
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, g) => s""""$b":"$g"""" }.mkString(",")
     val ab = m.appliedBatch.map(id => s""","ab":$id""").getOrElse("")
+    // DDL strings contain no double quotes for the engine's identifier
+    // set (guarded at write in merge); commas/parens are JSON-safe
+    val sch = m.schema.map(s => s""","sch":"$s"""").getOrElse("")
     Files.write(manifestPath(root, v),
-      s"""{"nb":${m.nBuckets},"by":"${m.bucketBy.mkString(",")}"$ab,"buckets":{$entries}}"""
+      s"""{"nb":${m.nBuckets},"by":"${m.bucketBy.mkString(",")}"$ab$sch,"buckets":{$entries}}"""
         .getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
@@ -90,6 +109,7 @@ object Upsert {
   private val nbRe = """"nb"\s*:\s*(\d+)""".r
   private val byRe = """"by"\s*:\s*"([^"]*)"""".r
   private val abRe = """"ab"\s*:\s*(-?\d+)""".r
+  private val schRe = """"sch"\s*:\s*"([^"]*)"""".r
 
   private def readManifest(root: String, v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(root, v)))
@@ -98,11 +118,30 @@ object Upsert {
     val by = byRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       .split(",").toSeq.filter(_.nonEmpty)
     val ab = abRe.findFirstMatchIn(s).map(_.group(1).toLong)
+    val sch = schRe.findFirstMatchIn(s).map(_.group(1))
     val inner = s.drop(s.indexOf("buckets"))
     Manifest(nb, by,
       entryRe.findAllMatchIn(inner)
-        .map(m => m.group(1).toInt -> m.group(2)).toMap, ab)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap, ab, sch)
   }
+
+  /** The schema a generation scan should be read with: the manifest's
+    * recorded DDL (all fields forced nullable — a column added later is
+    * physically absent from older files and must read as NULL), or None
+    * for pre-evolution manifests (footer-resolved, the legacy path). */
+  private def manifestReadSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
+    m.schema.map { ddl =>
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          .fields.map(_.copy(nullable = true)))
+    }
+
+  private def readWithSchema(spark: SparkSession, m: Manifest,
+      paths: Seq[String]): DataFrame =
+    manifestReadSchema(m) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
 
   /** The last batch id recorded via `merge(..., appliedBatchId = …)` on
     * the CURRENT version — the crash-safe replay guard for sinks whose
@@ -216,7 +255,11 @@ object Upsert {
     val next = cur + 1
     val paths = manifest.buckets.toSeq.sortBy(_._1)
       .map { case (b, g) => s"$root/$g/_bucket=$b" }
-    spark.read.parquet(paths: _*)
+    // the rewrite reads with the recorded schema, so compaction also
+    // PHYSICALLY homogenizes an evolved table: post-compact every file
+    // carries the full unified schema (explicit NULLs where a column
+    // postdated the row)
+    readWithSchema(spark, manifest, paths)
       .withColumn("_bucket",
         pmod(xxhash64(manifest.bucketBy.map(col): _*),
           lit(manifest.nBuckets)).cast("int"))
@@ -225,7 +268,7 @@ object Upsert {
       .parquet(s"$root/gen$next")
     writeManifest(root, next, Manifest(manifest.nBuckets, manifest.bucketBy,
       manifest.buckets.keys.map(b => b -> s"gen$next").toMap,
-      manifest.appliedBatch))
+      manifest.appliedBatch, manifest.schema))
     val tmp = Paths.get(root, s"_CURRENT.tmp.$next")
     Files.write(tmp, next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -313,7 +356,12 @@ object Upsert {
     else {
       val paths = m.buckets.toSeq.sortBy(_._1)
         .map { case (b, g) => s"$root/$g/_bucket=$b" }
-      Some(spark.read.parquet(paths: _*))
+      // the version's RECORDED schema drives the scan (schema evolution:
+      // pre-evolution generations serve NULL for later columns, and a
+      // time-travel read of a pre-evolution VERSION serves that
+      // version's own narrower schema); legacy manifests keep the
+      // footer-resolved read
+      Some(readWithSchema(spark, m, paths))
     }
   }
 
@@ -347,7 +395,8 @@ object Upsert {
         .map { case (k, l) => col(k) === l }
         .reduce(_ && _)
       m.buckets.get(b) match {
-        case Some(g) => spark.read.parquet(s"$root/$g/_bucket=$b").filter(pred)
+        case Some(g) =>
+          readWithSchema(spark, m, Seq(s"$root/$g/_bucket=$b")).filter(pred)
         case None => full.filter(pred).limit(0)
       }
     }
@@ -398,6 +447,36 @@ object Upsert {
         pmod(xxhash64(manifest.bucketBy.map(col): _*),
           lit(manifest.nBuckets)).cast("int"))
       .persist()
+    // Schema EVOLUTION ledger: the physical-file schema this batch
+    // implies (its columns + _gen; _bucket is a directory key and the
+    // tombstone marker is never persisted), unioned into the table's
+    // recorded schema — new columns append, shared names must keep
+    // their type (loud), and everything is nullable because older
+    // generations won't physically contain the new columns.
+    import org.apache.spark.sql.types.StructType
+    val incFile = StructType(inc.schema.fields
+      .filterNot(f => f.name == "_bucket" || tombstoneCol.contains(f.name))
+      .map(_.copy(nullable = true)))
+    // The ledger starts at table CREATION; tables born before it (no
+    // recorded schema on an existing manifest) keep the legacy
+    // fixed-schema contract — their old columns can't be recovered
+    // without footer sniffing, which is exactly the cost this avoids.
+    val ledger: Option[StructType] =
+      if (cur.isEmpty) Some(incFile)
+      else manifestReadSchema(manifest).map { old =>
+        incFile.fields.foreach { f =>
+          old.fields.find(_.name == f.name).foreach { o =>
+            require(o.dataType == f.dataType,
+              s"schema evolution cannot change the type of ${f.name}: " +
+                s"${o.dataType.sql} -> ${f.dataType.sql}")
+          }
+        }
+        StructType(old.fields ++
+          incFile.fields.filterNot(f => old.fieldNames.contains(f.name)))
+      }
+    ledger.foreach(u => require(!u.toDDL.contains('"'),
+      "schema evolution: column names must not contain double quotes " +
+        "(the manifest stores the schema as a JSON-embedded DDL string)"))
     val touched = inc.select("_bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     // An empty micro-batch (routine in streaming foreachBatch, and the
@@ -417,7 +496,16 @@ object Upsert {
     val winners =
       if (existingPaths.isEmpty) inc
       else {
-        val existing = spark.read.parquet(existingPaths: _*)
+        // stored rows read with the UNIFIED schema when the table has a
+        // recorded one: a generation written before a column existed
+        // serves NULL for it, no footer merging, no history rewrite.
+        // Legacy tables (no recorded schema) keep the footer-resolved
+        // read unchanged.
+        val existingRaw =
+          if (manifest.schema.isDefined && ledger.isDefined)
+            spark.read.schema(ledger.get).parquet(existingPaths: _*)
+          else spark.read.parquet(existingPaths: _*)
+        val existing = existingRaw
           .withColumn("_bucket",
             pmod(xxhash64(manifest.bucketBy.map(col): _*),
               lit(manifest.nBuckets)).cast("int"))
@@ -426,7 +514,14 @@ object Upsert {
         val existing2 = tombstoneCol.fold(existing)(tc =>
           existing.withColumn(tc, lit(false)))
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_gen").desc)
-        existing2.unionByName(inc)
+        // allowMissingColumns (ledgered tables only): the evolution
+        // contract in-plan — a batch may add columns (existing rows
+        // fill NULL) or omit columns the table already has (its rows
+        // fill NULL; last-writer-wins replaces the WHOLE row, so an
+        // omitted column reads NULL on rows the new batch won — the
+        // Cassandra unset-column analog). Legacy tables keep the
+        // strict union: schema drift stays a loud error there.
+        existing2.unionByName(inc, allowMissingColumns = ledger.isDefined)
           .withColumn("_rank", row_number().over(w))
           .filter(col("_rank") === 1)
           .drop("_rank")
@@ -461,7 +556,8 @@ object Upsert {
     val nextManifest = Manifest(manifest.nBuckets, manifest.bucketBy,
       (manifest.buckets -- touched.filterNot(writtenBuckets)) ++
         touched.filter(writtenBuckets).map(b => b -> s"gen$next"),
-      appliedBatchId.orElse(manifest.appliedBatch))
+      appliedBatchId.orElse(manifest.appliedBatch),
+      schema = ledger.map(_.toDDL))
     writeManifest(root, next, nextManifest)
     // Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash
     // mid-write can never leave a truncated/empty pointer (readers see

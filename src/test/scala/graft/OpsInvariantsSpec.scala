@@ -4278,4 +4278,48 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(served.join(keyed, Seq("symbol", "day"))
       .filter(served("n_trades") =!= keyed("n_trades")).count() === 0)
   }
+
+  test("schema evolution: add/omit columns, time-travel narrow schema, compact homogenizes, readKey serves unified") {
+    import graft.sinks.Upsert
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_k22_spec_" +
+      spark.sparkContext.applicationId
+    import spark.implicits._
+    val b0 = Seq(("a", 1L, 10.0), ("b", 2L, 20.0), ("c", 3L, 30.0))
+      .toDF("sym", "k", "x")
+    Upsert.merge(b0, 0L, root, keys = Seq("sym", "k"), bucketBy = Seq("sym"))
+    // batch 1 ADDS column y (and touches only sym=a)
+    val b1 = Seq(("a", 1L, 11.0, 111L)).toDF("sym", "k", "x", "y")
+    Upsert.merge(b1, 1L, root, keys = Seq("sym", "k"), bucketBy = Seq("sym"))
+    val t1 = Upsert.read(spark, root).get
+    assert(t1.columns.contains("y"))
+    // pre-evolution rows serve NULL y; the winner carries its value
+    assert(t1.filter(col("sym") === "a").head.getAs[Any]("y") === 111L)
+    assert(t1.filter(col("sym") =!= "a" && col("y").isNotNull).count() === 0)
+    // time travel: version 0 predates y entirely
+    assert(!Upsert.readVersion(spark, root, 0L).get.columns.contains("y"))
+    // batch 2 OMITS x: the row it wins serves NULL x (whole-row
+    // replacement, the Cassandra unset-column analog)
+    val b2 = Seq(("b", 2L, 222L)).toDF("sym", "k", "y")
+    Upsert.merge(b2, 2L, root, keys = Seq("sym", "k"), bucketBy = Seq("sym"))
+    val t2 = Upsert.read(spark, root).get
+    val rowB = t2.filter(col("sym") === "b").head
+    assert(rowB.isNullAt(rowB.fieldIndex("x")) && rowB.getAs[Long]("y") === 222L)
+    // type change on a shared column must fail loudly
+    val bad = Seq(("c", 3L, "oops")).toDF("sym", "k", "x")
+    intercept[IllegalArgumentException] {
+      Upsert.merge(bad, 3L, root, keys = Seq("sym", "k"), bucketBy = Seq("sym"))
+    }
+    // compact: physically homogenizes, values preserved
+    Upsert.compact(spark, root)
+    val t3 = Upsert.read(spark, root).get
+      .select("sym", "k", "x", "y").orderBy("sym").collect()
+    assert(t3.map(r => (r.getString(0),
+      Option(r.get(2)), Option(r.get(3)))).toSeq ===
+      Seq(("a", Some(11.0), Some(111L)), ("b", None, Some(222L)),
+        ("c", Some(30.0), None)))
+    // single-bucket serving read resolves the unified schema too
+    val kr = Upsert.readKey(spark, root, Seq("c")).get
+    assert(kr.columns.contains("y") &&
+      kr.filter(col("y").isNotNull).count() === 0)
+  }
 }
