@@ -584,6 +584,10 @@ object SparkEntry {
       graft.sinks.Wap.auditedLifecycle(s, trades(s, dir))),
     "k22_schema_evolution" -> ((s, dir) =>
       TradeOps.schemaEvolution(s, trades(s, dir))),
+    "k23_gdpr_purge" -> ((s, dir) =>
+      TradeOps.gdprPurge(s, trades(s, dir))),
+    "q_constraint_suite" -> ((s, dir) =>
+      Relational.constraintSuite(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1909,5 +1913,7 @@ object SparkEntry {
     "k20_prediction_accuracy" -> Predict.predictionAccuracySql(),
     "k21_audited_lifecycle" -> s"$T\n${graft.sinks.Wap.auditedLifecycleSql}",
     "k22_schema_evolution" -> s"$T\n${TradeOps.schemaEvolutionSql}",
+    "k23_gdpr_purge" -> s"$T\n${TradeOps.gdprPurgeSql}",
+    "q_constraint_suite" -> Relational.constraintSuiteSql,
   )
 }

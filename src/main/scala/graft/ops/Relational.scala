@@ -844,6 +844,138 @@ object Relational {
         sum(col("pn")).as("n_rows"))
   }
 
+  /** Declarative data-contract CONSTRAINT SUITE (extension, r17; the
+    * Deequ / Great-Expectations / dbt-test analog — a NEW validation
+    * class: [[a8]]-style null profiling reports statistics, this op
+    * evaluates a named CONTRACT and returns a verdict row per
+    * constraint). A training-data pipeline gates every ingest on
+    * contracts like these before the data reaches dedup/curation;
+    * the reference's validation lookup (SURVEY §2 P12) is the
+    * single-constraint special case. Ten constraints across four
+    * families:
+    *
+    *  - completeness: `not_null` on orders.o_custkey, events.props;
+    *  - uniqueness: o_orderkey; l_orderkey (DUPLICATES BY DESIGN —
+    *    multi-line orders — so the suite provably reports failures,
+    *    not just green rows); composite (l_orderkey, l_linenumber);
+    *  - value domain: o_orderstatus ∈ {F,O,P}, o_totalprice > 0,
+    *    l_quantity ∈ [1,50], l_extendedprice ≥ 0 (NULL counts as a
+    *    violation — a contract is PASS-affirmative, NOT-TRUE fails);
+    *  - referential integrity: lineitem.l_orderkey ⊆ orders.o_orderkey
+    *    (left anti join).
+    *
+    * 100-TB posture (the Deequ design point): all value/completeness
+    * checks over one table COMPILE INTO A SINGLE AGGREGATION PASS
+    * (partial+final, map-side combined) regardless of how many
+    * constraints the contract holds — one scan of orders, one of
+    * lineitem, one of events. Uniqueness checks add count(DISTINCT)
+    * (an Expand + one exchange on the checked key); the FK check is
+    * one shuffled anti join (AQE-eligible; at 100 TB a Bloom
+    * pre-filter — [[bloomSemiJoinRevenue]] — prunes the probe scan).
+    * Nothing collects; the verdict table is constraint-count-sized. */
+  def constraintSuite(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val ev = Tables.load(spark, dir, "events")
+    // violations = rows where the predicate is NOT TRUE (null fails)
+    def notTrue(c: Column): Column =
+      coalesce(sum(when(c, 0L).otherwise(1L)), lit(0L))
+    val o = orders.agg(
+      count(lit(1)).as("total"),
+      (count(lit(1)) - count(col("o_custkey"))).as("v_nn"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uq"),
+      notTrue(col("o_orderstatus").isin("F", "O", "P")).as("v_set"),
+      notTrue(col("o_totalprice") > 0).as("v_pos"))
+    val l = li.agg(
+      count(lit(1)).as("total"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"))).as("v_uq1"),
+      (count(lit(1)) -
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("v_uq2"),
+      notTrue(col("l_quantity").between(1, 50)).as("v_rng"),
+      notTrue(col("l_extendedprice") >= 0).as("v_neg"))
+    val e = ev.agg(
+      count(lit(1)).as("total"),
+      (count(lit(1)) - count(col("props"))).as("v_nn"))
+    val oRows = o.selectExpr(
+      """stack(4,
+        |  'not_null', 'orders.o_custkey',      total, v_nn,
+        |  'unique',   'orders.o_orderkey',     total, v_uq,
+        |  'in_set',   'orders.o_orderstatus',  total, v_set,
+        |  'positive', 'orders.o_totalprice',   total, v_pos
+        |) AS (check_name, target, total, violations)""".stripMargin)
+    val lRows = l.selectExpr(
+      """stack(4,
+        |  'unique',       'lineitem.l_orderkey',                  total, v_uq1,
+        |  'unique',       'lineitem.(l_orderkey,l_linenumber)',   total, v_uq2,
+        |  'range_1_50',   'lineitem.l_quantity',                  total, v_rng,
+        |  'non_negative', 'lineitem.l_extendedprice',             total, v_neg
+        |) AS (check_name, target, total, violations)""".stripMargin)
+    val eRows = e.selectExpr(
+      """stack(1, 'not_null', 'events.props', total, v_nn)
+        |  AS (check_name, target, total, violations)""".stripMargin)
+    val fkRow = li.agg(count(lit(1)).as("total")).crossJoin(
+      li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+      .select(lit("fk").as("check_name"),
+        lit("lineitem.l_orderkey->orders.o_orderkey").as("target"),
+        col("total"), col("violations"))
+    oRows.unionByName(lRows).unionByName(eRows).unionByName(fkRow)
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Oracle for [[constraintSuite]]: the same ten contract rows as
+    * scalar aggregates (per-table single-pass CTEs + a NOT EXISTS for
+    * the FK). */
+  val constraintSuiteSql: String =
+    """WITH o AS (
+      |  SELECT count(*) AS total,
+      |         count(*) - count(o_custkey) AS v_nn,
+      |         count(*) - count(DISTINCT o_orderkey) AS v_uq,
+      |         count(*) FILTER (WHERE o_orderstatus IS NULL
+      |           OR o_orderstatus NOT IN ('F','O','P')) AS v_set,
+      |         count(*) FILTER (WHERE o_totalprice IS NULL
+      |           OR NOT (o_totalprice > 0)) AS v_pos
+      |  FROM orders),
+      |l AS (
+      |  SELECT count(*) AS total,
+      |         count(*) - count(DISTINCT l_orderkey) AS v_uq1,
+      |         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uq2,
+      |         count(*) FILTER (WHERE l_quantity IS NULL
+      |           OR NOT (l_quantity BETWEEN 1 AND 50)) AS v_rng,
+      |         count(*) FILTER (WHERE l_extendedprice IS NULL
+      |           OR l_extendedprice < 0) AS v_neg
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT count(*) AS total, count(*) - count(props) AS v_nn
+      |  FROM events),
+      |f AS (
+      |  SELECT (SELECT count(*) FROM lineitem) AS total,
+      |         (SELECT count(*) FROM lineitem li WHERE NOT EXISTS
+      |            (SELECT 1 FROM orders o2
+      |             WHERE o2.o_orderkey = li.l_orderkey)) AS violations)
+      |SELECT check_name, target, CAST(total AS BIGINT) AS total,
+      |       CAST(violations AS BIGINT) AS violations,
+      |       violations = 0 AS passed
+      |FROM (
+      |  SELECT 'not_null' AS check_name, 'orders.o_custkey' AS target,
+      |         total, v_nn AS violations FROM o
+      |  UNION ALL SELECT 'unique', 'orders.o_orderkey', total, v_uq FROM o
+      |  UNION ALL SELECT 'in_set', 'orders.o_orderstatus', total, v_set FROM o
+      |  UNION ALL SELECT 'positive', 'orders.o_totalprice', total, v_pos FROM o
+      |  UNION ALL SELECT 'unique', 'lineitem.l_orderkey', total, v_uq1 FROM l
+      |  UNION ALL SELECT 'unique', 'lineitem.(l_orderkey,l_linenumber)',
+      |         total, v_uq2 FROM l
+      |  UNION ALL SELECT 'range_1_50', 'lineitem.l_quantity', total, v_rng FROM l
+      |  UNION ALL SELECT 'non_negative', 'lineitem.l_extendedprice',
+      |         total, v_neg FROM l
+      |  UNION ALL SELECT 'not_null', 'events.props', total, v_nn FROM e
+      |  UNION ALL SELECT 'fk', 'lineitem.l_orderkey->orders.o_orderkey',
+      |         total, violations FROM f
+      |)""".stripMargin
+
   /** Bloom-filter bits per bucket word. */
   private val BloomBits = 1 << 20
   private val BloomSeeds = Seq(0x1234, 0x5678, 0x9abc, 0xdef0)

@@ -814,6 +814,79 @@ object TradeOps {
     served.select("symbol", "hr", "n_events", "vol")
   }
 
+  /** K23 (extension, r17) — GDPR / right-to-be-forgotten PURGE
+    * round-trip on the keyed upsert store ([[graft.sinks.Upsert.purge]];
+    * the compliance-erasure axis no other lifecycle verb covers —
+    * rollback restores history, expire drops whole versions, compact
+    * rewrites layout, but only purge removes AN ENTITY from every
+    * retained version). Fixture: a full per-(symbol, hour) base merge,
+    * then a value-identical single-symbol revision merge (so the store
+    * has genuine multi-version, multi-generation history), then the
+    * MIN symbol is purged. The emitted table is the current serving
+    * read plus two loud probe columns:
+    *
+    *  - `leak_rows` — matching rows found for the purged symbol across
+    *    the CURRENT read AND every retained time-travel version (the
+    *    erasure contract: must be 0; unlike k17/k18 the history itself
+    *    is rewritten, not just the pointer);
+    *  - `purge_removed_any` — the verb reported physical rows removed
+    *    (must be true whenever the corpus had the symbol).
+    *
+    * Revision rows are value-identical, so the data oracle is the
+    * plain hour rollup MINUS the purged symbol — pure SQL. Purge cost
+    * is bucket-targeted (the one bucket the symbol hashes to, across
+    * retained generations), never table-sized; exact integers
+    * throughout; fresh store per invocation. */
+  def gdprPurge(spark: SparkSession, trades: DataFrame): DataFrame = {
+    val root = freshScratchDir(spark, "gdpr_purge_store")
+    val keyed = trades
+      .withColumn("hr", date_trunc("hour", col("timestamp")))
+      .groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+    graft.sinks.Upsert.merge(keyed, 0L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    if (graft.sinks.Upsert.currentVersion(root).isEmpty)
+      return keyed
+        .withColumn("leak_rows", lit(0L))
+        .withColumn("purge_removed_any", lit(true))
+        .limit(0)
+    val syms = keyed.agg(min("symbol"), max("symbol")).head
+    val (purgeSym, reviseSym) = (syms.getString(0), syms.getString(1))
+    graft.sinks.Upsert.merge(keyed.filter(col("symbol") === reviseSym), 1L,
+      root, keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    val removed = graft.sinks.Upsert.purge(spark, root,
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(purgeSym)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("symbol",
+            org.apache.spark.sql.types.StringType)))))
+    // erasure audit: the key must be gone from the current read AND
+    // from every retained time-travel version — COUNTED, not assumed
+    val cur = graft.sinks.Upsert.currentVersion(root).get
+    val leaks = (0L to cur).map { v =>
+      graft.sinks.Upsert.readVersion(spark, root, v)
+        .map(_.filter(col("symbol") === purgeSym).count()).getOrElse(0L)
+    }.sum
+    graft.sinks.Upsert.read(spark, root)
+      .map(_.select(col("symbol"), col("hr"), col("n_events"),
+        col("max_event_id")))
+      .getOrElse(keyed.limit(0))
+      .withColumn("leak_rows", lit(leaks))
+      .withColumn("purge_removed_any", lit(removed > 0))
+  }
+
+  /** Oracle for [[gdprPurge]] (body only — caller prepends the trades
+    * CTE): the hour rollup minus the min symbol; zero leaks; the verb
+    * removed physical rows. */
+  val gdprPurgeSql: String =
+    """SELECT symbol, date_trunc('hour', "timestamp") AS hr,
+      |       count(*) AS n_events, max(event_id) AS max_event_id,
+      |       CAST(0 AS BIGINT) AS leak_rows,
+      |       TRUE AS purge_removed_any
+      |FROM trades
+      |WHERE symbol <> (SELECT min(symbol) FROM trades)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Oracle for [[schemaEvolution]] (body only — caller prepends the
     * trades CTE): the hour rollup; `vol` exists only where the widening
     * batch (even hours) won the key, NULL elsewhere. */

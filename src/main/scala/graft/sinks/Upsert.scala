@@ -92,18 +92,19 @@ object Upsert {
       buckets: Map[Int, String], appliedBatch: Option[Long] = None,
       schema: Option[String] = None)
 
-  private def writeManifest(root: String, v: Long, m: Manifest): Unit = {
+  private def manifestJson(m: Manifest): String = {
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, g) => s""""$b":"$g"""" }.mkString(",")
     val ab = m.appliedBatch.map(id => s""","ab":$id""").getOrElse("")
     // DDL strings contain no double quotes for the engine's identifier
     // set (guarded at write in merge); commas/parens are JSON-safe
     val sch = m.schema.map(s => s""","sch":"$s"""").getOrElse("")
-    Files.write(manifestPath(root, v),
-      s"""{"nb":${m.nBuckets},"by":"${m.bucketBy.mkString(",")}"$ab$sch,"buckets":{$entries}}"""
-        .getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    s"""{"nb":${m.nBuckets},"by":"${m.bucketBy.mkString(",")}"$ab$sch,"buckets":{$entries}}"""
   }
+
+  private def writeManifest(root: String, v: Long, m: Manifest): Unit =
+    Files.write(manifestPath(root, v), manifestJson(m).getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
 
   private val entryRe = """"(\d+)"\s*:\s*"([^"]+)"""".r
   private val nbRe = """"nb"\s*:\s*(\d+)""".r
@@ -308,6 +309,109 @@ object Upsert {
     currentVersion(root)
       .map(v => readManifest(root, v).buckets.values.toSet.size)
       .getOrElse(0)
+
+  /** K23 (extension, r17) — GDPR / right-to-be-forgotten PURGE: remove
+    * every row matching the given bucketBy-key values from the CURRENT
+    * version AND every retained historical version — the compliance
+    * verb (Delta VACUUM-after-DELETE / Iceberg rewrite-then-expire
+    * composite; Cassandra's tombstone+compaction analog with the
+    * history half actually erased). It is deliberately the ONE verb that
+    * violates snapshot immutability: a legal erasure request applies
+    * to the data wherever it is readable, and time travel back to the
+    * purged rows is precisely what must stop working — so purge
+    * rewrites retained manifests IN PLACE (atomic temp+move each)
+    * rather than committing a new version, and [[readVersion]] of any
+    * retained version serves the purged history afterwards.
+    *
+    * `keys` is a DataFrame whose columns are exactly the table's
+    * bucketBy columns (erasure-request grain: entities, not rows —
+    * collected to the driver, bounded by the request size, never by
+    * the table).
+    *
+    * 100-TB posture: each requested key hashes to ONE bucket (the same
+    * `pmod(xxhash64(bucketBy), nBuckets)` the write path computes), so
+    * the physical work is a filtered rewrite of only the affected
+    * (generation, bucket) dirs across retained history — cost ∝
+    * affected buckets × retained versions, never table-sized. Dirs
+    * with zero matching rows are probed (one count on a pruned scan)
+    * and left untouched, which also makes re-running a purge a
+    * metadata-only no-op — the idempotence that lets a compliance job
+    * retry until clean. Ordering is crash-safe for the data (new dirs
+    * are fully written before any manifest repoints, old dirs are
+    * deleted only after EVERY retained manifest has repointed); a
+    * crash mid-way leaves a consistent table where the purge simply
+    * has not finished, and the re-run completes it.
+    *
+    * Returns the number of physical rows removed (a row living in two
+    * retained generations counts once per physical copy). */
+  def purge(spark: SparkSession, root: String, keys: DataFrame): Long = {
+    val cur = currentVersion(root).getOrElse(return 0L)
+    val versions = listDir(Paths.get(root))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("manifest_v"))
+      .flatMap(_.stripPrefix("manifest_v").stripSuffix(".json").toLongOption)
+      .sorted
+    val manifests = versions.map(v => v -> readManifest(root, v))
+    val m0 = manifests.last._2
+    require(keys.columns.sorted.sameElements(m0.bucketBy.sorted),
+      s"purge keys must carry exactly the bucketBy columns ${m0.bucketBy}")
+    val keyDf = keys.select(m0.bucketBy.map(col): _*).distinct().persist()
+    // same hash, same engine: the key→bucket map is computed by the
+    // exact write-path expression, so the pruned scan can never miss
+    val affected: Set[Int] = keyDf
+      .select(pmod(xxhash64(m0.bucketBy.map(col): _*), lit(m0.nBuckets))
+        .cast("int").as("_bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // distinct physical dirs any retained manifest references for an
+    // affected bucket (a generation is shared across versions — each
+    // dir is rewritten once, however many manifests point at it)
+    val pairs: Seq[(String, Int)] = manifests
+      .flatMap { case (_, m) => m.buckets.toSeq.collect {
+        case (b, g) if affected.contains(b) => (g, b) } }
+      .distinct
+    var purged = 0L
+    val remap = scala.collection.mutable.Map[(String, Int), String]()
+    pairs.foreach { case (g, b) =>
+      val dir = s"$root/$g/_bucket=$b"
+      if (Files.isDirectory(Paths.get(dir))) {
+        // physical (footer) schema on purpose: the dir predates any
+        // ledger the newest manifest records, and the rewrite must
+        // preserve the files byte-compatibly for every manifest that
+        // reads them through ITS OWN recorded schema
+        val df = spark.read.parquet(dir)
+        val hits = df.join(broadcast(keyDf), m0.bucketBy, "left_semi").count()
+        if (hits > 0) {
+          val ng = s"${g}purge$cur"
+          df.join(broadcast(keyDf), m0.bucketBy, "left_anti")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/$ng/_bucket=$b")
+          remap((g, b)) = ng
+          purged += hits
+        }
+      }
+    }
+    keyDf.unpersist()
+    if (remap.isEmpty) return 0L
+    // repoint every retained manifest (each rewrite is its own atomic
+    // temp+move — readers of any version see the old dirs or the new,
+    // never a torn manifest)
+    manifests.foreach { case (v, m) =>
+      val nb = m.buckets.map { case (b, g) =>
+        b -> remap.getOrElse((g, b), g) }
+      if (nb != m.buckets) {
+        val tmpV = Paths.get(root, s"manifest_v$v.json.tmp")
+        Files.write(tmpV, manifestJson(m.copy(buckets = nb)).getBytes,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        Files.move(tmpV, manifestPath(root, v),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // old dirs now referenced by no manifest — reclaim
+    remap.keys.foreach { case (g, b) =>
+      rmTree(Paths.get(s"$root/$g/_bucket=$b")) }
+    purged
+  }
 
   /** Max parquet file count over the CURRENT version's bucket dirs —
     * the small-file probe (1 after [[compact]]). */

@@ -3969,6 +3969,86 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(readData() === truth)
   }
 
+  test("gdpr purge: entity erased from current AND every retained " +
+      "version; other entities' history byte-identical; re-run is a " +
+      "no-op; serving point read returns empty") {
+    import graft.sinks.Upsert
+    val root = java.nio.file.Files
+      .createTempDirectory("purge-spec").toString
+    val keyed = trades
+      .withColumn("hr", date_trunc("hour", col("timestamp")))
+      .groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+    Upsert.merge(keyed, 0L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    val syms = keyed.select("symbol").distinct()
+      .orderBy("symbol").collect().map(_.getString(0))
+    assert(syms.length >= 2, "fixture needs at least two symbols")
+    val (victim, control) = (syms.head, syms.last)
+    // revision merge creates genuine multi-version history (v0 + v1)
+    Upsert.merge(keyed.filter(col("symbol") === control), 1L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    def versionRows(v: Long, sym: String): Set[org.apache.spark.sql.Row] =
+      Upsert.readVersion(spark, root, v)
+        .map(_.filter(col("symbol") === sym)
+          .select("symbol", "hr", "n_events", "max_event_id")
+          .collect().toSet).getOrElse(Set.empty)
+    val controlV0 = versionRows(0L, control)
+    val controlV1 = versionRows(1L, control)
+    assert(versionRows(0L, victim).nonEmpty, "victim present pre-purge")
+    import spark.implicits._
+    val removed = Upsert.purge(spark, root,
+      Seq(victim).toDF("symbol"))
+    assert(removed > 0, "purge reports physical rows removed")
+    // the erasure contract: gone from the current read and from EVERY
+    // retained time-travel version (history rewritten, not repointed)
+    assert(versionRows(0L, victim).isEmpty, "victim erased from v0")
+    assert(versionRows(1L, victim).isEmpty, "victim erased from v1")
+    assert(Upsert.read(spark, root).get
+      .filter(col("symbol") === victim).count() === 0L)
+    // collateral check: the control entity's history is untouched
+    assert(versionRows(0L, control) === controlV0)
+    assert(versionRows(1L, control) === controlV1)
+    // the bucket-pruned serving path agrees
+    assert(Upsert.readKey(spark, root, Seq(victim)).get.count() === 0L)
+    assert(Upsert.readKey(spark, root, Seq(control)).get.count() > 0L)
+    // idempotence: nothing left to remove, zero rewrites
+    assert(Upsert.purge(spark, root, Seq(victim).toDF("symbol")) === 0L)
+    // the store remains fully writable after a purge
+    Upsert.merge(keyed.filter(col("symbol") === control), 2L, root,
+      keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
+    assert(Upsert.read(spark, root).get
+      .filter(col("symbol") === victim).count() === 0L)
+  }
+
+  test("constraint suite: passed iff violations == 0; multi-line " +
+      "orders make the l_orderkey uniqueness contract fail loudly; " +
+      "totals consistent per table") {
+    val out = Relational.constraintSuite(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.length === 10, "ten contract rows")
+    out.foreach { case (c, t, total, v, passed) =>
+      assert(passed === (v === 0L), s"$c/$t verdict must equal v==0")
+      assert(v >= 0L && v <= total, s"$c/$t violations within [0,total]")
+    }
+    val byTarget = out.map(r => (r._1, r._2) -> r._4).toMap
+    // lineitem has multiple lines per order BY DESIGN — the suite must
+    // report red rows, not just green ones
+    assert(byTarget(("unique", "lineitem.l_orderkey")) > 0L)
+    // widening the key can only reduce duplicates (the synthetic
+    // corpus draws l_linenumber independently, so even the composite
+    // key has collisions — a genuinely red contract row both engines
+    // agree on); referential integrity holds
+    assert(byTarget(("unique", "lineitem.(l_orderkey,l_linenumber)"))
+      <= byTarget(("unique", "lineitem.l_orderkey")))
+    assert(byTarget(("fk", "lineitem.l_orderkey->orders.o_orderkey")) === 0L)
+    // totals are per-table constants: all orders rows agree, etc.
+    assert(out.filter(_._2.startsWith("orders.")).map(_._3).distinct.length === 1)
+    assert(out.filter(r => r._2.startsWith("lineitem.") || r._1 == "fk")
+      .map(_._3).distinct.length === 1)
+  }
+
   test("depth ladder: levels bounded by the window; trade counts and " +
       "volumes reconcile exactly with the tape around the last price") {
     val ladder = TradeOps.depthLadder(trades, windowCents = 500).cache()
