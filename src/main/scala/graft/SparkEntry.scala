@@ -588,6 +588,10 @@ object SparkEntry {
       TradeOps.gdprPurge(s, trades(s, dir))),
     "q_constraint_suite" -> ((s, dir) =>
       Relational.constraintSuite(s, dir)),
+    "e_survival_curve" -> ((s, dir) =>
+      EventAnalytics.survivalCurve(Tables.events(s, dir))),
+    "j_fanout_profile" -> ((s, dir) =>
+      Relational.fanoutProfile(s, dir)),
   )
 
   private val T = Tables.tradesCte
@@ -1915,5 +1919,7 @@ object SparkEntry {
     "k22_schema_evolution" -> s"$T\n${TradeOps.schemaEvolutionSql}",
     "k23_gdpr_purge" -> s"$T\n${TradeOps.gdprPurgeSql}",
     "q_constraint_suite" -> Relational.constraintSuiteSql,
+    "e_survival_curve" -> EventAnalytics.survivalCurveSql,
+    "j_fanout_profile" -> Relational.fanoutProfileSql,
   )
 }

@@ -1048,6 +1048,86 @@ object EventAnalytics {
         max(col("span_days")).as("max_days"),
         sum(col("n_ev")).as("n_events"))
 
+  /** E (extension, r17) — right-censored SURVIVAL risk table over
+    * activity SPELLS (Kaplan-Meier input grain; a NEW class next to
+    * [[lifespanHist]] / [[activeStreaks]]: both treat every observed
+    * run as complete, which systematically understates the tail — a
+    * spell still running when observation ends is not over, it is
+    * CENSORED, and survival analysis is the standard correction). A
+    * spell is a maximal run of consecutive ACTIVE HOURS for a user
+    * (gaps-and-islands on the integer hour index, so the arithmetic
+    * is engine-identical by construction); a spell DIES when an
+    * inactive hour follows, and is CENSORED when it reaches the
+    * corpus' final hour (observation stopped, not the user). Per
+    * distinct spell duration, the three KM counts — `n_died`,
+    * `n_censored`, `n_at_risk` (spells whose observed duration
+    * reaches that length — the reverse-cumulative sum).
+    *
+    * The survival PROBABILITY itself (Π (n−d)/n) is deliberately NOT
+    * emitted: the running product is irreducibly float and
+    * libm-dependent, while the risk table is the exact sufficient
+    * statistic it derives from — every consumer can fold the product
+    * locally. ENTIRELY integer (µs epoch floor-div hours, island
+    * offsets, conditional counts).
+    *
+    * 100-TB posture: one distinct over (user, hour) — map-side
+    * combined, grain bounded by users × corpus hours, far below the
+    * event count — then ONE user-keyed window (the islands
+    * row_number) feeding a spell-keyed aggregate that reuses the
+    * partitioning, a broadcast scalar horizon, and a duration-keyed
+    * aggregate. The final reverse-cumulative window runs on the
+    * duration-grain table, bounded by the corpus span in HOURS, not
+    * by rows. */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    val active = events
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $hourUs").as("hr")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("hr")
+    val spells = active
+      .withColumn("island", col("hr") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("duration_hours"), max("hr").as("last_hr"))
+    val horizon = active.agg(max("hr").as("corpus_end"))
+    val byDuration = spells.crossJoin(broadcast(horizon))
+      .withColumn("censored", col("last_hr") === col("corpus_end"))
+      .groupBy("duration_hours")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_died"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val reverseCum = Window.orderBy("duration_hours")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDuration.withColumn("n_at_risk",
+      sum(col("n_died") + col("n_censored")).over(reverseCum))
+  }
+
+  /** Oracle for [[survivalCurve]]. */
+  val survivalCurveSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |         hr - row_number() OVER (PARTITION BY user_id ORDER BY hr)
+      |           AS island, hr
+      |  FROM h),
+      |sp AS (
+      |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS duration_hours,
+      |         max(hr) AS last_hr
+      |  FROM s GROUP BY 1, 2),
+      |t AS (SELECT max(hr) AS corpus_end FROM h),
+      |g AS (
+      |  SELECT duration_hours,
+      |         CAST(count(*) FILTER (WHERE last_hr <> corpus_end) AS BIGINT)
+      |           AS n_died,
+      |         CAST(count(*) FILTER (WHERE last_hr = corpus_end) AS BIGINT)
+      |           AS n_censored
+      |  FROM sp, t GROUP BY 1)
+      |SELECT duration_hours, n_died, n_censored,
+      |       CAST(sum(n_died + n_censored) OVER (ORDER BY duration_hours
+      |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |         AS n_at_risk
+      |FROM g""".stripMargin
+
   /** E (extension) — daily new-vs-returning split: per calendar day,
     * how many active users are first-ever-seen that day vs returning —
     * the growth-vs-engagement decomposition of plain DAU (a flat DAU

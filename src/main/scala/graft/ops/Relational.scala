@@ -926,6 +926,55 @@ object Relational {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** JOIN FANOUT PROFILE (extension, r17; a NEW planning-diagnostics
+    * class — [[skewSaltedJoin]]'s sibling that MEASURES instead of
+    * fixes: before committing a 100 TB fact⨝fact join, this is the
+    * question you ask the data): for the orders⨝lineitem equi-key,
+    * the joint multiplicity distribution — for every (left-side
+    * multiplicity, right-side multiplicity) pair, how many join keys
+    * have that shape and how many output rows they will produce
+    * (`n_keys · ml · mr`). Dangling keys surface as the `(0, m)` /
+    * `(m, 0)` rows (referential-integrity mass the join will DROP —
+    * the row-count view of [[constraintSuite]]'s fk verdict); skew
+    * surfaces as high-multiplicity rows carrying disproportionate
+    * `join_output_rows` mass (the keys a salted join —
+    * `skew_salted_join` — would split).
+    *
+    * 100-TB posture: both facts collapse to KEY GRAIN with map-side
+    * combined counts BEFORE any join — the full-outer join runs on
+    * |keys|-sized inputs, and the profile output is
+    * multiplicity-pair-grain (dozens of rows at any corpus size).
+    * This is exactly the cost asymmetry that makes the profile worth
+    * running ahead of the real join. Exact integers throughout. */
+  def fanoutProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderkey").as("key")).agg(count(lit(1)).as("ml"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("mr"))
+    o.join(l, Seq("key"), "full_outer")
+      .select(coalesce(col("ml"), lit(0L)).as("mult_orders"),
+        coalesce(col("mr"), lit(0L)).as("mult_lineitem"))
+      .groupBy("mult_orders", "mult_lineitem")
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("join_output_rows",
+        col("n_keys") * col("mult_orders") * col("mult_lineitem"))
+  }
+
+  /** Oracle for [[fanoutProfile]]. */
+  val fanoutProfileSql: String =
+    """WITH o AS (SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS ml
+      |           FROM orders GROUP BY 1),
+      |     l AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS mr
+      |           FROM lineitem GROUP BY 1),
+      |     k AS (SELECT COALESCE(o.ml, 0) AS mult_orders,
+      |                  COALESCE(l.mr, 0) AS mult_lineitem
+      |           FROM o FULL OUTER JOIN l USING (key))
+      |SELECT mult_orders, mult_lineitem,
+      |       CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(count(*) * mult_orders * mult_lineitem AS BIGINT)
+      |         AS join_output_rows
+      |FROM k GROUP BY 1, 2""".stripMargin
+
   /** Oracle for [[constraintSuite]]: the same ten contract rows as
     * scalar aggregates (per-table single-pass CTEs + a NOT EXISTS for
     * the FK). */

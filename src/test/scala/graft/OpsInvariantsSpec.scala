@@ -4049,6 +4049,57 @@ class OpsInvariantsSpec extends SparkSuite {
       .map(_._3).distinct.length === 1)
   }
 
+  test("survival curve: spell conservation, at-risk is the reverse " +
+      "cumulative and decreases, censored mass equals last-hour-active " +
+      "spells") {
+    import graft.ops.EventAnalytics
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = EventAnalytics.survivalCurve(events)
+      .orderBy("duration_hours").collect()
+    assert(out.nonEmpty)
+    // conservation: every spell is exactly one of died/censored, and
+    // the spell count is the gaps-and-islands count recomputed here
+    val hourUs = 3600000000L
+    val active = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div $hourUs").as("hr")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hr")
+    val nSpells = active
+      .withColumn("island", col("hr") - row_number().over(w))
+      .select("user_id", "island").distinct().count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === nSpells)
+    // at-risk: reverse-cumulative — first row carries every spell,
+    // strictly decreasing in duration
+    assert(out.head.getLong(3) === nSpells)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) > b.getLong(3),
+        "n_at_risk must strictly decrease over ascending durations")
+      case _ => ()
+    }
+    // censoring: exactly the spells touching the corpus' final hour
+    val lastHr = active.agg(max("hr")).head.getLong(0)
+    val censoredTruth = active.filter(col("hr") === lastHr).count()
+    assert(out.map(_.getLong(2)).sum === censoredTruth)
+  }
+
+  test("fanout profile: predicted join output mass equals the real " +
+      "inner join row count; dangling keys classified; orders side " +
+      "unique") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.fanoutProfile(spark, dir).collect()
+    val o = graft.Tables.load(spark, dir, "orders")
+    val l = graft.Tables.load(spark, dir, "lineitem")
+    val realJoin = o.join(l, o("o_orderkey") === l("l_orderkey")).count()
+    assert(out.filter(r => r.getLong(0) > 0 && r.getLong(1) > 0)
+      .map(_.getLong(3)).sum === realJoin,
+      "profile must predict the inner join cardinality exactly")
+    // o_orderkey is unique: the left multiplicity is never above 1
+    assert(out.map(_.getLong(0)).max <= 1L)
+    // dangling-key classification reconciles with anti joins
+    val lhsOnly = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti").count()
+    assert(out.filter(_.getLong(1) === 0L).map(_.getLong(2)).sum === lhsOnly)
+  }
+
   test("depth ladder: levels bounded by the window; trade counts and " +
       "volumes reconcile exactly with the tape around the last price") {
     val ladder = TradeOps.depthLadder(trades, windowCents = 500).cache()
