@@ -592,6 +592,10 @@ object SparkEntry {
       EventAnalytics.survivalCurve(Tables.events(s, dir))),
     "j_fanout_profile" -> ((s, dir) =>
       Relational.fanoutProfile(s, dir)),
+    "e_cuped_ab" -> ((s, dir) =>
+      EventAnalytics.cupedAb(Tables.events(s, dir))),
+    "p_k_anonymize" -> ((s, dir) =>
+      Pipeline.kAnonymize(Tables.events(s, dir))),
   )
 
   private val T = Tables.tradesCte
@@ -1921,5 +1925,7 @@ object SparkEntry {
     "q_constraint_suite" -> Relational.constraintSuiteSql,
     "e_survival_curve" -> EventAnalytics.survivalCurveSql,
     "j_fanout_profile" -> Relational.fanoutProfileSql,
+    "e_cuped_ab" -> EventAnalytics.cupedAbSql,
+    "p_k_anonymize" -> Pipeline.kAnonymizeSql,
   )
 }

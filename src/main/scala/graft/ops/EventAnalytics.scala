@@ -1340,4 +1340,125 @@ object EventAnalytics {
       |  FROM s GROUP BY 1
       |)
       |SELECT max_streak, count(*) AS n_users FROM m GROUP BY 1""".stripMargin
+
+  /** E (extension, r17) — CUPED-adjusted A/B experiment readout (a NEW
+    * experimentation-analytics class: every existing e_* op describes
+    * one population; this one COMPARES two arms, with the
+    * variance-reduction correction any real experimentation platform
+    * applies before calling a winner). CUPED (Controlled-experiment
+    * Using Pre-Experiment Data, Deng et al., WSDM'13): the adjusted
+    * metric Y − θ·(X − E[X]) keeps the treatment-effect estimate
+    * unbiased while removing the variance explained by the
+    * pre-experiment covariate X; θ = cov(X,Y)/var(X) is pooled across
+    * arms (the standard choice — per-arm θ would bias the delta).
+    *
+    * Everything upstream of the final divisions is EXACT INTEGER and
+    * oracle-replayable by construction:
+    *  - the pre/post boundary is the integer-µs midpoint of the corpus
+    *    span (both engines floor-div the same integers);
+    *  - X = per-user pre-period event count, Y = per-user post-period
+    *    count (conditional integer sums, NOT double `value` sums —
+    *    SURVEY §7.4 determinism contract);
+    *  - the arm is `user_id % 2` — a deterministic assignment both
+    *    engines evaluate identically (the oracle-replayable-sampling
+    *    rule, SURVEY §7.4, same as [[graft.ops.Pipeline]]'s
+    *    balancedSample);
+    *  - θ's numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are
+    *    BIGINT with pure-DIV overflow guards LOUD on the Spark side
+    *    (the term-scale guard n ≤ (MAX div mx) div mx proves the sums
+    *    themselves never wrapped — the simpsonDiversity pattern);
+    *    DuckDB aggregates in HUGEINT and fails loudly at the BIGINT
+    *    cast — both engines stop at the same boundary.
+    * The final θ / means / adjusted means are single IEEE expression
+    * trees written identically in both engines (correctly-rounded
+    * double ops on identical integer inputs ⇒ identical bits);
+    * var(X) = 0 degenerates to θ = 0 via CASE, not NaN.
+    *
+    * 100-TB posture: one map-side-combined aggregation to user grain
+    * (the only row-scale shuffle), then a 2-row arm aggregate and a
+    * 1-row pooled aggregate broadcast back — no window, no sort, no
+    * row-grain join. Output is exactly 2 rows at any corpus size. */
+  def cupedAb(events: DataFrame): DataFrame = {
+    val maxL = Long.MaxValue
+    val u = events
+      .select(col("user_id"), expr("unix_micros(ts)").as("t_us"))
+      .crossJoin(broadcast(events.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+          .as("mid_us"))))
+      .groupBy("user_id")
+      .agg(sum(when(col("t_us") < col("mid_us"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("t_us") >= col("mid_us"), 1L).otherwise(0L)).as("y"))
+    val pooled = u.agg(
+      count(lit(1)).as("p_n"), sum("x").as("p_sx"), sum("y").as("p_sy"),
+      sum(expr("x * y")).as("p_sxy"), sum(expr("x * x")).as("p_sxx"),
+      max(greatest(col("x"), col("y"))).as("mx"))
+      .filter(expr(
+        s"""assert_true(
+           |  p_n <= ($maxL div greatest(mx, 1)) div greatest(mx, 1)
+           |  AND p_sxy <= $maxL div greatest(p_n, 1)
+           |  AND p_sxx <= $maxL div greatest(p_n, 1)
+           |  AND p_sx <= $maxL div greatest(p_sy, 1)
+           |  AND p_sx <= $maxL div greatest(p_sx, 1),
+           |  'cuped_ab: moment sums too large for exact BIGINT theta —
+           |   widen to DECIMAL(38,0)') IS NULL""".stripMargin))
+      .drop("mx")
+    u.groupBy(expr("user_id % 2").as("arm"))
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sum_x_pre"),
+        sum("y").as("sum_y_post"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"), col("sum_x_pre"),
+        col("sum_y_post"), col("p_n"), col("p_sx"),
+        expr("""CASE WHEN p_n * p_sxx - p_sx * p_sx = 0 THEN 0.0
+                |ELSE CAST(p_n * p_sxy - p_sx * p_sy AS DOUBLE)
+                |     / CAST(p_n * p_sxx - p_sx * p_sx AS DOUBLE)
+                |END""".stripMargin).as("theta"))
+      .withColumn("mean_y",
+        expr("CAST(sum_y_post AS DOUBLE) / CAST(n_users AS DOUBLE)"))
+      .withColumn("mean_y_adj", expr(
+        """CAST(sum_y_post AS DOUBLE) / CAST(n_users AS DOUBLE)
+          | - theta * (CAST(sum_x_pre AS DOUBLE) / CAST(n_users AS DOUBLE)
+          |            - CAST(p_sx AS DOUBLE) / CAST(p_n AS DOUBLE))"""
+          .stripMargin))
+      .drop("p_n", "p_sx")
+  }
+
+  /** Oracle for [[cupedAb]] — identical integer spine and IEEE trees. */
+  val cupedAbSql: String =
+    """WITH b AS (
+      |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN epoch_us(ts) < b.mid_us
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN epoch_us(ts) >= b.mid_us
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events, b GROUP BY user_id, b.mid_us),
+      |p AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS p_n,
+      |         CAST(sum(x) AS BIGINT) AS p_sx,
+      |         CAST(sum(y) AS BIGINT) AS p_sy,
+      |         CAST(sum(x * y) AS BIGINT) AS p_sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS p_sxx
+      |  FROM u),
+      |a AS (
+      |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(x) AS BIGINT) AS sum_x_pre,
+      |         CAST(sum(y) AS BIGINT) AS sum_y_post
+      |  FROM u GROUP BY 1)
+      |SELECT arm, n_users, sum_x_pre, sum_y_post,
+      |       CASE WHEN p_n * p_sxx - p_sx * p_sx = 0 THEN 0.0
+      |       ELSE CAST(p_n * p_sxy - p_sx * p_sy AS DOUBLE)
+      |            / CAST(p_n * p_sxx - p_sx * p_sx AS DOUBLE)
+      |       END AS theta,
+      |       CAST(sum_y_post AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+      |       CAST(sum_y_post AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |         - (CASE WHEN p_n * p_sxx - p_sx * p_sx = 0 THEN 0.0
+      |            ELSE CAST(p_n * p_sxy - p_sx * p_sy AS DOUBLE)
+      |                 / CAST(p_n * p_sxx - p_sx * p_sx AS DOUBLE)
+      |            END)
+      |           * (CAST(sum_x_pre AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |              - CAST(p_sx AS DOUBLE) / CAST(p_n AS DOUBLE))
+      |         AS mean_y_adj
+      |FROM a, p""".stripMargin
 }

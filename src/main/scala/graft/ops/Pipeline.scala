@@ -848,4 +848,78 @@ object Pipeline {
       |           ORDER BY (b.r6 * 1000000) % t.rt DESC, b.source ASC)
       |           AS BIGINT) AS rk
       |  FROM b, t)""".stripMargin
+
+  /** P (extension, r17) — K-ANONYMITY generalize-and-suppress release
+    * (a NEW privacy-aggregation class: [[graft.sinks.Upsert.purge]] /
+    * k23 erases a NAMED entity on request; this op protects EVERY
+    * entity in a published aggregate — the Sweeney k-anonymity model
+    * that GDPR-adjacent data releases gate on, and the standard
+    * pre-release step for usage datasets accompanying a training
+    * corpus). Users are generalized to a quasi-identifier pair —
+    * dominant event type (argmax count, ties broken lexicographically)
+    * × activity decile (ntile(10) over the deterministic total order
+    * (n_ev, user_id)) — and every equivalence class smaller than k=5
+    * is SUPPRESSED: its row still reports the class and its size (the
+    * auditor's view), but the payload aggregate is withheld (NULL),
+    * so no published statistic describes fewer than k people.
+    *
+    * Determinism: counts, argmax-with-tie-break, and ntile over a
+    * total order are all exact-integer and engine-identical; the
+    * published payload is an integer sum. No floats anywhere.
+    *
+    * 100-TB posture: two map-side-combined aggregations to user grain
+    * (total + per-type counts), a per-user argmax window that rides
+    * the user partitioning, ONE global ntile sort on the USER-grain
+    * table (the documented q26-class cost: user grain is orders of
+    * magnitude below event grain; Spark executes it as a
+    * range-partitioned sort feeding a single-partition window — at
+    * true 1e9-user scale the decile boundary would come from
+    * approx-percentile instead, traded here for exact cross-engine
+    * equality), and a final class-grain aggregate bounded by
+    * 10 × |event types| rows at any corpus size. */
+  def kAnonymize(events: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = events.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+    val perType = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val wDom = Window.partitionBy("user_id")
+      .orderBy(col("c").desc, col("event_type"))
+    val dom = perType
+      .withColumn("rn", row_number().over(wDom))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("dominant_type"))
+    val wDecile = Window.orderBy(col("n_ev"), col("user_id"))
+    u.join(dom, "user_id")
+      .withColumn("decile", ntile(10).over(wDecile))
+      .groupBy("dominant_type", "decile")
+      .agg(count(lit(1)).as("n_users"), sum("n_ev").as("se"))
+      .withColumn("published", col("n_users") >= k)
+      .withColumn("sum_events",
+        when(col("published"), col("se")).otherwise(lit(null)))
+      .drop("se")
+  }
+
+  /** Oracle for [[kAnonymize]] (k = 5). */
+  val kAnonymizeSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dom AS (
+      |  SELECT user_id, event_type AS dominant_type FROM (
+      |    SELECT user_id, event_type,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY c DESC, event_type) AS rn
+      |    FROM t) WHERE rn = 1),
+      |d AS (
+      |  SELECT u.user_id, n_ev, dominant_type,
+      |         ntile(10) OVER (ORDER BY n_ev, u.user_id) AS decile
+      |  FROM u JOIN dom USING (user_id))
+      |SELECT dominant_type, decile, CAST(count(*) AS BIGINT) AS n_users,
+      |       count(*) >= 5 AS published,
+      |       CASE WHEN count(*) >= 5
+      |            THEN CAST(sum(n_ev) AS BIGINT) END AS sum_events
+      |FROM d GROUP BY 1, 2""".stripMargin
 }

