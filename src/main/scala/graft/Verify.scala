@@ -60,6 +60,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // start marker BEFORE execution: when a scale run is killed or
+      // dies (disk, OOM), the log names the in-flight query — the
+      // r17 sf10 rehearsal burned an hour identifying a runaway hog
+      // because only COMPLETED dumps were observable
+      System.err.println(s"[verify] start $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

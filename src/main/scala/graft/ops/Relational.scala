@@ -1332,7 +1332,18 @@ object Relational {
         min(expr("CAST(rev * 100 AS BIGINT)")).as("min_cents"),
         max(expr("CAST(rev * 100 AS BIGINT)")).as("max_cents"))
       .crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("(rev_cents * 1000000) div t"))
+      // overflow-free exact ppm (r17 sf10 rehearsal catch: at the 100x
+      // corpus a decile's rev_cents exceeds 2^63/10^6 and the naive
+      // multiply overflows — loudly under ANSI Spark, silently-wide
+      // under DuckDB HUGEINT, the asymmetric-loudness class). Below
+      // the ceiling the multiply is provably safe (rev_cents <= t);
+      // above it the divisor-side floor form pays <= 1 ppm of rounding
+      // for overflow-freedom at ANY corpus size. Same CASE in the
+      // oracle -> engine-identical either way.
+      .withColumn("share_ppm", expr(
+        """CASE WHEN t <= 9223372036854
+          |THEN (rev_cents * 1000000) div t
+          |ELSE rev_cents div (t div 1000000) END""".stripMargin))
       .drop("t")
   }
 
@@ -1355,8 +1366,11 @@ object Relational {
       |       CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
       |       min(CAST(rev * 100 AS BIGINT)) AS min_cents,
       |       max(CAST(rev * 100 AS BIGINT)) AS max_cents,
-      |       (CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) * 1000000)
-      |         // (SELECT t FROM t) AS share_ppm
+      |       CASE WHEN (SELECT t FROM t) <= 9223372036854
+      |       THEN (CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT) * 1000000)
+      |            // (SELECT t FROM t)
+      |       ELSE CAST(sum(CAST(rev * 100 AS BIGINT)) AS BIGINT)
+      |            // ((SELECT t FROM t) // 1000000) END AS share_ppm
       |FROM dec GROUP BY 1""".stripMargin
 
   /** Q28 (extension) — ship-latency profile: the order-to-ship delay
