@@ -65,7 +65,16 @@ object Verify {
       // r17 sf10 rehearsal burned an hour identifying a runaway hog
       // because only COMPLETED dumps were observable
       System.err.println(s"[verify] start $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce narrows the final
+      // stage to one task, fusing any post-shuffle per-row compute
+      // (the fuzzy tier's bounded Levenshtein DP) into a single
+      // thread — at the 100x corpus that serialized hours of work
+      // into the write task (r17 sf10 rehearsal, caught via jstack:
+      // one RUNNABLE worker in levenshteinDistance inside
+      // FileFormatDataWriter). repartition inserts a shuffle barrier
+      // so upstream stages keep their parallelism; the dump is still
+      // one parquet file and the oracle compare is order-insensitive.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
