@@ -1094,8 +1094,16 @@ object EventAnalytics {
       .groupBy("duration_hours")
       .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_died"),
         sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
-    val reverseCum = Window.orderBy("duration_hours")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // reverse-cumulative as a RUNNING sum over the descending order,
+    // not an UNBOUNDED FOLLOWING frame: Spark evaluates a running
+    // (unboundedPreceding, currentRow) frame incrementally in O(n),
+    // while the moving-lower-bound unbounded-following frame
+    // re-aggregates the whole tail per row — O(n²) per partition
+    // (the Predict.scala scaler-stats lesson; re-learned live when
+    // the r17 dense-corpus stress sweep sat in
+    // UnboundedFollowingWindowFunctionFrame). Values are identical.
+    val reverseCum = Window.orderBy(col("duration_hours").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDuration.withColumn("n_at_risk",
       sum(col("n_died") + col("n_censored")).over(reverseCum))
   }
