@@ -126,11 +126,18 @@ object AsOfJoin {
           else lit(null).cast(left.schema(c).dataType).as(c))
           :+ col("_side") :+ col("_pay")): _*))
 
+    // "first following (inclusive)" as "last preceding (inclusive)"
+    // over the REVERSED sort: identical row set, but the running
+    // (unboundedPreceding, currentRow) frame evaluates incrementally
+    // in O(n) where the moving-lower-bound unbounded-following frame
+    // re-scans the tail per row — measured live as a ~30-minute
+    // single-task grind on the r17 dense stress corpus (long
+    // left-row runs between right rows are exactly the bad case).
     val w = Window.partitionBy(key)
-      .orderBy(col(ts), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(as, first(col("_pay"), ignoreNulls = true).over(w))
+      .withColumn(as, last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0)
       .drop("_side", "_pay")
   }
@@ -175,8 +182,12 @@ object AsOfJoin {
     // which is exactly the tie rule
     val wB = Window.partitionBy(key).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = Window.partitionBy(key).orderBy(col(ts), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward direction via the reversed running frame (same O(n)
+    // rewrite as [[asOfForward]] — the unbounded-following form
+    // re-scanned the tail per row)
+    val wF = Window.partitionBy(key)
+      .orderBy(col(ts).desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rightTs = when(col("_side") === 0, col(ts))
     val dB = unix_micros(col(ts)) - unix_micros(col("_bt"))
     val dF = unix_micros(col("_ft")) - unix_micros(col(ts))
@@ -184,8 +195,8 @@ object AsOfJoin {
     unioned
       .withColumn("_bp", last(col("_pay"), ignoreNulls = true).over(wB))
       .withColumn("_bt", last(rightTs, ignoreNulls = true).over(wB))
-      .withColumn("_fp", first(col("_pay"), ignoreNulls = true).over(wF))
-      .withColumn("_ft", first(rightTs, ignoreNulls = true).over(wF))
+      .withColumn("_fp", last(col("_pay"), ignoreNulls = true).over(wF))
+      .withColumn("_ft", last(rightTs, ignoreNulls = true).over(wF))
       .filter(col("_side") === 1)
       .withColumn(as, when(useB, col("_bp")).otherwise(col("_fp")))
       .withColumn("delta_ms",
