@@ -391,21 +391,30 @@ object TradeOps {
     * count for every column — the schema-wide twin of [[nullProfile]]
     * (which is one row of null counts). Emits only type-agnostic exact
     * integers (no min/max strings: double→VARCHAR formatting differs
-    * across engines). One aggregate per column, unioned: each branch's
-    * scan is PRUNED to its single column, so the 11 branches together
-    * read ≈ one full pass of the columnar file — the true cost of
-    * exact per-column distincts anywhere; a one-pass profile would
-    * have to accept HLL sketches ([[approxQuantilesChecked]]
-    * discipline). */
-  def columnProfile(df: DataFrame): DataFrame =
-    df.columns.toSeq.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        count(when(col(c).isNull, 1)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"))
-    }.reduce(_ unionAll _)
+    * across engines).
+    *
+    * ONE aggregate over ONE scan (r17, guide §2.4): all per-column
+    * `countDistinct`s live in a single `agg`, which Catalyst plans as
+    * one Expand (n+1 projections, values kept in their native types)
+    * feeding a single two-level aggregate — 1 scan + 2 Exchanges total,
+    * where the previous per-column-branch union paid n scans and
+    * 2n Exchanges (measured r17 baseline: 138 s executor time / 24 jobs
+    * at sf0.1 for the 11-branch shape). The single wide row is then
+    * stacked back to one row per column; results are bit-identical
+    * (exact counts, native-typed distinct comparison, row order
+    * irrelevant to the sorted oracle diff). */
+  def columnProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs: Seq[org.apache.spark.sql.Column] = count(lit(1)).as("_n_rows") +:
+      cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"_nulls_$c"),
+        countDistinct(col(c)).as(s"_dist_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', _n_rows, `_nulls_$c`, `_dist_$c`").mkString(", ") +
+          ") AS (col_name, n_rows, n_nulls, n_distinct)"))
+  }
 
   /** Oracle for [[columnProfile]] over `lineitem`. */
   def columnProfileSql(cols: Seq[String]): String =
@@ -425,14 +434,22 @@ object TradeOps {
     * oracle pins the exacts and the flag as a constant, and a sketch
     * drifting out of envelope flips the flag and breaks the hash. */
   def columnProfileSketch(df: DataFrame, tol: Double = 0.15): DataFrame = {
+    // r17 (guide §2.4): the HLL++ sketches are non-distinct aggregates,
+    // so they ride in the SAME single Expand-based aggregate as the
+    // exact distincts — one scan, two Exchanges, no join — where the
+    // previous shape ran columnProfile's n branches PLUS a separate
+    // sketch pass and a broadcast join (91 s executor time / 26 jobs at
+    // sf0.1). HLL++ merge is order-independent, so the sketch values
+    // (and the oracle-pinned envelope flag) are unchanged.
     val cols = df.columns.toSeq
-    val sketch = df.agg(
-      approx_count_distinct(col(cols.head)).as(cols.head),
-      cols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*)
-    val melted = sketch.select(expr(
-      s"stack(${cols.length}, " +
-        cols.map(c => s"'$c', `$c`").mkString(", ") + ") AS (col_name, apx)"))
-    columnProfile(df).join(broadcast(melted), "col_name")
+    val aggs: Seq[org.apache.spark.sql.Column] = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"_dist_$c"),
+      approx_count_distinct(col(c)).as(s"_apx_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', `_dist_$c`, `_apx_$c`").mkString(", ") +
+          ") AS (col_name, n_distinct, apx)"))
       .select(col("col_name"), col("n_distinct"),
         (abs(col("apx") - col("n_distinct")) <=
           lit(tol) * col("n_distinct")).cast("int").as("within_envelope"))
