@@ -81,20 +81,26 @@ object Predict {
     // guard + two casts + divide — the r13 floor paid 1.7× for the
     // latter on this op (ADVICE r13 hoist directive)
     def decSum(c: Column) = graft.Num.decDWin(c, w)
+    // r17 (guide §1.2 "don't compute things you throw away"): the digest
+    // previously assembled the full 100-struct array per row
+    // (collect_list over the sliding frame — O(n) struct copies per row,
+    // ~30M struct builds at sf0.1, 15.6 s CPU) only to read its size and
+    // two edge elements. Those three probes ARE plain window aggregates
+    // over the same frame — count(*), first_value(close), and the
+    // current row's close (the frame ends at CURRENT ROW, so with a full
+    // frame element n is the current row) — exactly how the oracle SQL
+    // has always computed them. The physical-array form survives in
+    // [[lookbackMatrix]] (spec-exercised and consumed by [[predict]]).
     bars.select(col("symbol"), col("timestamp"),
-        collect_list(struct(
-          col("close"), col("high"), col("low"),
-          col("total_usd_volume").as("usd"),
-          col("total_volume").as("vol"),
-          col("num_trades").cast("double").as("nt"))).over(w).as("matrix"),
+        count(lit(1)).over(w).cast("int").as("n_rows"),
+        first(col("close")).over(w).as("first_close"),
+        col("close").as("last_close"),
         decSum(col("close")).as("sum_close"),
         decSum(col("total_usd_volume")).as("sum_usd"),
         decSum(col("num_trades").cast("double")).as("sum_trades"))
-      .filter(size(col("matrix")) === n)
-      .select(col("symbol"), col("timestamp"),
-        size(col("matrix")).as("n_rows"),
-        expr("element_at(matrix, 1).close").as("first_close"),
-        expr(s"element_at(matrix, $n).close").as("last_close"),
+      .filter(col("n_rows") === n)
+      .select(col("symbol"), col("timestamp"), col("n_rows"),
+        col("first_close"), col("last_close"),
         col("sum_close"), col("sum_usd"), col("sum_trades"))
   }
 
