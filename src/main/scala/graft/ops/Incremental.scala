@@ -40,23 +40,29 @@ object Incremental {
     * of rows at any corpus scale, the whole point of partial-state MV
     * maintenance), and every one of them backs the returned view, so
     * none can be unpersisted before the caller consumes the result. */
-  private[ops] def partialStates(events: DataFrame): Seq[DataFrame] =
-    (0 until nBatches).map { b =>
-      events.filter(pmod(col("event_id"), lit(nBatches)) === b)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v_micro"),
-          min(col("value")).as("v_min"),
-          max(col("value")).as("v_max"))
-        .localCheckpoint()
-    }
+  private[ops] def partialStates(events: DataFrame): DataFrame =
+    // r17 (guide §1.2 / §2.4): all nBatches partials in ONE scan — the
+    // batch id is just another grouping key of the same aggregate, so
+    // the per-batch filter+scan+checkpoint trio (nBatches full passes
+    // over events, one job barrier each) collapses to one pass and one
+    // checkpointed state table holding exactly the same per-batch rows.
+    // The stored-state seam is unchanged: the merge below still reads
+    // MATERIALIZED partial state keyed by batch, never raw events.
+    events
+      .groupBy(pmod(col("event_id"), lit(nBatches)).as("_batch"),
+        col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v_micro"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+      .localCheckpoint()
 
   /** The refreshed view: merge all stored partials. Equal by
     * construction to a full recompute over every event — which is
     * exactly what the oracle does. */
   def incrementalAgg(events: DataFrame): DataFrame =
-    partialStates(events).reduce(_ unionByName _)
+    partialStates(events)
       .groupBy("event_type", "day")
       .agg(
         sum(col("n")).as("n_events"),
@@ -77,15 +83,17 @@ object Incremental {
     * lgK=12 → rsd ≈ 1.6%; flag at 5%): if sketching, storage, or merge
     * broke, the flag flips and the oracle hash breaks. */
   def incrementalDistinct(events: DataFrame): DataFrame = {
-    // release exemption: fixed-size sketch rows (one per event_type),
-    // all backing the returned frame — see [[partialStates]]
-    val partials = (0 until nBatches).map { b =>
-      events.filter(pmod(col("event_id"), lit(nBatches)) === b)
-        .groupBy("event_type")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .localCheckpoint()
-    }
-    val merged = partials.reduce(_ unionByName _)
+    // release exemption: fixed-size sketch rows (one per batch ×
+    // event_type), all backing the returned frame — see [[partialStates]]
+    // r17: all per-batch sketch states in one scan (batch id as a
+    // grouping key — partialStates discipline); sketch contents depend
+    // only on which rows feed them, so the stored states are identical.
+    val partials = events
+      .groupBy(pmod(col("event_id"), lit(nBatches)).as("_batch"),
+        col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint()
+    val merged = partials
       .groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
     events.groupBy("event_type")
@@ -137,23 +145,27 @@ object Incremental {
   def incrementalJoinAgg(orders: DataFrame, customer: DataFrame): DataFrame = {
     val newOrd = pmod(col("o_orderkey"), lit(nBatches)) === 0
     val newCust = pmod(col("c_custkey"), lit(10)) === 0
-    // release exemption: four (segment × month)-sized partials, all
-    // backing the returned view — see [[partialStates]]
-    def term(o: DataFrame, c: DataFrame): DataFrame =
-      o.join(broadcast(c.select("c_custkey", "c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment").as("segment"),
-          date_trunc("month", col("o_orderdate")).cast("timestamp").as("month"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-            .as("revenue_cents"))
-        .localCheckpoint()
-    Seq(
-      term(orders.filter(!newOrd), customer.filter(!newCust)), // stored view
-      term(orders.filter(newOrd), customer.filter(!newCust)),  // ΔA ⋈ B
-      term(orders.filter(!newOrd), customer.filter(newCust)),  // A ⋈ ΔB
-      term(orders.filter(newOrd), customer.filter(newCust)))   // ΔA ⋈ ΔB
-      .reduce(_ unionByName _)
+    // release exemption: (term × segment × month)-sized partials, all
+    // backing the returned view — see [[partialStates]].
+    // r17 (partialStates discipline): the four delta terms partition the
+    // full A×B join by the (ΔA?, ΔB?) membership flags, so ONE join +
+    // one aggregate keyed additionally by those two flags produces the
+    // identical four partial-state groups — 1 scan of orders instead of
+    // 4, one checkpointed state table instead of four. The delta-join
+    // identity is unchanged: the stored state still holds each term's
+    // rows separately (keyed by the flags) and the merge still reads
+    // only materialized state.
+    val terms = orders
+      .join(broadcast(customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(newOrd.as("_d_orders"), newCust.as("_d_cust"),
+        col("c_mktsegment").as("segment"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .localCheckpoint()
+    terms
       .groupBy("segment", "month")
       .agg(sum(col("n_orders")).as("n_orders"),
         sum(col("revenue_cents")).as("revenue_cents"))
@@ -189,22 +201,31 @@ object Incremental {
     * retraction under- or over-cancelled anywhere, some group's count
     * or exact micro-unit sum breaks the hash. */
   def incrementalRetract(events: DataFrame): DataFrame = {
-    val signed = events.withColumn("sign", lit(1L))
-    val retractions = events
-      .filter(pmod(col("event_id"), lit(RetractMod)) === 0)
-      .withColumn("sign", lit(-1L))
-    val partials = ((0 until nBatches).map { b =>
-      signed.filter(pmod(col("event_id"), lit(nBatches)) === b)
-    } :+ retractions).map {
-      // release exemption: group-sized signed partials, all backing the
-      // returned view — see [[partialStates]]
-      _.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(col("sign")).as("n"),
-          sum(col("sign") *
-            expr("CAST(round(value * 1000000) AS BIGINT)")).as("v_micro"))
-        .localCheckpoint()
-    }
-    partials.reduce(_ unionByName _)
+    // release exemption: group-sized signed partials, all backing the
+    // returned view — see [[partialStates]].
+    // r17 (partialStates discipline): one scan emits every signed
+    // contribution — each row lands in its insert batch with sign +1,
+    // and a retracted row ADDITIONALLY lands in the retraction batch
+    // (id nBatches) with sign −1 via a 1-or-2-element explode — then one
+    // aggregate keyed by batch id produces the identical per-batch
+    // signed partial states; previously nBatches+1 full passes.
+    val partials = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"),
+        explode(when(pmod(col("event_id"), lit(RetractMod)) === 0,
+            array(
+              struct(pmod(col("event_id"), lit(nBatches)).cast("int").as("b"),
+                lit(1L).as("sign")),
+              struct(lit(nBatches).cast("int").as("b"),
+                lit(-1L).as("sign"))))
+          .otherwise(array(
+            struct(pmod(col("event_id"), lit(nBatches)).cast("int").as("b"),
+              lit(1L).as("sign"))))).as("c"))
+      .groupBy(col("c.b").as("_batch"), col("event_type"), col("day"))
+      .agg(sum(col("c.sign")).as("n"),
+        sum(col("c.sign") * col("vm")).as("v_micro"))
+      .localCheckpoint()
+    partials
       .groupBy("event_type", "day")
       .agg(sum(col("n")).as("n_events"),
         sum(col("v_micro")).as("sum_value_micro"))
@@ -285,22 +306,29 @@ object Incremental {
     * all back the returned view — see [[partialStates]]. */
   private def netValueMultiplicity(events: DataFrame,
       groupCols: Seq[String]): DataFrame = {
-    val signed = events.withColumn("sign", lit(1L))
-    val retractions = events
-      .filter(pmod(col("event_id"), lit(RetractMod)) === 0)
-      .withColumn("sign", lit(-1L))
-    val keyed = (df: DataFrame) => df
+    // r17 (partialStates discipline, see [[incrementalRetract]]): one
+    // scan, signed contributions exploded into their batches, one
+    // aggregate keyed by batch id — the identical per-batch multiset
+    // partials, one checkpointed state table, instead of nBatches+1
+    // full passes over events.
+    val partials = events
       .withColumn("day", to_date(col("ts")))
       .withColumn("v_micro", expr("CAST(round(value * 1000000) AS BIGINT)"))
-    val partials = ((0 until nBatches).map { b =>
-      signed.filter(pmod(col("event_id"), lit(nBatches)) === b)
-    } :+ retractions).map { df =>
-      keyed(df)
-        .groupBy(groupCols.map(col) :+ col("v_micro"): _*)
-        .agg(sum(col("sign")).as("mult"))
-        .localCheckpoint()
-    }
-    partials.reduce(_ unionByName _)
+      .select(groupCols.map(col) :+ col("v_micro") :+
+        explode(when(pmod(col("event_id"), lit(RetractMod)) === 0,
+            array(
+              struct(pmod(col("event_id"), lit(nBatches)).cast("int").as("b"),
+                lit(1L).as("sign")),
+              struct(lit(nBatches).cast("int").as("b"),
+                lit(-1L).as("sign"))))
+          .otherwise(array(
+            struct(pmod(col("event_id"), lit(nBatches)).cast("int").as("b"),
+              lit(1L).as("sign"))))).as("c"): _*)
+      .groupBy(col("c.b").as("_batch") +: groupCols.map(col) :+
+        col("v_micro"): _*)
+      .agg(sum(col("c.sign")).as("mult"))
+      .localCheckpoint()
+    partials
       .groupBy(groupCols.map(col) :+ col("v_micro"): _*)
       .agg(sum(col("mult")).as("mult"))
       .filter(col("mult") > 0)
