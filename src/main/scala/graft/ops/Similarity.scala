@@ -3084,6 +3084,14 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("norm"), col("cosq"))
       .orderBy(col("cosq").desc, col("vec_id")).limit(poolN)
       .localCheckpoint()
+    // r17 (guide §1.2): pairs is referenced by every greedy round and
+    // sel_{r-1} appears TWICE in round r's plan (the union branch and
+    // next's joins), so the un-truncated chain re-executed earlier
+    // rounds ~2^k times (21 jobs, 2.46 s wall for 0.65 s of executor
+    // work at sf0.1). Checkpointing the poolN²-row pair table once and
+    // the ≤k-row selection per round keeps every round's plan linear;
+    // the selected rows and scores are computed by the identical
+    // expressions.
     val pairs = pool
       .select(col("vec_id").as("ia"), col("v").as("va"),
         col("norm").as("na"))
@@ -3092,9 +3100,11 @@ object Similarity {
       .filter(col("ia") =!= col("ib"))
       .withColumn("c", expr("dot_product(va, vb)") / (col("na") * col("nb")))
       .select("ia", "ib", "c")
+      .localCheckpoint()
     var sel = pool.orderBy(col("cosq").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), lit(1L).as("rank"),
         (lit(lam) * col("cosq")).as("score"))
+      .localCheckpoint()
     for (r <- 2 to k) {
       val selIds = sel.select(col("vec_id").as("ib"))
       val next = pool
@@ -3107,7 +3117,7 @@ object Similarity {
           lit(lam) * col("cosq") - lit(1.0 - lam) * col("maxc"))
         .orderBy(col("score").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), lit(r.toLong).as("rank"), col("score"))
-      sel = sel.unionByName(next)
+      sel = sel.unionByName(next).localCheckpoint()
     }
     sel.select(col("rank"), col("vec_id"),
       (col("score")).as("mmr_score"))
