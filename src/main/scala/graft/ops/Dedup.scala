@@ -1532,7 +1532,23 @@ object Dedup {
     * near-dup cliques — measured: raw 0.9-threshold triangles cost 44s
     * at sf0.1; the mutual-10NN graph is milliseconds. One window over
     * the directed edge list + one self-join. */
-  def mutualKnn(pairs: DataFrame, k: Int = 10): DataFrame = {
+  def mutualKnn(pairs: DataFrame, k: Int = 10): DataFrame =
+    // r17: session-cached like the pair/edge tables it derives from.
+    // Ten registry queries (the whole g_* family) consume
+    // mutualKnn(weightedDupEdges(docs)) and several reference it
+    // MULTIPLE times per plan (per-round joins, degree tables), so the
+    // rank-window + intersect (two shuffles + distinct) was re-running
+    // per REFERENCE while only its input sat pinned. The output is the
+    // deg≤k edge list — ≤ n·k/2 rows, 16 bytes each — the cheapest
+    // table in the whole chain to pin.
+    cached(knnCache, pairs, k.toLong)(p => mutualKnnOf(p, k))
+
+  private val knnCache =
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
+
+  /** The mutual-kNN computation itself, UNCACHED (the [[signaturesOf]]
+    * discipline — per-micro-batch / ad-hoc callers). */
+  def mutualKnnOf(pairs: DataFrame, k: Int = 10): DataFrame = {
     val dir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
       col("est_jaccard").as("j"))
       .union(pairs.select(col("doc_b"), col("doc_a"), col("est_jaccard")))

@@ -466,6 +466,18 @@ object Graph {
     val dir = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(e.select(col("doc_b"), col("doc_a")))
     val verts = dir.select(col("src").as("v")).distinct()
+    // r17 (guide §1.2, the mmrSelect lesson): lbl is referenced TWICE
+    // per round (the neighbor join and the self-vote union), so the
+    // un-truncated chain re-executed round r−1's whole plan 2× per
+    // round — 2^rounds copies of the label derivation by round 4
+    // (17.3 s executor time at sf0.1). Checkpoint the vertex-sized
+    // label table per round; every round then pays exactly one edge
+    // join + two aggregates, the documented O(rounds·m) shape. The
+    // per-round checkpoints are released on exit; only the tiny
+    // histogram leaves, computed before the release (count actions on
+    // the returned frame re-read materialized blocks, not lineage).
+    val allocated = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     var lbl = verts.select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to rounds) {
       val nbr = dir
@@ -476,10 +488,17 @@ object Graph {
       lbl = votes.groupBy("v")
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
           .as("lbl"))
+        .localCheckpoint()
+      allocated ++= backingRdds(lbl)
     }
-    lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
+    val out = lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("community_size"))
       .agg(count(lit(1)).as("n_communities"))
+      .localCheckpoint()
+    val keep = backingRdds(out).map(_.id).toSet
+    allocated.filterNot(r => keep.contains(r.id)).distinct
+      .foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Oracle body for [[labelPropagation]] — continues a WITH chain
