@@ -649,14 +649,28 @@ object Relational {
     val ord = Tables.load(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
     val supp = Tables.load(spark, dir, "supplier")
-    val perOrder = li.groupBy("l_orderkey").agg(
-      countDistinct(col("l_suppkey")).as("n_supp"),
-      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-        .as("n_supp_r"))
+    // r17 (guide §2.3 "aggregate before you shuffle"): both the
+    // per-order distinct-supplier counts and the returned-lines set are
+    // derivable from ONE (orderkey, suppkey)-grain reduction with a
+    // has-returned flag — count(distinct suppkey) = rows per order,
+    // count(distinct returned suppkey) = sum(has_r) — so the previous
+    // two lineitem scans (one through a 3-way countDistinct Expand, one
+    // through a pair distinct) become one scan + one map-side-combined
+    // aggregate. The pair-grain table is checkpointed because both
+    // consumers read it (the release-exemption shape tokenBudget
+    // documents: a 3-column reduction any reuse would pay to
+    // materialize).
+    val os = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+        .as("has_r"))
+      .localCheckpoint()
+    val perOrder = os.groupBy("l_orderkey").agg(
+      count(lit(1)).as("n_supp"),
+      sum(col("has_r")).as("n_supp_r"))
       .filter(col("n_supp") >= 2 && col("n_supp_r") === 1)
       .select("l_orderkey")
-    val rLines = li.filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_suppkey").distinct()
+    val rLines = os.filter(col("has_r") === 1)
+      .select("l_orderkey", "l_suppkey")
     rLines
       .join(perOrder, "l_orderkey")
       .join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
@@ -1264,8 +1278,13 @@ object Relational {
     * one fixed double expression over exact integers. */
   def copurchase(spark: SparkSession, dir: String,
       minSupport: Long = 3L): DataFrame = {
+    // r17: op feeds four consumers (the self-join's two sides, the part
+    // counts, the order count) — materialize the 2-column distinct once
+    // (guide §2.4; the tokenBudget release-exemption shape) instead of
+    // re-running the scan+distinct per reference.
     val op = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val nOrders = op.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val partCnt = op.groupBy("l_partkey").agg(count(lit(1)).as("cp"))
