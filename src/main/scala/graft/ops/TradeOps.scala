@@ -758,10 +758,14 @@ object TradeOps {
     * bench reps must measure identical work). */
   def compactGenerations(spark: SparkSession, trades: DataFrame): DataFrame = {
     val root = freshScratchDir(spark, "compact_gen_store")
+    // r17: keyed feeds four actions (base merge, the symbol probe, two
+    // revision merges) — materialize the (symbol x hour)-sized rollup
+    // once instead of re-running the trades scan+aggregate per action.
     val keyed = trades
       .withColumn("hr", date_trunc("hour", col("timestamp")))
       .groupBy("symbol", "hr")
       .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+      .localCheckpoint()
     // Fragmentation fixture: a full base load, then two SINGLE-SYMBOL
     // revision merges (value-identical rows, so the overwrite is
     // row-invisible). Each revision rewrites only the one bucket its
@@ -875,10 +879,13 @@ object TradeOps {
     * throughout; fresh store per invocation. */
   def gdprPurge(spark: SparkSession, trades: DataFrame): DataFrame = {
     val root = freshScratchDir(spark, "gdpr_purge_store")
+    // r17: keyed feeds three actions + the symbol probe — materialize
+    // the group-sized rollup once (see compactGenerations).
     val keyed = trades
       .withColumn("hr", date_trunc("hour", col("timestamp")))
       .groupBy("symbol", "hr")
       .agg(count(lit(1)).as("n_events"), max("event_id").as("max_event_id"))
+      .localCheckpoint()
     graft.sinks.Upsert.merge(keyed, 0L, root,
       keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
     if (graft.sinks.Upsert.currentVersion(root).isEmpty)

@@ -194,10 +194,15 @@ object Wap {
   def auditedLifecycle(spark: SparkSession, trades: DataFrame): DataFrame = {
     import graft.ops.TradeOps
     val root = TradeOps.freshScratchDir(spark, "audited_lifecycle")
+    // r17: keyed feeds four actions (two staged merges, the corrupt
+    // staging write, the max-symbol probe) — materialize the
+    // (symbol x day)-sized rollup once instead of re-running the trades
+    // scan+aggregate per action.
     val keyed = trades
       .groupBy(col("symbol"), date_trunc("day", col("timestamp")).as("day"))
       .agg(count(lit(1)).as("n_trades"),
         graft.Num.decD(sum(graft.Num.dec(col("volume")))).as("vol"))
+      .localCheckpoint()
     val keys = Seq("symbol", "day")
     val r0 = auditedMerge(spark, keyed, 0L, root, keys,
       bucketBy = Seq("symbol"))
