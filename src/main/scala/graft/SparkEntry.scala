@@ -194,7 +194,9 @@ object SparkEntry {
         docs.select("doc_id"),
         Dedup.dupEdges(docs),
         TextOps.contamination(docs)
-          .filter(col("contaminated") === 1).select("doc_id"))
+          .filter(col("contaminated") === 1).select("doc_id"),
+        // dupEdges is session-checkpointed; skip the duplicate pin
+        assumeMaterialized = true)
     }),
     "mv_incremental" -> ((s, dir) => Incremental.incrementalAgg(Tables.events(s, dir))),
     "e_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),

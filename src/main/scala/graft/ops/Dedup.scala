@@ -733,6 +733,24 @@ object Dedup {
     * signature table) — quadratically cheaper than the doc-level pair
     * production whenever signature groups are non-trivial. */
   private[ops] def resolveBySignature(sig: DataFrame,
+      maxIter: Int = 20): DataFrame =
+    // r17: session-cached keyed on the SIGNATURE table's plan — six
+    // registry queries resolve the same corpus (d_dedup_resolve,
+    // leakage split, cluster quality, savings, cluster-best, …) and two
+    // more resolve the same quality-filtered signature set (corpus
+    // clean, filter funnel); each previously re-ran the rep-contraction
+    // + CC loop (~4.5 s executor time + ~5 action barriers per query at
+    // sf0.1). The pinned table is (doc_id, canonical, cluster_size) —
+    // doc-count-sized, 24 bytes/row. No streaming caller routes here
+    // (the per-micro-batch path uses [[signaturesOf]] shapes), so no
+    // per-batch pinning risk.
+    cached(resolveCache, sig, maxIter.toLong)(s =>
+      resolveBySignatureOf(s, maxIter))
+
+  private val resolveCache =
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, Memo]()
+
+  private def resolveBySignatureOf(sig: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val slots = (0 until minhashParams.length).map(j => col(s"m$j"))
     val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(slots: _*)

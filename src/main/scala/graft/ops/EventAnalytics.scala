@@ -548,9 +548,16 @@ object EventAnalytics {
   def markovStationary(events: DataFrame, rounds: Int = 8): DataFrame = {
     val pairs = transitionMatrix(events)
     val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    // r17 (the mmrSelect/labelProp lesson): p is referenced by every
+    // unrolled round (plus the state seed), so the un-truncated chain
+    // re-derived the transition matrix — a full events scan + lag
+    // window + pair aggregate — once per reference (12.5 s executor
+    // time for 1.6 s of output work at sf0.1). The |types|² ppm matrix
+    // is the cheapest table in the chain to pin.
     val p = pairs.join(tot, "from_type")
       .select(col("from_type"), col("to_type"),
         expr("(n * 1000000) div tot").as("p_ppm"))
+      .localCheckpoint()
     val states = p.select(col("from_type").as("state")).distinct()
     val nStates = states // broadcast-sized; count via cross-join-free agg
       .agg(count(lit(1)).as("k"))

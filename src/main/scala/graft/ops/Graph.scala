@@ -349,7 +349,7 @@ object Graph {
     * @return (id, hop_dist) — 0 for seeds, k for k-hop discovery, null
     *         beyond `maxHops` */
   def hopDistance(vertices: DataFrame, edges0: DataFrame, seeds: DataFrame,
-      maxHops: Int = 2): DataFrame = {
+      maxHops: Int = 2, assumeMaterialized: Boolean = false): DataFrame = {
     val allocated = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     def ckpt(df: DataFrame): DataFrame = {
@@ -362,8 +362,14 @@ object Graph {
     val seedIds = seeds.select(col(seeds.columns.head).as("id"))
       .withColumn("d0", lit(0))
     val Array(srcC, dstC) = edges0.columns.take(2)
-    val half = ckpt(edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
-      .filter(col("src") =!= col("dst")))
+    // r17: `assumeMaterialized` is the pageRank/kCore discipline — when
+    // the caller's edge list is ALREADY session-pinned (every registry
+    // caller passes the cached dupEdges table), re-checkpointing here
+    // duplicated the biggest allocation of the query; the cheap
+    // projection re-reads the pinned blocks in place.
+    val halfRaw = edges0.select(col(srcC).as("src"), col(dstC).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val half = if (assumeMaterialized) halfRaw else ckpt(halfRaw)
     val edges = half.union(half.select(col("dst"), col("src")))
     var dist = ckpt(verts.join(broadcast(seedIds), Seq("id"), "left")
       .select(col("id"), col("d0").as("d")))

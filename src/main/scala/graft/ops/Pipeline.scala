@@ -126,7 +126,9 @@ object Pipeline {
       docs.select("doc_id"),
       Dedup.dupEdges(docs),
       TextOps.contamination(docs)
-        .filter(col("contaminated") === 1).select("doc_id"))
+        .filter(col("contaminated") === 1).select("doc_id"),
+      // dupEdges is session-checkpointed; skip the duplicate pin
+      assumeMaterialized = true)
       .filter(col("hop_dist").isNotNull).select("doc_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")

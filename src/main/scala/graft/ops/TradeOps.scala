@@ -434,22 +434,34 @@ object TradeOps {
     * oracle pins the exacts and the flag as a constant, and a sketch
     * drifting out of envelope flips the flag and breaks the hash. */
   def columnProfileSketch(df: DataFrame, tol: Double = 0.15): DataFrame = {
-    // r17 (guide §2.4): the HLL++ sketches are non-distinct aggregates,
-    // so they ride in the SAME single Expand-based aggregate as the
-    // exact distincts — one scan, two Exchanges, no join — where the
-    // previous shape ran columnProfile's n branches PLUS a separate
-    // sketch pass and a broadcast join (91 s executor time / 26 jobs at
-    // sf0.1). HLL++ merge is order-independent, so the sketch values
-    // (and the oracle-pinned envelope flag) are unchanged.
+    // r17 (guide §2.4): TWO single-pass aggregates + a 1-row broadcast
+    // join — the [[graft.ops.Relational.approxDistinctChecked]] split.
+    // The exact distincts ride one Expand-based aggregate (the
+    // [[columnProfile]] shape: 1 scan + 2 Exchanges, vs the previous
+    // per-column-branch union's n scans + separate sketch pass + join,
+    // 91 s executor time / 26 jobs at sf0.1). The HLL++ sketches
+    // deliberately do NOT share that aggregate: a non-distinct agg in
+    // an Expand plan keeps its buffer per (gid × value) partial-agg
+    // group — one register array per distinct value — where the
+    // dedicated pass keeps one per column per task. Sketch merge is
+    // register-wise max, so the estimates (and the oracle-pinned
+    // envelope flag) are plan-independent.
     val cols = df.columns.toSeq
-    val aggs: Seq[org.apache.spark.sql.Column] = cols.flatMap(c => Seq(
-      countDistinct(col(c)).as(s"_dist_$c"),
-      approx_count_distinct(col(c)).as(s"_apx_$c")))
-    df.agg(aggs.head, aggs.tail: _*)
+    val dAggs: Seq[org.apache.spark.sql.Column] =
+      cols.map(c => countDistinct(col(c)).as(s"_dist_$c"))
+    val aAggs: Seq[org.apache.spark.sql.Column] =
+      cols.map(c => approx_count_distinct(col(c)).as(s"_apx_$c"))
+    val exact = df.agg(dAggs.head, dAggs.tail: _*)
       .select(expr(
         s"stack(${cols.length}, " + cols.map(c =>
-          s"'$c', `_dist_$c`, `_apx_$c`").mkString(", ") +
-          ") AS (col_name, n_distinct, apx)"))
+          s"'$c', `_dist_$c`").mkString(", ") +
+          ") AS (col_name, n_distinct)"))
+    val apx = df.agg(aAggs.head, aAggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', `_apx_$c`").mkString(", ") +
+          ") AS (col_name, apx)"))
+    exact.join(broadcast(apx), "col_name")
       .select(col("col_name"), col("n_distinct"),
         (abs(col("apx") - col("n_distinct")) <=
           lit(tol) * col("n_distinct")).cast("int").as("within_envelope"))
