@@ -298,8 +298,12 @@ object Graph {
       // list is SCANNED once (both directed contributions emitted
       // in-stage, map-side combined partial agg) but never shuffled —
       // only vertex-sized partials move
-      val perSrc = ranks.join(deg, ranks("id") === deg("src"))
-        .select(col("src"), expr("r div d").as("rd"))
+      // r17: both directed broadcast sides below build from perSrc —
+      // pin the vertex-sized pre-divided table once per iteration so
+      // the ranks⋈deg join runs once, not once per broadcast build
+      // (released with the other per-iteration checkpoints on exit).
+      val perSrc = ckpt(ranks.join(deg, ranks("id") === deg("src"))
+        .select(col("src"), expr("r div d").as("rd")))
       val contrib = halfPairs
         .join(broadcast(perSrc.select(col("src"), col("rd").as("rd_s"))),
           "src")

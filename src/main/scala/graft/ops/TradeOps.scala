@@ -838,16 +838,21 @@ object TradeOps {
   def schemaEvolution(spark: SparkSession, trades: DataFrame): DataFrame = {
     val root = freshScratchDir(spark, "schema_evo_store")
     val hourly = trades.withColumn("hr", date_trunc("hour", col("timestamp")))
-    val base = hourly.groupBy("symbol", "hr")
-      .agg(count(lit(1)).as("n_events"))
+    // r17: one scan + one group-sized rollup feeds BOTH batches — the
+    // base batch is its narrow projection, the widening batch its
+    // even-hour filter (hour(hr) is a function of the group key, so
+    // filtering the rollup equals filtering before it). Previously two
+    // full trades scans + aggregates.
+    val rollup = hourly.groupBy("symbol", "hr")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Num.decD(sum(graft.Num.dec(col("volume")))).as("vol"))
+      .localCheckpoint()
+    val base = rollup.select("symbol", "hr", "n_events")
     graft.sinks.Upsert.merge(base, 0L, root,
       keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
     if (graft.sinks.Upsert.currentVersion(root).isEmpty)
       return base.withColumn("vol", lit(null).cast("double")).limit(0)
-    val evolved = hourly.filter(hour(col("hr")) % 2 === 0)
-      .groupBy("symbol", "hr")
-      .agg(count(lit(1)).as("n_events"),
-        graft.Num.decD(sum(graft.Num.dec(col("volume")))).as("vol"))
+    val evolved = rollup.filter(hour(col("hr")) % 2 === 0)
     graft.sinks.Upsert.merge(evolved, 1L, root,
       keys = Seq("symbol", "hr"), bucketBy = Seq("symbol"))
     val served = graft.sinks.Upsert.read(spark, root).get
