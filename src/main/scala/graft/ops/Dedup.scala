@@ -1106,13 +1106,18 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val tDf = thresholds.toDF("threshold")
-    val j = minhashPairs(docs)
+    // r17 (guide §1.2): one pass over the |thresholds|-fanned pair join
+    // instead of two — the exploded endpoint stream carries exactly 2
+    // rows per fired pair, so n_pairs = count div 2 (integer-exact) and
+    // n_docs = the same stream's distinct count.
+    val agg = minhashPairs(docs)
       .join(broadcast(tDf), col("est_jaccard") >= col("threshold"))
-    val np = j.groupBy("threshold").agg(count(lit(1)).as("p"))
-    val nd = j.select(col("threshold"),
+      .select(col("threshold"),
         explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .groupBy("threshold").agg(countDistinct(col("d")).as("nd"))
-    tDf.join(np, Seq("threshold"), "left").join(nd, Seq("threshold"), "left")
+      .groupBy("threshold").agg(
+        expr("count(1) div 2").as("p"),
+        countDistinct(col("d")).as("nd"))
+    tDf.join(agg, Seq("threshold"), "left")
       .select(col("threshold"),
         coalesce(col("p"), lit(0L)).as("n_pairs"),
         coalesce(col("nd"), lit(0L)).as("n_docs"))
