@@ -42,7 +42,7 @@ object Dedup {
     * extra2). Two distinct extra slots — NOT a folded hash — so a pair
     * of parameters (e.g. modularity's (threshold, edgeBudget)) can
     * never collide into one key (ADVICE r11). */
-  private type CacheKey = (Int, Int, Long, Long)
+  private[ops] type CacheKey = (Int, Int, Long, Long)
 
   /** Lazily-materialized cache cell: `computeIfAbsent` only allocates
     * this holder (cheap, inside the map's bin lock); the multi-second
@@ -50,7 +50,7 @@ object Dedup {
     * synchronized on THIS cell — so a concurrent caller whose
     * different key hashes to the same bin never blocks behind another
     * corpus's band join (ADVICE r11). */
-  private final class Memo(val session: org.apache.spark.sql.SparkSession,
+  private[ops] final class Memo(val session: org.apache.spark.sql.SparkSession,
       thunk: () => DataFrame) {
     lazy val value: DataFrame = thunk()
   }
@@ -89,7 +89,7 @@ object Dedup {
       p
     } else df.localCheckpoint()
 
-  private def cached(
+  private[ops] def cached(
       cache: java.util.concurrent.ConcurrentHashMap[CacheKey, Memo],
       df: DataFrame, extra: Long = 0L, extra2: Long = 0L)(
       f: DataFrame => DataFrame): DataFrame = {

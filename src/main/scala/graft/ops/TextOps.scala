@@ -200,7 +200,20 @@ object TextOps {
   /** Quality scoring: length, token stats, marker-hit ratio, composite
     * score in [0,1] — the length/stopword-ratio heuristics of corpus
     * filtering pipelines. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    // r17: session-cached via the shared Dedup stage-cache — ~10
+    // registry queries score the same corpus (quality gate, funnel,
+    // manifest, quota/mix/budget tiers), each previously re-running the
+    // tokenize-and-score text scan. Output is doc-sized (6 narrow
+    // columns). [[qualityScoreOf]] stays the uncached entry point.
+    Dedup.cached(qualityCache, docs)(qualityScoreOf)
+
+  private val qualityCache =
+    new java.util.concurrent.ConcurrentHashMap[Dedup.CacheKey, Dedup.Memo]()
+
+  /** The scoring computation itself, UNCACHED (the signaturesOf
+    * discipline — per-micro-batch / ad-hoc callers). */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val allMarkers = langWords.flatMap(_._2)
     withWords(docs)
       .withColumn("n_tokens", size(col("words")))
@@ -361,6 +374,20 @@ object TextOps {
     * deterministic stand-in for a real eval-set table, which would
     * plug into the same join). */
   def contamination(docs: DataFrame, benchDocs: Long = 20, n: Int = 5,
+      flagAt: Int = 3): DataFrame =
+    // r17: session-cached (see [[qualityScore]]) — the n-gram inverted
+    // probe feeds both t_contamination-style direct reads and the
+    // hopDistance seed set of g_contamination_hops / p_curation_manifest.
+    // Params ride the two extra key slots (benchDocs, n·2^32 + flagAt).
+    Dedup.cached(contamCache, docs, benchDocs,
+      n.toLong * 4294967296L + flagAt)(d =>
+      contaminationOf(d, benchDocs, n, flagAt))
+
+  private val contamCache =
+    new java.util.concurrent.ConcurrentHashMap[Dedup.CacheKey, Dedup.Memo]()
+
+  /** The probe computation itself, UNCACHED. */
+  def contaminationOf(docs: DataFrame, benchDocs: Long = 20, n: Int = 5,
       flagAt: Int = 3): DataFrame = {
     val gramExpr = (0 until n).map(k => s"ws[i+$k]").mkString(", ")
     val sh = docs.withColumn("ws", split(col("text"), " "))
